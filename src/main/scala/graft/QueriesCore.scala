@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Core operator queries (SURVEY.md §2.3-§2.5) over the driver testdata.
+  *
+  * Each query has a DuckDB-oracle twin in [[oracleSql]]; column names and
+  * rounding are aligned on both sides (the driver hash-compares values
+  * after sorting columns by name).
+  *
+  * `lineitem` plays the reference's panel: l_shipdate ↔ date_series,
+  * l_suppkey ↔ ticker_series, price/qty/discount/tax ↔ features
+  * (FIXTURES.md §2). Deterministic ordering inside window specs uses the
+  * unique key (l_orderkey, l_linenumber).
+  */
+object QueriesCore {
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  private val keys = Seq("l_orderkey", "l_linenumber")
+  private val ord = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RankTransformer: per-shipdate normalized average-tie rank.
+    "q_rank" -> ((s, dir) => {
+      RankTransformer(Seq("l_extendedprice", "l_quantity"), "l_shipdate")
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_rank"), 6).as("price_rank"),
+          round(col("l_quantity_rank"), 6).as("qty_rank"))
+    }),
+
+    // LagTransformer: windows [2,1] (descending contract), per supplier.
+    "q_lag" -> ((s, dir) => {
+      LagTransformer(Seq("l_extendedprice"), Seq(1, 2), "l_suppkey", ord)
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice_lag1").as("price_lag1"),
+          col("l_extendedprice_lag2").as("price_lag2"))
+    }),
+
+    // MovingAverageTransformer: trailing mean w=2,4 with min_samples=w.
+    "q_ma" -> ((s, dir) => {
+      MovingAverageTransformer(Seq("l_extendedprice"), Seq(2, 4), "l_suppkey", ord)
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_ma2"), 6).as("price_ma2"),
+          round(col("l_extendedprice_ma4"), 6).as("price_ma4"))
+    }),
+
+    // LogReturnTransformer: ln diff per supplier over shipdate order.
+    "q_logreturn" -> ((s, dir) => {
+      LogReturnTransformer(Seq("l_extendedprice"), "l_suppkey", ord)
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_logreturn"), 6).as("price_logreturn"))
+    }),
+
+    // GroupStatsTransformer: horizontal stats across 4 feature columns.
+    "q_groupstats" -> ((s, dir) => {
+      GroupStatsTransformer(
+        Map("g1" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("g1_groupstats_mean"), 6).as("g1_mean"),
+          round(col("g1_groupstats_std"), 6).as("g1_std"),
+          round(col("g1_groupstats_skew"), 6).as("g1_skew"),
+          round(col("g1_groupstats_kurt"), 6).as("g1_kurt"),
+          round(col("g1_groupstats_range"), 6).as("g1_range"),
+          round(col("g1_groupstats_cv"), 6).as("g1_cv"))
+    }),
+
+    // Vertical aggregation (TPC-H Q1 shape): partial-agg friendly.
+    "q_agg" -> ((s, dir) => {
+      li(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Global min-max scaling via broadcast scalar aggregate (no global window).
+    "q_minmax" -> ((s, dir) => {
+      MinMaxScaler(Seq("l_extendedprice")).transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_scaled"), 6).as("price_scaled"))
+    })
+  )
+
+  private val rankSql = (v: String) =>
+    s"""(rank() OVER (PARTITION BY l_shipdate ORDER BY $v ASC)
+       | + (count($v) OVER (PARTITION BY l_shipdate ORDER BY $v ASC
+       |     RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0)
+       | / count($v) OVER (PARTITION BY l_shipdate)""".stripMargin
+
+  private val tickerOrd =
+    "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
+
+  private def maSql(v: String, w: Int) =
+    s"""CASE WHEN count($v) OVER ($tickerOrd
+       |  ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) = $w
+       | THEN avg($v) OVER ($tickerOrd
+       |  ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) END""".stripMargin
+
+  // Horizontal stats SQL mirrors graft.functions (null-free columns here, so
+  // the null-skipping terms reduce to plain arithmetic).
+  private val gsCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val gsN = gsCols.size
+  private val gsMean = s"(${gsCols.mkString(" + ")}) / $gsN.0"
+  private def gsSS(p: Int) =
+    gsCols.map(c => s"pow(($c - m) / s, $p.0)").mkString(" + ")
+  private val gsVar =
+    s"(${gsCols.map(c => s"pow($c - m, 2.0)").mkString(" + ")}) / ${gsN - 1}.0"
+  private val skewC = s"($gsN.0 / (${gsN - 1}.0 * ${gsN - 2}.0))"
+  private val kurtC1 =
+    s"(($gsN.0 * ${gsN + 1}.0) / (${gsN - 1}.0 * ${gsN - 2}.0 * ${gsN - 3}.0))"
+  private val kurtC2 =
+    s"((3.0 * ${gsN - 1}.0 * ${gsN - 1}.0) / (${gsN - 2}.0 * ${gsN - 3}.0))"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rank" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | round(${rankSql("l_extendedprice")}, 6) AS price_rank,
+         | round(${rankSql("l_quantity")}, 6) AS qty_rank
+         |FROM lineitem""".stripMargin,
+    "q_lag" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | lag(l_extendedprice, 1) OVER ($tickerOrd) AS price_lag1,
+         | lag(l_extendedprice, 2) OVER ($tickerOrd) AS price_lag2
+         |FROM lineitem""".stripMargin,
+    "q_ma" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | round(${maSql("l_extendedprice", 2)}, 6) AS price_ma2,
+         | round(${maSql("l_extendedprice", 4)}, 6) AS price_ma4
+         |FROM lineitem""".stripMargin,
+    "q_logreturn" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | round(ln(l_extendedprice) - lag(ln(l_extendedprice), 1)
+         |   OVER ($tickerOrd), 6) AS price_logreturn
+         |FROM lineitem""".stripMargin,
+    "q_groupstats" ->
+      s"""WITH base AS (
+         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         |         l_discount, l_tax, $gsMean AS m
+         |  FROM lineitem
+         |), withvar AS (
+         |  SELECT *, sqrt($gsVar) AS s FROM base
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         | round(m, 6) AS g1_mean,
+         | round(s, 6) AS g1_std,
+         | round((${gsSS(3)}) * $skewC, 6) AS g1_skew,
+         | round((${gsSS(4)}) * $kurtC1 - $kurtC2, 6) AS g1_kurt,
+         | round(greatest(${gsCols.mkString(", ")})
+         |   - least(${gsCols.mkString(", ")}), 6) AS g1_range,
+         | round(s / m, 6) AS g1_cv
+         |FROM withvar""".stripMargin,
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_minmax" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(CASE WHEN mx - mn < 1e-10 THEN 0.5
+        |   ELSE (l_extendedprice - mn) / (mx - mn) END, 6) AS price_scaled
+        |FROM lineitem,
+        | (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem)""".stripMargin
+  )
+}

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Shared local session for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Port of the reference's exact-value unit tests
+  * (reference: tests/test_feature_transformers.py:24-94; fixture
+  * documented in /root/repo/FIXTURES.md §1.1). The 4-row OHLCV-ish panel:
+  * 2 dates × 2 tickers, feature1 ∈ {10,20,30,40}, feature2 ∈ {1.0..4.0}.
+  */
+class TransformerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  import spark.implicits._
+
+  def fixture: DataFrame = Seq(
+    ("2021-01-01", "A", 10L, 1.0),
+    ("2021-01-02", "A", 20L, 2.0),
+    ("2021-01-01", "B", 30L, 3.0),
+    ("2021-01-02", "B", 40L, 4.0)
+  ).toDF("date", "ticker", "feature1", "feature2")
+
+  def col1(df: DataFrame, c: String, ord: Seq[String]): Seq[Any] =
+    df.orderBy(ord.map(col): _*).select(c).collect().map(_.get(0)).toSeq
+
+  test("rank: normalized avg-tie rank per date (ranking.py:52-79)") {
+    val out = RankTransformer(Seq("feature1", "feature2"), "date")
+      .transform(fixture)
+    assert(col1(out, "feature1_rank", Seq("date", "ticker")) ==
+      Seq(0.5, 1.0, 0.5, 1.0))
+    assert(col1(out, "feature2_rank", Seq("date", "ticker")) ==
+      Seq(0.5, 1.0, 0.5, 1.0))
+  }
+
+  test("rank: average tie method (2-row tie → both 1.5/2)") {
+    val df = Seq(("d1", 10), ("d1", 10), ("d1", 20))
+      .toDF("date", "v")
+    val out = RankTransformer(Seq("v"), "date").transform(df)
+    val got = out.select("v_rank").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(0.5, 0.5, 1.0))
+  }
+
+  test("lag: leading nulls per ticker, lag-major descending order " +
+    "(time_series.py:38-59)") {
+    val t = LagTransformer(Seq("feature1"), Seq(1, 2), "ticker", Seq("date"))
+    assert(t.outputNames == Seq("feature1_lag2", "feature1_lag1"))
+    val out = t.transform(fixture)
+    assert(col1(out, "feature1_lag1", Seq("ticker", "date")) ==
+      Seq(null, 10L, null, 30L))
+    assert(col1(out, "feature1_lag2", Seq("ticker", "date")) ==
+      Seq(null, null, null, null))
+  }
+
+  test("moving average: min_samples = window (first w-1 rows null; " +
+    "tests/test_feature_transformers.py:62-68)") {
+    val out = MovingAverageTransformer(Seq("feature1"), Seq(2), "ticker",
+      Seq("date")).transform(fixture)
+    assert(col1(out, "feature1_ma2", Seq("ticker", "date")) ==
+      Seq(null, 15.0, null, 35.0))
+  }
+
+  test("log return: ln diff, leading null per ticker " +
+    "(tests/test_feature_transformers.py:71-83)") {
+    val out = LogReturnTransformer(Seq("feature1"), "ticker", Seq("date"))
+      .transform(fixture)
+    val got = col1(out, "feature1_logreturn", Seq("ticker", "date"))
+    assert(got(0) == null && got(2) == null)
+    assert(math.abs(got(1).asInstanceOf[Double] -
+      (math.log(20) - math.log(10))) < 1e-12)
+    assert(math.abs(got(3).asInstanceOf[Double] -
+      (math.log(40) - math.log(30))) < 1e-12)
+  }
+
+  test("groupstats: mean/range on the fixture (mean row0 = 5.5, range 9; " +
+    "tests/test_feature_transformers.py:85-94)") {
+    val out = GroupStatsTransformer(
+      Map("g" -> Seq("feature1", "feature2")), Seq("mean", "range"))
+      .transform(fixture)
+    assert(col1(out, "g_groupstats_mean", Seq("date", "ticker")) ==
+      Seq(5.5, 16.5, 11.0, 22.0))
+    assert(col1(out, "g_groupstats_range", Seq("date", "ticker")) ==
+      Seq(9.0, 27.0, 18.0, 36.0))
+  }
+
+  test("groupstats: std/skew/kurt/cv bias-corrected formulas " +
+    "(narwhals_utils.py:31-162) on [1,2,3,4]") {
+    val df = Seq((1.0, 2.0, 3.0, 4.0)).toDF("a", "b", "c", "d")
+    val out = GroupStatsTransformer(Map("g" -> Seq("a", "b", "c", "d")))
+      .transform(df).collect()(0)
+    assert(math.abs(out.getAs[Double]("g_groupstats_mean") - 2.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("g_groupstats_std") -
+      1.2909944487358056) < 1e-12)
+    assert(math.abs(out.getAs[Double]("g_groupstats_skew")) < 1e-12)
+    assert(math.abs(out.getAs[Double]("g_groupstats_kurt") - (-1.2)) < 1e-9)
+    assert(math.abs(out.getAs[Double]("g_groupstats_cv") -
+      0.5163977794943222) < 1e-12)
+  }
+
+  test("groupstats: NaN thresholds (std k<2, skew k<3, kurt k<4; " +
+    "stats.py:97-104)") {
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val out = GroupStatsTransformer(Map("g" -> Seq("a", "b")),
+      Seq("skew", "kurt")).transform(df).collect()(0)
+    assert(out.getAs[Double]("g_groupstats_skew").isNaN)
+    assert(out.getAs[Double]("g_groupstats_kurt").isNaN)
+  }
+
+  test("minmax scale: [0,1] bounds and degenerate-range → 0.5 " +
+    "(base.py:17-23)") {
+    val df = Seq(0.0, 5.0, 10.0).toDF("x")
+    val out = MinMaxScaler(Seq("x")).transform(df)
+    assert(col1(out, "x_scaled", Seq("x")) == Seq(0.0, 0.5, 1.0))
+    val const = Seq(3.0, 3.0).toDF("x")
+    val out2 = MinMaxScaler(Seq("x")).transform(const)
+    assert(col1(out2, "x_scaled", Seq("x")) == Seq(0.5, 0.5))
+  }
+
+  test("gaussianizer: ordinal rank → (r-0.5)/n → Φ⁻¹ (base.py:10-14)") {
+    val df = Seq(("e", 3.0, 1), ("e", 1.0, 2), ("e", 4.0, 3), ("e", 1.0, 4),
+      ("e", 5.0, 5)).toDF("era", "v", "id")
+    val out = Gaussianizer(Seq("v"), "era", Seq("id")).transform(df)
+    val got = out.orderBy("id").select("v_gauss").collect()
+      .map(_.getDouble(0)).toSeq
+    // ordinal ranks (ties by id): [3,1,4,2,5] → p = [.5,.1,.7,.3,.9]
+    val exp = Seq(0.0, -1.2815515655446008, 0.5244005127080407,
+      -0.5244005127080407, 1.2815515655446008)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("inv_norm_cdf precision vs scipy-pinned values") {
+    import graft.functions._
+    val df = Seq(0.001, 0.025, 0.1, 0.5, 0.975, 0.999).toDF("p")
+    val got = df.select(inv_norm_cdf(col("p")).as("x")).orderBy("p")
+      .collect().map(_.getDouble(0))
+    val exp = Seq(-3.090232306167813, -1.9599639845400545,
+      -1.2815515655446008, 0.0, 1.9599639845400545, 3.090232306167813)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("pipeline: chained stages share one lazy plan and compose names") {
+    val p = Pipeline(Seq(
+      LogReturnTransformer(Seq("feature2"), "ticker", Seq("date")),
+      RankTransformer(Seq("feature2_logreturn"), "date")))
+    val out = p.transform(fixture)
+    assert(out.columns.contains("feature2_logreturn_rank"))
+    assert(out.count() == 4)
+  }
+}
