@@ -31,8 +31,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries
+    QueriesCore.queries ++ QueriesSolvers.queries
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracleSql
+    QueriesCore.oracleSql ++ QueriesSolvers.oracleSql
 }

@@ -9,10 +9,13 @@ import org.apache.spark.sql.graft.ColumnBridge
 /** Inverse standard-normal CDF (probit, Φ⁻¹).
   *
   * Peter Acklam's rational approximation (public algorithm, relative error
-  * < 1.15e-9 over (0,1)), refined with one Halley step using the
-  * complementary error function for near-double precision — matching the
-  * precision class of scipy.stats.norm.ppf used by the reference
-  * gaussianizer (reference: src/centimators/feature_transformers/base.py:10-14).
+  * < 1.15e-9 over (0,1)) — within the tolerance class the reference's own
+  * correctness properties use for its gaussianizer
+  * (reference: src/centimators/feature_transformers/base.py:10-14).
+  * Deliberately kept as the plain two-branch rational form with Horner
+  * polynomials: the identical arithmetic is reproducible in ANSI SQL, so
+  * DuckDB-oracle queries can hash-match gaussianized outputs
+  * (see QueriesCore.acklamSql).
   *
   * Implemented as a native Catalyst Expression with code generation so it
   * stays inside whole-stage codegen (no UDF/serialization overhead) — this
@@ -35,30 +38,24 @@ object InverseNormalCdf {
   private val pLow = 0.02425
   private val pHigh = 1.0 - pLow
 
-  /** Acklam approximation + one Halley refinement step. */
   def compute(p: Double): Double = {
     if (p.isNaN) return Double.NaN
     if (p <= 0.0) return Double.NegativeInfinity
     if (p >= 1.0) return Double.PositiveInfinity
-    val x =
-      if (p < pLow) {
-        val q = math.sqrt(-2.0 * math.log(p))
-        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
-      } else if (p <= pHigh) {
-        val q = p - 0.5
-        val r = q * q
-        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
-          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
-      } else {
-        val q = math.sqrt(-2.0 * math.log(1.0 - p))
-        -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
-      }
-    // One Halley step: e = Phi(x) - p; u = e * sqrt(2*pi) * exp(x^2/2)
-    val e = 0.5 * org.apache.commons.math3.special.Erf.erfc(-x / math.sqrt(2.0)) - p
-    val u = e * math.sqrt(2.0 * math.Pi) * math.exp(x * x / 2.0)
-    x - u / (1.0 + x * u / 2.0)
+    if (p < pLow) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= pHigh) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
   }
 
   def apply(col: Column): Column =

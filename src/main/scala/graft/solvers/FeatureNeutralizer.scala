@@ -1,0 +1,149 @@
+package graft.solvers
+
+import breeze.linalg.{DenseMatrix, DenseVector, pinv}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.InverseNormalCdf
+import graft.operators.GraftTransformer
+
+/** Shared plumbing for the per-era solvers (neutralizer / penalizer).
+  *
+  * Physical design: one hash exchange on the era key
+  * (`Dataset.groupByKey(era).flatMapGroups`), each era solved in-memory on
+  * one task with Breeze, results joined back to the input on the caller's
+  * unique `idCol`. Eras parallelize across the cluster (finer granularity
+  * than the reference's joblib-over-(pred,prop) tasks,
+  * neutralization.py:159-177). Memory bound = rows(largest era) ×
+  * (#preds + #features) × 8B — panel eras are thousands of rows, i.e. KBs.
+  *
+  * The reference's `_gaussianize` (base.py:10-14) uses ordinal ranks whose
+  * tie order is physical row order; here ties break deterministically on
+  * `idCol` (SURVEY.md §7.4.3).
+  */
+private[solvers] object EraSolver {
+
+  /** (id, gaussianized pred, feature matrix row) for one era. */
+  type EraRow = (Long, Array[Double], Array[Double])
+
+  def gaussianize(values: Array[Double], ids: Array[Long]): Array[Double] = {
+    val n = values.length
+    val order = Array.range(0, n).sortBy(i => (values(i), ids(i)))
+    val out = new Array[Double](n)
+    var r = 0
+    while (r < n) {
+      out(order(r)) = InverseNormalCdf.compute((r + 1 - 0.5) / n)
+      r += 1
+    }
+    out
+  }
+
+  def popStd(v: DenseVector[Double]): Double = {
+    val m = breeze.linalg.sum(v) / v.length
+    math.sqrt(v.valuesIterator.map(x => (x - m) * (x - m)).sum / v.length)
+  }
+
+  /** Collect an era iterator into (ids, preds matrix, features matrix). */
+  def collectEra(it: Iterator[(Long, String, Array[Double], Array[Double])])
+      : (Array[Long], Array[Array[Double]], DenseMatrix[Double]) = {
+    val rows = it.toArray
+    val ids = rows.map(_._1)
+    val preds = rows.map(_._3)
+    val m = rows.length
+    val k = rows(0)._4.length
+    val x = DenseMatrix.zeros[Double](m, k)
+    var i = 0
+    while (i < m) {
+      val f = rows(i)._4
+      var j = 0
+      while (j < k) { x(i, j) = f(j); j += 1 }
+      i += 1
+    }
+    (ids, preds, x)
+  }
+}
+
+/** Classic feature neutralization: per era, gaussianize the prediction,
+  * fit `pred ~ features` by least squares, subtract `proportion ×
+  * (features @ coeffs)`, standardize by population std; finally min-max
+  * scale each output column to [0,1] ACROSS all eras (the global second
+  * pass, reference neutralization.py:197-248 and :220-221).
+  *
+  * Output columns: `{pred}_neutralized_{prop}[_{suffix}]`
+  * (neutralization.py:93-101).
+  *
+  * @param idCol unique LongType row id — join-back key and gaussianize
+  *              tiebreak (the engine never relies on physical row order).
+  */
+case class FeatureNeutralizer(
+    predCols: Seq[String],
+    featureCols: Seq[String],
+    proportions: Seq[Double] = Seq(0.5),
+    eraCol: String = "era",
+    idCol: String = "id",
+    suffix: Option[String] = None) extends GraftTransformer {
+  require(proportions.forall(p => p >= 0 && p <= 1),
+    s"proportion should be in [0, 1]. Got $proportions.")
+  require(predCols.distinct == predCols, "Duplicate pred_names found.")
+
+  def outputNames: Seq[String] = for (p <- predCols; prop <- proportions)
+    yield suffix.fold(s"${p}_neutralized_$prop")(sfx => s"${p}_neutralized_${prop}_$sfx")
+
+  def transform(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nOut = outputNames.size
+    val props = proportions.toArray
+
+    val packed: Dataset[(Long, String, Array[Double], Array[Double])] = df.select(
+      col(idCol).cast("long"),
+      col(eraCol).cast("string"),
+      array(predCols.map(c => col(c).cast("double")): _*),
+      array(featureCols.map(c => col(c).cast("double")): _*)
+    ).as[(Long, String, Array[Double], Array[Double])]
+
+    val solved: DataFrame = packed
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val (ids, preds, x) = EraSolver.collectEra(it)
+        val m = ids.length
+        val outs = Array.ofDim[Double](m, nOut)
+        var o = 0
+        for (pi <- predCols.indices) {
+          val gauss = EraSolver.gaussianize(
+            Array.tabulate(m)(i => preds(i)(pi)), ids)
+          val y = DenseVector(gauss)
+          // lstsq via pseudo-inverse (SVD) — matches np.linalg.lstsq's
+          // minimum-norm solution on rank-deficient X (neutralization.py:239)
+          val coeffs = pinv(x) * y
+          val exposure = x * coeffs
+          for (prop <- props) {
+            val neut = y - exposure * prop
+            val std = EraSolver.popStd(neut)
+            var i = 0
+            while (i < m) { outs(i)(o) = neut(i) / std; i += 1 }
+            o += 1
+          }
+        }
+        Iterator.range(0, m).map(i => (ids(i), outs(i)))
+      }
+      .toDF(idCol, "__outs")
+
+    // Global (cross-era) min-max per output column: tiny scalar aggregate,
+    // broadcast back — second pass per SURVEY.md §7.4.4.
+    // Output names may contain dots (e.g. _neutralized_0.5) — reference
+    // them with backquotes so Column parsing keeps them atomic.
+    def q(n: String) = col(s"`$n`")
+    val unpacked = solved.select(
+      col(idCol) +: outputNames.zipWithIndex.map { case (n, i) =>
+        element_at(col("__outs"), i + 1).as(n)
+      }: _*)
+    val aggs = outputNames.flatMap(n =>
+      Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
+    val scalars = unpacked.agg(aggs.head, aggs.tail: _*)
+    val scaled = unpacked.crossJoin(broadcast(scalars)).select(
+      col(idCol) +: outputNames.map { n =>
+        graft.functions.minMaxScale(q(n), q(s"__mn_$n"), q(s"__mx_$n")).as(n)
+      }: _*)
+    df.join(scaled, Seq(idCol))
+  }
+}

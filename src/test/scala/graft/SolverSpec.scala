@@ -1,0 +1,117 @@
+package graft
+
+import breeze.linalg.{DenseMatrix, DenseVector, norm, sum}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.solvers.{FeatureNeutralizer, FeaturePenalizer}
+
+case class SolverRow(id: Long, era: String, f0: Double, f1: Double,
+    f2: Double, f3: Double, f4: Double, prediction: Double)
+
+/** Property tests porting the reference's correctness bar for the per-era
+  * solvers (tests/test_neutralization.py:62-205,
+  * tests/test_penalizer_comparison.py:250-298, FIXTURES.md §1.2-1.3):
+  * exposure strictly reduced at proportion=1.0; outputs min≈0 / max≈1;
+  * penalized exposures ≤ max_exposure + 0.01.
+  */
+class SolverSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Normalized-correlation exposures (reference penalization.py:296-303). */
+  def exposures(x: DenseMatrix[Double], y: DenseVector[Double])
+      : DenseVector[Double] = {
+    val xc = x.copy
+    for (j <- 0 until x.cols) {
+      val c = xc(::, j); c -= sum(c) / c.length
+      val n = norm(c); if (n > 0) c /= n
+    }
+    val yc = y.copy
+    yc -= sum(yc) / yc.length
+    val n = norm(yc); if (n > 0) yc /= n
+    xc.t * yc
+  }
+
+  val nFeat = 5
+  val rng = new scala.util.Random(42)
+  // 5 eras × 20 rows, features ~ N(0,1), pred = X w + 0.1 noise
+  val w = DenseVector(0.5, -0.4, 0.3, 0.2, -0.1)
+  val rows: Seq[SolverRow] = (0 until 100).map { i =>
+    val f = DenseVector.fill(nFeat)(rng.nextGaussian())
+    SolverRow(i.toLong, s"era${i / 20}", f(0), f(1), f(2), f(3), f(4),
+      (f dot w) + 0.1 * rng.nextGaussian())
+  }
+  def df: DataFrame = rows.toDF()
+  val featCols = Seq("f0", "f1", "f2", "f3", "f4")
+
+  def q(n: String) = col(s"`$n`")
+
+  def eraMatrices(out: DataFrame, outCol: String)
+      : Seq[(DenseMatrix[Double], DenseVector[Double], DenseVector[Double])] = {
+    val collected = out.select((Seq("era", "id", "prediction", outCol) ++
+      featCols).map(q): _*).collect()
+    collected.groupBy(_.getString(0)).values.toSeq.map { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val x = DenseMatrix.tabulate(sorted.length, nFeat)((i, j) =>
+        sorted(i).getDouble(4 + j))
+      val pred = DenseVector(sorted.map(_.getDouble(2)))
+      val outv = DenseVector(sorted.map(_.getDouble(3)))
+      (x, pred, outv)
+    }
+  }
+
+  test("neutralizer: p=1.0 strictly reduces max feature exposure per era; " +
+    "output scaled to [0,1] (test_neutralization.py:83-114,182-205)") {
+    val out = FeatureNeutralizer(Seq("prediction"), featCols,
+      Seq(0.5, 1.0), "era", "id").transform(df).cache()
+    val names = Seq("prediction_neutralized_0.5", "prediction_neutralized_1.0")
+    assert(names.forall(out.columns.contains))
+    // global [0,1] bounds
+    for (n <- names) {
+      val r = out.agg(min(q(n)), max(q(n))).collect()(0)
+      assert(math.abs(r.getDouble(0)) < 1e-9 &&
+        math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    }
+    // exposure strictly reduced at full proportion
+    for ((x, pred, outv) <- eraMatrices(out, "prediction_neutralized_1.0")) {
+      val before = breeze.linalg.max(exposures(x, pred).map(math.abs))
+      val after = breeze.linalg.max(exposures(x, outv).map(math.abs))
+      // the reference asserts strict reduction, not ≈0: the no-intercept
+      // lstsq residual is orthogonal to raw (not centered) features, so a
+      // small centered-correlation residual remains by design
+      assert(after < before,
+        s"exposure not reduced: before=$before after=$after")
+    }
+    out.unpersist()
+  }
+
+  test("neutralizer: multi-proportion fan-out and suffix naming " +
+    "(test_neutralization.py:117-157)") {
+    val t = FeatureNeutralizer(Seq("prediction"), featCols, Seq(0.25),
+      "era", "id", suffix = Some("v2"))
+    assert(t.outputNames == Seq("prediction_neutralized_0.25_v2"))
+    val out = t.transform(df)
+    assert(out.columns.contains("prediction_neutralized_0.25_v2"))
+    assert(out.count() == 100)
+  }
+
+  test("penalizer: caps |exposure| at max_exp + 0.01; output in [0,1] " +
+    "(test_penalizer_comparison.py:250-298)") {
+    val maxExp = 0.2
+    val out = FeaturePenalizer(Seq("prediction"), featCols, Seq(maxExp),
+      "era", "id", maxIters = 50000).transform(df).cache()
+    val name = s"prediction_penalized_$maxExp"
+    assert(out.columns.contains(name))
+    val r = out.agg(min(q(name)), max(q(name))).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-9 &&
+      math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    for ((x, _, outv) <- eraMatrices(out, name)) {
+      // exposures computed on shifted features, as the optimizer sees them
+      val shifted = x - 0.5
+      val e = breeze.linalg.max(exposures(shifted, outv).map(math.abs))
+      assert(e <= maxExp + 0.01, s"exposure $e exceeds cap $maxExp+0.01")
+    }
+    out.unpersist()
+  }
+}
