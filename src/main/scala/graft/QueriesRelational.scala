@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Join / top-k / correlation queries (SURVEY.md §2.5, §2.8).
+  *
+  * Join strategy at scale: dimension tables (customer, supplier, nation,
+  * region, part) broadcast — lineitem/orders never shuffle for these
+  * plans; the aggregate does one partial-agg exchange on the (tiny) group
+  * key space.
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // customer ⋈ orders ⋈ lineitem → revenue by market segment
+    "q_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // supplier ⋈ nation ⋈ region star join, broadcast dims
+    "q_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // top-3 parts per brand by retail price (deterministic tiebreak)
+    "q_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("rk"))
+    }),
+
+    // Spearman correlation per group: average-tie ranks of both sides,
+    // then Pearson corr — the exact (non-soft) form of the reference's
+    // SpearmanCorrelation loss (losses.py:22-122, SURVEY.md §2.8).
+    "q_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = Seq(col("l_returnflag"))
+      val ranked = li.select(col("l_returnflag"),
+        avgRank(col("l_quantity"), part).as("ra"),
+        avgRank(col("l_extendedprice"), part).as("rb"))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(round(corr(col("ra"), col("rb")), 6).as("spearman"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_agg" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_topk" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) WHERE rk <= 3""".stripMargin,
+    "q_spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag,
+        |    (rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
+        |     + (count(l_quantity) OVER (PARTITION BY l_returnflag
+        |         ORDER BY l_quantity ASC
+        |         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0) AS ra,
+        |    (rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC)
+        |     + (count(l_extendedprice) OVER (PARTITION BY l_returnflag
+        |         ORDER BY l_extendedprice ASC
+        |         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0) AS rb
+        |  FROM lineitem)
+        |SELECT l_returnflag, round(corr(ra, rb), 6) AS spearman,
+        |  count(*) AS n
+        |FROM ranked GROUP BY l_returnflag""".stripMargin
+  )
+}

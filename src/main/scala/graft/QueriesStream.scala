@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Event-time windowing queries over the `events` table (SURVEY.md §2.10
+  * / §7.6). The batch forms of the SAME aggregations that run under
+  * Structured Streaming (see EventStream / StreamingSpec); the DuckDB
+  * oracles replicate tumbling windows with time_bucket and session
+  * windows with the lag-gap cumulative-sum construction.
+  */
+object QueriesStream {
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
+    * natively — sessions set spark.sql.legacy.parquet.nanosAsLong, and
+    * the nanos are floor-truncated to microseconds here (DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast truncates identically). Window starts
+    * are emitted as epoch-microsecond longs on both sides. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_window" -> ((s, dir) => {
+      EventStream.tumbling(ev(s, dir), "1 hour")
+        .select(unix_micros(col("ws")).as("ws"), col("event_type"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      EventStream.sessions(ev(s, dir), "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    })
+  )
+
+  private val evCte =
+    "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value, " +
+      "user_id FROM events)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_event_window" ->
+      s"""$evCte
+         |SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws,
+         | event_type, count(*) AS n_events,
+         | round(sum(value), 4) AS sum_value
+         |FROM e GROUP BY 1, 2""".stripMargin,
+    // Spark session_window semantics: an event < gap after the previous
+    // one extends the session; exactly-gap starts a new one (hence >=).
+    "q_sessionize" ->
+      s"""$evCte, g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |           >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g)
+         |SELECT user_id, epoch_us(min(ts)) AS session_start,
+         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+         |FROM s GROUP BY user_id, sid""".stripMargin
+  )
+}

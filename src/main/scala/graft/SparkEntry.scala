@@ -31,8 +31,12 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries ++ QueriesSolvers.queries
+    QueriesCore.queries ++ QueriesSolvers.queries ++
+      QueriesRelational.queries ++ QueriesText.queries ++
+      QueriesSim.queries ++ QueriesStream.queries
 
   def oracleSql: Map[String, String] =
-    QueriesCore.oracleSql ++ QueriesSolvers.oracleSql
+    QueriesCore.oracleSql ++ QueriesSolvers.oracleSql ++
+      QueriesRelational.oracleSql ++ QueriesText.oracleSql ++
+      QueriesSim.oracleSql ++ QueriesStream.oracleSql
 }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Event-time windowing over the `events` stream.
+  *
+  * The same `window()` / `session_window()` aggregations run in BOTH batch
+  * and Structured Streaming — the batch forms back the driver's DuckDB
+  * oracle, the streaming forms add a watermark and run incrementally
+  * (tested with a file source + memory sink in StreamingSpec). The
+  * reference has no streaming at all (SURVEY.md §2.10) — this is the
+  * greenfield Spark-native design: tumbling windows shuffle once on
+  * (window, event_type); session windows use Spark's built-in
+  * session-merge state store keyed by user.
+  */
+object EventStream {
+
+  /** Tumbling event-time window aggregate (batch form). */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session windows with an inactivity gap, per user (batch form).
+    * A new session starts when an event arrives >= gap after the previous
+    * one. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming form of [[tumbling]] with a watermark, writing to a named
+    * memory sink. Late data beyond the watermark is dropped — the
+    * standard at-scale configuration for unbounded sources. */
+  def tumblingStream(spark: SparkSession, sourceDir: String,
+      queryName: String, width: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    stream.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+  }
+}

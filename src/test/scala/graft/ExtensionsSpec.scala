@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.{Dedup, Similarity}
+import graft.sim.CosineTopK
+import graft.streaming.EventStream
+import graft.text.TextFunctions
+
+/** Tests for the training-data-pipeline extensions: dedup, similarity
+  * search, text analysis, and streaming (batch/stream equivalence). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH: exact duplicates always collide; banding finds " +
+    "high-jaccard near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, "the quick brown fox leaps over the lazy dog"), // near dup
+      (4L, "completely different content about spark engines and shuffles"),
+      (5L, "zzz qqq xxx vvv unrelated words entirely banana")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", numHashes = 16)
+    val pairs = Dedup.lshCandidates(sigs, "doc_id", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dups must share all bands")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near dup should collide in at least one band")
+    assert(!pairs.contains((4L, 5L)), "unrelated docs should not collide")
+  }
+
+  test("simhash: identical docs get identical fingerprints; similar docs " +
+    "are close in hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "entirely unrelated corpus text with novel vocabulary galaxies")
+    ).toDF("doc_id", "text")
+    val hs = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hs(1L) == hs(2L))
+    assert(ham(hs(1L), hs(3L)) < ham(hs(1L), hs(4L)),
+      s"near-dup hamming ${ham(hs(1L), hs(3L))} should beat unrelated " +
+        s"${ham(hs(1L), hs(4L))}")
+  }
+
+  test("ngram jaccard: exact dup = 1.0; disjoint pair absent") {
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      bandWidth = 10, k = 3, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("cosine top-k: neighbors ordered by true cosine, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = vecs.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val got = CosineTopK.bruteForce(vecs, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 3).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("text: token count, fingerprint stability, lang-id markers") {
+    val df = Seq((1L, "Der Hund ist nicht ein Katze und das Haus"),
+      (2L, "the cat and the dog, of course!"),
+      (3L, "")).toDF("doc_id", "text")
+    val toks = df.select(TextFunctions.tokenCount($"text")).collect()
+      .map(_.getInt(0)).toSeq
+    assert(toks(1) == 9) // 7 words + comma + bang
+    val langs = graft.text.LangIdTransformer("text").transform(df)
+      .orderBy("doc_id").select("lang_pred").collect().map(_.getString(0))
+    assert(langs(0) == "de" && langs(1) == "en" && langs(2) == "und")
+    val fp = df.select(TextFunctions.fingerprint($"text")).collect()
+    assert(fp(0).getString(0).length == 32)
+  }
+
+  test("streaming: tumbling window memory-sink result equals the batch " +
+    "form (same aggregation, incremental execution)") {
+    val batch = EventStream.tumbling(
+      spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")), "1 hour")
+      .select($"ws", $"event_type", $"n_events",
+        round($"sum_value", 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+
+    // stream the same parquet through a file source with a watermark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val q = EventStream.tumblingStream(spark, tmp.getAbsolutePath,
+      "tumbling_test", "1 hour", "2 hours")
+    q.processAllAvailable()
+    val streamed = spark.table("tumbling_test")
+      .select($"ws", $"event_type", $"n_events",
+        round($"sum_value", 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+}
