@@ -1,0 +1,147 @@
+package graft.ml
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weights of a dense feed-forward regressor (one hidden ReLU layer).
+  * Kept as plain arrays so they broadcast cheaply to executors. */
+case class MLPWeights(
+    w1: Array[Array[Double]], b1: Array[Double],
+    w2: Array[Double], b2: Double) extends Serializable {
+  def hidden: Int = b1.length
+  def nIn: Int = w1.length
+}
+
+/** Minimal MLP regressor re-expressing the reference's MLPRegressor
+  * surface (dense.py:13-38 + keras_estimators/base.py:26-156) Spark-first:
+  *
+  * - **fit**: mini-batch Adam on the driver over gradients computed
+  *   cluster-side with `treeAggregate` (full-batch gradient per epoch —
+  *   map-side partial aggregation; the driver only ever holds the weight
+  *   vectors, never the data). Target standardization on/off mirrors the
+  *   reference's StandardScaler default (keras_estimators/base.py:89-100).
+  * - **predict**: pure Column expression from broadcast weights — the
+  *   forward pass (matmul + ReLU) unrolls into codegen'd arithmetic, so
+  *   scoring is a map-side projection at scan speed, no UDF, no shuffle.
+  *
+  * Distributed SGD parity with Keras is explicitly out of scope (v1,
+  * SURVEY.md §7.5); the properties tested are loss-decrease and fit
+  * quality on a learnable function.
+  */
+class MLPRegressor(
+    val featureCols: Seq[String],
+    val targetCol: String,
+    val hidden: Int = 16,
+    val lr: Double = 1e-3,
+    val epochs: Int = 200,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true) extends Serializable {
+
+  private var weights: MLPWeights = _
+  private var yMean = 0.0
+  private var yStd = 1.0
+
+  def fittedWeights: MLPWeights = weights
+
+  def fit(df: DataFrame): this.type = {
+    val k = featureCols.size
+    val data = df.select((targetCol +: featureCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    val n = data.count().toDouble
+    if (scaleTarget) {
+      val r = data.agg(avg(col(targetCol)), stddev_pop(col(targetCol)))
+        .collect()(0)
+      yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
+    }
+    val rng = new scala.util.Random(seed)
+    val limit = math.sqrt(6.0 / (k + hidden)) // Glorot uniform
+    var w1 = DenseMatrix.fill(k, hidden)((rng.nextDouble() * 2 - 1) * limit)
+    var b1 = DenseVector.zeros[Double](hidden)
+    var w2 = DenseVector.fill(hidden)((rng.nextDouble() * 2 - 1) * limit)
+    var b2 = 0.0
+    // Adam state
+    val sz = k * hidden + hidden + hidden + 1
+    val m = DenseVector.zeros[Double](sz)
+    val v = DenseVector.zeros[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val (ym, ys) = (yMean, yStd)
+    val featIdx = featureCols.indices
+
+    for (t <- 1 to epochs) {
+      val bw1 = w1.copy; val bb1 = b1.copy; val bw2 = w2.copy; val bb2 = b2
+      // full-batch gradient via treeAggregate: executors fold rows into
+      // a flat gradient vector; depth-2 tree merge keeps driver traffic
+      // O(sz log partitions)
+      val zero = DenseVector.zeros[Double](sz + 1) // + loss accumulator
+      val grad = data.rdd.treeAggregate(zero)(
+        seqOp = (acc, row) => {
+          val y = (row.getDouble(0) - ym) / ys
+          val x = DenseVector(featIdx.map(i => row.getDouble(i + 1)).toArray)
+          val z1 = bw1.t * x + bb1
+          val h = z1.map(z => if (z > 0) z else 0.0)
+          val pred = (bw2 dot h) + bb2
+          val d = pred - y
+          // dL/dw2 = d*h ; dL/db2 = d ; back through relu
+          val dh = bw2 * d
+          val dz1 = DenseVector.tabulate(bb1.length)(j =>
+            if (z1(j) > 0) dh(j) else 0.0)
+          var off = 0
+          for (i <- 0 until x.length; j <- 0 until bb1.length) {
+            acc(off) += x(i) * dz1(j); off += 1
+          }
+          for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
+          for (j <- 0 until bb1.length) { acc(off) += d * h(j); off += 1 }
+          acc(off) += d
+          acc(sz) += 0.5 * d * d
+          acc
+        },
+        combOp = _ + _, depth = 2)
+      val g = grad(0 until sz) / n
+      // Adam step
+      m := m * beta1 + g * (1 - beta1)
+      v := v * beta2 + (g *:* g) * (1 - beta2)
+      val mh = m / (1 - math.pow(beta1, t))
+      val vh = v / (1 - math.pow(beta2, t))
+      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
+      var off = 0
+      for (i <- 0 until k; j <- 0 until hidden) {
+        w1(i, j) -= step(off); off += 1
+      }
+      for (j <- 0 until hidden) { b1(j) -= step(off); off += 1 }
+      for (j <- 0 until hidden) { w2(j) -= step(off); off += 1 }
+      b2 -= step(off)
+    }
+    data.unpersist()
+    weights = MLPWeights(
+      Array.tabulate(k, hidden)((i, j) => w1(i, j)), b1.toArray,
+      w2.toArray, b2)
+    this
+  }
+
+  /** Scoring column from (possibly externally supplied) weights — used by
+    * both predict() and the verification query with pinned weights. */
+  def predictColumn(w: MLPWeights, feats: Seq[Column],
+      mean: Double = 0.0, std: Double = 1.0): Column = {
+    val hiddenCols = (0 until w.hidden).map { j =>
+      val z = feats.zipWithIndex.map { case (f, i) =>
+        f * lit(w.w1(i)(j))
+      }.reduce(_ + _) + lit(w.b1(j))
+      greatest(z, lit(0.0)) // ReLU
+    }
+    val out = hiddenCols.zipWithIndex.map { case (h, j) =>
+      h * lit(w.w2(j))
+    }.reduce(_ + _) + lit(w.b2)
+    out * lit(std) + lit(mean)
+  }
+
+  /** Appends `prediction` (naming contract:
+    * keras_estimators/base.py:137-150). */
+  def predict(df: DataFrame): DataFrame = {
+    require(weights != null, "fit first")
+    df.withColumn("prediction",
+      predictColumn(weights, featureCols.map(c => col(c).cast("double")),
+        yMean, yStd))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.GraftTransformer
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata structs;
+  * decode / feature-extract run as batched per-partition maps (the Scala
+  * analog of `mapInPandas`) so a real decoder (JNI/FFI image lib) slots in
+  * without touching the plan shape. The decode step itself is STUBBED
+  * with a deterministic fake (this container ships no media codecs — see
+  * the builder brief): `DeterministicDecoder` derives a fixed-size
+  * "feature" vector from the bytes, so schema, batching, partitioning and
+  * null handling are real and tested end-to-end while the codec is
+  * swappable.
+  */
+object BinaryPipeline {
+
+  /** Media metadata carried beside the payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Wrap a text column into a fake binary media payload + metadata —
+    * the test-data adapter (documents have no real media). */
+  def synthesizeMedia(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("media", col(textCol).cast("binary"))
+      .withColumn("media_meta", struct(
+        lit("application/x-fake").as("mime"),
+        (length(col(textCol)) % 640).cast("int").as("width"),
+        (length(col(textCol)) % 480).cast("int").as("height")))
+
+  /** Batched "decode + feature extract" over the binary column: emits a
+    * fixed-`dim` float vector per row (zero vector for null payloads).
+    * Swap `decode` for a real codec in production. */
+  def extractFeatures(df: DataFrame, binCol: String, dim: Int = 8,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(s"${binCol}_features", ArrayType(FloatType), true))
+    val idx = df.schema.fieldIndex(binCol)
+    val (bs, d) = (batchSize, dim)
+    val out = df.rdd.mapPartitions { it =>
+      it.grouped(bs).flatMap { batch =>
+        batch.map { r =>
+          val vec = if (r.isNullAt(idx)) Array.fill(d)(0.0f)
+            else DeterministicDecoder.decode(r.getAs[Array[Byte]](idx), d)
+          Row.fromSeq(r.toSeq :+ vec.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, outSchema)
+  }
+}
+
+/** STUB decoder: a real implementation would decode image/audio bytes;
+  * this derives deterministic pseudo-features (byte histogram moments) so
+  * the pipeline is testable in this codec-less container. */
+object DeterministicDecoder {
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+}
