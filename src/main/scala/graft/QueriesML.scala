@@ -69,6 +69,29 @@ object QueriesML {
         .select(col("l_returnflag"), round(col("r2"), 6).as("r2"))
     }),
 
+    // global z-score standardization (target-scaling primitive)
+    "q_standardize" -> ((s, dir) => {
+      graft.operators.StandardScaler(Seq("l_extendedprice"))
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_std"), 6).as("price_std"))
+    }),
+
+    // bounded-concurrency LLM row-predictor harness (deterministic mock)
+    "q_row_predict" -> ((s, dir) => {
+      val mock: Map[String, String] => Map[String, String] = kw => {
+        val t = kw.getOrElse("text", "")
+        Map("summary" -> t.take(20).toUpperCase,
+          "sentiment" -> (t.length % 3 match {
+            case 0 => "neg"; case 1 => "neu"; case 2 => "pos"
+          }))
+      }
+      RowPredictor(Seq("text"), Seq("summary", "sentiment"), mock,
+        batchSize = 100, concurrency = 8)
+        .transform(docs(s, dir))
+        .select(col("doc_id"), col("summary"), col("sentiment"))
+    }),
+
     // multimodal plumbing: synthesize binary media, batched stub decode
     "q_media_features" -> ((s, dir) => {
       val media = BinaryPipeline.synthesizeMedia(docs(s, dir), "text")
@@ -96,6 +119,17 @@ object QueriesML {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_standardize" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_extendedprice - mu) / sd, 6) AS price_std
+        |FROM lineitem,
+        | (SELECT avg(l_extendedprice) AS mu,
+        |         stddev_pop(l_extendedprice) AS sd FROM lineitem)""".stripMargin,
+    "q_row_predict" ->
+      """SELECT doc_id, upper(substr(text, 1, 20)) AS summary,
+        | CASE length(text) % 3 WHEN 0 THEN 'neg' WHEN 1 THEN 'neu'
+        |   ELSE 'pos' END AS sentiment
+        |FROM documents""".stripMargin,
     "q_mlp_score" ->
       s"""SELECT l_orderkey, l_linenumber, $mlpSql AS score
          |FROM lineitem""".stripMargin,

@@ -28,8 +28,10 @@ object Dedup {
     * doc-id re-aggregation and the band-bucket join. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(nGramShingles(textCol, shingleK)).as("sh"))
+    val sh = df
+      .withColumn("__norm", TextFunctions.normalize(col(textCol)))
+      .select(col(idCol), explode(nGramShingles("__norm", shingleK,
+        preNormalized = true)).as("sh"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -39,9 +41,14 @@ object Dedup {
 
   /** Distinct character k-gram shingles over the normalized text. Built
     * via a SQL-lambda `transform` (substring needs a column start offset,
-    * which the Scala lambda API does not expose). */
-  def nGramShingles(textCol: String, k: Int = 3): Column = {
-    val t = s"lower(trim(regexp_replace($textCol, '\\\\s+', ' ')))"
+    * which the Scala lambda API does not expose). With
+    * `preNormalized = false` the normalization regex would re-run per
+    * shingle position inside the lambda — callers should project the
+    * normalized text into a column first and pass preNormalized = true. */
+  def nGramShingles(textCol: String, k: Int = 3,
+      preNormalized: Boolean = false): Column = {
+    val t = if (preNormalized) textCol
+      else s"lower(trim(regexp_replace($textCol, '\\\\s+', ' ')))"
     expr(s"array_distinct(transform(sequence(1, greatest(length($t) - ${k - 1}, 1)), " +
       s"i -> substring($t, i, $k)))")
   }
@@ -71,8 +78,10 @@ object Dedup {
     * next bucket) — never a nested-loop range join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bandWidth: Int = 20, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-      nGramShingles(textCol, k).as("sh"))
+    val withSh = df
+      .withColumn("__norm", TextFunctions.normalize(col(textCol)))
+      .select(col(idCol).as("id"),
+        nGramShingles("__norm", k, preNormalized = true).as("sh"))
     val buckets = withSh.select(col("id"), col("sh"), explode(array(
       (col("id") / bandWidth).cast("long"),
       (col("id") / bandWidth).cast("long") + 1)).as("bucket"))
@@ -80,10 +89,11 @@ object Dedup {
       (col("id") / bandWidth).cast("long").as("bucket"))
     buckets.join(right, Seq("bucket"))
       .where(col("id") < col("id_b") && col("id_b") - col("id") <= bandWidth)
+      // intersection computed once, then reused for the union size
+      .withColumn("__i",
+        size(array_intersect(col("sh"), col("sh_b"))).cast("double"))
       .select(col("id").as("id_a"), col("id_b"),
-        (size(array_intersect(col("sh"), col("sh_b"))).cast("double") /
-          (size(col("sh")) + size(col("sh_b")) -
-            size(array_intersect(col("sh"), col("sh_b")))).cast("double"))
+        (col("__i") / (size(col("sh")) + size(col("sh_b")) - col("__i")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
       .distinct()

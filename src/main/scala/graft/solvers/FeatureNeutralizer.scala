@@ -112,9 +112,11 @@ case class FeatureNeutralizer(
           val gauss = EraSolver.gaussianize(
             Array.tabulate(m)(i => preds(i)(pi)), ids)
           val y = DenseVector(gauss)
-          // lstsq via pseudo-inverse (SVD) — matches np.linalg.lstsq's
-          // minimum-norm solution on rank-deficient X (neutralization.py:239)
-          val coeffs = pinv(x) * y
+          // lstsq via the Gram pseudo-inverse: (XᵀX)⁺Xᵀy equals the
+          // minimum-norm SVD solution of np.linalg.lstsq
+          // (neutralization.py:239) but only ever materializes k×k —
+          // pinv(X) directly would build an m×m U factor per era
+          val coeffs = pinv(x.t * x) * (x.t * y)
           val exposure = x * coeffs
           for (prop <- props) {
             val neut = y - exposure * prop

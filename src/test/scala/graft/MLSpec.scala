@@ -85,3 +85,54 @@ class MLSpec extends AnyFunSuite {
     assert(out(1) == Seq(0.0f, 0.0f, 0.0f, 0.0f))
   }
 }
+
+/** StandardScaler / sequence reshape / row-predictor / cortex-search. */
+class MetaSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("standard scaler: mean 0, pop-std 1 (keras_estimators/base.py:89-100)") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val out = graft.operators.StandardScaler(Seq("x")).transform(df)
+    val r = out.agg(avg(col("x_std")), stddev_pop(col("x_std"))).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12 &&
+      math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("sequence reshape: lag-major columns -> [seq][feat] tensor " +
+    "(sequence.py:26-40)") {
+    import graft.operators.SequenceReshape
+    val df = Seq((1.0, 2.0, 3.0, 4.0)).toDF("a_lag2", "b_lag2", "a_lag1", "b_lag1")
+    val t = df.select(SequenceReshape.toSequenceTensor(
+      Seq("a_lag2", "b_lag2", "a_lag1", "b_lag1"), seqLen = 2).as("seq"))
+      .collect()(0).getSeq[Seq[Double]](0)
+    assert(t == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+
+  test("row predictor: mock fn applied per row with batching; " +
+    "null inputs become empty strings (dspymator.py:361-417)") {
+    val df = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val mock: Map[String, String] => Map[String, String] =
+      kw => Map("out" -> ("<" + kw("text") + ">"))
+    val got = graft.ml.RowPredictor(Seq("text"), Seq("out"), mock,
+      batchSize = 1, concurrency = 2).transform(df)
+      .orderBy("id").select("out").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("<hello>", "<>"))
+  }
+
+  test("cortex search: returns the candidate with best validation R2 " +
+    "(keras_cortex.py:96-143 shape)") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val x = rng.nextGaussian()
+      MLRow(i.toLong, x, rng.nextGaussian(), 0.0, 2.0 * x)
+    }
+    val df = rows.toDF()
+    val res = graft.ml.CortexSearch.search(df, df, Seq("f0", "f1", "f2"),
+      "y", hiddenCandidates = Seq(2, 8), epochs = 60)
+    assert(res.history.size == 2)
+    assert(res.bestR2 == res.history.map(_._2).max)
+  }
+}
