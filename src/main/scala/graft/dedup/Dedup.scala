@@ -28,10 +28,13 @@ object Dedup {
     * doc-id re-aggregation and the band-bucket join. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
+    // explode 64-bit shingle hashes, not strings: cheaper rows, and
+    // xxhash64(seed, shingleHash) is as good a hash family as hashing
+    // the string per seed
     val sh = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol), explode(nGramShingles("__norm", shingleK,
-        preNormalized = true)).as("sh"))
+        preNormalized = true, hashed = true)).as("sh"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -46,11 +49,13 @@ object Dedup {
     * shingle position inside the lambda — callers should project the
     * normalized text into a column first and pass preNormalized = true. */
   def nGramShingles(textCol: String, k: Int = 3,
-      preNormalized: Boolean = false): Column = {
+      preNormalized: Boolean = false, hashed: Boolean = false): Column = {
     val t = if (preNormalized) textCol
       else s"lower(trim(regexp_replace($textCol, '\\\\s+', ' ')))"
+    val elem = if (hashed) s"xxhash64(substring($t, i, $k))"
+      else s"substring($t, i, $k)"
     expr(s"array_distinct(transform(sequence(1, greatest(length($t) - ${k - 1}, 1)), " +
-      s"i -> substring($t, i, $k)))")
+      s"i -> $elem))")
   }
 
   /** LSH banding: candidate pairs whose signatures agree on at least one
@@ -78,10 +83,13 @@ object Dedup {
     * next bucket) — never a nested-loop range join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bandWidth: Int = 20, k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // shingle sets as 64-bit hashes: set intersection compares longs,
+    // not strings; Jaccard is unchanged up to ~2^-64 collision odds
     val withSh = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol).as("id"),
-        nGramShingles("__norm", k, preNormalized = true).as("sh"))
+        nGramShingles("__norm", k, preNormalized = true, hashed = true)
+          .as("sh"))
     val buckets = withSh.select(col("id"), col("sh"), explode(array(
       (col("id") / bandWidth).cast("long"),
       (col("id") / bandWidth).cast("long") + 1)).as("bucket"))

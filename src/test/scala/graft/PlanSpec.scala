@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale guarantees the library
+  * advertises (SURVEY.md §4.2) pinned as tests: pushdown reaches parquet,
+  * pipelines use exactly one exchange per grouping key, dimension joins
+  * broadcast, horizontal stats never shuffle. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.operators._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  def exchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("parquet pushdown: filter + column pruning reach the scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)"), s"no pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), s"no pruning:\n$plan")
+  }
+
+  test("rank construct is one exchange (rank + peer count + total count " +
+    "share the date partitioning)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = RankTransformer(Seq("l_extendedprice"), "l_shipdate")
+      .transform(li)
+    assert(exchanges(planOf(out)) == 1)
+  }
+
+  test("adjacent ticker-keyed stages (lag + ma + logreturn) share ONE " +
+    "exchange and one sort") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    val out = Pipeline(Seq(
+      LagTransformer(Seq("l_extendedprice"), Seq(1, 2), "l_suppkey", ord),
+      MovingAverageTransformer(Seq("l_extendedprice"), Seq(4), "l_suppkey", ord),
+      LogReturnTransformer(Seq("l_extendedprice"), "l_suppkey", ord)
+    )).transform(li)
+    val plan = planOf(out)
+    assert(exchanges(plan) == 1, s"expected 1 exchange:\n$plan")
+  }
+
+  test("groupstats is a pure projection: zero exchanges") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = GroupStatsTransformer(
+      Map("g" -> Seq("l_quantity", "l_discount"))).transform(li)
+    assert(exchanges(planOf(out)) == 0)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = planOf(QueriesRelational.queries("q_star_join")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // only the final aggregation exchanges
+    assert(exchanges(plan) <= 1, s"fact side must not shuffle for joins:\n$plan")
+  }
+}
+
+/** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
+  * contracts of lag/ma, gaussianize symmetry. Seeded draws (5 trials
+  * each) rather than a scalacheck runner — the scalatest-scalacheck
+  * bridge is not in the offline dependency set. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators._
+
+  val rng = new scala.util.Random(20260812L)
+
+  test("rank outputs lie in (0, 1]; unique max ranks 1.0 " +
+    "(random int panels, ties included)") {
+    for (_ <- 1 to 5) {
+      val vals = List.fill(40)(rng.nextInt(50) - 25) // small range → ties
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (s"d${i % 3}", v) }.toDF("date", "v")
+      val out = RankTransformer(Seq("v"), "date").transform(df)
+      val ranks = out.select("v_rank").collect().map(_.getDouble(0))
+      // a TIED maximum averages below n/n — same as narwhals .rank()
+      assert(ranks.forall(r => r > 0.0 && r <= 1.0))
+    }
+    val unique = Seq(("d", 1), ("d", 2), ("d", 3)).toDF("date", "v")
+    val top = RankTransformer(Seq("v"), "date").transform(unique)
+      .agg(max(col("v_rank"))).collect()(0).getDouble(0)
+    assert(top == 1.0)
+  }
+
+  test("lag/ma null contracts: lag-k yields k leading nulls per group, " +
+    "ma-w yields w-1") {
+    for (w <- 2 to 6) {
+      val df = (0 until 30).map(i => (s"t${i % 2}", i, rng.nextDouble()))
+        .toDF("ticker", "ord", "v")
+      val lagged = LagTransformer(Seq("v"), Seq(w), "ticker", Seq("ord"))
+        .transform(df)
+      assert(lagged.where(col(s"v_lag$w").isNull).count() == 2L * w)
+      val ma = MovingAverageTransformer(Seq("v"), Seq(w), "ticker",
+        Seq("ord")).transform(df)
+      assert(ma.where(col(s"v_ma$w").isNull).count() == 2L * (w - 1))
+    }
+  }
+
+  test("gaussianized column is near-symmetric (mean ~ 0) for any input") {
+    for (_ <- 1 to 5) {
+      val vals = List.fill(101)(rng.nextDouble() * 2e6 - 1e6)
+      val df = vals.zipWithIndex.map { case (v, i) => ("e", v, i) }
+        .toDF("era", "v", "id")
+      val out = Gaussianizer(Seq("v"), "era", Seq("id")).transform(df)
+        .agg(avg(col("v_gauss"))).collect()(0).getDouble(0)
+      assert(math.abs(out) < 0.05)
+    }
+  }
+}
