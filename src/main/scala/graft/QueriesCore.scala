@@ -86,6 +86,33 @@ object QueriesCore {
           count(lit(1)).as("count_order"))
     }),
 
+    // Predicate + projection pushdown to the parquet scan.
+    "q_filter" -> ((s, dir) => {
+      li(s, dir)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+    }),
+
+    // Exact distinct counting per group (one partial-agg shuffle).
+    "q_distinct" -> ((s, dir) => {
+      li(s, dir).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+    }),
+
+    // Two-phase salted aggregation — byte-identical to the direct
+    // groupBy (the oracle IS the direct groupBy), spreads a hot key
+    // across `salts` reducers at scale.
+    "q_salted" -> ((s, dir) => {
+      graft.functions.SkewUtils
+        .saltedSumCount(li(s, dir), Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"),
+          round(col("l_quantity_sum"), 2).as("sum_qty"),
+          col("l_quantity_count").as("n"))
+    }),
+
     // Global min-max scaling via broadcast scalar aggregate (no global window).
     "q_minmax" -> ((s, dir) => {
       MinMaxScaler(Seq("l_extendedprice")).transform(li(s, dir))
@@ -170,6 +197,18 @@ object QueriesCore {
         | round(avg(l_quantity), 6) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45.0""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        | count(l_quantity) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_minmax" ->
       """SELECT l_orderkey, l_linenumber,
         | round(CASE WHEN mx - mn < 1e-10 THEN 0.5

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.CosineTopK
+import graft.sim.{CosineTopK, IvfCosine}
 import graft.dedup.Dedup
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -25,6 +25,22 @@ object QueriesSim {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       CosineTopK.bruteForce(corpus, probes, "vec_id", "embedding",
         "qid", "qvec", k = 5)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
+    // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
+    // cells — the equi-join scale path when probes don't broadcast.
+    // k-means is iterative/seed-dependent → rows-only; SimSpec pins
+    // recall == 1.0 at nprobe = nlist vs the brute-force baseline.
+    "q_ivf_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val idx = IvfCosine.buildIndex(corpus, "vec_id", "embedding",
+        nlist = 16)
+      val probes = corpus.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nprobe = 4)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
     }),

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
 
 /** Event-time windowing over the `events` stream.
   *
@@ -49,4 +50,34 @@ object EventStream {
     stream.writeStream.outputMode("complete")
       .format("memory").queryName(queryName).start()
   }
+
+  /** Running per-user totals via custom state
+    * (`KeyValueGroupedDataset.mapGroupsWithState`) — the pattern for
+    * stateful logic Spark's built-in windows can't express. State is one
+    * small struct per user in the state store; scales with distinct
+    * users, not events. */
+  def statefulUserTotals(spark: SparkSession, sourceDir: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = spark.read.parquet(sourceDir).schema
+    val updated = spark.readStream.schema(schema).parquet(sourceDir)
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          var n = prev.n; var s = prev.sum
+          rows.foreach { r => n += 1; s += r._2 }
+          val next = UserTotals(n, s)
+          state.update(next)
+          (user, next.n, next.sum)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+    updated.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+  }
 }
+
+case class UserTotals(n: Long, sum: Double)

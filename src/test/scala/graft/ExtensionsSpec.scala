@@ -113,3 +113,67 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 }
+
+/** IVF recall, salted-agg equality, stateful streaming vs batch. */
+class ScalePathSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("ivf: nprobe = nlist scans everything -> results equal brute force") {
+    import graft.sim.{CosineTopK, IvfCosine}
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = corpus.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = CosineTopK.bruteForce(corpus, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    val idx = IvfCosine.buildIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val ivf = IvfCosine.search(idx, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5, nprobe = 8)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    assert(ivf == brute)
+    // partial probe keeps decent recall on this data
+    val ivf2 = IvfCosine.search(idx, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5, nprobe = 4)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val bruteIds = brute.map(s => Seq(s(0), s(1)))
+    val recall = ivf2.intersect(bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.4, s"recall too low: $recall")
+  }
+
+  test("salted aggregation equals the direct groupBy exactly") {
+    import graft.functions.SkewUtils
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val salted = SkewUtils.saltedSumCount(li, Seq("l_returnflag"),
+      "l_quantity", salts = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum($"l_quantity"), count($"l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted.map(t => (t._1, math.round(t._2 * 100), t._3)) ==
+      direct.map(t => (t._1, math.round(t._2 * 100), t._3)))
+  }
+
+  test("stateful streaming (mapGroupsWithState): final per-user totals " +
+    "equal the batch aggregate") {
+    import graft.streaming.EventStream
+    val src = java.nio.file.Files.createTempDirectory("graft-state").toFile
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    ev.write.mode("overwrite").parquet(src.getAbsolutePath)
+    val q = EventStream.statefulUserTotals(spark, src.getAbsolutePath,
+      "user_totals_test")
+    q.processAllAvailable()
+    // Update-mode memory sink appends a row per state update per batch;
+    // one input batch here -> latest rows are the final state
+    val streamed = spark.table("user_totals_test")
+      .groupBy("user_id").agg(max($"n_events").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val batch = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+}
