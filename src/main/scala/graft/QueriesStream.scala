@@ -28,6 +28,20 @@ object QueriesStream {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }),
 
+    // As-of join: each click event picks up the value of the user's most
+    // recent purchase at-or-before it (union+window, single exchange).
+    "q_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asof(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("last_purchase_value"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       EventStream.sessions(ev(s, dir), "30 minutes")
         .select(col("user_id"),
@@ -37,8 +51,8 @@ object QueriesStream {
   )
 
   private val evCte =
-    "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value, " +
-      "user_id FROM events)"
+    "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+      "value, user_id FROM events)"
 
   val oracleSql: Map[String, String] = Map(
     "q_event_window" ->
@@ -47,6 +61,15 @@ object QueriesStream {
          | event_type, count(*) AS n_events,
          | round(sum(value), 4) AS sum_value
          |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_asof" ->
+      s"""$evCte
+         |SELECT c.event_id, c.user_id,
+         |  round(p.value, 4) AS last_purchase_value
+         |FROM (SELECT event_id, user_id, ts FROM e
+         |      WHERE event_type = 'click') c
+         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM e
+         |      WHERE event_type = 'purchase') p
+         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     // Spark session_window semantics: an event < gap after the previous
     // one extends the session; exactly-gap starts a new one (hence >=).
     "q_sessionize" ->

@@ -176,4 +176,18 @@ class ScalePathSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch)
   }
+
+  test("asof join: latest right row at-or-before each left time per key; " +
+    "null before any right row; equal timestamps match") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L), (3L, "u1", 5L),
+      (4L, "u2", 50L)).toDF("event_id", "user", "t")
+    val right = Seq(("u1", 10L, 1.0), ("u1", 15L, 2.0), ("u2", 60L, 9.0))
+      .toDF("user", "t", "v")
+    val got = AsOfJoin.asof(left, right, Seq("user"), "t", "t", Seq("v"))
+      .orderBy("event_id").select("event_id", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, null), (4L, null)))
+  }
 }
