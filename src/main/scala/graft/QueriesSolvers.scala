@@ -49,10 +49,12 @@ object QueriesSolvers {
           round(col("l_extendedprice_gauss"), 6).as("price_gauss"))
     }),
 
+    // the queries consume only (rid, outputs) → outputsOnly skips the
+    // transformer's full-width join back to the input
     "q_neutralize_1f" -> ((s, dir) => {
       FeatureNeutralizer(Seq("l_extendedprice"), Seq("l_quantity"),
         Seq(0.5), "era", "rid")
-        .transform(li(s, dir))
+        .outputsOnly(li(s, dir))
         .select(col("rid"),
           round(col("`l_extendedprice_neutralized_0.5`"), 6).as("price_neut"))
     }),
@@ -60,7 +62,7 @@ object QueriesSolvers {
     "q_neutralize" -> ((s, dir) => {
       FeatureNeutralizer(Seq("l_extendedprice"),
         Seq("l_quantity", "l_discount", "l_tax"), Seq(0.5, 1.0), "era", "rid")
-        .transform(li(s, dir))
+        .outputsOnly(li(s, dir))
         .select(col("rid"),
           round(col("`l_extendedprice_neutralized_0.5`"), 6).as("neut_half"),
           round(col("`l_extendedprice_neutralized_1.0`"), 6).as("neut_full"))
@@ -70,7 +72,7 @@ object QueriesSolvers {
       FeaturePenalizer(Seq("l_extendedprice"),
         Seq("l_quantity", "l_discount", "l_tax"), Seq(0.1), "era", "rid",
         maxIters = 10000)
-        .transform(li(s, dir))
+        .outputsOnly(li(s, dir))
         .select(col("rid"),
           round(col("`l_extendedprice_penalized_0.1`"), 6).as("price_pen"))
     })

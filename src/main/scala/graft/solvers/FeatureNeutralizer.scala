@@ -3,6 +3,7 @@ package graft.solvers
 import breeze.linalg.{DenseMatrix, DenseVector, pinv}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.InverseNormalCdf
 import graft.operators.GraftTransformer
 
@@ -60,6 +61,32 @@ private[solvers] object EraSolver {
     }
     (ids, preds, x)
   }
+
+  /** Global (cross-era) min-max scale of the solver's `(id, outs array)`
+    * output, returning `(idCol, out columns...)`.
+    *
+    * The solved frame feeds TWO plan branches (the scalar min/max aggregate
+    * and the projection it scales) — persist it so the per-era solve runs
+    * ONCE, not once per branch. The persisted unit is the solver's compact
+    * output (id + k doubles per row), not the input. This is the standard
+    * Spark shape for "aggregate then rescale the same data" second passes
+    * (reference's global pass: neutralization.py:220-221).
+    */
+  def scaleGlobal(solved: DataFrame, idCol: String,
+      outputNames: Seq[String]): DataFrame = {
+    def q(n: String) = col(s"`$n`")
+    val unpacked = solved.select(
+      col(idCol) +: outputNames.zipWithIndex.map { case (n, i) =>
+        element_at(col("__outs"), i + 1).as(n)
+      }: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val aggs = outputNames.flatMap(n =>
+      Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
+    val scalars = unpacked.agg(aggs.head, aggs.tail: _*)
+    unpacked.crossJoin(broadcast(scalars)).select(
+      col(idCol) +: outputNames.map { n =>
+        graft.functions.minMaxScale(q(n), q(s"__mn_$n"), q(s"__mx_$n")).as(n)
+      }: _*)
+  }
 }
 
 /** Classic feature neutralization: per era, gaussianize the prediction,
@@ -88,7 +115,13 @@ case class FeatureNeutralizer(
   def outputNames: Seq[String] = for (p <- predCols; prop <- proportions)
     yield suffix.fold(s"${p}_neutralized_$prop")(sfx => s"${p}_neutralized_${prop}_$sfx")
 
-  def transform(df: DataFrame): DataFrame = {
+  def transform(df: DataFrame): DataFrame =
+    df.join(outputsOnly(df), Seq(idCol))
+
+  /** `(idCol, output columns...)` without joining back to the input —
+    * callers that only consume the neutralized columns (plus the id) skip
+    * a full-width sort-merge join this way. */
+  def outputsOnly(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nOut = outputNames.size
@@ -132,20 +165,6 @@ case class FeatureNeutralizer(
 
     // Global (cross-era) min-max per output column: tiny scalar aggregate,
     // broadcast back — second pass per SURVEY.md §7.4.4.
-    // Output names may contain dots (e.g. _neutralized_0.5) — reference
-    // them with backquotes so Column parsing keeps them atomic.
-    def q(n: String) = col(s"`$n`")
-    val unpacked = solved.select(
-      col(idCol) +: outputNames.zipWithIndex.map { case (n, i) =>
-        element_at(col("__outs"), i + 1).as(n)
-      }: _*)
-    val aggs = outputNames.flatMap(n =>
-      Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
-    val scalars = unpacked.agg(aggs.head, aggs.tail: _*)
-    val scaled = unpacked.crossJoin(broadcast(scalars)).select(
-      col(idCol) +: outputNames.map { n =>
-        graft.functions.minMaxScale(q(n), q(s"__mn_$n"), q(s"__mx_$n")).as(n)
-      }: _*)
-    df.join(scaled, Seq(idCol))
+    EraSolver.scaleGlobal(solved, idCol, outputNames)
   }
 }

@@ -1,6 +1,6 @@
 package graft.solvers
 
-import breeze.linalg.{DenseMatrix, DenseVector, norm, sum}
+import breeze.linalg.{DenseMatrix, DenseVector, sum}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.operators.GraftTransformer
@@ -43,7 +43,11 @@ case class FeaturePenalizer(
   def outputNames: Seq[String] = for (p <- predCols; e <- maxExposures)
     yield suffix.fold(s"${p}_penalized_$e")(sfx => s"${p}_penalized_${e}_$sfx")
 
-  def transform(df: DataFrame): DataFrame = {
+  def transform(df: DataFrame): DataFrame =
+    df.join(outputsOnly(df), Seq(idCol))
+
+  /** `(idCol, output columns...)` without the join back to the input. */
+  def outputsOnly(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nOut = outputNames.size
@@ -82,51 +86,33 @@ case class FeaturePenalizer(
       }
       .toDF(idCol, "__outs")
 
-    // Output names may contain dots (e.g. _neutralized_0.5) — reference
-    // them with backquotes so Column parsing keeps them atomic.
-    def q(n: String) = col(s"`$n`")
-    val unpacked = solved.select(
-      col(idCol) +: outputNames.zipWithIndex.map { case (n, i) =>
-        element_at(col("__outs"), i + 1).as(n)
-      }: _*)
-    val aggs = outputNames.flatMap(n =>
-      Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
-    val scalars = unpacked.agg(aggs.head, aggs.tail: _*)
-    val scaled = unpacked.crossJoin(broadcast(scalars)).select(
-      col(idCol) +: outputNames.map { n =>
-        graft.functions.minMaxScale(q(n), q(s"__mn_$n"), q(s"__mx_$n")).as(n)
-      }: _*)
-    df.join(scaled, Seq(idCol))
+    EraSolver.scaleGlobal(solved, idCol, outputNames)
   }
 }
 
 private[solvers] object Penalize {
 
-  /** Column-standardized feature matrix: each column centered and unit-norm
-    * (reference `_exposures`, penalization.py:296-303). */
-  private def normalizeCols(x: DenseMatrix[Double]): DenseMatrix[Double] = {
-    val out = x.copy
-    var j = 0
-    while (j < x.cols) {
-      val c = out(::, j)
-      val mean = sum(c) / c.length
-      c -= mean
-      val n = norm(c)
-      if (n > 0) c /= n
-      j += 1
-    }
-    out
-  }
-
   private def relu(v: Double): Double = if (v > 0) v else 0.0
 
-  /** Adamax loop of penalization.py:253-294 with the analytic gradient.
+  /** Adamax loop of penalization.py:253-294 with the analytic gradient,
+    * run entirely in the k-dimensional Gram domain.
     *
     * loss(w) = Σ_j relu(relu(e_j) − relu(t_j)) + relu(relu(−e_j) − relu(−t_j))
-    * where e = X̂ᵀ ŷ(w), ŷ = centered+unit-norm (pred − X w).
-    * d loss/d e_j = [e_j>0 ∧ e_j>relu(t_j)] − [−e_j>0 ∧ −e_j>relu(−t_j)];
-    * back through ŷ: u = (X̂ g − ŷ (ŷᵀ X̂ g)) / ‖c‖, then center u;
-    * d loss/d w = −Xᵀ u.
+    * where e = X̂ᵀ ŷ(w), ŷ = centered+unit-norm (pred − X w), X̂ = the
+    * column-centered, column-unit-norm feature matrix (the reference's
+    * `_exposures` normalization, penalization.py:296-303).
+    *
+    * Everything the loop touches is a projection through Xc (the centered
+    * features), so with G = XcᵀXc (k×k), b = Xcᵀ pred_c (k), ppc = ‖pred_c‖²
+    * and D = diag(column norms):
+    *   c  = pred_c − Xc w            ⇒ ‖c‖² = ppc − 2·b·w + wᵀGw
+    *   e  = D⁻¹ (b − G w) / ‖c‖
+    *   ∂loss/∂w = −(G D⁻¹ g − r (r·D⁻¹g)/‖c‖²) / ‖c‖,  r = b − G w
+    * (the centering term of the gradient vanishes because Xc's columns are
+    * centered). One O(m·k²) pass builds the Gram pieces; every Adamax
+    * iteration is then O(k²) — INDEPENDENT of era size. At 100 TB an era
+    * holds millions of rows; the reference's JAX loop (and a literal port)
+    * pays O(m·k) per iteration × up to 100k iterations, this pays it once.
     */
   def reduceExposure(
       pred: DenseVector[Double],
@@ -136,19 +122,33 @@ private[solvers] object Penalize {
       maxIters: Int,
       tol: Double): DenseVector[Double] = {
     val k = feats.cols
-    val xhat = normalizeCols(feats)
+    val m = feats.rows
 
-    def exposures(y: DenseVector[Double]): DenseVector[Double] = {
-      val c = y.copy
-      val mean = sum(c) / c.length
+    // one pass: centered Gram pieces
+    val xc = feats.copy
+    var j = 0
+    while (j < k) {
+      val c = xc(::, j)
+      val mean = sum(c) / m
       c -= mean
-      val n = norm(c)
-      if (n > 0) c /= n
-      xhat.t * c
+      j += 1
     }
+    val g0 = xc.t * xc                        // G = XcᵀXc
+    val dinv = DenseVector.tabulate(k) { i =>
+      val n = math.sqrt(g0(i, i))
+      if (n > 0) 1.0 / n else 0.0
+    }
+    val pm = sum(pred) / m
+    val pc = pred - pm
+    val b = xc.t * pc
+    val ppc = pc dot pc
+    val pn = math.sqrt(ppc)
 
-    val target = exposures(pred).map(e =>
-      math.max(-maxExp, math.min(maxExp, e)))
+    // target exposures: clamp of the initial exposures (penalization.py:251)
+    val target = DenseVector.tabulate(k) { i =>
+      val e0 = if (pn > 0) dinv(i) * b(i) / pn else 0.0
+      math.max(-maxExp, math.min(maxExp, e0))
+    }
     val reluT = target.map(relu)
     val reluNegT = target.map(t => relu(-t))
 
@@ -159,43 +159,42 @@ private[solvers] object Penalize {
     var t = 0
     var loss = Double.PositiveInfinity
     while (loss >= tol && t < maxIters) {
-      val neut = pred - feats * w
-      val c = neut.copy
-      val mean = sum(c) / c.length
-      c -= mean
-      val cn = norm(c)
-      val yhat = if (cn > 0) c / cn else c
-      val e = xhat.t * yhat
-      // loss and dloss/de
+      val gw = g0 * w
+      val r = b - gw                          // Xcᵀ c
+      val cn2 = ppc - 2.0 * (b dot w) + (w dot gw)
+      val cn = if (cn2 > 0) math.sqrt(cn2) else 0.0
+      // e = D⁻¹ r / ‖c‖; if pred−Xw is constant (cn=0) all exposures are 0
+      // and (targets being clamps of finite e0) the loss is 0 ⇒ loop exits.
       var l = 0.0
       val g = DenseVector.zeros[Double](k)
-      var j = 0
-      while (j < k) {
-        val pos = relu(relu(e(j)) - reluT(j))
-        val neg = relu(relu(-e(j)) - reluNegT(j))
+      var jj = 0
+      while (jj < k) {
+        val e = if (cn > 0) dinv(jj) * r(jj) / cn else 0.0
+        val pos = relu(relu(e) - reluT(jj))
+        val neg = relu(relu(-e) - reluNegT(jj))
         l += pos + neg
-        g(j) = (if (e(j) > 0 && pos > 0) 1.0 else 0.0) -
-          (if (-e(j) > 0 && neg > 0) 1.0 else 0.0)
-        j += 1
+        g(jj) = (if (e > 0 && pos > 0) 1.0 else 0.0) -
+          (if (-e > 0 && neg > 0) 1.0 else 0.0)
+        jj += 1
       }
       loss = l
       if (loss >= tol) {
-        val v = xhat * g                       // dloss/d ŷ
-        val u = (v - yhat * (yhat dot v)) / cn // through normalization
-        val um = sum(u) / u.length
-        val grads = -(feats.t * u.map(_ - um)) // through centering + X w
+        val dg = DenseVector.tabulate(k)(i => dinv(i) * g(i)) // D⁻¹ g
+        val gdg = g0 * dg                     // Xcᵀ (X̂ g)
+        val alpha = (r dot dg) / cn           // ŷ · X̂ g
+        val grads = -(gdg - r * (alpha / cn)) / cn
         // Adamax update (penalization.py:268-279)
         mom := mom * beta1 + grads * (1 - beta1)
-        var jj = 0
-        while (jj < k) {
-          inf(jj) = math.max(beta2 * inf(jj), math.abs(grads(jj)))
-          jj += 1
+        var j2 = 0
+        while (j2 < k) {
+          inf(j2) = math.max(beta2 * inf(j2), math.abs(grads(j2)))
+          j2 += 1
         }
         val mhat = mom / (1 - math.pow(beta1, t + 1.0))
-        var jjj = 0
-        while (jjj < k) {
-          w(jjj) -= lr * mhat(jjj) / (inf(jjj) + eps)
-          jjj += 1
+        var j3 = 0
+        while (j3 < k) {
+          w(j3) -= lr * mhat(j3) / (inf(j3) + eps)
+          j3 += 1
         }
         t += 1
       }
