@@ -140,6 +140,28 @@ object QueriesML {
         |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) % 100 AS FLOAT)
         |   AS DOUBLE) AS e1
         |FROM documents""".stripMargin,
+    "q_media_features" -> {
+      // mirror of DeterministicDecoder.decode bin j over the sanitized
+      // ASCII payload: left-fold of ord(byte)/255.0 at positions j+1,
+      // j+1+dim, … (ascending — same accumulation order as the Scala
+      // loop), then the same double→float→double cast chain.
+      def bin(j: Int) =
+        s"""CASE WHEN length(p) > $j THEN
+           |  round(CAST(CAST(list_reduce(list_transform(
+           |    generate_series(${j + 1}, length(p), 8),
+           |    i -> ord(substr(p, CAST(i AS INT), 1)) / 255.0),
+           |    (a, b) -> a + b) AS FLOAT) AS DOUBLE), 4)
+           |  ELSE 0.0 END""".stripMargin
+      s"""WITH s AS (
+         |  SELECT doc_id, length(text) % 640 AS width,
+         |    regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS p
+         |  FROM documents)
+         |SELECT doc_id, width,
+         |  ${bin(0)} AS f0,
+         |  ${bin(1)} AS f1
+         |FROM s""".stripMargin
+    },
+
     "q_r2" ->
       """WITH ma AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -3,19 +3,28 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sim.{CosineTopK, IvfCosine}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
   *
-  * q_cosine_topk (brute-force baseline) carries a full DuckDB oracle: the
-  * cosine formula is written with the identical fold order on both sides
-  * (dot/(sqrt·sqrt) over doubles, index order). The LSH-bucketed variant
-  * depends on engine hashes → rows-only + SimSpec recall test.
+  * q_cosine_topk (brute-force baseline) and q_embed_neardup (multi-band
+  * SRP LSH) carry full DuckDB oracles: the cosine and the ±1 hyperplane
+  * sums are written with the identical left-associated operation order on
+  * both sides (same literal weights, same IEEE results). The IVF variant
+  * depends on seeded k-means → rows-only + SimSpec recall test.
   */
 object QueriesSim {
 
+  private val DIM = 64
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  // demo LSH parameters: the synthetic embeddings have no true near-dups
+  // (max pairwise cosine ≈ 0.48), so the demo threshold is 0.3 and the
+  // bands are shallow (6 planes) to keep collisions non-empty; production
+  // near-dup thresholds (≥0.9) pair with ≥16 planes per band.
+  private val (bands, planes, thr, cap) = (4, 6, 0.3, 1000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact top-5 cosine neighbors for the 50-vector probe set
@@ -24,7 +33,7 @@ object QueriesSim {
       val probes = corpus.where(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       CosineTopK.bruteForce(corpus, probes, "vec_id", "embedding",
-        "qid", "qvec", k = 5)
+        "qid", "qvec", k = 5, dim = DIM)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
     }),
@@ -40,17 +49,18 @@ object QueriesSim {
       val probes = corpus.where(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
-        k = 5, nprobe = 4)
+        k = 5, nprobe = 4, dim = DIM)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
     }),
 
-    // scale path: sign-random-projection buckets + exact check in-bucket.
-    // (The synthetic embeddings have no true near-dups — max pairwise
-    // cosine ≈ 0.48 — so the demo threshold is 0.3.)
+    // scale path: multi-band sign-random-projection buckets (md5-derived
+    // literal ±1 planes), bucket-size cap, exact pre-normalized cosine
+    // check in-bucket only.
     "q_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDups(emb(s, dir), "vec_id", "embedding",
-        dim = 64, planes = 6, threshold = 0.3)
+        dim = DIM, bands = bands, planesPerBand = planes, threshold = thr,
+        maxBucketSize = cap)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     })
   )
@@ -72,6 +82,28 @@ object QueriesSim {
         |      ORDER BY cosine DESC, nid) AS rank
         |  FROM sims)
         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
-        |FROM ranked WHERE rank <= 5""".stripMargin
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_embed_neardup" -> {
+      val keys = (0 until bands).map(b =>
+        Dedup.srpBandKeySql("e", DIM, b, planes)).mkString(",\n    ")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings),
+         |n AS (SELECT id, e, sqrt(${Similarity.dotExprSql("e", "e", DIM)}) AS nrm FROM v),
+         |k AS (
+         |  SELECT id, e, nrm, unnest([
+         |    $keys
+         |  ]) AS bucket FROM n),
+         |c AS (
+         |  SELECT * FROM k
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $cap),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (${Similarity.dotExprSql("a.e", "b.e", DIM)}) / (a.nrm * b.nrm) AS cosine
+         |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id)
+         |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM pairs WHERE cosine >= $thr""".stripMargin
+    }
   )
 }

@@ -119,21 +119,77 @@ object QueriesSolvers {
        |               PARTITION BY strftime(l_shipdate, '%Y-%m')
        |               ORDER BY ${allCols.mkString(", ")}) AS rid,
        |         strftime(l_shipdate, '%Y-%m') AS era,
-       |         l_extendedprice, l_quantity
+       |         l_extendedprice, l_quantity, l_discount, l_tax
        |  FROM lineitem
        |), ranked AS (
-       |  SELECT rid, era, l_quantity,
+       |  SELECT rid, era, l_quantity, l_discount, l_tax,
        |    row_number() OVER (PARTITION BY era
        |      ORDER BY l_extendedprice, rid) AS rn,
        |    count(*) OVER (PARTITION BY era) AS n
        |  FROM base
        |), gauss AS (
-       |  SELECT rid, era, l_quantity, ${acklamSql(p)} AS g
+       |  SELECT rid, era, l_quantity, l_discount, l_tax, ${acklamSql(p)} AS g
        |  FROM ranked
        |)""".stripMargin
   }
 
+  /** q_neutralize oracle: the per-era 3-feature no-intercept lstsq is the
+    * 3×3 normal-equation solve — Cramer's rule over the era's Gram sums
+    * (first-row cofactor expansion), then the same subtract / per-era-std
+    * / global-min-max pipeline as the 1-feature oracle. */
+  private val neutralize3fSql: String = {
+    val minmax = (v: String) =>
+      s"""CASE WHEN max($v) OVER () - min($v) OVER () < 1e-10 THEN 0.5
+         |    ELSE ($v - min($v) OVER ()) / (max($v) OVER () - min($v) OVER ())
+         |  END""".stripMargin
+    s"""$gaussCte, gram AS (
+       |  SELECT rid, era, g,
+       |    l_quantity AS x, l_discount AS y, l_tax AS z,
+       |    sum(l_quantity * l_quantity) OVER w AS sxx,
+       |    sum(l_quantity * l_discount) OVER w AS sxy,
+       |    sum(l_quantity * l_tax) OVER w AS sxz,
+       |    sum(l_discount * l_discount) OVER w AS syy,
+       |    sum(l_discount * l_tax) OVER w AS syz,
+       |    sum(l_tax * l_tax) OVER w AS szz,
+       |    sum(l_quantity * g) OVER w AS cx,
+       |    sum(l_discount * g) OVER w AS cy,
+       |    sum(l_tax * g) OVER w AS cz
+       |  FROM gauss
+       |  WINDOW w AS (PARTITION BY era)
+       |), beta AS (
+       |  SELECT rid, era, g, x, y, z,
+       |    (cx*(syy*szz - syz*syz) - sxy*(cy*szz - syz*cz)
+       |      + sxz*(cy*syz - syy*cz))
+       |      / (sxx*(syy*szz - syz*syz) - sxy*(sxy*szz - syz*sxz)
+       |         + sxz*(sxy*syz - syy*sxz)) AS bx,
+       |    (sxx*(cy*szz - cz*syz) - cx*(sxy*szz - syz*sxz)
+       |      + sxz*(sxy*cz - cy*sxz))
+       |      / (sxx*(syy*szz - syz*syz) - sxy*(sxy*szz - syz*sxz)
+       |         + sxz*(sxy*syz - syy*sxz)) AS by,
+       |    (sxx*(syy*cz - cy*syz) - sxy*(sxy*cz - cy*sxz)
+       |      + cx*(sxy*syz - syy*sxz))
+       |      / (sxx*(syy*szz - syz*syz) - sxy*(sxy*szz - syz*sxz)
+       |         + sxz*(sxy*syz - syy*sxz)) AS bz
+       |  FROM gram
+       |), neut AS (
+       |  SELECT rid, era,
+       |    g - 0.5 * (x*bx + y*by + z*bz) AS v1,
+       |    g - 1.0 * (x*bx + y*by + z*bz) AS v2
+       |  FROM beta
+       |), std AS (
+       |  SELECT rid,
+       |    v1 / stddev_pop(v1) OVER (PARTITION BY era) AS v1,
+       |    v2 / stddev_pop(v2) OVER (PARTITION BY era) AS v2
+       |  FROM neut
+       |)
+       |SELECT rid,
+       |  round(${minmax("v1")}, 6) AS neut_half,
+       |  round(${minmax("v2")}, 6) AS neut_full
+       |FROM std""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_neutralize" -> neutralize3fSql,
     "q_gaussianize" ->
       s"""$gaussCte
          |SELECT rid, round(g, 6) AS price_gauss FROM gauss""".stripMargin,

@@ -6,10 +6,10 @@ import graft.text.{LangIdTransformer, TextFunctions, TextStatsTransformer}
 import graft.dedup.Dedup
 
 /** Text-analysis + dedup queries over the `documents` table — the
-  * training-data-pipeline extensions (SURVEY.md §7.6). Text stats, token
-  * counting, language-ID, fingerprinting and exact-dedup carry full
-  * DuckDB oracles; MinHash/SimHash (engine-hash-dependent) are rows-only
-  * and covered by DedupSpec property tests instead.
+  * training-data-pipeline extensions (SURVEY.md §7.6). ALL queries carry
+  * full DuckDB oracles: MinHash/SimHash hashes are md5-derived (identical
+  * across engines), so signatures, band buckets and candidate pairs are
+  * reproduced bit-for-bit in SQL.
   */
 object QueriesText {
 
@@ -54,7 +54,8 @@ object QueriesText {
     "q_dedup_minhash" -> ((s, dir) => {
       val sigs = Dedup.minHashSignatures(docs(s, dir), "doc_id",
         "text", numHashes = 16)
-      Dedup.lshCandidates(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
+      Dedup.lshCandidates(sigs, "doc_id", numHashes = 16, rowsPerBand = 4,
+        maxBucketSize = 500)
     }),
 
     "q_simhash" -> ((s, dir) => {
@@ -118,6 +119,63 @@ object QueriesText {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_minhash" -> {
+      val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+      val sigCols = (0 until 16).map(i =>
+        s"min(h1 + $i * h2) AS h$i").mkString(",\n    ")
+      val bandKeys = (0 until 4).map { b =>
+        val sigs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ")
+        s"md5(concat_ws(',', $b, $sigs))"
+      }.mkString(",\n    ")
+      s"""WITH nrm AS (
+         |  SELECT doc_id AS id, $normSql AS t FROM documents),
+         |sh AS (
+         |  SELECT id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(length(t) - 2, 1)),
+         |    i -> substr(t, CAST(i AS INT), 3)))) AS s
+         |  FROM nrm),
+         |hs AS (
+         |  SELECT id,
+         |    ${Dedup.md5ChunkSql("md5(s)", 1, 10)} AS h1,
+         |    ${Dedup.md5ChunkSql("md5(s)", 11, 10)} AS h2
+         |  FROM sh),
+         |sig AS (
+         |  SELECT id,
+         |    $sigCols
+         |  FROM hs GROUP BY id),
+         |bands AS (
+         |  SELECT id, unnest([
+         |    $bandKeys
+         |  ]) AS bucket FROM sig),
+         |capped AS (
+         |  SELECT * FROM bands
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 500)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM capped a JOIN capped b
+         |  ON a.bucket = b.bucket AND a.id < b.id""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val digit = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+      val bitSums = (for { i <- 1 to 15; b <- 0 until 4 } yield
+        s"sum(CASE WHEN ((${digit(i)} >> $b) & 1) = 1 THEN 1 ELSE -1 END)" +
+          s" AS b_${i}_$b").mkString(",\n    ")
+      val value = (for { i <- 1 to 15; b <- 0 until 4 } yield {
+        val k = 4 * (15 - i) + b
+        s"(CASE WHEN b_${i}_$b > 0 THEN ${1L << k} ELSE 0 END)"
+      }).mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(regexp_extract_all(lower(text),
+         |    '[a-z0-9_]+'))) AS m
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits""".stripMargin
+    },
+
     "q_dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id AS id,

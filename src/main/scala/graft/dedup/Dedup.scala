@@ -6,10 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 
 /** Deduplication operators for web-scale corpus curation: exact
-  * (hash-groupBy), MinHash+LSH banding, SimHash, and exact n-gram Jaccard
-  * over banded candidate pairs. All expressed as DataFrame ops — shuffles
-  * only on the candidate keys (fingerprint / band hash / id-bucket), never
-  * all-pairs.
+  * (hash-groupBy), MinHash+LSH banding, SimHash, exact n-gram Jaccard over
+  * banded candidate pairs, and embedding-cosine near-dup via multi-band
+  * sign-random-projection LSH. All expressed as DataFrame ops — shuffles
+  * only on the candidate keys (fingerprint / band bucket / id-bucket),
+  * never all-pairs.
+  *
+  * Hash family: every hash the operators depend on is derived from md5
+  * (engine-portable — identical in Spark and DuckDB), never from
+  * engine-internal hashes, so every operator is oracle-checkable
+  * bit-for-bit. 64-bit values are taken as ≤60-bit chunks of the md5 hex
+  * digest (a signed-long-safe range in both engines).
+  *
+  * Scale guards: every LSH band join is capped by bucket frequency
+  * (`maxBucketSize`) — one hot bucket would otherwise join quadratically,
+  * the classic web-scale dedup failure mode. Dropped buckets trade recall
+  * for a hard runtime bound (standard practice; near-dup mega-clusters are
+  * almost always boilerplate that exact dedup already collapses).
   *
   * North-star extension beyond the reference surface (SURVEY.md §7.6).
   */
@@ -22,21 +35,40 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures: explode shingles, take per-seed min of a seeded
-    * 64-bit hash (xxhash64 — deterministic, codegen'd). Standard
-    * shingle→minhash→band→bucket-join pipeline; the only shuffles are the
-    * doc-id re-aggregation and the band-bucket join. */
+  /** A 4·`len`-bit unsigned value from hex digits [start, start+len) of
+    * md5(c), as a long. len ≤ 15 keeps it signed-positive. */
+  def md5Chunk(c: Column, start: Int, len: Int): Column = {
+    require(len <= 15, "more than 60 bits would overflow a signed long")
+    conv(substring(md5(c), start, len), 16, 10).cast("long")
+  }
+
+  /** DuckDB mirror of [[md5Chunk]] over SQL expression `m` (an md5 hex
+    * string): hex-digit polynomial. Digit terms are exact in doubles up to
+    * len = 13 (values < 2^52); larger chunks must use the per-digit form
+    * (see simHashSql) instead. */
+  def md5ChunkSql(m: String, start: Int, len: Int): String = {
+    require(len <= 13, "polynomial-in-double only exact below 2^52")
+    s"CAST(list_sum(list_transform(generate_series(1, $len), " +
+      s"j -> (strpos('0123456789abcdef', substr($m, CAST(j AS INT) + ${start - 1}, 1)) - 1)" +
+      s" * (16.0 ** ($len - j)))) AS BIGINT)"
+  }
+
+  /** MinHash signatures from the portable double-hash family
+    * h_i(s) = h1(s) + i·h2(s), where h1/h2 are disjoint 40-bit chunks of
+    * md5(shingle) — one md5 per shingle, i ≤ 15 keeps the sum < 2^44 (no
+    * overflow in either engine). Standard shingle→minhash pipeline; the
+    * only shuffle is the per-doc signature aggregation. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
-    // explode 64-bit shingle hashes, not strings: cheaper rows, and
-    // xxhash64(seed, shingleHash) is as good a hash family as hashing
-    // the string per seed
+    require(numHashes <= 16, "h1 + i*h2 stays < 2^44 only for i <= 15")
     val sh = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol), explode(nGramShingles("__norm", shingleK,
-        preNormalized = true, hashed = true)).as("sh"))
+        preNormalized = true)).as("sh"))
+      .select(col(idCol), md5Chunk(col("sh"), 1, 10).as("__h1"),
+        md5Chunk(col("sh"), 11, 10).as("__h2"))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
@@ -59,18 +91,24 @@ object Dedup {
   }
 
   /** LSH banding: candidate pairs whose signatures agree on at least one
-    * band of `rowsPerBand` consecutive minhashes. Returns (idA, idB)
-    * distinct pairs, idA < idB. */
+    * band of `rowsPerBand` consecutive minhashes. Band bucket = md5 of the
+    * "band,sig…" string (portable across engines). Buckets larger than
+    * `maxBucketSize` are dropped BEFORE the self-join — the hot-bucket
+    * guard that keeps one popular bucket from joining quadratically.
+    * Returns (idA, idB) distinct pairs, idA < idB. */
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val bands = sigs.select(col(idCol), posexplode(
-      array((0 until numBands).map(b =>
-        struct(lit(b).as("band"),
-          slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand)
-            .as("sig"))): _*)).as(Seq("pos", "bs")))
-      .select(col(idCol), hash(col("bs")).as("bucket"))
-    val a = bands.as("a"); val b = bands.as("b")
+    val bandKeys = (0 until numBands).map { b =>
+      md5(concat_ws(",", lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("minhash"), b * rowsPerBand + r + 1)): _*))
+    }
+    val bands = sigs.select(col(idCol),
+      explode(array(bandKeys: _*)).as("bucket"))
+    val capped = bands
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -107,53 +145,119 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over BPE-ish tokens: per-bit majority vote of token
-    * hashes. Pure aggregation (explode → groupBy id), no UDF. */
+  /** 60-bit SimHash over BPE-ish tokens: per-bit majority vote of md5
+    * token hashes (15 hex digits × 4 bits). Pure aggregation (explode →
+    * groupBy id), no UDF, engine-portable. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(regexp_extract_all(
       lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$b"))
+      .select(col(idCol) +: (1 to 15).map(i =>
+        conv(substring(md5(col("tok")), i, 1), 16, 10).cast("int")
+          .as(s"d$i")): _*)
+    val bitCols = for { i <- 1 to 15; b <- 0 until 4 } yield
+      sum(when(shiftright(col(s"d$i"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b_${i}_$b")
+    val value = (for { i <- 1 to 15; b <- 0 until 4 } yield {
+      // digit at hex position i carries bits 4*(15-i)+b of the 60-bit hash
+      val k = 4 * (15 - i) + b
+      when(col(s"b_${i}_$b") > 0, lit(1L << k)).otherwise(0L)
+    }).reduce(_.bitwiseOR(_))
     toks.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .select(col(idCol), value.as("simhash"))
   }
 
-  /** Embedding-cosine near-duplicate pairs via sign-random-projection
-    * bucketing: `planes` deterministic pseudo-random hyperplanes (derived
-    * from xxhash64 of (plane, dim) — no RNG state), bucket = sign bits;
-    * exact cosine check inside buckets only. */
-  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, planes: Int = 8, threshold: Double = 0.95): DataFrame = {
-    // plane weights in {-1, +1} from a deterministic hash of (p, d)
-    val sigBits = (0 until planes).map { p =>
-      val dot = (0 until dim).map { d =>
-        val w = when(xxhash64(lit(p * 10007 + d)) % 2 === 0, 1.0)
-          .otherwise(-1.0)
-        element_at(col(vecCol), d + 1).cast("double") * w
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+  /** Deterministic ±1 hyperplane weight for SRP bucketing, derived from
+    * md5 of "(band,plane,dim)" — identical constants are emitted as
+    * literals into both the Spark plan and the DuckDB oracle. */
+  def srpWeight(band: Int, plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$band:$plane:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** Band key for one SRP band: "b:" + sign bits of `planes` hyperplane
+    * dot products. The weight matrix is ONE array literal (not planes×dim
+    * unrolled terms — that breaks whole-stage codegen's method-size limit
+    * and bloats every task binary with the plan); the dot is a
+    * left-associated fold, the identical IEEE order as the SQL mirror's
+    * explicit chain (0.0 + t1 ≡ t1). */
+  private def srpBandKey(v: Column, dim: Int, band: Int, planes: Int): Column = {
+    val w = typedlit((0 until planes).map(p =>
+      (0 until dim).map(d => srpWeight(band, p, d)).toArray).toArray)
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, element_at(w, p + 1), (x, wt) => x.cast("double") * wt),
+        lit(0.0), (acc, t) => acc + t)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigBits.reduce(_.bitwiseOR(_)).as("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("bucket"))
-    bucketed.join(b, Seq("bucket"))
+    concat(lit(s"$band:") +: bits: _*)
+  }
+
+  /** DuckDB mirror of [[srpBandKey]] over a DOUBLE[] expression `e`. */
+  def srpBandKeySql(e: String, dim: Int, band: Int, planes: Int): String = {
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        s"$e[${d + 1}] * ${srpWeight(band, p, d)}"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }
+    (s"'$band:'" +: bits).mkString("concat(", ", ", ")")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via MULTI-BAND
+    * sign-random-projection LSH: `bands` independent bands of
+    * `planesPerBand` hyperplanes each; a pair is a candidate if it shares
+    * any band bucket; exact cosine (pre-normalized — self-norms computed
+    * once per row, the pair check is a single dot) inside buckets only.
+    *
+    * Recall/cost knobs: more planes per band → smaller buckets (cost ↓,
+    * recall ↓); more bands → recall ↑ linearly in cost. At a real
+    * near-dup threshold (≥0.9) use ≥16 planes/band; `maxBucketSize` hard-
+    * bounds the quadratic in-bucket join either way. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int = 4, planesPerBand: Int = 16,
+      threshold: Double = 0.95, maxBucketSize: Int = 1000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)).as("nrm"))
+    val keyed = base.select(col("id"), col("v"), col("nrm"),
+      explode(array((0 until bands).map(b =>
+        srpBandKey(col("v"), dim, b, planesPerBand)): _*)).as("bucket"))
+    val capped = keyed
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val right = capped.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    capped.join(right, Seq("bucket"))
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
-        Similarity.cosine(col("v"), col("v_b")).as("cosine"))
+        (Similarity.dotExpr(col("v"), col("v_b"), dim)
+          / (col("nrm") * col("nrm_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
+      .distinct()
   }
 }
 
-/** Cosine similarity over Array[Float]/Array[Double] columns as a pure
-  * fold expression — identical accumulation order to the DuckDB oracle's
-  * list_inner_product-style formula. */
+/** Cosine similarity over Array[Float]/Array[Double] columns.
+  *
+  * `dotExpr` (known dimension) expands to an explicit left-associated
+  * multiply-add chain — whole-stage-codegen'd, and bit-identical to the
+  * same chain written in the DuckDB oracle. The `aggregate`/`zip_with`
+  * fold variants remain for dynamic-dimension callers. Callers computing
+  * many pairwise similarities should project each side's self-norm ONCE
+  * (`sqrt(dotExpr(v, v, dim))`) and divide dots by the norm product —
+  * never recompute self-norms per pair. */
 object Similarity {
+  /** Explicit fixed-dimension dot product: codegen-friendly, deterministic
+    * left-to-right accumulation order. */
+  def dotExpr(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** DuckDB mirror of [[dotExpr]] over DOUBLE[] expressions. */
+  def dotExprSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

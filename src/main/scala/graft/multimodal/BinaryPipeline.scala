@@ -26,9 +26,12 @@ object BinaryPipeline {
     StructField("height", IntegerType)))
 
   /** Wrap a text column into a fake binary media payload + metadata —
-    * the test-data adapter (documents have no real media). */
+    * the test-data adapter (documents have no real media). The payload is
+    * ASCII-sanitized so byte offsets equal character offsets — keeps the
+    * fake-decode path oracle-checkable byte-for-byte from SQL. */
   def synthesizeMedia(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("media", col(textCol).cast("binary"))
+    df.withColumn("media",
+        regexp_replace(col(textCol), "[^\\x20-\\x7e]", "").cast("binary"))
       .withColumn("media_meta", struct(
         lit("application/x-fake").as("mime"),
         (length(col(textCol)) % 640).cast("int").as("width"),
@@ -58,15 +61,20 @@ object BinaryPipeline {
 
 /** STUB decoder: a real implementation would decode image/audio bytes;
   * this derives deterministic pseudo-features (byte histogram moments) so
-  * the pipeline is testable in this codec-less container. */
+  * the pipeline is testable in this codec-less container. Accumulation is
+  * in Double, in byte order, cast to Float once at the end — the exact
+  * sequence of IEEE operations the DuckDB oracle mirrors. */
 object DeterministicDecoder {
   def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
+    val acc = new Array[Double](dim)
     var i = 0
     while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      acc(i % dim) += (bytes(i) & 0xff) / 255.0
       i += 1
     }
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
     out
   }
 }

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -15,8 +14,15 @@ import graft.dedup.Similarity
   * an EQUI-join on the cell id, so corpus and probes shuffle once on
   * cell — work drops from |corpus|×|probes| to ~(nprobe/nlist) of that.
   *
-  * Training the quantizer samples the corpus (k-means on a bounded
-  * sample — the centroid table is tiny and broadcasts).
+  * The quantizer trains on a BOUNDED sample (`maxTrainRows`, default
+  * 100k) — k-means centroids don't improve past that, and at 100 TB
+  * feeding the full corpus through the featurizer would be the
+  * bottleneck. Cell assignment of the full corpus IS distributed and
+  * map-side: MLlib's `transform` broadcasts the tiny centroid set and
+  * predicts per row (no shuffle, no collect). Centroid tables are carried
+  * as single array literals, never unrolled into per-coefficient
+  * expression nodes (which would exceed codegen method limits and ship a
+  * multi-MB plan with every task).
   */
 object IvfCosine {
 
@@ -24,13 +30,12 @@ object IvfCosine {
 
   /** Fit the coarse quantizer and assign every corpus row to its cell. */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L, sampleFraction: Double = 1.0): Index = {
+      nlist: Int, seed: Long = 42L, maxTrainRows: Int = 100000): Index = {
     val toVec = udf((a: Seq[Float]) =>
       Vectors.dense(a.map(_.toDouble).toArray))
     val vecs = corpus.select(col(idCol), col(vecCol))
       .withColumn("__v", toVec(col(vecCol)))
-    val trainSet = if (sampleFraction < 1.0)
-      vecs.sample(sampleFraction, seed) else vecs
+    val trainSet = vecs.select(col("__v")).limit(maxTrainRows)
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__v")
       .setPredictionCol("__cell")
     val model = km.fit(trainSet)
@@ -42,26 +47,31 @@ object IvfCosine {
   /** Top-k cosine neighbors per probe, scanning only the nprobe closest
     * cells of each probe. Probes carry (qidCol, qvecCol). */
   def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,
-      qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val spark = probes.sparkSession
-    val cents = index.centroids.zipWithIndex
-    // rank cells per probe by centroid cosine — centroid table is tiny,
-    // computed as a literal-array expression (no join)
-    val centArr = cents.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.map(lit): _*).as("cvec"))
-    }
-    val probeCells = probes.select(col(qidCol), col(qvecCol),
-      explode(array(centArr: _*)).as("c"))
-      .withColumn("__csim", Similarity.cosine(col(qvecCol), col("c.cvec")))
+      qidCol: String, qvecCol: String, k: Int, nprobe: Int,
+      dim: Int): DataFrame = {
+    // centroid table as ONE nested-array literal; probe-side cell ranking
+    // explodes nlist tiny structs per probe (probes are the small side)
+    val cents = typedlit(index.centroids)
+    val qn = sqrt(Similarity.dotExpr(col(qvecCol), col(qvecCol), dim))
+    val probeCells = probes
+      .select(col(qidCol), col(qvecCol), qn.as("__qn"),
+        posexplode(cents).as(Seq("__c0", "cvec")))
+      .withColumn("__csim",
+        Similarity.dot(col(qvecCol), col("cvec"))
+          / (col("__qn") * sqrt(Similarity.dot(col("cvec"), col("cvec")))))
       .withColumn("__crank", row_number().over(
         Window.partitionBy(col(qidCol))
-          .orderBy(col("__csim").desc, col("c.cell"))))
+          .orderBy(col("__csim").desc, col("__c0"))))
       .where(col("__crank") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("c.cell").as("cell"))
-    probeCells.join(index.assigned, Seq("cell"))
+      .select(col(qidCol), col(qvecCol), col("__qn"),
+        col("__c0").as("cell"))
+    val corpus = index.assigned.select(col(idCol), col(vecCol), col("cell"),
+      sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)).as("__cn"))
+    probeCells.join(corpus, Seq("cell"))
       .where(col(qidCol) =!= col(idCol))
       .select(col(qidCol).as("qid"), col(idCol).as("nid"),
-        Similarity.cosine(col(qvecCol), col(vecCol)).as("cosine"))
+        (Similarity.dotExpr(col(qvecCol), col(vecCol), dim)
+          / (col("__qn") * col("__cn"))).as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("cosine").desc, col("nid"))))

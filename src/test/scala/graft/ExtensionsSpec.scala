@@ -69,7 +69,7 @@ class ExtensionsSpec extends AnyFunSuite {
     val probes = vecs.where($"vec_id" === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val got = CosineTopK.bruteForce(vecs, probes, "vec_id", "embedding",
-      "qid", "qvec", k = 3).orderBy("rank")
+      "qid", "qvec", k = 3, dim = 2).orderBy("rank")
       .collect().map(_.getLong(1)).toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
@@ -127,16 +127,16 @@ class ScalePathSpec extends AnyFunSuite {
     val probes = corpus.where($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
     val brute = CosineTopK.bruteForce(corpus, probes, "vec_id", "embedding",
-      "qid", "qvec", k = 5)
+      "qid", "qvec", k = 5, dim = 64)
       .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
     val idx = IvfCosine.buildIndex(corpus, "vec_id", "embedding", nlist = 8)
     val ivf = IvfCosine.search(idx, probes, "vec_id", "embedding",
-      "qid", "qvec", k = 5, nprobe = 8)
+      "qid", "qvec", k = 5, nprobe = 8, dim = 64)
       .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
     assert(ivf == brute)
     // partial probe keeps decent recall on this data
     val ivf2 = IvfCosine.search(idx, probes, "vec_id", "embedding",
-      "qid", "qvec", k = 5, nprobe = 4)
+      "qid", "qvec", k = 5, nprobe = 4, dim = 64)
       .select("qid", "nid").collect().map(_.toSeq).toSet
     val bruteIds = brute.map(s => Seq(s(0), s(1)))
     val recall = ivf2.intersect(bruteIds).size.toDouble / bruteIds.size
