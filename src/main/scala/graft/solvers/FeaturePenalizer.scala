@@ -1,6 +1,6 @@
 package graft.solvers
 
-import breeze.linalg.{DenseMatrix, DenseVector, sum}
+import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.operators.GraftTransformer
@@ -124,50 +124,104 @@ private[solvers] object Penalize {
     val k = feats.cols
     val m = feats.rows
 
-    // one pass: centered Gram pieces
-    val xc = feats.copy
+    // one pass: centered Gram pieces, column-major primitive arrays
+    // (the Adamax loop below is allocation-free — per-era cost is
+    // O(m·k²) once + O(k²) per iteration with zero garbage; the breeze
+    // generic-dispatch form of the same loop was ~100× slower)
+    val xc = Array.ofDim[Double](k, m)
     var j = 0
     while (j < k) {
-      val c = xc(::, j)
-      val mean = sum(c) / m
-      c -= mean
+      var s = 0.0; var i = 0
+      while (i < m) { s += feats(i, j); i += 1 }
+      val mean = s / m
+      i = 0
+      while (i < m) { xc(j)(i) = feats(i, j) - mean; i += 1 }
       j += 1
     }
-    val g0 = xc.t * xc                        // G = XcᵀXc
-    val dinv = DenseVector.tabulate(k) { i =>
-      val n = math.sqrt(g0(i, i))
-      if (n > 0) 1.0 / n else 0.0
+    val g0 = Array.ofDim[Double](k, k)        // G = XcᵀXc
+    var a = 0
+    while (a < k) {
+      var b2 = a
+      while (b2 < k) {
+        var s = 0.0; var i = 0
+        val ca = xc(a); val cb = xc(b2)
+        while (i < m) { s += ca(i) * cb(i); i += 1 }
+        g0(a)(b2) = s; g0(b2)(a) = s
+        b2 += 1
+      }
+      a += 1
     }
-    val pm = sum(pred) / m
-    val pc = pred - pm
-    val b = xc.t * pc
-    val ppc = pc dot pc
+    val dinv = new Array[Double](k)
+    j = 0
+    while (j < k) {
+      val n = math.sqrt(g0(j)(j))
+      dinv(j) = if (n > 0) 1.0 / n else 0.0
+      j += 1
+    }
+    var pm = 0.0
+    var i0 = 0
+    while (i0 < m) { pm += pred(i0); i0 += 1 }
+    pm /= m
+    val b = new Array[Double](k)
+    var ppc = 0.0
+    i0 = 0
+    while (i0 < m) { val pc = pred(i0) - pm; ppc += pc * pc; i0 += 1 }
+    j = 0
+    while (j < k) {
+      var s = 0.0; var i = 0
+      val cj = xc(j)
+      while (i < m) { s += cj(i) * (pred(i) - pm); i += 1 }
+      b(j) = s
+      j += 1
+    }
     val pn = math.sqrt(ppc)
 
     // target exposures: clamp of the initial exposures (penalization.py:251)
-    val target = DenseVector.tabulate(k) { i =>
-      val e0 = if (pn > 0) dinv(i) * b(i) / pn else 0.0
-      math.max(-maxExp, math.min(maxExp, e0))
+    val reluT = new Array[Double](k)
+    val reluNegT = new Array[Double](k)
+    j = 0
+    while (j < k) {
+      val e0 = if (pn > 0) dinv(j) * b(j) / pn else 0.0
+      val t0 = math.max(-maxExp, math.min(maxExp, e0))
+      reluT(j) = relu(t0); reluNegT(j) = relu(-t0)
+      j += 1
     }
-    val reluT = target.map(relu)
-    val reluNegT = target.map(t => relu(-t))
 
-    val w = DenseVector.zeros[Double](k)
-    val mom = DenseVector.zeros[Double](k)
-    val inf = DenseVector.zeros[Double](k)
+    val w = new Array[Double](k)
+    val mom = new Array[Double](k)
+    val inf = new Array[Double](k)
+    val r = new Array[Double](k)
+    val g = new Array[Double](k)
+    val dg = new Array[Double](k)
     val beta1 = 0.9; val beta2 = 0.999; val eps = 1e-7
+    var beta1PowT = 1.0                       // β₁^t, updated incrementally
     var t = 0
     var loss = Double.PositiveInfinity
-    while (loss >= tol && t < maxIters) {
-      val gw = g0 * w
-      val r = b - gw                          // Xcᵀ c
-      val cn2 = ppc - 2.0 * (b dot w) + (w dot gw)
+    // plateau stop: the relu-excess loss floor may sit above tol when the
+    // cap is unreachable exactly; `patience` iterations without
+    // improvement means the optimizer is at its achievable floor
+    var best = Double.PositiveInfinity
+    var sinceImprove = 0
+    val patience = 2000
+    while (loss >= tol && t < maxIters && sinceImprove < patience) {
+      var bw = 0.0; var wgw = 0.0
+      var jj = 0
+      while (jj < k) {
+        var gwj = 0.0
+        var j2 = 0
+        val gj = g0(jj)
+        while (j2 < k) { gwj += gj(j2) * w(j2); j2 += 1 }
+        r(jj) = b(jj) - gwj                   // Xcᵀ c
+        bw += b(jj) * w(jj)
+        wgw += w(jj) * gwj
+        jj += 1
+      }
+      val cn2 = ppc - 2.0 * bw + wgw
       val cn = if (cn2 > 0) math.sqrt(cn2) else 0.0
       // e = D⁻¹ r / ‖c‖; if pred−Xw is constant (cn=0) all exposures are 0
       // and (targets being clamps of finite e0) the loss is 0 ⇒ loop exits.
       var l = 0.0
-      val g = DenseVector.zeros[Double](k)
-      var jj = 0
+      jj = 0
       while (jj < k) {
         val e = if (cn > 0) dinv(jj) * r(jj) / cn else 0.0
         val pos = relu(relu(e) - reluT(jj))
@@ -178,27 +232,40 @@ private[solvers] object Penalize {
         jj += 1
       }
       loss = l
-      if (loss >= tol) {
-        val dg = DenseVector.tabulate(k)(i => dinv(i) * g(i)) // D⁻¹ g
-        val gdg = g0 * dg                     // Xcᵀ (X̂ g)
-        val alpha = (r dot dg) / cn           // ŷ · X̂ g
-        val grads = -(gdg - r * (alpha / cn)) / cn
-        // Adamax update (penalization.py:268-279)
-        mom := mom * beta1 + grads * (1 - beta1)
-        var j2 = 0
-        while (j2 < k) {
-          inf(j2) = math.max(beta2 * inf(j2), math.abs(grads(j2)))
-          j2 += 1
-        }
-        val mhat = mom / (1 - math.pow(beta1, t + 1.0))
-        var j3 = 0
-        while (j3 < k) {
-          w(j3) -= lr * mhat(j3) / (inf(j3) + eps)
-          j3 += 1
+      if (loss < best - 1e-12) { best = loss; sinceImprove = 0 }
+      else sinceImprove += 1
+      if (loss >= tol && sinceImprove < patience) {
+        var rdg = 0.0
+        jj = 0
+        while (jj < k) { dg(jj) = dinv(jj) * g(jj); rdg += r(jj) * dg(jj); jj += 1 }
+        val alpha = rdg / cn                  // ŷ · X̂ g
+        beta1PowT *= beta1
+        val mhatDen = 1 - beta1PowT
+        jj = 0
+        while (jj < k) {
+          var gdgj = 0.0                      // Xcᵀ (X̂ g)
+          var j2 = 0
+          val gj = g0(jj)
+          while (j2 < k) { gdgj += gj(j2) * dg(j2); j2 += 1 }
+          val grad = -(gdgj - r(jj) * (alpha / cn)) / cn
+          // Adamax update (penalization.py:268-279)
+          mom(jj) = mom(jj) * beta1 + grad * (1 - beta1)
+          inf(jj) = math.max(beta2 * inf(jj), math.abs(grad))
+          w(jj) -= lr * (mom(jj) / mhatDen) / (inf(jj) + eps)
+          jj += 1
         }
         t += 1
       }
     }
-    pred - feats * w
+    val out = DenseVector.zeros[Double](m)
+    var i = 0
+    while (i < m) {
+      var s = 0.0
+      var jj = 0
+      while (jj < k) { s += feats(i, jj) * w(jj); jj += 1 }
+      out(i) = pred(i) - s
+      i += 1
+    }
+    out
   }
 }
