@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ml._
 import graft.operators.MovingAverageTransformer
@@ -29,6 +30,88 @@ object QueriesML {
     b2 = 0.05)
   private val mlpFeats = Seq("l_quantity", "l_discount", "l_tax")
 
+  /** Pinned multi-output head sharing `pinned`'s hidden layer (3 → 4 → 2,
+    * prediction_{i} naming contract). */
+  val pinnedMulti: MLPMultiWeights = MLPMultiWeights(
+    w1 = pinned.w1, b1 = pinned.b1,
+    w2 = Array.tabulate(4, 2)((j, o) => ((j * 5 + o * 3) % 7 - 3) / 10.0),
+    b2 = Array(0.05, -0.02))
+
+  /** Pinned bottleneck (4 features → 2 latents) for the scoring query.
+    * Weights are non-terminating binary fractions (x/7, x/13, …): the
+    * inputs are integer-and-2-decimal valued, so terminating-decimal
+    * weights would park many outputs EXACTLY on round-half boundaries
+    * where Spark (HALF_UP) and DuckDB disagree by one ulp of rounding. */
+  val pinnedBn: BottleneckWeights = BottleneckWeights(
+    means = Array(25.5, 38000.0, 0.05, 0.04),
+    loadings = Array(Array(1.0 / 13, -1.0 / 37),
+      Array(1.0 / 52345, 1.0 / 31234),
+      Array(17.0 / 11, -23.0 / 13), Array(-13.0 / 11, 7.0 / 9)),
+    head = Array(3.0 / 7, -2.0 / 9), headBias = 1.0 / 7)
+  private val bnFeats = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+
+  private def m22(seed: Int): Array[Array[Double]] =
+    Array.tabulate(2, 2)((a, b) => (((a * 3 + b * 5 + seed) % 11) - 5) / 10.0)
+  private def v2(seed: Int): Array[Double] =
+    Array.tabulate(2)(u => (((u * 7 + seed) % 9) - 4) / 10.0)
+
+  /** Pinned LSTM cell (2 features/step, 2 units) + linear head. */
+  val pinnedLstm: LstmWeights = LstmWeights(
+    wi = m22(1), ui = m22(2), bi = v2(1),
+    wf = m22(3), uf = m22(4), bf = v2(2),
+    wc = m22(5), uc = m22(6), bc = v2(3),
+    wo = m22(7), uo = m22(8), bo = v2(4),
+    wOut = Array(0.6, -0.4), bOut = 0.05)
+
+  /** Pinned single-head attention (2 features/step, 2 hidden) + head. */
+  val pinnedAttn: AttnWeights = AttnWeights(
+    wq = m22(1), bq = v2(5), wk = m22(4), bk = v2(6),
+    wv = m22(7), bv = v2(7), wOut = Array(0.5, 0.3), bOut = -0.1)
+
+  /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
+  val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
+    import PinnedTrees._
+    Seq(
+      Split("l_quantity", 25.0,
+        Split("l_discount", 0.05, Leaf(1.0), Leaf(2.0)),
+        Split("l_tax", 0.04, Leaf(3.0), Leaf(4.0))),
+      Split("l_discount", 0.03, Leaf(10.0),
+        Split("l_quantity", 40.0, Leaf(20.0), Leaf(30.0))))
+  }
+
+  /** Lag-major 3-step × 2-feature sequence panel (the SequenceReshape
+    * layout over LagTransformer-shaped windows; quantity scaled to keep
+    * the recurrent gates in their active region). */
+  private val seqSteps = Seq(Seq("q3", "d3"), Seq("q2", "d2"),
+    Seq("q1", "d1"))
+  private def seqBase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    def lg(c: Column, n: Int) = lag(c, n).over(w)
+    val q = col("l_quantity").cast("double") / lit(50.0)
+    val d = col("l_discount").cast("double")
+    li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+      lg(q, 3).as("q3"), lg(q, 2).as("q2"), lg(q, 1).as("q1"),
+      lg(d, 3).as("d3"), lg(d, 2).as("d2"), lg(d, 1).as("d1"))
+      .where(col("q3").isNotNull && col("d3").isNotNull)
+  }
+  private val seqBaseSql =
+    """WITH lags AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    lag(CAST(l_quantity AS DOUBLE) / 50.0, 3) OVER w AS q3,
+      |    lag(CAST(l_quantity AS DOUBLE) / 50.0, 2) OVER w AS q2,
+      |    lag(CAST(l_quantity AS DOUBLE) / 50.0, 1) OVER w AS q1,
+      |    lag(CAST(l_discount AS DOUBLE), 3) OVER w AS d3,
+      |    lag(CAST(l_discount AS DOUBLE), 2) OVER w AS d2,
+      |    lag(CAST(l_discount AS DOUBLE), 1) OVER w AS d1
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |), base AS (
+      |  SELECT * FROM lags WHERE q3 IS NOT NULL AND d3 IS NOT NULL
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PCA latent codes (exact covariance PCA; sign of components is
     // implementation-defined → rows-only check + MLSpec variance test)
@@ -48,14 +131,78 @@ object QueriesML {
           mlpFeats.map(c => col(c).cast("double"))), 6).as("score"))
     }),
 
-    // batched embedding harness with the reference's deterministic mock
+    // batched embedding harness with the reference's deterministic mock;
+    // output through the {f}_embed_{i} explode contract
     "q_embed" -> ((s, dir) => {
-      EmbeddingTransformer("text", MockEmbedder.apply, batchSize = 200,
-        dim = MockEmbedder.dim)
-        .transform(docs(s, dir))
+      val emb = EmbeddingTransformer("text", MockEmbedder.apply,
+        batchSize = 200, dim = MockEmbedder.dim).transform(docs(s, dir))
+      EmbeddingTransformer.explodeToColumns(emb, "text", MockEmbedder.dim)
         .select(col("doc_id"),
-          element_at(col("text_embedding"), 1).cast("double").as("e0"),
-          element_at(col("text_embedding"), 2).cast("double").as("e1"))
+          col("text_embed_0").cast("double"),
+          col("text_embed_1").cast("double"))
+    }),
+
+    // multi-output MLP head: prediction_{i} naming contract
+    "q_mlp_multi" -> ((s, dir) => {
+      val outs = MLPRegressor.predictColumns(pinnedMulti,
+        mlpFeats.map(c => col(c).cast("double")))
+      li(s, dir).select(col("l_orderkey") +: col("l_linenumber") +:
+        outs.map { case (n, c) => round(c, 6).as(n) }: _*)
+    }),
+
+    // pinned linear-bottleneck scoring: latent codes, reconstruction and
+    // the through-the-bottleneck prediction (autoencoder.py:10-161 analog)
+    "q_bottleneck" -> ((s, dir) => {
+      val model = BottleneckModel(pinnedBn, bnFeats)
+      val withZ = model.reconstruct(li(s, dir))
+      withZ
+        .withColumn("prediction", BottleneckEncoder.headCol(pinnedBn,
+          Seq(col("latent_0"), col("latent_1"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("latent_0"), 6).as("latent_0"),
+          round(col("latent_1"), 6).as("latent_1"),
+          round(col("recon_0"), 6).as("recon_0"),
+          round(col("recon_3"), 6).as("recon_3"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // pinned 2-tree forest scoring (tree.py:53-384 analog scoring path)
+    "q_forest_score" -> ((s, dir) => {
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        PinnedTrees.forestColumn(pinnedTrees).as("forest_score"))
+    }),
+
+    // pinned LSTM-cell forward pass over the lag-major sequence layout
+    "q_seq_score" -> ((s, dir) => {
+      LstmScorer.score(seqBase(s, dir), seqSteps, pinnedLstm)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("seq_score"))
+    }),
+
+    // pinned single-head attention forward pass (transformer analog)
+    "q_attn_score" -> ((s, dir) => {
+      AttnScorer.score(seqBase(s, dir), seqSteps, pinnedAttn)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("attn_score"))
+    }),
+
+    // CombinedLoss metric (losses.py:125-189): weighted MSE + negative
+    // Spearman of a trailing-MA prediction vs price, per returnflag.
+    // Computed on thousand-scaled values (the reference standardizes
+    // targets before its losses, keras_estimators/base.py:89-100): the
+    // raw-price MSE is ~1e9, where a round(4) comparison would sit below
+    // cross-engine aggregation-order noise.
+    "q_combined_loss" -> ((s, dir) => {
+      val ma = MovingAverageTransformer(Seq("l_extendedprice"), Seq(4),
+        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"))
+        .transform(li(s, dir))
+        .where(col("l_extendedprice_ma4").isNotNull)
+        .withColumn("pred_k", col("l_extendedprice_ma4") / lit(1000.0))
+        .withColumn("price_k", col("l_extendedprice") / lit(1000.0))
+      Metrics.combinedLoss(ma, "pred_k", "price_k",
+        Seq("l_returnflag"), mseWeight = 2.0, spearmanWeight = 1.0)
+        .select(col("l_returnflag"),
+          round(col("combined_loss"), 4).as("combined_loss"))
     }),
 
     // R² of a trailing-MA "prediction" vs price, per returnflag
@@ -135,11 +282,84 @@ object QueriesML {
          |FROM lineitem""".stripMargin,
     "q_embed" ->
       """SELECT doc_id,
-        | CAST(CAST(length(text) AS FLOAT) AS DOUBLE) AS e0,
+        | CAST(CAST(length(text) AS FLOAT) AS DOUBLE) AS text_embed_0,
         | CAST(CAST(list_sum(list_transform(generate_series(1, length(text)),
         |   i -> ord(substr(text, CAST(i AS INTEGER), 1)))) % 100 AS FLOAT)
-        |   AS DOUBLE) AS e1
+        |   AS DOUBLE) AS text_embed_1
         |FROM documents""".stripMargin,
+    "q_mlp_multi" -> {
+      val f = mlpFeats
+      val hidden = (0 until 4).map { j =>
+        val z = f.zipWithIndex.map { case (c, i) =>
+          s"CAST($c AS DOUBLE) * ${pinnedMulti.w1(i)(j)}"
+        }.mkString("(", " + ", s" + ${pinnedMulti.b1(j)})")
+        s"greatest($z, 0.0)"
+      }
+      val outs = (0 until 2).map { o =>
+        val e = hidden.zipWithIndex.map { case (h, j) =>
+          s"$h * ${pinnedMulti.w2(j)(o)}"
+        }.mkString("(", " + ", s" + ${pinnedMulti.b2(o)})")
+        s"round($e, 6) AS prediction_$o"
+      }.mkString(",\n  ")
+      s"""SELECT l_orderkey, l_linenumber,
+         |  $outs
+         |FROM lineitem""".stripMargin
+    },
+    "q_bottleneck" -> {
+      val fx = bnFeats.map(c => s"CAST($c AS DOUBLE)")
+      val zN = Seq("latent_0", "latent_1")
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ${BottleneckEncoder.latentSql(pinnedBn, fx, 0)} AS latent_0,
+         |    ${BottleneckEncoder.latentSql(pinnedBn, fx, 1)} AS latent_1
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT *,
+         |    ${BottleneckEncoder.reconSql(pinnedBn, zN, 0)} AS recon_0,
+         |    ${BottleneckEncoder.reconSql(pinnedBn, zN, 3)} AS recon_3
+         |  FROM z)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(latent_0, 6) AS latent_0, round(latent_1, 6) AS latent_1,
+         |  round(recon_0, 6) AS recon_0, round(recon_3, 6) AS recon_3,
+         |  round(${BottleneckEncoder.headSql(pinnedBn, zN)}, 6) AS prediction
+         |FROM r""".stripMargin
+    },
+    "q_forest_score" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${PinnedTrees.forestSql(pinnedTrees)} AS forest_score
+         |FROM lineitem""".stripMargin,
+    "q_seq_score" -> LstmScorer.sql(seqBaseSql, "base", seqSteps, pinnedLstm,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS seq_score"),
+    "q_attn_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps, pinnedAttn,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS attn_score"),
+    "q_combined_loss" ->
+      """WITH ma AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CASE WHEN count(l_extendedprice) OVER w = 4
+        |         THEN avg(l_extendedprice) OVER w END AS pred
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |), f AS (
+        |  SELECT l_returnflag, pred / 1000.0 AS pred_k,
+        |    l_extendedprice / 1000.0 AS price_k
+        |  FROM ma WHERE pred IS NOT NULL
+        |), ranked AS (
+        |  SELECT l_returnflag, pred_k, price_k,
+        |    (rank() OVER (PARTITION BY l_returnflag ORDER BY pred_k ASC)
+        |     + (count(pred_k) OVER (PARTITION BY l_returnflag
+        |         ORDER BY pred_k ASC
+        |         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0) AS rp,
+        |    (rank() OVER (PARTITION BY l_returnflag ORDER BY price_k ASC)
+        |     + (count(price_k) OVER (PARTITION BY l_returnflag
+        |         ORDER BY price_k ASC
+        |         RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0) AS ry
+        |  FROM f)
+        |SELECT l_returnflag,
+        |  round(2.0 * avg(pow(pred_k - price_k, 2.0))
+        |    + 1.0 * (-corr(ry, rp)), 4) AS combined_loss
+        |FROM ranked GROUP BY l_returnflag""".stripMargin,
     "q_media_features" -> {
       // mirror of DeterministicDecoder.decode bin j over the sanitized
       // ASCII payload: left-fold of ord(byte)/255.0 at positions j+1,

@@ -51,6 +51,28 @@ object Metrics {
     ranked.groupBy(part: _*).agg(corr(col("__ra"), col("__rb")).as("spearman"))
   }
 
+  /** CombinedLoss (reference losses.py:125-189): weighted sum of MSE (for
+    * absolute accuracy) and NEGATIVE Spearman correlation (for rank
+    * preservation) per group — the exact-rank form of the reference's
+    * soft-rank training loss (same exact-vs-soft mapping as [[spearman]]).
+    * Both terms come out of ONE groupBy over the rank-augmented rows: one
+    * window pass for the two rank columns, one aggregation exchange. */
+  def combinedLoss(df: DataFrame, predCol: String, targetCol: String,
+      groupCols: Seq[String], mseWeight: Double = 2.0,
+      spearmanWeight: Double = 1.0): DataFrame = {
+    import graft.functions.avgRank
+    val part = groupCols.map(col)
+    val ranked = df.select(part ++ Seq(
+      col(predCol).cast("double").as("__p"),
+      col(targetCol).cast("double").as("__y"),
+      avgRank(col(predCol), part).as("__rp"),
+      avgRank(col(targetCol), part).as("__ry")): _*)
+    ranked.groupBy(part: _*).agg(
+      (lit(mseWeight) * avg(pow(col("__p") - col("__y"), 2.0))
+        + lit(spearmanWeight) * -corr(col("__ry"), col("__rp")))
+        .as("combined_loss"))
+  }
+
   /** R² = 1 − SS_res/SS_tot per group (sklearn definition, used by the
     * reference's score(); keras_cortex.py:103). SS_tot via the algebraic
     * identity Σ(y−ȳ)² = Σy² − n·ȳ² so it needs a single aggregation

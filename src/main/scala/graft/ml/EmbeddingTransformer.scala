@@ -59,6 +59,27 @@ case class EmbeddingTransformer(
   }
 }
 
+object EmbeddingTransformer {
+  /** Explode `{f}_embedding` into `{f}_embed_{i}` scalar columns — the
+    * reference's sklearn-boundary output contract (embedding.py:167-196). */
+  def explodeToColumns(df: DataFrame, feature: String, dim: Int): DataFrame =
+    df.select(col("*") +: (0 until dim).map(i =>
+      element_at(col(s"${feature}_embedding"), i + 1)
+        .as(s"${feature}_embed_$i")): _*)
+
+  /** Multi-feature embedding with per-feature templates — the
+    * `categorical_mapping` contract (embedding.py:55-60, :147-153):
+    * features present in the mapping are rendered through their "{}"
+    * template before embedding (e.g. "sector code {}"); each feature
+    * contributes its own `{f}_embedding` column. */
+  def forFeatures(df: DataFrame, features: Seq[String],
+      embedder: Seq[String] => Seq[Array[Float]], batchSize: Int, dim: Int,
+      categoricalMapping: Map[String, String] = Map.empty): DataFrame =
+    features.foldLeft(df)((d, f) =>
+      EmbeddingTransformer(f, embedder, batchSize,
+        categoricalMapping.get(f), dim).transform(d))
+}
+
 /** Deterministic mock embedder from the reference's test suite:
   * `[len(text), Σ ord(c) mod 100]` (tests/test_feature_transformers.py:
   * 102-108) — reproducible in the DuckDB oracle for end-to-end

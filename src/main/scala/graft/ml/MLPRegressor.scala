@@ -13,6 +13,40 @@ case class MLPWeights(
   def nIn: Int = w1.length
 }
 
+/** Multi-output head weights: shared hidden layer, `out` linear outputs. */
+case class MLPMultiWeights(
+    w1: Array[Array[Double]], b1: Array[Double],
+    w2: Array[Array[Double]], b2: Array[Double]) extends Serializable {
+  def hidden: Int = b1.length
+  def out: Int = b2.length
+}
+
+object MLPRegressor {
+  /** Multi-output naming contract (keras_estimators/base.py:137-150):
+    * a single output is `prediction`, n outputs are `prediction_{i}`. */
+  def predictionNames(out: Int): Seq[String] =
+    if (out == 1) Seq("prediction")
+    else (0 until out).map(i => s"prediction_$i")
+
+  /** Named scoring columns for a multi-output head: the shared ReLU
+    * hidden layer feeds every output (same codegen'd unroll as the
+    * single-output predictColumn). */
+  def predictColumns(w: MLPMultiWeights, feats: Seq[Column])
+      : Seq[(String, Column)] = {
+    val hiddenCols = (0 until w.hidden).map { j =>
+      val z = feats.zipWithIndex.map { case (f, i) =>
+        f * lit(w.w1(i)(j))
+      }.reduce(_ + _) + lit(w.b1(j))
+      greatest(z, lit(0.0))
+    }
+    predictionNames(w.out).zipWithIndex.map { case (name, o) =>
+      name -> (hiddenCols.zipWithIndex.map { case (h, j) =>
+        h * lit(w.w2(j)(o))
+      }.reduce(_ + _) + lit(w.b2(o)))
+    }
+  }
+}
+
 /** Minimal MLP regressor re-expressing the reference's MLPRegressor
   * surface (dense.py:13-38 + keras_estimators/base.py:26-156) Spark-first:
   *

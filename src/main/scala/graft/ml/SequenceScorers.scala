@@ -1,0 +1,265 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, functions}
+import org.apache.spark.sql.functions._
+
+/** Pinned-weights scoring paths for the reference's sequence models
+  * (LSTMRegressor, keras_estimators/sequence.py:101-153; the
+  * TransformerRegressor encoder block, transformer.py:108-245).
+  *
+  * Training deep sequence models stays out of scope (SURVEY.md §7.5);
+  * what IS in scope — and oracle-checkable — is the distributed forward
+  * pass: broadcast weights unrolled into pure column arithmetic over the
+  * lag-major sequence layout of [[graft.operators.SequenceReshape]]
+  * (sequence.py:26-40), one projection stage per timestep, no UDF, no
+  * shuffle. Both the Spark plan and the DuckDB oracle SQL are generated
+  * from the SAME expression-algebra builder ([[SeqAlg]]), so the two
+  * engines evaluate structurally identical IEEE expression trees.
+  */
+object SeqAlg {
+  /** Expression algebra: one generic builder emits both Column trees and
+    * SQL text with identical operation order. */
+  trait Alg[E] {
+    def ref(name: String): E
+    def const(v: Double): E
+    def mulW(e: E, w: Double): E
+    def mul(a: E, b: E): E
+    def add(a: E, b: E): E
+    def div(a: E, b: E): E
+    def sigmoid(e: E): E
+    def tanh(e: E): E
+    def exp(e: E): E
+  }
+
+  object ColAlg extends Alg[Column] {
+    def ref(name: String): Column = col(name)
+    def const(v: Double): Column = lit(v)
+    def mulW(e: Column, w: Double): Column = e * lit(w)
+    def mul(a: Column, b: Column): Column = a * b
+    def add(a: Column, b: Column): Column = a + b
+    def div(a: Column, b: Column): Column = a / b
+    def sigmoid(e: Column): Column = lit(1.0) / (lit(1.0) + functions.exp(-e))
+    def tanh(e: Column): Column = functions.tanh(e)
+    def exp(e: Column): Column = functions.exp(e)
+  }
+
+  object SqlAlg extends Alg[String] {
+    def ref(name: String): String = name
+    def const(v: Double): String = v.toString
+    def mulW(e: String, w: Double): String = s"($e * $w)"
+    def mul(a: String, b: String): String = s"($a * $b)"
+    def add(a: String, b: String): String = s"($a + $b)"
+    def div(a: String, b: String): String = s"($a / $b)"
+    def sigmoid(e: String): String = s"(1.0 / (1.0 + exp(-($e))))"
+    // DuckDB ships no tanh; the 1 − 2/(e^{2x}+1) form never overflows
+    // (x→−∞ ⇒ −1, x→+∞ ⇒ 1) and agrees with libm tanh to the last ulp —
+    // absorbed by the queries' round(6)
+    def tanh(e: String): String = s"(1.0 - 2.0 / (exp(2.0 * ($e)) + 1.0))"
+    def exp(e: String): String = s"exp($e)"
+  }
+
+  /** Σ_i refs(i)·w(i) [+ bias], left-associated. */
+  def linear[E](alg: Alg[E], refs: Seq[E], w: Seq[Double],
+      bias: Option[Double]): E = {
+    val s = refs.zip(w).map { case (r, wi) => alg.mulW(r, wi) }
+      .reduce(alg.add)
+    bias.fold(s)(b => alg.add(s, alg.const(b)))
+  }
+}
+
+/** LSTM cell weights (one layer, H units over F features/step) + linear
+  * output head. Gate layout matches Keras LSTM: i, f, c̃ (candidate), o. */
+case class LstmWeights(
+    wi: Array[Array[Double]], ui: Array[Array[Double]], bi: Array[Double],
+    wf: Array[Array[Double]], uf: Array[Array[Double]], bf: Array[Double],
+    wc: Array[Array[Double]], uc: Array[Array[Double]], bc: Array[Double],
+    wo: Array[Array[Double]], uo: Array[Array[Double]], bo: Array[Double],
+    wOut: Array[Double], bOut: Double) extends Serializable {
+  def hidden: Int = bi.length
+}
+
+object LstmScorer {
+  import SeqAlg._
+
+  /** Names of the per-step intermediate columns. */
+  private def gateNames(t: Int, h: Int) =
+    Seq(s"__i${t}_$h", s"__f${t}_$h", s"__g${t}_$h", s"__o${t}_$h")
+
+  /** One step's stage expressions: (gates, cell, hidden) as name→expr
+    * lists. `steps(t)` are the feature column names of timestep t. */
+  private def stepStages[E](alg: Alg[E], w: LstmWeights,
+      steps: Seq[Seq[String]], t: Int): Seq[Seq[(String, E)]] = {
+    val hPrev = (0 until w.hidden).map(u => alg.ref(s"__h${t - 1}_$u"))
+    val x = steps(t).map(alg.ref)
+    def gate(wx: Array[Array[Double]], uh: Array[Array[Double]],
+        b: Array[Double], u: Int): E = {
+      val xPart = linear(alg, x, wx.map(_(u)).toSeq, None)
+      val z0 = if (t == 0) xPart
+        else alg.add(xPart, linear(alg, hPrev, uh.map(_(u)).toSeq, None))
+      alg.add(z0, alg.const(b(u)))
+    }
+    val gates = (0 until w.hidden).flatMap { u =>
+      Seq(
+        s"__i${t}_$u" -> alg.sigmoid(gate(w.wi, w.ui, w.bi, u)),
+        s"__f${t}_$u" -> alg.sigmoid(gate(w.wf, w.uf, w.bf, u)),
+        s"__g${t}_$u" -> alg.tanh(gate(w.wc, w.uc, w.bc, u)),
+        s"__o${t}_$u" -> alg.sigmoid(gate(w.wo, w.uo, w.bo, u)))
+    }
+    val cell = (0 until w.hidden).map { u =>
+      val ig = alg.mul(alg.ref(s"__i${t}_$u"), alg.ref(s"__g${t}_$u"))
+      s"__c${t}_$u" -> (if (t == 0) ig
+        else alg.add(alg.mul(alg.ref(s"__f${t}_$u"),
+          alg.ref(s"__c${t - 1}_$u")), ig))
+    }
+    val hid = (0 until w.hidden).map { u =>
+      s"__h${t}_$u" ->
+        alg.mul(alg.ref(s"__o${t}_$u"), alg.tanh(alg.ref(s"__c${t}_$u")))
+    }
+    Seq(gates, cell, hid)
+  }
+
+  private def headExpr[E](alg: Alg[E], w: LstmWeights, lastT: Int): E =
+    linear(alg, (0 until w.hidden).map(u => alg.ref(s"__h${lastT}_$u")),
+      w.wOut.toSeq, Some(w.bOut))
+
+  /** Appends `prediction` = unrolled LSTM forward pass over the lag-major
+    * timesteps; each stage is a named projection (gates → cell → hidden
+    * per step), so no expression is ever duplicated. */
+  def score(df: DataFrame, steps: Seq[Seq[String]], w: LstmWeights)
+      : DataFrame = {
+    var cur = df
+    for (t <- steps.indices; stage <- stepStages(ColAlg, w, steps, t))
+      cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+    val out = cur.withColumn("prediction", headExpr(ColAlg, w, steps.size - 1))
+    out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** DuckDB mirror: chained CTEs, one per stage, same expressions. The
+    * caller supplies the base CTE (must expose the step feature columns)
+    * and the final select list. */
+  def sql(baseCte: String, baseName: String, steps: Seq[Seq[String]],
+      w: LstmWeights, finalSelect: String): String = {
+    val sb = new StringBuilder(baseCte)
+    var prev = baseName
+    var si = 0
+    for (t <- steps.indices; stage <- stepStages(SqlAlg, w, steps, t)) {
+      val name = s"s$si"
+      val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
+      prev = name; si += 1
+    }
+    val head = headExpr(SqlAlg, w, steps.size - 1)
+    sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
+    sb.append(s"\nSELECT $finalSelect FROM fin")
+    sb.toString
+  }
+}
+
+/** Single-head self-attention scorer — the pinned-weights forward pass of
+  * the reference transformer's core (Q/K/V projections, scaled dot-product
+  * softmax, average pooling, linear head; transformer.py:108-245 with
+  * pooling_type="average"). */
+case class AttnWeights(
+    wq: Array[Array[Double]], bq: Array[Double],
+    wk: Array[Array[Double]], bk: Array[Double],
+    wv: Array[Array[Double]], bv: Array[Double],
+    wOut: Array[Double], bOut: Double) extends Serializable {
+  def hidden: Int = bq.length
+}
+
+object AttnScorer {
+  import SeqAlg._
+
+  private def stages[E](alg: Alg[E], w: AttnWeights,
+      steps: Seq[Seq[String]]): Seq[Seq[(String, E)]] = {
+    val l = steps.size
+    val h = w.hidden
+    val qkv = steps.indices.flatMap { t =>
+      val x = steps(t).map(alg.ref)
+      (0 until h).flatMap { u =>
+        Seq(
+          s"__q${t}_$u" -> linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
+          s"__k${t}_$u" -> linear(alg, x, w.wk.map(_(u)).toSeq, Some(w.bk(u))),
+          s"__v${t}_$u" -> linear(alg, x, w.wv.map(_(u)).toSeq, Some(w.bv(u))))
+      }
+    }
+    // scaled dot-product scores, exponentiated once per (t, u)
+    val scores = (for { t <- 0 until l; u <- 0 until l } yield {
+      val dot = (0 until h).map(j =>
+        alg.mul(alg.ref(s"__q${t}_$j"), alg.ref(s"__k${u}_$j")))
+        .reduce(alg.add)
+      s"__e${t}_$u" -> alg.exp(alg.div(dot, alg.const(math.sqrt(h))))
+    })
+    val dens = (0 until l).map { t =>
+      s"__d$t" -> (0 until l).map(u => alg.ref(s"__e${t}_$u"))
+        .reduce(alg.add)
+    }
+    val ctx = (for { t <- 0 until l; j <- 0 until h } yield {
+      val num = (0 until l).map(u =>
+        alg.mul(alg.ref(s"__e${t}_$u"), alg.ref(s"__v${u}_$j")))
+        .reduce(alg.add)
+      s"__z${t}_$j" -> alg.div(num, alg.ref(s"__d$t"))
+    })
+    Seq(qkv, scores, dens, ctx)
+  }
+
+  private def headExpr[E](alg: Alg[E], w: AttnWeights, l: Int): E = {
+    val pooled = (0 until w.hidden).map { j =>
+      alg.div((0 until l).map(t => alg.ref(s"__z${t}_$j")).reduce(alg.add),
+        alg.const(l.toDouble))
+    }
+    linear(alg, pooled, w.wOut.toSeq, Some(w.bOut))
+  }
+
+  /** Appends `prediction` = attention forward pass (named-stage unroll). */
+  def score(df: DataFrame, steps: Seq[Seq[String]], w: AttnWeights)
+      : DataFrame = {
+    var cur = df
+    for (stage <- stages(ColAlg, w, steps))
+      cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+    val out = cur.withColumn("prediction", headExpr(ColAlg, w, steps.size))
+    out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** DuckDB mirror (chained CTEs). */
+  def sql(baseCte: String, baseName: String, steps: Seq[Seq[String]],
+      w: AttnWeights, finalSelect: String): String = {
+    val sb = new StringBuilder(baseCte)
+    var prev = baseName
+    var si = 0
+    for (stage <- stages(SqlAlg, w, steps)) {
+      val name = s"a$si"
+      val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
+      prev = name; si += 1
+    }
+    val head = headExpr(SqlAlg, w, steps.size)
+    sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
+    sb.append(s"\nSELECT $finalSelect FROM fin")
+    sb.toString
+  }
+}
+
+/** Reference-shaped estimator surfaces over the pinned scorers: the
+  * `lag_windows` / `n_features_per_timestep` reshape contract of
+  * SequenceEstimator (sequence.py:18-40) with the `prediction` output
+  * contract (keras_estimators/base.py:137-150). `lagCols` must be
+  * lag-major (the LagTransformer output order) — exactly the layout
+  * [[graft.operators.SequenceReshape]] documents. */
+case class LSTMRegressor(lagCols: Seq[String], seqLen: Int,
+    weights: LstmWeights) {
+  require(lagCols.size % seqLen == 0,
+    s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  def steps: Seq[Seq[String]] = lagCols.grouped(lagCols.size / seqLen).toSeq
+  def predict(df: DataFrame): DataFrame =
+    LstmScorer.score(df, steps, weights)
+}
+
+case class TransformerRegressor(lagCols: Seq[String], seqLen: Int,
+    weights: AttnWeights) {
+  require(lagCols.size % seqLen == 0,
+    s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  def steps: Seq[Seq[String]] = lagCols.grouped(lagCols.size / seqLen).toSeq
+  def predict(df: DataFrame): DataFrame =
+    AttnScorer.score(df, steps, weights)
+}

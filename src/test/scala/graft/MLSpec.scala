@@ -136,3 +136,148 @@ class MetaSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(res.bestR2 == res.history.map(_._2).max)
   }
 }
+
+/** Round-2 operators: bottleneck encoder, forest, sequence scorers,
+  * embedding/prediction output contracts. */
+class MLSpec2 extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("bottleneck: latent codes reconstruct better than the mean " +
+    "baseline; head learns a linear target (autoencoder.py:10-161)") {
+    import graft.ml.BottleneckEncoder
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val a = rng.nextGaussian(); val b = rng.nextGaussian()
+      // features on a 2-plane in 4-space + tiny noise -> 2 latents suffice
+      (i.toLong, a, b, a + 0.01 * rng.nextGaussian(),
+        b - a + 0.01 * rng.nextGaussian(), 3.0 * a - b)
+    }
+    val df = rows.toDF("id", "x0", "x1", "x2", "x3", "y")
+    val model = BottleneckEncoder(Seq("x0", "x1", "x2", "x3"), 2,
+      Some("y")).fit(df)
+    val rec = model.reconstruct(df)
+    val err = rec.select(
+      avg(pow($"x0" - $"recon_0", 2.0) + pow($"x1" - $"recon_1", 2.0)
+        + pow($"x2" - $"recon_2", 2.0) + pow($"x3" - $"recon_3", 2.0)))
+      .collect()(0).getDouble(0)
+    val base = rec.select(
+      avg(pow($"x0", 2.0) + pow($"x1", 2.0) + pow($"x2", 2.0)
+        + pow($"x3", 2.0))).collect()(0).getDouble(0)
+    assert(err < 0.1 * base, s"recon err $err vs baseline $base")
+    val r2 = graft.ml.Metrics.r2(model.predict(df), "prediction", "y", Nil)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.9, s"head R2 $r2")
+  }
+
+  test("forest: fit on a threshold function beats the mean baseline; " +
+    "prediction output contract (tree.py:53-384 analog)") {
+    import graft.ml.ForestRegressor
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 500).map { i =>
+      val a = rng.nextDouble() * 10; val b = rng.nextDouble() * 10
+      (i.toLong, a, b, if (a < 5) { if (b < 3) 1.0 else 2.0 } else 4.0)
+    }
+    val df = rows.toDF("id", "a", "b", "y")
+    val m = ForestRegressor(Seq("a", "b"), "y", numTrees = 10, maxDepth = 4)
+      .fit(df)
+    val out = m.predict(df)
+    assert(out.columns.contains("prediction"))
+    val r2 = graft.ml.Metrics.r2(out, "prediction", "y", Nil)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.9, s"forest R2 $r2")
+  }
+
+  test("lstm scorer: constant zero sequence yields the closed-form cell " +
+    "value; batch invariance across rows") {
+    import graft.ml._
+    val w = QueriesML.pinnedLstm
+    val df = Seq((1L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      (2L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("id", "q3", "d3", "q2", "d2", "q1", "d1")
+    val got = LstmScorer.score(df,
+      Seq(Seq("q3", "d3"), Seq("q2", "d2"), Seq("q1", "d1")), w)
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(got(0) == got(1))
+    // manual forward pass with zero inputs
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    var h = Array(0.0, 0.0); var c = Array(0.0, 0.0)
+    for (t <- 0 until 3) {
+      val nh = new Array[Double](2); val nc = new Array[Double](2)
+      for (u <- 0 until 2) {
+        def pre(wu: Array[Array[Double]], uu: Array[Array[Double]],
+            bu: Array[Double]) =
+          (if (t == 0) 0.0 else h(0) * uu(0)(u) + h(1) * uu(1)(u)) + bu(u)
+        val i = sig(pre(w.wi, w.ui, w.bi)); val f = sig(pre(w.wf, w.uf, w.bf))
+        val g = math.tanh(pre(w.wc, w.uc, w.bc))
+        val o = sig(pre(w.wo, w.uo, w.bo))
+        nc(u) = (if (t == 0) 0.0 else f * c(u)) + i * g
+        nh(u) = o * math.tanh(nc(u))
+      }
+      h = nh; c = nc
+    }
+    val expect = h(0) * w.wOut(0) + h(1) * w.wOut(1) + w.bOut
+    assert(math.abs(got(0) - expect) < 1e-12, s"${got(0)} vs $expect")
+  }
+
+  test("attention scorer: permutation-equivariant pooling — constant " +
+    "steps give the single-step value") {
+    import graft.ml._
+    val w = QueriesML.pinnedAttn
+    // all timesteps identical -> softmax uniform -> pooled == single v
+    val df = Seq((1L, 0.3, 0.1, 0.3, 0.1, 0.3, 0.1))
+      .toDF("id", "q3", "d3", "q2", "d2", "q1", "d1")
+    val got = AttnScorer.score(df,
+      Seq(Seq("q3", "d3"), Seq("q2", "d2"), Seq("q1", "d1")), w)
+      .select("prediction").collect()(0).getDouble(0)
+    def lin(wm: Array[Array[Double]], b: Array[Double], u: Int) =
+      0.3 * wm(0)(u) + 0.1 * wm(1)(u) + b(u)
+    val v = Array(lin(w.wv, w.bv, 0), lin(w.wv, w.bv, 1))
+    val expect = v(0) * w.wOut(0) + v(1) * w.wOut(1) + w.bOut
+    assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
+  }
+
+  test("embedding contracts: categorical_mapping template + " +
+    "{f}_embed_{i} explode (embedding.py:55-60,147-196)") {
+    import graft.ml.{EmbeddingTransformer, MockEmbedder}
+    val df = Seq((1L, "ab", "X"), (2L, null.asInstanceOf[String], "Y"))
+      .toDF("id", "t1", "t2")
+    val out = EmbeddingTransformer.forFeatures(df, Seq("t1", "t2"),
+      MockEmbedder.apply, batchSize = 10, dim = 2,
+      categoricalMapping = Map("t2" -> "code {}"))
+    val ex = EmbeddingTransformer.explodeToColumns(
+      EmbeddingTransformer.explodeToColumns(out, "t1", 2), "t2", 2)
+      .orderBy("id").collect()
+    // t1 row1: len("ab") = 2; null -> zero vector
+    assert(ex(0).getAs[Float]("t1_embed_0") == 2.0f)
+    assert(ex(1).getAs[Float]("t1_embed_0") == 0.0f)
+    // t2 through template "code {}" -> len("code X") = 6
+    assert(ex(0).getAs[Float]("t2_embed_0") == 6.0f)
+  }
+
+  test("multi-output MLP naming: prediction vs prediction_{i} " +
+    "(keras_estimators/base.py:137-150)") {
+    import graft.ml.MLPRegressor
+    assert(MLPRegressor.predictionNames(1) == Seq("prediction"))
+    assert(MLPRegressor.predictionNames(3) ==
+      Seq("prediction_0", "prediction_1", "prediction_2"))
+    val outs = MLPRegressor.predictColumns(QueriesML.pinnedMulti,
+      Seq(lit(1.0), lit(2.0), lit(3.0)))
+    assert(outs.map(_._1) == Seq("prediction_0", "prediction_1"))
+  }
+
+  test("combined loss: equals mseW*mse + spearW*(-spearman) computed " +
+    "independently (losses.py:125-189, test_losses.py:23-37)") {
+    import graft.ml.Metrics
+    val df = Seq((1.0, 0.9), (2.0, 2.1), (3.0, 2.5), (4.0, 4.2), (5.0, 4.9))
+      .map { case (y, p) => ("g", y, p) }.toDF("g", "y", "p")
+    val cl = Metrics.combinedLoss(df, "p", "y", Seq("g"), 2.0, 1.0)
+      .collect()(0).getDouble(1)
+    val mse = df.select(avg(pow($"p" - $"y", 2.0))).collect()(0).getDouble(0)
+    val sp = Metrics.spearman(df, "y", "p", Seq("g"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(cl - (2.0 * mse - sp)) < 1e-12)
+  }
+}
