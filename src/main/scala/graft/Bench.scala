@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: runs the named queries (default all) against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Failures are REPORTED in
+  * an "errors" object (and the query's wall time excluded from the
+  * total) — a broken query must never masquerade as a fast one. Unknown
+  * query names fail fast. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query names: ${unknown.mkString(", ")} — known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,18 +21,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional args: query names to bench (default all)
     val selected = if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    var errors = Map.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          errors += name -> (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+              .take(200))
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filterNot { case (n, _) => errors.contains(n) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

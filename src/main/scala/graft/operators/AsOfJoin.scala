@@ -20,32 +20,39 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param valueCols right-side columns carried onto each left row
-    *                   (null when no right row precedes it). */
+    *                   (null when no right row precedes it).
+    *
+    * The right payload travels as ONE non-null struct, so a right row
+    * whose value column is legitimately NULL still matches (and masks
+    * older rows) instead of being skipped by `ignoreNulls` — "no
+    * preceding right row" and "preceding right row with null value" are
+    * distinct outcomes. Duplicate (key, ts) right rows resolve
+    * deterministically to the greatest payload struct (the window orders
+    * by the struct as a final tiebreak). */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTime: String, rightTime: String,
       valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
+    val rvType = StructType(valueCols.map(c => right.schema(c)).toArray)
     // side 0 = right (sorts before left on equal time, so last() sees it)
     val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")) ++
+      keyCols.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__rv")) ++
         leftCols.filterNot(keyCols.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val l = left.select(
-      keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__v_$c")) ++
+      keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rvType).as("__rv")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__rv").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
-      .select((keyCols.map(col) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        valueCols.map(c =>
-          last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)) :+
-        col("__side")): _*)
+      .withColumn("__last", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__side")
+      .select(keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        valueCols.map(c => col("__last").getField(c).as(c)): _*)
   }
 }

@@ -62,6 +62,15 @@ private[solvers] object EraSolver {
     (ids, preds, x)
   }
 
+  /** Caches created by previous scaleGlobal invocations, released on the
+    * next call: the projection branch still needs the cache when the
+    * CALLER'S terminal action runs (we cannot unpersist synchronously),
+    * but a long-lived session holding a new solver result per invocation
+    * must not accumulate cached blocks — disk blocks are not
+    * LRU-reclaimed. At most one solver cache stays live. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   /** Global (cross-era) min-max scale of the solver's `(id, outs array)`
     * output, returning `(idCol, out columns...)`.
     *
@@ -75,10 +84,16 @@ private[solvers] object EraSolver {
   def scaleGlobal(solved: DataFrame, idCol: String,
       outputNames: Seq[String]): DataFrame = {
     def q(n: String) = col(s"`$n`")
+    var prev = liveCaches.poll()
+    while (prev != null) {
+      prev.unpersist(blocking = false)
+      prev = liveCaches.poll()
+    }
     val unpacked = solved.select(
       col(idCol) +: outputNames.zipWithIndex.map { case (n, i) =>
         element_at(col("__outs"), i + 1).as(n)
       }: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(unpacked)
     val aggs = outputNames.flatMap(n =>
       Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
     val scalars = unpacked.agg(aggs.head, aggs.tail: _*)

@@ -190,4 +190,21 @@ class ScalePathSpec extends AnyFunSuite {
       .toSeq
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, null), (4L, null)))
   }
+
+  test("asof join: a null right VALUE is a real match (masks older " +
+    "rows); duplicate right timestamps pick deterministically") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, "u1", 20L), (2L, "u2", 20L))
+      .toDF("event_id", "user", "t")
+    val right = Seq(("u1", 10L, Some(1.0)), ("u1", 15L, None),
+      ("u2", 10L, Some(7.0)), ("u2", 10L, Some(9.0)))
+      .toDF("user", "t", "v")
+    val got = AsOfJoin.asof(left, right, Seq("user"), "t", "t", Seq("v"))
+      .orderBy("event_id").select("event_id", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toSeq
+    // u1: latest right row (t=15) has null v -> null, NOT the older 1.0
+    // u2: two right rows at t=10 -> greatest payload struct (9.0) wins
+    assert(got == Seq((1L, null), (2L, 9.0)))
+  }
 }
