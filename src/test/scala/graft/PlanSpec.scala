@@ -64,6 +64,40 @@ class PlanSpec extends AnyFunSuite {
     // only the final aggregation exchanges
     assert(exchanges(plan) <= 1, s"fact side must not shuffle for joins:\n$plan")
   }
+
+  test("pinned scoring paths (mlp/forest/bottleneck) are pure " +
+    "projections: zero exchanges, no UDFs") {
+    for (q <- Seq("q_mlp_score", "q_mlp_multi", "q_forest_score",
+        "q_bottleneck")) {
+      val plan = planOf(QueriesML.queries(q)(spark, sf))
+      assert(exchanges(plan) == 0, s"$q must not shuffle:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$q must not use UDFs:\n$plan")
+    }
+  }
+
+  test("sequence scorers (lstm/attention) add NO exchange beyond the one " +
+    "lag window") {
+    for (q <- Seq("q_seq_score", "q_attn_score")) {
+      val plan = planOf(QueriesML.queries(q)(spark, sf))
+      assert(exchanges(plan) == 1,
+        s"$q: exactly the lag-window exchange expected:\n$plan")
+    }
+  }
+
+  test("brute-force cosine top-k broadcasts the probe side (corpus " +
+    "never shuffles before the per-probe window)") {
+    val plan = planOf(QueriesSim.queries("q_cosine_topk")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("near-dup LSH shuffles on the band bucket only (no cross join)") {
+    val plan = planOf(QueriesSim.queries("q_embed_neardup")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"neardup must stay an equi-join on bucket:\n$plan")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
