@@ -135,6 +135,12 @@ object Dedup {
       (col("id") / bandWidth).cast("long").as("bucket"))
     buckets.join(right, Seq("bucket"))
       .where(col("id") < col("id_b") && col("id_b") - col("id") <= bandWidth)
+      // size-ratio prune BEFORE the set intersection: |A∩B| ≤ min(|A|,|B|),
+      // so J ≥ t already forces min/max ≥ t — a cheap scalar test that
+      // skips the O(|A|+|B|) intersection for size-mismatched pairs
+      // (semantics-preserving: pruned pairs can never reach the threshold)
+      .where(least(size(col("sh")), size(col("sh_b"))).cast("double")
+        >= lit(threshold) * greatest(size(col("sh")), size(col("sh_b"))))
       // intersection computed once, then reused for the union size
       .withColumn("__i",
         size(array_intersect(col("sh"), col("sh_b"))).cast("double"))
