@@ -51,6 +51,22 @@ object EventStream {
       .format("memory").queryName(queryName).start()
   }
 
+  /** Streaming exact-dedup — the unbounded-ingest counterpart of
+    * [[graft.dedup.Dedup.exactGroups]]: keep the first arrival per key
+    * (e.g. a content fingerprint), with state BOUNDED by the watermark
+    * (`dropDuplicatesWithinWatermark`) so the state store holds one entry
+    * per key per watermark horizon, not per all-time key. The config for
+    * a 100 TB/day dedup ingest: state scales with the dedup horizon. */
+  def dedupStream(spark: SparkSession, sourceDir: String, queryName: String,
+      keyCols: Seq[String], watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+  }
+
   /** Running per-user totals via custom state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the pattern for
     * stateful logic Spark's built-in windows can't express. State is one
