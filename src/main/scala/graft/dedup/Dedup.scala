@@ -184,16 +184,14 @@ object Dedup {
   /** Band key for one SRP band: "b:" + sign bits of `planes` hyperplane
     * dot products. The weight matrix is ONE array literal (not planes×dim
     * unrolled terms — that breaks whole-stage codegen's method-size limit
-    * and bloats every task binary with the plan); the dot is a
-    * left-associated fold, the identical IEEE order as the SQL mirror's
-    * explicit chain (0.0 + t1 ≡ t1). */
+    * and bloats every task binary with the plan); each plane dot runs
+    * through the native VecDot kernel, whose index-ascending loop is the
+    * identical IEEE order as the SQL mirror's explicit chain. */
   private def srpBandKey(v: Column, dim: Int, band: Int, planes: Int): Column = {
     val w = typedlit((0 until planes).map(p =>
       (0 until dim).map(d => srpWeight(band, p, d)).toArray).toArray)
     val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, element_at(w, p + 1), (x, wt) => x.cast("double") * wt),
-        lit(0.0), (acc, t) => acc + t)
+      val dot = Similarity.dot(v, element_at(w, p + 1))
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(lit(s"$band:") +: bits: _*)
@@ -243,30 +241,25 @@ object Dedup {
   }
 }
 
-/** Cosine similarity over Array[Float]/Array[Double] columns.
-  *
-  * `dotExpr` (known dimension) expands to an explicit left-associated
-  * multiply-add chain — whole-stage-codegen'd, and bit-identical to the
-  * same chain written in the DuckDB oracle. The `aggregate`/`zip_with`
-  * fold variants remain for dynamic-dimension callers. Callers computing
-  * many pairwise similarities should project each side's self-norm ONCE
-  * (`sqrt(dotExpr(v, v, dim))`) and divide dots by the norm product —
-  * never recompute self-norms per pair. */
+/** Cosine similarity over Array[Float]/Array[Double] columns, built on
+  * the native codegen'd [[graft.functions.VecDot]] kernel (index-ascending
+  * accumulation — numerically identical to the explicit left-associated
+  * chain the DuckDB oracles write, see VecDot's scaladoc). Callers
+  * computing many pairwise similarities should project each side's
+  * self-norm ONCE (`sqrt(dot(v, v))`) and divide dots by the norm
+  * product — never recompute self-norms per pair. */
 object Similarity {
-  /** Explicit fixed-dimension dot product: codegen-friendly, deterministic
-    * left-to-right accumulation order. */
-  def dotExpr(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
-  /** DuckDB mirror of [[dotExpr]] over DOUBLE[] expressions. */
+  /** Dot with a documented fixed layout — the kernel reads the runtime
+    * length; `dim` documents the table contract at the call site. */
+  def dotExpr(a: Column, b: Column, dim: Int): Column = dot(a, b)
+
+  /** DuckDB mirror: explicit left-associated chain over DOUBLE[]
+    * expressions (the IEEE-identical form of the kernel's loop). */
   def dotExprSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 }

@@ -47,6 +47,10 @@ case class EmbeddingTransformer(
             t.replace("{}", v.toString)))
         }
         val vecs = if (texts.nonEmpty) emb(texts) else Seq.empty
+        // a short/long batch from the embedder would silently misalign
+        // every following row — fail loudly instead
+        require(vecs.size == texts.size,
+          s"embedder returned ${vecs.size} vectors for ${texts.size} texts")
         var vi = 0
         batch.map { r =>
           val vec = if (r.isNullAt(idx)) Array.fill(d)(0.0f)

@@ -41,6 +41,11 @@ case class RowPredictor(
       (inputCols, outputFields, batchSize, concurrency, predictFn)
     val rdd = df.rdd.mapPartitions { it =>
       val pool = Executors.newFixedThreadPool(conc)
+      // the pool dies with the TASK, not with iterator exhaustion — a
+      // downstream limit/take that abandons the iterator mid-partition
+      // must not leak threads
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       val result = it.grouped(bs).flatMap { batch =>
