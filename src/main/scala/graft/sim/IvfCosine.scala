@@ -36,8 +36,11 @@ object IvfCosine {
     val vecs = corpus.select(col(idCol), col(vecCol))
       .withColumn("__v", toVec(col(vecCol)))
     val trainSet = vecs.select(col("__v")).limit(maxTrainRows)
+    // random init + a small iteration budget: a coarse quantizer needs
+    // roughly-balanced cells, not converged clusters — k-means|| init
+    // alone runs more Spark jobs than the whole fit needs
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__v")
-      .setPredictionCol("__cell")
+      .setPredictionCol("__cell").setInitMode("random").setMaxIter(10)
     val model = km.fit(trainSet)
     val assigned = model.transform(vecs)
       .select(col(idCol), col(vecCol), col("__cell").as("cell"))

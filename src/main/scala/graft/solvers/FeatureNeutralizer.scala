@@ -142,9 +142,13 @@ case class FeatureNeutralizer(
     val nOut = outputNames.size
     val props = proportions.toArray
 
+    // reference: era_series=None treats the whole frame as one era
+    // (neutralization.py:147-152) — here: eraCol = ""
+    val eraExpr = if (eraCol.isEmpty) lit("__all__")
+      else col(eraCol).cast("string")
     val packed: Dataset[(Long, String, Array[Double], Array[Double])] = df.select(
       col(idCol).cast("long"),
-      col(eraCol).cast("string"),
+      eraExpr,
       array(predCols.map(c => col(c).cast("double")): _*),
       array(featureCols.map(c => col(c).cast("double")): _*)
     ).as[(Long, String, Array[Double], Array[Double])]

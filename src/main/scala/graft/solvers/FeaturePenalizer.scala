@@ -54,9 +54,13 @@ case class FeaturePenalizer(
     val exps = maxExposures.toArray
     val (lr0, iters0, tol0) = (lr, maxIters, tol)
 
+    // reference: era_series=None treats the whole frame as one era
+    // (penalization.py:159-164) — here: eraCol = ""
+    val eraExpr = if (eraCol.isEmpty) lit("__all__")
+      else col(eraCol).cast("string")
     val packed: Dataset[(Long, String, Array[Double], Array[Double])] = df.select(
       col(idCol).cast("long"),
-      col(eraCol).cast("string"),
+      eraExpr,
       array(predCols.map(c => col(c).cast("double")): _*),
       array(featureCols.map(c => col(c).cast("double")): _*)
     ).as[(Long, String, Array[Double], Array[Double])]

@@ -115,3 +115,67 @@ class SolverSpec extends AnyFunSuite {
     out.unpersist()
   }
 }
+
+/** Reference-test parity additions (round 2): suffix naming
+  * (test_neutralization.py:140-158), no-era mode
+  * (test_neutralization.py:160-180), pipeline chaining through a solver
+  * (test_model_estimators.py:191-224 shape). */
+class SolverContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def panel(n: Int): DataFrame = {
+    val rng = new scala.util.Random(3)
+    (0 until n).map { i =>
+      SolverRow(i.toLong, s"e${i % 3}", rng.nextDouble(), rng.nextDouble(),
+        rng.nextDouble(), rng.nextDouble(), rng.nextDouble(),
+        rng.nextDouble())
+    }.toDF()
+  }
+
+  test("neutralizer suffix lands in every output name " +
+    "(test_neutralization.py:140-158)") {
+    val nt = FeatureNeutralizer(Seq("prediction"), Seq("f0", "f1"),
+      Seq(0.5, 1.0), "era", "id", suffix = Some("v2"))
+    assert(nt.outputNames ==
+      Seq("prediction_neutralized_0.5_v2", "prediction_neutralized_1.0_v2"))
+    val out = nt.transform(panel(90))
+    nt.outputNames.foreach(n => assert(out.columns.contains(n)))
+  }
+
+  test("no-era mode (eraCol = \"\") treats the whole frame as one era " +
+    "(test_neutralization.py:160-180)") {
+    val df = panel(90)
+    val noEra = FeatureNeutralizer(Seq("prediction"), Seq("f0"), Seq(1.0),
+      "", "id").outputsOnly(df)
+    // equivalent to a constant era column
+    val oneEra = FeatureNeutralizer(Seq("prediction"), Seq("f0"), Seq(1.0),
+      "const_era", "id")
+      .outputsOnly(df.withColumn("const_era", lit("all")))
+    val a = noEra.orderBy("id").collect().map(_.toSeq)
+    val b = oneEra.orderBy("id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // and differs from the 3-era solve
+    val eras = FeatureNeutralizer(Seq("prediction"), Seq("f0"), Seq(1.0),
+      "era", "id").outputsOnly(df).orderBy("id").collect().map(_.toSeq)
+    assert(!a.sameElements(eras))
+    // penalizer accepts the same convention
+    val pen = FeaturePenalizer(Seq("prediction"), Seq("f0", "f1"), Seq(0.5),
+      "", "id", maxIters = 2000).outputsOnly(df)
+    assert(pen.count() == 90)
+  }
+
+  test("pipeline chains window transformers into a solver " +
+    "(sklearn-pipeline shape, test_model_estimators.py:191-224)") {
+    import graft.operators._
+    val df = panel(90).withColumn("date", col("era"))
+    val pipe = Pipeline(Seq(
+      RankTransformer(Seq("f0"), "date"),
+      FeatureNeutralizer(Seq("prediction"), Seq("f0_rank"), Seq(0.5),
+        "era", "id")))
+    val out = pipe.transform(df)
+    assert(out.columns.contains("f0_rank") &&
+      out.columns.contains("prediction_neutralized_0.5"))
+    assert(out.count() == 90)
+  }
+}
