@@ -255,11 +255,22 @@ case class LSTMRegressor(lagCols: Seq[String], seqLen: Int,
     LstmScorer.score(df, steps, weights)
 }
 
+/** @param attentionType "temporal" attends across timesteps;
+  * "feature" is the iTransformer-style mode (transformer.py:179-186):
+  * Permute → attention → Permute, i.e. the SAME scorer over the
+  * transposed token layout (tokens = features, token width = seqLen —
+  * size `weights` accordingly). The reference's third mode ("cross", a
+  * learned-query pooling layer) has no scoring-path analog here. */
 case class TransformerRegressor(lagCols: Seq[String], seqLen: Int,
-    weights: AttnWeights) {
+    weights: AttnWeights, attentionType: String = "temporal") {
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
-  def steps: Seq[Seq[String]] = lagCols.grouped(lagCols.size / seqLen).toSeq
+  require(Set("temporal", "feature")(attentionType),
+    s"attention_type must be temporal|feature, got $attentionType")
+  def steps: Seq[Seq[String]] = {
+    val base = lagCols.grouped(lagCols.size / seqLen).toSeq
+    if (attentionType == "feature") base.transpose else base
+  }
   def predict(df: DataFrame): DataFrame =
     AttnScorer.score(df, steps, weights)
 }

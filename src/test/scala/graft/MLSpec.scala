@@ -281,3 +281,29 @@ class MLSpec2 extends AnyFunSuite {
     assert(math.abs(cl - (2.0 * mse - sp)) < 1e-12)
   }
 }
+
+/** Attention-type parity (transformer.py:168-192). */
+class AttentionTypeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("feature attention == temporal attention over the transposed " +
+    "layout; differs from temporal on the same layout") {
+    import graft.ml._
+    val w = QueriesML.pinnedAttn
+    val cols = Seq("a2", "b2", "a1", "b1") // 2 steps x 2 features
+    val df = Seq((1L, 0.3, -0.2, 0.7, 0.4)).toDF("id" +: cols: _*)
+    val temporal = TransformerRegressor(cols, 2, w, "temporal").predict(df)
+      .select("prediction").collect()(0).getDouble(0)
+    val feature = TransformerRegressor(cols, 2, w, "feature").predict(df)
+      .select("prediction").collect()(0).getDouble(0)
+    val manual = AttnScorer.score(df,
+      Seq(Seq("a2", "b2"), Seq("a1", "b1")).transpose, w)
+      .select("prediction").collect()(0).getDouble(0)
+    assert(feature == manual)
+    assert(feature != temporal)
+    intercept[IllegalArgumentException] {
+      TransformerRegressor(cols, 2, w, "cross")
+    }
+  }
+}
