@@ -167,8 +167,15 @@ case class FeatureNeutralizer(
           // lstsq via the Gram pseudo-inverse: (XᵀX)⁺Xᵀy equals the
           // minimum-norm SVD solution of np.linalg.lstsq
           // (neutralization.py:239) but only ever materializes k×k —
-          // pinv(X) directly would build an m×m U factor per era
-          val coeffs = pinv(x.t * x) * (x.t * y)
+          // pinv(X) directly would build an m×m U factor per era.
+          // k = 1 is a scalar divide (skips the LAPACK SVD — and its
+          // first-use library warmup — for the most common call shape)
+          val coeffs =
+            if (x.cols == 1) {
+              val g = x(::, 0) dot x(::, 0)
+              val c = x(::, 0) dot y
+              DenseVector(if (g > 0) c / g else 0.0)
+            } else pinv(x.t * x) * (x.t * y)
           val exposure = x * coeffs
           for (prop <- props) {
             val neut = y - exposure * prop
