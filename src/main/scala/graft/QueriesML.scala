@@ -69,6 +69,25 @@ object QueriesML {
     wq = m22(1), bq = v2(5), wk = m22(4), bk = v2(6),
     wv = m22(7), bv = v2(7), wOut = Array(0.5, 0.3), bOut = -0.1)
 
+  private def frac(r: Int, c: Int, seed: Int, den: Int): Array[Array[Double]] =
+    Array.tabulate(r, c)((a, b) =>
+      (((a * 5 + b * 3 + seed) % den) - den / 2).toDouble / den)
+  private def fracV(n: Int, seed: Int, den: Int): Array[Double] =
+    Array.tabulate(n)(u => (((u * 7 + seed) % den) - den / 2).toDouble / den)
+
+  /** Pinned FULL encoder block (input projection + learned position
+    * embedding + attention residual + ReLU FFN residual + avg pooling,
+    * transformer.py:161-217): the fidelity query's weights. */
+  val pinnedBlock: AttnWeights = AttnWeights(
+    wq = frac(2, 2, 1, 13), bq = fracV(2, 1, 7),
+    wk = frac(2, 2, 2, 13), bk = fracV(2, 2, 7),
+    wv = frac(2, 2, 3, 13), bv = fracV(2, 3, 7),
+    wOut = Array(6.0 / 11, -4.0 / 11), bOut = 1.0 / 7,
+    wIn = frac(2, 2, 4, 11), bIn = fracV(2, 4, 7),
+    posEmb = frac(3, 2, 5, 13),
+    wF1 = frac(2, 3, 6, 11), bF1 = fracV(3, 5, 7),
+    wF2 = frac(3, 2, 7, 11), bF2 = fracV(2, 6, 7))
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -184,6 +203,14 @@ object QueriesML {
       AttnScorer.score(seqBase(s, dir), seqSteps, pinnedAttn)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 6).as("attn_score"))
+    }),
+
+    // the FULL transformer encoder block: input projection + position
+    // embedding + attention residual + ReLU FFN residual + avg pooling
+    "q_transformer_score" -> ((s, dir) => {
+      AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlock)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("block_score"))
     }),
 
     // CombinedLoss metric (losses.py:125-189): weighted MSE + negative
@@ -332,6 +359,9 @@ object QueriesML {
       "l_orderkey, l_linenumber, round(prediction, 6) AS seq_score"),
     "q_attn_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps, pinnedAttn,
       "l_orderkey, l_linenumber, round(prediction, 6) AS attn_score"),
+    "q_transformer_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
+      pinnedBlock,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS block_score"),
     "q_combined_loss" ->
       """WITH ma AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -29,6 +29,7 @@ object SeqAlg {
     def sigmoid(e: E): E
     def tanh(e: E): E
     def exp(e: E): E
+    def relu(e: E): E
   }
 
   object ColAlg extends Alg[Column] {
@@ -41,6 +42,7 @@ object SeqAlg {
     def sigmoid(e: Column): Column = lit(1.0) / (lit(1.0) + functions.exp(-e))
     def tanh(e: Column): Column = functions.tanh(e)
     def exp(e: Column): Column = functions.exp(e)
+    def relu(e: Column): Column = greatest(e, lit(0.0))
   }
 
   object SqlAlg extends Alg[String] {
@@ -56,6 +58,7 @@ object SeqAlg {
     // absorbed by the queries' round(6)
     def tanh(e: String): String = s"(1.0 - 2.0 / (exp(2.0 * ($e)) + 1.0))"
     def exp(e: String): String = s"exp($e)"
+    def relu(e: String): String = s"greatest($e, 0.0)"
   }
 
   /** Σ_i refs(i)·w(i) [+ bias], left-associated. */
@@ -158,13 +161,31 @@ object LstmScorer {
 /** Single-head self-attention scorer — the pinned-weights forward pass of
   * the reference transformer's core (Q/K/V projections, scaled dot-product
   * softmax, average pooling, linear head; transformer.py:108-245 with
-  * pooling_type="average"). */
+  * pooling_type="average").
+  *
+  * The optional fields turn the bare attention into the reference's FULL
+  * encoder block (transformer.py:161-217): `wIn`/`bIn` is the
+  * Dense(d_model) input projection, `posEmb` the learned-position
+  * embedding added to the projected tokens (`[seqLen][hidden]`,
+  * transformer.py:14-47,216), and `wF1..bF2` the ReLU feed-forward
+  * sub-layer; when present, both attention and FFN get their residual
+  * connections (x + attn, r + ffn). Null fields skip their stage (the
+  * bare scorer remains the oracle-minimal form). */
 case class AttnWeights(
     wq: Array[Array[Double]], bq: Array[Double],
     wk: Array[Array[Double]], bk: Array[Double],
     wv: Array[Array[Double]], bv: Array[Double],
-    wOut: Array[Double], bOut: Double) extends Serializable {
+    wOut: Array[Double], bOut: Double,
+    wIn: Array[Array[Double]] = null, bIn: Array[Double] = null,
+    posEmb: Array[Array[Double]] = null,
+    wF1: Array[Array[Double]] = null, bF1: Array[Double] = null,
+    wF2: Array[Array[Double]] = null, bF2: Array[Double] = null)
+    extends Serializable {
   def hidden: Int = bq.length
+  require(posEmb == null || wIn != null,
+    "posEmb requires the input projection (tokens must be hidden-dim)")
+  require(wF1 == null || wIn != null,
+    "the FFN residual requires the input projection")
 }
 
 object AttnScorer {
@@ -174,8 +195,23 @@ object AttnScorer {
       steps: Seq[Seq[String]]): Seq[Seq[(String, E)]] = {
     val l = steps.size
     val h = w.hidden
+    // optional Dense(d_model) input projection + position embedding:
+    // tokens become named __x columns; otherwise q/k/v read raw features
+    val tokStage: Seq[Seq[(String, E)]] =
+      if (w.wIn == null) Seq.empty
+      else Seq(steps.indices.flatMap { t =>
+        val x = steps(t).map(alg.ref)
+        (0 until h).map { u =>
+          val proj = linear(alg, x, w.wIn.map(_(u)).toSeq, Some(w.bIn(u)))
+          s"__x${t}_$u" -> (if (w.posEmb == null) proj
+            else alg.add(proj, alg.const(w.posEmb(t)(u))))
+        }
+      })
+    def tok(t: Int): Seq[E] =
+      if (w.wIn == null) steps(t).map(alg.ref)
+      else (0 until h).map(u => alg.ref(s"__x${t}_$u"))
     val qkv = steps.indices.flatMap { t =>
-      val x = steps(t).map(alg.ref)
+      val x = tok(t)
       (0 until h).flatMap { u =>
         Seq(
           s"__q${t}_$u" -> linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
@@ -200,12 +236,32 @@ object AttnScorer {
         .reduce(alg.add)
       s"__z${t}_$j" -> alg.div(num, alg.ref(s"__d$t"))
     })
-    Seq(qkv, scores, dens, ctx)
+    // optional residual + ReLU feed-forward sub-layer with its residual
+    // (transformer.py:194-203): r = x + attn; f = r + W2·relu(W1·r + b1) + b2
+    val ffnStages: Seq[Seq[(String, E)]] =
+      if (w.wF1 == null) Seq.empty
+      else {
+        val res = (for { t <- 0 until l; j <- 0 until h } yield
+          s"__r${t}_$j" ->
+            alg.add(alg.ref(s"__x${t}_$j"), alg.ref(s"__z${t}_$j")))
+        val ff = w.bF1.length
+        val hiddenFfn = (for { t <- 0 until l; j <- 0 until ff } yield
+          s"__u${t}_$j" -> alg.relu(linear(alg,
+            (0 until h).map(i => alg.ref(s"__r${t}_$i")),
+            w.wF1.map(_(j)).toSeq, Some(w.bF1(j)))))
+        val out = (for { t <- 0 until l; j <- 0 until h } yield
+          s"__f${t}_$j" -> alg.add(alg.ref(s"__r${t}_$j"),
+            linear(alg, (0 until ff).map(i => alg.ref(s"__u${t}_$i")),
+              w.wF2.map(_(j)).toSeq, Some(w.bF2(j)))))
+        Seq(res, hiddenFfn, out)
+      }
+    tokStage ++ Seq(qkv, scores, dens, ctx) ++ ffnStages
   }
 
   private def headExpr[E](alg: Alg[E], w: AttnWeights, l: Int): E = {
+    val fin = if (w.wF1 == null) "__z" else "__f"
     val pooled = (0 until w.hidden).map { j =>
-      alg.div((0 until l).map(t => alg.ref(s"__z${t}_$j")).reduce(alg.add),
+      alg.div((0 until l).map(t => alg.ref(s"$fin${t}_$j")).reduce(alg.add),
         alg.const(l.toDouble))
     }
     linear(alg, pooled, w.wOut.toSeq, Some(w.bOut))
