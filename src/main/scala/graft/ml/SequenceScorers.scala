@@ -84,15 +84,13 @@ case class LstmWeights(
 object LstmScorer {
   import SeqAlg._
 
-  /** Names of the per-step intermediate columns. */
-  private def gateNames(t: Int, h: Int) =
-    Seq(s"__i${t}_$h", s"__f${t}_$h", s"__g${t}_$h", s"__o${t}_$h")
-
   /** One step's stage expressions: (gates, cell, hidden) as name→expr
-    * lists. `steps(t)` are the feature column names of timestep t. */
+    * lists. `steps(t)` are the feature column names of timestep t;
+    * `pfx` namespaces the intermediates per layer (stacked LSTMs). */
   private def stepStages[E](alg: Alg[E], w: LstmWeights,
-      steps: Seq[Seq[String]], t: Int): Seq[Seq[(String, E)]] = {
-    val hPrev = (0 until w.hidden).map(u => alg.ref(s"__h${t - 1}_$u"))
+      steps: Seq[Seq[String]], t: Int,
+      pfx: String = "__"): Seq[Seq[(String, E)]] = {
+    val hPrev = (0 until w.hidden).map(u => alg.ref(s"${pfx}h${t - 1}_$u"))
     val x = steps(t).map(alg.ref)
     def gate(wx: Array[Array[Double]], uh: Array[Array[Double]],
         b: Array[Double], u: Int): E = {
@@ -103,37 +101,67 @@ object LstmScorer {
     }
     val gates = (0 until w.hidden).flatMap { u =>
       Seq(
-        s"__i${t}_$u" -> alg.sigmoid(gate(w.wi, w.ui, w.bi, u)),
-        s"__f${t}_$u" -> alg.sigmoid(gate(w.wf, w.uf, w.bf, u)),
-        s"__g${t}_$u" -> alg.tanh(gate(w.wc, w.uc, w.bc, u)),
-        s"__o${t}_$u" -> alg.sigmoid(gate(w.wo, w.uo, w.bo, u)))
+        s"${pfx}i${t}_$u" -> alg.sigmoid(gate(w.wi, w.ui, w.bi, u)),
+        s"${pfx}f${t}_$u" -> alg.sigmoid(gate(w.wf, w.uf, w.bf, u)),
+        s"${pfx}g${t}_$u" -> alg.tanh(gate(w.wc, w.uc, w.bc, u)),
+        s"${pfx}o${t}_$u" -> alg.sigmoid(gate(w.wo, w.uo, w.bo, u)))
     }
     val cell = (0 until w.hidden).map { u =>
-      val ig = alg.mul(alg.ref(s"__i${t}_$u"), alg.ref(s"__g${t}_$u"))
-      s"__c${t}_$u" -> (if (t == 0) ig
-        else alg.add(alg.mul(alg.ref(s"__f${t}_$u"),
-          alg.ref(s"__c${t - 1}_$u")), ig))
+      val ig = alg.mul(alg.ref(s"${pfx}i${t}_$u"), alg.ref(s"${pfx}g${t}_$u"))
+      s"${pfx}c${t}_$u" -> (if (t == 0) ig
+        else alg.add(alg.mul(alg.ref(s"${pfx}f${t}_$u"),
+          alg.ref(s"${pfx}c${t - 1}_$u")), ig))
     }
     val hid = (0 until w.hidden).map { u =>
-      s"__h${t}_$u" ->
-        alg.mul(alg.ref(s"__o${t}_$u"), alg.tanh(alg.ref(s"__c${t}_$u")))
+      s"${pfx}h${t}_$u" ->
+        alg.mul(alg.ref(s"${pfx}o${t}_$u"),
+          alg.tanh(alg.ref(s"${pfx}c${t}_$u")))
     }
     Seq(gates, cell, hid)
   }
 
-  private def headExpr[E](alg: Alg[E], w: LstmWeights, lastT: Int): E =
-    linear(alg, (0 until w.hidden).map(u => alg.ref(s"__h${lastT}_$u")),
+  private def headExpr[E](alg: Alg[E], w: LstmWeights, lastT: Int,
+      pfx: String): E =
+    linear(alg, (0 until w.hidden).map(u => alg.ref(s"${pfx}h${lastT}_$u")),
       w.wOut.toSeq, Some(w.bOut))
+
+  /** Per-layer (prefix, input-steps) wiring for a stacked LSTM: layer
+    * n+1's timestep features are layer n's hidden columns at every step
+    * (Keras return_sequences=True between layers, sequence.py:125-131).
+    * The head reads the LAST layer's final hidden state. */
+  private def layerWiring(weights: Seq[LstmWeights],
+      steps: Seq[Seq[String]]): Seq[(String, Seq[Seq[String]])] =
+    weights.indices.map { li =>
+      val pfx = if (li == 0) "__" else s"__l${li}_"
+      val in = if (li == 0) steps
+        else {
+          val prevPfx = if (li == 1) "__" else s"__l${li - 1}_"
+          val prevH = weights(li - 1).hidden
+          steps.indices.map(t =>
+            (0 until prevH).map(u => s"${prevPfx}h${t}_$u"))
+        }
+      (pfx, in)
+    }
 
   /** Appends `prediction` = unrolled LSTM forward pass over the lag-major
     * timesteps; each stage is a named projection (gates → cell → hidden
     * per step), so no expression is ever duplicated. */
   def score(df: DataFrame, steps: Seq[Seq[String]], w: LstmWeights)
-      : DataFrame = {
+      : DataFrame = scoreStacked(df, steps, Seq(w))
+
+  /** Stacked variant (the reference's `lstm_units` list,
+    * sequence.py:125-131): layer n+1 consumes layer n's per-step hidden
+    * states; only the LAST layer's output head is used. */
+  def scoreStacked(df: DataFrame, steps: Seq[Seq[String]],
+      weights: Seq[LstmWeights]): DataFrame = {
+    val wiring = layerWiring(weights, steps)
     var cur = df
-    for (t <- steps.indices; stage <- stepStages(ColAlg, w, steps, t))
+    for (li <- weights.indices; t <- steps.indices;
+         stage <- stepStages(ColAlg, weights(li), wiring(li)._2, t,
+           wiring(li)._1))
       cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
-    val out = cur.withColumn("prediction", headExpr(ColAlg, w, steps.size - 1))
+    val out = cur.withColumn("prediction",
+      headExpr(ColAlg, weights.last, steps.size - 1, wiring.last._1))
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }
 
@@ -141,17 +169,24 @@ object LstmScorer {
     * caller supplies the base CTE (must expose the step feature columns)
     * and the final select list. */
   def sql(baseCte: String, baseName: String, steps: Seq[Seq[String]],
-      w: LstmWeights, finalSelect: String): String = {
+      w: LstmWeights, finalSelect: String): String =
+    sqlStacked(baseCte, baseName, steps, Seq(w), finalSelect)
+
+  def sqlStacked(baseCte: String, baseName: String, steps: Seq[Seq[String]],
+      weights: Seq[LstmWeights], finalSelect: String): String = {
+    val wiring = layerWiring(weights, steps)
     val sb = new StringBuilder(baseCte)
     var prev = baseName
     var si = 0
-    for (t <- steps.indices; stage <- stepStages(SqlAlg, w, steps, t)) {
+    for (li <- weights.indices; t <- steps.indices;
+         stage <- stepStages(SqlAlg, weights(li), wiring(li)._2, t,
+           wiring(li)._1)) {
       val name = s"s$si"
       val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
       sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
       prev = name; si += 1
     }
-    val head = headExpr(SqlAlg, w, steps.size - 1)
+    val head = headExpr(SqlAlg, weights.last, steps.size - 1, wiring.last._1)
     sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
     sb.append(s"\nSELECT $finalSelect FROM fin")
     sb.toString
@@ -303,12 +338,19 @@ object AttnScorer {
   * lag-major (the LagTransformer output order) — exactly the layout
   * [[graft.operators.SequenceReshape]] documents. */
 case class LSTMRegressor(lagCols: Seq[String], seqLen: Int,
-    weights: LstmWeights) {
+    layers: Seq[LstmWeights]) {
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  require(layers.nonEmpty, "at least one LSTM layer required")
   def steps: Seq[Seq[String]] = lagCols.grouped(lagCols.size / seqLen).toSeq
   def predict(df: DataFrame): DataFrame =
-    LstmScorer.score(df, steps, weights)
+    LstmScorer.scoreStacked(df, steps, layers)
+}
+
+object LSTMRegressor {
+  def apply(lagCols: Seq[String], seqLen: Int,
+      weights: LstmWeights): LSTMRegressor =
+    LSTMRegressor(lagCols, seqLen, Seq(weights))
 }
 
 /** @param attentionType "temporal" attends across timesteps;

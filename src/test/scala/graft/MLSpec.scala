@@ -307,3 +307,52 @@ class AttentionTypeSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Stacked LSTM (lstm_units list, sequence.py:125-131). */
+class StackedLstmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two stacked layers equal the manual layer-by-layer forward pass") {
+    import graft.ml._
+    val w1 = QueriesML.pinnedLstm
+    // second layer consumes 2 hidden units -> 2x2 input mats work
+    val w2 = LstmWeights(
+      wi = w1.uf, ui = w1.uc, bi = w1.bo,
+      wf = w1.ui, uf = w1.uo, bf = w1.bc,
+      wc = w1.wo.map(_.clone), uc = w1.ui.map(_.clone), bc = w1.bi,
+      wo = w1.uc, uo = w1.wf.map(_.clone), bo = w1.bf,
+      wOut = Array(-0.3, 0.8), bOut = 0.2)
+    val df = Seq((1L, 0.1, 0.5, -0.2, 0.3, 0.4, -0.1))
+      .toDF("id", "q3", "d3", "q2", "d2", "q1", "d1")
+    val steps = Seq(Seq("q3", "d3"), Seq("q2", "d2"), Seq("q1", "d1"))
+    val got = LSTMRegressor(steps.flatten, 3, Seq(w1, w2)).predict(df)
+      .select("prediction").collect()(0).getDouble(0)
+
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def layer(w: LstmWeights, xs: Seq[Array[Double]]): Seq[Array[Double]] = {
+      var h = Array(0.0, 0.0); var c = Array(0.0, 0.0)
+      xs.zipWithIndex.map { case (x, t) =>
+        val nh = new Array[Double](2); val nc = new Array[Double](2)
+        for (u <- 0 until 2) {
+          def pre(wu: Array[Array[Double]], uu: Array[Array[Double]],
+              bu: Array[Double]) =
+            x.indices.map(f => x(f) * wu(f)(u)).sum +
+              (if (t == 0) 0.0 else h(0) * uu(0)(u) + h(1) * uu(1)(u)) + bu(u)
+          val i = sig(pre(w.wi, w.ui, w.bi))
+          val f = sig(pre(w.wf, w.uf, w.bf))
+          val g = math.tanh(pre(w.wc, w.uc, w.bc))
+          val o = sig(pre(w.wo, w.uo, w.bo))
+          nc(u) = (if (t == 0) 0.0 else f * c(u)) + i * g
+          nh(u) = o * math.tanh(nc(u))
+        }
+        h = nh; c = nc
+        nh
+      }
+    }
+    val xs = Seq(Array(0.1, 0.5), Array(-0.2, 0.3), Array(0.4, -0.1))
+    val h2 = layer(w2, layer(w1, xs))
+    val expect = h2.last(0) * w2.wOut(0) + h2.last(1) * w2.wOut(1) + w2.bOut
+    assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
+  }
+}
