@@ -54,6 +54,22 @@ object QueriesSim {
           col("rank"))
     }),
 
+    // IVF with a PINNED quantizer (md5-derived centroid grid): the
+    // search path — cell assignment, nprobe pruning, in-cell ranking —
+    // under a full oracle; quantizer TRAINING stays covered by the
+    // recall test (seeded k-means has no SQL form).
+    "q_ivf_pinned" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val idx = IvfCosine.assignByCentroids(corpus, "vec_id", "embedding",
+        IvfCosine.pinnedCentroids(16, DIM))
+      val probes = corpus.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nprobe = 4, dim = DIM)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
     // scale path: multi-band sign-random-projection buckets (md5-derived
     // literal ±1 planes), bucket-size cap, exact pre-normalized cosine
     // check in-bucket only.
@@ -83,6 +99,45 @@ object QueriesSim {
         |  FROM sims)
         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_ivf_pinned" -> {
+      val cents = IvfCosine.pinnedCentroids(16, DIM)
+      val values = cents.zipWithIndex.map { case (c, j) =>
+        val cc = c.map(x => x * x).sum
+        s"($j, [${c.mkString(", ")}], $cc)"
+      }.mkString(",\n    ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c(j, cv, cc) AS (
+         |  SELECT * FROM (VALUES
+         |    $values)),
+         |assigned AS (
+         |  SELECT vec_id, e, j AS cell FROM v CROSS JOIN c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
+         |    j) = 1),
+         |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id < 50),
+         |pc AS (
+         |  SELECT qid, q, j AS cell FROM p CROSS JOIN c
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    list_inner_product(q, cv)
+         |      / (sqrt(list_inner_product(q, q))
+         |         * sqrt(list_inner_product(cv, cv))) DESC, j) <= 4),
+         |sims AS (
+         |  SELECT pc.qid, a.vec_id AS nid,
+         |    list_inner_product(pc.q, a.e)
+         |      / (sqrt(list_inner_product(pc.q, pc.q))
+         |         * sqrt(list_inner_product(a.e, a.e))) AS cosine
+         |  FROM pc JOIN assigned a ON a.cell = pc.cell
+         |  WHERE a.vec_id <> pc.qid),
+         |ranked AS (
+         |  SELECT qid, nid, cosine,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS rank
+         |  FROM sims)
+         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
 
     "q_embed_neardup" -> {
       val keys = (0 until bands).map(b =>

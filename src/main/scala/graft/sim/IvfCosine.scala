@@ -47,6 +47,36 @@ object IvfCosine {
     Index(model.clusterCenters.map(_.toArray), assigned)
   }
 
+  /** Deterministic pseudo-random centroid grid derived from md5 —
+    * pinned-quantizer indexes are reproducible across engines, so the
+    * SEARCH path (cell assignment, nprobe pruning, in-cell ranking)
+    * verifies against the DuckDB oracle even though seeded k-means
+    * training cannot. */
+  def pinnedCentroids(nlist: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nlist, dim) { (i, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"ivf:$i:$d".getBytes("UTF-8"))
+      (((h(0) & 0xff) * 256 + (h(1) & 0xff)).toDouble / 65535.0) - 0.5
+    }
+
+  /** Cell assignment against FIXED centroids: per row, argmin squared
+    * euclidean distance (ties to the lowest cell id), as a pure codegen
+    * projection — d² = v·v − 2·v·c + c·c with the VecDot kernel and the
+    * centroid self-dots precomputed as literals. */
+  def assignByCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): Index = {
+    val vv = Similarity.dot(col(vecCol), col(vecCol))
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(x => x * x).sum
+      val d2 = vv - lit(2.0) * Similarity.dot(col(vecCol),
+        typedlit(c)) + lit(cc)
+      struct(d2.as("d2"), lit(i).as("cell"))
+    }
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      array_min(array(dists: _*)).getField("cell").as("cell"))
+    Index(centroids, assigned)
+  }
+
   /** Top-k cosine neighbors per probe, scanning only the nprobe closest
     * cells of each probe. Probes carry (qidCol, qvecCol). */
   def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,
