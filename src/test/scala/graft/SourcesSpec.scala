@@ -46,3 +46,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(streamed.length == batchKeys.size, "exactly one row per key")
   }
 }
+
+/** Bucketing: the co-located-join scale path (builder brief: "bucketing
+  * for co-located joins"). Two tables bucketed+sorted on the join key
+  * join with ZERO exchanges — at 100 TB this removes the dominant
+  * shuffle of repeated fact-fact joins. */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("join of two tables bucketed on the key plans no Exchange") {
+    // managed tables land in the session's default warehouse dir and are
+    // DROPped (files included) at the end
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.select("l_suppkey", "l_extendedprice").write
+      .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+      .mode("overwrite").saveAsTable("b_price")
+    li.select("l_suppkey", "l_quantity").write
+      .bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+      .mode("overwrite").saveAsTable("b_qty")
+    // force the sort-merge path (at fact-fact scale neither side
+    // broadcasts); bucketing must then satisfy the join's distribution
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_price").join(spark.table("b_qty"),
+        "l_suppkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE b_price")
+      spark.sql("DROP TABLE b_qty")
+    }
+  }
+}
