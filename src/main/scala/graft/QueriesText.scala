@@ -60,8 +60,39 @@ object QueriesText {
 
     "q_simhash" -> ((s, dir) => {
       Dedup.simHash(docs(s, dir), "doc_id", "text")
+    }),
+
+    // hamming-radius near-dup pairs over the simhashes (pigeonhole
+    // chunk equi-join + exact bit_count check)
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHashNearDups(Dedup.simHash(docs(s, dir), "doc_id", "text"),
+        "doc_id", maxHamming = 3, maxBucketSize = 1000)
     })
   )
+
+  /** md5-digit simhash as a reusable oracle CTE (`sh(doc_id, simhash)`) —
+    * mirror of Dedup.simHash. */
+  private val simHashCte: String = {
+    val digit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    val bitSums = (for { i <- 1 to 15; b <- 0 until 4 } yield
+      s"sum(CASE WHEN ((${digit(i)} >> $b) & 1) = 1 THEN 1 ELSE -1 END)" +
+        s" AS b_${i}_$b").mkString(",\n    ")
+    val value = (for { i <- 1 to 15; b <- 0 until 4 } yield {
+      val k = 4 * (15 - i) + b
+      s"(CASE WHEN b_${i}_$b > 0 THEN ${1L << k} ELSE 0 END)"
+    }).mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(unnest(regexp_extract_all(lower(text),
+       |    '[a-z0-9_]+'))) AS m
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
 
   private val enStop = TextFunctions.langMarkers.toMap.apply("en")
     .map(w => s"'$w'").mkString(", ")
@@ -155,25 +186,28 @@ object QueriesText {
          |  ON a.bucket = b.bucket AND a.id < b.id""".stripMargin
     },
 
-    "q_simhash" -> {
-      val digit = (i: Int) =>
-        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
-      val bitSums = (for { i <- 1 to 15; b <- 0 until 4 } yield
-        s"sum(CASE WHEN ((${digit(i)} >> $b) & 1) = 1 THEN 1 ELSE -1 END)" +
-          s" AS b_${i}_$b").mkString(",\n    ")
-      val value = (for { i <- 1 to 15; b <- 0 until 4 } yield {
-        val k = 4 * (15 - i) + b
-        s"(CASE WHEN b_${i}_$b > 0 THEN ${1L << k} ELSE 0 END)"
-      }).mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, md5(unnest(regexp_extract_all(lower(text),
-         |    '[a-z0-9_]+'))) AS m
-         |  FROM documents),
-         |bits AS (
-         |  SELECT doc_id,
-         |    $bitSums
-         |  FROM toks GROUP BY doc_id)
-         |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits""".stripMargin
+    "q_simhash" ->
+      s"""$simHashCte
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    "q_simhash_pairs" -> {
+      // pigeonhole chunks mirroring Dedup.simHashNearDups(maxHamming = 3):
+      // 60 bits -> 4 chunks of 15
+      val banded = (0 until 4).map { ci =>
+        s"SELECT doc_id AS id, simhash AS h, $ci AS ci, " +
+          s"(simhash >> ${ci * 15}) & ${(1L << 15) - 1} AS cv FROM sh"
+      }.mkString("\n  UNION ALL ")
+      s"""$simHashCte,
+         |banded AS (
+         |  $banded),
+         |capped AS (
+         |  SELECT * FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM capped a JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
+         |  AND a.id < b.id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
     },
 
     "q_dedup_ngram" ->

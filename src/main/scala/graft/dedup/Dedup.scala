@@ -172,6 +172,44 @@ object Dedup {
       .select(col(idCol), value.as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: candidates whose 60-bit simhashes
+    * differ by ≤ `maxHamming` bits. Pigeonhole banding — the hash splits
+    * into `maxHamming + 1` chunks, and any pair within the radius must
+    * agree EXACTLY on at least one chunk — turns the similarity join into
+    * an equi-join on (chunk index, chunk value); the exact
+    * `bit_count(a XOR b)` check runs on candidates only. Same hot-bucket
+    * cap as every band join. */
+  def simHashNearDups(hashes: DataFrame, idCol: String,
+      hashCol: String = "simhash", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 60
+    val base = bits / chunks
+    val extra = bits % chunks // first `extra` chunks get one more bit
+    val offsets = (0 until chunks).scanLeft(0)((acc, i) =>
+      acc + base + (if (i < extra) 1 else 0))
+    val keys = (0 until chunks).map { ci =>
+      val width = offsets(ci + 1) - offsets(ci)
+      val chunk = shiftright(col(hashCol), offsets(ci))
+        .bitwiseAND((1L << width) - 1)
+      struct(lit(ci).as("ci"), chunk.as("cv"))
+    }
+    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
+      explode(array(keys: _*)).as("k"))
+      .select(col("id"), col("h"), col("k.ci").as("ci"), col("k.cv").as("cv"))
+    val capped = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("ci", "cv")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val right = capped.select(col("id").as("id_b"), col("h").as("h_b"),
+      col("ci"), col("cv"))
+    capped.join(right, Seq("ci", "cv"))
+      .where(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        bit_count(col("h").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Deterministic ±1 hyperplane weight for SRP bucketing, derived from
     * md5 of "(band,plane,dim)" — identical constants are emitted as
     * literals into both the Spark plan and the DuckDB oracle. */

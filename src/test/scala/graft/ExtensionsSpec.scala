@@ -50,6 +50,20 @@ class ExtensionsSpec extends AnyFunSuite {
         s"${ham(hs(1L), hs(4L))}")
   }
 
+  test("simhash near-dups: exact dup found at hamming 0; unrelated doc " +
+    "outside the radius") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "totally different words about query engines and shuffles etc")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashNearDups(
+      Dedup.simHash(docs, "doc_id", "text"), "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("ngram jaccard: exact dup = 1.0; disjoint pair absent") {
     val docs = Seq(
       (1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")
