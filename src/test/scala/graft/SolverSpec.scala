@@ -179,3 +179,28 @@ class SolverContractSpec extends AnyFunSuite {
     assert(out.count() == 90)
   }
 }
+
+/** Validation-error contracts (reference test_model_estimators.py:291-303
+  * + the transformers' own require() guards). */
+class ErrorContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("invalid parameters raise with the reference's messages") {
+    intercept[IllegalArgumentException] {
+      FeatureNeutralizer(Seq("p"), Seq("f"), Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      FeaturePenalizer(Seq("p"), Seq("f"), Seq(-0.1))
+    }
+    intercept[IllegalArgumentException] {
+      FeatureNeutralizer(Seq("p", "p"), Seq("f"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ml.LSTMRegressor(Seq("a", "b", "c"), 2,
+        graft.QueriesML.pinnedLstm) // 3 cols don't reshape into 2 steps
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SequenceReshape.toSequenceTensor(Seq("a", "b", "c"), 2)
+    }
+  }
+}
