@@ -121,19 +121,28 @@ object Dedup {
     * next bucket) — never a nested-loop range join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bandWidth: Int = 20, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // shingle sets as 64-bit hashes: set intersection compares longs,
-    // not strings; Jaccard is unchanged up to ~2^-64 collision odds
+    // shingle sets as SORTED 64-bit hashes: set intersection becomes an
+    // allocation-free two-pointer merge per pair (sorted_intersect_size —
+    // the sort runs once per doc, the merge once per candidate pair);
+    // Jaccard is unchanged up to ~2^-64 collision odds
     val withSh = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol).as("id"),
-        nGramShingles("__norm", k, preNormalized = true, hashed = true)
-          .as("sh"))
+        array_sort(nGramShingles("__norm", k, preNormalized = true,
+          hashed = true)).as("sh"))
     val buckets = withSh.select(col("id"), col("sh"), explode(array(
       (col("id") / bandWidth).cast("long"),
       (col("id") / bandWidth).cast("long") + 1)).as("bucket"))
     val right = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"),
       (col("id") / bandWidth).cast("long").as("bucket"))
-    buckets.join(right, Seq("bucket"))
+    // merge-join hint, twice deliberate: (a) scan-size stats undercount
+    // the exploded shingle side, so the planner would BROADCAST it — a
+    // driver-side collect of every shingle set, unusable at corpus
+    // scale; (b) the SMJ's exchanges materialize the shingle arrays
+    // ONCE per doc, where the broadcast plan would inline the
+    // (non-codegen HOF) shingle construction into the join stage and
+    // re-derive it per candidate pair
+    buckets.hint("merge").join(right, Seq("bucket"))
       .where(col("id") < col("id_b") && col("id_b") - col("id") <= bandWidth)
       // size-ratio prune BEFORE the set intersection: |A∩B| ≤ min(|A|,|B|),
       // so J ≥ t already forces min/max ≥ t — a cheap scalar test that
@@ -143,7 +152,8 @@ object Dedup {
         >= lit(threshold) * greatest(size(col("sh")), size(col("sh_b"))))
       // intersection computed once, then reused for the union size
       .withColumn("__i",
-        size(array_intersect(col("sh"), col("sh_b"))).cast("double"))
+        graft.functions.SortedIntersectSize(col("sh"), col("sh_b"))
+          .cast("double"))
       .select(col("id").as("id_a"), col("id_b"),
         (col("__i") / (size(col("sh")) + size(col("sh_b")) - col("__i")))
           .as("jaccard"))
