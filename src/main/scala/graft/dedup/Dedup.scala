@@ -109,7 +109,10 @@ object Dedup {
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
       .where(col("__n") <= maxBucketSize).drop("__n")
     val a = capped.as("a"); val b = capped.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
+    // merge hint: the self-join must never broadcast (both sides are the
+    // full banded corpus at scale), and the cap-Window's exchange already
+    // hash-partitions on bucket, so the SMJ adds no shuffle
+    a.hint("merge").join(b, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
@@ -212,7 +215,7 @@ object Dedup {
       .where(col("__n") <= maxBucketSize).drop("__n")
     val right = capped.select(col("id").as("id_b"), col("h").as("h_b"),
       col("ci"), col("cv"))
-    capped.join(right, Seq("ci", "cv"))
+    capped.hint("merge").join(right, Seq("ci", "cv"))
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         bit_count(col("h").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
@@ -279,7 +282,7 @@ object Dedup {
       .where(col("__n") <= maxBucketSize).drop("__n")
     val right = capped.select(col("id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("nrm_b"), col("bucket"))
-    capped.join(right, Seq("bucket"))
+    capped.hint("merge").join(right, Seq("bucket"))
       .where(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         (Similarity.dotExpr(col("v"), col("v_b"), dim)
