@@ -67,6 +67,59 @@ object EventStream {
       .format("memory").queryName(queryName).start()
   }
 
+  /** COMPLETED sessions via `flatMapGroupsWithState` with an event-time
+    * timeout — the custom-state form of sessionization: the built-in
+    * `session_window` (see [[sessions]]) can only emit when aggregation
+    * finalizes, whereas custom state lets a session carry arbitrary
+    * payload and emit EXACTLY when the watermark passes its gap. State is
+    * one open session per user; an event within `gapMs` extends it, a
+    * later event closes it (emitting the finished session) and opens the
+    * next; the timeout emits the final session once the watermark passes
+    * last + gap. State size: one small struct per ACTIVE user. */
+  def completedSessionsStream(spark: SparkSession, sourceDir: String,
+      queryName: String, gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): StreamingQuery = {
+    import spark.implicits._
+    val schema = spark.read.parquet(sourceDir).schema
+    val out = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((user, s.start, s.n, s.sum))
+          } else {
+            val sorted = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+            var open = state.getOption
+            val closed = Seq.newBuilder[(Long, Long, Long, Double)]
+            for ((t, v) <- sorted) open match {
+              case Some(s) if t - s.last <= gapMs =>
+                open = Some(OpenSession(s.start, t, s.n + 1, s.sum + v))
+              case Some(s) =>
+                closed += ((user, s.start, s.n, s.sum))
+                open = Some(OpenSession(t, t, 1L, v))
+              case None =>
+                open = Some(OpenSession(t, t, 1L, v))
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "session_start", "n_events", "sum_value")
+    out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+  }
+
   /** Running per-user totals via custom state
     * (`KeyValueGroupedDataset.mapGroupsWithState`) — the pattern for
     * stateful logic Spark's built-in windows can't express. State is one
@@ -97,3 +150,7 @@ object EventStream {
 }
 
 case class UserTotals(n: Long, sum: Double)
+
+/** Open-session state for [[EventStream.completedSessionsStream]]
+  * (epoch-millis bounds). */
+case class OpenSession(start: Long, last: Long, n: Long, sum: Double)

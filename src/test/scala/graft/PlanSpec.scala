@@ -142,6 +142,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native vec_dot equals the HOF fold bit-for-bit on random vectors") {
+    import graft.dedup.Similarity
+    for (_ <- 1 to 5) {
+      val dim = 1 + rng.nextInt(96)
+      val rows = (0 until 50).map { i =>
+        (i.toLong, Array.fill(dim)(rng.nextFloat() * 4 - 2),
+          Array.fill(dim)(rng.nextFloat() * 4 - 2))
+      }
+      val df = rows.toDF("id", "a", "b")
+      val hof = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val bad = df.select(Similarity.dot(col("a"), col("b")).as("n"),
+        hof.as("h")).where(col("n") =!= col("h")).count()
+      assert(bad == 0, s"vec_dot diverged from the fold on $bad rows")
+    }
+  }
+
+  test("native sorted_intersect_size equals size(array_intersect) on " +
+    "random sorted sets") {
+    import graft.functions.SortedIntersectSize
+    for (_ <- 1 to 5) {
+      val rows = (0 until 100).map { i =>
+        def set() = Array.fill(5 + rng.nextInt(60))(
+          rng.nextInt(40).toLong).distinct.sorted
+        (i.toLong, set(), set())
+      }
+      val df = rows.toDF("id", "a", "b")
+      val bad = df.select(
+        SortedIntersectSize(col("a"), col("b")).as("n"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("s"))
+        .where(col("n") =!= col("s")).count()
+      assert(bad == 0, s"sorted_intersect_size diverged on $bad rows")
+    }
+  }
+
   test("gaussianized column is near-symmetric (mean ~ 0) for any input") {
     for (_ <- 1 to 5) {
       val vals = List.fill(101)(rng.nextDouble() * 2e6 - 1e6)

@@ -83,3 +83,41 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 }
+
+/** flatMapGroupsWithState sessionization: closed sessions emit when a
+  * later event arrives or the watermark passes the gap. */
+class CompletedSessionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("a session closes on the next event after the gap; the timeout " +
+    "flushes the final session once the watermark passes") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-fs").toFile
+    val base = 1700000000000L // epoch ms
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ms", "value")
+        .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+        .write.mode("append").parquet(dir.getAbsolutePath)
+    // batch 1: two events 5 min apart (one session)
+    write(Seq((7L, base, 1.0), (7L, base + 5 * 60 * 1000, 2.0)))
+    val q = EventStream.completedSessionsStream(spark, dir.getAbsolutePath,
+      "sessions_done_test", gapMs = 30L * 60 * 1000,
+      watermark = "1 minute")
+    q.processAllAvailable()
+    assert(spark.table("sessions_done_test").count() == 0,
+      "session still open — nothing emitted yet")
+    // batch 2: an event 10 hours later closes session 1 via the gap rule
+    // AND advances the watermark far past session 1's timeout
+    write(Seq((7L, base + 10L * 3600 * 1000, 5.0)))
+    q.processAllAvailable()
+    // one more empty-ish batch lets the timeout for session 2 fire only
+    // if the watermark passes it — it shouldn't (no later data)
+    val got = spark.table("sessions_done_test")
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .collect().map(_.toSeq)
+    q.stop()
+    assert(got.length == 1, s"exactly session 1 emitted: ${got.toSeq}")
+    assert(got(0) == Seq(7L, base, 2L, 3.0))
+  }
+}
