@@ -266,6 +266,16 @@ object QueriesML {
         .select(col("doc_id"), col("summary"), col("sentiment"))
     }),
 
+    // multimodal frame sampling: evenly-spaced byte-window "keyframes"
+    "q_media_frames" -> ((s, dir) => {
+      val media = BinaryPipeline.synthesizeMedia(docs(s, dir), "text")
+      BinaryPipeline.sampleFrames(media, "media", nFrames = 3,
+        frameBytes = 16)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_len").cast("long").as("frame_len"),
+          col("frame").cast("string").as("frame_str"))
+    }),
+
     // multimodal plumbing: synthesize binary media, batched stub decode
     "q_media_features" -> ((s, dir) => {
       val media = BinaryPipeline.synthesizeMedia(docs(s, dir), "text")
@@ -390,6 +400,19 @@ object QueriesML {
         |  round(2.0 * avg(pow(pred_k - price_k, 2.0))
         |    + 1.0 * (-corr(ry, rp)), 4) AS combined_loss
         |FROM ranked GROUP BY l_returnflag""".stripMargin,
+    "q_media_frames" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS p
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, g.i AS frame_idx,
+        |    substr(p, CAST(floor(CAST(g.i AS BIGINT) * length(p) / 3.0)
+        |      AS INT) + 1, 16) AS frame_str
+        |  FROM s CROSS JOIN generate_series(0, 2) AS g(i))
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(length(frame_str) AS BIGINT) AS frame_len, frame_str
+        |FROM f""".stripMargin,
+
     "q_media_features" -> {
       // mirror of DeterministicDecoder.decode bin j over the sanitized
       // ASCII payload: left-fold of ord(byte)/255.0 at positions j+1,

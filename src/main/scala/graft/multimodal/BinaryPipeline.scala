@@ -37,6 +37,35 @@ object BinaryPipeline {
         (length(col(textCol)) % 640).cast("int").as("width"),
         (length(col(textCol)) % 480).cast("int").as("height")))
 
+  /** Evenly-spaced frame sampling over the binary payload — the
+    * video-keyframe pattern with the codec stubbed to byte windows: each
+    * row explodes into `nFrames` (frame_idx, frame bytes) rows. The
+    * Spark-side plumbing (explode shape, per-frame metadata, bounded
+    * frame width) is real; a production decoder swaps in at the same
+    * spot. Deterministic byte-window frames keep the whole path
+    * SQL-mirrorable. */
+  def sampleFrames(df: DataFrame, binCol: String, nFrames: Int = 3,
+      frameBytes: Int = 16): DataFrame = {
+    val n = lit(nFrames)
+    val len = length(col(binCol))
+    // frame f starts at floor(f * len / nFrames) (0-based), clamped width
+    val frames = sequence(lit(0), n - 1).cast("array<int>")
+    df.withColumn("frame_idx", explode(frames))
+      .withColumn("frame",
+        substring(col(binCol),
+          floor(col("frame_idx") * len / n).cast("int") + 1,
+          lit(frameBytes)))
+      .withColumn("frame_len", length(col("frame")))
+  }
+
+  /** "Resize" stub: truncate-or-zero-pad the payload to `targetBytes` —
+    * the plumbing contract of an image-resize step (fixed-size output,
+    * metadata updated) without a codec. */
+  def resize(df: DataFrame, binCol: String, targetBytes: Int): DataFrame =
+    df.withColumn(s"${binCol}_resized",
+      rpad(substring(col(binCol), 1, targetBytes), targetBytes,
+        Array[Byte](0)))
+
   /** Batched "decode + feature extract" over the binary column: emits a
     * fixed-`dim` float vector per row (zero vector for null payloads).
     * Swap `decode` for a real codec in production. */

@@ -121,3 +121,30 @@ class CompletedSessionsSpec extends AnyFunSuite {
     assert(got(0) == Seq(7L, base, 2L, 3.0))
   }
 }
+
+/** Multimodal frame-sample / resize plumbing (stub codec). */
+class MediaStagesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.multimodal.BinaryPipeline
+
+  test("sampleFrames: n evenly-spaced frames, bounded width; resize: " +
+    "fixed-size output") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("id", "t")
+    val media = BinaryPipeline.synthesizeMedia(df, "t")
+    val frames = BinaryPipeline.sampleFrames(media, "media", nFrames = 3,
+      frameBytes = 8).select($"frame_idx", $"frame".cast("string"))
+      .orderBy("frame_idx").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(frames.length == 3)
+    assert(frames(0) == (0, "abcdefgh"))   // offset 0
+    assert(frames(1) == (1, "mnopqrst"))   // offset floor(36/3) = 12
+    assert(frames(2) == (2, "yz012345"))   // offset 24
+    val resized = BinaryPipeline.resize(media, "media", 8)
+      .select(length($"media_resized")).collect()(0).getInt(0)
+    assert(resized == 8)
+    val padded = BinaryPipeline.resize(
+      BinaryPipeline.synthesizeMedia(Seq((1L, "ab")).toDF("id", "t"), "t"),
+      "media", 8).select(length($"media_resized")).collect()(0).getInt(0)
+    assert(padded == 8)
+  }
+}
