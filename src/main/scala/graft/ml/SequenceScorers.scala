@@ -165,6 +165,32 @@ object LstmScorer {
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }
 
+  /** Bidirectional variant (the reference's `bidirectional` flag,
+    * sequence.py:136-139): one cell runs the steps forward, a second runs
+    * them REVERSED; the head reads the concatenated final hidden states
+    * [fwd_h, bwd_h] (`wOut` spans 2H; per-cell heads are unused). */
+  def scoreBidirectional(df: DataFrame, steps: Seq[Seq[String]],
+      fwd: LstmWeights, bwd: LstmWeights, wOut: Array[Double],
+      bOut: Double): DataFrame = {
+    require(wOut.length == fwd.hidden + bwd.hidden,
+      "bidirectional head must span both cells' hidden states")
+    var cur = df
+    for (t <- steps.indices;
+         stage <- stepStages(ColAlg, fwd, steps, t, "__fwd_"))
+      cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+    val rev = steps.reverse
+    for (t <- rev.indices;
+         stage <- stepStages(ColAlg, bwd, rev, t, "__bwd_"))
+      cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+    val lastT = steps.size - 1
+    val refs = (0 until fwd.hidden).map(u => col(s"__fwd_h${lastT}_$u")) ++
+      (0 until bwd.hidden).map(u => col(s"__bwd_h${lastT}_$u"))
+    val head = refs.zip(wOut).map { case (r, wt) => r * lit(wt) }
+      .reduce(_ + _) + lit(bOut)
+    val out = cur.withColumn("prediction", head)
+    out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
   /** DuckDB mirror: chained CTEs, one per stage, same expressions. The
     * caller supplies the base CTE (must expose the step feature columns)
     * and the final select list. */

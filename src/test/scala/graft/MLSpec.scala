@@ -356,3 +356,33 @@ class StackedLstmSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
   }
 }
+
+/** Bidirectional LSTM (sequence.py:136-139). */
+class BidirectionalLstmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bidirectional == fwd cell on steps + bwd cell on reversed steps, " +
+    "concatenated head") {
+    import graft.ml._
+    val wf = QueriesML.pinnedLstm
+    val wb = QueriesML.pinnedLstm.copy(bi = Array(0.3, -0.2))
+    val df = Seq((1L, 0.1, 0.5, -0.2, 0.3, 0.4, -0.1))
+      .toDF("id", "q3", "d3", "q2", "d2", "q1", "d1")
+    val steps = Seq(Seq("q3", "d3"), Seq("q2", "d2"), Seq("q1", "d1"))
+    val wOut = Array(0.6, -0.4, 0.2, 0.5)
+    val got = LstmScorer.scoreBidirectional(df, steps, wf, wb, wOut, 0.1)
+      .select("prediction").collect()(0).getDouble(0)
+    // manual: each direction scored through its own single head picking
+    // out the hidden states via unit weights
+    def lastH(w: LstmWeights, ss: Seq[Seq[String]], u: Int): Double =
+      LstmScorer.score(df, ss,
+        w.copy(wOut = Array.tabulate(2)(i => if (i == u) 1.0 else 0.0),
+          bOut = 0.0))
+        .select("prediction").collect()(0).getDouble(0)
+    val expect = lastH(wf, steps, 0) * 0.6 + lastH(wf, steps, 1) * -0.4 +
+      lastH(wb, steps.reverse, 0) * 0.2 + lastH(wb, steps.reverse, 1) * 0.5 +
+      0.1
+    assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
+  }
+}
