@@ -73,6 +73,30 @@ case class RowPredictor(
   }
 }
 
+/** Prompt-optimizer analog of DSPyMator.fit's optional compile step
+  * (dspymator.py:271-318): evaluate candidate prompt variants (each a
+  * full predict function) on a labeled frame with a caller-supplied
+  * metric, keep the best. The loop is driver-side orchestration — each
+  * candidate's evaluation is a distributed RowPredictor pass. */
+object PromptSearch {
+  case class Result(best: Map[String, String] => Map[String, String],
+      bestScore: Double, history: Seq[(Int, Double)])
+
+  def compile(train: DataFrame, inputCols: Seq[String],
+      outputFields: Seq[String],
+      candidates: Seq[Map[String, String] => Map[String, String]],
+      metric: DataFrame => Double, batchSize: Int = 200,
+      concurrency: Int = 50): Result = {
+    val scored = candidates.zipWithIndex.map { case (fn, i) =>
+      val out = RowPredictor(inputCols, outputFields, fn, batchSize,
+        concurrency).transform(train)
+      (fn, i, metric(out))
+    }
+    val best = scored.maxBy(_._3)
+    Result(best._1, best._3, scored.map(s => (s._2, s._3)))
+  }
+}
+
 /** Driver-side architecture search keeping the best estimator by
   * validation R² — the meta-loop shape of the reference's KerasCortex
   * (keras_cortex.py:44-175) with the LLM "propose new build_model source"

@@ -386,3 +386,42 @@ class BidirectionalLstmSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 1e-9, s"$got vs $expect")
   }
 }
+
+/** PromptSearch (dspymator compile analog) + multi-pred solver naming. */
+class CompileAndNamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prompt compile keeps the candidate with the best metric " +
+    "(dspymator.py:271-318 shape)") {
+    import graft.ml.PromptSearch
+    val df = Seq((1L, "good stuff"), (2L, "more good"), (3L, "bad"))
+      .toDF("id", "text")
+    // candidate 0 echoes; candidate 1 marks everything "good"
+    val cands: Seq[Map[String, String] => Map[String, String]] = Seq(
+      kw => Map("label" -> (if (kw("text").contains("good")) "good" else "bad")),
+      kw => Map("label" -> "good"))
+    val metric = (out: org.apache.spark.sql.DataFrame) =>
+      out.where(col("label") === "good").count().toDouble
+    val r = PromptSearch.compile(df, Seq("text"), Seq("label"), cands,
+      metric, batchSize = 2, concurrency = 2)
+    assert(r.history == Seq((0, 2.0), (1, 3.0)))
+    assert(r.bestScore == 3.0)
+  }
+
+  test("neutralizer with MULTIPLE preds x props emits pred-major output " +
+    "columns (neutralization.py:93-101)") {
+    val rng = new scala.util.Random(9)
+    val df = (0 until 60).map { i =>
+      (i.toLong, s"e${i % 2}", rng.nextDouble(), rng.nextDouble(),
+        rng.nextDouble())
+    }.toDF("id", "era", "f0", "p1", "p2")
+    val nt = graft.solvers.FeatureNeutralizer(Seq("p1", "p2"), Seq("f0"),
+      Seq(0.5, 1.0), "era", "id")
+    assert(nt.outputNames == Seq("p1_neutralized_0.5", "p1_neutralized_1.0",
+      "p2_neutralized_0.5", "p2_neutralized_1.0"))
+    val out = nt.transform(df)
+    nt.outputNames.foreach(n => assert(out.columns.contains(n)))
+    assert(out.count() == 60)
+  }
+}
