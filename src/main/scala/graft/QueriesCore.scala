@@ -102,6 +102,15 @@ object QueriesCore {
           countDistinct(col("l_partkey")).as("n_part"))
     }),
 
+    // KMV distinct-count sketch: deterministic md5 arithmetic, so the
+    // APPROXIMATE estimate still hash-matches the oracle bit-for-bit
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.functions.Sketches.kmvDistinct(li(s, dir),
+        Seq("l_returnflag"), "l_partkey", k = 256)
+        .select(col("l_returnflag"),
+          round(col("approx_distinct"), 4).as("approx_distinct"))
+    }),
+
     // Two-phase salted aggregation — byte-identical to the direct
     // groupBy (the oracle IS the direct groupBy), spreads a hot key
     // across `salts` reducers at scale.
@@ -201,6 +210,23 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45.0""".stripMargin,
+    "q_kmv_distinct" -> {
+      val h = graft.functions.Sketches.unitHashSql("l_partkey")
+      s"""WITH hd AS (
+         |  SELECT DISTINCT l_returnflag, $h AS hv FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, hv, row_number() OVER (
+         |    PARTITION BY l_returnflag ORDER BY hv) AS rk
+         |  FROM hd),
+         |a AS (
+         |  SELECT l_returnflag, count(*) AS n, max(hv) AS kth
+         |  FROM r WHERE rk <= 256 GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+         |    ELSE 255.0 / kth END, 4) AS approx_distinct
+         |FROM a""".stripMargin
+    },
+
     "q_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part

@@ -189,3 +189,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** KMV sketch accuracy: estimate within the theoretical error band. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kmv estimate within ~5/sqrt(k) of the exact distinct count") {
+    import graft.functions.Sketches
+    val rng = new scala.util.Random(17)
+    val df = (0 until 40000).map(_ => ("g", rng.nextInt(8000)))
+      .toDF("g", "v")
+    val exact = df.select("v").distinct().count().toDouble
+    for (k <- Seq(64, 256)) {
+      val est = Sketches.kmvDistinct(df, Seq("g"), "v", k)
+        .collect()(0).getDouble(1)
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr < 5.0 / math.sqrt(k),
+        s"k=$k est=$est exact=$exact relErr=$relErr")
+    }
+    // small-cardinality groups are exact
+    val tiny = Seq(("a", 1), ("a", 2), ("a", 2), ("b", 9)).toDF("g", "v")
+    val got = Sketches.kmvDistinct(tiny, Seq("g"), "v", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 2.0, "b" -> 1.0))
+  }
+}
