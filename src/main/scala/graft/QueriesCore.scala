@@ -102,6 +102,16 @@ object QueriesCore {
           countDistinct(col("l_partkey")).as("n_part"))
     }),
 
+    // exact grouped quantiles (linear interpolation — the sort-based
+    // exact operator; the KMV sketch below is the approximate scale path)
+    "q_quantiles" -> ((s, dir) => {
+      li(s, dir).groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    }),
+
     // KMV distinct-count sketch: deterministic md5 arithmetic, so the
     // APPROXIMATE estimate still hash-matches the oracle bit-for-bit
     "q_kmv_distinct" -> ((s, dir) => {
@@ -210,6 +220,13 @@ object QueriesCore {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45.0""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_kmv_distinct" -> {
       val h = graft.functions.Sketches.unitHashSql("l_partkey")
       s"""WITH hd AS (
