@@ -51,6 +51,16 @@ object QueriesCore {
           round(col("l_extendedprice_ma4"), 6).as("price_ma4"))
     }),
 
+    // trailing rolling std/min/max with the min-samples contract
+    "q_rolling" -> ((s, dir) => {
+      RollingStatsTransformer(Seq("l_extendedprice"), Seq(4), "l_suppkey",
+        ord).transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_std4"), 6).as("price_std4"),
+          round(col("l_extendedprice_min4"), 6).as("price_min4"),
+          round(col("l_extendedprice_max4"), 6).as("price_max4"))
+    }),
+
     // LogReturnTransformer: ln diff per supplier over shipdate order.
     "q_logreturn" -> ((s, dir) => {
       LogReturnTransformer(Seq("l_extendedprice"), "l_suppkey", ord)
@@ -191,6 +201,18 @@ object QueriesCore {
          | round(ln(l_extendedprice) - lag(ln(l_extendedprice), 1)
          |   OVER ($tickerOrd), 6) AS price_logreturn
          |FROM lineitem""".stripMargin,
+    "q_rolling" -> {
+      def roll(fn: String, w: Int) =
+        s"""CASE WHEN count(l_extendedprice) OVER ($tickerOrd
+           |  ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) = $w
+           | THEN $fn(l_extendedprice) OVER ($tickerOrd
+           |  ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) END""".stripMargin
+      s"""SELECT l_orderkey, l_linenumber,
+         | round(${roll("stddev_samp", 4)}, 6) AS price_std4,
+         | round(${roll("min", 4)}, 6) AS price_min4,
+         | round(${roll("max", 4)}, 6) AS price_max4
+         |FROM lineitem""".stripMargin
+    },
     "q_groupstats" ->
       s"""WITH base AS (
          |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -68,6 +68,37 @@ case class MovingAverageTransformer(
   }
 }
 
+/** Trailing rolling std / min / max with the MovingAverage min-samples
+  * contract (null until the frame holds `window` values) — the rolling
+  * statistics a panel pipeline needs beyond the reference's moving
+  * average, same single-exchange window shape (adjacent ticker-keyed
+  * stages fuse into one exchange + sort). */
+case class RollingStatsTransformer(
+    featureCols: Seq[String],
+    windows: Seq[Int],
+    tickerCol: String,
+    orderCols: Seq[String],
+    stats: Seq[String] = Seq("std", "min", "max")) extends GraftTransformer {
+  require(stats.forall(Set("std", "min", "max")),
+    s"stats must be std|min|max, got $stats")
+  def outputNames: Seq[String] =
+    for (f <- featureCols; k <- windows; s <- stats) yield s"${f}_$s$k"
+  def transform(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(tickerCol).orderBy(orderCols.map(col): _*)
+    val outs = for (f <- featureCols; k <- windows; s <- stats) yield {
+      val frame = w.rowsBetween(-(k - 1), Window.currentRow)
+      val v = col(f)
+      val stat = s match {
+        case "std" => stddev_samp(v).over(frame)
+        case "min" => min(v).over(frame)
+        case "max" => max(v).over(frame)
+      }
+      when(count(v).over(frame) === k, stat).as(s"${f}_$s$k")
+    }
+    df.select(df.columns.map(col) ++ outs: _*)
+  }
+}
+
 /** Natural-log return per group: ln(f) - lag(ln(f), 1); first row per group
   * null. Reference: LogReturnTransformer, time_series.py:149-197. */
 case class LogReturnTransformer(
