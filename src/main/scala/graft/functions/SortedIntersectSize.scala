@@ -55,16 +55,23 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh names — fixed locals collide when multiple instances share
+      // one codegen function and kill whole-stage codegen (janino
+      // "Redefinition of local variable").
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
       s"""
-         |int n = $a.numElements();
-         |int m = $b.numElements();
-         |int i = 0; int j = 0; long c = 0L;
-         |while (i < n && j < m) {
-         |  long xi = $a.getLong(i); long yj = $b.getLong(j);
-         |  if (xi == yj) { c++; i++; j++; }
-         |  else if (xi < yj) { i++; } else { j++; }
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

@@ -70,22 +70,28 @@ case class VecDotExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    def get(e: Expression, v: String) =
+    def get(e: Expression, v: String, i: String) =
       if (e.dataType.asInstanceOf[ArrayType].elementType == FloatType)
-        s"(double) $v.getFloat(i)"
-      else s"$v.getDouble(i)"
+        s"(double) $v.getFloat($i)"
+      else s"$v.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh names: several vec_dot instances can land in ONE codegen
+      // function (dot + norms in a single projection); fixed names make
+      // janino reject the class and the whole stage falls back to the
+      // interpreted path.
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "vec_dot length mismatch: " + n + " vs " + $b.numElements());
+         |    "vec_dot length mismatch: " + $n + " vs " + $b.numElements());
          |}
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += ${get(left, a)} * ${get(right, b)};
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(left, a, i)} * ${get(right, b, i)};
          |}
-         |${ev.value} = s;
+         |${ev.value} = $s;
        """.stripMargin
     })
   }
