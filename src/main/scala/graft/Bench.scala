@@ -29,15 +29,31 @@ object Bench {
     // a tiny solver call (forces netlib/BLAS classloading, the single
     // largest first-touch: ~6s) so every timed query below is steady-state.
     try {
+      import org.apache.spark.sql.functions._
       SparkEntry.entry(spark).count()
-      val warm = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(256)
-        .select(org.apache.spark.sql.functions.monotonically_increasing_id()
-            .as("rid"),
-          org.apache.spark.sql.functions.col("l_extendedprice"),
-          org.apache.spark.sql.functions.col("l_quantity"),
-          org.apache.spark.sql.functions.lit("w").as("era"))
+      // 40k rows: enough loop iterations that C2 compiles the solver's
+      // collect/gaussianize/solve loops during warmup, not during the
+      // first timed solver query
+      val warm = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(40000)
+        .select(monotonically_increasing_id().as("rid"),
+          col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+          lit("w").as("era"))
+      // two feature widths: the k=1 scalar path and the k>1 Gram path
+      // compile different flatMapGroups closures
       graft.solvers.FeatureNeutralizer(Seq("l_extendedprice"),
         Seq("l_quantity"), Seq(0.5), "era", "rid").outputsOnly(warm).count()
+      graft.solvers.FeatureNeutralizer(Seq("l_extendedprice"),
+        Seq("l_quantity", "l_discount"), Seq(0.5), "era", "rid")
+        .outputsOnly(warm).count()
+      // documents path: explode/md5/window + aggregate codegen shapes
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("m"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(sum(col("n"))).collect()
+      spark.read.parquet(s"$sfDir/events.parquet").limit(64)
+        .select(sum(col("value"))).collect()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }

@@ -192,22 +192,29 @@ object QueriesText {
 
     "q_simhash_pairs" -> {
       // pigeonhole chunks mirroring Dedup.simHashNearDups(maxHamming = 3):
-      // 60 bits -> 4 chunks of 15
+      // 60 bits -> 4 chunks of 15; first-matching-chunk rule replaces
+      // DISTINCT (all chunks before ci must differ), same as the Spark side
       val banded = (0 until 4).map { ci =>
         s"SELECT doc_id AS id, simhash AS h, $ci AS ci, " +
           s"(simhash >> ${ci * 15}) & ${(1L << 15) - 1} AS cv FROM sh"
       }.mkString("\n  UNION ALL ")
+      val firstMatch = (0 until 4).map { ci =>
+        val earlier = (0 until ci).map(j =>
+          s"((xor(a.h, b.h) >> ${j * 15}) & ${(1L << 15) - 1}) <> 0")
+        (s"a.ci = $ci" +: earlier).mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
       s"""$simHashCte,
          |banded AS (
          |  $banded),
          |capped AS (
          |  SELECT * FROM banded
          |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000)
-         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |SELECT a.id AS id_a, b.id AS id_b,
          |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
          |FROM capped a JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
          |  AND a.id < b.id
-         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+         |WHERE bit_count(xor(a.h, b.h)) <= 3
+         |  AND $firstMatch""".stripMargin
     },
 
     "q_dedup_ngram" ->

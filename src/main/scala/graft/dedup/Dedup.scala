@@ -213,14 +213,30 @@ object Dedup {
     val capped = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("ci", "cv")))
       .where(col("__n") <= maxBucketSize).drop("__n")
-    val right = capped.select(col("id").as("id_b"), col("h").as("h_b"),
-      col("ci"), col("cv"))
-    capped.hint("merge").join(right, Seq("ci", "cv"))
-      .where(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        bit_count(col("h").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+    // Self-join both sides from the SAME plan (aliases, not a re-projected
+    // copy): the canonically-identical subtrees let Spark reuse one
+    // exchange — the 60-aggregate simhash build above runs once, not once
+    // per side.
+    val diff = col("a.h").bitwiseXOR(col("b.h"))
+    // First-matching-chunk rule instead of a distinct() over the candidate
+    // set: a pair within the radius can agree on several chunks, so keep
+    // only the occurrence whose chunk index is the smallest AGREEING one
+    // (all earlier chunks must differ). Same result set, but dedup becomes
+    // a per-row filter instead of one more full shuffle of the pairs.
+    val firstMatch = (0 until chunks).map { ci =>
+      val earlierDiffer = (0 until ci).map { j =>
+        val w = offsets(j + 1) - offsets(j)
+        shiftright(diff, offsets(j)).bitwiseAND((1L << w) - 1) =!= 0L
+      }.foldLeft(lit(true))(_ && _)
+      col("a.ci") === ci && earlierDiffer
+    }.reduce(_ || _)
+    capped.as("a").hint("merge").join(capped.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .where(firstMatch)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(diff).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Deterministic ±1 hyperplane weight for SRP bucketing, derived from

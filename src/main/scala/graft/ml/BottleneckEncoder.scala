@@ -87,7 +87,10 @@ case class BottleneckEncoder(
           g(latentDim, i) = r.getDouble(off); off += 1
         }
         g(latentDim, latentDim) = n
-        val sol = breeze.linalg.pinv(g) * c0
+        // symmetric Gram system — bounded Jacobi solver, not LAPACK pinv
+        // (column-major flat data is fine: g is symmetric)
+        val sol = DenseVector(graft.solvers.SymSolve.pinvSolve(
+          g.toArray, c0.toArray, latentDim + 1))
         (Array.tabulate(latentDim)(sol(_)), sol(latentDim))
     }
     BottleneckModel(BottleneckWeights(means, loadings, head._1, head._2),

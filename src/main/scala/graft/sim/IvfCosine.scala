@@ -1,7 +1,5 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,23 +26,62 @@ object IvfCosine {
 
   case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  /** Fit the coarse quantizer and assign every corpus row to its cell. */
+  /** Fit the coarse quantizer and assign every corpus row to its cell.
+    *
+    * Training is Lloyd's k-means on the DRIVER over the bounded sample
+    * (one collect of ≤ maxTrainRows small vectors): a coarse quantizer
+    * needs roughly-balanced cells, not converged clusters, and running
+    * 10 Lloyd iterations as 10 distributed MLlib jobs is pure scheduling
+    * overhead at any scale — the sample is the same size either way.
+    * Cell assignment of the full corpus stays distributed and codegen'd
+    * (assignByCentroids: centroid literals + the VecDot kernel). */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L, maxTrainRows: Int = 100000): Index = {
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val vecs = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__v", toVec(col(vecCol)))
-    val trainSet = vecs.select(col("__v")).limit(maxTrainRows)
-    // random init + a small iteration budget: a coarse quantizer needs
-    // roughly-balanced cells, not converged clusters — k-means|| init
-    // alone runs more Spark jobs than the whole fit needs
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("__v")
-      .setPredictionCol("__cell").setInitMode("random").setMaxIter(10)
-    val model = km.fit(trainSet)
-    val assigned = model.transform(vecs)
-      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
-    Index(model.clusterCenters.map(_.toArray), assigned)
+      nlist: Int, seed: Long = 42L, maxTrainRows: Int = 100000,
+      iters: Int = 10): Index = {
+    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "ivf quantizer: empty training sample")
+    val dim = sample.head.length
+    val rng = new scala.util.Random(seed)
+    val cents = Array.tabulate(nlist)(_ =>
+      sample(rng.nextInt(sample.length)).clone())
+    val assign = new Array[Int](sample.length)
+    var it = 0
+    while (it < iters) {
+      var p = 0
+      while (p < sample.length) {
+        val v = sample(p); var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(p) = best; p += 1
+      }
+      val sums = Array.ofDim[Double](nlist, dim)
+      val counts = new Array[Int](nlist)
+      var q = 0
+      while (q < sample.length) {
+        val v = sample(q); val c = assign(q); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        q += 1
+      }
+      var c = 0
+      while (c < nlist) {
+        // empty cell: keep the previous centroid
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    assignByCentroids(corpus, idCol, vecCol, cents)
   }
 
   /** Deterministic pseudo-random centroid grid derived from md5 —

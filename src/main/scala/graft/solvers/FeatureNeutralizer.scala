@@ -1,6 +1,6 @@
 package graft.solvers
 
-import breeze.linalg.{DenseMatrix, DenseVector, pinv}
+import breeze.linalg.{DenseMatrix, DenseVector}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -168,14 +168,38 @@ case class FeatureNeutralizer(
           // minimum-norm SVD solution of np.linalg.lstsq
           // (neutralization.py:239) but only ever materializes k×k —
           // pinv(X) directly would build an m×m U factor per era.
-          // k = 1 is a scalar divide (skips the LAPACK SVD — and its
-          // first-use library warmup — for the most common call shape)
+          // k = 1 is a scalar divide; k > 1 solves the k×k Gram with the
+          // bounded Jacobi solver (SymSolve) — no LAPACK in the task path
+          // (the F2J fallback can hang non-deterministically, see SymSolve)
           val coeffs =
             if (x.cols == 1) {
               val g = x(::, 0) dot x(::, 0)
               val c = x(::, 0) dot y
               DenseVector(if (g > 0) c / g else 0.0)
-            } else pinv(x.t * x) * (x.t * y)
+            } else {
+              val k = x.cols
+              val g = new Array[Double](k * k)
+              val b = new Array[Double](k)
+              var r = 0
+              while (r < m) {
+                var a = 0
+                while (a < k) {
+                  val xa = x(r, a)
+                  b(a) += xa * y(r)
+                  var c = a
+                  while (c < k) { g(a * k + c) += xa * x(r, c); c += 1 }
+                  a += 1
+                }
+                r += 1
+              }
+              var a = 0
+              while (a < k) {
+                var c = a + 1
+                while (c < k) { g(c * k + a) = g(a * k + c); c += 1 }
+                a += 1
+              }
+              DenseVector(SymSolve.pinvSolve(g, b, k))
+            }
           val exposure = x * coeffs
           for (prop <- props) {
             val neut = y - exposure * prop

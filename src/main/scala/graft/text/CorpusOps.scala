@@ -1,0 +1,202 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GraftTransformer
+
+/** Corpus-curation operators for large-scale pretraining pipelines:
+  * Gopher-style quality filtering, n-gram repetition scoring, BM25
+  * retrieval scoring, benchmark decontamination, deterministic
+  * train/val/test splitting, context-window sequence packing, and
+  * source-mixture weighting.
+  *
+  * No counterpart exists in the reference (centimators has no text
+  * layer); these are the north-star LLM-data-pipeline extensions
+  * (SURVEY.md §7.6). All per-document statistics are higher-order-
+  * function expressions over the token array — per-row, shuffle-free,
+  * scan-speed at 100 TB. The only shuffles are the ones the semantics
+  * force: BM25's global document-frequency aggregate (one tiny scalar
+  * row, broadcast back), decontamination's equi-join against the (small,
+  * broadcast) eval-set shingles, packing's per-source window, and the
+  * mixture/split per-source aggregates.
+  */
+object CorpusOps {
+
+  /** Lowercased word-token array — the tokenization every corpus
+    * operator shares (same regex as Dedup.simHash / minhash shingles). */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9_]+"), lit(0))
+
+  /** Per-word occurrence counts within one document: for each distinct
+    * word, how many times it appears. O(distinct·n) per row — cheap for
+    * natural documents, zero shuffle. */
+  private def perWordCounts(w: Column): Column =
+    transform(array_distinct(w), d => size(filter(w, x => x === d)))
+
+  /** Overlapping word n-grams joined with single spaces (positions
+    * 1..n-g+1; empty array when the document is shorter than g). */
+  def wordNgrams(w: Column, g: Int): Column =
+    transform(sequence(lit(1), greatest(size(w) - (g - 1), lit(0))),
+      i => concat_ws(" ", (0 until g).map(o => element_at(w, i + o)): _*))
+}
+
+/** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", Appendix A1.1 — public paper): word
+  * count bounds, mean word length band, type-token ratio floor, and a
+  * most-frequent-word share ceiling. Emits the four statistics plus the
+  * combined `keep` flag, all from one token-array projection. */
+case class QualityFilterTransformer(textCol: String, prefix: String = "qf",
+    minWords: Int = 30, maxWords: Int = 90,
+    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+    minTypeTokenRatio: Double = 0.35, maxTopWordFrac: Double = 0.12)
+    extends GraftTransformer {
+  def outputNames: Seq[String] = Seq("n_words", "mean_word_len", "ttr",
+    "top_word_frac", "keep").map(s => s"${prefix}_$s")
+  def transform(df: DataFrame): DataFrame = {
+    val w = CorpusOps.words(col(textCol))
+    val n = size(w)
+    val nd = n.cast("double")
+    val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nd
+    val ttr = size(array_distinct(w)).cast("double") / nd
+    val twf = array_max(CorpusOps.perWordCounts(w)).cast("double") / nd
+    df.withColumn(s"${prefix}_n_words", n.cast("long"))
+      .withColumn(s"${prefix}_mean_word_len", meanLen)
+      .withColumn(s"${prefix}_ttr", ttr)
+      .withColumn(s"${prefix}_top_word_frac", twf)
+      .withColumn(s"${prefix}_keep",
+        n >= minWords && n <= maxWords &&
+          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+          ttr >= minTypeTokenRatio && twf <= maxTopWordFrac)
+  }
+}
+
+/** Duplicate-n-gram repetition scores (the Gopher/MassiveText repetition
+  * filters): fraction of overlapping word 2-grams and 3-grams that are
+  * repeats of an earlier n-gram in the same document. Null when the
+  * document has no n-gram of that size. */
+case class RepetitionTransformer(textCol: String, prefix: String = "rep")
+    extends GraftTransformer {
+  def outputNames: Seq[String] =
+    Seq(s"${prefix}_dup2_frac", s"${prefix}_dup3_frac")
+  def transform(df: DataFrame): DataFrame = {
+    val w = CorpusOps.words(col(textCol))
+    def dupFrac(g: Int): Column = {
+      val grams = CorpusOps.wordNgrams(w, g)
+      val total = size(grams).cast("double")
+      val dups = (size(grams) - size(array_distinct(grams))).cast("double")
+      when(total > 0, dups / total)
+    }
+    df.withColumn(s"${prefix}_dup2_frac", dupFrac(2))
+      .withColumn(s"${prefix}_dup3_frac", dupFrac(3))
+  }
+}
+
+/** BM25 scoring of a whole corpus against a fixed term set (Robertson &
+  * Zaragoza 2009). Per-document term frequencies are HOF counts over the
+  * token array (no per-term explode); the corpus statistics — N, average
+  * document length, per-term document frequency — reduce to ONE scalar
+  * row that broadcasts back over the corpus: two narrow passes, no
+  * wide shuffle, scales to any corpus size. */
+object Bm25 {
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term set")
+    val w = CorpusOps.words(col(textCol))
+    val perDoc = docs.select(
+      col(idCol) +: size(w).cast("double").as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(w, x => x === lit(t))).cast("double").as(s"__tf_$i")
+        }: _*)
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"__tf_$i") > 0).cast("double")).as(s"__df_$i"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    // one left-associated sum so the oracle SQL reproduces the exact
+    // IEEE result (same trick as the sequence scorers)
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * col("__dl") / col("__avgdl")))
+    }
+    scored.select(col(idCol),
+      termScores.reduceLeft(_ + _).as("bm25"))
+  }
+}
+
+/** Benchmark decontamination: flag corpus documents sharing any word
+  * `shingleSize`-gram with an evaluation set (the standard n-gram
+  * overlap check run before pretraining). The eval side collapses to
+  * DISTINCT shingles — a small relation that broadcasts; the corpus side
+  * explodes distinct shingles per document and equi-joins, so the work
+  * is one broadcast-hash join at scan speed, never a quadratic
+  * comparison. */
+object Decontaminate {
+  /** Returns one row per contaminated non-eval document:
+    * (idCol, n_shared) with n_shared = distinct shared shingles. */
+  def overlap(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, shingleSize: Int = 5): DataFrame = {
+    val sh = array_distinct(
+      CorpusOps.wordNgrams(CorpusOps.words(col(textCol)), shingleSize))
+    val evalSh = docs.where(isEval)
+      .select(explode(sh).as("__sh")).distinct()
+    val trainSh = docs.where(!isEval)
+      .select(col(idCol), explode(sh).as("__sh"))
+    trainSh.join(broadcast(evalSh), "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}
+
+/** Deterministic corpus utilities: hash splits, sequence packing,
+  * mixture weights. */
+object CorpusSplit {
+
+  /** Stable train/val/test assignment from the first 4 hex digits of
+    * md5(id): bucket = hex16(md5(id)[0,4)) mod 10 → 0-7 train, 8 val,
+    * 9 test. Pure projection — the split never changes as the corpus
+    * grows, the property that matters for reproducible pretraining. */
+  def hashSplit(id: Column): Column = {
+    val bucket = conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10
+    when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
+  /** Greedy context-window packing: within each `sourceCol` shard,
+    * documents are laid out in `idCol` order and cut into bins of
+    * `ctxTokens` by the RUNNING token count (bin = floor(tokens-before /
+    * ctx)). One window per shard — the deterministic, shuffle-minimal
+    * form of sequence packing (exact first-fit packing is inherently
+    * sequential; at 100 TB the shard is the parallelism unit). */
+  def pack(docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, ctxTokens: Int): DataFrame = {
+    val win = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(sourceCol), tokenCount.as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(win), lit(0L))
+          / ctxTokens).cast("long"))
+  }
+
+  /** Temperature-scaled source mixture weights (the multilingual /
+    * multi-source sampling scheme of Arivazhagan et al. 2019 §4.2 /
+    * GPT-3 §2.2): weight_s ∝ (token share of source s)^alpha,
+    * normalized. alpha < 1 upsamples small sources. */
+  def mixtureWeights(docs: DataFrame, sourceCol: String,
+      tokenCount: Column, alpha: Double): DataFrame = {
+    val perSource = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("__tot"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("__znum"))
+    perSource.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"),
+        (col("n_tokens").cast("double") / col("__tot")).as("token_share"),
+        (pow(col("n_tokens").cast("double"), alpha) / col("__znum"))
+          .as("weight"))
+  }
+}
