@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate,
+  QualityFilterTransformer, RepetitionTransformer}
+import graft.dedup.{Dedup, DupClusters}
+
+/** Corpus-curation queries over the `documents` table: quality
+  * filtering, repetition, BM25, decontamination, deterministic splits,
+  * sequence packing, mixture weights, duplicate clustering. Every query
+  * carries a value-exact DuckDB oracle; all per-doc statistics derive
+  * from integer token counts, so the only cross-engine surface is
+  * libm (ln/pow) behind a round(6).
+  */
+object QueriesCorpus {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val bm25Terms = Seq("spark", "join", "query")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality" -> ((s, dir) => {
+      QualityFilterTransformer("text").transform(docs(s, dir))
+        .select(col("doc_id"), col("qf_n_words").as("n_words"),
+          round(col("qf_mean_word_len"), 6).as("mean_word_len"),
+          round(col("qf_ttr"), 6).as("ttr"),
+          round(col("qf_top_word_frac"), 6).as("top_word_frac"),
+          col("qf_keep").as("keep"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      RepetitionTransformer("text").transform(docs(s, dir))
+        .select(col("doc_id"),
+          round(col("rep_dup2_frac"), 6).as("dup2_frac"),
+          round(col("rep_dup3_frac"), 6).as("dup3_frac"))
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Bm25.score(docs(s, dir), "doc_id", "text", bm25Terms)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .where(col("rank") <= 50)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("rank"))
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      Decontaminate.overlap(docs(s, dir), "doc_id", "text",
+        col("doc_id") % 97 === 0, shingleSize = 4)
+        .select(col("doc_id"), col("n_shared"))
+    }),
+
+    "q_hash_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("source"), CorpusSplit.hashSplit(col("doc_id")).as("split"),
+          size(CorpusOps.words(col("text"))).as("n_tok"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    }),
+
+    "q_seq_pack" -> ((s, dir) => {
+      CorpusSplit.pack(docs(s, dir), "doc_id", "source",
+        size(CorpusOps.words(col("text"))).cast("long"), ctxTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+    }),
+
+    "q_mixture" -> ((s, dir) => {
+      CorpusSplit.mixtureWeights(docs(s, dir), "source",
+        size(CorpusOps.words(col("text"))).cast("long"), alpha = 0.5)
+        .select(col("source"), col("n_docs"),
+          round(col("token_share"), 6).as("token_share"),
+          round(col("weight"), 6).as("weight"))
+    }),
+
+    "q_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.simHashNearDups(
+        Dedup.simHash(docs(s, dir), "doc_id", "text"),
+        "doc_id", maxHamming = 3, maxBucketSize = 1000)
+      DupClusters.minLabelClusters(pairs, "id_a", "id_b", iters = 4)
+        .select(col("id").as("doc_id"), col("cluster"))
+    })
+  )
+
+  /** Shared tokenization CTE (mirror of CorpusOps.words). */
+  private val wCte =
+    "SELECT doc_id, source, regexp_extract_all(lower(text), " +
+      "'[a-z0-9_]+') AS l FROM documents"
+
+  /** DuckDB n-gram list (mirror of CorpusOps.wordNgrams — 1-based,
+    * empty below g words; range() is exclusive-end). */
+  private def ngramSql(g: Int): String = {
+    val join = (0 until g).map(o => s"l[i + $o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len(l) - ${g - 2}, 1)), i -> $join)"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_quality" -> {
+      val mwl = "CAST(list_sum(list_transform(l, x -> len(x))) AS DOUBLE)" +
+        " / len(l)"
+      val ttr = "CAST(len(list_distinct(l)) AS DOUBLE) / len(l)"
+      val twf = "CAST(list_max(list_transform(list_distinct(l), " +
+        "d -> len(list_filter(l, x -> x = d)))) AS DOUBLE) / len(l)"
+      s"""WITH w AS ($wCte),
+         |s AS (SELECT doc_id, len(l) AS n, $mwl AS mwl, $ttr AS ttr,
+         |  $twf AS twf FROM w)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+         |  round(mwl, 6) AS mean_word_len, round(ttr, 6) AS ttr,
+         |  round(twf, 6) AS top_word_frac,
+         |  (n >= 30 AND n <= 90 AND mwl >= 3.0 AND mwl <= 10.0
+         |    AND ttr >= 0.35 AND twf <= 0.12) AS keep
+         |FROM s""".stripMargin
+    },
+
+    "q_repetition" -> {
+      def frac(g: Int) =
+        s"CASE WHEN len(g$g) > 0 THEN round(CAST(len(g$g) - " +
+          s"len(list_distinct(g$g)) AS DOUBLE) / len(g$g), 6) END"
+      s"""WITH w AS ($wCte),
+         |g AS (SELECT doc_id, ${ngramSql(2)} AS g2, ${ngramSql(3)} AS g3
+         |  FROM w)
+         |SELECT doc_id, ${frac(2)} AS dup2_frac, ${frac(3)} AS dup3_frac
+         |FROM g""".stripMargin
+    },
+
+    "q_bm25" -> {
+      val (k1, b) = (1.2, 0.75)
+      val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(l, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(", ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      // identical operation shapes/constants as Bm25.score (Scala-folded
+      // constants interpolated so both engines see the same doubles)
+      val terms = bm25Terms.indices.map { i =>
+        s"(ln(1.0 + ((n - df$i + 0.5) / (df$i + 0.5))) * (tf$i * ${k1 + 1.0})" +
+          s" / (tf$i + ${k1} * (${1.0 - b} + ((${b} * dl) / avgdl))))"
+      }
+      val score = terms.reduceLeft((a, t) => s"($a + $t)")
+      s"""WITH w AS ($wCte),
+         |pd AS (SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl, $tfs FROM w),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |  $dfs FROM pd),
+         |sc AS (SELECT doc_id, $score AS bm25 FROM pd, st)
+         |SELECT doc_id, round(bm25, 6) AS bm25, rank FROM (
+         |  SELECT doc_id, bm25,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= 50""".stripMargin
+    },
+
+    "q_decontaminate" ->
+      s"""WITH w AS ($wCte),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(${ngramSql(4)})) AS s FROM w),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (s) GROUP BY tr.doc_id""".stripMargin,
+
+    "q_hash_split" -> {
+      // hex16(md5[1..4]) via per-digit polynomial (exact in doubles)
+      val digit = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+      val bucket = s"((${digit(1)} * 4096 + ${digit(2)} * 256 + " +
+        s"${digit(3)} * 16 + ${digit(4)}) % 10)"
+      s"""WITH w AS ($wCte),
+         |h AS (SELECT doc_id, source, len(l) AS n_tok,
+         |  md5(CAST(doc_id AS VARCHAR)) AS m FROM w),
+         |a AS (SELECT source, CASE WHEN $bucket <= 7 THEN 'train'
+         |    WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split, n_tok
+         |  FROM h)
+         |SELECT source, split, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM a GROUP BY source, split""".stripMargin
+    },
+
+    "q_seq_pack" ->
+      s"""WITH w AS ($wCte)
+         |SELECT doc_id, source, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(floor(coalesce(sum(len(l)) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+         |FROM w""".stripMargin,
+
+    "q_mixture" ->
+      s"""WITH w AS ($wCte),
+         |ps AS (SELECT source, count(*) AS n_docs, sum(len(l)) AS n_tokens
+         |  FROM w GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         |  sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS znum FROM ps)
+         |SELECT source, n_docs,
+         |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
+         |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / znum, 6) AS weight
+         |FROM ps, t""".stripMargin,
+
+    "q_dup_clusters" -> {
+      // 4 unrolled min-label-propagation rounds over the simhash
+      // near-dup pairs (mirror of DupClusters.minLabelClusters)
+      val rounds = (1 to 4).map { t =>
+        s"""l$t AS (
+           |  SELECT l.id,
+           |    least(l.cluster, coalesce(min(n.cluster), l.cluster))
+           |      AS cluster
+           |  FROM l${t - 1} l
+           |  LEFT JOIN edges e ON e.src = l.id
+           |  LEFT JOIN l${t - 1} n ON n.id = e.dst
+           |  GROUP BY l.id, l.cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT id_a, id_b FROM
+         |  (${QueriesText.simhashPairsSql})),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS cluster FROM edges),
+         |$rounds
+         |SELECT id AS doc_id, cluster FROM l4""".stripMargin
+    }
+  )
+}

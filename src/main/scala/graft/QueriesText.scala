@@ -94,6 +94,35 @@ object QueriesText {
        |  SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
 
+  /** Full simhash near-dup pair query (mirror of Dedup.simHashNearDups
+    * with maxHamming = 3): pigeonhole chunks — 60 bits → 4 chunks of 15;
+    * the first-matching-chunk rule replaces DISTINCT (all chunks before
+    * ci must differ), exactly as the Spark side. Shared with
+    * QueriesCorpus.q_dup_clusters, which embeds it as a subquery. */
+  private[graft] val simhashPairsSql: String = {
+    val banded = (0 until 4).map { ci =>
+      s"SELECT doc_id AS id, simhash AS h, $ci AS ci, " +
+        s"(simhash >> ${ci * 15}) & ${(1L << 15) - 1} AS cv FROM sh"
+    }.mkString("\n  UNION ALL ")
+    val firstMatch = (0 until 4).map { ci =>
+      val earlier = (0 until ci).map(j =>
+        s"((xor(a.h, b.h) >> ${j * 15}) & ${(1L << 15) - 1}) <> 0")
+      (s"a.ci = $ci" +: earlier).mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    s"""$simHashCte,
+       |banded AS (
+       |  $banded),
+       |capped AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+       |FROM capped a JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
+       |  AND a.id < b.id
+       |WHERE bit_count(xor(a.h, b.h)) <= 3
+       |  AND $firstMatch""".stripMargin
+  }
+
   private val enStop = TextFunctions.langMarkers.toMap.apply("en")
     .map(w => s"'$w'").mkString(", ")
 
@@ -190,32 +219,7 @@ object QueriesText {
       s"""$simHashCte
          |SELECT doc_id, simhash FROM sh""".stripMargin,
 
-    "q_simhash_pairs" -> {
-      // pigeonhole chunks mirroring Dedup.simHashNearDups(maxHamming = 3):
-      // 60 bits -> 4 chunks of 15; first-matching-chunk rule replaces
-      // DISTINCT (all chunks before ci must differ), same as the Spark side
-      val banded = (0 until 4).map { ci =>
-        s"SELECT doc_id AS id, simhash AS h, $ci AS ci, " +
-          s"(simhash >> ${ci * 15}) & ${(1L << 15) - 1} AS cv FROM sh"
-      }.mkString("\n  UNION ALL ")
-      val firstMatch = (0 until 4).map { ci =>
-        val earlier = (0 until ci).map(j =>
-          s"((xor(a.h, b.h) >> ${j * 15}) & ${(1L << 15) - 1}) <> 0")
-        (s"a.ci = $ci" +: earlier).mkString("(", " AND ", ")")
-      }.mkString("(", " OR ", ")")
-      s"""$simHashCte,
-         |banded AS (
-         |  $banded),
-         |capped AS (
-         |  SELECT * FROM banded
-         |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000)
-         |SELECT a.id AS id_a, b.id AS id_b,
-         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
-         |FROM capped a JOIN capped b ON a.ci = b.ci AND a.cv = b.cv
-         |  AND a.id < b.id
-         |WHERE bit_count(xor(a.h, b.h)) <= 3
-         |  AND $firstMatch""".stripMargin
-    },
+    "q_simhash_pairs" -> simhashPairsSql,
 
     "q_dedup_ngram" ->
       """WITH sh AS (

@@ -33,10 +33,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesSolvers.queries ++
       QueriesRelational.queries ++ QueriesText.queries ++
-      QueriesSim.queries ++ QueriesStream.queries ++ QueriesML.queries
+      QueriesSim.queries ++ QueriesStream.queries ++ QueriesML.queries ++
+      QueriesCorpus.queries
 
   def oracleSql: Map[String, String] =
     QueriesCore.oracleSql ++ QueriesSolvers.oracleSql ++
       QueriesRelational.oracleSql ++ QueriesText.oracleSql ++
-      QueriesSim.oracleSql ++ QueriesStream.oracleSql ++ QueriesML.oracleSql
+      QueriesSim.oracleSql ++ QueriesStream.oracleSql ++
+      QueriesML.oracleSql ++ QueriesCorpus.oracleSql
 }

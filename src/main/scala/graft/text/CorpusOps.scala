@@ -31,14 +31,19 @@ object CorpusOps {
   /** Per-word occurrence counts within one document: for each distinct
     * word, how many times it appears. O(distinct·n) per row — cheap for
     * natural documents, zero shuffle. */
-  private def perWordCounts(w: Column): Column =
+  private[text] def perWordCounts(w: Column): Column =
     transform(array_distinct(w), d => size(filter(w, x => x === d)))
 
   /** Overlapping word n-grams joined with single spaces (positions
-    * 1..n-g+1; empty array when the document is shorter than g). */
-  def wordNgrams(w: Column, g: Int): Column =
-    transform(sequence(lit(1), greatest(size(w) - (g - 1), lit(0))),
-      i => concat_ws(" ", (0 until g).map(o => element_at(w, i + o)): _*))
+    * 1..n-g+1; empty array when the document is shorter than g — the
+    * when-guard matters: sequence(1, 0) would infer step -1). */
+  def wordNgrams(w: Column, g: Int): Column = {
+    val n = size(w) - (g - 1)
+    when(n > 0,
+      transform(sequence(lit(1), greatest(n, lit(1))),
+        i => concat_ws(" ", (0 until g).map(o => element_at(w, i + o)): _*)))
+      .otherwise(typedlit(Array.empty[String]))
+  }
 }
 
 /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
@@ -122,7 +127,8 @@ object Bm25 {
       val idf = log(lit(1.0) +
         (col("__n") - col(s"__df_$i") + 0.5) / (col(s"__df_$i") + 0.5))
       idf * (tf * (k1 + 1.0)) /
-        (tf + k1 * (1.0 - b + b * col("__dl") / col("__avgdl")))
+        (tf + lit(k1) * (lit(1.0 - b) +
+          (lit(b) * col("__dl")) / col("__avgdl")))
     }
     scored.select(col(idCol),
       termScores.reduceLeft(_ + _).as("bm25"))

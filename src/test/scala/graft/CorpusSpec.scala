@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate,
+  QualityFilterTransformer, RepetitionTransformer}
+import graft.dedup.DupClusters
+
+/** Tests for the corpus-curation operators: quality filtering,
+  * repetition, BM25, decontamination, splits, packing, mixtures, and
+  * duplicate clustering — pinned values on tiny literal frames. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality filter: pinned stats and rule thresholds") {
+    val docs = Seq(
+      (1L, "aa bb cc dd"),                 // 4 words, all distinct
+      (2L, "aa aa aa aa aa aa aa aa")      // 8 words, one type
+    ).toDF("doc_id", "text")
+    val out = QualityFilterTransformer("text", minWords = 5, maxWords = 10,
+      minMeanWordLen = 1.0, maxMeanWordLen = 3.0,
+      minTypeTokenRatio = 0.5, maxTopWordFrac = 0.5)
+      .transform(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("qf_n_words") == 4L)
+    assert(out(0).getAs[Double]("qf_mean_word_len") == 2.0)
+    assert(out(0).getAs[Double]("qf_ttr") == 1.0)
+    assert(out(0).getAs[Double]("qf_top_word_frac") == 0.25)
+    assert(!out(0).getAs[Boolean]("qf_keep"), "4 words < minWords")
+    assert(out(1).getAs[Double]("qf_ttr") == 0.125)
+    assert(out(1).getAs[Double]("qf_top_word_frac") == 1.0)
+    assert(!out(1).getAs[Boolean]("qf_keep"), "one repeated word fails ttr")
+  }
+
+  test("repetition: duplicated phrase raises dup n-gram fractions; " +
+    "short docs yield null") {
+    val docs = Seq(
+      (1L, "one two three one two three"), // 5 bigrams, 2 distinct dups
+      (2L, "all words here are different"),
+      (3L, "xy")                           // no bigram
+    ).toDF("doc_id", "text")
+    val out = RepetitionTransformer("text").transform(docs)
+      .orderBy("doc_id").collect()
+    // bigrams: [one two, two three, three one, one two, two three] → 2/5
+    assert(out(0).getAs[Double]("rep_dup2_frac") == 0.4)
+    // trigrams: 4 total, "one two three" twice → 1/4
+    assert(out(0).getAs[Double]("rep_dup3_frac") == 0.25)
+    assert(out(1).getAs[Double]("rep_dup2_frac") == 0.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("rep_dup2_frac")))
+  }
+
+  test("bm25: term-bearing docs score positive, rarer term scores " +
+    "higher at equal tf, absent terms score zero") {
+    val docs = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "rare appears once here now"),
+      (3L, "spark again in this doc"),
+      (4L, "nothing relevant at all here")
+    ).toDF("doc_id", "text")
+    val s = Bm25.score(docs, "doc_id", "text", Seq("spark", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(4L) == 0.0, "no term hits → zero")
+    assert(s(1L) > s(3L), "higher tf → higher score")
+    // doc2's single 'rare' (df=1) must outscore doc3's single 'spark'
+    // (df=2): idf dominates at equal tf and near-equal length
+    assert(s(2L) > s(3L), "rarer term → higher idf → higher score")
+  }
+
+  test("decontamination: doc sharing a 4-gram with the eval set is " +
+    "flagged with the distinct-shingle count") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),      // eval (id % 2 == 0)
+      (1L, "alpha beta gamma delta other words"),  // shares 2 4-grams? no: 1
+      (3L, "completely unrelated text body here"),
+      (5L, "x alpha beta gamma delta epsilon y")   // shares 2
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.overlap(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, shingleSize = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 5L -> 2L))
+  }
+
+  test("hash split: deterministic, total, and ~80/10/10 at volume") {
+    val ids = spark.range(0, 10000).select(col("id"))
+    val counts = ids.select(CorpusSplit.hashSplit(col("id")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 700 && counts("val") < 1300)
+    assert(counts("test") > 700 && counts("test") < 1300)
+    // determinism: same ids → same assignment on a re-run
+    val again = ids.select(CorpusSplit.hashSplit(col("id")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
+  test("sequence packing: running count cuts bins at the context size " +
+    "within each source") {
+    val docs = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 50L),
+      (10L, "b", 600L), (11L, "b", 10L)
+    ).toDF("doc_id", "source", "n")
+    val out = CorpusSplit.pack(docs, "doc_id", "source", col("n"), 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // source a cumulative-before: 0, 300, 600, 900 → bins 0,0,1,1
+    assert(out(1L) == 0L && out(2L) == 0L)
+    assert(out(3L) == 1L && out(4L) == 1L)
+    // source b: 0, 600 → bins 0, 1 (windows never cross sources)
+    assert(out(10L) == 0L && out(11L) == 1L)
+  }
+
+  test("mixture weights: alpha=1 recovers token shares; alpha<1 " +
+    "upsamples the small source; weights sum to 1") {
+    val docs = Seq.tabulate(90)(i => (i.toLong, "big", "w " * 10)) ++
+      Seq.tabulate(10)(i => ((100 + i).toLong, "small", "w " * 10))
+    val df = docs.toDF("doc_id", "source", "text")
+    val tok = size(CorpusOps.words(col("text"))).cast("long")
+    def weights(alpha: Double): Map[String, Double] =
+      CorpusSplit.mixtureWeights(df, "source", tok, alpha)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    val w1 = weights(1.0)
+    assert(math.abs(w1("big") - 0.9) < 1e-12)
+    val w05 = weights(0.5)
+    assert(w05("small") > 0.1, "alpha<1 must upsample the small source")
+    assert(math.abs(w05.values.sum - 1.0) < 1e-12)
+  }
+
+  test("dup clusters: min-label propagation labels each component by " +
+    "its minimum id") {
+    // components: {1,2,3,9} (chain 9-1-2-3), {5,6}, isolated pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = DupClusters.minLabelClusters(pairs, "id_a", "id_b", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("word n-grams: empty below g words, 1-based overlapping windows") {
+    val df = Seq((1L, "a b c"), (2L, "a")).toDF("id", "t")
+    val g = df.select(col("id"),
+      CorpusOps.wordNgrams(CorpusOps.words(col("t")), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(1L) == Seq("a b", "b c"))
+    assert(g(2L).isEmpty)
+  }
+}
