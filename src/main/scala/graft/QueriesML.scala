@@ -142,6 +142,15 @@ object QueriesML {
           col("dim_1"))
     }),
 
+    // closed-form 2-feature PCA: fit + transform under a FULL oracle
+    // (deterministic atan2 sign convention — see ClosedFormPCA)
+    "q_pca2" -> ((s, dir) => {
+      ClosedFormPCA.pca2(li(s, dir), "l_quantity", "l_discount")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("dim_0"), 6).as("dim_0"),
+          round(col("dim_1"), 6).as("dim_1"))
+    }),
+
     // broadcast-weights MLP forward pass, codegen'd arithmetic
     "q_mlp_score" -> ((s, dir) => {
       val m = new MLPRegressor(mlpFeats, "l_extendedprice")
@@ -303,6 +312,28 @@ object QueriesML {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of ClosedFormPCA.pca2 (same raw-moment covariance, same
+    // atan2 angle, same projection op order; libm behind round(6))
+    "q_pca2" ->
+      """WITH st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_quantity) AS sx, sum(l_discount) AS sy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_discount * l_discount) AS syy,
+        |    sum(l_quantity * l_discount) AS sxy
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT sx / n AS mx, sy / n AS my,
+        |    0.5 * atan2(2.0 * ((sxy / n) - ((sx / n) * (sy / n))),
+        |      ((sxx / n) - ((sx / n) * (sx / n)))
+        |        - ((syy / n) - ((sy / n) * (sy / n)))) AS theta
+        |  FROM st)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(((l_quantity - mx) * cos(theta))
+        |    + ((l_discount - my) * sin(theta)), 6) AS dim_0,
+        |  round(((l_discount - my) * cos(theta))
+        |    - ((l_quantity - mx) * sin(theta)), 6) AS dim_1
+        |FROM lineitem, a""".stripMargin,
     "q_standardize" ->
       """SELECT l_orderkey, l_linenumber,
         | round((l_extendedprice - mu) / sd, 6) AS price_std

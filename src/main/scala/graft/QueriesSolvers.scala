@@ -75,6 +75,22 @@ object QueriesSolvers {
         .outputsOnly(li(s, dir))
         .select(col("rid"),
           round(col("`l_extendedprice_penalized_0.1`"), 6).as("price_pen"))
+    }),
+
+    // tol = 0 ⇒ EXACTLY `maxIters` Adamax updates, no early exit: the
+    // same Gram-domain optimizer as q_penalize, made fully deterministic
+    // so the 10 iterations unroll into the DuckDB oracle (every op in
+    // the loop — mul/div/sqrt/max/compare — is IEEE-exact, so the SQL
+    // trajectory reproduces the Scala one bit-for-bit given the era
+    // aggregates). Full convergence stays covered by q_penalize +
+    // SolverSpec's cap property.
+    "q_penalize_fixed" -> ((s, dir) => {
+      FeaturePenalizer(Seq("l_extendedprice"),
+        Seq("l_quantity", "l_discount", "l_tax"), Seq(0.1), "era", "rid",
+        maxIters = 10, tol = 0.0)
+        .outputsOnly(li(s, dir))
+        .select(col("rid"),
+          round(col("`l_extendedprice_penalized_0.1`"), 6).as("price_pen"))
     })
   )
 
@@ -188,8 +204,142 @@ object QueriesSolvers {
        |FROM std""".stripMargin
   }
 
+  /** q_penalize_fixed oracle: the 10-iteration Adamax trajectory in the
+    * Gram domain, unrolled as a CTE chain — an operation-for-operation
+    * mirror of Penalize.reduceExposure (same left-associated dot
+    * products, same constants as Scala folds them, same relu-indicator
+    * branches). The era-level state is (w, momentum, infinity-norm,
+    * β₁^t); each iteration is a fixed block of scalar algebra over the
+    * era's Gram aggregates. */
+  private def penalizeFixedSql(iters: Int, maxExp: Double): String = {
+    val (beta1, beta2, eps, lr) = (0.9, 0.999, 1e-7, 1e-3)
+    val consts = "g11, g12, g13, g22, g23, g33, b1, b2, b3, ppc, " +
+      "dinv1, dinv2, dinv3, rt1, rt2, rt3, rn1, rn2, rn3"
+    // per-iteration block: sub-CTEs chained so each step can name its
+    // intermediates (SQL SELECTs cannot reference their own aliases)
+    def iter(t: Int): String = {
+      val p = if (t == 0) "s0" else s"h${t - 1}"
+      s"""a$t AS (SELECT *,
+         |  ((g11 * w1) + (g12 * w2)) + (g13 * w3) AS gw1,
+         |  ((g12 * w1) + (g22 * w2)) + (g23 * w3) AS gw2,
+         |  ((g13 * w1) + (g23 * w2)) + (g33 * w3) AS gw3 FROM $p),
+         |b$t AS (SELECT *, b1 - gw1 AS r1, b2 - gw2 AS r2, b3 - gw3 AS r3,
+         |  (ppc - 2.0 * (((b1 * w1) + (b2 * w2)) + (b3 * w3)))
+         |    + (((w1 * gw1) + (w2 * gw2)) + (w3 * gw3)) AS cn2 FROM a$t),
+         |c$t AS (SELECT *, CASE WHEN cn2 > 0 THEN sqrt(cn2) ELSE 0.0 END
+         |  AS cn FROM b$t),
+         |d$t AS (SELECT *,
+         |  CASE WHEN cn > 0 THEN (dinv1 * r1) / cn ELSE 0.0 END AS e1,
+         |  CASE WHEN cn > 0 THEN (dinv2 * r2) / cn ELSE 0.0 END AS e2,
+         |  CASE WHEN cn > 0 THEN (dinv3 * r3) / cn ELSE 0.0 END AS e3
+         |  FROM c$t),
+         |e$t AS (SELECT *,
+         |  (CASE WHEN e1 > 0 AND e1 - rt1 > 0 THEN 1.0 ELSE 0.0 END)
+         |   - (CASE WHEN -e1 > 0 AND -e1 - rn1 > 0 THEN 1.0 ELSE 0.0 END)
+         |   AS gi1,
+         |  (CASE WHEN e2 > 0 AND e2 - rt2 > 0 THEN 1.0 ELSE 0.0 END)
+         |   - (CASE WHEN -e2 > 0 AND -e2 - rn2 > 0 THEN 1.0 ELSE 0.0 END)
+         |   AS gi2,
+         |  (CASE WHEN e3 > 0 AND e3 - rt3 > 0 THEN 1.0 ELSE 0.0 END)
+         |   - (CASE WHEN -e3 > 0 AND -e3 - rn3 > 0 THEN 1.0 ELSE 0.0 END)
+         |   AS gi3 FROM d$t),
+         |f$t AS (SELECT *, dinv1 * gi1 AS dg1, dinv2 * gi2 AS dg2,
+         |  dinv3 * gi3 AS dg3 FROM e$t),
+         |g$t AS (SELECT *,
+         |  (((r1 * dg1) + (r2 * dg2)) + (r3 * dg3)) / cn AS alpha,
+         |  ((g11 * dg1) + (g12 * dg2)) + (g13 * dg3) AS gdg1,
+         |  ((g12 * dg1) + (g22 * dg2)) + (g23 * dg3) AS gdg2,
+         |  ((g13 * dg1) + (g23 * dg2)) + (g33 * dg3) AS gdg3 FROM f$t),
+         |i$t AS (SELECT *, $beta1 * bp AS bp2,
+         |  (-(gdg1 - r1 * (alpha / cn))) / cn AS gr1,
+         |  (-(gdg2 - r2 * (alpha / cn))) / cn AS gr2,
+         |  (-(gdg3 - r3 * (alpha / cn))) / cn AS gr3 FROM g$t),
+         |j$t AS (SELECT *,
+         |  mo1 * $beta1 + gr1 * ${1 - beta1} AS mo1n,
+         |  mo2 * $beta1 + gr2 * ${1 - beta1} AS mo2n,
+         |  mo3 * $beta1 + gr3 * ${1 - beta1} AS mo3n,
+         |  greatest($beta2 * if1, abs(gr1)) AS if1n,
+         |  greatest($beta2 * if2, abs(gr2)) AS if2n,
+         |  greatest($beta2 * if3, abs(gr3)) AS if3n FROM i$t),
+         |h$t AS (SELECT era, $consts,
+         |  w1 - ($lr * (mo1n / (1.0 - bp2))) / (if1n + $eps) AS w1,
+         |  w2 - ($lr * (mo2n / (1.0 - bp2))) / (if2n + $eps) AS w2,
+         |  w3 - ($lr * (mo3n / (1.0 - bp2))) / (if3n + $eps) AS w3,
+         |  mo1n AS mo1, mo2n AS mo2, mo3n AS mo3,
+         |  if1n AS if1, if2n AS if2, if3n AS if3, bp2 AS bp FROM j$t)"""
+        .stripMargin
+    }
+    val clampT = (j: Int) =>
+      s"CASE WHEN pn > 0 THEN (dinv$j * b$j) / pn ELSE 0.0 END"
+    s"""$gaussCte, f AS (
+       |  SELECT rid, era, g, l_quantity - 0.5 AS f1,
+       |    l_discount - 0.5 AS f2, l_tax - 0.5 AS f3
+       |  FROM gauss
+       |), mn AS (
+       |  SELECT *, avg(f1) OVER w AS m1, avg(f2) OVER w AS m2,
+       |    avg(f3) OVER w AS m3, avg(g) OVER w AS pm
+       |  FROM f WINDOW w AS (PARTITION BY era)
+       |), st AS (
+       |  SELECT era,
+       |    sum((f1 - m1) * (f1 - m1)) AS g11,
+       |    sum((f1 - m1) * (f2 - m2)) AS g12,
+       |    sum((f1 - m1) * (f3 - m3)) AS g13,
+       |    sum((f2 - m2) * (f2 - m2)) AS g22,
+       |    sum((f2 - m2) * (f3 - m3)) AS g23,
+       |    sum((f3 - m3) * (f3 - m3)) AS g33,
+       |    sum((f1 - m1) * (g - pm)) AS b1,
+       |    sum((f2 - m2) * (g - pm)) AS b2,
+       |    sum((f3 - m3) * (g - pm)) AS b3,
+       |    sum((g - pm) * (g - pm)) AS ppc
+       |  FROM mn GROUP BY era
+       |), st2 AS (
+       |  SELECT *,
+       |    CASE WHEN sqrt(g11) > 0 THEN 1.0 / sqrt(g11) ELSE 0.0 END AS dinv1,
+       |    CASE WHEN sqrt(g22) > 0 THEN 1.0 / sqrt(g22) ELSE 0.0 END AS dinv2,
+       |    CASE WHEN sqrt(g33) > 0 THEN 1.0 / sqrt(g33) ELSE 0.0 END AS dinv3,
+       |    sqrt(ppc) AS pn
+       |  FROM st
+       |), st3 AS (
+       |  SELECT *,
+       |    greatest(${-maxExp}, least($maxExp, ${clampT(1)})) AS t1,
+       |    greatest(${-maxExp}, least($maxExp, ${clampT(2)})) AS t2,
+       |    greatest(${-maxExp}, least($maxExp, ${clampT(3)})) AS t3
+       |  FROM st2
+       |), st4 AS (
+       |  SELECT *,
+       |    CASE WHEN t1 > 0 THEN t1 ELSE 0.0 END AS rt1,
+       |    CASE WHEN t2 > 0 THEN t2 ELSE 0.0 END AS rt2,
+       |    CASE WHEN t3 > 0 THEN t3 ELSE 0.0 END AS rt3,
+       |    CASE WHEN -t1 > 0 THEN -t1 ELSE 0.0 END AS rn1,
+       |    CASE WHEN -t2 > 0 THEN -t2 ELSE 0.0 END AS rn2,
+       |    CASE WHEN -t3 > 0 THEN -t3 ELSE 0.0 END AS rn3
+       |  FROM st3
+       |), s0 AS (
+       |  SELECT era, $consts,
+       |    0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+       |    0.0 AS mo1, 0.0 AS mo2, 0.0 AS mo3,
+       |    0.0 AS if1, 0.0 AS if2, 0.0 AS if3, 1.0 AS bp
+       |  FROM st4
+       |),
+       |${(0 until iters).map(iter).mkString(",\n")}
+       |, pen AS (
+       |  SELECT f.rid, f.era,
+       |    f.g - (((f.f1 * h.w1) + (f.f2 * h.w2)) + (f.f3 * h.w3)) AS v
+       |  FROM f JOIN h${iters - 1} h ON f.era = h.era
+       |), sd AS (
+       |  SELECT rid, v / stddev_pop(v) OVER (PARTITION BY era) AS v
+       |  FROM pen
+       |)
+       |SELECT rid,
+       |  round(CASE WHEN max(v) OVER () - min(v) OVER () < 1e-10 THEN 0.5
+       |    ELSE (v - min(v) OVER ()) / (max(v) OVER () - min(v) OVER ())
+       |  END, 6) AS price_pen
+       |FROM sd""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_neutralize" -> neutralize3fSql,
+    "q_penalize_fixed" -> penalizeFixedSql(10, 0.1),
     "q_gaussianize" ->
       s"""$gaussCte
          |SELECT rid, round(g, 6) AS price_gauss FROM gauss""".stripMargin,

@@ -35,6 +35,35 @@ case class DimReducer(featureCols: Seq[String], nComponents: Int)
   }
 }
 
+/** Closed-form 2-feature PCA: the 2×2 covariance eigenproblem has the
+  * analytic solution θ = ½·atan2(2·c_xy, c_xx − c_yy) (major-axis angle
+  * of the covariance ellipse), so fit AND transform are one scalar
+  * aggregate + a broadcast projection — no MLlib, no driver eigensolver,
+  * and a DETERMINISTIC sign convention (θ ∈ (−π/2, π/2] ⇒ the first
+  * component's x-coordinate is non-negative), which makes the whole fit
+  * SQL-mirrorable (q_pca2) where general seeded PCA is rows-only. */
+object ClosedFormPCA {
+  def pca2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val stats = df.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+      sum(x * y).as("__sxy"))
+    val mx = col("__sx") / col("__n"); val my = col("__sy") / col("__n")
+    val cxx = col("__sxx") / col("__n") - mx * mx
+    val cyy = col("__syy") / col("__n") - my * my
+    val cxy = col("__sxy") / col("__n") - mx * my
+    val theta = lit(0.5) * atan2(lit(2.0) * cxy, cxx - cyy)
+    df.crossJoin(broadcast(stats))
+      .withColumn("dim_0",
+        (x - mx) * cos(theta) + (y - my) * sin(theta))
+      .withColumn("dim_1",
+        (y - my) * cos(theta) - (x - mx) * sin(theta))
+      .drop("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+}
+
 /** Regression metrics (reference §2.8): exact Spearman (rank-then-Pearson)
   * and R². */
 object Metrics {

@@ -424,4 +424,31 @@ class CompileAndNamingSpec extends AnyFunSuite {
     nt.outputNames.foreach(n => assert(out.columns.contains(n)))
     assert(out.count() == 60)
   }
+
+  test("closed-form 2-feature PCA: decorrelated projections, variance " +
+    "order, deterministic sign, agrees with MLlib PCA up to sign") {
+    val rng = new scala.util.Random(11)
+    val df = (0 until 400).map { _ =>
+      val x = rng.nextGaussian() * 3.0
+      (x + rng.nextGaussian() * 0.5, 0.7 * x + rng.nextGaussian() * 0.5)
+    }.toDF("x", "y")
+    val out = graft.ml.ClosedFormPCA.pca2(df, "x", "y").cache()
+    val r = out.agg(var_pop(col("dim_0")), var_pop(col("dim_1")),
+      corr(col("dim_0"), col("dim_1"))).collect()(0)
+    assert(r.getDouble(0) >= r.getDouble(1), "dim_0 carries the top variance")
+    assert(math.abs(r.getDouble(2)) < 1e-9, "projections are decorrelated")
+    // sign convention: theta in (-pi/2, pi/2] means the first component's
+    // x-coordinate is >= 0, so dim_0 correlates POSITIVELY with x here
+    val cx = out.agg(corr(col("dim_0"), col("x"))).collect()(0).getDouble(0)
+    assert(cx > 0.9)
+    // cross-check against the MLlib eigensolver (sign-invariant)
+    val ml = graft.ml.DimReducer(Seq("x", "y"), 2).fitTransform(df)
+      .select(abs(col("dim_0")).as("a0"))
+    val closed = out.select(abs(col("dim_0")).as("c0"))
+    val d = ml.collect().map(_.getDouble(0)).sorted
+      .zip(closed.collect().map(_.getDouble(0)).sorted)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(d < 1e-6, s"closed-form vs MLlib |dim_0| mismatch: $d")
+    out.unpersist()
+  }
 }

@@ -114,6 +114,32 @@ class SolverSpec extends AnyFunSuite {
     }
     out.unpersist()
   }
+
+  test("penalizer fixed-iteration mode (tol=0): deterministic across " +
+    "runs, moves toward the cap, output in [0,1]") {
+    val maxExp = 0.2
+    def run() = FeaturePenalizer(Seq("prediction"), featCols, Seq(maxExp),
+      "era", "id", maxIters = 10, tol = 0.0).transform(df)
+      .select(col("id"), q(s"prediction_penalized_$maxExp").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(); val b = run()
+    assert(a == b, "exactly-N-iterations mode must be bitwise deterministic")
+    val r = df.sparkSession.createDataFrame(
+      a.toSeq.map(kv => Tuple2(kv._1, kv._2))).toDF("id", "v")
+      .agg(min(col("v")), max(col("v"))).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-9 &&
+      math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    // the 10 steps actually move the solution: outputs differ from the
+    // 0-iteration (pure gaussianize+scale) baseline (full convergence
+    // toward the cap is pinned by the 50k-iteration test above)
+    val before = FeaturePenalizer(Seq("prediction"), featCols, Seq(maxExp),
+      "era", "id", maxIters = 0, tol = 0.0).transform(df)
+      .select(col("id"), q(s"prediction_penalized_$maxExp").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == before.keySet)
+    assert(a.exists { case (k, v) => math.abs(v - before(k)) > 1e-9 },
+      "10 Adamax steps must change the output")
+  }
 }
 
 /** Reference-test parity additions (round 2): suffix naming
