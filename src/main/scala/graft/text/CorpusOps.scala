@@ -59,14 +59,17 @@ case class QualityFilterTransformer(textCol: String, prefix: String = "qf",
   def outputNames: Seq[String] = Seq("n_words", "mean_word_len", "ttr",
     "top_word_frac", "keep").map(s => s"${prefix}_$s")
   def transform(df: DataFrame): DataFrame = {
-    val w = CorpusOps.words(col(textCol))
+    // token array materialized once (lambda bodies sit outside common-
+    // subexpression elimination — see Decontaminate.overlap)
+    val w = col("__qf_w")
     val n = size(w)
     val nd = n.cast("double")
     val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
       .cast("double") / nd
     val ttr = size(array_distinct(w)).cast("double") / nd
     val twf = array_max(CorpusOps.perWordCounts(w)).cast("double") / nd
-    df.withColumn(s"${prefix}_n_words", n.cast("long"))
+    df.withColumn("__qf_w", CorpusOps.words(col(textCol)))
+      .withColumn(s"${prefix}_n_words", n.cast("long"))
       .withColumn(s"${prefix}_mean_word_len", meanLen)
       .withColumn(s"${prefix}_ttr", ttr)
       .withColumn(s"${prefix}_top_word_frac", twf)
@@ -74,6 +77,7 @@ case class QualityFilterTransformer(textCol: String, prefix: String = "qf",
         n >= minWords && n <= maxWords &&
           meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
           ttr >= minTypeTokenRatio && twf <= maxTopWordFrac)
+      .drop("__qf_w")
   }
 }
 
@@ -86,15 +90,19 @@ case class RepetitionTransformer(textCol: String, prefix: String = "rep")
   def outputNames: Seq[String] =
     Seq(s"${prefix}_dup2_frac", s"${prefix}_dup3_frac")
   def transform(df: DataFrame): DataFrame = {
-    val w = CorpusOps.words(col(textCol))
     def dupFrac(g: Int): Column = {
-      val grams = CorpusOps.wordNgrams(w, g)
+      val grams = col(s"__rep_g$g")
       val total = size(grams).cast("double")
       val dups = (size(grams) - size(array_distinct(grams))).cast("double")
       when(total > 0, dups / total)
     }
-    df.withColumn(s"${prefix}_dup2_frac", dupFrac(2))
+    // token + n-gram arrays staged as columns (see Decontaminate.overlap)
+    df.withColumn("__rep_w", CorpusOps.words(col(textCol)))
+      .withColumn("__rep_g2", CorpusOps.wordNgrams(col("__rep_w"), 2))
+      .withColumn("__rep_g3", CorpusOps.wordNgrams(col("__rep_w"), 3))
+      .withColumn(s"${prefix}_dup2_frac", dupFrac(2))
       .withColumn(s"${prefix}_dup3_frac", dupFrac(3))
+      .drop("__rep_w", "__rep_g2", "__rep_g3")
   }
 }
 
@@ -147,11 +155,16 @@ object Decontaminate {
     * (idCol, n_shared) with n_shared = distinct shared shingles. */
   def overlap(docs: DataFrame, idCol: String, textCol: String,
       isEval: Column, shingleSize: Int = 5): DataFrame = {
-    val sh = array_distinct(
-      CorpusOps.wordNgrams(CorpusOps.words(col(textCol)), shingleSize))
-    val evalSh = docs.where(isEval)
+    // materialize the token array in its own projection first: the n-gram
+    // lambda references the array once per gram element, and a lambda
+    // body is outside common-subexpression elimination — inlining the
+    // regexp_extract_all would re-run the regex per shingle position
+    val base = docs.select(col(idCol), isEval.as("__ev"),
+      CorpusOps.words(col(textCol)).as("__w"))
+    val sh = array_distinct(CorpusOps.wordNgrams(col("__w"), shingleSize))
+    val evalSh = base.where(col("__ev"))
       .select(explode(sh).as("__sh")).distinct()
-    val trainSh = docs.where(!isEval)
+    val trainSh = base.where(!col("__ev"))
       .select(col(idCol), explode(sh).as("__sh"))
     trainSh.join(broadcast(evalSh), "__sh")
       .groupBy(col(idCol))
