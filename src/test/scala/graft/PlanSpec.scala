@@ -98,6 +98,42 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"neardup must stay an equi-join on bucket:\n$plan")
   }
+
+  test("bm25 is two narrow passes: corpus-side tf projection joins a " +
+    "broadcast SCALAR stats row; top-k pushes into TakeOrdered") {
+    val plan = planOf(QueriesCorpus.queries("q_bm25")(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      s"corpus stats must broadcast:\n$plan")
+    // the only hash exchange is the single-row stats aggregate; the
+    // per-document side never shuffles
+    assert(exchanges(plan) <= 1, s"bm25 must not shuffle the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rank<=k should push a limit below the global window:\n$plan")
+  }
+
+  test("decontamination builds a broadcast hash join on the shingle " +
+    "(eval side broadcast; corpus side un-shuffled before the join)") {
+    val plan = planOf(QueriesCorpus.queries("q_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("quality/repetition stats are pure projections: zero exchanges, " +
+    "and the token-array regex is staged ONCE as its own column") {
+    import graft.text.{QualityFilterTransformer, RepetitionTransformer}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (out <- Seq(QualityFilterTransformer("text").transform(docs),
+        RepetitionTransformer("text").transform(docs))) {
+      val plan = planOf(out)
+      assert(exchanges(plan) == 0, s"per-doc stats must not shuffle:\n$plan")
+      // regexp_extract_all inlined into HOF lambdas re-runs per element
+      // (lambdas are outside CSE) — it must appear exactly once
+      val n = "regexp_extract_all".r.findAllIn(plan).length
+      assert(n == 1, s"token regex must be staged once, found $n:\n$plan")
+    }
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
