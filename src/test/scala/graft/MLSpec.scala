@@ -441,14 +441,20 @@ class CompileAndNamingSpec extends AnyFunSuite {
     // x-coordinate is >= 0, so dim_0 correlates POSITIVELY with x here
     val cx = out.agg(corr(col("dim_0"), col("x"))).collect()(0).getDouble(0)
     assert(cx > 0.9)
-    // cross-check against the MLlib eigensolver (sign-invariant)
+    // cross-check against the MLlib eigensolver. MLlib projects the
+    // UNCENTERED vectors (its dim_0 is shifted by the constant μ·v), so
+    // compare the shift- and sign-invariant quantity: variance along
+    // each component.
     val ml = graft.ml.DimReducer(Seq("x", "y"), 2).fitTransform(df)
-      .select(abs(col("dim_0")).as("a0"))
-    val closed = out.select(abs(col("dim_0")).as("c0"))
-    val d = ml.collect().map(_.getDouble(0)).sorted
-      .zip(closed.collect().map(_.getDouble(0)).sorted)
-      .map { case (a, b) => math.abs(a - b) }.max
-    assert(d < 1e-6, s"closed-form vs MLlib |dim_0| mismatch: $d")
+      .agg(var_pop(col("dim_0")), var_pop(col("dim_1"))).collect()(0)
+    val cl = out.agg(var_pop(col("dim_0")), var_pop(col("dim_1")))
+      .collect()(0)
+    for (i <- 0 to 1) {
+      val rel = math.abs(ml.getDouble(i) - cl.getDouble(i)) /
+        math.max(ml.getDouble(i), 1e-12)
+      assert(rel < 1e-9,
+        s"component $i variance: mllib=${ml.getDouble(i)} closed=${cl.getDouble(i)}")
+    }
     out.unpersist()
   }
 }
