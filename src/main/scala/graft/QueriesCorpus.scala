@@ -74,6 +74,18 @@ object QueriesCorpus {
           round(col("weight"), 6).as("weight"))
     }),
 
+    "q_sample" -> ((s, dir) => {
+      CorpusSplit.sampleBySource(docs(s, dir), "doc_id", "source", n = 5)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    "q_chunk" -> ((s, dir) => {
+      CorpusSplit.chunk(docs(s, dir), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          col("chunk_text"))
+    }),
+
     "q_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.simHashNearDups(
         Dedup.simHash(docs(s, dir), "doc_id", "text"),
@@ -194,6 +206,24 @@ object QueriesCorpus {
          |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
          |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / znum, 6) AS weight
          |FROM ps, t""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
+
+    "q_chunk" ->
+      s"""WITH w AS ($wCte),
+         |c AS (SELECT doc_id, l, unnest(range(0,
+         |  CASE WHEN len(l) > 0
+         |    THEN CAST(floor((len(l) - 1) / 24) AS BIGINT) + 1
+         |    ELSE 0 END)) AS k FROM w)
+         |SELECT doc_id, k AS chunk_idx,
+         |  CAST(len(l[(k * 24 + 1):(k * 24 + 32)]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(l[(k * 24 + 1):(k * 24 + 32)], ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin,
 
     "q_dup_clusters" -> {
       // 4 unrolled min-label-propagation rounds over the simhash

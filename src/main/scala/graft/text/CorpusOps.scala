@@ -202,6 +202,45 @@ object CorpusSplit {
           / ctxTokens).cast("long"))
   }
 
+  /** Deterministic uniform sample of `n` documents per source: keep the
+    * n smallest md5(id) within each shard (hash order ≡ uniform order,
+    * and the sample is STABLE under corpus growth for the surviving
+    * ids — the property random() sampling lacks). One window per shard. */
+  def sampleBySource(docs: DataFrame, idCol: String, sourceCol: String,
+      n: Int): DataFrame = {
+    val win = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rk", row_number().over(win))
+      .where(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Overlapping context-window chunking: each document's token array is
+    * cut into chunks of `chunkSize` words starting every `stride` words
+    * (stride < chunkSize ⇒ overlap, the standard pretraining window
+    * shape). Emits one row per chunk: (idCol, chunk_idx, n_chunk_tokens,
+    * chunk_text). Pure per-row explode — no shuffle; at 100 TB this is
+    * the scan-speed map stage in front of tokenization. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got $chunkSize/$stride")
+    val base = docs.select(col(idCol),
+      CorpusOps.words(col(textCol)).as("__w"))
+    val n = size(col("__w"))
+    // starts 1, 1+stride, …, ≤ n (last chunk may be short; none empty)
+    val nChunks = when(n > 0, floor((n - 1) / stride) + 1).otherwise(0L)
+    base
+      .select(col(idCol), col("__w"),
+        posexplode(when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+          .otherwise(typedlit(Array.empty[Long]))).as(Seq("__k", "__s")))
+      .select(col(idCol), col("__s").as("chunk_idx"),
+        slice(col("__w"), (col("__s") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   /** Temperature-scaled source mixture weights (the multilingual /
     * multi-source sampling scheme of Arivazhagan et al. 2019 §4.2 /
     * GPT-3 §2.2): weight_s ∝ (token share of source s)^alpha,

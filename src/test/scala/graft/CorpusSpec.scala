@@ -138,6 +138,41 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("deterministic sampling: exactly n per source, stable across " +
+    "runs, and growth-invariant for surviving ids") {
+    val docs = (0 until 200).map(i => (i.toLong, s"s${i % 4}", "txt"))
+      .toDF("doc_id", "source", "text")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      CorpusSplit.sampleBySource(d, "doc_id", "source", 10)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = ids(docs)
+    assert(a.size == 40 && a.groupBy(_._1).forall(_._2.size == 10))
+    assert(ids(docs) == a, "same input → same sample")
+    // doubling the corpus keeps every still-smallest-hash survivor
+    val grown = (0 until 400).map(i => (i.toLong, s"s${i % 4}", "txt"))
+      .toDF("doc_id", "source", "text")
+    val b = ids(grown)
+    assert(a.intersect(b).size >= 20,
+      "hash-ordered sampling is stable under growth (no full reshuffle)")
+  }
+
+  test("chunking: stride windows with overlap, short last chunk, one " +
+    "chunk for short docs") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusSplit.chunk(docs, "doc_id", "text",
+      chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // doc1: starts 1,4,7,10 → 4 chunks; last has 1 token
+    assert(out((1L, 0L)) == (4L, "w1 w2 w3 w4"))
+    assert(out((1L, 1L)) == (4L, "w4 w5 w6 w7"))
+    assert(out((1L, 2L)) == (4L, "w7 w8 w9 w10"))
+    assert(out((1L, 3L)) == (1L, "w10"))
+    assert(out((2L, 0L)) == (2L, "a b"))
+    assert(out.size == 5)
+  }
+
   test("word n-grams: empty below g words, 1-based overlapping windows") {
     val df = Seq((1L, "a b c"), (2L, "a")).toDF("id", "t")
     val g = df.select(col("id"),
