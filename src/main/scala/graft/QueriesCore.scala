@@ -147,6 +147,21 @@ object QueriesCore {
       MinMaxScaler(Seq("l_extendedprice")).transform(li(s, dir))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice_scaled"), 6).as("price_scaled"))
+    }),
+
+    // leave-one-out target encoding of a categorical key
+    "q_target_encode" -> ((s, dir) => {
+      TargetEncoder(Seq("l_returnflag"), "l_extendedprice")
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_returnflag_te"), 6).as("flag_te"))
+    }),
+
+    // per-group quantile clipping (exact interpolated percentile)
+    "q_winsorize" -> ((s, dir) => {
+      Winsorizer(Seq("l_extendedprice"), "l_returnflag").transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_wins"), 6).as("price_wins"))
     })
   )
 
@@ -181,6 +196,25 @@ object QueriesCore {
     s"((3.0 * ${gsN - 1}.0 * ${gsN - 1}.0) / (${gsN - 2}.0 * ${gsN - 3}.0))"
 
   val oracleSql: Map[String, String] = Map(
+    "q_target_encode" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN n > 1 THEN (s - l_extendedprice) / (n - 1)
+        |    ELSE gm END, 6) AS flag_te
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS s,
+        |    count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |  (SELECT avg(l_extendedprice) AS gm FROM lineitem)""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(least(greatest(l_extendedprice, lo), hi), 6) AS price_wins
+        |FROM lineitem JOIN q USING (l_returnflag)""".stripMargin,
+
     "q_rank" ->
       s"""SELECT l_orderkey, l_linenumber,
          | round(${rankSql("l_extendedprice")}, 6) AS price_rank,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Categorical target encoding with leave-one-out: each row's category
+  * is replaced by the mean of the TARGET over the other rows of the same
+  * category — (Σ_g − y_i)/(n_g − 1) — the standard high-cardinality
+  * categorical feature for tabular models, leakage-free because the
+  * row's own target is excluded. Optionally blended toward the global
+  * mean by `smoothing` (the empirical-Bayes shrinkage m/(n+m) form).
+  *
+  * Scale shape: one window over the category key (shuffle on the key;
+  * map-side partial aggregation does not apply to windows, but the state
+  * per key is two scalars) plus a broadcast 1-row global-mean frame.
+  * Categories with a single row fall back to the global mean.
+  *
+  * Output: `{cat}_te[_{suffix}]` per category column.
+  */
+case class TargetEncoder(catCols: Seq[String], targetCol: String,
+    smoothing: Double = 0.0, suffix: Option[String] = None)
+    extends GraftTransformer {
+  def outputNames: Seq[String] =
+    catCols.map(c => suffix.fold(s"${c}_te")(s => s"${c}_te_$s"))
+  def transform(df: DataFrame): DataFrame = {
+    val y = col(targetCol).cast("double")
+    val scalars = df.agg(avg(y).as("__gm"))
+    val joined = df.crossJoin(broadcast(scalars))
+    catCols.zip(outputNames).foldLeft(joined) { case (acc, (c, out)) =>
+      val w = Window.partitionBy(col(c))
+      val n = count(y).over(w)
+      val loo = (sum(y).over(w) - y) / (n - lit(1)).cast("double")
+      val blended =
+        if (smoothing <= 0) loo
+        else (loo * (n - 1).cast("double") + lit(smoothing) * col("__gm")) /
+          ((n - 1).cast("double") + lit(smoothing))
+      acc.withColumn(out,
+        when(n > 1, blended).otherwise(col("__gm")))
+    }.drop("__gm")
+  }
+}
+
+/** Per-group winsorization: clip a column at its group's [lo, hi]
+  * quantiles (exact `percentile`, linear interpolation — the same
+  * estimator DuckDB's quantile_cont uses). The tiny per-group quantile
+  * frame broadcasts back — never an all-rows window sort.
+  *
+  * Output: `{f}_wins` per feature.
+  */
+case class Winsorizer(featureCols: Seq[String], groupCol: String,
+    lo: Double = 0.05, hi: Double = 0.95) extends GraftTransformer {
+  require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile range [$lo, $hi]")
+  def outputNames: Seq[String] = featureCols.map(f => s"${f}_wins")
+  def transform(df: DataFrame): DataFrame = {
+    val aggs = featureCols.flatMap { f =>
+      Seq(expr(s"percentile(`$f`, ${lo})").as(s"__lo_$f"),
+        expr(s"percentile(`$f`, ${hi})").as(s"__hi_$f"))
+    }
+    val qs = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(qs), Seq(groupCol))
+    val outs = featureCols.map { f =>
+      least(greatest(col(f), col(s"__lo_$f")), col(s"__hi_$f"))
+        .as(s"${f}_wins")
+    }
+    joined.select(df.columns.map(col) ++ outs: _*)
+  }
+}

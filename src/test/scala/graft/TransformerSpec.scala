@@ -162,4 +162,34 @@ class TransformerSpec extends AnyFunSuite {
     assert(out.columns.contains("feature2_logreturn_rank"))
     assert(out.count() == 4)
   }
+
+  test("target encoder: leave-one-out means exclude the own row; " +
+    "singleton categories fall back to the global mean; smoothing " +
+    "shrinks toward it") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0))
+      .toDF("cat", "y")
+    val out = TargetEncoder(Seq("cat"), "y").transform(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("cat_te")).toMap
+    assert(out(("a", 1.0)) == 2.5)   // (2+3)/2
+    assert(out(("a", 3.0)) == 1.5)   // (1+2)/2
+    assert(out(("b", 10.0)) == 4.0)  // singleton → global mean (16/4)
+    val sm = TargetEncoder(Seq("cat"), "y", smoothing = 2.0).transform(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getAs[Double]("cat_te")).toMap
+    // smoothed LOO for ("a",1.0): (2.5*2 + 2*4) / (2+2) = 3.25
+    assert(math.abs(sm(("a", 1.0)) - 3.25) < 1e-12)
+  }
+
+  test("winsorizer: clips at the group's interpolated quantiles and " +
+    "leaves interior values untouched") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = Winsorizer(Seq("v"), "grp", lo = 0.1, hi = 0.9).transform(df)
+      .collect().map(r => r.getDouble(1) -> r.getAs[Double]("v_wins")).toMap
+    // interpolated p10 of 1..10 = 1.9, p90 = 9.1
+    assert(out(1.0) == 1.9 && out(10.0) == 9.1)
+    assert(out(5.0) == 5.0 && out(9.0) == 9.0)
+  }
 }
