@@ -45,6 +45,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(streamed.toSet == batchKeys)
     assert(streamed.length == batchKeys.size, "exactly one row per key")
   }
+
+  test("streaming corpus curation: the quality filter runs unchanged " +
+    "under readStream and matches the batch keep-set") {
+    import graft.text.QualityFilterTransformer
+    val src = java.nio.file.Files.createTempDirectory("graft-squal").toFile
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("overwrite").parquet(src.getAbsolutePath)
+    val qf = QualityFilterTransformer("text")
+    // map-side curation composes with streaming ingest as-is: stateless
+    // projections need no watermark/output-mode ceremony
+    val stream = qf.transform(
+      spark.readStream.schema(docs.schema).parquet(src.getAbsolutePath))
+      .where(col("qf_keep")).select("doc_id")
+    val q = stream.writeStream.format("memory").queryName("qual_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("qual_stream")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batch = qf.transform(docs).where(col("qf_keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
 
 /** Bucketing: the co-located-join scale path (builder brief: "bucketing
