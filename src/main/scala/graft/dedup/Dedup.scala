@@ -61,17 +61,28 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 16, "h1 + i*h2 stays < 2^44 only for i <= 15")
-    val sh = df
+    // Signatures fully MAP-SIDE: no shingle explode, no per-doc
+    // aggregation shuffle (the explode+min-agg form shuffled
+    // |docs|·|shingles| rows — the dominant network cost at corpus
+    // scale). Hash arrays are STAGED columns (md5 inside a downstream
+    // lambda would re-run per reference — lambdas sit outside common-
+    // subexpression elimination); the 16 per-function minimums then come
+    // from ONE fused codegen'd pass (functions.MinHashSigs) instead of
+    // 16 interpreted array_min(zip_with(…)) passes with their 16
+    // intermediate arrays per document.
+    val staged = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
-      .select(col(idCol), explode(nGramShingles("__norm", shingleK,
-        preNormalized = true)).as("sh"))
-      .select(col(idCol), md5Chunk(col("sh"), 1, 10).as("__h1"),
-        md5Chunk(col("sh"), 11, 10).as("__h2"))
-    val aggs = (0 until numHashes).map(i =>
-      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("minhash"))
+        nGramShingles("__norm", shingleK, preNormalized = true).as("__sh"))
+      .select(col(idCol), expr("transform(__sh, s -> md5(s))").as("__ms"))
+      .select(col(idCol),
+        expr("transform(__ms, m -> cast(conv(substring(m, 1, 10), 16, 10)" +
+          " as long))").as("__h1"),
+        expr("transform(__ms, m -> cast(conv(substring(m, 11, 10), 16, 10)" +
+          " as long))").as("__h2"))
+    staged.select(col(idCol),
+      graft.functions.MinHashSigs(col("__h1"), col("__h2"), numHashes)
+        .as("minhash"))
   }
 
   /** Distinct character k-gram shingles over the normalized text. Built
@@ -99,12 +110,18 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int = 16,
       rowsPerBand: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val bandKeys = (0 until numBands).map { b =>
-      md5(concat_ws(",", lit(b) +: (0 until rowsPerBand).map(r =>
-        element_at(col("minhash"), b * rowsPerBand + r + 1)): _*))
-    }
-    val bands = sigs.select(col(idCol),
-      explode(array(bandKeys: _*)).as("bucket"))
+    // Explode the band INDEX first and build the key ABOVE the Generate:
+    // an explode(array(keyExprs…)) generator is one expression tree with
+    // no named intermediates, so the optimizer collapses the staged
+    // signature projections into it and re-evaluates the whole minhash
+    // chain per band key (measured 25× slower). With the index exploded,
+    // the signature array crosses the Generate boundary as a column and
+    // is computed once per document.
+    val withB = sigs.select(col(idCol), col("minhash"),
+      explode(sequence(lit(0), lit(numBands - 1))).as("__b"))
+    val key = md5(concat_ws(",", col("__b") +: (0 until rowsPerBand).map(r =>
+      element_at(col("minhash"), col("__b") * rowsPerBand + r + 1)): _*))
+    val bands = withB.select(col(idCol), key.as("bucket"))
     val capped = bands
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
       .where(col("__n") <= maxBucketSize).drop("__n")

@@ -251,3 +251,32 @@ class SketchSpec extends AnyFunSuite {
     assert(got == Map("a" -> 2.0, "b" -> 1.0))
   }
 }
+
+/** Native minhash kernel: one fused pass must equal the composed
+  * array_min(zip_with(...)) form, and two instances in one projection
+  * must survive whole-stage codegen (the freshName guard). */
+class MinHashSigsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("minhash_sigs equals the composed zip_with form; codegen-safe " +
+    "with multiple instances per projection") {
+    val df = Seq((Seq(5L, 3L, 9L), Seq(2L, 7L, 1L)),
+      (Seq(100L), Seq(50L))).toDF("h1", "h2")
+    val n = 4
+    val fused = df.select(
+      graft.functions.MinHashSigs(col("h1"), col("h2"), n).as("a"),
+      // second instance in the same projection: codegen name collision guard
+      graft.functions.MinHashSigs(col("h2"), col("h1"), n).as("b"))
+    val composed = df.select(
+      array((0 until n).map(i =>
+        expr(s"array_min(zip_with(h1, h2, (a, b) -> a + ${i}L * b))")): _*)
+        .as("a"),
+      array((0 until n).map(i =>
+        expr(s"array_min(zip_with(h2, h1, (a, b) -> a + ${i}L * b))")): _*)
+        .as("b"))
+    assert(fused.collect().map(_.toSeq).toSeq ==
+      composed.collect().map(_.toSeq).toSeq)
+  }
+}
