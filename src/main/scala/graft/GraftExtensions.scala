@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{InverseNormalCdfExpr, MinHashSigsExpr,
+  SortedIntersectSizeExpr, VecDotExpr}
+
+/** SQL-surface registration of the engine's native Catalyst expressions
+  * (`spark.sql.extensions=graft.GraftExtensions`, or
+  * `GraftFunctions.register(spark)` on a live session):
+  *
+  *   - `inv_norm_cdf(p)` — Acklam probit (the gaussianize kernel)
+  *   - `vec_dot(a, b)` — fused dot product (the similarity kernel)
+  *   - `sorted_intersect_size(a, b)` — two-pointer merge intersection
+  *     (the n-gram Jaccard kernel)
+  *   - `minhash_sigs(h1, h2, n)` — fused n-way minhash minimums
+  *
+  * This closes the loop on SURVEY.md §2.11: the same codegen'd kernels
+  * the DataFrame operators use are addressable from plain `spark.sql`,
+  * so a SQL-first user of the engine loses nothing.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("inv_norm_cdf"),
+      info("inv_norm_cdf", "inv_norm_cdf(p) - inverse normal CDF (probit)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "inv_norm_cdf expects 1 argument")
+        InverseNormalCdfExpr(args.head)
+      }),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot expects 2 arguments")
+        VecDotExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |a ∩ b| for sorted bigint arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_size expects 2 arguments")
+        SortedIntersectSizeExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs",
+        "minhash_sigs(h1, h2, n) - n minhash values min_j(h1[j] + i*h2[j])"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 &&
+          args(2).foldable && args(2).dataType ==
+            org.apache.spark.sql.types.IntegerType,
+          "minhash_sigs expects (array, array, int literal)")
+        MinHashSigsExpr(args(0), args(1),
+          args(2).eval().asInstanceOf[Int])
+      })
+  )
+
+  /** Register on a live session (tests / notebooks where the session
+    * predates the config). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    definitions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

