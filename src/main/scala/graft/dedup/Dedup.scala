@@ -61,28 +61,18 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 16, "h1 + i*h2 stays < 2^44 only for i <= 15")
-    // Signatures fully MAP-SIDE: no shingle explode, no per-doc
-    // aggregation shuffle (the explode+min-agg form shuffled
-    // |docs|·|shingles| rows — the dominant network cost at corpus
-    // scale). Hash arrays are STAGED columns (md5 inside a downstream
-    // lambda would re-run per reference — lambdas sit outside common-
-    // subexpression elimination); the 16 per-function minimums then come
-    // from ONE fused codegen'd pass (functions.MinHashSigs) instead of
-    // 16 interpreted array_min(zip_with(…)) passes with their 16
-    // intermediate arrays per document.
-    val staged = df
-      .withColumn("__norm", TextFunctions.normalize(col(textCol)))
+    // Signatures fully MAP-SIDE and fully CODEGEN'D: the whole shingle →
+    // md5 → h1+i·h2 → min pipeline is one native kernel
+    // (functions.ShingleMinHash) — no shingle explode (the old form
+    // shuffled |docs|·|shingles| rows, the dominant network cost at
+    // corpus scale), no interpreted higher-order-function chain, no
+    // intermediate arrays. Values are identical to the distinct-shingle
+    // oracle (a min over a multiset equals the min over its set, so
+    // shingle dedup is mathematically redundant for minhash).
+    df.withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol),
-        nGramShingles("__norm", shingleK, preNormalized = true).as("__sh"))
-      .select(col(idCol), expr("transform(__sh, s -> md5(s))").as("__ms"))
-      .select(col(idCol),
-        expr("transform(__ms, m -> cast(conv(substring(m, 1, 10), 16, 10)" +
-          " as long))").as("__h1"),
-        expr("transform(__ms, m -> cast(conv(substring(m, 11, 10), 16, 10)" +
-          " as long))").as("__h2"))
-    staged.select(col(idCol),
-      graft.functions.MinHashSigs(col("__h1"), col("__h2"), numHashes)
-        .as("minhash"))
+        graft.functions.ShingleMinHash(col("__norm"), shingleK, numHashes)
+          .as("minhash"))
   }
 
   /** Distinct character k-gram shingles over the normalized text. Built

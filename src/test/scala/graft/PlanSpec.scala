@@ -311,3 +311,33 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
     ext(se)  // must not throw; injection is covered by register() above
   }
 }
+
+/** Fused shingle-minhash kernel equals the composed staged-HOF chain
+  * (incl. the distinct-shingle form — dedup is redundant under min). */
+class ShingleMinHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("shingle_minhash equals the composed md5-chunk/zip_with form " +
+    "with distinct shingles; short and repeated texts included") {
+    val df = Seq("the quick brown fox", "aaaaaaa", "ab", "x",
+      "the the the quick").toDF("t")
+    val fused = df.select(
+      graft.functions.ShingleMinHash(col("t"), 3, 16).as("mh"))
+    val composed = df
+      .select(expr("array_distinct(transform(sequence(1, " +
+        "greatest(length(t) - 2, 1)), i -> substring(t, i, 3)))").as("sh"))
+      .select(expr("transform(sh, s -> md5(s))").as("ms"))
+      .select(
+        expr("transform(ms, m -> cast(conv(substring(m, 1, 10), 16, 10)" +
+          " as long))").as("h1"),
+        expr("transform(ms, m -> cast(conv(substring(m, 11, 10), 16, 10)" +
+          " as long))").as("h2"))
+      .select(array((0 until 16).map(i =>
+        expr(s"array_min(zip_with(h1, h2, (a, b) -> a + ${i}L * b))")): _*)
+        .as("mh"))
+    assert(fused.collect().map(_.getSeq[Long](0)).toSeq ==
+      composed.collect().map(_.getSeq[Long](0)).toSeq)
+  }
+}
