@@ -131,15 +131,16 @@ object Dedup {
     * next bucket) — never a nested-loop range join. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bandWidth: Int = 20, k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // shingle sets as SORTED 64-bit hashes: set intersection becomes an
-    // allocation-free two-pointer merge per pair (sorted_intersect_size —
-    // the sort runs once per doc, the merge once per candidate pair);
-    // Jaccard is unchanged up to ~2^-64 collision odds
+    // shingle sets as SORTED distinct 64-bit hashes from ONE codegen'd
+    // kernel (shingle → md5 → long → sort → dedup fused, no interpreted
+    // HOF chain): set intersection becomes an allocation-free two-pointer
+    // merge per pair (sorted_intersect_size — the sort runs once per doc,
+    // the merge once per candidate pair); Jaccard is unchanged under any
+    // injective hash (~2^-64 collision odds)
     val withSh = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol).as("id"),
-        array_sort(nGramShingles("__norm", k, preNormalized = true,
-          hashed = true)).as("sh"))
+        graft.functions.SortedShingleHashes(col("__norm"), k).as("sh"))
     val buckets = withSh.select(col("id"), col("sh"), explode(array(
       (col("id") / bandWidth).cast("long"),
       (col("id") / bandWidth).cast("long") + 1)).as("bucket"))
