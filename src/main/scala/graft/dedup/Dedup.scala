@@ -176,21 +176,15 @@ object Dedup {
     * token hashes (15 hex digits × 4 bits). Pure aggregation (explode →
     * groupBy id), no UDF, engine-portable. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(regexp_extract_all(
-      lower(col(textCol)), lit("[a-z0-9_]+"), lit(0))).as("tok"))
-      .select(col(idCol) +: (1 to 15).map(i =>
-        conv(substring(md5(col("tok")), i, 1), 16, 10).cast("int")
-          .as(s"d$i")): _*)
-    val bitCols = for { i <- 1 to 15; b <- 0 until 4 } yield
-      sum(when(shiftright(col(s"d$i"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b_${i}_$b")
-    val value = (for { i <- 1 to 15; b <- 0 until 4 } yield {
-      // digit at hex position i carries bits 4*(15-i)+b of the 60-bit hash
-      val k = 4 * (15 - i) + b
-      when(col(s"b_${i}_$b") > 0, lit(1L << k)).otherwise(0L)
-    }).reduce(_.bitwiseOR(_))
-    toks.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
-      .select(col(idCol), value.as("simhash"))
+    // fused per-row kernel (functions.SimHash64): no token explode, no
+    // per-doc aggregation shuffle — value-identical to the explode +
+    // 60-CASE-aggregate formulation (and the DuckDB oracle mirror).
+    // Token-less docs are dropped, as the explode+groupBy form did.
+    df.select(col(idCol), regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9_]+"), lit(0)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        graft.functions.SimHash64(col("__toks")).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: candidates whose 60-bit simhashes
