@@ -75,20 +75,21 @@ object Dedup {
           .as("minhash"))
   }
 
-  /** Distinct character k-gram shingles over the normalized text. Built
-    * via a SQL-lambda `transform` (substring needs a column start offset,
+  /** Distinct character k-gram shingles over the normalized text —
+    * the composed-expression form of the shingle pipeline, kept as the
+    * reference implementation the fused kernels (ShingleMinHash,
+    * SortedShingleHashes) are equality-tested against. Built via a
+    * SQL-lambda `transform` (substring needs a column start offset,
     * which the Scala lambda API does not expose). With
     * `preNormalized = false` the normalization regex would re-run per
     * shingle position inside the lambda — callers should project the
     * normalized text into a column first and pass preNormalized = true. */
   def nGramShingles(textCol: String, k: Int = 3,
-      preNormalized: Boolean = false, hashed: Boolean = false): Column = {
+      preNormalized: Boolean = false): Column = {
     val t = if (preNormalized) textCol
       else s"lower(trim(regexp_replace($textCol, '\\\\s+', ' ')))"
-    val elem = if (hashed) s"xxhash64(substring($t, i, $k))"
-      else s"substring($t, i, $k)"
     expr(s"array_distinct(transform(sequence(1, greatest(length($t) - ${k - 1}, 1)), " +
-      s"i -> $elem))")
+      s"i -> substring($t, i, $k)))")
   }
 
   /** LSH banding: candidate pairs whose signatures agree on at least one
