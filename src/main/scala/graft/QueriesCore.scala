@@ -157,6 +157,14 @@ object QueriesCore {
           round(col("l_returnflag_te"), 6).as("flag_te"))
     }),
 
+    // median/MAD robust scaling per group
+    "q_robust_scale" -> ((s, dir) => {
+      RobustScaler(Seq("l_extendedprice"), "l_returnflag")
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_robust"), 6).as("price_robust"))
+    }),
+
     // per-group quantile clipping (exact interpolated percentile)
     "q_winsorize" -> ((s, dir) => {
       Winsorizer(Seq("l_extendedprice"), "l_returnflag").transform(li(s, dir))
@@ -205,6 +213,22 @@ object QueriesCore {
         |    count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem),
         |  (SELECT avg(l_extendedprice) AS gm FROM lineitem)""".stripMargin,
+
+    "q_robust_scale" ->
+      """WITH med AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.5) AS m
+        |  FROM lineitem GROUP BY l_returnflag),
+        |mad AS (SELECT l.l_returnflag,
+        |    quantile_cont(abs(l.l_extendedprice - med.m), 0.5) AS d
+        |  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+        |  GROUP BY l.l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  round(CASE WHEN mad.d > 1e-12
+        |    THEN (l.l_extendedprice - med.m) / (1.4826 * mad.d) END, 6)
+        |    AS price_robust
+        |FROM lineitem l
+        |JOIN med ON l.l_returnflag = med.l_returnflag
+        |JOIN mad ON l.l_returnflag = mad.l_returnflag""".stripMargin,
 
     "q_winsorize" ->
       """WITH q AS (SELECT l_returnflag,

@@ -41,6 +41,37 @@ case class TargetEncoder(catCols: Seq[String], targetCol: String,
   }
 }
 
+/** Per-group robust scaling: (x − median) / (1.4826 · MAD), the
+  * outlier-insensitive alternative to z-scoring (1.4826 makes MAD a
+  * consistent σ estimator under normality). Two grouped aggregates —
+  * the median, then the median absolute deviation around it — each a
+  * tiny per-group frame broadcast back; degenerate MAD (< 1e-12) yields
+  * null rather than ±inf.
+  *
+  * Output: `{f}_robust` per feature.
+  */
+case class RobustScaler(featureCols: Seq[String], groupCol: String)
+    extends GraftTransformer {
+  def outputNames: Seq[String] = featureCols.map(f => s"${f}_robust")
+  def transform(df: DataFrame): DataFrame = {
+    val medAggs = featureCols.map(f =>
+      expr(s"percentile(`$f`, 0.5)").as(s"__med_$f"))
+    val meds = df.groupBy(col(groupCol)).agg(medAggs.head, medAggs.tail: _*)
+    val withMed = df.join(broadcast(meds), Seq(groupCol))
+    val madAggs = featureCols.map(f =>
+      expr(s"percentile(abs(`$f` - `__med_$f`), 0.5)").as(s"__mad_$f"))
+    val mads = withMed.groupBy(col(groupCol))
+      .agg(madAggs.head, madAggs.tail: _*)
+    val joined = withMed.join(broadcast(mads), Seq(groupCol))
+    val outs = featureCols.map { f =>
+      when(col(s"__mad_$f") > 1e-12,
+        (col(f) - col(s"__med_$f")) / (lit(1.4826) * col(s"__mad_$f")))
+        .as(s"${f}_robust")
+    }
+    joined.select(df.columns.map(col) ++ outs: _*)
+  }
+}
+
 /** Per-group winsorization: clip a column at its group's [lo, hi]
   * quantiles (exact `percentile`, linear interpolation — the same
   * estimator DuckDB's quantile_cont uses). The tiny per-group quantile

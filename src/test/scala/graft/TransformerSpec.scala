@@ -182,6 +182,23 @@ class TransformerSpec extends AnyFunSuite {
     assert(math.abs(sm(("a", 1.0)) - 3.25) < 1e-12)
   }
 
+  test("robust scaler: median-centered, MAD-normalized; outlier barely " +
+    "shifts the scale where it would wreck a z-score; constant group " +
+    "yields null") {
+    import spark.implicits._
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ (("g", 1000.0)))
+      .toDF("grp", "v")
+    val out = RobustScaler(Seq("v"), "grp").transform(df)
+      .collect().map(r => r.getDouble(1) -> r.getAs[Double]("v_robust")).toMap
+    // median of 1..9,1000 = 5.5; MAD = median(|v-5.5|) = 2.5 (unfazed
+    // by the outlier); v=5.5-centered scale
+    assert(math.abs(out(5.0) - (-0.5 / (1.4826 * 2.5))) < 1e-12)
+    assert(out(1000.0) > 100, "outlier stays extreme under robust scale")
+    val const = Seq(("c", 7.0), ("c", 7.0)).toDF("grp", "v")
+    val c = RobustScaler(Seq("v"), "grp").transform(const).collect()
+    assert(c.forall(_.isNullAt(2)), "zero MAD → null, not ±inf")
+  }
+
   test("winsorizer: clips at the group's interpolated quantiles and " +
     "leaves interior values untouched") {
     import spark.implicits._
