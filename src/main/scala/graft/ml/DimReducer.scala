@@ -1,7 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.{PCA, VectorAssembler}
-import org.apache.spark.ml.linalg.Vector
+
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.GraftTransformer
@@ -11,27 +11,64 @@ import graft.operators.GraftTransformer
   * exactly — t-SNE/UMAP have no distributed analog and are documented out
   * of scope, SURVEY.md §2.7).
   *
-  * spark.ml PCA = exact covariance PCA (Gram matrix via one
-  * treeAggregate, eigendecomposition on the driver) — the right scale
-  * shape: data never leaves the cluster, only the k×k Gram does.
+  * Exact covariance PCA with the right scale shape: ONE aggregation pass
+  * reduces the data to the k(k+3)/2 raw moments (map-side partial
+  * aggregation; only the tiny Gram reaches the driver), the k×k
+  * eigenproblem solves on the driver with the bounded Jacobi solver
+  * (solvers.SymSolve — no LAPACK, see there), and the projection is a
+  * codegen'd literal-loadings expression. Replaces the earlier
+  * MLlib PCA + VectorAssembler + UDF route: same mathematics, no
+  * per-row Vector boxing, no UDF in the scoring path, and projections
+  * are CENTERED (x−μ)·v (sklearn semantics, matching the reference).
+  * Component sign is pinned deterministically: the largest-magnitude
+  * loading of each component is positive.
   */
 case class DimReducer(featureCols: Seq[String], nComponents: Int)
     extends GraftTransformer {
+  require(nComponents >= 1 && nComponents <= featureCols.size,
+    s"nComponents=$nComponents for ${featureCols.size} features")
   def outputNames: Seq[String] = (0 until nComponents).map(i => s"dim_$i")
   def transform(df: DataFrame): DataFrame = fitTransform(df)
+
+  /** (means, loadings) — loadings(j) = eigenvector of the j-th largest
+    * eigenvalue of the sample covariance. */
+  def fit(df: DataFrame): (Array[Double], Array[Array[Double]]) = {
+    val k = featureCols.size
+    val cols = featureCols.map(f => col(f).cast("double"))
+    val moments =
+      (count(lit(1)).cast("double").as("__n") +:
+        cols.zipWithIndex.map { case (c, i) => sum(c).as(s"__s$i") }) ++
+        (for (i <- 0 until k; j <- i until k)
+          yield sum(cols(i) * cols(j)).as(s"__ss${i}_$j"))
+    val r = df.agg(moments.head, moments.tail: _*).collect()(0)
+    val n = r.getAs[Double]("__n")
+    val means = Array.tabulate(k)(i => r.getAs[Double](s"__s$i") / n)
+    val cov = new Array[Double](k * k)
+    for (i <- 0 until k; j <- i until k) {
+      val c = r.getAs[Double](s"__ss${i}_$j") / n - means(i) * means(j)
+      cov(i * k + j) = c; cov(j * k + i) = c
+    }
+    val (w, v) = graft.solvers.SymSolve.eigSym(cov, k)
+    val order = w.indices.sortBy(i => -w(i))
+    val loadings = order.take(nComponents).map { ei =>
+      val vec = Array.tabulate(k)(r => v(r * k + ei))
+      // deterministic sign: largest-|loading| coordinate positive
+      val m = vec.indices.maxBy(i => math.abs(vec(i)))
+      if (vec(m) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (means, loadings)
+  }
+
   def fitTransform(df: DataFrame): DataFrame = {
-    val va = new VectorAssembler().setInputCols(featureCols.toArray)
-      .setOutputCol("__features")
-    val pca = new PCA().setInputCol("__features").setOutputCol("__pca")
-      .setK(nComponents)
-    val assembled = va.transform(df)
-    val model = pca.fit(assembled)
-    val toArr = udf((v: Vector) => v.toArray)
-    model.transform(assembled)
-      .withColumn("__arr", toArr(col("__pca")))
-      .select(df.columns.map(col) ++
-        (0 until nComponents).map(i =>
-          element_at(col("__arr"), i + 1).as(s"dim_$i")): _*)
+    val (means, loadings) = fit(df)
+    val centered = featureCols.zip(means).map { case (f, m) =>
+      col(f).cast("double") - lit(m)
+    }
+    val dims = loadings.zipWithIndex.map { case (load, di) =>
+      centered.zip(load).map { case (c, l) => c * lit(l) }
+        .reduceLeft(_ + _).as(s"dim_$di")
+    }
+    df.select(df.columns.map(col) ++ dims: _*)
   }
 }
 
