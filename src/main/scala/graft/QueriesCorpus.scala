@@ -74,6 +74,12 @@ object QueriesCorpus {
           round(col("weight"), 6).as("weight"))
     }),
 
+    "q_vocab" -> ((s, dir) => {
+      CorpusSplit.topVocab(docs(s, dir), "doc_id", "text", k = 100)
+        .select(col("rank"), col("token"), col("n_occurrences"),
+          col("n_docs"))
+    }),
+
     "q_sample" -> ((s, dir) => {
       CorpusSplit.sampleBySource(docs(s, dir), "doc_id", "source", n = 5)
         .select(col("doc_id"), col("source"))
@@ -206,6 +212,15 @@ object QueriesCorpus {
          |  round(CAST(n_tokens AS DOUBLE) / tot, 6) AS token_share,
          |  round(pow(CAST(n_tokens AS DOUBLE), 0.5) / znum, 6) AS weight
          |FROM ps, t""".stripMargin,
+
+    "q_vocab" ->
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, unnest(l) AS token FROM w),
+         |c AS (SELECT token, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs FROM t GROUP BY token)
+         |SELECT rank, token, n_occurrences, n_docs FROM (
+         |  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+         |    token) AS rank FROM c) WHERE rank <= 100""".stripMargin,
 
     "q_sample" ->
       """SELECT doc_id, source FROM documents

@@ -202,6 +202,27 @@ object CorpusSplit {
           / ctxTokens).cast("long"))
   }
 
+  /** Vocabulary induction: the `k` most frequent tokens across the
+    * corpus with document frequencies — the precursor to tokenizer /
+    * vocab training. One explode + one pre-aggregated shuffle on the
+    * token (map-side partial counts make the exchange carry one row per
+    * distinct token per partition, not per occurrence); ties break
+    * deterministically by token. At 100 TB the top-k is a
+    * TakeOrdered over the aggregated token counts — never a global
+    * sort of the corpus. */
+  def topVocab(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(CorpusOps.words(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token"))))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic uniform sample of `n` documents per source: keep the
     * n smallest md5(id) within each shard (hash order ≡ uniform order,
     * and the sample is STABLE under corpus growth for the surviving

@@ -138,6 +138,16 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("vocabulary: top-k by occurrences with doc frequencies, " +
+    "deterministic ties") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
+    val v = CorpusSplit.topVocab(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs")))
+    assert(v.toSeq == Seq((1, "a", 4L, 2L), (2, "b", 3L, 2L),
+      (3, "c", 1L, 1L)), s"got ${v.toSeq}") // tie c-vs-z → token order
+  }
+
   test("deterministic sampling: exactly n per source, stable across " +
     "runs, and growth-invariant for surviving ids") {
     val docs = (0 until 200).map(i => (i.toLong, s"s${i % 4}", "txt"))
