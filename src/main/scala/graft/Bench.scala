@@ -63,23 +63,43 @@ object Bench {
     // queries (scoring, gaussianize, per-doc stats) measured 2-5× faster
     // than they run — the noop write evaluates every output column
     // without sink overhead (the standard Spark benchmarking sink).
-    val results = selected.map { case (name, fn) =>
+    //
+    // Suite-position noise: a single sequential pass over ~70 queries
+    // accumulates GC / codegen-cache pressure in the long-lived JVM, so
+    // late queries measure up to 4-5× their isolated cost. Countermeasures:
+    // (a) release leftover cached relations + solver caches and hint a GC
+    // between queries (untimed), (b) run TWO passes in different seeded
+    // shuffle orders and keep the per-query MINIMUM — position-dependent
+    // inflation never survives both orders.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val names = selected.keys.toSeq.sorted
+    val rnd = new scala.util.Random(20260812L)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to passes; name <- rnd.shuffle(names)
+         if !errors.contains(name)) {
+      spark.catalog.clearCache()
+      graft.operators.GraftTransformer.unpersistAll()
+      if (pass > 1 || passes == 1) System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        selected(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      } catch {
         case e: Throwable =>
+          best -= name
           errors += name -> (e.getClass.getSimpleName + ": " +
             String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
               .take(200))
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
-    val ok = results.filterNot { case (n, _) => errors.contains(n) }
+    val ok = names.filterNot(errors.contains).map(n => n -> best(n))
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }

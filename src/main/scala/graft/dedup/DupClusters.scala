@@ -31,22 +31,15 @@ import org.apache.spark.sql.functions._
 object DupClusters {
 
   private val liveCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    graft.operators.GraftTransformer.newCacheQueue()
 
   /** (id, cluster) for every vertex appearing in `pairs`; cluster is the
     * min vertex id reachable within `iters` hops. */
   def minLabelClusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
-    var prev = liveCaches.poll()
-    while (prev != null) {
-      prev.unpersist(blocking = false)
-      prev = liveCaches.poll()
-    }
-    def keep(df: DataFrame): DataFrame = {
-      val p = df.localCheckpoint(eager = true)
-      liveCaches.add(p)
-      p
-    }
+    liveCaches.release()
+    def keep(df: DataFrame): DataFrame =
+      liveCaches.keep(df.localCheckpoint(eager = true))
     // cache the PAIR LIST (one run of the upstream candidate query);
     // the bidirectional edge view is two cheap projections of the cache
     val p0 = keep(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))

@@ -67,9 +67,10 @@ private[solvers] object EraSolver {
     * CALLER'S terminal action runs (we cannot unpersist synchronously),
     * but a long-lived session holding a new solver result per invocation
     * must not accumulate cached blocks — disk blocks are not
-    * LRU-reclaimed. At most one solver cache stays live. */
+    * LRU-reclaimed. At most one solver cache stays live; users can also
+    * release it eagerly via `GraftTransformer.unpersistAll()`. */
   private val liveCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    graft.operators.GraftTransformer.newCacheQueue()
 
   /** Global (cross-era) min-max scale of the solver's `(id, outs array)`
     * output, returning `(idCol, out columns...)`.
@@ -84,16 +85,11 @@ private[solvers] object EraSolver {
   def scaleGlobal(solved: DataFrame, idCol: String,
       outputNames: Seq[String]): DataFrame = {
     def q(n: String) = col(s"`$n`")
-    var prev = liveCaches.poll()
-    while (prev != null) {
-      prev.unpersist(blocking = false)
-      prev = liveCaches.poll()
-    }
-    val unpacked = solved.select(
+    liveCaches.release()
+    val unpacked = liveCaches.keep(solved.select(
       col(idCol) +: outputNames.zipWithIndex.map { case (n, i) =>
         element_at(col("__outs"), i + 1).as(n)
-      }: _*).persist(StorageLevel.MEMORY_AND_DISK)
-    liveCaches.add(unpacked)
+      }: _*).persist(StorageLevel.MEMORY_AND_DISK))
     val aggs = outputNames.flatMap(n =>
       Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
     val scalars = unpacked.agg(aggs.head, aggs.tail: _*)

@@ -211,6 +211,37 @@ class SolverContractSpec extends AnyFunSuite {
 class ErrorContractSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("cache hygiene: sequential solver calls keep at most one live " +
+    "cache; GraftTransformer.unpersistAll releases it") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 60).map { i =>
+      SolverRow(i.toLong, s"e${i % 3}", rng.nextDouble(), rng.nextDouble(),
+        rng.nextDouble(), rng.nextDouble(), rng.nextDouble(),
+        rng.nextDouble())
+    }.toDF()
+    def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    graft.operators.GraftTransformer.unpersistAll()
+    // unpersist is async — poll until the bookkeeping map drains
+    def awaitAtMost(n: Int): Int = {
+      var tries = 0
+      while (cachedRdds > n && tries < 50) { Thread.sleep(100); tries += 1 }
+      cachedRdds
+    }
+    // baseline-relative: earlier suites in the shared session may hold
+    // their own (non-library) caches
+    val base = awaitAtMost(0)
+    def run() = FeatureNeutralizer(Seq("prediction"), Seq("f0", "f1"),
+      Seq(1.0), "era", "id").transform(df).count()
+    run()
+    val afterFirst = cachedRdds
+    assert(afterFirst <= base + 1, s"first call: $afterFirst vs base $base")
+    run()
+    assert(awaitAtMost(base + 1) <= base + 1, "second call accumulated caches")
+    graft.operators.GraftTransformer.unpersistAll()
+    assert(awaitAtMost(base) <= base, "unpersistAll left caches live")
+  }
+
   test("invalid parameters raise with the reference's messages") {
     intercept[IllegalArgumentException] {
       FeatureNeutralizer(Seq("p"), Seq("f"), Seq(1.5))
