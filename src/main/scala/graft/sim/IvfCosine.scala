@@ -38,8 +38,18 @@ object IvfCosine {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxTrainRows: Int = 100000,
       iters: Int = 10): Index = {
-    val sample: Array[Array[Double]] = corpus.select(col(vecCol))
-      .limit(maxTrainRows).collect()
+    // UNIFORM bounded sample: the md5-ordered prefix is a deterministic
+    // pseudo-random draw that is invariant to corpus row order — a plain
+    // limit() takes the first N source rows, which on a source-ordered
+    // corpus (by crawl date, by domain) would bias the quantizer.
+    // orderBy+limit compiles to TakeOrderedAndProject: each task keeps a
+    // bounded top-N heap, no global sort shuffle.
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol), md5(col(idCol).cast("string")).as("__ord"))
+      .orderBy(col("__ord"))
+      .limit(maxTrainRows)
+      .select(col(vecCol))
+      .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "ivf quantizer: empty training sample")
     val dim = sample.head.length

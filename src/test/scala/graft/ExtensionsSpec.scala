@@ -157,6 +157,17 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall too low: $recall")
   }
 
+  test("ivf: quantizer training sample is invariant to corpus row order") {
+    import graft.sim.IvfCosine
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    // same rows, adversarial physical order (descending id, 1 partition
+    // vs the source layout) — a first-N limit() sample would differ
+    val reordered = corpus.orderBy($"vec_id".desc).coalesce(1)
+    val a = IvfCosine.buildIndex(corpus, "vec_id", "embedding", nlist = 8)
+    val b = IvfCosine.buildIndex(reordered, "vec_id", "embedding", nlist = 8)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+  }
+
   test("salted aggregation equals the direct groupBy exactly") {
     import graft.functions.SkewUtils
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
