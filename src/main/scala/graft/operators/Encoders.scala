@@ -48,18 +48,30 @@ case class TargetEncoder(catCols: Seq[String], targetCol: String,
   * tiny per-group frame broadcast back; degenerate MAD (< 1e-12) yields
   * null rather than ±inf.
   *
+  * Exact `percentile` buffers every group value in the aggregation
+  * buffer — fine for bounded-cardinality groups (eras, categories), a
+  * per-group memory hazard when one group holds billions of rows. Set
+  * `approx = true` for the scale path: `approx_percentile` (KLL-style
+  * bounded sketch, mergeable map-side) holds O(accuracy) state per group
+  * regardless of group size. Exact stays the default (and the oracle
+  * mode — DuckDB's quantile_cont matches it bit-for-bit).
+  *
   * Output: `{f}_robust` per feature.
   */
-case class RobustScaler(featureCols: Seq[String], groupCol: String)
+case class RobustScaler(featureCols: Seq[String], groupCol: String,
+    approx: Boolean = false, accuracy: Int = 10000)
     extends GraftTransformer {
   def outputNames: Seq[String] = featureCols.map(f => s"${f}_robust")
+  private def pct(e: String, p: Double): String =
+    if (approx) s"approx_percentile($e, $p, $accuracy)"
+    else s"percentile($e, $p)"
   def transform(df: DataFrame): DataFrame = {
     val medAggs = featureCols.map(f =>
-      expr(s"percentile(`$f`, 0.5)").as(s"__med_$f"))
+      expr(pct(s"`$f`", 0.5)).as(s"__med_$f"))
     val meds = df.groupBy(col(groupCol)).agg(medAggs.head, medAggs.tail: _*)
     val withMed = df.join(broadcast(meds), Seq(groupCol))
     val madAggs = featureCols.map(f =>
-      expr(s"percentile(abs(`$f` - `__med_$f`), 0.5)").as(s"__mad_$f"))
+      expr(pct(s"abs(`$f` - `__med_$f`)", 0.5)).as(s"__mad_$f"))
     val mads = withMed.groupBy(col(groupCol))
       .agg(madAggs.head, madAggs.tail: _*)
     val joined = withMed.join(broadcast(mads), Seq(groupCol))
@@ -77,16 +89,25 @@ case class RobustScaler(featureCols: Seq[String], groupCol: String)
   * estimator DuckDB's quantile_cont uses). The tiny per-group quantile
   * frame broadcasts back — never an all-rows window sort.
   *
+  * `approx = true` swaps in `approx_percentile` for the scale path —
+  * bounded mergeable per-group state instead of buffering every value;
+  * see [[RobustScaler]].
+  *
   * Output: `{f}_wins` per feature.
   */
 case class Winsorizer(featureCols: Seq[String], groupCol: String,
-    lo: Double = 0.05, hi: Double = 0.95) extends GraftTransformer {
+    lo: Double = 0.05, hi: Double = 0.95,
+    approx: Boolean = false, accuracy: Int = 10000)
+    extends GraftTransformer {
   require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile range [$lo, $hi]")
   def outputNames: Seq[String] = featureCols.map(f => s"${f}_wins")
+  private def pct(f: String, p: Double): String =
+    if (approx) s"approx_percentile(`$f`, $p, $accuracy)"
+    else s"percentile(`$f`, $p)"
   def transform(df: DataFrame): DataFrame = {
     val aggs = featureCols.flatMap { f =>
-      Seq(expr(s"percentile(`$f`, ${lo})").as(s"__lo_$f"),
-        expr(s"percentile(`$f`, ${hi})").as(s"__hi_$f"))
+      Seq(expr(pct(f, lo)).as(s"__lo_$f"),
+        expr(pct(f, hi)).as(s"__hi_$f"))
     }
     val qs = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     val joined = df.join(broadcast(qs), Seq(groupCol))

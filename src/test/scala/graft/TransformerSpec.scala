@@ -209,4 +209,32 @@ class TransformerSpec extends AnyFunSuite {
     assert(out(1.0) == 1.9 && out(10.0) == 9.1)
     assert(out(5.0) == 5.0 && out(9.0) == 9.0)
   }
+
+  test("approx mode (winsorizer + robust scaler) tracks exact within " +
+    "tolerance on a 20k-row skewed group") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // log-normal-ish values, two groups of very different size — the
+    // shape where exact percentile's value-buffering is the hazard
+    val df = (0 until 20000).map { i =>
+      val g = if (i % 20 == 0) "small" else "big"
+      (g, math.exp(rng.nextGaussian()) * 10.0)
+    }.toDF("grp", "v").cache()
+    def stats(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.agg(avg(col(c)), stddev(col(c))).collect()(0)
+    val exact = Winsorizer(Seq("v"), "grp").transform(df)
+    val apprx = Winsorizer(Seq("v"), "grp", approx = true).transform(df)
+    // per-row comparison: clip bounds differ only by sketch error
+    val joinedW = exact.select($"grp", $"v", $"v_wins".as("e"))
+      .join(apprx.select($"grp", $"v", $"v_wins".as("a")), Seq("grp", "v"))
+    val maxRel = joinedW.agg(max(abs($"e" - $"a") /
+      greatest(abs($"e"), lit(1e-9)))).collect()(0).getDouble(0)
+    assert(maxRel < 0.05, s"approx winsorize rel err $maxRel")
+    val re = stats(RobustScaler(Seq("v"), "grp").transform(df), "v_robust")
+    val ra = stats(RobustScaler(Seq("v"), "grp", approx = true)
+      .transform(df), "v_robust")
+    assert(math.abs(re.getDouble(0) - ra.getDouble(0)) < 0.05)
+    assert(math.abs(re.getDouble(1) - ra.getDouble(1)) < 0.05)
+    df.unpersist()
+  }
 }
