@@ -209,7 +209,9 @@ object CorpusSplit {
     * distinct token per partition, not per occurrence); ties break
     * deterministically by token. At 100 TB the top-k is a
     * TakeOrdered over the aggregated token counts — never a global
-    * sort of the corpus. */
+    * sort of the corpus: Catalyst's LimitPushDownThroughWindow rewrites
+    * the `rank <= k` filter on the unpartitioned row_number window into
+    * TakeOrderedAndProject(limit=k) (pinned by PlanSpec). */
   def topVocab(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val tok = docs.select(col(idCol),

@@ -65,6 +65,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(plan) <= 1, s"fact side must not shuffle for joins:\n$plan")
   }
 
+  test("topVocab's global top-k is a TakeOrdered over aggregated token " +
+    "counts — never a single-partition sort of the full vocabulary") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(
+      graft.text.CorpusSplit.topVocab(docs, "doc_id", "text", 30))
+    // LimitPushDownThroughWindow rewrites the rank<=k filter on the
+    // unpartitioned row_number window into a bounded top-k; accept the
+    // WindowGroupLimit spelling too for robustness across Spark minors
+    assert(plan.contains("TakeOrderedAndProject(limit=30") ||
+      plan.contains("WindowGroupLimit"),
+      s"global top-k not bounded:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"full vocab must not funnel through one partition:\n$plan")
+  }
+
   test("pinned scoring paths (mlp/forest/bottleneck) are pure " +
     "projections: zero exchanges, no UDFs") {
     for (q <- Seq("q_mlp_score", "q_mlp_multi", "q_forest_score",
