@@ -285,11 +285,15 @@ object Dedup {
     * once per row, the pair check is a single dot) inside buckets only.
     *
     * Recall/cost knobs: more planes per band → smaller buckets (cost ↓,
-    * recall ↓); more bands → recall ↑ linearly in cost. At a real
-    * near-dup threshold (≥0.9) use ≥16 planes/band; `maxBucketSize` hard-
+    * recall ↓); more bands → recall ↑ linearly in cost. SRP collision
+    * probability per plane is 1 − θ/π, so worst-case recall at the
+    * threshold itself is 1 − (1 − p^planes)^bands with p = 1 −
+    * acos(threshold)/π; the 8×12 default gives ≥ 0.92 at cosine 0.95
+    * (pinned by the planted-pair recall test), where the previous 4×16
+    * bottomed out near 0.55 at the knife edge. `maxBucketSize` hard-
     * bounds the quadratic in-bucket join either way. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, bands: Int = 4, planesPerBand: Int = 16,
+      dim: Int, bands: Int = 8, planesPerBand: Int = 12,
       threshold: Double = 0.95, maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)).as("nrm"))

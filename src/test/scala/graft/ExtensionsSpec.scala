@@ -157,6 +157,72 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall too low: $recall")
   }
 
+  test("embeddingNearDups at the default (8 bands x 12 planes): recall " +
+    ">= 0.9 vs brute-force ground truth at cosine >= 0.95; no false " +
+    "positives") {
+    import graft.dedup.Dedup
+    // the fixture's vectors are mutually random (max pairwise cosine
+    // ~0.51), so PLANT near-duplicates: one jittered copy per original at
+    // varying jitter scale -> planted cosines spread across ~[0.93, 0.995]
+    // and the 0.95 threshold cuts through the middle of them
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val rng = new scala.util.Random(5)
+    val jittered = base.map { case (id, v) =>
+      val scale = 0.05 + 0.25 * rng.nextDouble()
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val noise = Array.fill(v.length)(rng.nextGaussian())
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      (id + 100000L,
+        v.zip(noise).map { case (x, e) => (x + e * scale * vn / nn).toFloat })
+    }
+    val rows: Array[(Long, Array[Double])] =
+      base ++ jittered.map { case (id, v) => id -> v.map(_.toDouble) }
+    // driver-side exact all-pairs ground truth (1000 rows -> 500k dots)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vec = rows.toMap
+    val truth = (for {
+      i <- rows.indices.iterator; j <- (i + 1) until rows.length
+      a = rows(i)._1; b = rows(j)._1
+      c = dot(vec(a), vec(b)) / (nrm(a) * nrm(b))
+      if c >= 0.95
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(truth.size >= 100, s"only ${truth.size} planted pairs; vacuous")
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.map(_.toFloat).toSeq)
+      }, 4),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val found = Dedup.embeddingNearDups(corpus, "vec_id", "embedding",
+      dim = 64)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // float32 storage vs float64 truth can disagree only inside a hair of
+    // the threshold; exclude the knife-edge from the false-positive check
+    val nearThr = truth ++ (for {
+      i <- rows.indices.iterator; j <- (i + 1) until rows.length
+      a = rows(i)._1; b = rows(j)._1
+      c = dot(vec(a), vec(b)) / (nrm(a) * nrm(b))
+      if c >= 0.9499 && c < 0.95
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    assert(found.subsetOf(nearThr),
+      s"LSH produced false positives: ${found.diff(nearThr).take(5)}")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (truth=${truth.size}, " +
+      s"found=${found.size})")
+  }
+
   test("ivf: quantizer training sample is invariant to corpus row order") {
     import graft.sim.IvfCosine
     val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
