@@ -68,6 +68,37 @@ class SourcesSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("streaming corpus curation: hashSplit and chunk run unchanged " +
+    "under readStream and match their batch outputs") {
+    import graft.text.CorpusSplit
+    val src = java.nio.file.Files.createTempDirectory("graft-scurate").toFile
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("overwrite").parquet(src.getAbsolutePath)
+    val streamIn = spark.readStream.schema(docs.schema)
+      .parquet(src.getAbsolutePath)
+    // both ops are stateless projections/explodes — they compose with a
+    // streaming source as-is, no watermark/output-mode ceremony
+    val q1 = streamIn
+      .select(col("doc_id"), CorpusSplit.hashSplit(col("doc_id")).as("split"))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    val q2 = CorpusSplit.chunk(streamIn, "doc_id", "text",
+      chunkSize = 64, stride = 32)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val splitS = spark.table("split_stream").collect().map(_.toSeq).toSet
+    val chunkS = spark.table("chunk_stream").collect().map(_.toSeq).toSet
+    q1.stop(); q2.stop()
+    val splitB = docs
+      .select(col("doc_id"), CorpusSplit.hashSplit(col("doc_id")).as("split"))
+      .collect().map(_.toSeq).toSet
+    val chunkB = CorpusSplit.chunk(docs, "doc_id", "text",
+      chunkSize = 64, stride = 32).collect().map(_.toSeq).toSet
+    assert(splitS == splitB && splitB.nonEmpty)
+    assert(chunkS == chunkB && chunkB.nonEmpty)
+  }
 }
 
 /** Bucketing: the co-located-join scale path (builder brief: "bucketing
