@@ -1,0 +1,288 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flat-parameter BPTT kernel for a one-layer LSTM (+ linear head): the
+  * per-row gradient of 0.5·(pred − y)², written against a single flat
+  * weight array so gradients aggregate as one vector sum.
+  *
+  * Layout (per gate g ∈ i,f,c̃,o in that order):
+  * `W_g` F×H feature-major, `U_g` H×H prev-hidden-major, `b_g` H —
+  * then `wOut` H, `bOut`. Total 4(FH + H² + H) + H + 1.
+  *
+  * The forward recurrence matches [[LstmScorer.stepStages]] exactly
+  * (Keras gate order and the t=0 convention h₋₁ = c₋₁ = 0, where the
+  * recurrent term is omitted and c₀ = i∘g — so the forget gate has zero
+  * gradient at t=0): weights fitted here score identically through the
+  * distributed codegen'd forward pass.
+  */
+object LstmBptt {
+
+  def size(f: Int, h: Int): Int = 4 * (f * h + h * h + h) + h + 1
+
+  /** Offsets of gate `g` (0=i,1=f,2=c̃,3=o): (W, U, b). */
+  private def gateOff(g: Int, f: Int, h: Int): (Int, Int, Int) = {
+    val blk = f * h + h * h + h
+    val base = g * blk
+    (base, base + f * h, base + f * h + h * h)
+  }
+  private def wOutOff(f: Int, h: Int): Int = 4 * (f * h + h * h + h)
+
+  /** Unpack a flat vector into the scorer's weight case class. */
+  def toWeights(w: Array[Double], f: Int, h: Int): LstmWeights = {
+    def mat(off: Int, rows: Int): Array[Array[Double]] =
+      Array.tabulate(rows, h)((r, u) => w(off + r * h + u))
+    def vec(off: Int): Array[Double] = Array.tabulate(h)(u => w(off + u))
+    val Seq((wi, ui, bi), (wf, uf, bf), (wc, uc, bc), (wo, uo, bo)) =
+      (0 until 4).map(g => gateOff(g, f, h))
+    LstmWeights(
+      mat(wi, f), mat(ui, h), vec(bi),
+      mat(wf, f), mat(uf, h), vec(bf),
+      mat(wc, f), mat(uc, h), vec(bc),
+      mat(wo, f), mat(uo, h), vec(bo),
+      Array.tabulate(h)(u => w(wOutOff(f, h) + u)),
+      w(size(f, h) - 1))
+  }
+
+  /** Forward pass only: prediction for one row (used by the gradient
+    * check; production scoring goes through [[LstmScorer]]). */
+  def forward(w: Array[Double], f: Int, h: Int,
+      x: Array[Array[Double]]): Double =
+    run(w, f, h, x, 0.0, null)
+
+  /** Forward + (if `acc` non-null) backward, accumulating the gradient
+    * into `acc` (same layout as `w`, one extra slot for the loss is NOT
+    * assumed — caller tracks loss from the return). Returns the
+    * prediction (acc == null) or the squared-error loss (acc != null). */
+  def run(w: Array[Double], f: Int, h: Int, x: Array[Array[Double]],
+      y: Double, acc: Array[Double]): Double = {
+    val T = x.length
+    val (wiO, uiO, biO) = gateOff(0, f, h)
+    val (wfO, ufO, bfO) = gateOff(1, f, h)
+    val (wcO, ucO, bcO) = gateOff(2, f, h)
+    val (woO, uoO, boO) = gateOff(3, f, h)
+    val woutO = wOutOff(f, h)
+    val ig = Array.ofDim[Double](T, h); val fg = Array.ofDim[Double](T, h)
+    val gg = Array.ofDim[Double](T, h); val og = Array.ofDim[Double](T, h)
+    val cs = Array.ofDim[Double](T, h); val hs = Array.ofDim[Double](T, h)
+    val tc = Array.ofDim[Double](T, h)
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    var t = 0
+    while (t < T) {
+      val xt = x(t)
+      var u = 0
+      while (u < h) {
+        var zi = w(biO + u); var zf = w(bfO + u)
+        var zg = w(bcO + u); var zo = w(boO + u)
+        var fi = 0
+        while (fi < f) {
+          val xv = xt(fi); val r = fi * h + u
+          zi += xv * w(wiO + r); zf += xv * w(wfO + r)
+          zg += xv * w(wcO + r); zo += xv * w(woO + r)
+          fi += 1
+        }
+        if (t > 0) {
+          val hp = hs(t - 1)
+          var k = 0
+          while (k < h) {
+            val hv = hp(k); val r = k * h + u
+            zi += hv * w(uiO + r); zf += hv * w(ufO + r)
+            zg += hv * w(ucO + r); zo += hv * w(uoO + r)
+            k += 1
+          }
+        }
+        ig(t)(u) = sigmoid(zi); fg(t)(u) = sigmoid(zf)
+        gg(t)(u) = math.tanh(zg); og(t)(u) = sigmoid(zo)
+        cs(t)(u) = (if (t > 0) fg(t)(u) * cs(t - 1)(u) else 0.0) +
+          ig(t)(u) * gg(t)(u)
+        tc(t)(u) = math.tanh(cs(t)(u))
+        hs(t)(u) = og(t)(u) * tc(t)(u)
+        u += 1
+      }
+      t += 1
+    }
+    var pred = w(size(f, h) - 1)
+    var u = 0
+    while (u < h) { pred += w(woutO + u) * hs(T - 1)(u); u += 1 }
+    if (acc == null) return pred
+
+    // backward
+    val d = pred - y
+    val dh = new Array[Double](h); val dc = new Array[Double](h)
+    acc(size(f, h) - 1) += d
+    u = 0
+    while (u < h) {
+      acc(woutO + u) += d * hs(T - 1)(u)
+      dh(u) = w(woutO + u) * d
+      u += 1
+    }
+    t = T - 1
+    val dzi = new Array[Double](h); val dzf = new Array[Double](h)
+    val dzg = new Array[Double](h); val dzo = new Array[Double](h)
+    while (t >= 0) {
+      val xt = x(t)
+      var u2 = 0
+      while (u2 < h) {
+        val o = og(t)(u2); val i = ig(t)(u2); val g = gg(t)(u2)
+        val tch = tc(t)(u2)
+        dzo(u2) = dh(u2) * tch * o * (1 - o)
+        val dcu = dc(u2) + dh(u2) * o * (1 - tch * tch)
+        dzi(u2) = dcu * g * i * (1 - i)
+        dzg(u2) = dcu * i * (1 - g * g)
+        dzf(u2) = if (t > 0) {
+          val fgu = fg(t)(u2)
+          dcu * cs(t - 1)(u2) * fgu * (1 - fgu)
+        } else 0.0
+        // dc_{t-1}; the forget path only exists for t > 0
+        dc(u2) = if (t > 0) dcu * fg(t)(u2) else 0.0
+        acc(biO + u2) += dzi(u2); acc(bfO + u2) += dzf(u2)
+        acc(bcO + u2) += dzg(u2); acc(boO + u2) += dzo(u2)
+        var fi = 0
+        while (fi < f) {
+          val xv = xt(fi); val r = fi * h + u2
+          acc(wiO + r) += xv * dzi(u2); acc(wfO + r) += xv * dzf(u2)
+          acc(wcO + r) += xv * dzg(u2); acc(woO + r) += xv * dzo(u2)
+          fi += 1
+        }
+        u2 += 1
+      }
+      if (t > 0) {
+        val hp = hs(t - 1)
+        var k = 0
+        while (k < h) {
+          var s = 0.0
+          var u3 = 0
+          while (u3 < h) {
+            val r = k * h + u3
+            acc(uiO + r) += hp(k) * dzi(u3)
+            acc(ufO + r) += hp(k) * dzf(u3)
+            acc(ucO + r) += hp(k) * dzg(u3)
+            acc(uoO + r) += hp(k) * dzo(u3)
+            s += w(uiO + r) * dzi(u3) + w(ufO + r) * dzf(u3) +
+              w(ucO + r) * dzg(u3) + w(uoO + r) * dzo(u3)
+            u3 += 1
+          }
+          dh(k) = s
+          k += 1
+        }
+      }
+      t -= 1
+    }
+    0.5 * d * d
+  }
+}
+
+/** Trains the one-layer LSTM regressor the reference fits with Keras
+  * (sequence.py:101-153) — the same treeAggregate-gradient + driver-Adam
+  * shape as [[MLPRegressor]]: executors fold rows into ONE flat gradient
+  * vector per epoch (map-side partial sums, depth-2 tree merge), the
+  * driver holds only the weight vector. Fitted weights flow into the
+  * existing distributed scoring path ([[LstmScorer]] — unrolled pure
+  * column arithmetic, no UDF), so fit-once/score-anywhere works exactly
+  * like the pinned-weights queries.
+  *
+  * `lagCols` must be lag-major over `seqLen` timesteps — the
+  * LagTransformer output order ([[graft.operators.SequenceReshape]]).
+  */
+class LSTMTrainer(
+    val lagCols: Seq[String],
+    val seqLen: Int,
+    val targetCol: String,
+    val hidden: Int = 8,
+    val lr: Double = 1e-2,
+    val epochs: Int = 150,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true) extends Serializable {
+
+  require(lagCols.size % seqLen == 0,
+    s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  private val nFeat = lagCols.size / seqLen
+
+  private var weights: LstmWeights = _
+  private var yMean = 0.0
+  private var yStd = 1.0
+
+  def fittedWeights: LstmWeights = weights
+
+  def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
+
+  def fit(df: DataFrame): this.type = {
+    val (f, h, t) = (nFeat, hidden, seqLen)
+    val sz = LstmBptt.size(f, h)
+    val data = df.select((targetCol +: lagCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    val n = data.count().toDouble
+    require(n > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val r = data.agg(avg(col(targetCol)), stddev_pop(col(targetCol)))
+        .collect()(0)
+      yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
+    }
+    val rng = new scala.util.Random(seed)
+    val w = new Array[Double](sz)
+    // Glorot for the input blocks, scaled-uniform for the recurrent
+    // blocks; Keras-style unit forget bias (inert at t=0 by the cell's
+    // h₋₁ = 0 convention but it stabilizes the early epochs after that)
+    val limW = math.sqrt(6.0 / (f + h))
+    val limU = math.sqrt(6.0 / (2.0 * h))
+    val blk = f * h + h * h + h
+    for (g <- 0 until 4) {
+      val base = g * blk
+      for (i <- 0 until f * h)
+        w(base + i) = (rng.nextDouble() * 2 - 1) * limW
+      for (i <- 0 until h * h)
+        w(base + f * h + i) = (rng.nextDouble() * 2 - 1) * limU
+      if (g == 1)
+        for (i <- 0 until h) w(base + f * h + h * h + i) = 1.0
+    }
+    val limOut = math.sqrt(6.0 / (h + 1))
+    for (i <- 0 until h + 1)
+      w(4 * blk + i) = (rng.nextDouble() * 2 - 1) * limOut
+    // Adam state
+    val m = new Array[Double](sz); val v = new Array[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val (ym, ys) = (yMean, yStd)
+    for (ep <- 1 to epochs) {
+      val bw = w.clone()
+      val grad = data.rdd.treeAggregate(new Array[Double](sz + 1))(
+        seqOp = (acc, row) => {
+          val y = (row.getDouble(0) - ym) / ys
+          val x = Array.tabulate(t, f)((ti, fi) =>
+            row.getDouble(1 + ti * f + fi))
+          acc(sz) += LstmBptt.run(bw, f, h, x, y, acc)
+          acc
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }, depth = 2)
+      var i = 0
+      while (i < sz) {
+        val g = grad(i) / n
+        m(i) = beta1 * m(i) + (1 - beta1) * g
+        v(i) = beta2 * v(i) + (1 - beta2) * g * g
+        val mh = m(i) / (1 - math.pow(beta1, ep))
+        val vh = v(i) / (1 - math.pow(beta2, ep))
+        w(i) -= lr * mh / (math.sqrt(vh) + eps)
+        i += 1
+      }
+    }
+    data.unpersist()
+    weights = LstmBptt.toWeights(w, f, h)
+    this
+  }
+
+  /** Appends `prediction` through the distributed unrolled forward pass,
+    * un-standardizing if the target was scaled at fit. */
+  def predict(df: DataFrame): DataFrame = {
+    require(weights != null, "fit first")
+    val scored = LstmScorer.score(df, steps, weights)
+    if (scaleTarget)
+      scored.withColumn("prediction",
+        col("prediction") * lit(yStd) + lit(yMean))
+    else scored
+  }
+}

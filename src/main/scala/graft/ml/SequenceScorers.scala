@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * (LSTMRegressor, keras_estimators/sequence.py:101-153; the
   * TransformerRegressor encoder block, transformer.py:108-245).
   *
-  * Training deep sequence models stays out of scope (SURVEY.md §7.5);
-  * what IS in scope — and oracle-checkable — is the distributed forward
-  * pass: broadcast weights unrolled into pure column arithmetic over the
+  * The one-layer LSTM now TRAINS cluster-side too ([[LSTMTrainer]] —
+  * treeAggregate BPTT, same gradient-aggregation shape as MLPRegressor);
+  * transformer training stays out of scope (SURVEY.md §7.5). What is
+  * oracle-checkable either way is the distributed forward pass:
+  * broadcast weights unrolled into pure column arithmetic over the
   * lag-major sequence layout of [[graft.operators.SequenceReshape]]
   * (sequence.py:26-40), one projection stage per timestep, no UDF, no
   * shuffle. Both the Spark plan and the DuckDB oracle SQL are generated

@@ -33,6 +33,86 @@ class MLSpec extends AnyFunSuite {
     assert(r2 > 0.8, s"MLP failed to learn: r2=$r2")
   }
 
+  test("lstm bptt kernel: analytic gradient matches central finite " +
+    "differences; kernel forward matches the distributed scorer") {
+    import graft.ml.{LstmBptt, LstmScorer}
+    val (f, h, t) = (2, 3, 4)
+    val sz = LstmBptt.size(f, h)
+    val r = new scala.util.Random(9)
+    val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val x = Array.fill(t, f)(r.nextGaussian())
+    val y = 0.7
+    val acc = new Array[Double](sz)
+    LstmBptt.run(w, f, h, x, y, acc)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      def loss(wv: Array[Double]) = {
+        val d = LstmBptt.run(wv, f, h, x, y, null) - y
+        0.5 * d * d
+      }
+      val fd = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    // kernel forward == unrolled distributed forward (same weights)
+    val cols = (0 until t).flatMap(ti => (0 until f).map(fi => s"x${ti}_$fi"))
+    val df = Seq(org.apache.spark.sql.Row.fromSeq(
+      0L +: (0 until t).flatMap(ti => (0 until f).map(fi => x(ti)(fi))))
+    ).asInstanceOf[Seq[org.apache.spark.sql.Row]]
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) +:
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(df, 1), schema)
+    val steps = cols.grouped(f).toSeq
+    val scored = LstmScorer.score(sdf, steps, LstmBptt.toWeights(w, f, h))
+      .select("prediction").collect()(0).getDouble(0)
+    assert(math.abs(scored - LstmBptt.forward(w, f, h, x)) < 1e-12,
+      "trainer forward and scorer disagree")
+  }
+
+  test("lstm: fit learns a synthetic AR(2) series to R^2 > 0.8; fitted " +
+    "weights score through the distributed forward pass") {
+    import graft.ml.{LSTMTrainer, Metrics}
+    val r = new scala.util.Random(4)
+    // near-unit-root AR(2) (roots 0.9, 0.5): one-step-ahead R^2 is fixed
+    // by the coefficients — these give an attainable ~0.95, so an
+    // absolute 0.8 bar is meaningful
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    // lag-major windows: (lag4..lag1) predict the next value
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new LSTMTrainer(Seq("lag4", "lag3", "lag2", "lag1"), seqLen = 4,
+      targetCol = "y", hidden = 6, lr = 0.02, epochs = 150)
+    val pred = m.fit(df).predict(df)
+    assert(pred.columns.contains("prediction"))
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    val rBar = {
+      // attainable ceiling: the true AR coefficients
+      val best = rows.map { case (_, _, _, l2, l1, y) =>
+        val p = 1.4 * l1 - 0.45 * l2; (p - y) * (p - y)
+      }.sum / rows.size
+      val mean = rows.map(_._6).sum / rows.size
+      val tot = rows.map { case (_, _, _, _, _, y) =>
+        (y - mean) * (y - mean)
+      }.sum / rows.size
+      1.0 - best / tot
+    }
+    assert(r2 > 0.8,
+      s"LSTM failed to learn AR(2): r2=$r2 (oracle-best=$rBar)")
+  }
+
   test("mlp: scoring with pinned weights is a pure projection " +
     "(no shuffle in the plan)") {
     val df = data.toDF()
