@@ -113,6 +113,42 @@ class MLSpec extends AnyFunSuite {
       s"LSTM failed to learn AR(2): r2=$r2 (oracle-best=$rBar)")
   }
 
+  test("tsne: separated 10-D clusters stay separated in the 2-D " +
+    "embedding (trustworthiness-style 5-NN purity); deterministic; " +
+    "dim_i naming and out-of-sample nulls") {
+    import graft.ml.{Tsne, TsneReducer}
+    val r = new scala.util.Random(2)
+    val centers = Array(
+      Array.fill(10)(0.0), Array.fill(10)(8.0),
+      Array.tabulate(10)(i => if (i % 2 == 0) 8.0 else -8.0))
+    val labels = Array.tabulate(150)(_ % 3)
+    val x = labels.map(l => centers(l).map(_ + r.nextGaussian()))
+    val y = Tsne.embed(x, outDims = 2, perplexity = 20, iters = 400)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum
+    val pure = labels.indices.count { i =>
+      val nn = labels.indices.filter(_ != i)
+        .sortBy(j => d2(y(i), y(j))).take(5)
+      nn.count(j => labels(j) == labels(i)) >= 3
+    }
+    assert(pure >= 135, s"only $pure/150 points have same-cluster 5-NN " +
+      "majority in the embedding")
+    // determinism for a fixed seed
+    val y2 = Tsne.embed(x, outDims = 2, perplexity = 20, iters = 400)
+    assert(y.flatten.toSeq == y2.flatten.toSeq)
+    // DataFrame surface: dim naming, out-of-sample rows get null dims
+    val df = labels.indices.map { i =>
+      (i.toLong, x(i)(0), x(i)(1), x(i)(2))
+    }.toDF("id", "f0", "f1", "f2")
+    val red = TsneReducer(Seq("f0", "f1", "f2"), "id", iters = 50,
+      maxRows = 100)
+    val out = red.transform(df)
+    assert(red.outputNames == Seq("dim_0", "dim_1"))
+    assert(out.columns.takeRight(2).toSeq == Seq("dim_0", "dim_1"))
+    assert(out.where(col("dim_0").isNotNull).count() == 100)
+    assert(out.count() == 150)
+  }
+
   test("mlp: scoring with pinned weights is a pure projection " +
     "(no shuffle in the plan)") {
     val df = data.toDF()
