@@ -241,6 +241,28 @@ object QueriesML {
           round(col("combined_loss"), 4).as("combined_loss"))
     }),
 
+    // Soft differentiable Spearman loss (losses.py:76-117) on per-status
+    // mini-batches: 256 md5-ordered orders per group (o_orderkey is the
+    // unique row id — lineitem's (orderkey, linenumber) is NOT unique in
+    // the synthetic data). The reference evaluates this loss on training
+    // batches — pairwise soft ranks are O(n²), so the group must be
+    // batch-bounded; the n² expansion here is a broadcast join (zero
+    // pre-aggregation shuffle, see Metrics.softSpearman). price/1000
+    // keeps the sigmoid off its saturated tails so the soft ranks differ
+    // from exact ranks.
+    "q_soft_spearman" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(md5(col("o_orderkey").cast("string")))
+      val batch = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 256)
+        .withColumn("price_k", col("o_totalprice") / lit(1000.0))
+        .withColumn("cust_k", col("o_custkey") / lit(1000.0))
+      Metrics.softSpearman(batch, "price_k", "cust_k",
+        Seq("o_orderstatus"), Seq("o_orderkey"), tau = 1.0)
+        .select(col("o_orderstatus"),
+          round(col("soft_spearman_loss"), 6).as("soft_loss"))
+    }),
+
     // R² of a trailing-MA "prediction" vs price, per returnflag
     "q_r2" -> ((s, dir) => {
       val ma = MovingAverageTransformer(Seq("l_extendedprice"), Seq(4),
@@ -465,6 +487,33 @@ object QueriesML {
          |  ${bin(1)} AS f1
          |FROM s""".stripMargin
     },
+
+    "q_soft_spearman" ->
+      """WITH batch AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    o_totalprice / 1000.0 AS p, o_custkey / 1000.0 AS y
+        |  FROM (
+        |    SELECT o_orderstatus, o_orderkey, o_totalprice, o_custkey,
+        |      row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY md5(o_orderkey::VARCHAR)) AS rn
+        |    FROM orders) WHERE rn <= 256
+        |), ranks AS (
+        |  SELECT a.o_orderstatus, a.o_orderkey,
+        |    sum(1.0 / (1.0 + exp(-(a.p - b.p) / 1.0))) AS rp,
+        |    sum(1.0 / (1.0 + exp(-(a.y - b.y) / 1.0))) AS ry
+        |  FROM batch a JOIN batch b USING (o_orderstatus)
+        |  GROUP BY 1, 2
+        |), s AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(rp) AS sp, sum(ry) AS sy, sum(rp * ry) AS spy,
+        |    sum(rp * rp) AS spp, sum(ry * ry) AS syy
+        |  FROM ranks GROUP BY 1
+        |)
+        |SELECT o_orderstatus,
+        |  round(-((spy - sp * sy / n)
+        |    / sqrt((spp - sp * sp / n) * (syy - sy * sy / n) + 1e-7)), 6)
+        |    AS soft_loss
+        |FROM s""".stripMargin,
 
     "q_r2" ->
       """WITH ma AS (

@@ -2,7 +2,7 @@ package graft.ml
 
 
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.GraftTransformer
 
@@ -115,6 +115,50 @@ object Metrics {
     val ranked = df.select(part ++ Seq(
       avgRank(col(a), part).as("__ra"), avgRank(col(b), part).as("__rb")): _*)
     ranked.groupBy(part: _*).agg(corr(col("__ra"), col("__rb")).as("spearman"))
+  }
+
+  /** Soft differentiable Spearman loss (reference losses.py:76-117):
+    * soft_rank(x)_i = Σ_j σ((x_i − x_j)/τ), then the NEGATIVE Pearson
+    * correlation of the two soft-rank vectors with the reference's
+    * ε-stabilized denominator √(Σ(x−x̄)²·Σ(y−ȳ)² + ε).
+    *
+    * Pairwise soft ranks are inherently O(n²) per group — the reference
+    * evaluates this loss on training MINI-BATCHES (batch_size rows), never
+    * corpus-wide, and this method keeps that contract: groups must be
+    * batch-bounded (≲ a few thousand rows). The right side of the pairwise
+    * self-join is a 2-column projection of a batch, so it is broadcast —
+    * the n² expansion happens map-side with ZERO shuffle before the
+    * per-row rank aggregation; only the two small aggregations exchange.
+    * For corpus-scale rank correlation use [[spearman]] (exact, O(n log n)).
+    *
+    * `idCols` must uniquely identify rows within a group (they key the
+    * pairwise sums back to rows). */
+  def softSpearman(df: DataFrame, predCol: String, targetCol: String,
+      groupCols: Seq[String], idCols: Seq[String],
+      tau: Double = 1.0, epsilon: Double = 1e-7): DataFrame = {
+    def sigmoid(d: Column): Column = lit(1.0) / (lit(1.0) + exp(-d / lit(tau)))
+    val part = groupCols.map(col)
+    val left = df.select((groupCols ++ idCols).map(col) ++ Seq(
+      col(predCol).cast("double").as("__p"),
+      col(targetCol).cast("double").as("__y")): _*)
+    val right = broadcast(df.select(part ++ Seq(
+      col(predCol).cast("double").as("__p2"),
+      col(targetCol).cast("double").as("__y2")): _*))
+    val ranks = left.join(right, groupCols)
+      .groupBy((groupCols ++ idCols).map(col): _*)
+      .agg(sum(sigmoid(col("__p") - col("__p2"))).as("__rp"),
+        sum(sigmoid(col("__y") - col("__y2"))).as("__ry"))
+    ranks.groupBy(part: _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__rp")).as("__sp"), sum(col("__ry")).as("__sy"),
+        sum(col("__rp") * col("__ry")).as("__spy"),
+        sum(col("__rp") * col("__rp")).as("__spp"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      .select(part :+ (-(
+        (col("__spy") - col("__sp") * col("__sy") / col("__n")) /
+          sqrt((col("__spp") - col("__sp") * col("__sp") / col("__n")) *
+            (col("__syy") - col("__sy") * col("__sy") / col("__n"))
+            + lit(epsilon)))).as("soft_spearman_loss"): _*)
   }
 
   /** CombinedLoss (reference losses.py:125-189): weighted sum of MSE (for

@@ -113,6 +113,31 @@ class MLSpec extends AnyFunSuite {
       s"LSTM failed to learn AR(2): r2=$r2 (oracle-best=$rBar)")
   }
 
+  test("soft spearman: tau->0 converges to the exact negative Spearman; " +
+    "loose tau stays within the loss's [-1,1] range; plan broadcasts " +
+    "the pairwise side") {
+    val r = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val p = r.nextGaussian()
+      (i.toLong, "g", p, 0.7 * p + 0.3 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "g", "pred", "y")
+    val exact = Metrics.spearman(df, "pred", "y", Seq("g"))
+      .collect()(0).getAs[Double]("spearman")
+    val sharp = Metrics.softSpearman(df, "pred", "y", Seq("g"), Seq("id"),
+      tau = 1e-4).collect()(0).getAs[Double]("soft_spearman_loss")
+    assert(math.abs(sharp - -exact) < 1e-4,
+      s"sharp soft loss $sharp != -exact ${-exact}")
+    val loose = Metrics.softSpearman(df, "pred", "y", Seq("g"), Seq("id"),
+      tau = 1.0).collect()(0).getAs[Double]("soft_spearman_loss")
+    assert(loose <= 1.0 && loose >= -1.0 && loose < 0.0,
+      s"loose tau loss out of range: $loose")
+    // the n^2 expansion must be a broadcast join, not a shuffle join
+    val plan = Metrics.softSpearman(df, "pred", "y", Seq("g"), Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("tsne: separated 10-D clusters stay separated in the 2-D " +
     "embedding (trustworthiness-style 5-NN purity); deterministic; " +
     "dim_i naming and out-of-sample nulls") {
