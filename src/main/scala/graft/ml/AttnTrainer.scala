@@ -1,0 +1,423 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flat-parameter forward/backward kernel for the transformer encoder
+  * regressor the reference trains with Keras (transformer.py:108-245):
+  * Dense(d_model) input projection + learned position embedding
+  * (transformer.py:14-47,216) + one single-head self-attention block with
+  * residual + ReLU feed-forward sub-layer with residual
+  * (transformer.py:161-203) + average pooling + linear head. The forward
+  * recurrence matches [[AttnScorer.score]] with a full [[AttnWeights]]
+  * exactly, so weights fitted here score identically through the
+  * distributed codegen'd forward pass (and its DuckDB SQL mirror).
+  *
+  * Keras-side LayerNorm and dropout are omitted to match the scoring
+  * path's documented simplification: dropout is identity at inference,
+  * and the un-normalized block is the form the oracle mirrors.
+  *
+  * Layout (per-row gradient of 0.5·(pred − y)² against ONE flat array, so
+  * gradients aggregate as a single vector sum): `wIn` F×H feature-major,
+  * `bIn` H, `posEmb` T×H step-major, then `wq bq wk bk wv bv` (each H×H
+  * input-major + H), `wF1` H×FF, `bF1` FF, `wF2` FF×H, `bF2` H,
+  * `wOut` H, `bOut`.
+  */
+object AttnBptt {
+
+  def size(f: Int, t: Int, h: Int, ff: Int): Int =
+    f * h + h + t * h + 3 * (h * h + h) + h * ff + ff + ff * h + h + h + 1
+
+  private def offsets(f: Int, t: Int, h: Int, ff: Int): Array[Int] = {
+    // wIn bIn pos wq bq wk bk wv bv w1 b1 w2 b2 wOut bOut
+    val sizes = Array(f * h, h, t * h, h * h, h, h * h, h, h * h, h,
+      h * ff, ff, ff * h, h, h, 1)
+    sizes.scanLeft(0)(_ + _)
+  }
+
+  /** Unpack a flat vector into the scorer's full-block weight class. */
+  def toWeights(w: Array[Double], f: Int, t: Int, h: Int, ff: Int)
+      : AttnWeights = {
+    val o = offsets(f, t, h, ff)
+    def mat(off: Int, rows: Int, cols: Int): Array[Array[Double]] =
+      Array.tabulate(rows, cols)((r, c) => w(off + r * cols + c))
+    def vec(off: Int, n: Int): Array[Double] =
+      Array.tabulate(n)(i => w(off + i))
+    AttnWeights(
+      wq = mat(o(3), h, h), bq = vec(o(4), h),
+      wk = mat(o(5), h, h), bk = vec(o(6), h),
+      wv = mat(o(7), h, h), bv = vec(o(8), h),
+      wOut = vec(o(13), h), bOut = w(o(14)),
+      wIn = mat(o(0), f, h), bIn = vec(o(1), h),
+      posEmb = mat(o(2), t, h),
+      wF1 = mat(o(9), h, ff), bF1 = vec(o(10), ff),
+      wF2 = mat(o(11), ff, h), bF2 = vec(o(12), h))
+  }
+
+  /** Forward pass only (gradient-check helper; production scoring goes
+    * through [[AttnScorer]]). */
+  def forward(w: Array[Double], f: Int, h: Int, ff: Int,
+      x: Array[Array[Double]]): Double =
+    run(w, f, h, ff, x, 0.0, null)
+
+  /** Forward + (if `acc` non-null) backward accumulating into `acc`.
+    * Returns the prediction (acc == null) or the loss (acc != null). */
+  def run(w: Array[Double], f: Int, h: Int, ff: Int,
+      x: Array[Array[Double]], y: Double, acc: Array[Double]): Double = {
+    val T = x.length
+    val o = offsets(f, T, h, ff)
+    val (oIn, oBIn, oPos) = (o(0), o(1), o(2))
+    val (oWq, oBq, oWk, oBk, oWv, oBv) = (o(3), o(4), o(5), o(6), o(7), o(8))
+    val (oW1, oB1, oW2, oB2, oWOut, oBOut) =
+      (o(9), o(10), o(11), o(12), o(13), o(14))
+    val invSqrtH = 1.0 / math.sqrt(h.toDouble)
+
+    // ---- forward ----
+    val xt = Array.ofDim[Double](T, h) // projected tokens (+ posEmb)
+    val qs = Array.ofDim[Double](T, h)
+    val ks = Array.ofDim[Double](T, h)
+    val vs = Array.ofDim[Double](T, h)
+    var t = 0
+    while (t < T) {
+      val raw = x(t)
+      var j = 0
+      while (j < h) {
+        var s = w(oBIn + j) + w(oPos + t * h + j)
+        var i = 0
+        while (i < f) { s += raw(i) * w(oIn + i * h + j); i += 1 }
+        xt(t)(j) = s
+        j += 1
+      }
+      j = 0
+      while (j < h) {
+        var zq = w(oBq + j); var zk = w(oBk + j); var zv = w(oBv + j)
+        var i = 0
+        while (i < h) {
+          val xv = xt(t)(i); val r = i * h + j
+          zq += xv * w(oWq + r); zk += xv * w(oWk + r); zv += xv * w(oWv + r)
+          i += 1
+        }
+        qs(t)(j) = zq; ks(t)(j) = zk; vs(t)(j) = zv
+        j += 1
+      }
+      t += 1
+    }
+    // attention weights a_{t,u} = softmax_u(q_t·k_u/√H) — computed in the
+    // same exp/Σexp form as the scorer (no max-shift: the scorer's SQL
+    // mirror has none, and fitted-scale scores stay well inside range)
+    val att = Array.ofDim[Double](T, T)
+    val den = new Array[Double](T)
+    t = 0
+    while (t < T) {
+      var u = 0
+      while (u < T) {
+        var dot = 0.0
+        var j = 0
+        while (j < h) { dot += qs(t)(j) * ks(u)(j); j += 1 }
+        val e = math.exp(dot * invSqrtH)
+        att(t)(u) = e; den(t) += e
+        u += 1
+      }
+      var u2 = 0
+      while (u2 < T) { att(t)(u2) /= den(t); u2 += 1 }
+      t += 1
+    }
+    val zs = Array.ofDim[Double](T, h) // attention context
+    val rs = Array.ofDim[Double](T, h) // x + attn residual
+    val us = Array.ofDim[Double](T, ff) // relu'd FFN hidden
+    val fs = Array.ofDim[Double](T, h) // r + FFN residual
+    t = 0
+    while (t < T) {
+      var j = 0
+      while (j < h) {
+        var s = 0.0
+        var u = 0
+        while (u < T) { s += att(t)(u) * vs(u)(j); u += 1 }
+        zs(t)(j) = s; rs(t)(j) = xt(t)(j) + s
+        j += 1
+      }
+      var i = 0
+      while (i < ff) {
+        var s = w(oB1 + i)
+        var k = 0
+        while (k < h) { s += rs(t)(k) * w(oW1 + k * ff + i); k += 1 }
+        us(t)(i) = if (s > 0) s else 0.0
+        i += 1
+      }
+      var j2 = 0
+      while (j2 < h) {
+        var s = w(oB2 + j2)
+        var i2 = 0
+        while (i2 < ff) { s += us(t)(i2) * w(oW2 + i2 * h + j2); i2 += 1 }
+        fs(t)(j2) = rs(t)(j2) + s
+        j2 += 1
+      }
+      t += 1
+    }
+    var pred = w(oBOut)
+    var j = 0
+    while (j < h) {
+      var s = 0.0
+      var t2 = 0
+      while (t2 < T) { s += fs(t2)(j); t2 += 1 }
+      pred += (s / T) * w(oWOut + j)
+      j += 1
+    }
+    if (acc == null) return pred
+
+    // ---- backward ----
+    val d = pred - y
+    acc(oBOut) += d
+    val dfs = Array.ofDim[Double](T, h)
+    j = 0
+    while (j < h) {
+      var s = 0.0
+      var t2 = 0
+      while (t2 < T) { s += fs(t2)(j); t2 += 1 }
+      acc(oWOut + j) += d * (s / T)
+      val dPool = d * w(oWOut + j) / T
+      var t3 = 0
+      while (t3 < T) { dfs(t3)(j) = dPool; t3 += 1 }
+      j += 1
+    }
+    val dxs = Array.ofDim[Double](T, h)
+    val dqs = Array.ofDim[Double](T, h)
+    val dks = Array.ofDim[Double](T, h)
+    val dvs = Array.ofDim[Double](T, h)
+    t = 0
+    while (t < T) {
+      // FFN backward: f = r + W2·relu(W1·r + b1) + b2
+      val dr = new Array[Double](h)
+      var j2 = 0
+      while (j2 < h) {
+        val g = dfs(t)(j2)
+        dr(j2) += g // residual path
+        acc(oB2 + j2) += g
+        j2 += 1
+      }
+      var i = 0
+      while (i < ff) {
+        if (us(t)(i) > 0) {
+          var du = 0.0
+          var j3 = 0
+          while (j3 < h) {
+            val g = dfs(t)(j3)
+            acc(oW2 + i * h + j3) += us(t)(i) * g
+            du += w(oW2 + i * h + j3) * g
+            j3 += 1
+          }
+          acc(oB1 + i) += du
+          var k = 0
+          while (k < h) {
+            acc(oW1 + k * ff + i) += rs(t)(k) * du
+            dr(k) += w(oW1 + k * ff + i) * du
+            k += 1
+          }
+        }
+        // relu inactive (us == 0): no gradient flows through this unit —
+        // its W2 row's activation contribution is zero too
+        i += 1
+      }
+      // r = x + z
+      var j4 = 0
+      while (j4 < h) {
+        dxs(t)(j4) += dr(j4)
+        // dz flows into the attention backward below via dzs
+        j4 += 1
+      }
+      // stash dz in dfs slot no longer needed? keep explicit array:
+      var j5 = 0
+      while (j5 < h) { dfs(t)(j5) = dr(j5); j5 += 1 } // dfs now holds dz_t
+      t += 1
+    }
+    // attention backward: z_{t,j} = Σ_u a_{t,u} v_{u,j}
+    t = 0
+    while (t < T) {
+      val da = new Array[Double](T)
+      var u = 0
+      while (u < T) {
+        var s = 0.0
+        var j6 = 0
+        while (j6 < h) {
+          s += dfs(t)(j6) * vs(u)(j6)
+          dvs(u)(j6) += att(t)(u) * dfs(t)(j6)
+          j6 += 1
+        }
+        da(u) = s
+        u += 1
+      }
+      // softmax backward
+      var dotSum = 0.0
+      var u2 = 0
+      while (u2 < T) { dotSum += att(t)(u2) * da(u2); u2 += 1 }
+      var u3 = 0
+      while (u3 < T) {
+        val ds = att(t)(u3) * (da(u3) - dotSum) * invSqrtH
+        var j7 = 0
+        while (j7 < h) {
+          dqs(t)(j7) += ds * ks(u3)(j7)
+          dks(u3)(j7) += ds * qs(t)(j7)
+          j7 += 1
+        }
+        u3 += 1
+      }
+      t += 1
+    }
+    // q/k/v projections backward (inputs are the projected tokens xt)
+    t = 0
+    while (t < T) {
+      var j8 = 0
+      while (j8 < h) {
+        acc(oBq + j8) += dqs(t)(j8)
+        acc(oBk + j8) += dks(t)(j8)
+        acc(oBv + j8) += dvs(t)(j8)
+        j8 += 1
+      }
+      var i2 = 0
+      while (i2 < h) {
+        val xv = xt(t)(i2)
+        var j9 = 0
+        while (j9 < h) {
+          val r = i2 * h + j9
+          acc(oWq + r) += xv * dqs(t)(j9)
+          acc(oWk + r) += xv * dks(t)(j9)
+          acc(oWv + r) += xv * dvs(t)(j9)
+          dxs(t)(i2) += w(oWq + r) * dqs(t)(j9) +
+            w(oWk + r) * dks(t)(j9) + w(oWv + r) * dvs(t)(j9)
+          j9 += 1
+        }
+        i2 += 1
+      }
+      t += 1
+    }
+    // input projection + position embedding backward
+    t = 0
+    while (t < T) {
+      val raw = x(t)
+      var j10 = 0
+      while (j10 < h) {
+        val g = dxs(t)(j10)
+        acc(oBIn + j10) += g
+        acc(oPos + t * h + j10) += g
+        var i3 = 0
+        while (i3 < f) { acc(oIn + i3 * h + j10) += raw(i3) * g; i3 += 1 }
+        j10 += 1
+      }
+      t += 1
+    }
+    0.5 * d * d
+  }
+}
+
+/** Trains the reference's transformer encoder regressor
+  * (transformer.py:108-245, attention_type="temporal",
+  * pooling_type="average", num_blocks=1, single head) with the same
+  * treeAggregate-gradient + driver-Adam shape as [[MLPRegressor]] /
+  * [[LSTMTrainer]]: executors fold rows into ONE flat gradient vector per
+  * epoch, the driver holds only the weights. Fitted weights flow into the
+  * distributed [[AttnScorer]] forward pass (pure column arithmetic, no
+  * UDF), so fit-once/score-anywhere matches the pinned-weights queries.
+  *
+  * `lagCols` must be lag-major over `seqLen` timesteps — the
+  * LagTransformer output order ([[graft.operators.SequenceReshape]]). */
+class AttnTrainer(
+    val lagCols: Seq[String],
+    val seqLen: Int,
+    val targetCol: String,
+    val dModel: Int = 8,
+    val ffDim: Int = 16,
+    val lr: Double = 1e-2,
+    val epochs: Int = 150,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true) extends Serializable {
+
+  require(lagCols.size % seqLen == 0,
+    s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  private val nFeat = lagCols.size / seqLen
+
+  private var weights: AttnWeights = _
+  private var yMean = 0.0
+  private var yStd = 1.0
+
+  def fittedWeights: AttnWeights = weights
+
+  def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
+
+  def fit(df: DataFrame): this.type = {
+    val (f, t, h, ff) = (nFeat, seqLen, dModel, ffDim)
+    val sz = AttnBptt.size(f, t, h, ff)
+    val data = df.select((targetCol +: lagCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    val n = data.count().toDouble
+    require(n > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val r = data.agg(avg(col(targetCol)), stddev_pop(col(targetCol)))
+        .collect()(0)
+      yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
+    }
+    val rng = new scala.util.Random(seed)
+    val w = new Array[Double](sz)
+    // Glorot-uniform per matrix (the reference's Keras defaults, incl.
+    // the position embedding, transformer.py:19); biases start at zero
+    def glorot(off: Int, rows: Int, cols: Int): Unit = {
+      val lim = math.sqrt(6.0 / (rows + cols))
+      for (i <- 0 until rows * cols)
+        w(off + i) = (rng.nextDouble() * 2 - 1) * lim
+    }
+    var off = 0
+    glorot(off, f, h); off += f * h // wIn
+    off += h // bIn
+    glorot(off, t, h); off += t * h // posEmb
+    for (_ <- 0 until 3) { // wq/wk/wv (+ their biases)
+      glorot(off, h, h); off += h * h + h
+    }
+    glorot(off, h, ff); off += h * ff + ff // wF1
+    glorot(off, ff, h); off += ff * h + h // wF2
+    glorot(off, h, 1) // wOut
+    // Adam state
+    val m = new Array[Double](sz); val v = new Array[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val (ym, ys) = (yMean, yStd)
+    for (ep <- 1 to epochs) {
+      val bw = w.clone()
+      val grad = data.rdd.treeAggregate(new Array[Double](sz + 1))(
+        seqOp = (acc, row) => {
+          val y = (row.getDouble(0) - ym) / ys
+          val x = Array.tabulate(t, f)((ti, fi) =>
+            row.getDouble(1 + ti * f + fi))
+          acc(sz) += AttnBptt.run(bw, f, h, ff, x, y, acc)
+          acc
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }, depth = 2)
+      var i = 0
+      while (i < sz) {
+        val g = grad(i) / n
+        m(i) = beta1 * m(i) + (1 - beta1) * g
+        v(i) = beta2 * v(i) + (1 - beta2) * g * g
+        val mh = m(i) / (1 - math.pow(beta1, ep))
+        val vh = v(i) / (1 - math.pow(beta2, ep))
+        w(i) -= lr * mh / (math.sqrt(vh) + eps)
+        i += 1
+      }
+    }
+    data.unpersist()
+    weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim)
+    this
+  }
+
+  /** Appends `prediction` through the distributed unrolled forward pass,
+    * un-standardizing if the target was scaled at fit. */
+  def predict(df: DataFrame): DataFrame = {
+    require(weights != null, "fit first")
+    val scored = AttnScorer.score(df, steps, weights)
+    if (scaleTarget)
+      scored.withColumn("prediction",
+        col("prediction") * lit(yStd) + lit(yMean))
+    else scored
+  }
+}
