@@ -88,6 +88,19 @@ object QueriesML {
     wF1 = frac(2, 3, 6, 11), bF1 = fracV(3, 5, 7),
     wF2 = frac(3, 2, 7, 11), bF2 = fracV(2, 6, 7))
 
+  /** The full block under the reference's DEFAULT pooling_type
+    * ("attention", transformer.py:96-107,142): learned Dense(1) softmax
+    * pooling instead of the average. */
+  val pinnedBlockPool: AttnWeights =
+    pinnedBlock.copy(wPool = Array(5.0 / 9, -3.0 / 9), bPool = 1.0 / 9)
+
+  /** The full block under `attention_type="cross"` (dual-axis,
+    * transformer.py:51-90): feature-axis q/k/v are seqLen-sized (3). */
+  val pinnedBlockCross: AttnWeights = pinnedBlock.copy(
+    wqF = frac(3, 3, 8, 13), bqF = fracV(3, 7, 7),
+    wkF = frac(3, 3, 9, 13), bkF = fracV(3, 8, 7),
+    wvF = frac(3, 3, 10, 13), bvF = fracV(3, 9, 7))
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -220,6 +233,22 @@ object QueriesML {
       AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlock)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 6).as("block_score"))
+    }),
+
+    // dual-axis "cross" attention (temporal + feature contexts summed)
+    // through the same encoder block
+    "q_cross_score" -> ((s, dir) => {
+      AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlockCross)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("cross_score"))
+    }),
+
+    // same encoder block under the reference's DEFAULT pooling:
+    // AttentionPooling (learned Dense(1) softmax over tokens)
+    "q_attn_pool" -> ((s, dir) => {
+      AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlockPool)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("pool_score"))
     }),
 
     // CombinedLoss metric (losses.py:125-189): weighted MSE + negative
@@ -425,6 +454,12 @@ object QueriesML {
     "q_transformer_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
       pinnedBlock,
       "l_orderkey, l_linenumber, round(prediction, 6) AS block_score"),
+    "q_attn_pool" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
+      pinnedBlockPool,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS pool_score"),
+    "q_cross_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
+      pinnedBlockCross,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS cross_score"),
     "q_combined_loss" ->
       """WITH ma AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -233,7 +233,19 @@ object LstmScorer {
   * transformer.py:14-47,216), and `wF1..bF2` the ReLU feed-forward
   * sub-layer; when present, both attention and FFN get their residual
   * connections (x + attn, r + ffn). Null fields skip their stage (the
-  * bare scorer remains the oracle-minimal form). */
+  * bare scorer remains the oracle-minimal form).
+  *
+  * `wPool`/`bPool` select the reference's DEFAULT pooling —
+  * AttentionPooling (transformer.py:96-107): a Dense(1) score per token,
+  * softmax over the sequence axis, weighted sum of tokens. Null keeps
+  * `pooling_type="average"`.
+  *
+  * `wqF..bvF` (each seqLen×seqLen / seqLen) add the FEATURE-axis
+  * attention of the reference's `attention_type="cross"` dual-axis mode
+  * (CrossAttention, transformer.py:51-90): a second single-head
+  * attention over the TRANSPOSED token matrix (tokens = hidden dims,
+  * token width = seqLen), whose context — transposed back — is SUMMED
+  * with the temporal context before the residual. */
 case class AttnWeights(
     wq: Array[Array[Double]], bq: Array[Double],
     wk: Array[Array[Double]], bk: Array[Double],
@@ -242,13 +254,22 @@ case class AttnWeights(
     wIn: Array[Array[Double]] = null, bIn: Array[Double] = null,
     posEmb: Array[Array[Double]] = null,
     wF1: Array[Array[Double]] = null, bF1: Array[Double] = null,
-    wF2: Array[Array[Double]] = null, bF2: Array[Double] = null)
+    wF2: Array[Array[Double]] = null, bF2: Array[Double] = null,
+    wPool: Array[Double] = null, bPool: Double = 0.0,
+    wqF: Array[Array[Double]] = null, bqF: Array[Double] = null,
+    wkF: Array[Array[Double]] = null, bkF: Array[Double] = null,
+    wvF: Array[Array[Double]] = null, bvF: Array[Double] = null)
     extends Serializable {
   def hidden: Int = bq.length
   require(posEmb == null || wIn != null,
     "posEmb requires the input projection (tokens must be hidden-dim)")
   require(wF1 == null || wIn != null,
     "the FFN residual requires the input projection")
+  require(wPool == null || wPool.length == hidden,
+    "attention-pooling scores read hidden-dim tokens")
+  require(Seq(wqF, wkF, wvF).forall(_ == null) ||
+    Seq(wqF, bqF, wkF, bkF, wvF, bvF).forall(_ != null),
+    "cross mode needs all six feature-axis q/k/v arrays")
 }
 
 object AttnScorer {
@@ -293,12 +314,55 @@ object AttnScorer {
       s"__d$t" -> (0 until l).map(u => alg.ref(s"__e${t}_$u"))
         .reduce(alg.add)
     }
+    // temporal context lands in __z directly unless the cross-mode sum
+    // stage below combines it with the feature-axis context
+    val zName = if (w.wqF == null) "__z" else "__tz"
     val ctx = (for { t <- 0 until l; j <- 0 until h } yield {
       val num = (0 until l).map(u =>
         alg.mul(alg.ref(s"__e${t}_$u"), alg.ref(s"__v${u}_$j")))
         .reduce(alg.add)
-      s"__z${t}_$j" -> alg.div(num, alg.ref(s"__d$t"))
+      s"$zName${t}_$j" -> alg.div(num, alg.ref(s"__d$t"))
     })
+    // feature-axis attention of the "cross" dual-axis mode
+    // (transformer.py:51-90, single-head): same machinery over the
+    // transposed tokens (one token per hidden dim, width = seqLen),
+    // softmax scale √seqLen, context transposed back and summed
+    val crossStages: Seq[Seq[(String, E)]] =
+      if (w.wqF == null) Seq.empty
+      else {
+        val fqkv = (0 until h).flatMap { j =>
+          val xj = (0 until l).map(t => tok(t)(j))
+          (0 until l).flatMap { s =>
+            Seq(
+              s"__fq${j}_$s" -> linear(alg, xj, w.wqF.map(_(s)).toSeq,
+                Some(w.bqF(s))),
+              s"__fk${j}_$s" -> linear(alg, xj, w.wkF.map(_(s)).toSeq,
+                Some(w.bkF(s))),
+              s"__fv${j}_$s" -> linear(alg, xj, w.wvF.map(_(s)).toSeq,
+                Some(w.bvF(s))))
+          }
+        }
+        val fscores = (for { j <- 0 until h; j2 <- 0 until h } yield {
+          val dot = (0 until l).map(s =>
+            alg.mul(alg.ref(s"__fq${j}_$s"), alg.ref(s"__fk${j2}_$s")))
+            .reduce(alg.add)
+          s"__fe${j}_$j2" -> alg.exp(alg.div(dot, alg.const(math.sqrt(l))))
+        })
+        val fdens = (0 until h).map { j =>
+          s"__fd$j" -> (0 until h).map(j2 => alg.ref(s"__fe${j}_$j2"))
+            .reduce(alg.add)
+        }
+        val fctx = (for { j <- 0 until h; t <- 0 until l } yield {
+          val num = (0 until h).map(j2 =>
+            alg.mul(alg.ref(s"__fe${j}_$j2"), alg.ref(s"__fv${j2}_$t")))
+            .reduce(alg.add)
+          s"__fz${j}_$t" -> alg.div(num, alg.ref(s"__fd$j"))
+        })
+        val zsum = (for { t <- 0 until l; j <- 0 until h } yield
+          s"__z${t}_$j" ->
+            alg.add(alg.ref(s"__tz${t}_$j"), alg.ref(s"__fz${j}_$t")))
+        Seq(fqkv, fscores, fdens, fctx, zsum)
+      }
     // optional residual + ReLU feed-forward sub-layer with its residual
     // (transformer.py:194-203): r = x + attn; f = r + W2·relu(W1·r + b1) + b2
     val ffnStages: Seq[Seq[(String, E)]] =
@@ -318,14 +382,38 @@ object AttnScorer {
               w.wF2.map(_(j)).toSeq, Some(w.bF2(j)))))
         Seq(res, hiddenFfn, out)
       }
-    tokStage ++ Seq(qkv, scores, dens, ctx) ++ ffnStages
+    // AttentionPooling (transformer.py:96-107): per-token Dense(1) logit,
+    // softmax over tokens — staged as exp → Σexp → normalized weight so
+    // the head is a plain weighted sum
+    val poolStages: Seq[Seq[(String, E)]] =
+      if (w.wPool == null) Seq.empty
+      else {
+        val fin = if (w.wF1 == null) "__z" else "__f"
+        val es = (0 until l).map { t =>
+          s"__pe$t" -> alg.exp(linear(alg,
+            (0 until h).map(j => alg.ref(s"$fin${t}_$j")),
+            w.wPool.toSeq, Some(w.bPool)))
+        }
+        val dn = Seq("__pd" ->
+          (0 until l).map(t => alg.ref(s"__pe$t")).reduce(alg.add))
+        val pw = (0 until l).map(t =>
+          s"__pw$t" -> alg.div(alg.ref(s"__pe$t"), alg.ref("__pd")))
+        Seq(es, dn, pw)
+      }
+    tokStage ++ Seq(qkv, scores, dens, ctx) ++ crossStages ++
+      ffnStages ++ poolStages
   }
 
   private def headExpr[E](alg: Alg[E], w: AttnWeights, l: Int): E = {
     val fin = if (w.wF1 == null) "__z" else "__f"
     val pooled = (0 until w.hidden).map { j =>
-      alg.div((0 until l).map(t => alg.ref(s"$fin${t}_$j")).reduce(alg.add),
-        alg.const(l.toDouble))
+      if (w.wPool == null)
+        alg.div((0 until l).map(t => alg.ref(s"$fin${t}_$j")).reduce(alg.add),
+          alg.const(l.toDouble))
+      else
+        (0 until l).map(t =>
+          alg.mul(alg.ref(s"__pw$t"), alg.ref(s"$fin${t}_$j")))
+          .reduce(alg.add)
     }
     linear(alg, pooled, w.wOut.toSeq, Some(w.bOut))
   }
@@ -385,14 +473,17 @@ object LSTMRegressor {
   * "feature" is the iTransformer-style mode (transformer.py:179-186):
   * Permute → attention → Permute, i.e. the SAME scorer over the
   * transposed token layout (tokens = features, token width = seqLen —
-  * size `weights` accordingly). The reference's third mode ("cross", a
-  * learned-query pooling layer) has no scoring-path analog here. */
+  * size `weights` accordingly); "cross" is the dual-axis mode
+  * (transformer.py:51-90) — temporal + feature attention summed, which
+  * needs the `wqF..bvF` feature-axis arrays set on `weights`. */
 case class TransformerRegressor(lagCols: Seq[String], seqLen: Int,
     weights: AttnWeights, attentionType: String = "temporal") {
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
-  require(Set("temporal", "feature")(attentionType),
-    s"attention_type must be temporal|feature, got $attentionType")
+  require(Set("temporal", "feature", "cross")(attentionType),
+    s"attention_type must be temporal|feature|cross, got $attentionType")
+  require(attentionType != "cross" || weights.wqF != null,
+    "cross mode needs the feature-axis q/k/v arrays on weights")
   def steps: Seq[Seq[String]] = {
     val base = lagCols.grouped(lagCols.size / seqLen).toSeq
     if (attentionType == "feature") base.transpose else base

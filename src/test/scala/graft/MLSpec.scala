@@ -443,9 +443,26 @@ class AttentionTypeSpec extends AnyFunSuite {
       .select("prediction").collect()(0).getDouble(0)
     assert(feature == manual)
     assert(feature != temporal)
+    // cross mode demands the feature-axis arrays…
     intercept[IllegalArgumentException] {
       TransformerRegressor(cols, 2, w, "cross")
     }
+    // …and with them: zero feature-axis VALUE projection contributes a
+    // zero context, so cross degenerates to exactly the temporal score;
+    // a non-zero one changes it
+    val zeroV = w.copy(
+      wqF = Array(Array(0.2, -0.1), Array(0.3, 0.1)), bqF = Array(0.1, -0.2),
+      wkF = Array(Array(-0.3, 0.2), Array(0.1, 0.4)), bkF = Array(0.0, 0.1),
+      wvF = Array(Array(0.0, 0.0), Array(0.0, 0.0)), bvF = Array(0.0, 0.0))
+    val crossZero = TransformerRegressor(cols, 2, zeroV, "cross").predict(df)
+      .select("prediction").collect()(0).getDouble(0)
+    assert(crossZero == temporal,
+      s"zero-value cross $crossZero != temporal $temporal")
+    val liveV = zeroV.copy(
+      wvF = Array(Array(0.5, -0.2), Array(0.1, 0.3)), bvF = Array(0.2, -0.1))
+    val crossLive = TransformerRegressor(cols, 2, liveV, "cross").predict(df)
+      .select("prediction").collect()(0).getDouble(0)
+    assert(crossLive != temporal)
   }
 }
 
