@@ -101,6 +101,18 @@ object QueriesML {
     wkF = frac(3, 3, 9, 13), bkF = fracV(3, 8, 7),
     wvF = frac(3, 3, 10, 13), bvF = fracV(3, 9, 7))
 
+  /** The reference's DEFAULT configuration end to end
+    * (transformer.py:142-147,221-234): pre-norm LayerNorms (γ pinned
+    * near 1, β near 0), attention pooling AND the `mlp_units=(64,)`-style
+    * ReLU prediction head (3 units here). */
+  val pinnedKerasDefault: AttnWeights = pinnedBlockPool.copy(
+    preNorm = LayerNormParams(
+      g1 = fracV(2, 10, 7).map(1.0 + _), c1 = fracV(2, 11, 9),
+      g2 = fracV(2, 12, 7).map(1.0 + _), c2 = fracV(2, 13, 9),
+      gF = fracV(2, 14, 7).map(1.0 + _), cF = fracV(2, 15, 9)),
+    mlpHead = Seq((frac(2, 3, 11, 11), fracV(3, 16, 7))),
+    wOut = Array(6.0 / 11, -4.0 / 11, 3.0 / 11))
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -249,6 +261,14 @@ object QueriesML {
       AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlockPool)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 6).as("pool_score"))
+    }),
+
+    // the reference's full DEFAULT config: pre-norm LayerNorms +
+    // attention pooling + ReLU MLP prediction head
+    "q_keras_default" -> ((s, dir) => {
+      AttnScorer.score(seqBase(s, dir), seqSteps, pinnedKerasDefault)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("keras_score"))
     }),
 
     // CombinedLoss metric (losses.py:125-189): weighted MSE + negative
@@ -460,6 +480,9 @@ object QueriesML {
     "q_cross_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
       pinnedBlockCross,
       "l_orderkey, l_linenumber, round(prediction, 6) AS cross_score"),
+    "q_keras_default" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
+      pinnedKerasDefault,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS keras_score"),
     "q_combined_loss" ->
       """WITH ma AS (
         |  SELECT l_returnflag, l_extendedprice,

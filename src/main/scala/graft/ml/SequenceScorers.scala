@@ -32,6 +32,8 @@ object SeqAlg {
     def tanh(e: E): E
     def exp(e: E): E
     def relu(e: E): E
+    def sqrt(e: E): E
+    def sub(a: E, b: E): E
   }
 
   object ColAlg extends Alg[Column] {
@@ -45,6 +47,8 @@ object SeqAlg {
     def tanh(e: Column): Column = functions.tanh(e)
     def exp(e: Column): Column = functions.exp(e)
     def relu(e: Column): Column = greatest(e, lit(0.0))
+    def sqrt(e: Column): Column = functions.sqrt(e)
+    def sub(a: Column, b: Column): Column = a - b
   }
 
   object SqlAlg extends Alg[String] {
@@ -61,6 +65,8 @@ object SeqAlg {
     def tanh(e: String): String = s"(1.0 - 2.0 / (exp(2.0 * ($e)) + 1.0))"
     def exp(e: String): String = s"exp($e)"
     def relu(e: String): String = s"greatest($e, 0.0)"
+    def sqrt(e: String): String = s"sqrt($e)"
+    def sub(a: String, b: String): String = s"($a - $b)"
   }
 
   /** Σ_i refs(i)·w(i) [+ bias], left-associated. */
@@ -258,7 +264,9 @@ case class AttnWeights(
     wPool: Array[Double] = null, bPool: Double = 0.0,
     wqF: Array[Array[Double]] = null, bqF: Array[Double] = null,
     wkF: Array[Array[Double]] = null, bkF: Array[Double] = null,
-    wvF: Array[Array[Double]] = null, bvF: Array[Double] = null)
+    wvF: Array[Array[Double]] = null, bvF: Array[Double] = null,
+    preNorm: LayerNormParams = null,
+    mlpHead: Seq[(Array[Array[Double]], Array[Double])] = Nil)
     extends Serializable {
   def hidden: Int = bq.length
   require(posEmb == null || wIn != null,
@@ -270,7 +278,22 @@ case class AttnWeights(
   require(Seq(wqF, wkF, wvF).forall(_ == null) ||
     Seq(wqF, bqF, wkF, bkF, wvF, bvF).forall(_ != null),
     "cross mode needs all six feature-axis q/k/v arrays")
+  require(preNorm == null || (wIn != null && wF1 != null),
+    "pre-norm is the full-block architecture (input projection + FFN)")
+  require(mlpHead.isEmpty || wOut.length == mlpHead.last._2.length,
+    "wOut is the output layer over the LAST mlp head layer's units")
 }
+
+/** LayerNormalization γ/β pairs for the reference's `use_pre_norm=True`
+  * default (transformer.py:162-166,199,221-223): `g1/c1` normalize the
+  * tokens entering attention, `g2/c2` the FFN input, `gF/cF` the final
+  * post-block normalization before pooling. Keras epsilon 1e-6; per-token
+  * moments over the hidden axis — pure row-local arithmetic. */
+case class LayerNormParams(
+    g1: Array[Double], c1: Array[Double],
+    g2: Array[Double], c2: Array[Double],
+    gF: Array[Double], cF: Array[Double],
+    epsilon: Double = 1e-6) extends Serializable
 
 object AttnScorer {
   import SeqAlg._
@@ -294,8 +317,38 @@ object AttnScorer {
     def tok(t: Int): Seq[E] =
       if (w.wIn == null) steps(t).map(alg.ref)
       else (0 until h).map(u => alg.ref(s"__x${t}_$u"))
+    // LayerNormalization over the hidden axis of each token (pre-norm
+    // architecture, transformer.py:162-166): staged as per-token mean →
+    // variance → normalized γ/β outputs, all row-local arithmetic
+    def lnStages(inRef: (Int, Int) => E, pfx: String, g: Array[Double],
+        c: Array[Double]): Seq[Seq[(String, E)]] = {
+      val eps = w.preNorm.epsilon
+      val means = (0 until l).map(t => s"${pfx}m$t" ->
+        alg.div((0 until h).map(j => inRef(t, j)).reduce(alg.add),
+          alg.const(h.toDouble)))
+      val vars = (0 until l).map { t =>
+        s"${pfx}v$t" -> alg.div((0 until h).map { j =>
+          val d = alg.sub(inRef(t, j), alg.ref(s"${pfx}m$t"))
+          alg.mul(d, d)
+        }.reduce(alg.add), alg.const(h.toDouble))
+      }
+      val outs = (for { t <- 0 until l; j <- 0 until h } yield
+        s"$pfx${t}_$j" -> alg.add(alg.mulW(
+          alg.div(alg.sub(inRef(t, j), alg.ref(s"${pfx}m$t")),
+            alg.sqrt(alg.add(alg.ref(s"${pfx}v$t"), alg.const(eps)))),
+          g(j)), alg.const(c(j))))
+      Seq(means, vars, outs)
+    }
+    val norm1: Seq[Seq[(String, E)]] =
+      if (w.preNorm == null) Seq.empty
+      else lnStages((t, j) => tok(t)(j), "__n1", w.preNorm.g1, w.preNorm.c1)
+    // attention (and cross-mode feature attention) read the pre-normed
+    // tokens; the residual still adds the UN-normed x (transformer.py:194)
+    def attnIn(t: Int): Seq[E] =
+      if (w.preNorm == null) tok(t)
+      else (0 until h).map(j => alg.ref(s"__n1${t}_$j"))
     val qkv = steps.indices.flatMap { t =>
-      val x = tok(t)
+      val x = attnIn(t)
       (0 until h).flatMap { u =>
         Seq(
           s"__q${t}_$u" -> linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
@@ -331,7 +384,7 @@ object AttnScorer {
       if (w.wqF == null) Seq.empty
       else {
         val fqkv = (0 until h).flatMap { j =>
-          val xj = (0 until l).map(t => tok(t)(j))
+          val xj = (0 until l).map(t => attnIn(t)(j))
           (0 until l).flatMap { s =>
             Seq(
               s"__fq${j}_$s" -> linear(alg, xj, w.wqF.map(_(s)).toSeq,
@@ -371,24 +424,38 @@ object AttnScorer {
         val res = (for { t <- 0 until l; j <- 0 until h } yield
           s"__r${t}_$j" ->
             alg.add(alg.ref(s"__x${t}_$j"), alg.ref(s"__z${t}_$j")))
+        // pre-norm: the FFN reads LN(r); its residual still adds r
+        val norm2: Seq[Seq[(String, E)]] =
+          if (w.preNorm == null) Seq.empty
+          else lnStages((t, j) => alg.ref(s"__r${t}_$j"), "__n2",
+            w.preNorm.g2, w.preNorm.c2)
+        def ffnIn(t: Int, i: Int): E =
+          if (w.preNorm == null) alg.ref(s"__r${t}_$i")
+          else alg.ref(s"__n2${t}_$i")
         val ff = w.bF1.length
         val hiddenFfn = (for { t <- 0 until l; j <- 0 until ff } yield
           s"__u${t}_$j" -> alg.relu(linear(alg,
-            (0 until h).map(i => alg.ref(s"__r${t}_$i")),
+            (0 until h).map(i => ffnIn(t, i)),
             w.wF1.map(_(j)).toSeq, Some(w.bF1(j)))))
         val out = (for { t <- 0 until l; j <- 0 until h } yield
           s"__f${t}_$j" -> alg.add(alg.ref(s"__r${t}_$j"),
             linear(alg, (0 until ff).map(i => alg.ref(s"__u${t}_$i")),
               w.wF2.map(_(j)).toSeq, Some(w.bF2(j)))))
-        Seq(res, hiddenFfn, out)
+        Seq(res) ++ norm2 ++ Seq(hiddenFfn, out)
       }
+    // pre-norm: final LayerNorm after the block, before pooling
+    // (transformer.py:221-223)
+    val norm3: Seq[Seq[(String, E)]] =
+      if (w.preNorm == null) Seq.empty
+      else lnStages((t, j) => alg.ref(s"__f${t}_$j"), "__n3",
+        w.preNorm.gF, w.preNorm.cF)
     // AttentionPooling (transformer.py:96-107): per-token Dense(1) logit,
     // softmax over tokens — staged as exp → Σexp → normalized weight so
     // the head is a plain weighted sum
     val poolStages: Seq[Seq[(String, E)]] =
       if (w.wPool == null) Seq.empty
       else {
-        val fin = if (w.wF1 == null) "__z" else "__f"
+        val fin = finName(w)
         val es = (0 until l).map { t =>
           s"__pe$t" -> alg.exp(linear(alg,
             (0 until h).map(j => alg.ref(s"$fin${t}_$j")),
@@ -400,22 +467,55 @@ object AttnScorer {
           s"__pw$t" -> alg.div(alg.ref(s"__pe$t"), alg.ref("__pd")))
         Seq(es, dn, pw)
       }
-    tokStage ++ Seq(qkv, scores, dens, ctx) ++ crossStages ++
-      ffnStages ++ poolStages
+    // MLP prediction head (the reference's `mlp_units`, default (64,),
+    // transformer.py:232-234): pooled vector staged as named columns,
+    // then one ReLU Dense stage per layer; `wOut` becomes the final
+    // linear output layer reading the last hidden layer
+    val headStages: Seq[Seq[(String, E)]] =
+      if (w.mlpHead.isEmpty) Seq.empty
+      else {
+        val pool = (0 until h).map(j =>
+          s"__pool$j" -> pooledExpr(alg, w, l, j))
+        val layers = w.mlpHead.zipWithIndex.map { case ((wm, bm), li) =>
+          val in: Seq[E] =
+            if (li == 0) (0 until h).map(j => alg.ref(s"__pool$j"))
+            else w.mlpHead(li - 1)._2.indices
+              .map(u => alg.ref(s"__hd${li - 1}_$u"))
+          bm.indices.map(u => s"__hd${li}_$u" ->
+            alg.relu(linear(alg, in, wm.map(_(u)).toSeq, Some(bm(u)))))
+        }
+        pool +: layers
+      }
+    tokStage ++ norm1 ++ Seq(qkv, scores, dens, ctx) ++ crossStages ++
+      ffnStages ++ norm3 ++ poolStages ++ headStages
+  }
+
+  private def finName(w: AttnWeights): String =
+    if (w.preNorm != null) "__n3" else if (w.wF1 == null) "__z" else "__f"
+
+  /** The j-th component of the pooled (sequence-collapsed) vector. */
+  private def pooledExpr[E](alg: Alg[E], w: AttnWeights, l: Int,
+      j: Int): E = {
+    val fin = finName(w)
+    if (w.wPool == null)
+      alg.div((0 until l).map(t => alg.ref(s"$fin${t}_$j")).reduce(alg.add),
+        alg.const(l.toDouble))
+    else
+      (0 until l).map(t =>
+        alg.mul(alg.ref(s"__pw$t"), alg.ref(s"$fin${t}_$j")))
+        .reduce(alg.add)
   }
 
   private def headExpr[E](alg: Alg[E], w: AttnWeights, l: Int): E = {
-    val fin = if (w.wF1 == null) "__z" else "__f"
-    val pooled = (0 until w.hidden).map { j =>
-      if (w.wPool == null)
-        alg.div((0 until l).map(t => alg.ref(s"$fin${t}_$j")).reduce(alg.add),
-          alg.const(l.toDouble))
-      else
-        (0 until l).map(t =>
-          alg.mul(alg.ref(s"__pw$t"), alg.ref(s"$fin${t}_$j")))
-          .reduce(alg.add)
+    if (w.mlpHead.isEmpty)
+      linear(alg, (0 until w.hidden).map(j => pooledExpr(alg, w, l, j)),
+        w.wOut.toSeq, Some(w.bOut))
+    else {
+      val li = w.mlpHead.size - 1
+      linear(alg, w.mlpHead.last._2.indices
+        .map(u => alg.ref(s"__hd${li}_$u")),
+        w.wOut.toSeq, Some(w.bOut))
     }
-    linear(alg, pooled, w.wOut.toSeq, Some(w.bOut))
   }
 
   /** Appends `prediction` = attention forward pass (named-stage unroll). */

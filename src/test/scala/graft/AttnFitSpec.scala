@@ -59,6 +59,63 @@ class AttnFitSpec extends AnyFunSuite {
       "trainer forward and scorer disagree")
   }
 
+  test("pre-norm + attention-pooling + mlp-head scorer matches an " +
+    "independent imperative forward pass") {
+    val w = QueriesML.pinnedKerasDefault
+    val (t, f, h) = (3, 2, 2)
+    val raw = Array(Array(0.3, -0.2), Array(0.7, 0.4), Array(-0.5, 0.1))
+    // imperative reference forward (loops + mutable arrays — independent
+    // of the expression-algebra staging)
+    def ln(x: Array[Double], g: Array[Double], c: Array[Double],
+        eps: Double): Array[Double] = {
+      val mu = x.sum / x.length
+      val va = x.map(v => (v - mu) * (v - mu)).sum / x.length
+      x.indices.toArray.map(j =>
+        g(j) * (x(j) - mu) / math.sqrt(va + eps) + c(j))
+    }
+    val xt = Array.tabulate(t) { ti =>
+      Array.tabulate(h) { j =>
+        (0 until f).map(i => raw(ti)(i) * w.wIn(i)(j)).sum +
+          w.bIn(j) + w.posEmb(ti)(j)
+      }
+    }
+    val n1 = xt.map(ln(_, w.preNorm.g1, w.preNorm.c1, w.preNorm.epsilon))
+    def proj(x: Array[Double], m: Array[Array[Double]], b: Array[Double]) =
+      Array.tabulate(b.length)(j =>
+        x.indices.map(i => x(i) * m(i)(j)).sum + b(j))
+    val qs = n1.map(proj(_, w.wq, w.bq))
+    val ks = n1.map(proj(_, w.wk, w.bk))
+    val vs = n1.map(proj(_, w.wv, w.bv))
+    val zs = Array.tabulate(t) { ti =>
+      val es = Array.tabulate(t)(u => math.exp(
+        (0 until h).map(j => qs(ti)(j) * ks(u)(j)).sum / math.sqrt(h)))
+      val den = es.sum
+      Array.tabulate(h)(j =>
+        (0 until t).map(u => es(u) * vs(u)(j)).sum / den)
+    }
+    val rs = Array.tabulate(t, h)((ti, j) => xt(ti)(j) + zs(ti)(j))
+    val n2 = rs.map(ln(_, w.preNorm.g2, w.preNorm.c2, w.preNorm.epsilon))
+    val fs = Array.tabulate(t) { ti =>
+      val u = proj(n2(ti), w.wF1, w.bF1).map(math.max(_, 0.0))
+      Array.tabulate(h)(j => rs(ti)(j) + proj(u, w.wF2, w.bF2)(j))
+    }
+    val n3 = fs.map(ln(_, w.preNorm.gF, w.preNorm.cF, w.preNorm.epsilon))
+    val pes = n3.map(tok =>
+      math.exp((0 until h).map(j => tok(j) * w.wPool(j)).sum + w.bPool))
+    val pooled = Array.tabulate(h)(j =>
+      (0 until t).map(ti => pes(ti) / pes.sum * n3(ti)(j)).sum)
+    val hd = proj(pooled, w.mlpHead.head._1, w.mlpHead.head._2)
+      .map(math.max(_, 0.0))
+    val expect = hd.indices.map(u => hd(u) * w.wOut(u)).sum + w.bOut
+    val cols = (0 until t).flatMap(ti => (0 until f).map(fi => s"x${ti}_$fi"))
+    val df = Seq((1L, raw(0)(0), raw(0)(1), raw(1)(0), raw(1)(1),
+      raw(2)(0), raw(2)(1))).toDF("id" +: cols: _*)
+    val got = AttnScorer.score(df, cols.grouped(f).toSeq, w)
+      .select("prediction").collect()(0).getDouble(0)
+    assert(math.abs(got - expect) < 1e-10,
+      s"scorer $got != imperative $expect")
+  }
+
   test("attn: fit learns the synthetic AR(2) series to R^2 > 0.8; " +
     "fitted weights score through the distributed forward pass") {
     val r = new scala.util.Random(4)
