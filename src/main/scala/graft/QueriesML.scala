@@ -113,6 +113,24 @@ object QueriesML {
     mlpHead = Seq((frac(2, 3, 11, 11), fracV(3, 16, 7))),
     wOut = Array(6.0 / 11, -4.0 / 11, 3.0 / 11))
 
+  /** Second encoder block for the `num_blocks=2` stack
+    * (transformer.py:226-227): no input projection (tokens arrive
+    * hidden-dim from block 1), own attention/FFN/pre-norm weights;
+    * carries the final norm + pooling + head as the LAST block. */
+  val pinnedBlockTail: AttnWeights = AttnWeights(
+    wq = frac(2, 2, 20, 13), bq = fracV(2, 20, 7),
+    wk = frac(2, 2, 21, 13), bk = fracV(2, 21, 7),
+    wv = frac(2, 2, 22, 13), bv = fracV(2, 22, 7),
+    wOut = Array(6.0 / 11, -4.0 / 11, 3.0 / 11), bOut = 1.0 / 7,
+    wF1 = frac(2, 3, 23, 11), bF1 = fracV(3, 23, 7),
+    wF2 = frac(3, 2, 24, 11), bF2 = fracV(2, 24, 7),
+    preNorm = LayerNormParams(
+      g1 = fracV(2, 26, 7).map(1.0 + _), c1 = fracV(2, 27, 9),
+      g2 = fracV(2, 28, 7).map(1.0 + _), c2 = fracV(2, 29, 9),
+      gF = fracV(2, 30, 7).map(1.0 + _), cF = fracV(2, 31, 9)),
+    wPool = Array(5.0 / 9, -3.0 / 9), bPool = 1.0 / 9,
+    mlpHead = Seq((frac(2, 3, 25, 11), fracV(3, 32, 7))))
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -261,6 +279,15 @@ object QueriesML {
       AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlockPool)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 6).as("pool_score"))
+    }),
+
+    // num_blocks=2: two stacked pre-norm encoder blocks, final norm +
+    // attention pooling + MLP head from the last block
+    "q_stacked_blocks" -> ((s, dir) => {
+      AttnScorer.scoreBlocks(seqBase(s, dir), seqSteps,
+        Seq(pinnedKerasDefault, pinnedBlockTail))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("stack_score"))
     }),
 
     // the reference's full DEFAULT config: pre-norm LayerNorms +
@@ -483,6 +510,9 @@ object QueriesML {
     "q_keras_default" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
       pinnedKerasDefault,
       "l_orderkey, l_linenumber, round(prediction, 6) AS keras_score"),
+    "q_stacked_blocks" -> AttnScorer.sqlBlocks(seqBaseSql, "base", seqSteps,
+      Seq(pinnedKerasDefault, pinnedBlockTail),
+      "l_orderkey, l_linenumber, round(prediction, 6) AS stack_score"),
     "q_combined_loss" ->
       """WITH ma AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -271,15 +271,13 @@ case class AttnWeights(
   def hidden: Int = bq.length
   require(posEmb == null || wIn != null,
     "posEmb requires the input projection (tokens must be hidden-dim)")
-  require(wF1 == null || wIn != null,
-    "the FFN residual requires the input projection")
   require(wPool == null || wPool.length == hidden,
     "attention-pooling scores read hidden-dim tokens")
   require(Seq(wqF, wkF, wvF).forall(_ == null) ||
     Seq(wqF, bqF, wkF, bkF, wvF, bvF).forall(_ != null),
     "cross mode needs all six feature-axis q/k/v arrays")
-  require(preNorm == null || (wIn != null && wF1 != null),
-    "pre-norm is the full-block architecture (input projection + FFN)")
+  require(preNorm == null || wF1 != null,
+    "pre-norm is the full-block architecture (attention + FFN)")
   require(mlpHead.isEmpty || wOut.length == mlpHead.last._2.length,
     "wOut is the output layer over the LAST mlp head layer's units")
 }
@@ -298,83 +296,77 @@ case class LayerNormParams(
 object AttnScorer {
   import SeqAlg._
 
-  private def stages[E](alg: Alg[E], w: AttnWeights,
-      steps: Seq[Seq[String]]): Seq[Seq[(String, E)]] = {
-    val l = steps.size
-    val h = w.hidden
-    // optional Dense(d_model) input projection + position embedding:
-    // tokens become named __x columns; otherwise q/k/v read raw features
-    val tokStage: Seq[Seq[(String, E)]] =
-      if (w.wIn == null) Seq.empty
-      else Seq(steps.indices.flatMap { t =>
-        val x = steps(t).map(alg.ref)
-        (0 until h).map { u =>
-          val proj = linear(alg, x, w.wIn.map(_(u)).toSeq, Some(w.bIn(u)))
-          s"__x${t}_$u" -> (if (w.posEmb == null) proj
-            else alg.add(proj, alg.const(w.posEmb(t)(u))))
-        }
-      })
-    def tok(t: Int): Seq[E] =
-      if (w.wIn == null) steps(t).map(alg.ref)
-      else (0 until h).map(u => alg.ref(s"__x${t}_$u"))
-    // LayerNormalization over the hidden axis of each token (pre-norm
-    // architecture, transformer.py:162-166): staged as per-token mean →
-    // variance → normalized γ/β outputs, all row-local arithmetic
-    def lnStages(inRef: (Int, Int) => E, pfx: String, g: Array[Double],
-        c: Array[Double]): Seq[Seq[(String, E)]] = {
-      val eps = w.preNorm.epsilon
-      val means = (0 until l).map(t => s"${pfx}m$t" ->
-        alg.div((0 until h).map(j => inRef(t, j)).reduce(alg.add),
-          alg.const(h.toDouble)))
-      val vars = (0 until l).map { t =>
-        s"${pfx}v$t" -> alg.div((0 until h).map { j =>
-          val d = alg.sub(inRef(t, j), alg.ref(s"${pfx}m$t"))
-          alg.mul(d, d)
-        }.reduce(alg.add), alg.const(h.toDouble))
-      }
-      val outs = (for { t <- 0 until l; j <- 0 until h } yield
-        s"$pfx${t}_$j" -> alg.add(alg.mulW(
-          alg.div(alg.sub(inRef(t, j), alg.ref(s"${pfx}m$t")),
-            alg.sqrt(alg.add(alg.ref(s"${pfx}v$t"), alg.const(eps)))),
-          g(j)), alg.const(c(j))))
-      Seq(means, vars, outs)
+  /** LayerNormalization over the hidden axis of each token (pre-norm
+    * architecture, transformer.py:162-166): staged as per-token mean →
+    * variance → normalized γ/β outputs, all row-local arithmetic. */
+  private def lnStages[E](alg: Alg[E], l: Int, h: Int,
+      inRef: (Int, Int) => E, pfx: String, g: Array[Double],
+      c: Array[Double], eps: Double): Seq[Seq[(String, E)]] = {
+    val means = (0 until l).map(t => s"${pfx}m$t" ->
+      alg.div((0 until h).map(j => inRef(t, j)).reduce(alg.add),
+        alg.const(h.toDouble)))
+    val vars = (0 until l).map { t =>
+      s"${pfx}v$t" -> alg.div((0 until h).map { j =>
+        val d = alg.sub(inRef(t, j), alg.ref(s"${pfx}m$t"))
+        alg.mul(d, d)
+      }.reduce(alg.add), alg.const(h.toDouble))
     }
+    val outs = (for { t <- 0 until l; j <- 0 until h } yield
+      s"$pfx${t}_$j" -> alg.add(alg.mulW(
+        alg.div(alg.sub(inRef(t, j), alg.ref(s"${pfx}m$t")),
+          alg.sqrt(alg.add(alg.ref(s"${pfx}v$t"), alg.const(eps)))),
+        g(j)), alg.const(c(j))))
+    Seq(means, vars, outs)
+  }
+
+  /** One encoder block's stages under name-prefix `pfx` (so blocks
+    * stack, transformer.py:226-227), reading input tokens of `width`
+    * dims via `tokRef`; the block's per-token outputs land in
+    * `${pfx}f*` (with FFN) or `${pfx}z*` (bare attention). */
+  private def blockStages[E](alg: Alg[E], w: AttnWeights, l: Int,
+      pfx: String, width: Int, tokRef: (Int, Int) => E)
+      : Seq[Seq[(String, E)]] = {
+    val h = w.hidden
     val norm1: Seq[Seq[(String, E)]] =
       if (w.preNorm == null) Seq.empty
-      else lnStages((t, j) => tok(t)(j), "__n1", w.preNorm.g1, w.preNorm.c1)
+      else lnStages(alg, l, width, tokRef, s"${pfx}n1",
+        w.preNorm.g1, w.preNorm.c1, w.preNorm.epsilon)
     // attention (and cross-mode feature attention) read the pre-normed
     // tokens; the residual still adds the UN-normed x (transformer.py:194)
-    def attnIn(t: Int): Seq[E] =
-      if (w.preNorm == null) tok(t)
-      else (0 until h).map(j => alg.ref(s"__n1${t}_$j"))
-    val qkv = steps.indices.flatMap { t =>
-      val x = attnIn(t)
+    def attnIn(t: Int, i: Int): E =
+      if (w.preNorm == null) tokRef(t, i)
+      else alg.ref(s"${pfx}n1${t}_$i")
+    val qkv = (0 until l).flatMap { t =>
+      val x = (0 until width).map(i => attnIn(t, i))
       (0 until h).flatMap { u =>
         Seq(
-          s"__q${t}_$u" -> linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
-          s"__k${t}_$u" -> linear(alg, x, w.wk.map(_(u)).toSeq, Some(w.bk(u))),
-          s"__v${t}_$u" -> linear(alg, x, w.wv.map(_(u)).toSeq, Some(w.bv(u))))
+          s"${pfx}q${t}_$u" ->
+            linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
+          s"${pfx}k${t}_$u" ->
+            linear(alg, x, w.wk.map(_(u)).toSeq, Some(w.bk(u))),
+          s"${pfx}v${t}_$u" ->
+            linear(alg, x, w.wv.map(_(u)).toSeq, Some(w.bv(u))))
       }
     }
     // scaled dot-product scores, exponentiated once per (t, u)
     val scores = (for { t <- 0 until l; u <- 0 until l } yield {
       val dot = (0 until h).map(j =>
-        alg.mul(alg.ref(s"__q${t}_$j"), alg.ref(s"__k${u}_$j")))
+        alg.mul(alg.ref(s"${pfx}q${t}_$j"), alg.ref(s"${pfx}k${u}_$j")))
         .reduce(alg.add)
-      s"__e${t}_$u" -> alg.exp(alg.div(dot, alg.const(math.sqrt(h))))
+      s"${pfx}e${t}_$u" -> alg.exp(alg.div(dot, alg.const(math.sqrt(h))))
     })
     val dens = (0 until l).map { t =>
-      s"__d$t" -> (0 until l).map(u => alg.ref(s"__e${t}_$u"))
+      s"${pfx}d$t" -> (0 until l).map(u => alg.ref(s"${pfx}e${t}_$u"))
         .reduce(alg.add)
     }
-    // temporal context lands in __z directly unless the cross-mode sum
-    // stage below combines it with the feature-axis context
-    val zName = if (w.wqF == null) "__z" else "__tz"
+    // temporal context lands in ${pfx}z directly unless the cross-mode
+    // sum stage below combines it with the feature-axis context
+    val zName = if (w.wqF == null) s"${pfx}z" else s"${pfx}tz"
     val ctx = (for { t <- 0 until l; j <- 0 until h } yield {
       val num = (0 until l).map(u =>
-        alg.mul(alg.ref(s"__e${t}_$u"), alg.ref(s"__v${u}_$j")))
+        alg.mul(alg.ref(s"${pfx}e${t}_$u"), alg.ref(s"${pfx}v${u}_$j")))
         .reduce(alg.add)
-      s"$zName${t}_$j" -> alg.div(num, alg.ref(s"__d$t"))
+      s"$zName${t}_$j" -> alg.div(num, alg.ref(s"${pfx}d$t"))
     })
     // feature-axis attention of the "cross" dual-axis mode
     // (transformer.py:51-90, single-head): same machinery over the
@@ -384,36 +376,41 @@ object AttnScorer {
       if (w.wqF == null) Seq.empty
       else {
         val fqkv = (0 until h).flatMap { j =>
-          val xj = (0 until l).map(t => attnIn(t)(j))
+          val xj = (0 until l).map(t => attnIn(t, j))
           (0 until l).flatMap { s =>
             Seq(
-              s"__fq${j}_$s" -> linear(alg, xj, w.wqF.map(_(s)).toSeq,
+              s"${pfx}fq${j}_$s" -> linear(alg, xj, w.wqF.map(_(s)).toSeq,
                 Some(w.bqF(s))),
-              s"__fk${j}_$s" -> linear(alg, xj, w.wkF.map(_(s)).toSeq,
+              s"${pfx}fk${j}_$s" -> linear(alg, xj, w.wkF.map(_(s)).toSeq,
                 Some(w.bkF(s))),
-              s"__fv${j}_$s" -> linear(alg, xj, w.wvF.map(_(s)).toSeq,
+              s"${pfx}fv${j}_$s" -> linear(alg, xj, w.wvF.map(_(s)).toSeq,
                 Some(w.bvF(s))))
           }
         }
         val fscores = (for { j <- 0 until h; j2 <- 0 until h } yield {
           val dot = (0 until l).map(s =>
-            alg.mul(alg.ref(s"__fq${j}_$s"), alg.ref(s"__fk${j2}_$s")))
+            alg.mul(alg.ref(s"${pfx}fq${j}_$s"),
+              alg.ref(s"${pfx}fk${j2}_$s")))
             .reduce(alg.add)
-          s"__fe${j}_$j2" -> alg.exp(alg.div(dot, alg.const(math.sqrt(l))))
+          s"${pfx}fe${j}_$j2" ->
+            alg.exp(alg.div(dot, alg.const(math.sqrt(l))))
         })
         val fdens = (0 until h).map { j =>
-          s"__fd$j" -> (0 until h).map(j2 => alg.ref(s"__fe${j}_$j2"))
-            .reduce(alg.add)
+          s"${pfx}fd$j" ->
+            (0 until h).map(j2 => alg.ref(s"${pfx}fe${j}_$j2"))
+              .reduce(alg.add)
         }
         val fctx = (for { j <- 0 until h; t <- 0 until l } yield {
           val num = (0 until h).map(j2 =>
-            alg.mul(alg.ref(s"__fe${j}_$j2"), alg.ref(s"__fv${j2}_$t")))
+            alg.mul(alg.ref(s"${pfx}fe${j}_$j2"),
+              alg.ref(s"${pfx}fv${j2}_$t")))
             .reduce(alg.add)
-          s"__fz${j}_$t" -> alg.div(num, alg.ref(s"__fd$j"))
+          s"${pfx}fz${j}_$t" -> alg.div(num, alg.ref(s"${pfx}fd$j"))
         })
         val zsum = (for { t <- 0 until l; j <- 0 until h } yield
-          s"__z${t}_$j" ->
-            alg.add(alg.ref(s"__tz${t}_$j"), alg.ref(s"__fz${j}_$t")))
+          s"${pfx}z${t}_$j" ->
+            alg.add(alg.ref(s"${pfx}tz${t}_$j"),
+              alg.ref(s"${pfx}fz${j}_$t")))
         Seq(fqkv, fscores, fdens, fctx, zsum)
       }
     // optional residual + ReLU feed-forward sub-layer with its residual
@@ -422,44 +419,83 @@ object AttnScorer {
       if (w.wF1 == null) Seq.empty
       else {
         val res = (for { t <- 0 until l; j <- 0 until h } yield
-          s"__r${t}_$j" ->
-            alg.add(alg.ref(s"__x${t}_$j"), alg.ref(s"__z${t}_$j")))
+          s"${pfx}r${t}_$j" ->
+            alg.add(tokRef(t, j), alg.ref(s"${pfx}z${t}_$j")))
         // pre-norm: the FFN reads LN(r); its residual still adds r
         val norm2: Seq[Seq[(String, E)]] =
           if (w.preNorm == null) Seq.empty
-          else lnStages((t, j) => alg.ref(s"__r${t}_$j"), "__n2",
-            w.preNorm.g2, w.preNorm.c2)
+          else lnStages(alg, l, h, (t, j) => alg.ref(s"${pfx}r${t}_$j"),
+            s"${pfx}n2", w.preNorm.g2, w.preNorm.c2, w.preNorm.epsilon)
         def ffnIn(t: Int, i: Int): E =
-          if (w.preNorm == null) alg.ref(s"__r${t}_$i")
-          else alg.ref(s"__n2${t}_$i")
+          if (w.preNorm == null) alg.ref(s"${pfx}r${t}_$i")
+          else alg.ref(s"${pfx}n2${t}_$i")
         val ff = w.bF1.length
         val hiddenFfn = (for { t <- 0 until l; j <- 0 until ff } yield
-          s"__u${t}_$j" -> alg.relu(linear(alg,
+          s"${pfx}u${t}_$j" -> alg.relu(linear(alg,
             (0 until h).map(i => ffnIn(t, i)),
             w.wF1.map(_(j)).toSeq, Some(w.bF1(j)))))
         val out = (for { t <- 0 until l; j <- 0 until h } yield
-          s"__f${t}_$j" -> alg.add(alg.ref(s"__r${t}_$j"),
-            linear(alg, (0 until ff).map(i => alg.ref(s"__u${t}_$i")),
+          s"${pfx}f${t}_$j" -> alg.add(alg.ref(s"${pfx}r${t}_$j"),
+            linear(alg, (0 until ff).map(i => alg.ref(s"${pfx}u${t}_$i")),
               w.wF2.map(_(j)).toSeq, Some(w.bF2(j)))))
         Seq(res) ++ norm2 ++ Seq(hiddenFfn, out)
       }
-    // pre-norm: final LayerNorm after the block, before pooling
-    // (transformer.py:221-223)
+    norm1 ++ Seq(qkv, scores, dens, ctx) ++ crossStages ++ ffnStages
+  }
+
+  private def blockOut(w: AttnWeights, pfx: String): String =
+    if (w.wF1 == null) s"${pfx}z" else s"${pfx}f"
+
+  private def stages[E](alg: Alg[E], blocks: Seq[AttnWeights],
+      steps: Seq[Seq[String]]): Seq[Seq[(String, E)]] = {
+    val w0 = blocks.head
+    val last = blocks.last
+    val l = steps.size
+    val h = last.hidden
+    // optional Dense(d_model) input projection + position embedding
+    // (block 0 only): tokens become named __x columns; otherwise the
+    // first block's q/k/v read the raw step features
+    val tokStage: Seq[Seq[(String, E)]] =
+      if (w0.wIn == null) Seq.empty
+      else Seq(steps.indices.flatMap { t =>
+        val x = steps(t).map(alg.ref)
+        (0 until w0.hidden).map { u =>
+          val proj = linear(alg, x, w0.wIn.map(_(u)).toSeq, Some(w0.bIn(u)))
+          s"__x${t}_$u" -> (if (w0.posEmb == null) proj
+            else alg.add(proj, alg.const(w0.posEmb(t)(u))))
+        }
+      })
+    val blockSeqs = blocks.zipWithIndex.flatMap { case (w, b) =>
+      val (width, tokRef): (Int, (Int, Int) => E) =
+        if (b == 0) {
+          if (w0.wIn == null)
+            (steps.head.size, (t: Int, i: Int) => alg.ref(steps(t)(i)))
+          else (w0.hidden, (t: Int, i: Int) => alg.ref(s"__x${t}_$i"))
+        } else {
+          val prevOut = blockOut(blocks(b - 1), s"__b${b - 1}")
+          (blocks(b - 1).hidden,
+            (t: Int, i: Int) => alg.ref(s"$prevOut${t}_$i"))
+        }
+      blockStages(alg, w, l, s"__b$b", width, tokRef)
+    }
+    // pre-norm: final LayerNorm after ALL blocks, before pooling
+    // (transformer.py:221-223) — the last block's gF/cF
+    val lastOut = blockOut(last, s"__b${blocks.size - 1}")
     val norm3: Seq[Seq[(String, E)]] =
-      if (w.preNorm == null) Seq.empty
-      else lnStages((t, j) => alg.ref(s"__f${t}_$j"), "__n3",
-        w.preNorm.gF, w.preNorm.cF)
+      if (last.preNorm == null) Seq.empty
+      else lnStages(alg, l, h, (t, j) => alg.ref(s"$lastOut${t}_$j"),
+        "__nF", last.preNorm.gF, last.preNorm.cF, last.preNorm.epsilon)
     // AttentionPooling (transformer.py:96-107): per-token Dense(1) logit,
     // softmax over tokens — staged as exp → Σexp → normalized weight so
     // the head is a plain weighted sum
     val poolStages: Seq[Seq[(String, E)]] =
-      if (w.wPool == null) Seq.empty
+      if (last.wPool == null) Seq.empty
       else {
-        val fin = finName(w)
+        val fin = finName(blocks)
         val es = (0 until l).map { t =>
           s"__pe$t" -> alg.exp(linear(alg,
             (0 until h).map(j => alg.ref(s"$fin${t}_$j")),
-            w.wPool.toSeq, Some(w.bPool)))
+            last.wPool.toSeq, Some(last.bPool)))
         }
         val dn = Seq("__pd" ->
           (0 until l).map(t => alg.ref(s"__pe$t")).reduce(alg.add))
@@ -472,32 +508,32 @@ object AttnScorer {
     // then one ReLU Dense stage per layer; `wOut` becomes the final
     // linear output layer reading the last hidden layer
     val headStages: Seq[Seq[(String, E)]] =
-      if (w.mlpHead.isEmpty) Seq.empty
+      if (last.mlpHead.isEmpty) Seq.empty
       else {
         val pool = (0 until h).map(j =>
-          s"__pool$j" -> pooledExpr(alg, w, l, j))
-        val layers = w.mlpHead.zipWithIndex.map { case ((wm, bm), li) =>
+          s"__pool$j" -> pooledExpr(alg, blocks, l, j))
+        val layers = last.mlpHead.zipWithIndex.map { case ((wm, bm), li) =>
           val in: Seq[E] =
             if (li == 0) (0 until h).map(j => alg.ref(s"__pool$j"))
-            else w.mlpHead(li - 1)._2.indices
+            else last.mlpHead(li - 1)._2.indices
               .map(u => alg.ref(s"__hd${li - 1}_$u"))
           bm.indices.map(u => s"__hd${li}_$u" ->
             alg.relu(linear(alg, in, wm.map(_(u)).toSeq, Some(bm(u)))))
         }
         pool +: layers
       }
-    tokStage ++ norm1 ++ Seq(qkv, scores, dens, ctx) ++ crossStages ++
-      ffnStages ++ norm3 ++ poolStages ++ headStages
+    tokStage ++ blockSeqs ++ norm3 ++ poolStages ++ headStages
   }
 
-  private def finName(w: AttnWeights): String =
-    if (w.preNorm != null) "__n3" else if (w.wF1 == null) "__z" else "__f"
+  private def finName(blocks: Seq[AttnWeights]): String =
+    if (blocks.last.preNorm != null) "__nF"
+    else blockOut(blocks.last, s"__b${blocks.size - 1}")
 
   /** The j-th component of the pooled (sequence-collapsed) vector. */
-  private def pooledExpr[E](alg: Alg[E], w: AttnWeights, l: Int,
+  private def pooledExpr[E](alg: Alg[E], blocks: Seq[AttnWeights], l: Int,
       j: Int): E = {
-    val fin = finName(w)
-    if (w.wPool == null)
+    val fin = finName(blocks)
+    if (blocks.last.wPool == null)
       alg.div((0 until l).map(t => alg.ref(s"$fin${t}_$j")).reduce(alg.add),
         alg.const(l.toDouble))
     else
@@ -506,41 +542,66 @@ object AttnScorer {
         .reduce(alg.add)
   }
 
-  private def headExpr[E](alg: Alg[E], w: AttnWeights, l: Int): E = {
-    if (w.mlpHead.isEmpty)
-      linear(alg, (0 until w.hidden).map(j => pooledExpr(alg, w, l, j)),
-        w.wOut.toSeq, Some(w.bOut))
+  private def headExpr[E](alg: Alg[E], blocks: Seq[AttnWeights],
+      l: Int): E = {
+    val last = blocks.last
+    if (last.mlpHead.isEmpty)
+      linear(alg, (0 until last.hidden)
+        .map(j => pooledExpr(alg, blocks, l, j)),
+        last.wOut.toSeq, Some(last.bOut))
     else {
-      val li = w.mlpHead.size - 1
-      linear(alg, w.mlpHead.last._2.indices
+      val li = last.mlpHead.size - 1
+      linear(alg, last.mlpHead.last._2.indices
         .map(u => alg.ref(s"__hd${li}_$u")),
-        w.wOut.toSeq, Some(w.bOut))
+        last.wOut.toSeq, Some(last.bOut))
     }
   }
 
   /** Appends `prediction` = attention forward pass (named-stage unroll). */
   def score(df: DataFrame, steps: Seq[Seq[String]], w: AttnWeights)
-      : DataFrame = {
+      : DataFrame = scoreBlocks(df, steps, Seq(w))
+
+  /** Stacked encoder blocks (the reference's `num_blocks`,
+    * transformer.py:226-227): block n+1's tokens are block n's per-token
+    * outputs; input projection/posEmb come from the FIRST block, the
+    * final norm / pooling / head from the LAST. */
+  def scoreBlocks(df: DataFrame, steps: Seq[Seq[String]],
+      blocks: Seq[AttnWeights]): DataFrame = {
+    checkBlocks(blocks)
     var cur = df
-    for (stage <- stages(ColAlg, w, steps))
+    for (stage <- stages(ColAlg, blocks, steps))
       cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
-    val out = cur.withColumn("prediction", headExpr(ColAlg, w, steps.size))
+    val out = cur.withColumn("prediction",
+      headExpr(ColAlg, blocks, steps.size))
     out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
+  private def checkBlocks(blocks: Seq[AttnWeights]): Unit = {
+    require(blocks.nonEmpty, "at least one encoder block")
+    require(blocks.tail.forall(_.wIn == null),
+      "only the first block projects the input (Dense(d_model) is applied once)")
+    require(blocks.map(_.hidden).distinct.size == 1,
+      "stacked blocks share d_model")
   }
 
   /** DuckDB mirror (chained CTEs). */
   def sql(baseCte: String, baseName: String, steps: Seq[Seq[String]],
-      w: AttnWeights, finalSelect: String): String = {
+      w: AttnWeights, finalSelect: String): String =
+    sqlBlocks(baseCte, baseName, steps, Seq(w), finalSelect)
+
+  def sqlBlocks(baseCte: String, baseName: String, steps: Seq[Seq[String]],
+      blocks: Seq[AttnWeights], finalSelect: String): String = {
+    checkBlocks(blocks)
     val sb = new StringBuilder(baseCte)
     var prev = baseName
     var si = 0
-    for (stage <- stages(SqlAlg, w, steps)) {
+    for (stage <- stages(SqlAlg, blocks, steps)) {
       val name = s"a$si"
       val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
       sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
       prev = name; si += 1
     }
-    val head = headExpr(SqlAlg, w, steps.size)
+    val head = headExpr(SqlAlg, blocks, steps.size)
     sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
     sb.append(s"\nSELECT $finalSelect FROM fin")
     sb.toString
