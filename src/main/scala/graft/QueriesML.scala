@@ -113,6 +113,32 @@ object QueriesML {
     mlpHead = Seq((frac(2, 3, 11, 11), fracV(3, 16, 7))),
     wOut = Array(6.0 / 11, -4.0 / 11, 3.0 / 11))
 
+  /** Multi-head variant of the default config (num_heads=2 over
+    * d_model=2, key_dim=1 — the Keras `d_model // num_heads` shape,
+    * transformer.py:175-178): per-head q/k/v, head-major concat,
+    * output projection. */
+  val pinnedMultiHead: AttnWeights = AttnWeights(
+    wq = null, bq = null, wk = null, bk = null, wv = null, bv = null,
+    wOut = Array(6.0 / 11, -4.0 / 11, 3.0 / 11), bOut = 1.0 / 7,
+    wIn = frac(2, 2, 4, 11), bIn = fracV(2, 4, 7),
+    posEmb = frac(3, 2, 5, 13),
+    wF1 = frac(2, 3, 6, 11), bF1 = fracV(3, 5, 7),
+    wF2 = frac(3, 2, 7, 11), bF2 = fracV(2, 6, 7),
+    preNorm = LayerNormParams(
+      g1 = fracV(2, 10, 7).map(1.0 + _), c1 = fracV(2, 11, 9),
+      g2 = fracV(2, 12, 7).map(1.0 + _), c2 = fracV(2, 13, 9),
+      gF = fracV(2, 14, 7).map(1.0 + _), cF = fracV(2, 15, 9)),
+    wPool = Array(5.0 / 9, -3.0 / 9), bPool = 1.0 / 9,
+    mlpHead = Seq((frac(2, 3, 11, 11), fracV(3, 16, 7))),
+    heads = Seq(
+      HeadWeights(frac(2, 1, 33, 13), fracV(1, 33, 7),
+        frac(2, 1, 34, 13), fracV(1, 34, 7),
+        frac(2, 1, 35, 13), fracV(1, 35, 7)),
+      HeadWeights(frac(2, 1, 36, 13), fracV(1, 36, 7),
+        frac(2, 1, 37, 13), fracV(1, 37, 7),
+        frac(2, 1, 38, 13), fracV(1, 38, 7))),
+    wO = frac(2, 2, 39, 11), bO = fracV(2, 39, 7))
+
   /** Second encoder block for the `num_blocks=2` stack
     * (transformer.py:226-227): no input projection (tokens arrive
     * hidden-dim from block 1), own attention/FFN/pre-norm weights;
@@ -279,6 +305,13 @@ object QueriesML {
       AttnScorer.score(seqBase(s, dir), seqSteps, pinnedBlockPool)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 6).as("pool_score"))
+    }),
+
+    // num_heads=2 multi-head attention through the full default config
+    "q_multihead" -> ((s, dir) => {
+      AttnScorer.score(seqBase(s, dir), seqSteps, pinnedMultiHead)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("mh_score"))
     }),
 
     // num_blocks=2: two stacked pre-norm encoder blocks, final norm +
@@ -513,6 +546,9 @@ object QueriesML {
     "q_stacked_blocks" -> AttnScorer.sqlBlocks(seqBaseSql, "base", seqSteps,
       Seq(pinnedKerasDefault, pinnedBlockTail),
       "l_orderkey, l_linenumber, round(prediction, 6) AS stack_score"),
+    "q_multihead" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
+      pinnedMultiHead,
+      "l_orderkey, l_linenumber, round(prediction, 6) AS mh_score"),
     "q_combined_loss" ->
       """WITH ma AS (
         |  SELECT l_returnflag, l_extendedprice,

@@ -251,7 +251,15 @@ object LstmScorer {
   * (CrossAttention, transformer.py:51-90): a second single-head
   * attention over the TRANSPOSED token matrix (tokens = hidden dims,
   * token width = seqLen), whose context — transposed back — is SUMMED
-  * with the temporal context before the residual. */
+  * with the temporal context before the residual.
+  *
+  * `heads` + `wO`/`bO` switch the temporal attention to MULTI-HEAD
+  * (Keras MultiHeadAttention, the reference's `num_heads=4` default):
+  * each head projects tokens to its own key_dim-sized q/k/v, runs
+  * scaled-dot-product attention (scale √key_dim), the per-head contexts
+  * concatenate head-major and project back to d_model through `wO`
+  * ((nh·kd)×H) + `bO`. When `heads` is non-empty the single-head
+  * `wq..bv` are unused (pass null). */
 case class AttnWeights(
     wq: Array[Array[Double]], bq: Array[Double],
     wk: Array[Array[Double]], bk: Array[Double],
@@ -266,9 +274,15 @@ case class AttnWeights(
     wkF: Array[Array[Double]] = null, bkF: Array[Double] = null,
     wvF: Array[Array[Double]] = null, bvF: Array[Double] = null,
     preNorm: LayerNormParams = null,
-    mlpHead: Seq[(Array[Array[Double]], Array[Double])] = Nil)
+    mlpHead: Seq[(Array[Array[Double]], Array[Double])] = Nil,
+    heads: Seq[HeadWeights] = Nil,
+    wO: Array[Array[Double]] = null, bO: Array[Double] = null)
     extends Serializable {
-  def hidden: Int = bq.length
+  def hidden: Int = if (heads.nonEmpty) bO.length else bq.length
+  require(heads.isEmpty || (wO != null && bO != null),
+    "multi-head attention needs the output projection wO/bO")
+  require(heads.isEmpty || wqF == null,
+    "cross mode is single-head (set heads empty)")
   require(posEmb == null || wIn != null,
     "posEmb requires the input projection (tokens must be hidden-dim)")
   require(wPool == null || wPool.length == hidden,
@@ -292,6 +306,14 @@ case class LayerNormParams(
     g2: Array[Double], c2: Array[Double],
     gF: Array[Double], cF: Array[Double],
     epsilon: Double = 1e-6) extends Serializable
+
+/** One attention head's projections: H×kd matrices + kd biases. */
+case class HeadWeights(
+    wq: Array[Array[Double]], bq: Array[Double],
+    wk: Array[Array[Double]], bk: Array[Double],
+    wv: Array[Array[Double]], bv: Array[Double]) extends Serializable {
+  def keyDim: Int = bq.length
+}
 
 object AttnScorer {
   import SeqAlg._
@@ -336,38 +358,89 @@ object AttnScorer {
     def attnIn(t: Int, i: Int): E =
       if (w.preNorm == null) tokRef(t, i)
       else alg.ref(s"${pfx}n1${t}_$i")
-    val qkv = (0 until l).flatMap { t =>
-      val x = (0 until width).map(i => attnIn(t, i))
-      (0 until h).flatMap { u =>
-        Seq(
-          s"${pfx}q${t}_$u" ->
-            linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
-          s"${pfx}k${t}_$u" ->
-            linear(alg, x, w.wk.map(_(u)).toSeq, Some(w.bk(u))),
-          s"${pfx}v${t}_$u" ->
-            linear(alg, x, w.wv.map(_(u)).toSeq, Some(w.bv(u))))
+    val attnStages: Seq[Seq[(String, E)]] = if (w.heads.isEmpty) {
+      val qkv = (0 until l).flatMap { t =>
+        val x = (0 until width).map(i => attnIn(t, i))
+        (0 until h).flatMap { u =>
+          Seq(
+            s"${pfx}q${t}_$u" ->
+              linear(alg, x, w.wq.map(_(u)).toSeq, Some(w.bq(u))),
+            s"${pfx}k${t}_$u" ->
+              linear(alg, x, w.wk.map(_(u)).toSeq, Some(w.bk(u))),
+            s"${pfx}v${t}_$u" ->
+              linear(alg, x, w.wv.map(_(u)).toSeq, Some(w.bv(u))))
+        }
       }
+      // scaled dot-product scores, exponentiated once per (t, u)
+      val scores = (for { t <- 0 until l; u <- 0 until l } yield {
+        val dot = (0 until h).map(j =>
+          alg.mul(alg.ref(s"${pfx}q${t}_$j"), alg.ref(s"${pfx}k${u}_$j")))
+          .reduce(alg.add)
+        s"${pfx}e${t}_$u" -> alg.exp(alg.div(dot, alg.const(math.sqrt(h))))
+      })
+      val dens = (0 until l).map { t =>
+        s"${pfx}d$t" -> (0 until l).map(u => alg.ref(s"${pfx}e${t}_$u"))
+          .reduce(alg.add)
+      }
+      // temporal context lands in ${pfx}z directly unless the cross-mode
+      // sum stage below combines it with the feature-axis context
+      val zName = if (w.wqF == null) s"${pfx}z" else s"${pfx}tz"
+      val ctx = (for { t <- 0 until l; j <- 0 until h } yield {
+        val num = (0 until l).map(u =>
+          alg.mul(alg.ref(s"${pfx}e${t}_$u"), alg.ref(s"${pfx}v${u}_$j")))
+          .reduce(alg.add)
+        s"$zName${t}_$j" -> alg.div(num, alg.ref(s"${pfx}d$t"))
+      })
+      Seq(qkv, scores, dens, ctx)
+    } else {
+      // multi-head (Keras MultiHeadAttention): per-head key_dim-sized
+      // q/k/v + scaled softmax context, contexts concatenated head-major
+      // and projected back to d_model through wO/bO
+      val qkv = (0 until l).flatMap { t =>
+        val x = (0 until width).map(i => attnIn(t, i))
+        w.heads.zipWithIndex.flatMap { case (hw, hi) =>
+          (0 until hw.keyDim).flatMap { u =>
+            Seq(
+              s"${pfx}h${hi}q${t}_$u" ->
+                linear(alg, x, hw.wq.map(_(u)).toSeq, Some(hw.bq(u))),
+              s"${pfx}h${hi}k${t}_$u" ->
+                linear(alg, x, hw.wk.map(_(u)).toSeq, Some(hw.bk(u))),
+              s"${pfx}h${hi}v${t}_$u" ->
+                linear(alg, x, hw.wv.map(_(u)).toSeq, Some(hw.bv(u))))
+          }
+        }
+      }
+      val scores = (for { hi <- w.heads.indices; t <- 0 until l;
+                          u <- 0 until l } yield {
+        val kd = w.heads(hi).keyDim
+        val dot = (0 until kd).map(j =>
+          alg.mul(alg.ref(s"${pfx}h${hi}q${t}_$j"),
+            alg.ref(s"${pfx}h${hi}k${u}_$j")))
+          .reduce(alg.add)
+        s"${pfx}h${hi}e${t}_$u" ->
+          alg.exp(alg.div(dot, alg.const(math.sqrt(kd))))
+      })
+      val dens = (for { hi <- w.heads.indices; t <- 0 until l } yield
+        s"${pfx}h${hi}d$t" ->
+          (0 until l).map(u => alg.ref(s"${pfx}h${hi}e${t}_$u"))
+            .reduce(alg.add))
+      val ctx = (for { hi <- w.heads.indices; t <- 0 until l;
+                       j <- 0 until w.heads(hi).keyDim } yield {
+        val num = (0 until l).map(u =>
+          alg.mul(alg.ref(s"${pfx}h${hi}e${t}_$u"),
+            alg.ref(s"${pfx}h${hi}v${u}_$j")))
+          .reduce(alg.add)
+        s"${pfx}h${hi}c${t}_$j" -> alg.div(num, alg.ref(s"${pfx}h${hi}d$t"))
+      })
+      val outProj = (for { t <- 0 until l; j <- 0 until h } yield {
+        val concat: Seq[E] = w.heads.indices.flatMap(hi =>
+          (0 until w.heads(hi).keyDim)
+            .map(u => alg.ref(s"${pfx}h${hi}c${t}_$u")))
+        s"${pfx}z${t}_$j" ->
+          linear(alg, concat, w.wO.map(_(j)).toSeq, Some(w.bO(j)))
+      })
+      Seq(qkv, scores, dens, ctx, outProj)
     }
-    // scaled dot-product scores, exponentiated once per (t, u)
-    val scores = (for { t <- 0 until l; u <- 0 until l } yield {
-      val dot = (0 until h).map(j =>
-        alg.mul(alg.ref(s"${pfx}q${t}_$j"), alg.ref(s"${pfx}k${u}_$j")))
-        .reduce(alg.add)
-      s"${pfx}e${t}_$u" -> alg.exp(alg.div(dot, alg.const(math.sqrt(h))))
-    })
-    val dens = (0 until l).map { t =>
-      s"${pfx}d$t" -> (0 until l).map(u => alg.ref(s"${pfx}e${t}_$u"))
-        .reduce(alg.add)
-    }
-    // temporal context lands in ${pfx}z directly unless the cross-mode
-    // sum stage below combines it with the feature-axis context
-    val zName = if (w.wqF == null) s"${pfx}z" else s"${pfx}tz"
-    val ctx = (for { t <- 0 until l; j <- 0 until h } yield {
-      val num = (0 until l).map(u =>
-        alg.mul(alg.ref(s"${pfx}e${t}_$u"), alg.ref(s"${pfx}v${u}_$j")))
-        .reduce(alg.add)
-      s"$zName${t}_$j" -> alg.div(num, alg.ref(s"${pfx}d$t"))
-    })
     // feature-axis attention of the "cross" dual-axis mode
     // (transformer.py:51-90, single-head): same machinery over the
     // transposed tokens (one token per hidden dim, width = seqLen),
@@ -440,7 +513,7 @@ object AttnScorer {
               w.wF2.map(_(j)).toSeq, Some(w.bF2(j)))))
         Seq(res) ++ norm2 ++ Seq(hiddenFfn, out)
       }
-    norm1 ++ Seq(qkv, scores, dens, ctx) ++ crossStages ++ ffnStages
+    norm1 ++ attnStages ++ crossStages ++ ffnStages
   }
 
   private def blockOut(w: AttnWeights, pfx: String): String =

@@ -464,6 +464,33 @@ class AttentionTypeSpec extends AnyFunSuite {
       .select("prediction").collect()(0).getDouble(0)
     assert(crossLive != temporal)
   }
+
+  test("one full-width head through an identity output projection " +
+    "equals the single-head scorer; two heads differ") {
+    import graft.ml._
+    val w = QueriesML.pinnedAttn
+    val cols = Seq("a2", "b2", "a1", "b1")
+    val df = Seq((1L, 0.3, -0.2, 0.7, 0.4)).toDF("id" +: cols: _*)
+    val single = AttnScorer.score(df, cols.grouped(2).toSeq, w)
+      .select("prediction").collect()(0).getDouble(0)
+    val oneHead = AttnWeights(
+      wq = null, bq = null, wk = null, bk = null, wv = null, bv = null,
+      wOut = w.wOut, bOut = w.bOut,
+      heads = Seq(HeadWeights(w.wq, w.bq, w.wk, w.bk, w.wv, w.bv)),
+      wO = Array(Array(1.0, 0.0), Array(0.0, 1.0)), bO = Array(0.0, 0.0))
+    val multi = AttnScorer.score(df, cols.grouped(2).toSeq, oneHead)
+      .select("prediction").collect()(0).getDouble(0)
+    assert(math.abs(multi - single) < 1e-12,
+      s"identity-projected single head $multi != single-head $single")
+    val twoHeads = oneHead.copy(heads = Seq(
+      HeadWeights(w.wq.map(_.take(1)), w.bq.take(1), w.wk.map(_.take(1)),
+        w.bk.take(1), w.wv.map(_.take(1)), w.bv.take(1)),
+      HeadWeights(w.wq.map(_.drop(1)), w.bq.drop(1), w.wk.map(_.drop(1)),
+        w.bk.drop(1), w.wv.map(_.drop(1)), w.bv.drop(1))))
+    val two = AttnScorer.score(df, cols.grouped(2).toSeq, twoHeads)
+      .select("prediction").collect()(0).getDouble(0)
+    assert(two != single)
+  }
 }
 
 /** Stacked LSTM (lstm_units list, sequence.py:125-131). */
