@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Stages whose generated method exceeds HotSpot's 8000-byte JIT
+      // threshold would run as INTERPRETED bytecode (measured 4x slower
+      // on the deep transformer projection chains); at this limit Spark
+      // falls back to per-operator codegen, which JITs fine.
+      .config("spark.sql.codegen.hugeMethodLimit", 8000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = if (args.isEmpty) SparkEntry.queries
