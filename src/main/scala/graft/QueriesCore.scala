@@ -113,13 +113,17 @@ object QueriesCore {
     }),
 
     // exact grouped quantiles (linear interpolation — the sort-based
-    // exact operator; the KMV sketch below is the approximate scale path)
+    // exact operator; the KMV sketch below is the approximate scale
+    // path). ONE percentile aggregate with all three percentages: the
+    // group's value buffer is built once and probed three times.
     "q_quantiles" -> ((s, dir) => {
       li(s, dir).groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+          .as("__q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__q"), 1), 4).as("p50"),
+          round(element_at(col("__q"), 2), 4).as("p90"),
+          round(element_at(col("__q"), 3), 4).as("p99"))
     }),
 
     // KMV distinct-count sketch: deterministic md5 arithmetic, so the
