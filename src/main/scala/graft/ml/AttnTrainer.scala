@@ -8,36 +8,39 @@ import org.apache.spark.sql.functions._
   * Dense(d_model) input projection + learned position embedding
   * (transformer.py:14-47,216) + one single-head self-attention block with
   * residual + ReLU feed-forward sub-layer with residual
-  * (transformer.py:161-203) + average pooling + linear head. The forward
-  * recurrence matches [[AttnScorer.score]] with a full [[AttnWeights]]
-  * exactly, so weights fitted here score identically through the
-  * distributed codegen'd forward pass (and its DuckDB SQL mirror).
-  *
-  * Keras-side LayerNorm and dropout are omitted to match the scoring
-  * path's documented simplification: dropout is identity at inference,
-  * and the un-normalized block is the form the oracle mirrors.
+  * (transformer.py:161-203) + average pooling + linear head — optionally
+  * with the reference's `use_pre_norm=True` LayerNorms (trainable γ/β,
+  * Keras epsilon 1e-6) before attention, before the FFN, and after the
+  * block. The forward recurrence matches [[AttnScorer.score]] with the
+  * corresponding [[AttnWeights]] exactly, so weights fitted here score
+  * identically through the distributed codegen'd forward pass (and its
+  * DuckDB SQL mirror). Dropout is omitted (identity at inference);
+  * attention pooling and the MLP head remain inference-only surfaces.
   *
   * Layout (per-row gradient of 0.5·(pred − y)² against ONE flat array, so
   * gradients aggregate as a single vector sum): `wIn` F×H feature-major,
   * `bIn` H, `posEmb` T×H step-major, then `wq bq wk bk wv bv` (each H×H
   * input-major + H), `wF1` H×FF, `bF1` FF, `wF2` FF×H, `bF2` H,
-  * `wOut` H, `bOut`.
+  * `wOut` H, `bOut`, and — with `norm` — `g1 c1 g2 c2 gF cF` (each H).
   */
 object AttnBptt {
 
-  def size(f: Int, t: Int, h: Int, ff: Int): Int =
-    f * h + h + t * h + 3 * (h * h + h) + h * ff + ff + ff * h + h + h + 1
+  private val eps = 1e-6 // Keras LayerNormalization epsilon
+
+  def size(f: Int, t: Int, h: Int, ff: Int, norm: Boolean = false): Int =
+    f * h + h + t * h + 3 * (h * h + h) + h * ff + ff + ff * h + h + h + 1 +
+      (if (norm) 6 * h else 0)
 
   private def offsets(f: Int, t: Int, h: Int, ff: Int): Array[Int] = {
-    // wIn bIn pos wq bq wk bk wv bv w1 b1 w2 b2 wOut bOut
+    // wIn bIn pos wq bq wk bk wv bv w1 b1 w2 b2 wOut bOut g1 c1 g2 c2 gF cF
     val sizes = Array(f * h, h, t * h, h * h, h, h * h, h, h * h, h,
-      h * ff, ff, ff * h, h, h, 1)
+      h * ff, ff, ff * h, h, h, 1, h, h, h, h, h, h)
     sizes.scanLeft(0)(_ + _)
   }
 
   /** Unpack a flat vector into the scorer's full-block weight class. */
-  def toWeights(w: Array[Double], f: Int, t: Int, h: Int, ff: Int)
-      : AttnWeights = {
+  def toWeights(w: Array[Double], f: Int, t: Int, h: Int, ff: Int,
+      norm: Boolean = false): AttnWeights = {
     val o = offsets(f, t, h, ff)
     def mat(off: Int, rows: Int, cols: Int): Array[Array[Double]] =
       Array.tabulate(rows, cols)((r, c) => w(off + r * cols + c))
@@ -51,29 +54,81 @@ object AttnBptt {
       wIn = mat(o(0), f, h), bIn = vec(o(1), h),
       posEmb = mat(o(2), t, h),
       wF1 = mat(o(9), h, ff), bF1 = vec(o(10), ff),
-      wF2 = mat(o(11), ff, h), bF2 = vec(o(12), h))
+      wF2 = mat(o(11), ff, h), bF2 = vec(o(12), h),
+      preNorm = if (!norm) null else LayerNormParams(
+        g1 = vec(o(15), h), c1 = vec(o(16), h),
+        g2 = vec(o(17), h), c2 = vec(o(18), h),
+        gF = vec(o(19), h), cF = vec(o(20), h), epsilon = eps))
   }
 
   /** Forward pass only (gradient-check helper; production scoring goes
     * through [[AttnScorer]]). */
   def forward(w: Array[Double], f: Int, h: Int, ff: Int,
-      x: Array[Array[Double]]): Double =
-    run(w, f, h, ff, x, 0.0, null)
+      x: Array[Array[Double]], norm: Boolean = false): Double =
+    run(w, f, h, ff, x, 0.0, null, norm)
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.
     * Returns the prediction (acc == null) or the loss (acc != null). */
   def run(w: Array[Double], f: Int, h: Int, ff: Int,
-      x: Array[Array[Double]], y: Double, acc: Array[Double]): Double = {
+      x: Array[Array[Double]], y: Double, acc: Array[Double],
+      norm: Boolean = false): Double = {
     val T = x.length
     val o = offsets(f, T, h, ff)
     val (oIn, oBIn, oPos) = (o(0), o(1), o(2))
     val (oWq, oBq, oWk, oBk, oWv, oBv) = (o(3), o(4), o(5), o(6), o(7), o(8))
     val (oW1, oB1, oW2, oB2, oWOut, oBOut) =
       (o(9), o(10), o(11), o(12), o(13), o(14))
+    val (oG1, oC1, oG2, oC2, oGF, oCF) =
+      (o(15), o(16), o(17), o(18), o(19), o(20))
     val invSqrtH = 1.0 / math.sqrt(h.toDouble)
+
+    // LayerNorm forward: fills xhat (pre-γ normalized) and invSig; output
+    // y_j = γ_j·xhat_j + β_j
+    def lnFwd(in: Array[Double], gOff: Int, cOff: Int,
+        xhat: Array[Double]): (Array[Double], Double) = {
+      var mu = 0.0
+      var j = 0
+      while (j < h) { mu += in(j); j += 1 }
+      mu /= h
+      var va = 0.0
+      j = 0
+      while (j < h) { val d = in(j) - mu; va += d * d; j += 1 }
+      va /= h
+      val inv = 1.0 / math.sqrt(va + eps)
+      val out = new Array[Double](h)
+      j = 0
+      while (j < h) {
+        xhat(j) = (in(j) - mu) * inv
+        out(j) = w(gOff + j) * xhat(j) + w(cOff + j)
+        j += 1
+      }
+      (out, inv)
+    }
+    // LayerNorm backward for token t: dy → din (returned); accumulates
+    // dγ/dβ. din_i = inv·(dxh_i − mean(dxh) − xhat_i·mean(dxh·xhat))
+    def lnBwd(dy: Array[Double], xhat: Array[Double], inv: Double,
+        gOff: Int, cOff: Int): Array[Double] = {
+      val dxh = new Array[Double](h)
+      var m1 = 0.0; var m2 = 0.0
+      var j = 0
+      while (j < h) {
+        if (acc != null) { acc(gOff + j) += dy(j) * xhat(j)
+          acc(cOff + j) += dy(j) }
+        dxh(j) = dy(j) * w(gOff + j)
+        m1 += dxh(j); m2 += dxh(j) * xhat(j)
+        j += 1
+      }
+      m1 /= h; m2 /= h
+      val din = new Array[Double](h)
+      j = 0
+      while (j < h) { din(j) = inv * (dxh(j) - m1 - xhat(j) * m2); j += 1 }
+      din
+    }
 
     // ---- forward ----
     val xt = Array.ofDim[Double](T, h) // projected tokens (+ posEmb)
+    val xn = Array.ofDim[Double](T, h) // attention input (LN1(x) or x)
+    val xh1 = Array.ofDim[Double](T, h); val inv1 = new Array[Double](T)
     val qs = Array.ofDim[Double](T, h)
     val ks = Array.ofDim[Double](T, h)
     val vs = Array.ofDim[Double](T, h)
@@ -88,12 +143,16 @@ object AttnBptt {
         xt(t)(j) = s
         j += 1
       }
+      if (norm) {
+        val (out, inv) = lnFwd(xt(t), oG1, oC1, xh1(t))
+        xn(t) = out; inv1(t) = inv
+      } else xn(t) = xt(t)
       j = 0
       while (j < h) {
         var zq = w(oBq + j); var zk = w(oBk + j); var zv = w(oBv + j)
         var i = 0
         while (i < h) {
-          val xv = xt(t)(i); val r = i * h + j
+          val xv = xn(t)(i); val r = i * h + j
           zq += xv * w(oWq + r); zk += xv * w(oWk + r); zv += xv * w(oWv + r)
           i += 1
         }
@@ -124,8 +183,12 @@ object AttnBptt {
     }
     val zs = Array.ofDim[Double](T, h) // attention context
     val rs = Array.ofDim[Double](T, h) // x + attn residual
+    val rn = Array.ofDim[Double](T, h) // FFN input (LN2(r) or r)
+    val xh2 = Array.ofDim[Double](T, h); val inv2 = new Array[Double](T)
     val us = Array.ofDim[Double](T, ff) // relu'd FFN hidden
     val fs = Array.ofDim[Double](T, h) // r + FFN residual
+    val fn = Array.ofDim[Double](T, h) // pooling input (LNF(f) or f)
+    val xhF = Array.ofDim[Double](T, h); val invF = new Array[Double](T)
     t = 0
     while (t < T) {
       var j = 0
@@ -136,11 +199,15 @@ object AttnBptt {
         zs(t)(j) = s; rs(t)(j) = xt(t)(j) + s
         j += 1
       }
+      if (norm) {
+        val (out, inv) = lnFwd(rs(t), oG2, oC2, xh2(t))
+        rn(t) = out; inv2(t) = inv
+      } else rn(t) = rs(t)
       var i = 0
       while (i < ff) {
         var s = w(oB1 + i)
         var k = 0
-        while (k < h) { s += rs(t)(k) * w(oW1 + k * ff + i); k += 1 }
+        while (k < h) { s += rn(t)(k) * w(oW1 + k * ff + i); k += 1 }
         us(t)(i) = if (s > 0) s else 0.0
         i += 1
       }
@@ -152,6 +219,10 @@ object AttnBptt {
         fs(t)(j2) = rs(t)(j2) + s
         j2 += 1
       }
+      if (norm) {
+        val (out, inv) = lnFwd(fs(t), oGF, oCF, xhF(t))
+        fn(t) = out; invF(t) = inv
+      } else fn(t) = fs(t)
       t += 1
     }
     var pred = w(oBOut)
@@ -159,7 +230,7 @@ object AttnBptt {
     while (j < h) {
       var s = 0.0
       var t2 = 0
-      while (t2 < T) { s += fs(t2)(j); t2 += 1 }
+      while (t2 < T) { s += fn(t2)(j); t2 += 1 }
       pred += (s / T) * w(oWOut + j)
       j += 1
     }
@@ -168,29 +239,34 @@ object AttnBptt {
     // ---- backward ----
     val d = pred - y
     acc(oBOut) += d
-    val dfs = Array.ofDim[Double](T, h)
+    val dfn = Array.ofDim[Double](T, h)
     j = 0
     while (j < h) {
       var s = 0.0
       var t2 = 0
-      while (t2 < T) { s += fs(t2)(j); t2 += 1 }
+      while (t2 < T) { s += fn(t2)(j); t2 += 1 }
       acc(oWOut + j) += d * (s / T)
       val dPool = d * w(oWOut + j) / T
       var t3 = 0
-      while (t3 < T) { dfs(t3)(j) = dPool; t3 += 1 }
+      while (t3 < T) { dfn(t3)(j) = dPool; t3 += 1 }
       j += 1
     }
     val dxs = Array.ofDim[Double](T, h)
     val dqs = Array.ofDim[Double](T, h)
     val dks = Array.ofDim[Double](T, h)
     val dvs = Array.ofDim[Double](T, h)
+    val dzs = Array.ofDim[Double](T, h)
     t = 0
     while (t < T) {
-      // FFN backward: f = r + W2·relu(W1·r + b1) + b2
+      // final LayerNorm backward: dfn → df
+      val df = if (norm) lnBwd(dfn(t), xhF(t), invF(t), oGF, oCF)
+        else dfn(t)
+      // FFN backward: f = r + W2·relu(W1·rn) + b2, rn = LN2(r) or r
       val dr = new Array[Double](h)
+      val drn = new Array[Double](h)
       var j2 = 0
       while (j2 < h) {
-        val g = dfs(t)(j2)
+        val g = df(j2)
         dr(j2) += g // residual path
         acc(oB2 + j2) += g
         j2 += 1
@@ -201,7 +277,7 @@ object AttnBptt {
           var du = 0.0
           var j3 = 0
           while (j3 < h) {
-            val g = dfs(t)(j3)
+            val g = df(j3)
             acc(oW2 + i * h + j3) += us(t)(i) * g
             du += w(oW2 + i * h + j3) * g
             j3 += 1
@@ -209,25 +285,29 @@ object AttnBptt {
           acc(oB1 + i) += du
           var k = 0
           while (k < h) {
-            acc(oW1 + k * ff + i) += rs(t)(k) * du
-            dr(k) += w(oW1 + k * ff + i) * du
+            acc(oW1 + k * ff + i) += rn(t)(k) * du
+            drn(k) += w(oW1 + k * ff + i) * du
             k += 1
           }
         }
-        // relu inactive (us == 0): no gradient flows through this unit —
-        // its W2 row's activation contribution is zero too
+        // relu inactive (us == 0): no gradient flows through this unit
         i += 1
+      }
+      if (norm) {
+        val back = lnBwd(drn, xh2(t), inv2(t), oG2, oC2)
+        var k = 0
+        while (k < h) { dr(k) += back(k); k += 1 }
+      } else {
+        var k = 0
+        while (k < h) { dr(k) += drn(k); k += 1 }
       }
       // r = x + z
       var j4 = 0
       while (j4 < h) {
         dxs(t)(j4) += dr(j4)
-        // dz flows into the attention backward below via dzs
+        dzs(t)(j4) = dr(j4)
         j4 += 1
       }
-      // stash dz in dfs slot no longer needed? keep explicit array:
-      var j5 = 0
-      while (j5 < h) { dfs(t)(j5) = dr(j5); j5 += 1 } // dfs now holds dz_t
       t += 1
     }
     // attention backward: z_{t,j} = Σ_u a_{t,u} v_{u,j}
@@ -239,8 +319,8 @@ object AttnBptt {
         var s = 0.0
         var j6 = 0
         while (j6 < h) {
-          s += dfs(t)(j6) * vs(u)(j6)
-          dvs(u)(j6) += att(t)(u) * dfs(t)(j6)
+          s += dzs(t)(j6) * vs(u)(j6)
+          dvs(u)(j6) += att(t)(u) * dzs(t)(j6)
           j6 += 1
         }
         da(u) = s
@@ -263,9 +343,11 @@ object AttnBptt {
       }
       t += 1
     }
-    // q/k/v projections backward (inputs are the projected tokens xt)
+    // q/k/v projections backward (inputs are the attention tokens xn);
+    // the token gradient flows through LN1 when norm is on
     t = 0
     while (t < T) {
+      val dxn = new Array[Double](h)
       var j8 = 0
       while (j8 < h) {
         acc(oBq + j8) += dqs(t)(j8)
@@ -275,18 +357,26 @@ object AttnBptt {
       }
       var i2 = 0
       while (i2 < h) {
-        val xv = xt(t)(i2)
+        val xv = xn(t)(i2)
         var j9 = 0
         while (j9 < h) {
           val r = i2 * h + j9
           acc(oWq + r) += xv * dqs(t)(j9)
           acc(oWk + r) += xv * dks(t)(j9)
           acc(oWv + r) += xv * dvs(t)(j9)
-          dxs(t)(i2) += w(oWq + r) * dqs(t)(j9) +
+          dxn(i2) += w(oWq + r) * dqs(t)(j9) +
             w(oWk + r) * dks(t)(j9) + w(oWv + r) * dvs(t)(j9)
           j9 += 1
         }
         i2 += 1
+      }
+      if (norm) {
+        val back = lnBwd(dxn, xh1(t), inv1(t), oG1, oC1)
+        var k = 0
+        while (k < h) { dxs(t)(k) += back(k); k += 1 }
+      } else {
+        var k = 0
+        while (k < h) { dxs(t)(k) += dxn(k); k += 1 }
       }
       t += 1
     }
@@ -311,12 +401,14 @@ object AttnBptt {
 
 /** Trains the reference's transformer encoder regressor
   * (transformer.py:108-245, attention_type="temporal",
-  * pooling_type="average", num_blocks=1, single head) with the same
-  * treeAggregate-gradient + driver-Adam shape as [[MLPRegressor]] /
-  * [[LSTMTrainer]]: executors fold rows into ONE flat gradient vector per
-  * epoch, the driver holds only the weights. Fitted weights flow into the
-  * distributed [[AttnScorer]] forward pass (pure column arithmetic, no
-  * UDF), so fit-once/score-anywhere matches the pinned-weights queries.
+  * pooling_type="average", num_blocks=1, single head; `preNorm = true`
+  * adds the reference's `use_pre_norm=True` LayerNorms with trainable
+  * γ/β) with the same treeAggregate-gradient + driver-Adam shape as
+  * [[MLPRegressor]] / [[LSTMTrainer]]: executors fold rows into ONE flat
+  * gradient vector per epoch, the driver holds only the weights. Fitted
+  * weights flow into the distributed [[AttnScorer]] forward pass (pure
+  * column arithmetic, no UDF), so fit-once/score-anywhere matches the
+  * pinned-weights queries.
   *
   * `lagCols` must be lag-major over `seqLen` timesteps — the
   * LagTransformer output order ([[graft.operators.SequenceReshape]]). */
@@ -326,6 +418,7 @@ class AttnTrainer(
     val targetCol: String,
     val dModel: Int = 8,
     val ffDim: Int = 16,
+    val preNorm: Boolean = false,
     val lr: Double = 1e-2,
     val epochs: Int = 150,
     val seed: Long = 42L,
@@ -345,7 +438,8 @@ class AttnTrainer(
 
   def fit(df: DataFrame): this.type = {
     val (f, t, h, ff) = (nFeat, seqLen, dModel, ffDim)
-    val sz = AttnBptt.size(f, t, h, ff)
+    val useNorm = preNorm
+    val sz = AttnBptt.size(f, t, h, ff, useNorm)
     val data = df.select((targetCol +: lagCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
@@ -359,7 +453,8 @@ class AttnTrainer(
     val rng = new scala.util.Random(seed)
     val w = new Array[Double](sz)
     // Glorot-uniform per matrix (the reference's Keras defaults, incl.
-    // the position embedding, transformer.py:19); biases start at zero
+    // the position embedding, transformer.py:19); biases start at zero;
+    // LayerNorm γ=1, β=0 (the Keras initializers)
     def glorot(off: Int, rows: Int, cols: Int): Unit = {
       val lim = math.sqrt(6.0 / (rows + cols))
       for (i <- 0 until rows * cols)
@@ -374,7 +469,10 @@ class AttnTrainer(
     }
     glorot(off, h, ff); off += h * ff + ff // wF1
     glorot(off, ff, h); off += ff * h + h // wF2
-    glorot(off, h, 1) // wOut
+    glorot(off, h, 1); off += h + 1 // wOut, bOut
+    if (useNorm) for (p <- 0 until 3) { // γ=1 (β stays 0)
+      for (i <- 0 until h) w(off + 2 * p * h + i) = 1.0
+    }
     // Adam state
     val m = new Array[Double](sz); val v = new Array[Double](sz)
     val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
@@ -386,7 +484,7 @@ class AttnTrainer(
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>
             row.getDouble(1 + ti * f + fi))
-          acc(sz) += AttnBptt.run(bw, f, h, ff, x, y, acc)
+          acc(sz) += AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm)
           acc
         },
         combOp = (a, b) => {
@@ -406,7 +504,7 @@ class AttnTrainer(
       }
     }
     data.unpersist()
-    weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim)
+    weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim, useNorm)
     this
   }
 
