@@ -5,15 +5,131 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Failures are REPORTED in
   * an "errors" object (and the query's wall time excluded from the
   * total) — a broken query must never masquerade as a fast one. Unknown
-  * query names fail fast. */
+  * query names fail fast.
+  *
+  * Fork mode (default): a single long-lived JVM accumulates codegen-cache
+  * and old-gen pressure over ~75 queries, inflating LATE queries 2-3.5x
+  * vs their isolated cost — and because that pressure is global (it hits
+  * every pass equally), shuffled-order minima cannot remove it. So the
+  * parent process splits the suite round-robin into SPARK_GRAFT_BENCH_FORKS
+  * child JVMs (sequential, each ~19 queries with its own uncounted warmup
+  * and two-pass shuffled minima) and merges their JSON. Each child stays
+  * near steady-state for its whole chunk, so in-suite ~= isolated. */
 object Bench {
+
+  private val Forks  = "SPARK_GRAFT_BENCH_FORKS"
+  private val Child  = "SPARK_GRAFT_BENCH_CHILD"
+  private val Passes = "SPARK_GRAFT_BENCH_PASSES"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val unknown = args.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
       s"unknown query names: ${unknown.mkString(", ")} — known: " +
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    val names =
+      (if (args.isEmpty) SparkEntry.queries.keys.toSeq else args.toSeq).sorted
+    val forks = sys.env.getOrElse(Forks, "4").toInt
+    val isChild = sys.env.contains(Child)
+    // fork only when the chunks are big enough to amortize child warmup;
+    // small hand-picked query lists (local iteration) stay in-process
+    if (!isChild && forks > 1 && names.size >= forks * 2) runForked(names, forks)
+    else runInProcess(names)
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  private def runForked(names: Seq[String], forks: Int): Unit = {
+    val rnd = new scala.util.Random(20260812L)
+    val shuffled = rnd.shuffle(names)
+    // round-robin so every chunk mixes cheap and expensive queries
+    val chunks = (0 until forks).map(i => shuffled.zipWithIndex.collect {
+      case (n, j) if j % forks == i => n
+    }).filter(_.nonEmpty)
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cpProp = sys.props.getOrElse("java.class.path", "")
+    // under sbt the JVM classpath is just the sbt launcher — fall back to
+    // the repo's known compiled-classes + spark-jars layout
+    val cp = if (cpProp.contains("spark")) cpProp
+      else "/root/repo/target/scala-2.13/classes:" +
+        "/root/repo/src/main/resources:/opt/spark/jars/*"
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED") ++
+      Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action",
+        "sun.util.calendar")
+        .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    var queries = Vector.empty[(String, Double)]
+    var errors = Map.empty[String, String]
+    for (chunk <- chunks) {
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx$mem",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench") ++ chunk)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put(Child, "1")
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val out = try {
+        val p = pb.start()
+        val s = new String(p.getInputStream.readAllBytes, "UTF-8")
+        val code = p.waitFor()
+        if (code != 0) { System.err.println(s"[bench] fork exit $code"); "" }
+        else s
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fork failed: ${e.getMessage}"); ""
+      }
+      out.linesIterator.find(_.startsWith("{\"metric\"")) match {
+        case Some(json) =>
+          queries ++= parseNumObj(json, "queries")
+          errors ++= parseStrObj(json, "errors")
+        case None =>
+          errors ++= chunk.map(_ -> "fork produced no result").toMap
+      }
+    }
+    printResult(queries.sortBy(_._1), errors)
+  }
+
+  /** Extract `"key":{"a":1.5,...}` numeric pairs from a one-line JSON. */
+  private[graft] def parseNumObj(json: String, key: String): Seq[(String, Double)] =
+    objBody(json, key).toSeq.flatMap { body =>
+      """"([A-Za-z0-9_]+)":([-+0-9.eE]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    }
+
+  private[graft] def parseStrObj(json: String, key: String): Map[String, String] =
+    objBody(json, key).toSeq.flatMap { body =>
+      """"([A-Za-z0-9_]+)":"([^"]*)"""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2)).toSeq
+    }.toMap
+
+  private def objBody(json: String, key: String): Option[String] = {
+    val tag = "\"" + key + "\":{"
+    val i = json.indexOf(tag)
+    if (i < 0) None else {
+      val start = i + tag.length
+      val end = json.indexOf('}', start)
+      if (end < 0) None else Some(json.substring(start, end))
+    }
+  }
+
+  private def printResult(ok: Seq[(String, Double)],
+                          errors: Map[String, String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+  }
+
+  // ----------------------------------------------------------------- child
+
+  private def runInProcess(names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,8 +142,7 @@ object Bench {
       .config("spark.sql.codegen.hugeMethodLimit", 8000)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val selected = if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val selected = names.map(n => n -> SparkEntry.queries(n)).toMap
     // Uncounted warmup: JVM/codegen/LAPACK/parquet-footer first-touch costs
     // are one-time process costs, not query costs — on a long-lived cluster
     // they amortize to zero. Run the flagship entry (scan+window+join) and
@@ -69,15 +184,11 @@ object Bench {
     // than they run — the noop write evaluates every output column
     // without sink overhead (the standard Spark benchmarking sink).
     //
-    // Suite-position noise: a single sequential pass over ~70 queries
-    // accumulates GC / codegen-cache pressure in the long-lived JVM, so
-    // late queries measure up to 4-5× their isolated cost. Countermeasures:
-    // (a) release leftover cached relations + solver caches and hint a GC
-    // between queries (untimed), (b) run TWO passes in different seeded
-    // shuffle orders and keep the per-query MINIMUM — position-dependent
-    // inflation never survives both orders.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val names = selected.keys.toSeq.sorted
+    // Within a fork: release leftover cached relations + solver caches and
+    // hint a GC between queries (untimed), and run TWO passes in different
+    // seeded shuffle orders keeping the per-query MINIMUM — position-
+    // dependent inflation never survives both orders.
+    val passes = sys.env.getOrElse(Passes, "2").toInt
     val rnd = new scala.util.Random(20260812L)
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (pass <- 1 to passes; name <- rnd.shuffle(names)
@@ -100,12 +211,7 @@ object Bench {
       }
     }
     val ok = names.filterNot(errors.contains).map(n => n -> best(n))
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    printResult(ok, errors)
     spark.stop()
   }
 }
