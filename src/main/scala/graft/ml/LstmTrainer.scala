@@ -193,10 +193,13 @@ class LSTMTrainer(
     val lr: Double = 1e-2,
     val epochs: Int = 150,
     val seed: Long = 42L,
-    val scaleTarget: Boolean = true) extends Serializable {
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 1.0) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
   private val nFeat = lagCols.size / seqLen
 
   private var weights: LstmWeights = _
@@ -246,12 +249,18 @@ class LSTMTrainer(
     val (ym, ys) = (yMean, yStd)
     for (ep <- 1 to epochs) {
       val bw = w.clone()
-      val grad = data.rdd.treeAggregate(new Array[Double](sz + 1))(
+      // batchFraction < 1: fresh seeded per-epoch sample (the reference's
+      // minibatch-SGD semantics at cluster granularity — a 100 TB epoch
+      // aggregates a bounded sample, not a full pass)
+      val batch = if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed + ep)
+      val grad = batch.rdd.treeAggregate(new Array[Double](sz + 2))(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>
             row.getDouble(1 + ti * f + fi))
           acc(sz) += LstmBptt.run(bw, f, h, x, y, acc)
+          acc(sz + 1) += 1.0
           acc
         },
         combOp = (a, b) => {
@@ -259,9 +268,10 @@ class LSTMTrainer(
           while (i < a.length) { a(i) += b(i); i += 1 }
           a
         }, depth = 2)
+      val bn = math.max(grad(sz + 1), 1.0)
       var i = 0
       while (i < sz) {
-        val g = grad(i) / n
+        val g = grad(i) / bn
         m(i) = beta1 * m(i) + (1 - beta1) * g
         v(i) = beta2 * v(i) + (1 - beta2) * g * g
         val mh = m(i) / (1 - math.pow(beta1, ep))

@@ -50,11 +50,14 @@ object MLPRegressor {
 /** Minimal MLP regressor re-expressing the reference's MLPRegressor
   * surface (dense.py:13-38 + keras_estimators/base.py:26-156) Spark-first:
   *
-  * - **fit**: mini-batch Adam on the driver over gradients computed
-  *   cluster-side with `treeAggregate` (full-batch gradient per epoch —
-  *   map-side partial aggregation; the driver only ever holds the weight
-  *   vectors, never the data). Target standardization on/off mirrors the
-  *   reference's StandardScaler default (keras_estimators/base.py:89-100).
+  * - **fit**: Adam on the driver over gradients computed cluster-side
+  *   with `treeAggregate` (map-side partial aggregation; the driver only
+  *   ever holds the weight vectors, never the data). `batchFraction`
+  *   selects full-batch (1.0, the oracle-stable default) or a seeded
+  *   per-epoch Bernoulli sample — the scale path matching the
+  *   reference's minibatch semantics (keras_estimators/base.py:68).
+  *   Target standardization on/off mirrors the reference's
+  *   StandardScaler default (keras_estimators/base.py:89-100).
   * - **predict**: pure Column expression from broadcast weights — the
   *   forward pass (matmul + ReLU) unrolls into codegen'd arithmetic, so
   *   scoring is a map-side projection at scan speed, no UDF, no shuffle.
@@ -70,7 +73,11 @@ class MLPRegressor(
     val lr: Double = 1e-3,
     val epochs: Int = 200,
     val seed: Long = 42L,
-    val scaleTarget: Boolean = true) extends Serializable {
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 1.0) extends Serializable {
+
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
 
   private var weights: MLPWeights = _
   private var yMean = 0.0
@@ -84,6 +91,7 @@ class MLPRegressor(
       col(c).cast("double")): _*).na.drop()
     data.cache()
     val n = data.count().toDouble
+    require(n > 0, "no complete rows to fit on")
     if (scaleTarget) {
       val r = data.agg(avg(col(targetCol)), stddev_pop(col(targetCol)))
         .collect()(0)
@@ -105,11 +113,17 @@ class MLPRegressor(
 
     for (t <- 1 to epochs) {
       val bw1 = w1.copy; val bb1 = b1.copy; val bw2 = w2.copy; val bb2 = b2
-      // full-batch gradient via treeAggregate: executors fold rows into
-      // a flat gradient vector; depth-2 tree merge keeps driver traffic
-      // O(sz log partitions)
-      val zero = DenseVector.zeros[Double](sz + 1) // + loss accumulator
-      val grad = data.rdd.treeAggregate(zero)(
+      // gradient via treeAggregate: executors fold rows into a flat
+      // gradient vector; depth-2 tree merge keeps driver traffic
+      // O(sz log partitions). batchFraction < 1 takes a fresh seeded
+      // Bernoulli sample each epoch — the reference's minibatch-SGD
+      // semantics (keras_estimators/base.py:68, batch_size=32) at
+      // cluster granularity: each epoch aggregates ~fraction·n rows, so
+      // a 100 TB epoch touches a bounded sample instead of a full pass.
+      val batch = if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed + t)
+      val zero = DenseVector.zeros[Double](sz + 2) // + loss, row count
+      val grad = batch.rdd.treeAggregate(zero)(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = DenseVector(featIdx.map(i => row.getDouble(i + 1)).toArray)
@@ -129,10 +143,11 @@ class MLPRegressor(
           for (j <- 0 until bb1.length) { acc(off) += d * h(j); off += 1 }
           acc(off) += d
           acc(sz) += 0.5 * d * d
+          acc(sz + 1) += 1.0
           acc
         },
         combOp = _ + _, depth = 2)
-      val g = grad(0 until sz) / n
+      val g = grad(0 until sz) / math.max(grad(sz + 1), 1.0)
       // Adam step
       m := m * beta1 + g * (1 - beta1)
       v := v * beta2 + (g *:* g) * (1 - beta2)

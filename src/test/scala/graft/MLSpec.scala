@@ -33,6 +33,17 @@ class MLSpec extends AnyFunSuite {
     assert(r2 > 0.8, s"MLP failed to learn: r2=$r2")
   }
 
+  test("mlp: minibatch fit (batchFraction=0.1 — one tenth of the rows " +
+    "aggregated per epoch) reaches the same R^2 > 0.8 bar") {
+    val df = data.toDF()
+    val m = new MLPRegressor(Seq("f0", "f1", "f2"), "y", hidden = 8,
+      lr = 0.05, epochs = 200, batchFraction = 0.1)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"minibatch MLP failed to learn: r2=$r2")
+  }
+
   test("lstm bptt kernel: analytic gradient matches central finite " +
     "differences; kernel forward matches the distributed scorer") {
     import graft.ml.{LstmBptt, LstmScorer}
