@@ -1,0 +1,628 @@
+package graft.ml
+
+/** Flat-parameter forward/backward kernel for the reference
+  * TransformerRegressor's DEFAULT architecture (transformer.py:145-157,
+  * 161-203, 205-235): Dense(d_model) input projection + learned position
+  * embedding, one encoder block with MULTI-HEAD self-attention (the
+  * reference default `num_heads=4`, `key_dim = d_model // num_heads` —
+  * per-head q/k/v projections, scaled dot-product softmax per head,
+  * head-major concat + output projection, the Keras MultiHeadAttention
+  * shape) with residual, a ReLU feed-forward sub-layer with residual,
+  * optional pre-norm LayerNorms (trainable γ/β, Keras ε=1e-6),
+  * AttentionPooling (per-token Dense(1) logit softmaxed over the
+  * sequence, transformer.py:96-107 — the reference's default
+  * `pooling_type="attention"`) or average pooling, and a ReLU MLP
+  * prediction head (`mlp_units` default `(64,)`) before the linear
+  * output. Dropout is omitted (identity at inference).
+  *
+  * The forward recurrence matches [[AttnScorer.score]] with the
+  * corresponding [[AttnWeights]] exactly (same exp/Σexp softmax form, no
+  * max-shift), so weights fitted here score identically through the
+  * distributed codegen'd forward pass and its DuckDB SQL mirror.
+  * [[AttnBptt]] remains the oracle-minimal single-head/average-pool
+  * kernel; this one is the reference-default surface.
+  *
+  * Layout against ONE flat array (gradients aggregate as a single vector
+  * sum): `wIn` F×H feature-major, `bIn` H, `posEmb` T×H step-major, per
+  * head `wq bq wk bk wv bv` (H×kd input-major + kd) × numHeads, `wO`
+  * (nh·kd)×H input-major, `bO` H, `wF1` H×FF, `bF1` FF, `wF2` FF×H,
+  * `bF2` H, then — with `pool` — `wPool` H + `bPool`, then per MLP-head
+  * layer `Wm` prev×units input-major + `bm` units, `wOut` lastDim,
+  * `bOut`, and — with `norm` — `g1 c1 g2 c2 gF cF` (each H). */
+object AttnBpttFull {
+
+  private val eps = 1e-6 // Keras LayerNormalization epsilon
+
+  /** @param heads number of attention heads (reference default 4)
+    * @param keyDim per-head q/k/v width (reference: d_model / num_heads)
+    * @param pool true = AttentionPooling (reference default), false =
+    *   average pooling
+    * @param mlp ReLU prediction-head layer sizes (reference default (64,)) */
+  case class Cfg(f: Int, t: Int, h: Int, ff: Int, heads: Int, keyDim: Int,
+      pool: Boolean, mlp: Seq[Int], norm: Boolean) {
+    require(heads >= 1 && keyDim >= 1, "at least one head of width >= 1")
+    val headLast: Int = if (mlp.isEmpty) h else mlp.last
+    /** (name → length) blocks in flat-array order. */
+    private[ml] def blocks: Seq[Int] = {
+      val headBlocks = Seq.fill(heads)(
+        Seq(h * keyDim, keyDim, h * keyDim, keyDim, h * keyDim, keyDim))
+        .flatten
+      val mlpBlocks = mlp.foldLeft((Seq.empty[Int], h)) {
+        case ((acc, prev), u) => (acc ++ Seq(prev * u, u), u)
+      }._1
+      Seq(f * h, h, t * h) ++ headBlocks ++
+        Seq(heads * keyDim * h, h, h * ff, ff, ff * h, h) ++
+        (if (pool) Seq(h, 1) else Seq.empty) ++ mlpBlocks ++
+        Seq(headLast, 1) ++ (if (norm) Seq.fill(6)(h) else Seq.empty)
+    }
+    def offsets: Array[Int] = blocks.scanLeft(0)(_ + _).toArray
+    def size: Int = offsets.last
+  }
+
+  /** Unpack a flat vector into the scorer's weight class (multi-head +
+    * optional pooling/mlp-head/pre-norm fields populated). */
+  def toWeights(w: Array[Double], c: Cfg): AttnWeights = {
+    val o = c.offsets
+    def mat(off: Int, rows: Int, cols: Int): Array[Array[Double]] =
+      Array.tabulate(rows, cols)((r, j) => w(off + r * cols + j))
+    def vec(off: Int, n: Int): Array[Double] =
+      Array.tabulate(n)(i => w(off + i))
+    val kd = c.keyDim
+    val headWs = (0 until c.heads).map { hi =>
+      val b = 3 + hi * 6
+      HeadWeights(
+        wq = mat(o(b), c.h, kd), bq = vec(o(b + 1), kd),
+        wk = mat(o(b + 2), c.h, kd), bk = vec(o(b + 3), kd),
+        wv = mat(o(b + 4), c.h, kd), bv = vec(o(b + 5), kd))
+    }
+    val a = 3 + c.heads * 6 // wO block index
+    var bi = a + 6 // next block after bF2
+    val (wPool, bPool) =
+      if (!c.pool) (null: Array[Double], 0.0)
+      else { val r = (vec(o(bi), c.h), w(o(bi + 1))); bi += 2; r }
+    var prev = c.h
+    val mlpHead = c.mlp.map { u =>
+      val r = (mat(o(bi), prev, u), vec(o(bi + 1), u))
+      prev = u; bi += 2
+      r
+    }
+    val wOut = vec(o(bi), c.headLast); val bOut = w(o(bi + 1)); bi += 2
+    val pn = if (!c.norm) null else LayerNormParams(
+      g1 = vec(o(bi), c.h), c1 = vec(o(bi + 1), c.h),
+      g2 = vec(o(bi + 2), c.h), c2 = vec(o(bi + 3), c.h),
+      gF = vec(o(bi + 4), c.h), cF = vec(o(bi + 5), c.h), epsilon = eps)
+    AttnWeights(
+      wq = null, bq = null, wk = null, bk = null, wv = null, bv = null,
+      wOut = wOut, bOut = bOut,
+      wIn = mat(o(0), c.f, c.h), bIn = vec(o(1), c.h),
+      posEmb = mat(o(2), c.t, c.h),
+      wF1 = mat(o(a + 2), c.h, c.ff), bF1 = vec(o(a + 3), c.ff),
+      wF2 = mat(o(a + 4), c.ff, c.h), bF2 = vec(o(a + 5), c.h),
+      wPool = wPool, bPool = bPool,
+      preNorm = pn, mlpHead = mlpHead,
+      heads = headWs, wO = mat(o(a), c.heads * kd, c.h),
+      bO = vec(o(a + 1), c.h))
+  }
+
+  /** Forward pass only (gradient-check helper; production scoring goes
+    * through [[AttnScorer]]). */
+  def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]]): Double =
+    run(w, c, x, 0.0, null)
+
+  /** Forward + (if `acc` non-null) backward accumulating into `acc`.
+    * Returns the prediction (acc == null) or the loss (acc != null). */
+  def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
+      acc: Array[Double]): Double = {
+    val T = c.t; val h = c.h; val f = c.f; val ff = c.ff
+    val nh = c.heads; val kd = c.keyDim
+    val o = c.offsets
+    val (oIn, oBIn, oPos) = (o(0), o(1), o(2))
+    def headOff(hi: Int): Int = o(3 + hi * 6)
+    val a = 3 + nh * 6
+    val (oWO, oBO) = (o(a), o(a + 1))
+    val (oW1, oB1, oW2, oB2) = (o(a + 2), o(a + 3), o(a + 4), o(a + 5))
+    var bi = a + 6
+    val (oWP, oBP) = if (c.pool) { val r = (o(bi), o(bi + 1)); bi += 2; r }
+      else (-1, -1)
+    val mlpOff = c.mlp.map { _ => val r = (o(bi), o(bi + 1)); bi += 2; r }
+    val (oWOut, oBOut) = (o(bi), o(bi + 1))
+    val (oG1, oC1, oG2, oC2, oGF, oCF) = if (c.norm)
+      (o(bi + 2), o(bi + 3), o(bi + 4), o(bi + 5), o(bi + 6), o(bi + 7))
+    else (-1, -1, -1, -1, -1, -1)
+    val invSqrtKd = 1.0 / math.sqrt(kd.toDouble)
+
+    def lnFwd(in: Array[Double], gOff: Int, cOff: Int,
+        xhat: Array[Double]): (Array[Double], Double) = {
+      var mu = 0.0
+      var j = 0
+      while (j < h) { mu += in(j); j += 1 }
+      mu /= h
+      var va = 0.0
+      j = 0
+      while (j < h) { val d = in(j) - mu; va += d * d; j += 1 }
+      va /= h
+      val inv = 1.0 / math.sqrt(va + eps)
+      val out = new Array[Double](h)
+      j = 0
+      while (j < h) {
+        xhat(j) = (in(j) - mu) * inv
+        out(j) = w(gOff + j) * xhat(j) + w(cOff + j)
+        j += 1
+      }
+      (out, inv)
+    }
+    def lnBwd(dy: Array[Double], xhat: Array[Double], inv: Double,
+        gOff: Int, cOff: Int): Array[Double] = {
+      val dxh = new Array[Double](h)
+      var m1 = 0.0; var m2 = 0.0
+      var j = 0
+      while (j < h) {
+        if (acc != null) { acc(gOff + j) += dy(j) * xhat(j)
+          acc(cOff + j) += dy(j) }
+        dxh(j) = dy(j) * w(gOff + j)
+        m1 += dxh(j); m2 += dxh(j) * xhat(j)
+        j += 1
+      }
+      m1 /= h; m2 /= h
+      val din = new Array[Double](h)
+      j = 0
+      while (j < h) { din(j) = inv * (dxh(j) - m1 - xhat(j) * m2); j += 1 }
+      din
+    }
+
+    // ---- forward ----
+    val xt = Array.ofDim[Double](T, h) // projected tokens (+ posEmb)
+    val xn = Array.ofDim[Double](T, h) // attention input (LN1(x) or x)
+    val xh1 = Array.ofDim[Double](T, h); val inv1 = new Array[Double](T)
+    var t = 0
+    while (t < T) {
+      val raw = x(t)
+      var j = 0
+      while (j < h) {
+        var s = w(oBIn + j) + w(oPos + t * h + j)
+        var i = 0
+        while (i < f) { s += raw(i) * w(oIn + i * h + j); i += 1 }
+        xt(t)(j) = s
+        j += 1
+      }
+      if (c.norm) {
+        val (out, inv) = lnFwd(xt(t), oG1, oC1, xh1(t))
+        xn(t) = out; inv1(t) = inv
+      } else xn(t) = xt(t)
+      t += 1
+    }
+    // per-head q/k/v, softmax attention, context
+    val qs = Array.ofDim[Double](nh, T, kd)
+    val ks = Array.ofDim[Double](nh, T, kd)
+    val vs = Array.ofDim[Double](nh, T, kd)
+    val att = Array.ofDim[Double](nh, T, T)
+    val cc = Array.ofDim[Double](T, nh * kd) // head-major concat
+    var hi = 0
+    while (hi < nh) {
+      val hb = headOff(hi)
+      val (oWq, oBq, oWk, oBk, oWv, oBv) = (hb, hb + h * kd,
+        hb + h * kd + kd, hb + 2 * h * kd + kd,
+        hb + 2 * h * kd + 2 * kd, hb + 3 * h * kd + 2 * kd)
+      t = 0
+      while (t < T) {
+        var u = 0
+        while (u < kd) {
+          var zq = w(oBq + u); var zk = w(oBk + u); var zv = w(oBv + u)
+          var i = 0
+          while (i < h) {
+            val xv = xn(t)(i); val r = i * kd + u
+            zq += xv * w(oWq + r); zk += xv * w(oWk + r)
+            zv += xv * w(oWv + r)
+            i += 1
+          }
+          qs(hi)(t)(u) = zq; ks(hi)(t)(u) = zk; vs(hi)(t)(u) = zv
+          u += 1
+        }
+        t += 1
+      }
+      t = 0
+      while (t < T) {
+        var den = 0.0
+        var u = 0
+        while (u < T) {
+          var dot = 0.0
+          var j = 0
+          while (j < kd) { dot += qs(hi)(t)(j) * ks(hi)(u)(j); j += 1 }
+          val e = math.exp(dot * invSqrtKd)
+          att(hi)(t)(u) = e; den += e
+          u += 1
+        }
+        var u2 = 0
+        while (u2 < T) { att(hi)(t)(u2) /= den; u2 += 1 }
+        var j = 0
+        while (j < kd) {
+          var s = 0.0
+          var u3 = 0
+          while (u3 < T) { s += att(hi)(t)(u3) * vs(hi)(u3)(j); u3 += 1 }
+          cc(t)(hi * kd + j) = s
+          j += 1
+        }
+        t += 1
+      }
+      hi += 1
+    }
+    // output projection + residual, FFN, final norm
+    val zs = Array.ofDim[Double](T, h)
+    val rs = Array.ofDim[Double](T, h)
+    val rn = Array.ofDim[Double](T, h)
+    val xh2 = Array.ofDim[Double](T, h); val inv2 = new Array[Double](T)
+    val us = Array.ofDim[Double](T, ff)
+    val fs = Array.ofDim[Double](T, h)
+    val fn = Array.ofDim[Double](T, h)
+    val xhF = Array.ofDim[Double](T, h); val invF = new Array[Double](T)
+    t = 0
+    while (t < T) {
+      var j = 0
+      while (j < h) {
+        var s = w(oBO + j)
+        var i = 0
+        while (i < nh * kd) { s += cc(t)(i) * w(oWO + i * h + j); i += 1 }
+        zs(t)(j) = s; rs(t)(j) = xt(t)(j) + s
+        j += 1
+      }
+      if (c.norm) {
+        val (out, inv) = lnFwd(rs(t), oG2, oC2, xh2(t))
+        rn(t) = out; inv2(t) = inv
+      } else rn(t) = rs(t)
+      var i = 0
+      while (i < ff) {
+        var s = w(oB1 + i)
+        var k = 0
+        while (k < h) { s += rn(t)(k) * w(oW1 + k * ff + i); k += 1 }
+        us(t)(i) = if (s > 0) s else 0.0
+        i += 1
+      }
+      var j2 = 0
+      while (j2 < h) {
+        var s = w(oB2 + j2)
+        var i2 = 0
+        while (i2 < ff) { s += us(t)(i2) * w(oW2 + i2 * h + j2); i2 += 1 }
+        fs(t)(j2) = rs(t)(j2) + s
+        j2 += 1
+      }
+      if (c.norm) {
+        val (out, inv) = lnFwd(fs(t), oGF, oCF, xhF(t))
+        fn(t) = out; invF(t) = inv
+      } else fn(t) = fs(t)
+      t += 1
+    }
+    // pooling: attention (exp-logit softmax, the scorer's form) or average
+    val pooled = new Array[Double](h)
+    val pes = new Array[Double](T); var peSum = 0.0
+    if (c.pool) {
+      t = 0
+      while (t < T) {
+        var logit = w(oBP)
+        var j = 0
+        while (j < h) { logit += fn(t)(j) * w(oWP + j); j += 1 }
+        pes(t) = math.exp(logit); peSum += pes(t)
+        t += 1
+      }
+      var j = 0
+      while (j < h) {
+        var s = 0.0
+        var t2 = 0
+        while (t2 < T) { s += pes(t2) / peSum * fn(t2)(j); t2 += 1 }
+        pooled(j) = s
+        j += 1
+      }
+    } else {
+      var j = 0
+      while (j < h) {
+        var s = 0.0
+        var t2 = 0
+        while (t2 < T) { s += fn(t2)(j); t2 += 1 }
+        pooled(j) = s / T
+        j += 1
+      }
+    }
+    // MLP head + linear output
+    val acts = new Array[Array[Double]](c.mlp.size + 1)
+    val preActs = new Array[Array[Double]](c.mlp.size)
+    acts(0) = pooled
+    var li = 0
+    while (li < c.mlp.size) {
+      val (oWm, oBm) = mlpOff(li)
+      val prev = acts(li); val units = c.mlp(li)
+      val z = new Array[Double](units)
+      val aOut = new Array[Double](units)
+      var u = 0
+      while (u < units) {
+        var s = w(oBm + u)
+        var i = 0
+        while (i < prev.length) { s += prev(i) * w(oWm + i * units + u)
+          i += 1 }
+        z(u) = s; aOut(u) = if (s > 0) s else 0.0
+        u += 1
+      }
+      preActs(li) = z; acts(li + 1) = aOut
+      li += 1
+    }
+    val top = acts(c.mlp.size)
+    var pred = w(oBOut)
+    var j = 0
+    while (j < top.length) { pred += top(j) * w(oWOut + j); j += 1 }
+    if (acc == null) return pred
+
+    // ---- backward ----
+    val d = pred - y
+    acc(oBOut) += d
+    var dTop = new Array[Double](top.length)
+    j = 0
+    while (j < top.length) {
+      acc(oWOut + j) += d * top(j)
+      dTop(j) = d * w(oWOut + j)
+      j += 1
+    }
+    li = c.mlp.size - 1
+    while (li >= 0) {
+      val (oWm, oBm) = mlpOff(li)
+      val prev = acts(li); val units = c.mlp(li)
+      val dPrev = new Array[Double](prev.length)
+      var u = 0
+      while (u < units) {
+        if (preActs(li)(u) > 0) {
+          val g = dTop(u)
+          acc(oBm + u) += g
+          var i = 0
+          while (i < prev.length) {
+            acc(oWm + i * units + u) += prev(i) * g
+            dPrev(i) += w(oWm + i * units + u) * g
+            i += 1
+          }
+        }
+        u += 1
+      }
+      dTop = dPrev
+      li -= 1
+    }
+    val dPooled = dTop // gradient at the pooled vector
+    val dfn = Array.ofDim[Double](T, h)
+    if (c.pool) {
+      // pooled_j = Σ_t pw_t·fn_tj with pw = softmax(logit)
+      val pw = Array.tabulate(T)(pes(_) / peSum)
+      val dpw = new Array[Double](T)
+      t = 0
+      while (t < T) {
+        var s = 0.0
+        var j2 = 0
+        while (j2 < h) {
+          dfn(t)(j2) += pw(t) * dPooled(j2)
+          s += dPooled(j2) * fn(t)(j2)
+          j2 += 1
+        }
+        dpw(t) = s
+        t += 1
+      }
+      var dot = 0.0
+      t = 0
+      while (t < T) { dot += pw(t) * dpw(t); t += 1 }
+      t = 0
+      while (t < T) {
+        val dlogit = pw(t) * (dpw(t) - dot)
+        acc(oBP) += dlogit
+        var j2 = 0
+        while (j2 < h) {
+          acc(oWP + j2) += dlogit * fn(t)(j2)
+          dfn(t)(j2) += dlogit * w(oWP + j2)
+          j2 += 1
+        }
+        t += 1
+      }
+    } else {
+      j = 0
+      while (j < h) {
+        val g = dPooled(j) / T
+        var t2 = 0
+        while (t2 < T) { dfn(t2)(j) += g; t2 += 1 }
+        j += 1
+      }
+    }
+    val dxs = Array.ofDim[Double](T, h)
+    val dcc = Array.ofDim[Double](T, nh * kd)
+    t = 0
+    while (t < T) {
+      val df = if (c.norm) lnBwd(dfn(t), xhF(t), invF(t), oGF, oCF)
+        else dfn(t)
+      // FFN backward: f = r + W2·relu(W1·rn) + b2
+      val dr = new Array[Double](h)
+      val drn = new Array[Double](h)
+      var j2 = 0
+      while (j2 < h) {
+        val g = df(j2)
+        dr(j2) += g
+        acc(oB2 + j2) += g
+        j2 += 1
+      }
+      var i = 0
+      while (i < ff) {
+        if (us(t)(i) > 0) {
+          var du = 0.0
+          var j3 = 0
+          while (j3 < h) {
+            val g = df(j3)
+            acc(oW2 + i * h + j3) += us(t)(i) * g
+            du += w(oW2 + i * h + j3) * g
+            j3 += 1
+          }
+          acc(oB1 + i) += du
+          var k = 0
+          while (k < h) {
+            acc(oW1 + k * ff + i) += rn(t)(k) * du
+            drn(k) += w(oW1 + k * ff + i) * du
+            k += 1
+          }
+        }
+        i += 1
+      }
+      if (c.norm) {
+        val back = lnBwd(drn, xh2(t), inv2(t), oG2, oC2)
+        var k = 0
+        while (k < h) { dr(k) += back(k); k += 1 }
+      } else {
+        var k = 0
+        while (k < h) { dr(k) += drn(k); k += 1 }
+      }
+      // r = x + z; z = wO·cc + bO
+      var j4 = 0
+      while (j4 < h) {
+        dxs(t)(j4) += dr(j4)
+        acc(oBO + j4) += dr(j4)
+        j4 += 1
+      }
+      var i2 = 0
+      while (i2 < nh * kd) {
+        var s = 0.0
+        var j5 = 0
+        while (j5 < h) {
+          acc(oWO + i2 * h + j5) += cc(t)(i2) * dr(j5)
+          s += w(oWO + i2 * h + j5) * dr(j5)
+          j5 += 1
+        }
+        dcc(t)(i2) = s
+        i2 += 1
+      }
+      t += 1
+    }
+    // per-head attention backward → dxn, then LN1 → dxs
+    val dxn = Array.ofDim[Double](T, h)
+    hi = 0
+    while (hi < nh) {
+      val hb = headOff(hi)
+      val (oWq, oBq, oWk, oBk, oWv, oBv) = (hb, hb + h * kd,
+        hb + h * kd + kd, hb + 2 * h * kd + kd,
+        hb + 2 * h * kd + 2 * kd, hb + 3 * h * kd + 2 * kd)
+      val dqs = Array.ofDim[Double](T, kd)
+      val dks = Array.ofDim[Double](T, kd)
+      val dvs = Array.ofDim[Double](T, kd)
+      t = 0
+      while (t < T) {
+        val dz = new Array[Double](kd)
+        var j6 = 0
+        while (j6 < kd) { dz(j6) = dcc(t)(hi * kd + j6); j6 += 1 }
+        val da = new Array[Double](T)
+        var u = 0
+        while (u < T) {
+          var s = 0.0
+          var j7 = 0
+          while (j7 < kd) {
+            s += dz(j7) * vs(hi)(u)(j7)
+            dvs(u)(j7) += att(hi)(t)(u) * dz(j7)
+            j7 += 1
+          }
+          da(u) = s
+          u += 1
+        }
+        var dotSum = 0.0
+        var u2 = 0
+        while (u2 < T) { dotSum += att(hi)(t)(u2) * da(u2); u2 += 1 }
+        var u3 = 0
+        while (u3 < T) {
+          val ds = att(hi)(t)(u3) * (da(u3) - dotSum) * invSqrtKd
+          var j8 = 0
+          while (j8 < kd) {
+            dqs(t)(j8) += ds * ks(hi)(u3)(j8)
+            dks(u3)(j8) += ds * qs(hi)(t)(j8)
+            j8 += 1
+          }
+          u3 += 1
+        }
+        t += 1
+      }
+      t = 0
+      while (t < T) {
+        var u = 0
+        while (u < kd) {
+          acc(oBq + u) += dqs(t)(u)
+          acc(oBk + u) += dks(t)(u)
+          acc(oBv + u) += dvs(t)(u)
+          u += 1
+        }
+        var i3 = 0
+        while (i3 < h) {
+          val xv = xn(t)(i3)
+          var u2 = 0
+          while (u2 < kd) {
+            val r = i3 * kd + u2
+            acc(oWq + r) += xv * dqs(t)(u2)
+            acc(oWk + r) += xv * dks(t)(u2)
+            acc(oWv + r) += xv * dvs(t)(u2)
+            dxn(t)(i3) += w(oWq + r) * dqs(t)(u2) +
+              w(oWk + r) * dks(t)(u2) + w(oWv + r) * dvs(t)(u2)
+            u2 += 1
+          }
+          i3 += 1
+        }
+        t += 1
+      }
+      hi += 1
+    }
+    t = 0
+    while (t < T) {
+      if (c.norm) {
+        val back = lnBwd(dxn(t), xh1(t), inv1(t), oG1, oC1)
+        var k = 0
+        while (k < h) { dxs(t)(k) += back(k); k += 1 }
+      } else {
+        var k = 0
+        while (k < h) { dxs(t)(k) += dxn(t)(k); k += 1 }
+      }
+      t += 1
+    }
+    // input projection + position embedding backward
+    t = 0
+    while (t < T) {
+      val raw = x(t)
+      var j10 = 0
+      while (j10 < h) {
+        val g = dxs(t)(j10)
+        acc(oBIn + j10) += g
+        acc(oPos + t * h + j10) += g
+        var i3 = 0
+        while (i3 < f) { acc(oIn + i3 * h + j10) += raw(i3) * g; i3 += 1 }
+        j10 += 1
+      }
+      t += 1
+    }
+    0.5 * d * d
+  }
+
+  /** Glorot-uniform init per matrix (the reference's Keras defaults);
+    * biases zero; LayerNorm γ=1, β=0. */
+  def init(c: Cfg, seed: Long): Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    val w = new Array[Double](c.size)
+    val o = c.offsets
+    def glorot(off: Int, rows: Int, cols: Int): Unit = {
+      val lim = math.sqrt(6.0 / (rows + cols))
+      for (i <- 0 until rows * cols)
+        w(off + i) = (rng.nextDouble() * 2 - 1) * lim
+    }
+    glorot(o(0), c.f, c.h) // wIn
+    glorot(o(2), c.t, c.h) // posEmb
+    for (hi <- 0 until c.heads) {
+      val b = 3 + hi * 6
+      glorot(o(b), c.h, c.keyDim) // wq
+      glorot(o(b + 2), c.h, c.keyDim) // wk
+      glorot(o(b + 4), c.h, c.keyDim) // wv
+    }
+    val a = 3 + c.heads * 6
+    glorot(o(a), c.heads * c.keyDim, c.h) // wO
+    glorot(o(a + 2), c.h, c.ff) // wF1
+    glorot(o(a + 4), c.ff, c.h) // wF2
+    var bi = a + 6
+    if (c.pool) { glorot(o(bi), c.h, 1); bi += 2 }
+    var prev = c.h
+    for (u <- c.mlp) { glorot(o(bi), prev, u); prev = u; bi += 2 }
+    glorot(o(bi), c.headLast, 1) // wOut
+    bi += 2
+    if (c.norm) for (p <- 0 until 3) // γ=1 (β stays 0)
+      for (i <- 0 until c.h) w(o(bi + 2 * p) + i) = 1.0
+    w
+  }
+}

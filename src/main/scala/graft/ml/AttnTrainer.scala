@@ -400,15 +400,21 @@ object AttnBptt {
 }
 
 /** Trains the reference's transformer encoder regressor
-  * (transformer.py:108-245, attention_type="temporal",
-  * pooling_type="average", num_blocks=1, single head; `preNorm = true`
-  * adds the reference's `use_pre_norm=True` LayerNorms with trainable
-  * γ/β) with the same treeAggregate-gradient + driver-Adam shape as
-  * [[MLPRegressor]] / [[LSTMTrainer]]: executors fold rows into ONE flat
-  * gradient vector per epoch, the driver holds only the weights. Fitted
-  * weights flow into the distributed [[AttnScorer]] forward pass (pure
-  * column arithmetic, no UDF), so fit-once/score-anywhere matches the
-  * pinned-weights queries.
+  * (transformer.py:108-245) with the same treeAggregate-gradient +
+  * driver-Adam shape as [[MLPRegressor]] / [[LSTMTrainer]]: executors
+  * fold rows into ONE flat gradient vector per epoch, the driver holds
+  * only the weights. Fitted weights flow into the distributed
+  * [[AttnScorer]] forward pass (pure column arithmetic, no UDF), so
+  * fit-once/score-anywhere matches the pinned-weights queries.
+  *
+  * Defaults train the oracle-minimal block (single head, average
+  * pooling, linear head — [[AttnBptt]]); `preNorm = true` adds the
+  * reference's `use_pre_norm=True` LayerNorms with trainable γ/β.
+  * Setting any of `numHeads` (> 0), `attnPool`, or `mlpUnits` switches
+  * to the full-architecture kernel [[AttnBpttFull]] — the reference's
+  * DEFAULT config (transformer.py:149-157) is `numHeads = 4,
+  * attnPool = true, mlpUnits = Seq(64), preNorm = true` with per-head
+  * key_dim = dModel / numHeads.
   *
   * `lagCols` must be lag-major over `seqLen` timesteps — the
   * LagTransformer output order ([[graft.operators.SequenceReshape]]). */
@@ -423,7 +429,10 @@ class AttnTrainer(
     val epochs: Int = 150,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 1.0) extends Serializable {
+    val batchFraction: Double = 1.0,
+    val numHeads: Int = 0,
+    val attnPool: Boolean = false,
+    val mlpUnits: Seq[Int] = Nil) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -439,10 +448,14 @@ class AttnTrainer(
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
+  /** True when any reference-default surface (multi-head, attention
+    * pooling, MLP head) is requested → the full-architecture kernel. */
+  private def useFull: Boolean =
+    numHeads > 0 || attnPool || mlpUnits.nonEmpty
+
   def fit(df: DataFrame): this.type = {
     val (f, t, h, ff) = (nFeat, seqLen, dModel, ffDim)
     val useNorm = preNorm
-    val sz = AttnBptt.size(f, t, h, ff, useNorm)
     val data = df.select((targetCol +: lagCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
@@ -453,30 +466,54 @@ class AttnTrainer(
         .collect()(0)
       yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
     }
-    val rng = new scala.util.Random(seed)
-    val w = new Array[Double](sz)
-    // Glorot-uniform per matrix (the reference's Keras defaults, incl.
-    // the position embedding, transformer.py:19); biases start at zero;
-    // LayerNorm γ=1, β=0 (the Keras initializers)
-    def glorot(off: Int, rows: Int, cols: Int): Unit = {
-      val lim = math.sqrt(6.0 / (rows + cols))
-      for (i <- 0 until rows * cols)
-        w(off + i) = (rng.nextDouble() * 2 - 1) * lim
+    if (useFull) {
+      val heads = math.max(numHeads, 1)
+      val cfg = AttnBpttFull.Cfg(f, t, h, ff, heads,
+        math.max(1, h / heads), attnPool, mlpUnits, useNorm)
+      val w = AttnBpttFull.init(cfg, seed)
+      adamEpochs(data, cfg.size, w,
+        (bw, x, y, acc) => AttnBpttFull.run(bw, cfg, x, y, acc))
+      weights = AttnBpttFull.toWeights(w, cfg)
+    } else {
+      val sz = AttnBptt.size(f, t, h, ff, useNorm)
+      val rng = new scala.util.Random(seed)
+      val w = new Array[Double](sz)
+      // Glorot-uniform per matrix (the reference's Keras defaults, incl.
+      // the position embedding, transformer.py:19); biases start at zero;
+      // LayerNorm γ=1, β=0 (the Keras initializers)
+      def glorot(off: Int, rows: Int, cols: Int): Unit = {
+        val lim = math.sqrt(6.0 / (rows + cols))
+        for (i <- 0 until rows * cols)
+          w(off + i) = (rng.nextDouble() * 2 - 1) * lim
+      }
+      var off = 0
+      glorot(off, f, h); off += f * h // wIn
+      off += h // bIn
+      glorot(off, t, h); off += t * h // posEmb
+      for (_ <- 0 until 3) { // wq/wk/wv (+ their biases)
+        glorot(off, h, h); off += h * h + h
+      }
+      glorot(off, h, ff); off += h * ff + ff // wF1
+      glorot(off, ff, h); off += ff * h + h // wF2
+      glorot(off, h, 1); off += h + 1 // wOut, bOut
+      if (useNorm) for (p <- 0 until 3) { // γ=1 (β stays 0)
+        for (i <- 0 until h) w(off + 2 * p * h + i) = 1.0
+      }
+      adamEpochs(data, sz, w,
+        (bw, x, y, acc) => AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm))
+      weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim, useNorm)
     }
-    var off = 0
-    glorot(off, f, h); off += f * h // wIn
-    off += h // bIn
-    glorot(off, t, h); off += t * h // posEmb
-    for (_ <- 0 until 3) { // wq/wk/wv (+ their biases)
-      glorot(off, h, h); off += h * h + h
-    }
-    glorot(off, h, ff); off += h * ff + ff // wF1
-    glorot(off, ff, h); off += ff * h + h // wF2
-    glorot(off, h, 1); off += h + 1 // wOut, bOut
-    if (useNorm) for (p <- 0 until 3) { // γ=1 (β stays 0)
-      for (i <- 0 until h) w(off + 2 * p * h + i) = 1.0
-    }
-    // Adam state
+    data.unpersist()
+    this
+  }
+
+  /** Shared epoch loop: per-epoch (optionally sampled) treeAggregate of
+    * the flat gradient + driver-side Adam. `kernel(bw, x, y, acc)`
+    * accumulates one row's gradient into `acc` and returns its loss. */
+  private def adamEpochs(data: DataFrame, sz: Int, w: Array[Double],
+      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
+        => Double): Unit = {
+    val (f, t) = (nFeat, seqLen)
     val m = new Array[Double](sz); val v = new Array[Double](sz)
     val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
     val (ym, ys) = (yMean, yStd)
@@ -492,7 +529,7 @@ class AttnTrainer(
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>
             row.getDouble(1 + ti * f + fi))
-          acc(sz) += AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm)
+          acc(sz) += kernel(bw, x, y, acc)
           acc(sz + 1) += 1.0
           acc
         },
@@ -513,9 +550,6 @@ class AttnTrainer(
         i += 1
       }
     }
-    data.unpersist()
-    weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim, useNorm)
-    this
   }
 
   /** Appends `prediction` through the distributed unrolled forward pass,

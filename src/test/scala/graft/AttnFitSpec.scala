@@ -121,6 +121,86 @@ class AttnFitSpec extends AnyFunSuite {
       s"scorer $got != imperative $expect")
   }
 
+  test("full-architecture bptt kernel (multi-head + attention pooling + " +
+    "mlp head): analytic gradient matches central finite differences " +
+    "over every parameter, with and without pre-norm/pooling") {
+    val r = new scala.util.Random(17)
+    for ((pool, norm) <- Seq((true, true), (false, false), (true, false))) {
+      val cfg = AttnBpttFull.Cfg(f = 2, t = 3, h = 4, ff = 3, heads = 2,
+        keyDim = 2, pool = pool, mlp = Seq(3), norm = norm)
+      val sz = cfg.size
+      val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+      val x = Array.fill(cfg.t, cfg.f)(r.nextGaussian())
+      val y = 0.3
+      val acc = new Array[Double](sz)
+      AttnBpttFull.run(w, cfg, x, y, acc)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        def loss(wv: Array[Double]) = {
+          val d = AttnBpttFull.run(wv, cfg, x, y, null) - y
+          0.5 * d * d
+        }
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"pool=$pool norm=$norm grad mismatch at $i: " +
+            s"analytic=${acc(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("full-architecture bptt kernel forward matches the distributed " +
+    "AttnScorer forward pass through toWeights") {
+    val r = new scala.util.Random(19)
+    val cfg = AttnBpttFull.Cfg(f = 2, t = 3, h = 4, ff = 3, heads = 2,
+      keyDim = 2, pool = true, mlp = Seq(3), norm = true)
+    val w = Array.fill(cfg.size)(r.nextGaussian() * 0.3)
+    val x = Array.fill(cfg.t, cfg.f)(r.nextGaussian())
+    val cols = (0 until cfg.t).flatMap(ti =>
+      (0 until cfg.f).map(fi => s"x${ti}_$fi"))
+    val row = org.apache.spark.sql.Row.fromSeq(
+      0L +: (0 until cfg.t).flatMap(ti =>
+        (0 until cfg.f).map(fi => x(ti)(fi))))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) +:
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    val scored = AttnScorer.score(sdf, cols.grouped(cfg.f).toSeq,
+        AttnBpttFull.toWeights(w, cfg))
+      .select("prediction").collect()(0).getDouble(0)
+    assert(math.abs(scored - AttnBpttFull.forward(w, cfg, x)) < 1e-12,
+      "full-architecture trainer forward and scorer disagree")
+  }
+
+  test("attn: DEFAULT-config fit (multi-head + attention pooling + mlp " +
+    "head + pre-norm, transformer.py:149-157) learns AR(2) to R^2 > 0.8") {
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new AttnTrainer(Seq("lag4", "lag3", "lag2", "lag1"), seqLen = 4,
+      targetCol = "y", dModel = 8, ffDim = 16, preNorm = true, lr = 0.02,
+      epochs = 200, numHeads = 4, attnPool = true, mlpUnits = Seq(8))
+    val pred = m.fit(df).predict(df)
+    val fw = m.fittedWeights
+    assert(fw.heads.size == 4 && fw.wPool != null &&
+      fw.mlpHead.size == 1 && fw.preNorm != null,
+      "fitted weights carry the full default architecture")
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"default-config transformer failed to learn: r2=$r2")
+  }
+
   test("attn: fit learns the synthetic AR(2) series to R^2 > 0.8; " +
     "fitted weights score through the distributed forward pass") {
     val r = new scala.util.Random(4)
