@@ -1,0 +1,326 @@
+package graft.ml
+
+/** Flat-parameter BPTT kernel generalizing [[LstmBptt]] to the
+  * reference's remaining LSTM fit layouts (sequence.py:120-147):
+  *
+  * - **stacked** (`lstm_units` list): layer n+1 consumes layer n's
+  *   per-step hidden states (Keras return_sequences=True between
+  *   layers); the linear head reads the LAST layer's final hidden state.
+  *   Backprop injects each upper layer's input-gradient into the hidden
+  *   outputs of the layer below at EVERY timestep.
+  * - **bidirectional** (`bidirectional=True`, one layer — the layout
+  *   [[LstmScorer.scoreBidirectional]] scores): a forward cell over the
+  *   steps plus an independent cell over the REVERSED steps; the head
+  *   reads the concatenated final hidden states [fwd_h, bwd_h].
+  *
+  * Layout: per cell (stacked: one per layer; bidi: fwd then bwd) the
+  * [[LstmBptt]] gate blocks — per gate g ∈ i,f,c̃,o: `W_g` F×H
+  * feature-major, `U_g` H×H, `b_g` H — then `wOut` (H_last, or 2H for
+  * bidi) and `bOut`. Forward recurrences match the scorer's stage
+  * algebra exactly (t=0 convention h₋₁ = c₋₁ = 0), so fitted weights
+  * score identically through the distributed codegen'd forward pass. */
+object LstmStackBptt {
+
+  /** @param layers hidden width per stacked layer (bidi: exactly one) */
+  case class Cfg(f: Int, layers: Seq[Int], bidi: Boolean) {
+    require(layers.nonEmpty, "at least one LSTM layer")
+    require(!bidi || layers.size == 1,
+      "bidirectional fit covers the single-layer layout the scorer scores")
+    /** Input width of layer l. */
+    def fIn(l: Int): Int = if (l == 0) f else layers(l - 1)
+    def cellSize(fi: Int, h: Int): Int = 4 * (fi * h + h * h + h)
+    /** Cell offsets (stacked: per layer; bidi: fwd at 0, bwd at 1). */
+    def cellOff(l: Int): Int =
+      if (bidi) l * cellSize(f, layers.head)
+      else (0 until l).map(i => cellSize(fIn(i), layers(i))).sum
+    def headDim: Int = if (bidi) 2 * layers.head else layers.last
+    def headOff: Int =
+      if (bidi) 2 * cellSize(f, layers.head) else cellOff(layers.size)
+    def size: Int = headOff + headDim + 1
+  }
+
+  /** One cell's forward/backward over a sequence, reading its gate
+    * blocks at `off` in the flat array. Forward caches stay in the
+    * instance; backward accepts a PER-STEP hidden-gradient injection
+    * and returns per-step input gradients (for the layer below). */
+  private final class Cell(w: Array[Double], off: Int, f: Int, h: Int) {
+    private val blk = f * h + h * h + h
+    private def wO(g: Int) = off + g * blk
+    private def uO(g: Int) = off + g * blk + f * h
+    private def bO(g: Int) = off + g * blk + f * h + h * h
+
+    var x: Array[Array[Double]] = _
+    var ig, fg, gg, og, cs, hs, tc: Array[Array[Double]] = _
+
+    def forward(xIn: Array[Array[Double]]): Array[Array[Double]] = {
+      val T = xIn.length
+      x = xIn
+      ig = Array.ofDim(T, h); fg = Array.ofDim(T, h)
+      gg = Array.ofDim(T, h); og = Array.ofDim(T, h)
+      cs = Array.ofDim(T, h); hs = Array.ofDim(T, h)
+      tc = Array.ofDim(T, h)
+      def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+      var t = 0
+      while (t < T) {
+        val xt = x(t)
+        var u = 0
+        while (u < h) {
+          var zi = w(bO(0) + u); var zf = w(bO(1) + u)
+          var zg = w(bO(2) + u); var zo = w(bO(3) + u)
+          var fi = 0
+          while (fi < f) {
+            val xv = xt(fi); val r = fi * h + u
+            zi += xv * w(wO(0) + r); zf += xv * w(wO(1) + r)
+            zg += xv * w(wO(2) + r); zo += xv * w(wO(3) + r)
+            fi += 1
+          }
+          if (t > 0) {
+            val hp = hs(t - 1)
+            var k = 0
+            while (k < h) {
+              val hv = hp(k); val r = k * h + u
+              zi += hv * w(uO(0) + r); zf += hv * w(uO(1) + r)
+              zg += hv * w(uO(2) + r); zo += hv * w(uO(3) + r)
+              k += 1
+            }
+          }
+          ig(t)(u) = sigmoid(zi); fg(t)(u) = sigmoid(zf)
+          gg(t)(u) = math.tanh(zg); og(t)(u) = sigmoid(zo)
+          cs(t)(u) = (if (t > 0) fg(t)(u) * cs(t - 1)(u) else 0.0) +
+            ig(t)(u) * gg(t)(u)
+          tc(t)(u) = math.tanh(cs(t)(u))
+          hs(t)(u) = og(t)(u) * tc(t)(u)
+          u += 1
+        }
+        t += 1
+      }
+      hs
+    }
+
+    /** BPTT with `dhInj(t)` injected into h_t (gradient from the head
+      * and/or the layer above). Accumulates parameter gradients into
+      * `acc`; returns per-step input gradients when `needDx`. */
+    def backward(dhInj: Array[Array[Double]], acc: Array[Double],
+        needDx: Boolean): Array[Array[Double]] = {
+      val T = x.length
+      val dx: Array[Array[Double]] =
+        if (needDx) Array.ofDim(T, f) else null
+      val dh = new Array[Double](h) // recurrent backflow from t+1
+      val dc = new Array[Double](h)
+      val dzi = new Array[Double](h); val dzf = new Array[Double](h)
+      val dzg = new Array[Double](h); val dzo = new Array[Double](h)
+      var t = T - 1
+      while (t >= 0) {
+        val xt = x(t)
+        var u = 0
+        while (u < h) {
+          val dhu = dh(u) + dhInj(t)(u)
+          val o = og(t)(u); val i = ig(t)(u); val g = gg(t)(u)
+          val tch = tc(t)(u)
+          dzo(u) = dhu * tch * o * (1 - o)
+          val dcu = dc(u) + dhu * o * (1 - tch * tch)
+          dzi(u) = dcu * g * i * (1 - i)
+          dzg(u) = dcu * i * (1 - g * g)
+          dzf(u) = if (t > 0) {
+            val fgu = fg(t)(u)
+            dcu * cs(t - 1)(u) * fgu * (1 - fgu)
+          } else 0.0
+          dc(u) = if (t > 0) dcu * fg(t)(u) else 0.0
+          acc(bO(0) + u) += dzi(u); acc(bO(1) + u) += dzf(u)
+          acc(bO(2) + u) += dzg(u); acc(bO(3) + u) += dzo(u)
+          var fi = 0
+          while (fi < f) {
+            val xv = xt(fi); val r = fi * h + u
+            acc(wO(0) + r) += xv * dzi(u); acc(wO(1) + r) += xv * dzf(u)
+            acc(wO(2) + r) += xv * dzg(u); acc(wO(3) + r) += xv * dzo(u)
+            fi += 1
+          }
+          u += 1
+        }
+        if (needDx) {
+          var fi = 0
+          while (fi < f) {
+            var s = 0.0
+            var u2 = 0
+            while (u2 < h) {
+              val r = fi * h + u2
+              s += w(wO(0) + r) * dzi(u2) + w(wO(1) + r) * dzf(u2) +
+                w(wO(2) + r) * dzg(u2) + w(wO(3) + r) * dzo(u2)
+              u2 += 1
+            }
+            dx(t)(fi) = s
+            fi += 1
+          }
+        }
+        if (t > 0) {
+          val hp = hs(t - 1)
+          var k = 0
+          while (k < h) {
+            var s = 0.0
+            var u3 = 0
+            while (u3 < h) {
+              val r = k * h + u3
+              acc(uO(0) + r) += hp(k) * dzi(u3)
+              acc(uO(1) + r) += hp(k) * dzf(u3)
+              acc(uO(2) + r) += hp(k) * dzg(u3)
+              acc(uO(3) + r) += hp(k) * dzo(u3)
+              s += w(uO(0) + r) * dzi(u3) + w(uO(1) + r) * dzf(u3) +
+                w(uO(2) + r) * dzg(u3) + w(uO(3) + r) * dzo(u3)
+              u3 += 1
+            }
+            dh(k) = s
+            k += 1
+          }
+        }
+        t -= 1
+      }
+      dx
+    }
+  }
+
+  /** Forward pass only (gradient-check helper). */
+  def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]]): Double =
+    run(w, c, x, 0.0, null)
+
+  /** Forward + (if `acc` non-null) backward accumulating into `acc`.
+    * Returns the prediction (acc == null) or the loss (acc != null). */
+  def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
+      acc: Array[Double]): Double = {
+    val T = x.length
+    val hOff = c.headOff
+    if (c.bidi) {
+      val h = c.layers.head
+      val fwd = new Cell(w, c.cellOff(0), c.f, h)
+      val bwd = new Cell(w, c.cellOff(1), c.f, h)
+      val rev = Array.tabulate(T)(t => x(T - 1 - t))
+      val hsF = fwd.forward(x)
+      val hsB = bwd.forward(rev)
+      var pred = w(c.size - 1)
+      var u = 0
+      while (u < h) {
+        pred += w(hOff + u) * hsF(T - 1)(u) +
+          w(hOff + h + u) * hsB(T - 1)(u)
+        u += 1
+      }
+      if (acc == null) return pred
+      val d = pred - y
+      acc(c.size - 1) += d
+      val injF = Array.ofDim[Double](T, h)
+      val injB = Array.ofDim[Double](T, h)
+      u = 0
+      while (u < h) {
+        acc(hOff + u) += d * hsF(T - 1)(u)
+        acc(hOff + h + u) += d * hsB(T - 1)(u)
+        injF(T - 1)(u) = w(hOff + u) * d
+        injB(T - 1)(u) = w(hOff + h + u) * d
+        u += 1
+      }
+      fwd.backward(injF, acc, needDx = false)
+      bwd.backward(injB, acc, needDx = false)
+      0.5 * d * d
+    } else {
+      val L = c.layers.size
+      val cells = Array.tabulate(L)(l =>
+        new Cell(w, c.cellOff(l), c.fIn(l), c.layers(l)))
+      var cur = x
+      var l = 0
+      while (l < L) { cur = cells(l).forward(cur); l += 1 }
+      val hLast = c.layers.last
+      var pred = w(c.size - 1)
+      var u = 0
+      while (u < hLast) { pred += w(hOff + u) * cur(T - 1)(u); u += 1 }
+      if (acc == null) return pred
+      val d = pred - y
+      acc(c.size - 1) += d
+      var inj = Array.ofDim[Double](T, hLast)
+      u = 0
+      while (u < hLast) {
+        acc(hOff + u) += d * cur(T - 1)(u)
+        inj(T - 1)(u) = w(hOff + u) * d
+        u += 1
+      }
+      l = L - 1
+      while (l >= 0) {
+        val dx = cells(l).backward(inj, acc, needDx = l > 0)
+        inj = dx
+        l -= 1
+      }
+      0.5 * d * d
+    }
+  }
+
+  private def cellWeights(w: Array[Double], off: Int, f: Int, h: Int,
+      wOut: Array[Double], bOut: Double): LstmWeights = {
+    val blk = f * h + h * h + h
+    def mat(o2: Int, rows: Int): Array[Array[Double]] =
+      Array.tabulate(rows, h)((r, u) => w(o2 + r * h + u))
+    def vec(o2: Int): Array[Double] = Array.tabulate(h)(u => w(o2 + u))
+    def g(i: Int) = (off + i * blk, off + i * blk + f * h,
+      off + i * blk + f * h + h * h)
+    val Seq((wi, ui, bi), (wf, uf, bf), (wc, uc, bc), (wo, uo, bo)) =
+      (0 until 4).map(g)
+    LstmWeights(
+      mat(wi, f), mat(ui, h), vec(bi),
+      mat(wf, f), mat(uf, h), vec(bf),
+      mat(wc, f), mat(uc, h), vec(bc),
+      mat(wo, f), mat(uo, h), vec(bo),
+      wOut, bOut)
+  }
+
+  /** Unpack into the stacked scorer's layer list (only the LAST layer's
+    * head is read by [[LstmScorer.scoreStacked]]; inner heads are 0). */
+  def toStacked(w: Array[Double], c: Cfg): Seq[LstmWeights] = {
+    require(!c.bidi)
+    val hOff = c.headOff
+    c.layers.indices.map { l =>
+      val h = c.layers(l)
+      val (wOut, bOut) =
+        if (l == c.layers.size - 1)
+          (Array.tabulate(h)(u => w(hOff + u)), w(c.size - 1))
+        else (new Array[Double](h), 0.0)
+      cellWeights(w, c.cellOff(l), c.fIn(l), h, wOut, bOut)
+    }
+  }
+
+  /** Unpack into [[LstmScorer.scoreBidirectional]]'s (fwd, bwd, wOut
+    * spanning 2H, bOut) surface; the per-cell heads are unused. */
+  def toBidi(w: Array[Double], c: Cfg)
+      : (LstmWeights, LstmWeights, Array[Double], Double) = {
+    require(c.bidi)
+    val h = c.layers.head
+    val fwd = cellWeights(w, c.cellOff(0), c.f, h,
+      new Array[Double](h), 0.0)
+    val bwd = cellWeights(w, c.cellOff(1), c.f, h,
+      new Array[Double](h), 0.0)
+    (fwd, bwd, Array.tabulate(2 * h)(u => w(c.headOff + u)), w(c.size - 1))
+  }
+
+  /** Glorot input blocks, scaled-uniform recurrent blocks, unit forget
+    * bias — the same scheme as the one-layer trainer. */
+  def init(c: Cfg, seed: Long): Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    val w = new Array[Double](c.size)
+    val nCells = if (c.bidi) 2 else c.layers.size
+    for (cell <- 0 until nCells) {
+      val f = if (c.bidi) c.f else c.fIn(cell)
+      val h = if (c.bidi) c.layers.head else c.layers(cell)
+      val off = c.cellOff(cell)
+      val blk = f * h + h * h + h
+      val limW = math.sqrt(6.0 / (f + h))
+      val limU = math.sqrt(6.0 / (2.0 * h))
+      for (g <- 0 until 4) {
+        val base = off + g * blk
+        for (i <- 0 until f * h)
+          w(base + i) = (rng.nextDouble() * 2 - 1) * limW
+        for (i <- 0 until h * h)
+          w(base + f * h + i) = (rng.nextDouble() * 2 - 1) * limU
+        if (g == 1)
+          for (i <- 0 until h) w(base + f * h + h * h + i) = 1.0
+      }
+    }
+    val limOut = math.sqrt(6.0 / (c.headDim + 1))
+    for (i <- 0 until c.headDim + 1)
+      w(c.headOff + i) = (rng.nextDouble() * 2 - 1) * limOut
+    w
+  }
+}

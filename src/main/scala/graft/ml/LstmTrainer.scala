@@ -173,9 +173,13 @@ object LstmBptt {
   }
 }
 
-/** Trains the one-layer LSTM regressor the reference fits with Keras
-  * (sequence.py:101-153) — the same treeAggregate-gradient + driver-Adam
-  * shape as [[MLPRegressor]]: executors fold rows into ONE flat gradient
+/** Trains the LSTM regressor the reference fits with Keras
+  * (sequence.py:101-153) — one-layer by default, layer stacks via
+  * `layers` (the reference's `lstm_units` list) and the single-layer
+  * bidirectional layout via `bidirectional`, both through the
+  * generalized [[LstmStackBptt]] kernel — with the same
+  * treeAggregate-gradient + driver-Adam shape as
+  * [[MLPRegressor]]: executors fold rows into ONE flat gradient
   * vector per epoch (map-side partial sums, depth-2 tree merge), the
   * driver holds only the weight vector. Fitted weights flow into the
   * existing distributed scoring path ([[LstmScorer]] — unrolled pure
@@ -194,25 +198,43 @@ class LSTMTrainer(
     val epochs: Int = 150,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 1.0) extends Serializable {
+    val batchFraction: Double = 1.0,
+    val layers: Seq[Int] = Nil,
+    val bidirectional: Boolean = false) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
+  require(!bidirectional || layers.size <= 1,
+    "bidirectional fit covers the single-layer layout the scorer scores")
   private val nFeat = lagCols.size / seqLen
 
+  /** `layers` non-empty (reference `lstm_units` list, sequence.py:120)
+    * or `bidirectional` selects the generalized [[LstmStackBptt]]
+    * kernel; otherwise the one-layer [[LstmBptt]] fast path. */
+  private def stackCfg: Option[LstmStackBptt.Cfg] =
+    if (bidirectional)
+      Some(LstmStackBptt.Cfg(nFeat,
+        if (layers.isEmpty) Seq(hidden) else layers, bidi = true))
+    else if (layers.size > 1)
+      Some(LstmStackBptt.Cfg(nFeat, layers, bidi = false))
+    else None
+
   private var weights: LstmWeights = _
+  private var stacked: Seq[LstmWeights] = Nil
+  private var bidi: (LstmWeights, LstmWeights, Array[Double], Double) = _
   private var yMean = 0.0
   private var yStd = 1.0
 
   def fittedWeights: LstmWeights = weights
+  def fittedLayers: Seq[LstmWeights] = stacked
+  def fittedBidi: (LstmWeights, LstmWeights, Array[Double], Double) = bidi
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
   def fit(df: DataFrame): this.type = {
-    val (f, h, t) = (nFeat, hidden, seqLen)
-    val sz = LstmBptt.size(f, h)
+    val (f, h) = (nFeat, hidden)
     val data = df.select((targetCol +: lagCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
@@ -223,27 +245,49 @@ class LSTMTrainer(
         .collect()(0)
       yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
     }
-    val rng = new scala.util.Random(seed)
-    val w = new Array[Double](sz)
-    // Glorot for the input blocks, scaled-uniform for the recurrent
-    // blocks; Keras-style unit forget bias (inert at t=0 by the cell's
-    // h₋₁ = 0 convention but it stabilizes the early epochs after that)
-    val limW = math.sqrt(6.0 / (f + h))
-    val limU = math.sqrt(6.0 / (2.0 * h))
-    val blk = f * h + h * h + h
-    for (g <- 0 until 4) {
-      val base = g * blk
-      for (i <- 0 until f * h)
-        w(base + i) = (rng.nextDouble() * 2 - 1) * limW
-      for (i <- 0 until h * h)
-        w(base + f * h + i) = (rng.nextDouble() * 2 - 1) * limU
-      if (g == 1)
-        for (i <- 0 until h) w(base + f * h + h * h + i) = 1.0
+    stackCfg match {
+      case Some(cfg) =>
+        val w = LstmStackBptt.init(cfg, seed)
+        adamEpochs(data, cfg.size, w,
+          (bw, x, y, acc) => LstmStackBptt.run(bw, cfg, x, y, acc))
+        if (cfg.bidi) bidi = LstmStackBptt.toBidi(w, cfg)
+        else stacked = LstmStackBptt.toStacked(w, cfg)
+      case None =>
+        val sz = LstmBptt.size(f, h)
+        val rng = new scala.util.Random(seed)
+        val w = new Array[Double](sz)
+        // Glorot for the input blocks, scaled-uniform for the recurrent
+        // blocks; Keras-style unit forget bias (inert at t=0 by the
+        // cell's h₋₁ = 0 convention but it stabilizes early epochs)
+        val limW = math.sqrt(6.0 / (f + h))
+        val limU = math.sqrt(6.0 / (2.0 * h))
+        val blk = f * h + h * h + h
+        for (g <- 0 until 4) {
+          val base = g * blk
+          for (i <- 0 until f * h)
+            w(base + i) = (rng.nextDouble() * 2 - 1) * limW
+          for (i <- 0 until h * h)
+            w(base + f * h + i) = (rng.nextDouble() * 2 - 1) * limU
+          if (g == 1)
+            for (i <- 0 until h) w(base + f * h + h * h + i) = 1.0
+        }
+        val limOut = math.sqrt(6.0 / (h + 1))
+        for (i <- 0 until h + 1)
+          w(4 * blk + i) = (rng.nextDouble() * 2 - 1) * limOut
+        adamEpochs(data, sz, w,
+          (bw, x, y, acc) => LstmBptt.run(bw, f, h, x, y, acc))
+        weights = LstmBptt.toWeights(w, f, h)
     }
-    val limOut = math.sqrt(6.0 / (h + 1))
-    for (i <- 0 until h + 1)
-      w(4 * blk + i) = (rng.nextDouble() * 2 - 1) * limOut
-    // Adam state
+    data.unpersist()
+    this
+  }
+
+  /** Shared epoch loop: per-epoch (optionally sampled) treeAggregate of
+    * the flat gradient + driver-side Adam. */
+  private def adamEpochs(data: DataFrame, sz: Int, w: Array[Double],
+      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
+        => Double): Unit = {
+    val (f, t) = (nFeat, seqLen)
     val m = new Array[Double](sz); val v = new Array[Double](sz)
     val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
     val (ym, ys) = (yMean, yStd)
@@ -259,7 +303,7 @@ class LSTMTrainer(
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>
             row.getDouble(1 + ti * f + fi))
-          acc(sz) += LstmBptt.run(bw, f, h, x, y, acc)
+          acc(sz) += kernel(bw, x, y, acc)
           acc(sz + 1) += 1.0
           acc
         },
@@ -280,16 +324,21 @@ class LSTMTrainer(
         i += 1
       }
     }
-    data.unpersist()
-    weights = LstmBptt.toWeights(w, f, h)
-    this
   }
 
-  /** Appends `prediction` through the distributed unrolled forward pass,
+  /** Appends `prediction` through the distributed unrolled forward pass
+    * (one-layer, stacked, or bidirectional to match the fitted layout),
     * un-standardizing if the target was scaled at fit. */
   def predict(df: DataFrame): DataFrame = {
-    require(weights != null, "fit first")
-    val scored = LstmScorer.score(df, steps, weights)
+    val scored =
+      if (bidi != null)
+        LstmScorer.scoreBidirectional(df, steps, bidi._1, bidi._2,
+          bidi._3, bidi._4)
+      else if (stacked.nonEmpty) LstmScorer.scoreStacked(df, steps, stacked)
+      else {
+        require(weights != null, "fit first")
+        LstmScorer.score(df, steps, weights)
+      }
     if (scaleTarget)
       scored.withColumn("prediction",
         col("prediction") * lit(yStd) + lit(yMean))

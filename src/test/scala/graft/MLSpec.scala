@@ -124,6 +124,87 @@ class MLSpec extends AnyFunSuite {
       s"LSTM failed to learn AR(2): r2=$r2 (oracle-best=$rBar)")
   }
 
+  test("stacked/bidi lstm bptt kernel: analytic gradient matches central " +
+    "finite differences; kernel forward matches the distributed scorer") {
+    import graft.ml.{LstmStackBptt, LstmScorer}
+    val r = new scala.util.Random(23)
+    val (f, t) = (2, 3)
+    val cfgs = Seq(
+      LstmStackBptt.Cfg(f, Seq(3, 2), bidi = false),
+      LstmStackBptt.Cfg(f, Seq(3), bidi = true))
+    for (cfg <- cfgs) {
+      val sz = cfg.size
+      val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+      val x = Array.fill(t, f)(r.nextGaussian())
+      val y = 0.6
+      val acc = new Array[Double](sz)
+      LstmStackBptt.run(w, cfg, x, y, acc)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        def loss(wv: Array[Double]) = {
+          val d = LstmStackBptt.run(wv, cfg, x, y, null) - y
+          0.5 * d * d
+        }
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"bidi=${cfg.bidi} grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+      }
+      // kernel forward == unrolled distributed forward (same weights)
+      val cols = (0 until t).flatMap(ti =>
+        (0 until f).map(fi => s"x${ti}_$fi"))
+      val row = org.apache.spark.sql.Row.fromSeq(
+        0L +: (0 until t).flatMap(ti => (0 until f).map(fi => x(ti)(fi))))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType)))
+      val sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+      val steps = cols.grouped(f).toSeq
+      val scored = (if (cfg.bidi) {
+        val (fw, bw, wOut, bOut) = LstmStackBptt.toBidi(w, cfg)
+        LstmScorer.scoreBidirectional(sdf, steps, fw, bw, wOut, bOut)
+      } else LstmScorer.scoreStacked(sdf, steps,
+        LstmStackBptt.toStacked(w, cfg)))
+        .select("prediction").collect()(0).getDouble(0)
+      assert(math.abs(scored - LstmStackBptt.forward(w, cfg, x)) < 1e-12,
+        s"bidi=${cfg.bidi}: trainer forward and scorer disagree")
+    }
+  }
+
+  test("lstm: stacked (2-layer) and bidirectional fits learn the AR(2) " +
+    "series to R^2 > 0.8 through the distributed forward pass") {
+    import graft.ml.{LSTMTrainer, Metrics}
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val lags = Seq("lag4", "lag3", "lag2", "lag1")
+    val st = new LSTMTrainer(lags, seqLen = 4, targetCol = "y",
+      lr = 0.02, epochs = 150, layers = Seq(6, 4))
+    val predS = st.fit(df).predict(df)
+    assert(st.fittedLayers.size == 2)
+    val r2s = Metrics.r2(predS, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2s > 0.8, s"stacked LSTM failed to learn AR(2): r2=$r2s")
+    val bt = new LSTMTrainer(lags, seqLen = 4, targetCol = "y",
+      hidden = 5, lr = 0.02, epochs = 150, bidirectional = true)
+    val predB = bt.fit(df).predict(df)
+    assert(bt.fittedBidi != null && bt.fittedBidi._3.length == 10)
+    val r2b = Metrics.r2(predB, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2b > 0.8, s"bidi LSTM failed to learn AR(2): r2=$r2b")
+  }
+
   test("soft spearman: tau->0 converges to the exact negative Spearman; " +
     "loose tau stays within the loss's [-1,1] range; plan broadcasts " +
     "the pairwise side") {
