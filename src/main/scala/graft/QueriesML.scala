@@ -157,6 +157,23 @@ object QueriesML {
     wPool = Array(5.0 / 9, -3.0 / 9), bPool = 1.0 / 9,
     mlpHead = Seq((frac(2, 3, 25, 11), fracV(3, 32, 7))))
 
+  /** Pinned 2-tree depth-2 SOFT forest (differentiable NDF routing,
+    * tree.py:170-206) at the reference's default temperature 0.5.
+    * Fractional weights per the pinnedBn rationale; the sigmoid keeps
+    * outputs off round-half boundaries anyway. */
+  val pinnedSoftTrees: Seq[SoftTreeWeights] = Seq(
+    SoftTreeWeights(featIdx = Array(0, 1, 2),
+      wDec = frac(3, 3, 41, 13), bDec = fracV(3, 41, 7),
+      pi = Array(10.0 / 7, -5.0 / 7, 3.0 / 11, -9.0 / 11)),
+    SoftTreeWeights(featIdx = Array(0, 2),
+      wDec = frac(2, 3, 42, 13), bDec = fracV(3, 42, 7),
+      pi = Array(8.0 / 9, -4.0 / 9, 2.0 / 7, -6.0 / 7)))
+
+  /** Pinned standardization for the soft-forest query's raw features
+    * (the fitted model's input-BatchNormalization analog). */
+  private val softFeatStats = Seq((25.5, 14.0), (0.05, 0.03), (0.04, 0.02))
+  private val softFeatCols = Seq("l_quantity", "l_discount", "l_tax")
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -267,6 +284,19 @@ object QueriesML {
     "q_forest_score" -> ((s, dir) => {
       li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         PinnedTrees.forestColumn(pinnedTrees).as("forest_score"))
+    }),
+
+    // pinned SOFT forest: the differentiable-NDF routing forward pass
+    // (sigmoid routing at T=0.5, leaf-probability products, ensemble
+    // average) as pure codegen'd arithmetic — the trained-model analog
+    // of q_forest_score's hard CASE trees
+    "q_soft_forest" -> ((s, dir) => {
+      val feats = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>
+        (col(c).cast("double") - lit(m)) / lit(sd)
+      }
+      li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        round(SoftForest.forestColumn(pinnedSoftTrees, feats, 0.5), 6)
+          .as("soft_forest_score"))
     }),
 
     // pinned LSTM-cell forward pass over the lag-major sequence layout
@@ -527,6 +557,15 @@ object QueriesML {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${PinnedTrees.forestSql(pinnedTrees)} AS forest_score
          |FROM lineitem""".stripMargin,
+    "q_soft_forest" -> {
+      val fx = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>
+        s"((CAST($c AS DOUBLE) - $m) / $sd)"
+      }
+      s"""SELECT l_orderkey, l_linenumber,
+         |  round(${SoftForest.forestSql(pinnedSoftTrees, fx, 0.5)}, 6)
+         |    AS soft_forest_score
+         |FROM lineitem""".stripMargin
+    },
     "q_seq_score" -> LstmScorer.sql(seqBaseSql, "base", seqSteps, pinnedLstm,
       "l_orderkey, l_linenumber, round(prediction, 6) AS seq_score"),
     "q_attn_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps, pinnedAttn,

@@ -1,0 +1,335 @@
+package graft.ml
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One differentiable decision tree's parameters (the reference's
+  * NeuralDecisionTree, keras_estimators/tree.py:53-206): a routing layer
+  * producing one logit per internal node, leaf output values `pi`, and a
+  * bagged feature subset. Internal nodes are heap-indexed breadth-first
+  * (node m's children are 2m+1 / 2m+2); the reference keeps a dead
+  * index-0 output in its Dense(num_leaves) routing layer — here the
+  * layer has exactly 2^depth − 1 outputs, which is the same function.
+  */
+case class SoftTreeWeights(
+    featIdx: Array[Int],          // bagged indices into featureCols
+    wDec: Array[Array[Double]],   // [nUsed][nNodes] routing logit weights
+    bDec: Array[Double],          // [nNodes] routing logit bias
+    pi: Array[Double]) extends Serializable {
+  def nNodes: Int = bDec.length          // 2^depth − 1
+  def nLeaves: Int = pi.length           // 2^depth
+  def depth: Int = java.lang.Integer.numberOfTrailingZeros(nLeaves)
+}
+
+/** Soft-routing forward pass + SQL mirror shared by scoring and the
+  * training kernel. Routing: d_m = σ(logit_m / T); a leaf's probability
+  * is the product of d_m (left) / 1−d_m (right) along its root path; the
+  * tree output is Σ_leaf μ_leaf·π_leaf; the forest averages trees
+  * (tree.py:170-206,363-377).
+  */
+object SoftForest {
+
+  /** Root path of each leaf: (heap node index, wentLeft) per level. */
+  def leafPaths(depth: Int): Array[Array[(Int, Boolean)]] =
+    Array.tabulate(1 << depth) { l =>
+      val path = new Array[(Int, Boolean)](depth)
+      var m = 0
+      for (level <- 0 until depth) {
+        val left = ((l >> (depth - 1 - level)) & 1) == 0
+        path(level) = (m, left)
+        m = 2 * m + (if (left) 1 else 2)
+      }
+      path
+    }
+
+  /** Driver-local forward of one tree over a standardized feature row. */
+  def treeForward(t: SoftTreeWeights, x: Array[Double], temp: Double)
+      : Double = {
+    val d = nodeSigmoids(t, x, temp)
+    val paths = leafPaths(t.depth)
+    var out = 0.0
+    for (l <- 0 until t.nLeaves) {
+      var mu = 1.0
+      paths(l).foreach { case (m, left) =>
+        mu *= (if (left) d(m) else 1.0 - d(m))
+      }
+      out += mu * t.pi(l)
+    }
+    out
+  }
+
+  def nodeSigmoids(t: SoftTreeWeights, x: Array[Double], temp: Double)
+      : Array[Double] =
+    Array.tabulate(t.nNodes) { m =>
+      var z = t.bDec(m)
+      for (u <- t.featIdx.indices) z += x(t.featIdx(u)) * t.wDec(u)(m)
+      1.0 / (1.0 + math.exp(-z / temp))
+    }
+
+  // ---- pinned scoring surface (Column + line-for-line SQL mirror) ----
+
+  private def logitCol(t: SoftTreeWeights, feats: Seq[Column], m: Int)
+      : Column =
+    t.featIdx.indices.map(u =>
+      feats(t.featIdx(u)) * lit(t.wDec(u)(m))).reduce(_ + _) + lit(t.bDec(m))
+
+  private def logitSql(t: SoftTreeWeights, fx: Seq[String], m: Int): String =
+    t.featIdx.indices.map(u =>
+      s"${fx(t.featIdx(u))} * ${t.wDec(u)(m)}").mkString(" + ") +
+      s" + ${t.bDec(m)}"
+
+  private def sigCol(z: Column, temp: Double): Column =
+    lit(1.0) / (lit(1.0) + exp(-z / lit(temp)))
+
+  private def sigSql(z: String, temp: Double): String =
+    s"1.0 / (1.0 + exp(-($z) / $temp))"
+
+  /** One tree's soft prediction as a codegen'd Column expression. */
+  def treeColumn(t: SoftTreeWeights, feats: Seq[Column], temp: Double)
+      : Column = {
+    val d = (0 until t.nNodes).map(m => sigCol(logitCol(t, feats, m), temp))
+    val paths = leafPaths(t.depth)
+    (0 until t.nLeaves).map { l =>
+      val mu = paths(l).map { case (m, left) =>
+        if (left) d(m) else lit(1.0) - d(m)
+      }.reduce(_ * _)
+      mu * lit(t.pi(l))
+    }.reduce(_ + _)
+  }
+
+  def treeSql(t: SoftTreeWeights, fx: Seq[String], temp: Double): String = {
+    val d = (0 until t.nNodes).map(m => sigSql(logitSql(t, fx, m), temp))
+    val paths = leafPaths(t.depth)
+    (0 until t.nLeaves).map { l =>
+      val mu = paths(l).map { case (m, left) =>
+        if (left) s"(${d(m)})" else s"(1.0 - ${d(m)})"
+      }.mkString(" * ")
+      s"$mu * ${t.pi(l)}"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Forest average, left-associated like the SQL mirror. */
+  def forestColumn(trees: Seq[SoftTreeWeights], feats: Seq[Column],
+      temp: Double): Column =
+    trees.map(treeColumn(_, feats, temp)).reduce(_ + _) /
+      lit(trees.size.toDouble)
+
+  def forestSql(trees: Seq[SoftTreeWeights], fx: Seq[String],
+      temp: Double): String =
+    trees.map(treeSql(_, fx, temp))
+      .mkString("(", " + ", s") / ${trees.size.toDouble}")
+}
+
+/** Fitted soft forest: per-feature standardization (the reference's input
+  * BatchNormalization, tree.py:322-323) + broadcast tree weights. Scoring
+  * stages per-tree outputs as named intermediate columns so each codegen'd
+  * expression stays small (no re-expansion of shared node sigmoids across
+  * trees), then averages — a pure map-side projection.
+  */
+case class SoftForestModel(
+    trees: Seq[SoftTreeWeights],
+    featMeans: Array[Double], featStds: Array[Double],
+    temperature: Double, yMean: Double, yStd: Double,
+    featureCols: Seq[String]) {
+
+  def predict(df: DataFrame): DataFrame = {
+    val feats = featureCols.zipWithIndex.map { case (c, i) =>
+      (col(c).cast("double") - lit(featMeans(i))) / lit(featStds(i))
+    }
+    val staged = df.select(df.columns.map(col) ++ trees.zipWithIndex.map {
+      case (t, i) => SoftForest.treeColumn(t, feats, temperature)
+        .as(s"__tree_$i")
+    }: _*)
+    val avg = trees.indices.map(i => col(s"__tree_$i")).reduce(_ + _) /
+      lit(trees.size.toDouble)
+    staged.withColumn("prediction", avg * lit(yStd) + lit(yMean))
+      .drop(trees.indices.map(i => s"__tree_$i"): _*)
+  }
+}
+
+/** Differentiable Neural-Decision-Forest regressor
+  * (keras_estimators/tree.py:209-384) trained Spark-first: Adam on the
+  * driver over flat gradients computed cluster-side with `treeAggregate`
+  * (the MLPRegressor kernel pattern — the driver only ever holds the
+  * parameter vector, never rows). Soft sigmoid routing with the
+  * reference's temperature-annealing schedule (TemperatureAnnealing,
+  * tree.py:21-50: linear start→end over the epochs), per-tree feature
+  * bagging (used_features_rate, tree.py:112-119), L2 on routing kernels
+  * and leaf values (kernel-only, matching Keras Dense kernel_regularizer),
+  * input standardization in lieu of BatchNormalization, and target
+  * standardization (base.py:89-100). `batchFraction` < 1 takes a seeded
+  * per-epoch Bernoulli sample — minibatch semantics at cluster
+  * granularity, the 100 TB path.
+  */
+class SoftNdfRegressor(
+    val featureCols: Seq[String],
+    val targetCol: String,
+    val numTrees: Int = 5,
+    val depth: Int = 3,
+    val usedFeaturesRate: Double = 1.0,
+    val tempStart: Double = 2.0,
+    val tempEnd: Double = 0.5,
+    val l2Decision: Double = 1e-4,
+    val l2Leaf: Double = 1e-3,
+    val lr: Double = 0.05,
+    val epochs: Int = 100,
+    val seed: Long = 42L,
+    val batchFraction: Double = 1.0) extends Serializable {
+
+  private val nFeat = featureCols.size
+  private val nNodes = (1 << depth) - 1
+  private val nLeaves = 1 << depth
+  private val nUsed = math.max(1, math.round(nFeat * usedFeaturesRate).toInt)
+  private val perTree = nUsed * nNodes + nNodes + nLeaves
+  private val sz = numTrees * perTree
+
+  /** Decode the flat parameter vector into broadcastable tree weights. */
+  def decode(p: Array[Double], masks: Seq[Array[Int]])
+      : Seq[SoftTreeWeights] =
+    (0 until numTrees).map { t =>
+      val o = t * perTree
+      SoftTreeWeights(
+        featIdx = masks(t),
+        wDec = Array.tabulate(nUsed, nNodes)((u, m) =>
+          p(o + u * nNodes + m)),
+        bDec = Array.tabulate(nNodes)(m => p(o + nUsed * nNodes + m)),
+        pi = Array.tabulate(nLeaves)(l =>
+          p(o + nUsed * nNodes + nNodes + l)))
+    }
+
+  /** One full-data (or sampled) gradient of the MSE loss at `p`; exposed
+    * for the finite-difference spec. Returns (grad, meanLoss). */
+  def gradient(data: DataFrame, p: Array[Double], masks: Seq[Array[Int]],
+      temp: Double): (Array[Double], Double) = {
+    val trees = decode(p, masks)
+    val paths = SoftForest.leafPaths(depth)
+    val (nT, pT) = (numTrees, perTree)
+    val (nU, nN, nL) = (nUsed, nNodes, nLeaves)
+    val k = nFeat
+    val zero = DenseVector.zeros[Double](sz + 2)
+    val acc = data.rdd.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val y = row.getDouble(0)
+        val x = Array.tabulate(k)(i => row.getDouble(i + 1))
+        // forward: per-tree node sigmoids, leaf probabilities, outputs
+        val sig = new Array[Array[Double]](nT)
+        val mus = new Array[Array[Double]](nT)
+        var pred = 0.0
+        for (t <- 0 until nT) {
+          val d = SoftForest.nodeSigmoids(trees(t), x, temp)
+          sig(t) = d
+          val mu = new Array[Double](nL)
+          var tp = 0.0
+          for (l <- 0 until nL) {
+            var m = 1.0
+            paths(l).foreach { case (n, left) =>
+              m *= (if (left) d(n) else 1.0 - d(n))
+            }
+            mu(l) = m; tp += m * trees(t).pi(l)
+          }
+          mus(t) = mu; pred += tp
+        }
+        pred /= nT
+        val delta = pred - y
+        // backward: leaf values + routing logits per tree
+        for (t <- 0 until nT) {
+          val o = t * pT
+          val d = sig(t); val mu = mus(t); val tw = trees(t)
+          val gl = new Array[Double](nN)
+          for (l <- 0 until nL) {
+            acc(o + nU * nN + nN + l) += delta / nT * mu(l)
+            val w = delta / nT * mu(l) * tw.pi(l) / temp
+            paths(l).foreach { case (n, left) =>
+              gl(n) += w * (if (left) 1.0 - d(n) else -d(n))
+            }
+          }
+          for (m <- 0 until nN) {
+            val g = gl(m)
+            for (u <- 0 until nU) {
+              acc(o + u * nN + m) += g * x(tw.featIdx(u))
+            }
+            acc(o + nU * nN + m) += g
+          }
+        }
+        acc(sz) += 0.5 * delta * delta
+        acc(sz + 1) += 1.0
+        acc
+      },
+      combOp = _ + _, depth = 2)
+    val n = math.max(acc(sz + 1), 1.0)
+    val g = new Array[Double](sz)
+    for (i <- 0 until sz) g(i) = acc(i) / n
+    // L2 (kernel-only, matching Keras kernel_regularizer): routing
+    // weights at strength l2Decision, leaf values at l2Leaf
+    for (t <- 0 until numTrees) {
+      val o = t * perTree
+      for (i <- 0 until nUsed * nNodes)
+        g(o + i) += 2.0 * l2Decision * p(o + i)
+      for (l <- 0 until nLeaves)
+        g(o + nUsed * nNodes + nNodes + l) +=
+          2.0 * l2Leaf * p(o + nUsed * nNodes + nNodes + l)
+    }
+    (g, acc(sz) / n)
+  }
+
+  def fit(df: DataFrame): SoftForestModel = {
+    val data = df.select((targetCol +: featureCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    // input standardization (the reference's input BatchNormalization)
+    // + target standardization in the same single aggregate
+    val statCols = featureCols.flatMap(c =>
+      Seq(avg(col(c)), stddev_pop(col(c)))) ++
+      Seq(avg(col(targetCol)), stddev_pop(col(targetCol)))
+    val r = data.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val fMean = Array.tabulate(nFeat)(i => r.getDouble(2 * i))
+    val fStd = Array.tabulate(nFeat)(i =>
+      math.max(r.getDouble(2 * i + 1), 1e-12))
+    val yMean = r.getDouble(2 * nFeat)
+    val yStd = math.max(r.getDouble(2 * nFeat + 1), 1e-12)
+    val std = data.select(
+      ((col(targetCol) - lit(yMean)) / lit(yStd)) +:
+      featureCols.zipWithIndex.map { case (c, i) =>
+        (col(c) - lit(fMean(i))) / lit(fStd(i))
+      }: _*)
+    std.cache(); std.count(); data.unpersist()
+
+    val rng = new scala.util.Random(seed)
+    // feature bagging: a seeded mask per tree (tree.py:112-119)
+    val masks = Seq.fill(numTrees)(
+      rng.shuffle((0 until nFeat).toList).take(nUsed).sorted.toArray)
+    val p = new Array[Double](sz)
+    val limit = math.sqrt(6.0 / (nUsed + nNodes)) // Glorot uniform
+    for (t <- 0 until numTrees) {
+      val o = t * perTree
+      for (i <- 0 until nUsed * nNodes)
+        p(o + i) = (rng.nextDouble() * 2 - 1) * limit
+      for (l <- 0 until nLeaves)                  // pi ~ random_normal
+        p(o + nUsed * nNodes + nNodes + l) = rng.nextGaussian() * 0.05
+    }
+    val m = DenseVector.zeros[Double](sz)
+    val v = DenseVector.zeros[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    var temp = tempStart
+    for (t <- 1 to epochs) {
+      val batch = if (batchFraction >= 1.0) std
+        else std.sample(withReplacement = false, batchFraction, seed + t)
+      val (g0, _) = gradient(batch, p, masks, temp)
+      val g = DenseVector(g0)
+      m := m * beta1 + g * (1 - beta1)
+      v := v * beta2 + (g *:* g) * (1 - beta2)
+      val mh = m / (1 - math.pow(beta1, t))
+      val vh = v / (1 - math.pow(beta2, t))
+      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
+      for (i <- 0 until sz) p(i) -= step(i)
+      // linear temperature annealing, assigned at epoch end
+      // (TemperatureAnnealing.on_epoch_end, tree.py:47-50)
+      temp = tempStart - (tempStart - tempEnd) * t.toDouble / epochs
+    }
+    std.unpersist()
+    SoftForestModel(decode(p, masks), fMean, fStd, temp, yMean, yStd,
+      featureCols)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+/** Differentiable NDF (keras_estimators/tree.py:53-384): analytic
+  * gradient vs central finite differences, fit quality on a tree-shaped
+  * target, and scorer/kernel forward agreement. */
+class SoftForestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("soft ndf: flat gradient matches central finite differences") {
+    val reg = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 2,
+      depth = 2, l2Decision = 0.0, l2Leaf = 0.0)
+    val r = new scala.util.Random(7)
+    val rows = (0 until 8).map(i =>
+      (r.nextGaussian() * 0.5, r.nextGaussian(), r.nextGaussian()))
+    val data = rows.toDF("y", "f0", "f1")
+    val masks = Seq(Array(0, 1), Array(0, 1))
+    val sz = 2 * (2 * 3 + 3 + 4)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val temp = 0.7
+    val (g, _) = reg.gradient(data, p, masks, temp)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val lp = reg.gradient(data, pp, masks, temp)._2
+      val lm = reg.gradient(data, pm, masks, temp)._2
+      val fd = (lp - lm) / (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("soft ndf: fit learns an axis-aligned tree target to R^2 > 0.8; " +
+    "model forward matches the staged scoring projection") {
+    val r = new scala.util.Random(11)
+    // depth-2 tree function of (f0, f1) + noise — the model class's
+    // home turf (tree.py:274-279)
+    val rows = (0 until 500).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val f2 = r.nextGaussian()
+      val y = (if (f0 < 0) { if (f1 < 0) -2.0 else -0.5 }
+               else { if (f1 < 0) 0.5 else 2.0 }) + 0.1 * r.nextGaussian()
+      (i.toLong, f0, f1, f2, y)
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val m = new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y", numTrees = 4,
+      depth = 2, lr = 0.1, epochs = 120)
+    val model = m.fit(df)
+    val pred = model.predict(df)
+    assert(pred.columns.contains("prediction"))
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"soft NDF failed to learn a tree target: r2=$r2")
+
+    // staged scoring projection == driver-local forward on a sample
+    val sample = pred.select("f0", "f1", "f2", "prediction")
+      .limit(20).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(3)(i =>
+        (row.getDouble(i) - model.featMeans(i)) / model.featStds(i))
+      val local = model.trees.map(t =>
+        SoftForest.treeForward(t, x, model.temperature)).sum /
+        model.trees.size * model.yStd + model.yMean
+      assert(math.abs(local - row.getDouble(3)) < 1e-9,
+        s"scorer and driver forward disagree: $local vs ${row.getDouble(3)}")
+    }
+  }
+
+  test("soft ndf: feature bagging restricts each tree to its mask; " +
+    "temperature anneals to tempEnd") {
+    val r = new scala.util.Random(3)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val m = new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y", numTrees = 3,
+      depth = 2, usedFeaturesRate = 0.5, epochs = 5, tempStart = 2.0,
+      tempEnd = 0.5)
+    val model = m.fit(df)
+    model.trees.foreach { t =>
+      assert(t.featIdx.length == 2) // round(3 * 0.5) = 2
+      assert(t.featIdx.forall(i => i >= 0 && i < 3))
+    }
+    assert(math.abs(model.temperature - 0.5) < 1e-12)
+  }
+}
