@@ -174,6 +174,21 @@ object QueriesML {
   private val softFeatStats = Seq((25.5, 14.0), (0.05, 0.03), (0.04, 0.02))
   private val softFeatCols = Seq("l_quantity", "l_discount", "l_tax")
 
+  /** Pinned nonlinear joint autoencoder (4 feats → swish(2) → latent 2
+    * → swish(2) → recon 4 → swish(2) → prediction) for the trained-path
+    * scoring query (autoencoder.py:25-85 architecture). */
+  val pinnedAe: JointAeWeights = JointAeWeights(
+    we = frac(4, 2, 51, 13), be = fracV(2, 51, 7),
+    wz = frac(2, 2, 52, 13), bz = fracV(2, 52, 7),
+    wd = frac(2, 2, 53, 13), bd = fracV(2, 53, 7),
+    wr = frac(2, 4, 54, 13), br = fracV(4, 54, 7),
+    wh = frac(4, 2, 55, 13), bh = fracV(2, 55, 7),
+    wp = fracV(2, 56, 9), bp = 1.0 / 7)
+
+  /** Pinned standardization for the autoencoder query's features. */
+  private val aeFeatStats = Seq((25.5, 14.0), (38000.0, 22000.0),
+    (0.05, 0.03), (0.04, 0.02))
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -284,6 +299,23 @@ object QueriesML {
     "q_forest_score" -> ((s, dir) => {
       li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         PinnedTrees.forestColumn(pinnedTrees).as("forest_score"))
+    }),
+
+    // pinned nonlinear joint-autoencoder forward pass: staged swish
+    // layers (encoder → latent → decoder → recon → head) as named
+    // codegen'd projections — the trained counterpart of q_bottleneck's
+    // closed-form linear path; standardized-space outputs
+    "q_ae_score" -> ((s, dir) => {
+      val feats = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
+        (col(c).cast("double") - lit(m)) / lit(sd)
+      }
+      JointAe.stageTo(li(s, dir), feats, pinnedAe, upTo = "pred")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("latent_0"), 6).as("latent_0"),
+          round(col("latent_1"), 6).as("latent_1"),
+          round(col("recon_0"), 6).as("recon_0"),
+          round(col("recon_3"), 6).as("recon_3"),
+          round(col("prediction"), 6).as("prediction"))
     }),
 
     // pinned SOFT forest: the differentiable-NDF routing forward pass
@@ -557,6 +589,17 @@ object QueriesML {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${PinnedTrees.forestSql(pinnedTrees)} AS forest_score
          |FROM lineitem""".stripMargin,
+    "q_ae_score" -> {
+      val fx = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
+        s"((CAST($c AS DOUBLE) - $m) / $sd)"
+      }
+      JointAe.sql("WITH base AS (SELECT * FROM lineitem)", "base", fx,
+        pinnedAe, "l_orderkey, l_linenumber",
+        """l_orderkey, l_linenumber,
+          |  round(latent_0, 6) AS latent_0, round(latent_1, 6) AS latent_1,
+          |  round(recon_0, 6) AS recon_0, round(recon_3, 6) AS recon_3,
+          |  round(prediction, 6) AS prediction""".stripMargin)
+    },
     "q_soft_forest" -> {
       val fx = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>
         s"((CAST($c AS DOUBLE) - $m) / $sd)"

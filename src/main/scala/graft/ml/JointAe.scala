@@ -1,0 +1,391 @@
+package graft.ml
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weights of the nonlinear joint-loss bottleneck autoencoder — the
+  * trained counterpart of the reference's BottleneckEncoder
+  * (keras_estimators/autoencoder.py:25-85) at its architectural shape:
+  * swish encoder hidden → swish latent → swish decoder hidden → linear
+  * reconstruction → swish head hidden → linear target, trained on
+  * `rw·mse(reconstruction) + tw·mse(target)` jointly (the reference's
+  * loss_weights dict, autoencoder.py:80-83). Features and target are
+  * standardized first (BatchNormalization / StandardScaler analog,
+  * autoencoder.py:30 + base.py:89-100); outputs are destandardized. */
+case class JointAeWeights(
+    we: Array[Array[Double]], be: Array[Double],   // [k][hE] encoder
+    wz: Array[Array[Double]], bz: Array[Double],   // [hE][L] latent
+    wd: Array[Array[Double]], bd: Array[Double],   // [L][hE] decoder
+    wr: Array[Array[Double]], br: Array[Double],   // [hE][k] recon
+    wh: Array[Array[Double]], bh: Array[Double],   // [k][hA] head hidden
+    wp: Array[Double], bp: Double) extends Serializable {
+  def k: Int = we.length
+  def hE: Int = be.length
+  def latent: Int = bz.length
+  def hA: Int = bh.length
+}
+
+/** Flat-gradient kernel for the joint autoencoder (the LstmBptt /
+  * AttnBptt pattern: executors fold rows into one flat gradient vector;
+  * the driver runs Adam). */
+object JointAeKernel {
+  def size(k: Int, hE: Int, l: Int, hA: Int): Int =
+    k * hE + hE + hE * l + l + l * hE + hE + hE * k + k +
+      k * hA + hA + hA + 1
+
+  @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+  @inline private def swish(z: Double): Double = z * sigmoid(z)
+  @inline private def swishD(z: Double): Double = {
+    val s = sigmoid(z); s * (1.0 + z * (1.0 - s))
+  }
+
+  def toWeights(p: Array[Double], k: Int, hE: Int, l: Int, hA: Int)
+      : JointAeWeights = {
+    var o = 0
+    def mat(r: Int, c: Int): Array[Array[Double]] = {
+      val m = Array.tabulate(r, c)((i, j) => p(o + i * c + j)); o += r * c; m
+    }
+    def vec(n: Int): Array[Double] = {
+      val v = Array.tabulate(n)(i => p(o + i)); o += n; v
+    }
+    val we = mat(k, hE); val be = vec(hE)
+    val wz = mat(hE, l); val bz = vec(l)
+    val wd = mat(l, hE); val bd = vec(hE)
+    val wr = mat(hE, k); val br = vec(k)
+    val wh = mat(k, hA); val bh = vec(hA)
+    val wp = vec(hA); val bp = p(o)
+    JointAeWeights(we, be, wz, bz, wd, bd, wr, br, wh, bh, wp, bp)
+  }
+
+  /** Driver-local forward over a standardized row: (latent, recon, pred). */
+  def forward(w: JointAeWeights, x: Array[Double])
+      : (Array[Double], Array[Double], Double) = {
+    val e = Array.tabulate(w.hE) { j =>
+      var z = w.be(j); for (i <- 0 until w.k) z += x(i) * w.we(i)(j)
+      swish(z)
+    }
+    val zl = Array.tabulate(w.latent) { i =>
+      var z = w.bz(i); for (j <- 0 until w.hE) z += e(j) * w.wz(j)(i)
+      swish(z)
+    }
+    val d = Array.tabulate(w.hE) { j =>
+      var z = w.bd(j); for (i <- 0 until w.latent) z += zl(i) * w.wd(i)(j)
+      swish(z)
+    }
+    val r = Array.tabulate(w.k) { f =>
+      var z = w.br(f); for (j <- 0 until w.hE) z += d(j) * w.wr(j)(f)
+      z
+    }
+    val h = Array.tabulate(w.hA) { a =>
+      var z = w.bh(a); for (f <- 0 until w.k) z += r(f) * w.wh(f)(a)
+      swish(z)
+    }
+    var p = w.bp; for (a <- 0 until w.hA) p += h(a) * w.wp(a)
+    (zl, r, p)
+  }
+
+  /** One row's loss; if `acc` is non-null, accumulates dLoss/dparams into
+    * it (flat layout = toWeights order). Loss = rw·(1/k)Σ(r−x)² +
+    * tw·(p−y)² — the Keras per-output mse with loss_weights. */
+  def run(pFlat: Array[Double], k: Int, hE: Int, l: Int, hA: Int,
+      x: Array[Double], y: Double, rw: Double, tw: Double,
+      acc: Array[Double]): Double = {
+    val w = toWeights(pFlat, k, hE, l, hA)
+    // forward, keeping pre-activations
+    val ze = Array.tabulate(hE) { j =>
+      var z = w.be(j); for (i <- 0 until k) z += x(i) * w.we(i)(j); z
+    }
+    val e = ze.map(swish)
+    val zz = Array.tabulate(l) { i =>
+      var z = w.bz(i); for (j <- 0 until hE) z += e(j) * w.wz(j)(i); z
+    }
+    val zl = zz.map(swish)
+    val zd = Array.tabulate(hE) { j =>
+      var z = w.bd(j); for (i <- 0 until l) z += zl(i) * w.wd(i)(j); z
+    }
+    val d = zd.map(swish)
+    val r = Array.tabulate(k) { f =>
+      var z = w.br(f); for (j <- 0 until hE) z += d(j) * w.wr(j)(f); z
+    }
+    val zh = Array.tabulate(hA) { a =>
+      var z = w.bh(a); for (f <- 0 until k) z += r(f) * w.wh(f)(a); z
+    }
+    val h = zh.map(swish)
+    var p = w.bp; for (a <- 0 until hA) p += h(a) * w.wp(a)
+    var recon = 0.0
+    for (f <- 0 until k) { val df = r(f) - x(f); recon += df * df }
+    val loss = rw * recon / k + tw * (p - y) * (p - y)
+    if (acc == null) return loss
+
+    // backward
+    val dp = 2.0 * tw * (p - y)
+    val dzh = Array.tabulate(hA)(a => dp * w.wp(a) * swishD(zh(a)))
+    val dr = Array.tabulate(k) { f =>
+      var g = 2.0 * rw / k * (r(f) - x(f))
+      for (a <- 0 until hA) g += dzh(a) * w.wh(f)(a)
+      g
+    }
+    val dd = Array.tabulate(hE) { j =>
+      var g = 0.0; for (f <- 0 until k) g += dr(f) * w.wr(j)(f); g
+    }
+    val dzd = Array.tabulate(hE)(j => dd(j) * swishD(zd(j)))
+    val dzl = Array.tabulate(l) { i =>
+      var g = 0.0; for (j <- 0 until hE) g += dzd(j) * w.wd(i)(j); g
+    }
+    val dzz = Array.tabulate(l)(i => dzl(i) * swishD(zz(i)))
+    val de = Array.tabulate(hE) { j =>
+      var g = 0.0; for (i <- 0 until l) g += dzz(i) * w.wz(j)(i); g
+    }
+    val dze = Array.tabulate(hE)(j => de(j) * swishD(ze(j)))
+
+    var o = 0
+    for (i <- 0 until k; j <- 0 until hE) { acc(o) += x(i) * dze(j); o += 1 }
+    for (j <- 0 until hE) { acc(o) += dze(j); o += 1 }
+    for (j <- 0 until hE; i <- 0 until l) { acc(o) += e(j) * dzz(i); o += 1 }
+    for (i <- 0 until l) { acc(o) += dzz(i); o += 1 }
+    for (i <- 0 until l; j <- 0 until hE) { acc(o) += zl(i) * dzd(j); o += 1 }
+    for (j <- 0 until hE) { acc(o) += dzd(j); o += 1 }
+    for (j <- 0 until hE; f <- 0 until k) { acc(o) += d(j) * dr(f); o += 1 }
+    for (f <- 0 until k) { acc(o) += dr(f); o += 1 }
+    for (f <- 0 until k; a <- 0 until hA) { acc(o) += r(f) * dzh(a); o += 1 }
+    for (a <- 0 until hA) { acc(o) += dzh(a); o += 1 }
+    for (a <- 0 until hA) { acc(o) += h(a) * dp; o += 1 }
+    acc(o) += dp
+    loss
+  }
+}
+
+/** Fitted joint autoencoder: broadcast weights + standardization scalars.
+  * Scoring stages every layer as named intermediate columns (the
+  * BottleneckModel pattern) so expressions stay small and codegen'd —
+  * map-side projections, no shuffle, no UDF. */
+case class JointAeModel(
+    weights: JointAeWeights,
+    featMeans: Array[Double], featStds: Array[Double],
+    yMean: Double, yStd: Double,
+    featureCols: Seq[String]) {
+
+  private def stdFeats: Seq[Column] = featureCols.zipWithIndex.map {
+    case (c, i) => (col(c).cast("double") - lit(featMeans(i))) /
+      lit(featStds(i))
+  }
+
+  /** Appends `latent_{i}` (get_feature_names_out contract,
+    * autoencoder.py:159-161). */
+  def transform(df: DataFrame): DataFrame =
+    JointAe.stageTo(df, stdFeats, weights, upTo = "latent")
+
+  /** Appends `latent_{i}` and destandardized `recon_{i}`. */
+  def reconstruct(df: DataFrame): DataFrame = {
+    val staged = JointAe.stageTo(df, stdFeats, weights, upTo = "recon")
+    featureCols.indices.foldLeft(staged) { (acc, f) =>
+      acc.withColumn(s"recon_$f",
+        col(s"recon_$f") * lit(featStds(f)) + lit(featMeans(f)))
+    }
+  }
+
+  /** Appends `latent_{i}` and `prediction` (base.py:137-150 contract). */
+  def predict(df: DataFrame): DataFrame = {
+    val staged = JointAe.stageTo(df, stdFeats, weights, upTo = "pred")
+    staged.withColumn("prediction",
+      col("prediction") * lit(yStd) + lit(yMean))
+      .drop(featureCols.indices.map(f => s"recon_$f"): _*)
+  }
+}
+
+/** Column/SQL staging shared by model scoring and the pinned oracle
+  * query: each layer becomes a named projection over the previous one. */
+object JointAe {
+  def swishCol(z: Column): Column =
+    z * (lit(1.0) / (lit(1.0) + exp(-z)))
+  def swishSql(z: String): String =
+    s"($z) * (1.0 / (1.0 + exp(-($z))))"
+
+  private def dense(in: Seq[Column], w: Array[Array[Double]],
+      b: Array[Double], j: Int): Column =
+    in.zipWithIndex.map { case (c, i) => c * lit(w(i)(j)) }
+      .reduce(_ + _) + lit(b(j))
+  private def denseSql(in: Seq[String], w: Array[Array[Double]],
+      b: Array[Double], j: Int): String =
+    in.zipWithIndex.map { case (c, i) => s"$c * ${w(i)(j)}" }
+      .mkString(" + ") + s" + ${b(j)}"
+
+  /** Stage layers onto `df` as named columns, stopping at `upTo`
+    * ("latent" | "recon" | "pred"). Intermediate encoder/decoder/head
+    * columns are dropped; latent (and recon) stay, matching the
+    * reference's transform/reconstruct/predict output surfaces. */
+  def stageTo(df: DataFrame, feats: Seq[Column], w: JointAeWeights,
+      upTo: String): DataFrame = {
+    val base = df.columns.map(col).toSeq
+    val enc = df.select(base ++ (0 until w.hE).map(j =>
+      swishCol(dense(feats, w.we, w.be, j)).as(s"__e$j")): _*)
+    val eC = (0 until w.hE).map(j => col(s"__e$j"))
+    val lat = enc.select(base ++ (0 until w.latent).map(i =>
+      swishCol(dense(eC, w.wz, w.bz, i)).as(s"latent_$i")): _*)
+    if (upTo == "latent") return lat
+    val zC = (0 until w.latent).map(i => col(s"latent_$i"))
+    val latCols = base ++ zC.indices.map(i => col(s"latent_$i"))
+    val dec = lat.select(latCols ++ (0 until w.hE).map(j =>
+      swishCol(dense(zC, w.wd, w.bd, j)).as(s"__d$j")): _*)
+    val dC = (0 until w.hE).map(j => col(s"__d$j"))
+    val rec = dec.select(latCols ++ (0 until w.k).map(f =>
+      dense(dC, w.wr, w.br, f).as(s"recon_$f")): _*)
+    if (upTo == "recon") return rec
+    val rC = (0 until w.k).map(f => col(s"recon_$f"))
+    val recCols = latCols ++ (0 until w.k).map(f => col(s"recon_$f"))
+    val hed = rec.select(recCols ++ (0 until w.hA).map(a =>
+      swishCol(dense(rC, w.wh, w.bh, a)).as(s"__h$a")): _*)
+    val hC = (0 until w.hA).map(a => col(s"__h$a"))
+    hed.select(recCols :+ (hC.zipWithIndex.map { case (c, a) =>
+      c * lit(w.wp(a))
+    }.reduce(_ + _) + lit(w.bp)).as("prediction"): _*)
+  }
+
+  /** SQL mirror of stageTo(upTo="pred") as chained CTEs over `from`.
+    * `fx` are the standardized feature expressions. Returns the final
+    * select list source (CTE chain + SELECT of id cols, latent_i,
+    * recon_i, prediction). */
+  def sql(withSql: String, from: String, fx: Seq[String],
+      w: JointAeWeights, idCols: String, selectCols: String): String = {
+    val eS = (0 until w.hE).map(j =>
+      s"${swishSql(denseSql(fx, w.we, w.be, j))} AS __e$j")
+    val eN = (0 until w.hE).map(j => s"__e$j")
+    val zS = (0 until w.latent).map(i =>
+      s"${swishSql(denseSql(eN, w.wz, w.bz, i))} AS latent_$i")
+    val zN = (0 until w.latent).map(i => s"latent_$i")
+    val dS = (0 until w.hE).map(j =>
+      s"${swishSql(denseSql(zN, w.wd, w.bd, j))} AS __d$j")
+    val dN = (0 until w.hE).map(j => s"__d$j")
+    val rS = (0 until w.k).map(f =>
+      s"${denseSql(dN, w.wr, w.br, f)} AS recon_$f")
+    val rN = (0 until w.k).map(f => s"recon_$f")
+    val hS = (0 until w.hA).map(a =>
+      s"${swishSql(denseSql(rN, w.wh, w.bh, a))} AS __h$a")
+    val pS = (0 until w.hA).map(a => s"__h$a * ${w.wp(a)}")
+      .mkString(" + ") + s" + ${w.bp}"
+    s"""$withSql, enc AS (
+       |  SELECT $idCols, ${eS.mkString(",\n    ")} FROM $from),
+       |latf AS (
+       |  SELECT $idCols, ${zS.mkString(",\n    ")} FROM enc),
+       |dec AS (
+       |  SELECT $idCols, ${zN.mkString(", ")}, ${dS.mkString(",\n    ")}
+       |  FROM latf),
+       |rec AS (
+       |  SELECT $idCols, ${zN.mkString(", ")}, ${rS.mkString(",\n    ")}
+       |  FROM dec),
+       |hed AS (
+       |  SELECT $idCols, ${zN.mkString(", ")}, ${rN.mkString(", ")},
+       |    ${hS.mkString(",\n    ")}
+       |  FROM rec),
+       |fin AS (
+       |  SELECT $idCols, ${zN.mkString(", ")}, ${rN.mkString(", ")},
+       |    $pS AS prediction
+       |  FROM hed)
+       |SELECT $selectCols FROM fin""".stripMargin
+  }
+}
+
+/** Joint-loss nonlinear autoencoder trainer (autoencoder.py:25-135
+  * end-to-end): Adam on the driver over `treeAggregate` flat gradients;
+  * `batchFraction` gives the seeded minibatch path. The linear-PCA
+  * BottleneckEncoder stays as the closed-form sibling; this is the
+  * trained path a reference user gets from fit(). */
+class JointAutoencoder(
+    val featureCols: Seq[String],
+    val targetCol: String,
+    val latentDim: Int = 2,
+    val encoderHidden: Int = 8,
+    val headHidden: Int = 4,
+    val reconWeight: Double = 1.0,
+    val targetWeight: Double = 1.0,
+    val lr: Double = 0.01,
+    val epochs: Int = 150,
+    val seed: Long = 42L,
+    val batchFraction: Double = 1.0) extends Serializable {
+
+  private val k = featureCols.size
+  private val sz = JointAeKernel.size(k, encoderHidden, latentDim,
+    headHidden)
+
+  /** Mean joint loss + flat gradient at `p` over `data` (col 0 = y
+    * standardized, cols 1..k = standardized features) — exposed for the
+    * finite-difference spec. */
+  def gradient(data: DataFrame, p: Array[Double])
+      : (Array[Double], Double) = {
+    val (kk, hE, l, hA) = (k, encoderHidden, latentDim, headHidden)
+    val (rw, tw) = (reconWeight, targetWeight)
+    val n = sz
+    val zero = DenseVector.zeros[Double](n + 2)
+    val acc = data.rdd.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val y = row.getDouble(0)
+        val x = Array.tabulate(kk)(i => row.getDouble(i + 1))
+        val g = new Array[Double](n)
+        val loss = JointAeKernel.run(p, kk, hE, l, hA, x, y, rw, tw, g)
+        for (i <- 0 until n) acc(i) += g(i)
+        acc(n) += loss; acc(n + 1) += 1.0
+        acc
+      },
+      combOp = _ + _, depth = 2)
+    val cnt = math.max(acc(sz + 1), 1.0)
+    (Array.tabulate(sz)(i => acc(i) / cnt), acc(sz) / cnt)
+  }
+
+  def fit(df: DataFrame): JointAeModel = {
+    val data = df.select((targetCol +: featureCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    val statCols = featureCols.flatMap(c =>
+      Seq(avg(col(c)), stddev_pop(col(c)))) ++
+      Seq(avg(col(targetCol)), stddev_pop(col(targetCol)))
+    val r = data.agg(statCols.head, statCols.tail: _*).collect()(0)
+    val fMean = Array.tabulate(k)(i => r.getDouble(2 * i))
+    val fStd = Array.tabulate(k)(i => math.max(r.getDouble(2 * i + 1), 1e-12))
+    val yMean = r.getDouble(2 * k)
+    val yStd = math.max(r.getDouble(2 * k + 1), 1e-12)
+    val std = data.select(
+      ((col(targetCol) - lit(yMean)) / lit(yStd)) +:
+      featureCols.zipWithIndex.map { case (c, i) =>
+        (col(c) - lit(fMean(i))) / lit(fStd(i))
+      }: _*)
+    std.cache(); std.count(); data.unpersist()
+
+    val rng = new scala.util.Random(seed)
+    val p = new Array[Double](sz)
+    // Glorot-uniform per layer boundary (fan sums per matrix)
+    val fans = Seq(
+      (k, encoderHidden, k * encoderHidden), (0, 0, encoderHidden),
+      (encoderHidden, latentDim, encoderHidden * latentDim),
+      (0, 0, latentDim),
+      (latentDim, encoderHidden, latentDim * encoderHidden),
+      (0, 0, encoderHidden),
+      (encoderHidden, k, encoderHidden * k), (0, 0, k),
+      (k, headHidden, k * headHidden), (0, 0, headHidden),
+      (headHidden, 1, headHidden), (0, 0, 1))
+    var o = 0
+    fans.foreach { case (fin, fout, cnt) =>
+      val lim = if (fin == 0) 0.0 else math.sqrt(6.0 / (fin + fout))
+      for (_ <- 0 until cnt) { p(o) = (rng.nextDouble() * 2 - 1) * lim; o += 1 }
+    }
+    val m = DenseVector.zeros[Double](sz)
+    val v = DenseVector.zeros[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    for (t <- 1 to epochs) {
+      val batch = if (batchFraction >= 1.0) std
+        else std.sample(withReplacement = false, batchFraction, seed + t)
+      val (g0, _) = gradient(batch, p)
+      val g = DenseVector(g0)
+      m := m * beta1 + g * (1 - beta1)
+      v := v * beta2 + (g *:* g) * (1 - beta2)
+      val mh = m / (1 - math.pow(beta1, t))
+      val vh = v / (1 - math.pow(beta2, t))
+      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
+      for (i <- 0 until sz) p(i) -= step(i)
+    }
+    std.unpersist()
+    JointAeModel(JointAeKernel.toWeights(p, k, encoderHidden, latentDim,
+      headHidden), fMean, fStd, yMean, yStd, featureCols)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml._
+
+/** Joint-loss nonlinear autoencoder (keras_estimators/autoencoder.py):
+  * analytic gradient vs finite differences, recon-beats-PCA at equal
+  * latent dim on a nonlinear manifold, joint target head quality, and
+  * staged-scoring/kernel forward agreement. */
+class JointAeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("joint ae: flat gradient matches central finite differences") {
+    val ae = new JointAutoencoder(Seq("f0", "f1", "f2"), "y",
+      latentDim = 2, encoderHidden = 3, headHidden = 2,
+      reconWeight = 1.0, targetWeight = 0.7)
+    val r = new scala.util.Random(5)
+    val rows = (0 until 6).map(_ =>
+      (r.nextGaussian() * 0.5, r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian()))
+    val data = rows.toDF("y", "f0", "f1", "f2")
+    val sz = JointAeKernel.size(3, 3, 2, 2)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val (g, _) = ae.gradient(data, p)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val fd = (ae.gradient(data, pp)._2 - ae.gradient(data, pm)._2) /
+        (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("joint ae: nonlinear bottleneck beats the optimal LINEAR " +
+    "autoencoder (PCA) on reconstruction at equal latent dim; the joint " +
+    "target head learns") {
+    val r = new scala.util.Random(8)
+    // unit-scale features on a nonlinear 1-D manifold — linear PCA-1
+    // cannot capture the curvature, a swish bottleneck can
+    val rows = (0 until 400).map { i =>
+      val t = r.nextGaussian()
+      (i.toLong, t + 0.05 * r.nextGaussian(),
+        t * t - 1.0 + 0.05 * r.nextGaussian(),
+        math.sin(1.5 * t) + 0.05 * r.nextGaussian(),
+        t + 0.1 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val feats = Seq("f0", "f1", "f2")
+
+    val ae = new JointAutoencoder(feats, "y", latentDim = 1,
+      encoderHidden = 8, headHidden = 4, lr = 0.02, epochs = 300,
+      seed = 1L)
+    val model = ae.fit(df)
+    val aeRec = model.reconstruct(df)
+    def reconMse(rec: org.apache.spark.sql.DataFrame): Double =
+      rec.select(avg(
+        feats.indices.map(f =>
+          pow(col(s"recon_$f") - col(feats(f)), 2)).reduce(_ + _) /
+          lit(feats.size.toDouble)).as("mse"))
+        .collect()(0).getDouble(0)
+    val aeMse = reconMse(aeRec)
+
+    val pcaMse = reconMse(
+      BottleneckEncoder(feats, latentDim = 1).fit(df).reconstruct(df))
+    assert(aeMse < pcaMse,
+      s"nonlinear AE ($aeMse) should beat linear PCA ($pcaMse) on a " +
+        "nonlinear manifold")
+
+    // joint head: trained THROUGH the bottleneck, must track the target
+    val pred = model.predict(df)
+    assert(pred.columns.contains("prediction") &&
+      !pred.columns.contains("recon_0"))
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.6, s"joint target head failed to learn: r2=$r2")
+  }
+
+  test("joint ae: staged scoring projection equals the kernel forward") {
+    val r = new scala.util.Random(3)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val ae = new JointAutoencoder(Seq("f0", "f1", "f2"), "y",
+      latentDim = 2, encoderHidden = 3, headHidden = 2, epochs = 5)
+    val model = ae.fit(df)
+    val out = model.reconstruct(model.transform(df)
+      .drop((0 until 2).map(i => s"latent_$i"): _*))
+      .join(model.predict(df).select(col("id"),
+        col("prediction")), "id")
+      .select("f0", "f1", "f2", "latent_0", "latent_1", "recon_0",
+        "prediction").limit(10).collect()
+    out.foreach { row =>
+      val x = Array.tabulate(3)(i =>
+        (row.getDouble(i) - model.featMeans(i)) / model.featStds(i))
+      val (zl, rec, p) = JointAeKernel.forward(model.weights, x)
+      assert(math.abs(zl(0) - row.getDouble(3)) < 1e-9)
+      assert(math.abs(zl(1) - row.getDouble(4)) < 1e-9)
+      assert(math.abs(rec(0) * model.featStds(0) + model.featMeans(0)
+        - row.getDouble(5)) < 1e-9)
+      assert(math.abs(p * model.yStd + model.yMean
+        - row.getDouble(6)) < 1e-9)
+    }
+  }
+}
