@@ -74,10 +74,17 @@ class MLPRegressor(
     val epochs: Int = 200,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 1.0) extends Serializable {
+    val batchFraction: Double = 1.0,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
 
   private var weights: MLPWeights = _
   private var yMean = 0.0
@@ -123,7 +130,64 @@ class MLPRegressor(
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
       val zero = DenseVector.zeros[Double](sz + 2) // + loss, row count
-      val grad = batch.rdd.treeAggregate(zero)(
+      val grad = if (loss != "mse") {
+        // rank-loss path (losses.py:22-189): the soft-Spearman gradient
+        // is defined over a batch's pairwise soft ranks, so executors
+        // fold bounded in-partition batches (rankBatch rows, O(b²) local
+        // work, the reference's per-Keras-batch semantics) into the flat
+        // gradient; slot sz+1 counts BATCHES — the epoch gradient is the
+        // batch-mean, mirroring averaged per-step SGD updates.
+        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        val (tau, rb) = (rankTau, rankBatch)
+        batch.rdd.mapPartitions { it =>
+          val acc = DenseVector.zeros[Double](sz + 2)
+          it.grouped(rb).foreach { rows =>
+            val b = rows.size
+            if (b >= 2) {
+              val xs = new Array[DenseVector[Double]](b)
+              val z1s = new Array[DenseVector[Double]](b)
+              val hs = new Array[DenseVector[Double]](b)
+              val preds = new Array[Double](b)
+              val ysArr = new Array[Double](b)
+              var i = 0
+              rows.foreach { row =>
+                ysArr(i) = (row.getDouble(0) - ym) / ys
+                val x = DenseVector(
+                  featIdx.map(ii => row.getDouble(ii + 1)).toArray)
+                val z1 = bw1.t * x + bb1
+                val h = z1.map(z => if (z > 0) z else 0.0)
+                preds(i) = (bw2 dot h) + bb2
+                xs(i) = x; z1s(i) = z1; hs(i) = h
+                i += 1
+              }
+              val (dp, lossVal) =
+                RankLoss.combinedGrad(preds, ysArr, tau, mw, sw)
+              i = 0
+              while (i < b) {
+                val d = dp(i)
+                val dh = bw2 * d
+                val dz1 = DenseVector.tabulate(bb1.length)(j =>
+                  if (z1s(i)(j) > 0) dh(j) else 0.0)
+                var off = 0
+                val x = xs(i)
+                for (ii <- 0 until x.length; j <- 0 until bb1.length) {
+                  acc(off) += x(ii) * dz1(j); off += 1
+                }
+                for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
+                for (j <- 0 until bb1.length) {
+                  acc(off) += d * hs(i)(j); off += 1
+                }
+                acc(off) += d
+                i += 1
+              }
+              acc(sz) += lossVal
+              acc(sz + 1) += 1.0
+            }
+          }
+          Iterator.single(acc)
+        }.treeReduce(_ + _, depth = 2)
+      } else batch.rdd.treeAggregate(zero)(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = DenseVector(featIdx.map(i => row.getDouble(i + 1)).toArray)

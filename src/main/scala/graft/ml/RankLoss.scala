@@ -1,0 +1,106 @@
+package graft.ml
+
+/** Differentiable rank-loss kernels (losses.py:22-189): the soft
+  * Spearman loss −corr(softRank(y), softRank(p)) with sigmoid soft
+  * ranks, and the weighted MSE+Spearman combination — as BATCH-level
+  * gradients with respect to the predictions. Pairwise soft ranks are
+  * O(b²), so the loss is defined per training batch (the reference
+  * computes it per Keras batch, batch_size=32, base.py:68); the trainer
+  * applies it to bounded in-partition batches, never to a full 100 TB
+  * partition.
+  *
+  * Gradient: with s_ij = σ((p_i−p_j)/τ), r_i = Σ_j s_ij,
+  * g = d(−corr(t, r))/dr (Pearson gradient, ε=1e-7 like Keras epsilon),
+  * the diagonal σ(0) term is constant, so
+  * dL/dp_i = Σ_{j≠i} s_ij(1−s_ij)/τ · (g_i − g_j).
+  */
+object RankLoss {
+  private val Eps = 1e-7
+
+  @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Soft ranks of `x` at temperature `tau` (losses.py:76-95; includes
+    * the constant 0.5 self-term, matching the reference). */
+  def softRank(x: Array[Double], tau: Double): Array[Double] = {
+    val n = x.length
+    Array.tabulate(n) { i =>
+      var r = 0.0
+      var j = 0
+      while (j < n) { r += sigmoid((x(i) - x(j)) / tau); j += 1 }
+      r
+    }
+  }
+
+  /** −corr(softRank(y), softRank(p)) — the batch loss (losses.py:55-74). */
+  def softSpearmanLoss(p: Array[Double], y: Array[Double], tau: Double)
+      : Double = {
+    val t = softRank(y, tau); val r = softRank(p, tau)
+    -pearson(t, r)
+  }
+
+  private def pearson(t: Array[Double], r: Array[Double]): Double = {
+    val n = t.length
+    var mt = 0.0; var mr = 0.0
+    for (i <- 0 until n) { mt += t(i); mr += r(i) }
+    mt /= n; mr /= n
+    var num = 0.0; var stt = 0.0; var srr = 0.0
+    for (i <- 0 until n) {
+      val tc = t(i) - mt; val rc = r(i) - mr
+      num += tc * rc; stt += tc * tc; srr += rc * rc
+    }
+    num / math.sqrt(stt * srr + Eps)
+  }
+
+  /** Batch gradient dL/dp of the soft Spearman loss; O(b²). */
+  def softSpearmanGrad(p: Array[Double], y: Array[Double], tau: Double)
+      : Array[Double] = {
+    val n = p.length
+    val t = softRank(y, tau); val r = softRank(p, tau)
+    var mt = 0.0; var mr = 0.0
+    for (i <- 0 until n) { mt += t(i); mr += r(i) }
+    mt /= n; mr /= n
+    var num = 0.0; var stt = 0.0; var srr = 0.0
+    for (i <- 0 until n) {
+      val tc = t(i) - mt; val rc = r(i) - mr
+      num += tc * rc; stt += tc * tc; srr += rc * rc
+    }
+    val den = math.sqrt(stt * srr + Eps)
+    // g_i = dL/dr_i for L = −num/den
+    val g = Array.tabulate(n) { i =>
+      val tc = t(i) - mt; val rc = r(i) - mr
+      -(tc / den - num * stt * rc / (den * den * den))
+    }
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val s = sigmoid((p(i) - p(j)) / tau)
+          acc += s * (1.0 - s) / tau * (g(i) - g(j))
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** Combined loss (losses.py:125-189): mseW·mean((p−y)²) + spW·softSp.
+    * Returns (dL/dp, batch loss). */
+  def combinedGrad(p: Array[Double], y: Array[Double], tau: Double,
+      mseW: Double, spW: Double): (Array[Double], Double) = {
+    val n = p.length
+    var mse = 0.0
+    for (i <- 0 until n) { val d = p(i) - y(i); mse += d * d }
+    mse /= n
+    val spGrad = if (spW != 0.0) softSpearmanGrad(p, y, tau)
+      else new Array[Double](n)
+    val spLoss = if (spW != 0.0) softSpearmanLoss(p, y, tau) else 0.0
+    val grad = Array.tabulate(n)(i =>
+      mseW * 2.0 * (p(i) - y(i)) / n + spW * spGrad(i))
+    (grad, mseW * mse + spW * spLoss)
+  }
+}

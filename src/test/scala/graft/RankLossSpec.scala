@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+/** Rank-based training objectives (losses.py:22-189): gradient
+  * correctness of the soft-Spearman batch kernel and trained-model
+  * superiority of loss="combined" over MSE-only on a rank fixture. */
+class RankLossSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("soft spearman batch gradient matches central finite differences") {
+    val r = new scala.util.Random(13)
+    val n = 12
+    val p = Array.fill(n)(r.nextGaussian())
+    val y = Array.fill(n)(r.nextGaussian())
+    for (tau <- Seq(1.0, 0.3)) {
+      val g = RankLoss.softSpearmanGrad(p, y, tau)
+      val eps = 1e-6
+      for (i <- 0 until n) {
+        val pp = p.clone(); pp(i) += eps
+        val pm = p.clone(); pm(i) -= eps
+        val fd = (RankLoss.softSpearmanLoss(pp, y, tau) -
+          RankLoss.softSpearmanLoss(pm, y, tau)) / (2 * eps)
+        assert(math.abs(fd - g(i)) <= 1e-6 * math.max(1.0, math.abs(fd)),
+          s"tau=$tau grad mismatch at $i: analytic=${g(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("combined gradient reduces to the MSE gradient at spW=0 and " +
+    "includes both terms otherwise") {
+    val p = Array(0.2, -0.5, 1.1, 0.0)
+    val y = Array(0.0, -0.4, 0.9, 0.3)
+    val (gm, lm) = RankLoss.combinedGrad(p, y, 1.0, 1.0, 0.0)
+    for (i <- p.indices)
+      assert(math.abs(gm(i) - 2.0 * (p(i) - y(i)) / p.length) < 1e-12)
+    assert(math.abs(lm - p.indices.map(i =>
+      (p(i) - y(i)) * (p(i) - y(i))).sum / p.length) < 1e-12)
+    val (gc, lc) = RankLoss.combinedGrad(p, y, 1.0, 2.0, 1.0)
+    val gs = RankLoss.softSpearmanGrad(p, y, 1.0)
+    for (i <- p.indices)
+      assert(math.abs(gc(i) - (2.0 * gm(i) + gs(i))) < 1e-12)
+    assert(math.abs(lc - (2.0 * lm +
+      RankLoss.softSpearmanLoss(p, y, 1.0))) < 1e-12)
+  }
+
+  test("mlp with loss=combined beats MSE-only on exact Spearman for a " +
+    "heavy-tailed target (the rank-preservation fixture the reference's " +
+    "CombinedLoss exists for)") {
+    val r = new scala.util.Random(21)
+    // a rare huge-magnitude ramp (f0 > 1.2) dominates squared error
+    // while the bulk ordering lives in a low-amplitude tanh: an
+    // MSE-trained net fits the ramp and leaves the bulk nearly flat
+    // (ordered by noise), the rank term weights all pairs equally
+    val rows = (0 until 300).map { i =>
+      val f0 = r.nextGaussian()
+      val ramp = math.max(f0 - 1.2, 0.0)
+      (i.toLong, f0, r.nextGaussian(), r.nextGaussian(),
+        500.0 * ramp * ramp + math.tanh(4.0 * f0) +
+          0.001 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    def spearmanOf(loss: String): Double = {
+      val m = new MLPRegressor(Seq("f0", "f1", "f2"), "y", hidden = 8,
+        lr = 0.05, epochs = 120, loss = loss, rankTau = 0.3,
+        rankBatch = 64)
+      val pred = m.fit(df).predict(df)
+      Metrics.spearman(pred, "prediction", "y", Seq.empty)
+        .collect()(0).getDouble(0)
+    }
+    val sMse = spearmanOf("mse")
+    val sComb = spearmanOf("combined")
+    info(s"exact Spearman: mse-only=$sMse combined=$sComb")
+    assert(sComb > sMse,
+      s"combined ($sComb) should out-rank mse-only ($sMse)")
+    assert(sComb > 0.9, s"combined loss failed to learn ordering: $sComb")
+  }
+}
