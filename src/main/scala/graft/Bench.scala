@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   * vs their isolated cost — and because that pressure is global (it hits
   * every pass equally), shuffled-order minima cannot remove it. So the
   * parent process splits the suite round-robin into SPARK_GRAFT_BENCH_FORKS
-  * child JVMs (sequential, each ~19 queries with its own uncounted warmup
+  * child JVMs (sequential, each ~13 queries with its own uncounted warmup
   * and two-pass shuffled minima) and merges their JSON. Each child stays
-  * near steady-state for its whole chunk, so in-suite ~= isolated. */
+  * near steady-state for its whole chunk, so in-suite ~= isolated
+  * (measured at 6 forks / sf0.1: worst spot-check ratio 1.26x —
+  * q_penalize_fixed 2.50 vs 1.98 isolated; 4 forks left it at 1.57x). */
 object Bench {
 
   private val Forks  = "SPARK_GRAFT_BENCH_FORKS"
@@ -28,7 +30,7 @@ object Bench {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val names =
       (if (args.isEmpty) SparkEntry.queries.keys.toSeq else args.toSeq).sorted
-    val forks = sys.env.getOrElse(Forks, "4").toInt
+    val forks = sys.env.getOrElse(Forks, "6").toInt
     val isChild = sys.env.contains(Child)
     // fork only when the chunks are big enough to amortize child warmup;
     // small hand-picked query lists (local iteration) stay in-process

@@ -86,11 +86,16 @@ object JointAeKernel {
   }
 
   /** One row's loss; if `acc` is non-null, accumulates dLoss/dparams into
-    * it (flat layout = toWeights order). Loss = rw·(1/k)Σ(r−x)² +
-    * tw·(p−y)² — the Keras per-output mse with loss_weights. */
+    * it (flat layout = toWeights order). Loss = rw·(1/k)Σ(r−xTgt)² +
+    * tw·(p−y)² — the Keras per-output mse with loss_weights. `x` is the
+    * (possibly noise-corrupted) network INPUT; `xTgt` the clean
+    * reconstruction target — the denoising-autoencoder split behind the
+    * reference's GaussianNoise layer (autoencoder.py:32: noise is
+    * injected after input BN, while the reconstruction head trains
+    * against the clean features). */
   def run(pFlat: Array[Double], k: Int, hE: Int, l: Int, hA: Int,
-      x: Array[Double], y: Double, rw: Double, tw: Double,
-      acc: Array[Double]): Double = {
+      x: Array[Double], xTgt: Array[Double], y: Double, rw: Double,
+      tw: Double, acc: Array[Double]): Double = {
     val w = toWeights(pFlat, k, hE, l, hA)
     // forward, keeping pre-activations
     val ze = Array.tabulate(hE) { j =>
@@ -114,7 +119,7 @@ object JointAeKernel {
     val h = zh.map(swish)
     var p = w.bp; for (a <- 0 until hA) p += h(a) * w.wp(a)
     var recon = 0.0
-    for (f <- 0 until k) { val df = r(f) - x(f); recon += df * df }
+    for (f <- 0 until k) { val df = r(f) - xTgt(f); recon += df * df }
     val loss = rw * recon / k + tw * (p - y) * (p - y)
     if (acc == null) return loss
 
@@ -122,7 +127,7 @@ object JointAeKernel {
     val dp = 2.0 * tw * (p - y)
     val dzh = Array.tabulate(hA)(a => dp * w.wp(a) * swishD(zh(a)))
     val dr = Array.tabulate(k) { f =>
-      var g = 2.0 * rw / k * (r(f) - x(f))
+      var g = 2.0 * rw / k * (r(f) - xTgt(f))
       for (a <- 0 until hA) g += dzh(a) * w.wh(f)(a)
       g
     }
@@ -299,6 +304,7 @@ class JointAutoencoder(
     val headHidden: Int = 4,
     val reconWeight: Double = 1.0,
     val targetWeight: Double = 1.0,
+    val gaussianNoise: Double = 0.0,
     val lr: Double = 0.01,
     val epochs: Int = 150,
     val seed: Long = 42L,
@@ -309,7 +315,9 @@ class JointAutoencoder(
     headHidden)
 
   /** Mean joint loss + flat gradient at `p` over `data` (col 0 = y
-    * standardized, cols 1..k = standardized features) — exposed for the
+    * standardized, cols 1..k = standardized features; if 2k+1 columns,
+    * cols k+1..2k are the noise-corrupted network inputs and cols 1..k
+    * stay the clean reconstruction targets) — exposed for the
     * finite-difference spec. */
   def gradient(data: DataFrame, p: Array[Double])
       : (Array[Double], Double) = {
@@ -320,9 +328,12 @@ class JointAutoencoder(
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
         val y = row.getDouble(0)
-        val x = Array.tabulate(kk)(i => row.getDouble(i + 1))
+        val xTgt = Array.tabulate(kk)(i => row.getDouble(i + 1))
+        val xIn = if (row.size > kk + 1)
+          Array.tabulate(kk)(i => row.getDouble(kk + i + 1)) else xTgt
         val g = new Array[Double](n)
-        val loss = JointAeKernel.run(p, kk, hE, l, hA, x, y, rw, tw, g)
+        val loss = JointAeKernel.run(p, kk, hE, l, hA, xIn, xTgt, y, rw,
+          tw, g)
         for (i <- 0 until n) acc(i) += g(i)
         acc(n) += loss; acc(n + 1) += 1.0
         acc
@@ -346,9 +357,9 @@ class JointAutoencoder(
     val yMean = r.getDouble(2 * k)
     val yStd = math.max(r.getDouble(2 * k + 1), 1e-12)
     val std = data.select(
-      ((col(targetCol) - lit(yMean)) / lit(yStd)) +:
+      ((col(targetCol) - lit(yMean)) / lit(yStd)).as("__y") +:
       featureCols.zipWithIndex.map { case (c, i) =>
-        (col(c) - lit(fMean(i))) / lit(fStd(i))
+        ((col(c) - lit(fMean(i))) / lit(fStd(i))).as(s"__x$i")
       }: _*)
     std.cache(); std.count(); data.unpersist()
 
@@ -375,7 +386,18 @@ class JointAutoencoder(
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
-      val (g0, _) = gradient(batch, p)
+      // denoising corruption (GaussianNoise, autoencoder.py:14,32): a
+      // fresh seeded randn draw per epoch on the ENCODER INPUT only —
+      // reconstruction still targets the clean standardized features
+      val epochData = if (gaussianNoise <= 0.0) batch else {
+        val cs = batch.columns
+        batch.select((col(cs.head) +: cs.tail.map(col)) ++
+          cs.tail.zipWithIndex.map { case (c, i) =>
+            (col(c) + lit(gaussianNoise) *
+              randn(seed + t.toLong * k + i)).as(s"__n$i")
+          }: _*)
+      }
+      val (g0, _) = gradient(epochData, p)
       val g = DenseVector(g0)
       m := m * beta1 + g * (1 - beta1)
       v := v * beta2 + (g *:* g) * (1 - beta2)

@@ -79,6 +79,30 @@ class JointAeSpec extends AnyFunSuite {
     assert(r2 > 0.6, s"joint target head failed to learn: r2=$r2")
   }
 
+  test("joint ae: denoising corruption (gaussianNoise > 0) still learns " +
+    "the manifold — recon of CLEAN inputs stays accurate") {
+    val r = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      val t = r.nextGaussian()
+      (i.toLong, t + 0.05 * r.nextGaussian(),
+        t * t - 1.0 + 0.05 * r.nextGaussian(),
+        math.sin(1.5 * t) + 0.05 * r.nextGaussian(),
+        t + 0.1 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val feats = Seq("f0", "f1", "f2")
+    val model = new JointAutoencoder(feats, "y", latentDim = 1,
+      encoderHidden = 8, headHidden = 4, gaussianNoise = 0.05,
+      lr = 0.02, epochs = 200, seed = 1L).fit(df)
+    val mse = model.reconstruct(df).select(avg(
+      feats.indices.map(f =>
+        pow(col(s"recon_$f") - col(feats(f)), 2)).reduce(_ + _) /
+        lit(feats.size.toDouble)).as("mse")).collect()(0).getDouble(0)
+    // clean-input recon error well under the data's unit variance —
+    // the denoised manifold was learned, not memorized noise
+    assert(mse < 0.25, s"denoising AE failed to learn the manifold: $mse")
+  }
+
   test("joint ae: staged scoring projection equals the kernel forward") {
     val r = new scala.util.Random(3)
     val rows = (0 until 50).map { i =>
