@@ -432,12 +432,19 @@ class AttnTrainer(
     val batchFraction: Double = 1.0,
     val numHeads: Int = 0,
     val attnPool: Boolean = false,
-    val mlpUnits: Seq[Int] = Nil) extends Serializable {
+    val mlpUnits: Seq[Int] = Nil,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
   private val nFeat = lagCols.size / seqLen
 
   private var weights: AttnWeights = _
@@ -524,7 +531,14 @@ class AttnTrainer(
       // aggregates a bounded sample, not a full pass)
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + ep)
-      val grad = batch.rdd.treeAggregate(new Array[Double](sz + 2))(
+      // rank losses (losses.py:22-189) ride the SAME kernel via the
+      // surrogate-target injection (RankLoss.seqEpochGradient)
+      val grad = if (loss != "mse") {
+        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        RankLoss.seqEpochGradient(batch.rdd, sz, t, f, ym, ys,
+          (x, y, acc) => kernel(bw, x, y, acc), rankTau, mw, sw, rankBatch)
+      } else batch.rdd.treeAggregate(new Array[Double](sz + 2))(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>

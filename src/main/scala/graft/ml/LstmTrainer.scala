@@ -200,7 +200,12 @@ class LSTMTrainer(
     val scaleTarget: Boolean = true,
     val batchFraction: Double = 1.0,
     val layers: Seq[Int] = Nil,
-    val bidirectional: Boolean = false) extends Serializable {
+    val bidirectional: Boolean = false,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -208,6 +213,8 @@ class LSTMTrainer(
     s"batchFraction must be in (0, 1], got $batchFraction")
   require(!bidirectional || layers.size <= 1,
     "bidirectional fit covers the single-layer layout the scorer scores")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
   private val nFeat = lagCols.size / seqLen
 
   /** `layers` non-empty (reference `lstm_units` list, sequence.py:120)
@@ -298,7 +305,14 @@ class LSTMTrainer(
       // aggregates a bounded sample, not a full pass)
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + ep)
-      val grad = batch.rdd.treeAggregate(new Array[Double](sz + 2))(
+      // rank losses (losses.py:22-189) ride the SAME kernel via the
+      // surrogate-target injection (RankLoss.seqEpochGradient)
+      val grad = if (loss != "mse") {
+        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        RankLoss.seqEpochGradient(batch.rdd, sz, t, f, ym, ys,
+          (x, y, acc) => kernel(bw, x, y, acc), rankTau, mw, sw, rankBatch)
+      } else batch.rdd.treeAggregate(new Array[Double](sz + 2))(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>

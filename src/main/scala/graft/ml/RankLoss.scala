@@ -1,5 +1,8 @@
 package graft.ml
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.Row
+
 /** Differentiable rank-loss kernels (losses.py:22-189): the soft
   * Spearman loss −corr(softRank(y), softRank(p)) with sigmoid soft
   * ranks, and the weighted MSE+Spearman combination — as BATCH-level
@@ -86,6 +89,59 @@ object RankLoss {
       i += 1
     }
     out
+  }
+
+  /** Epoch flat gradient of a rank loss through any sequence BPTT
+    * kernel, without touching the kernel: every kernel in this repo
+    * (LstmBptt, LstmStackBptt, AttnBptt, AttnBpttFull) accumulates the
+    * gradient of ½(pred−y)² — which is LINEAR in (pred−y) — and returns
+    * the prediction when `acc` is null. So a batch-level dL/dp injects
+    * exactly by re-running the kernel with the surrogate target
+    * y′ = pred − dL/dp_i (then pred − y′ = dL/dp_i). Costs one extra
+    * forward per row; executors fold bounded in-partition batches
+    * (rankBatch rows, O(b²) pairwise work) — the reference's
+    * per-Keras-batch loss semantics. Slot sz+1 counts BATCHES: the epoch
+    * gradient is the batch mean.
+    *
+    * Row layout: col 0 = target, cols 1.. = lag-major sequence values;
+    * the kernel closure is already bound to the epoch's weights. */
+  def seqEpochGradient(rows: RDD[Row], sz: Int, t: Int, f: Int,
+      ym: Double, ysd: Double,
+      kernel: (Array[Array[Double]], Double, Array[Double]) => Double,
+      tau: Double, mseW: Double, spW: Double, rankBatch: Int)
+      : Array[Double] = {
+    rows.mapPartitions { it =>
+      val acc = new Array[Double](sz + 2)
+      it.grouped(rankBatch).foreach { batch =>
+        val b = batch.size
+        if (b >= 2) {
+          val xs = new Array[Array[Array[Double]]](b)
+          val ys = new Array[Double](b)
+          val preds = new Array[Double](b)
+          var i = 0
+          batch.foreach { row =>
+            ys(i) = (row.getDouble(0) - ym) / ysd
+            xs(i) = Array.tabulate(t, f)((ti, fi) =>
+              row.getDouble(1 + ti * f + fi))
+            preds(i) = kernel(xs(i), ys(i), null)
+            i += 1
+          }
+          val (dp, lossVal) = combinedGrad(preds, ys, tau, mseW, spW)
+          i = 0
+          while (i < b) {
+            kernel(xs(i), preds(i) - dp(i), acc)
+            i += 1
+          }
+          acc(sz) += lossVal
+          acc(sz + 1) += 1.0
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }, depth = 2)
   }
 
   /** Combined loss (losses.py:125-189): mseW·mean((p−y)²) + spW·softSp.

@@ -46,6 +46,87 @@ class RankLossSpec extends AnyFunSuite {
       RankLoss.softSpearmanLoss(p, y, 1.0))) < 1e-12)
   }
 
+  test("surrogate-target injection: lstm trained with loss=combined at " +
+    "spearmanWeight=0, mseWeight=0.5 reproduces the plain MSE path " +
+    "(same kernel, same weights) — the delta-linearity identity") {
+    val r = new scala.util.Random(6)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian())
+    }
+    // single partition + rankBatch ≥ n → ONE batch: dp_i = (p_i−y_i)/n,
+    // exactly the row-normalized MSE gradient
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+      .repartition(1)
+    def weights(loss: String) = {
+      val m = new LSTMTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+        seqLen = 4, targetCol = "y", hidden = 3, lr = 0.02, epochs = 10,
+        loss = loss, mseWeight = 0.5, spearmanWeight = 0.0,
+        rankBatch = 64)
+      m.fit(df).fittedWeights
+    }
+    val wm = weights("mse"); val wc = weights("combined")
+    (wm.wOut zip wc.wOut).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"wOut diverged: $a vs $b")
+    }
+    assert(math.abs(wm.bOut - wc.bOut) < 1e-6)
+    (wm.wi.flatten[Double] zip wc.wi.flatten[Double]).foreach {
+      case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"wi diverged: $a vs $b")
+    }
+  }
+
+  test("attn trained with loss=combined at spearmanWeight=0 reproduces " +
+    "the MSE path through the transformer kernel") {
+    val r = new scala.util.Random(9)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian())
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+      .repartition(1)
+    def weights(loss: String) = {
+      val m = new AttnTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+        seqLen = 4, targetCol = "y", dModel = 4, ffDim = 6, lr = 0.02,
+        epochs = 5, loss = loss, mseWeight = 0.5, spearmanWeight = 0.0,
+        rankBatch = 64)
+      m.fit(df).fittedWeights
+    }
+    val wm = weights("mse"); val wc = weights("combined")
+    (wm.wOut zip wc.wOut).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"wOut diverged: $a vs $b")
+    }
+    assert(math.abs(wm.bOut - wc.bOut) < 1e-6)
+  }
+
+  test("lstm with loss=combined beats MSE-only on the ORDERING of a " +
+    "heavy-tailed sequence target") {
+    val r = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      val l1 = r.nextGaussian()
+      val ramp = math.max(l1 - 1.2, 0.0)
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(), l1,
+        500.0 * ramp * ramp + math.tanh(4.0 * l1) +
+          0.001 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    def spearmanOf(loss: String): Double = {
+      val m = new LSTMTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+        seqLen = 4, targetCol = "y", hidden = 8, lr = 0.03, epochs = 150,
+        loss = loss, mseWeight = 1.0, spearmanWeight = 2.0,
+        rankTau = 0.3, rankBatch = 64)
+      val pred = m.fit(df).predict(df)
+      Metrics.spearman(pred, "prediction", "y", Seq.empty)
+        .collect()(0).getDouble(0)
+    }
+    val sMse = spearmanOf("mse")
+    val sComb = spearmanOf("combined")
+    info(s"exact Spearman: mse-only=$sMse combined=$sComb")
+    assert(sComb > sMse,
+      s"combined ($sComb) should out-rank mse-only ($sMse)")
+    assert(sComb > 0.6, s"lstm rank training failed to order: $sComb")
+  }
+
   test("mlp with loss=combined beats MSE-only on exact Spearman for a " +
     "heavy-tailed target (the rank-preservation fixture the reference's " +
     "CombinedLoss exists for)") {
