@@ -149,6 +149,14 @@ class PlanSpec extends AnyFunSuite {
       assert(n == 1, s"token regex must be staged once, found $n:\n$plan")
     }
   }
+
+  test("trained-model scoring queries (soft forest, joint autoencoder) " +
+    "are shuffle-free projection chains — map-side at scan speed") {
+    for (q <- Seq("q_soft_forest", "q_ae_score")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q has an exchange:\n$plan")
+    }
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
