@@ -129,23 +129,50 @@ object SoftForest {
   */
 case class SoftForestModel(
     trees: Seq[SoftTreeWeights],
+    trunk: Seq[(Array[Array[Double]], Array[Double])],
     featMeans: Array[Double], featStds: Array[Double],
     temperature: Double, yMean: Double, yStd: Double,
     featureCols: Seq[String]) {
 
   def predict(df: DataFrame): DataFrame = {
-    val feats = featureCols.zipWithIndex.map { case (c, i) =>
+    val stdFeats = featureCols.zipWithIndex.map { case (c, i) =>
       (col(c).cast("double") - lit(featMeans(i))) / lit(featStds(i))
     }
-    val staged = df.select(df.columns.map(col) ++ trees.zipWithIndex.map {
+    // optional shared ReLU trunk (trunk_units, tree.py:330-336), staged
+    // layer by layer as named columns so each expression stays small
+    var cur = df
+    var feats: Seq[Column] = stdFeats
+    trunk.zipWithIndex.foreach { case ((w, b), l) =>
+      val outs = b.indices.map { j =>
+        greatest(feats.zipWithIndex.map { case (f, i) =>
+          f * lit(w(i)(j))
+        }.reduce(_ + _) + lit(b(j)), lit(0.0)).as(s"__trunk${l}_$j")
+      }
+      cur = cur.select(cur.columns.map(col) ++ outs: _*)
+      feats = b.indices.map(j => col(s"__trunk${l}_$j"))
+    }
+    val staged = cur.select(cur.columns.map(col) ++ trees.zipWithIndex.map {
       case (t, i) => SoftForest.treeColumn(t, feats, temperature)
         .as(s"__tree_$i")
     }: _*)
     val avg = trees.indices.map(i => col(s"__tree_$i")).reduce(_ + _) /
       lit(trees.size.toDouble)
+    val dropCols = trees.indices.map(i => s"__tree_$i") ++
+      trunk.zipWithIndex.flatMap { case ((_, b), l) =>
+        b.indices.map(j => s"__trunk${l}_$j")
+      }
     staged.withColumn("prediction", avg * lit(yStd) + lit(yMean))
-      .drop(trees.indices.map(i => s"__tree_$i"): _*)
+      .drop(dropCols: _*)
   }
+
+  /** Driver-local trunk forward over a standardized row (test aid). */
+  def trunkForward(x: Array[Double]): Array[Double] =
+    trunk.foldLeft(x) { case (a, (w, b)) =>
+      Array.tabulate(b.length) { j =>
+        var z = b(j); for (i <- a.indices) z += a(i) * w(i)(j)
+        if (z > 0) z else 0.0
+      }
+    }
 }
 
 /** Differentiable Neural-Decision-Forest regressor
@@ -175,20 +202,30 @@ class SoftNdfRegressor(
     val lr: Double = 0.05,
     val epochs: Int = 100,
     val seed: Long = 42L,
-    val batchFraction: Double = 1.0) extends Serializable {
+    val batchFraction: Double = 1.0,
+    val trunkUnits: Seq[Int] = Nil) extends Serializable {
 
   private val nFeat = featureCols.size
   private val nNodes = (1 << depth) - 1
   private val nLeaves = 1 << depth
-  private val nUsed = math.max(1, math.round(nFeat * usedFeaturesRate).toInt)
+  // trees split on the trunk's output features when a trunk is configured
+  // (trunk_units, tree.py:330-336), else on the raw standardized inputs
+  private val treeFeat = trunkUnits.lastOption.getOrElse(nFeat)
+  private val trunkDims: Seq[Int] = nFeat +: trunkUnits
+  private val trunkLayerSz: Seq[Int] = trunkUnits.indices.map(l =>
+    trunkDims(l) * trunkDims(l + 1) + trunkDims(l + 1))
+  private val trunkSz = trunkLayerSz.sum
+  private def trunkOff(l: Int): Int = trunkLayerSz.take(l).sum
+  private val nUsed =
+    math.max(1, math.round(treeFeat * usedFeaturesRate).toInt)
   private val perTree = nUsed * nNodes + nNodes + nLeaves
-  private val sz = numTrees * perTree
+  private val sz = trunkSz + numTrees * perTree
 
   /** Decode the flat parameter vector into broadcastable tree weights. */
   def decode(p: Array[Double], masks: Seq[Array[Int]])
       : Seq[SoftTreeWeights] =
     (0 until numTrees).map { t =>
-      val o = t * perTree
+      val o = trunkSz + t * perTree
       SoftTreeWeights(
         featIdx = masks(t),
         wDec = Array.tabulate(nUsed, nNodes)((u, m) =>
@@ -198,20 +235,45 @@ class SoftNdfRegressor(
           p(o + nUsed * nNodes + nNodes + l)))
     }
 
+  /** Decode the trunk layers (weights[in][out], bias[out]) per layer. */
+  def decodeTrunk(p: Array[Double])
+      : Seq[(Array[Array[Double]], Array[Double])] =
+    trunkUnits.indices.map { l =>
+      val o = trunkOff(l)
+      val (nin, nout) = (trunkDims(l), trunkDims(l + 1))
+      (Array.tabulate(nin, nout)((i, j) => p(o + i * nout + j)),
+        Array.tabulate(nout)(j => p(o + nin * nout + j)))
+    }
+
   /** One full-data (or sampled) gradient of the MSE loss at `p`; exposed
     * for the finite-difference spec. Returns (grad, meanLoss). */
   def gradient(data: DataFrame, p: Array[Double], masks: Seq[Array[Int]],
       temp: Double): (Array[Double], Double) = {
     val trees = decode(p, masks)
+    val trunk = decodeTrunk(p)
     val paths = SoftForest.leafPaths(depth)
-    val (nT, pT) = (numTrees, perTree)
-    val (nU, nN, nL) = (nUsed, nNodes, nLeaves)
+    val (nT, pT, tSz) = (numTrees, perTree, trunkSz)
+    val (nU, nN, nL, tF) = (nUsed, nNodes, nLeaves, treeFeat)
+    val tOffs = trunkUnits.indices.map(trunkOff)
     val k = nFeat
     val zero = DenseVector.zeros[Double](sz + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
         val y = row.getDouble(0)
-        val x = Array.tabulate(k)(i => row.getDouble(i + 1))
+        val x0 = Array.tabulate(k)(i => row.getDouble(i + 1))
+        // shared ReLU trunk forward (trunk_units, tree.py:330-336),
+        // keeping per-layer activations for backprop
+        val acts = new Array[Array[Double]](trunk.size + 1)
+        acts(0) = x0
+        for (l <- trunk.indices) {
+          val (w, b) = trunk(l)
+          val in = acts(l)
+          acts(l + 1) = Array.tabulate(b.length) { j =>
+            var z = b(j); for (i <- in.indices) z += in(i) * w(i)(j)
+            if (z > 0) z else 0.0
+          }
+        }
+        val x = acts(trunk.size)
         // forward: per-tree node sigmoids, leaf probabilities, outputs
         val sig = new Array[Array[Double]](nT)
         val mus = new Array[Array[Double]](nT)
@@ -232,9 +294,11 @@ class SoftNdfRegressor(
         }
         pred /= nT
         val delta = pred - y
-        // backward: leaf values + routing logits per tree
+        // backward: leaf values + routing logits per tree, accumulating
+        // the gradient w.r.t. the trunk output across ALL trees
+        val dX = new Array[Double](tF)
         for (t <- 0 until nT) {
-          val o = t * pT
+          val o = tSz + t * pT
           val d = sig(t); val mu = mus(t); val tw = trees(t)
           val gl = new Array[Double](nN)
           for (l <- 0 until nL) {
@@ -248,8 +312,25 @@ class SoftNdfRegressor(
             val g = gl(m)
             for (u <- 0 until nU) {
               acc(o + u * nN + m) += g * x(tw.featIdx(u))
+              dX(tw.featIdx(u)) += g * tw.wDec(u)(m)
             }
             acc(o + nU * nN + m) += g
+          }
+        }
+        // trunk backward (ReLU mask from the stored activations)
+        var dOut = dX
+        for (l <- trunk.indices.reverse) {
+          val (w, b) = trunk(l)
+          val in = acts(l); val out = acts(l + 1)
+          val o = tOffs(l)
+          val nout = b.length
+          val dz = Array.tabulate(nout)(j =>
+            if (out(j) > 0) dOut(j) else 0.0)
+          for (i <- in.indices; j <- 0 until nout)
+            acc(o + i * nout + j) += in(i) * dz(j)
+          for (j <- 0 until nout) acc(o + in.length * nout + j) += dz(j)
+          dOut = Array.tabulate(in.length) { i =>
+            var s = 0.0; for (j <- 0 until nout) s += dz(j) * w(i)(j); s
           }
         }
         acc(sz) += 0.5 * delta * delta
@@ -261,9 +342,10 @@ class SoftNdfRegressor(
     val g = new Array[Double](sz)
     for (i <- 0 until sz) g(i) = acc(i) / n
     // L2 (kernel-only, matching Keras kernel_regularizer): routing
-    // weights at strength l2Decision, leaf values at l2Leaf
+    // weights at strength l2Decision, leaf values at l2Leaf; the trunk
+    // Dense layers carry no regularizer in the reference
     for (t <- 0 until numTrees) {
-      val o = t * perTree
+      val o = trunkSz + t * perTree
       for (i <- 0 until nUsed * nNodes)
         g(o + i) += 2.0 * l2Decision * p(o + i)
       for (l <- 0 until nLeaves)
@@ -297,13 +379,21 @@ class SoftNdfRegressor(
     std.cache(); std.count(); data.unpersist()
 
     val rng = new scala.util.Random(seed)
-    // feature bagging: a seeded mask per tree (tree.py:112-119)
+    // feature bagging over the TRUNK output space when configured
+    // (a seeded mask per tree, tree.py:112-119)
     val masks = Seq.fill(numTrees)(
-      rng.shuffle((0 until nFeat).toList).take(nUsed).sorted.toArray)
+      rng.shuffle((0 until treeFeat).toList).take(nUsed).sorted.toArray)
     val p = new Array[Double](sz)
+    for (l <- trunkUnits.indices) {              // trunk: Glorot uniform
+      val o = trunkOff(l)
+      val (nin, nout) = (trunkDims(l), trunkDims(l + 1))
+      val lim = math.sqrt(6.0 / (nin + nout))
+      for (i <- 0 until nin * nout)
+        p(o + i) = (rng.nextDouble() * 2 - 1) * lim
+    }
     val limit = math.sqrt(6.0 / (nUsed + nNodes)) // Glorot uniform
     for (t <- 0 until numTrees) {
-      val o = t * perTree
+      val o = trunkSz + t * perTree
       for (i <- 0 until nUsed * nNodes)
         p(o + i) = (rng.nextDouble() * 2 - 1) * limit
       for (l <- 0 until nLeaves)                  // pi ~ random_normal
@@ -329,7 +419,7 @@ class SoftNdfRegressor(
       temp = tempStart - (tempStart - tempEnd) * t.toDouble / epochs
     }
     std.unpersist()
-    SoftForestModel(decode(p, masks), fMean, fStd, temp, yMean, yStd,
-      featureCols)
+    SoftForestModel(decode(p, masks), decodeTrunk(p), fMean, fStd, temp,
+      yMean, yStd, featureCols)
   }
 }

@@ -70,6 +70,61 @@ class SoftForestSpec extends AnyFunSuite {
     }
   }
 
+  test("soft ndf with a shared MLP trunk (trunk_units): gradient matches " +
+    "finite differences through trunk AND trees") {
+    val reg = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 2,
+      depth = 2, l2Decision = 0.0, l2Leaf = 0.0, trunkUnits = Seq(3))
+    val r = new scala.util.Random(19)
+    val rows = (0 until 8).map(_ =>
+      (r.nextGaussian() * 0.5, r.nextGaussian(), r.nextGaussian()))
+    val data = rows.toDF("y", "f0", "f1")
+    val masks = Seq(Array(0, 1, 2), Array(0, 1, 2))
+    val sz = (2 * 3 + 3) + 2 * (3 * 3 + 3 + 4)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val temp = 0.8
+    val (g, _) = reg.gradient(data, p, masks, temp)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val fd = (reg.gradient(data, pp, masks, temp)._2 -
+        reg.gradient(data, pm, masks, temp)._2) / (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"trunk grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("soft ndf with trunk: fit learns; staged trunk+tree scoring " +
+    "matches the driver-local forward") {
+    val r = new scala.util.Random(23)
+    val rows = (0 until 400).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val y = (if (f0 < 0) -1.0 else 1.0) * (if (f1 < 0) 0.5 else 2.0) +
+        0.1 * r.nextGaussian()
+      (i.toLong, f0, f1, y)
+    }
+    val df = rows.toDF("id", "f0", "f1", "y")
+    val m = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 3,
+      depth = 2, lr = 0.1, epochs = 120, trunkUnits = Seq(4))
+    val model = m.fit(df)
+    assert(model.trunk.size == 1 && model.trunk.head._2.length == 4)
+    val pred = model.predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.6, s"trunked soft NDF failed to learn: r2=$r2")
+    pred.select("f0", "f1", "prediction").limit(10).collect()
+      .foreach { row =>
+        val x0 = Array.tabulate(2)(i =>
+          (row.getDouble(i) - model.featMeans(i)) / model.featStds(i))
+        val tx = model.trunkForward(x0)
+        val local = model.trees.map(t =>
+          SoftForest.treeForward(t, tx, model.temperature)).sum /
+          model.trees.size * model.yStd + model.yMean
+        assert(math.abs(local - row.getDouble(2)) < 1e-9,
+          s"trunk scorer disagrees: $local vs ${row.getDouble(2)}")
+      }
+  }
+
   test("soft ndf: feature bagging restricts each tree to its mask; " +
     "temperature anneals to tempEnd") {
     val r = new scala.util.Random(3)
