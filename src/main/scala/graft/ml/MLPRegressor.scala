@@ -258,3 +258,134 @@ class MLPRegressor(
         yMean, yStd))
   }
 }
+
+/** Joint multi-output MLP fit (the reference's `output_units > 1`,
+  * keras_estimators/base.py:33,137-150): one shared ReLU hidden layer
+  * feeds every linear output head, trained together against the summed
+  * per-output MSE — the same flat-gradient treeAggregate kernel as the
+  * single-output fit, with per-output target standardization. Scoring
+  * goes through [[MLPRegressor.predictColumns]] (the q_mlp_multi path)
+  * and appends `prediction_{i}`. */
+class MLPMultiRegressor(
+    val featureCols: Seq[String],
+    val targetCols: Seq[String],
+    val hidden: Int = 16,
+    val lr: Double = 1e-3,
+    val epochs: Int = 200,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 1.0) extends Serializable {
+
+  require(targetCols.size >= 2, "use MLPRegressor for a single output")
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
+  private val out = targetCols.size
+
+  private var weights: MLPMultiWeights = _
+  private var yMean: Array[Double] = Array.fill(out)(0.0)
+  private var yStd: Array[Double] = Array.fill(out)(1.0)
+
+  def fittedWeights: MLPMultiWeights = weights
+
+  def fit(df: DataFrame): this.type = {
+    val k = featureCols.size
+    val data = df.select((targetCols ++ featureCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val stats = targetCols.flatMap(c =>
+        Seq(avg(col(c)), stddev_pop(col(c))))
+      val r = data.agg(stats.head, stats.tail: _*).collect()(0)
+      yMean = Array.tabulate(out)(o => r.getDouble(2 * o))
+      yStd = Array.tabulate(out)(o => math.max(r.getDouble(2 * o + 1),
+        1e-12))
+    }
+    val rng = new scala.util.Random(seed)
+    val limit = math.sqrt(6.0 / (k + hidden))
+    var w1 = DenseMatrix.fill(k, hidden)((rng.nextDouble() * 2 - 1) * limit)
+    val b1 = DenseVector.zeros[Double](hidden)
+    val limOut = math.sqrt(6.0 / (hidden + out))
+    var w2 = DenseMatrix.fill(hidden, out)(
+      (rng.nextDouble() * 2 - 1) * limOut)
+    val b2 = DenseVector.zeros[Double](out)
+    val sz = k * hidden + hidden + hidden * out + out
+    val m = DenseVector.zeros[Double](sz)
+    val v = DenseVector.zeros[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val (ym, ys) = (yMean, yStd)
+    val featIdx = featureCols.indices
+    for (t <- 1 to epochs) {
+      val bw1 = w1.copy; val bb1 = b1.copy
+      val bw2 = w2.copy; val bb2 = b2.copy
+      val batch = if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed + t)
+      val zero = DenseVector.zeros[Double](sz + 2)
+      val grad = batch.rdd.treeAggregate(zero)(
+        seqOp = (acc, row) => {
+          val y = Array.tabulate(out)(o =>
+            (row.getDouble(o) - ym(o)) / ys(o))
+          val x = DenseVector(
+            featIdx.map(i => row.getDouble(i + out)).toArray)
+          val z1 = bw1.t * x + bb1
+          val h = z1.map(z => if (z > 0) z else 0.0)
+          val d = Array.tabulate(out) { o =>
+            var p = bb2(o)
+            for (j <- 0 until h.length) p += h(j) * bw2(j, o)
+            p - y(o)
+          }
+          // shared hidden: dz1 sums every head's pull through w2
+          val dz1 = DenseVector.tabulate(h.length) { j =>
+            if (z1(j) > 0) {
+              var s = 0.0; for (o <- 0 until out) s += bw2(j, o) * d(o)
+              s
+            } else 0.0
+          }
+          var off = 0
+          for (i <- 0 until x.length; j <- 0 until h.length) {
+            acc(off) += x(i) * dz1(j); off += 1
+          }
+          for (j <- 0 until h.length) { acc(off) += dz1(j); off += 1 }
+          for (j <- 0 until h.length; o <- 0 until out) {
+            acc(off) += h(j) * d(o); off += 1
+          }
+          for (o <- 0 until out) { acc(off) += d(o); off += 1 }
+          var l = 0.0; for (o <- 0 until out) l += 0.5 * d(o) * d(o)
+          acc(sz) += l
+          acc(sz + 1) += 1.0
+          acc
+        },
+        combOp = _ + _, depth = 2)
+      val g = grad(0 until sz) / math.max(grad(sz + 1), 1.0)
+      m := m * beta1 + g * (1 - beta1)
+      v := v * beta2 + (g *:* g) * (1 - beta2)
+      val mh = m / (1 - math.pow(beta1, t))
+      val vh = v / (1 - math.pow(beta2, t))
+      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
+      var off = 0
+      for (i <- 0 until k; j <- 0 until hidden) {
+        w1(i, j) -= step(off); off += 1
+      }
+      for (j <- 0 until hidden) { b1(j) -= step(off); off += 1 }
+      for (j <- 0 until hidden; o <- 0 until out) {
+        w2(j, o) -= step(off); off += 1
+      }
+      for (o <- 0 until out) { b2(o) -= step(off); off += 1 }
+    }
+    data.unpersist()
+    weights = MLPMultiWeights(
+      Array.tabulate(k, hidden)((i, j) => w1(i, j)), b1.toArray,
+      Array.tabulate(hidden, out)((j, o) => w2(j, o)), b2.toArray)
+    this
+  }
+
+  /** Appends `prediction_{i}`, destandardized per output. */
+  def predict(df: DataFrame): DataFrame = {
+    require(weights != null, "fit first")
+    val cols = MLPRegressor.predictColumns(weights,
+      featureCols.map(c => col(c).cast("double")))
+    cols.zipWithIndex.foldLeft(df) { case (acc, ((name, c), o)) =>
+      acc.withColumn(name, c * lit(yStd(o)) + lit(yMean(o)))
+    }
+  }
+}

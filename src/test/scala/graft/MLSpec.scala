@@ -33,6 +33,26 @@ class MLSpec extends AnyFunSuite {
     assert(r2 > 0.8, s"MLP failed to learn: r2=$r2")
   }
 
+  test("mlp multi-output: joint fit through the shared hidden layer " +
+    "learns BOTH targets (prediction_{i} contract, base.py:137-150)") {
+    val r2data = (0 until 300).map { i =>
+      val f = Array.fill(3)(rng.nextGaussian())
+      (i.toLong, f(0), f(1), f(2),
+        2.0 * f(0) - f(1) + 0.05 * rng.nextGaussian(),
+        -1.5 * f(1) + 0.5 * f(2) + 0.05 * rng.nextGaussian())
+    }
+    val df = r2data.toDF("id", "f0", "f1", "f2", "y0", "y1")
+    val m = new MLPMultiRegressor(Seq("f0", "f1", "f2"), Seq("y0", "y1"),
+      hidden = 8, lr = 0.05, epochs = 150)
+    val pred = m.fit(df).predict(df)
+    assert(pred.columns.contains("prediction_0") &&
+      pred.columns.contains("prediction_1"))
+    for ((p, y) <- Seq(("prediction_0", "y0"), ("prediction_1", "y1"))) {
+      val r2 = Metrics.r2(pred, p, y, Seq.empty).collect()(0).getDouble(0)
+      assert(r2 > 0.8, s"multi-output head $p failed: r2=$r2")
+    }
+  }
+
   test("mlp: minibatch fit (batchFraction=0.1 — one tenth of the rows " +
     "aggregated per epoch) reaches the same R^2 > 0.8 bar") {
     val df = data.toDF()
