@@ -308,7 +308,15 @@ class JointAutoencoder(
     val lr: Double = 0.01,
     val epochs: Int = 150,
     val seed: Long = 42L,
-    val batchFraction: Double = 1.0) extends Serializable {
+    val batchFraction: Double = 1.0,
+    val targetLoss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
+
+  require(Set("mse", "spearman", "combined")(targetLoss),
+    s"targetLoss must be mse|spearman|combined, got $targetLoss")
 
   private val k = featureCols.size
   private val sz = JointAeKernel.size(k, encoderHidden, latentDim,
@@ -339,6 +347,63 @@ class JointAutoencoder(
         acc
       },
       combOp = _ + _, depth = 2)
+    val cnt = math.max(acc(sz + 1), 1.0)
+    (Array.tabulate(sz)(i => acc(i) / cnt), acc(sz) / cnt)
+  }
+
+  /** Batched epoch gradient when the TARGET head trains against a rank
+    * loss (the reference compiles loss={"reconstruction": "mse",
+    * "target_prediction": loss_function}, autoencoder.py:79): per
+    * in-partition batch of b rows, batch loss = rw·mean(recon) +
+    * tw·L_rank(preds, ys). The kernel's target backward is linear in
+    * (p−y′), so the rank gradient dLt injects via y′ = p − dLt_i/2
+    * (then 2·tw·(p−y′) = tw·dLt_i) while the recon term is scaled rw/b
+    * per row; slot sz+1 counts batches. */
+  def rankGradient(data: DataFrame, p: Array[Double])
+      : (Array[Double], Double) = {
+    val (kk, hE, l, hA) = (k, encoderHidden, latentDim, headHidden)
+    val (rw, tw) = (reconWeight, targetWeight)
+    val (mw, sw) = if (targetLoss == "spearman") (0.0, 1.0)
+      else (mseWeight, spearmanWeight)
+    val (tau, rb) = (rankTau, rankBatch)
+    val n = sz
+    val w = JointAeKernel.toWeights(p, kk, hE, l, hA)
+    val acc = data.rdd.mapPartitions { it =>
+      val acc = new Array[Double](n + 2)
+      it.grouped(rb).foreach { batch =>
+        val b = batch.size
+        if (b >= 2) {
+          val xIn = new Array[Array[Double]](b)
+          val xTgt = new Array[Array[Double]](b)
+          val ys = new Array[Double](b)
+          val preds = new Array[Double](b)
+          var i = 0
+          batch.foreach { row =>
+            ys(i) = row.getDouble(0)
+            xTgt(i) = Array.tabulate(kk)(j => row.getDouble(j + 1))
+            xIn(i) = if (row.size > kk + 1)
+              Array.tabulate(kk)(j => row.getDouble(kk + j + 1))
+            else xTgt(i)
+            preds(i) = JointAeKernel.forward(w, xIn(i))._3
+            i += 1
+          }
+          val (dLt, tLoss) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
+          i = 0
+          while (i < b) {
+            JointAeKernel.run(p, kk, hE, l, hA, xIn(i), xTgt(i),
+              preds(i) - dLt(i) / 2.0, rw / b, tw, acc)
+            i += 1
+          }
+          acc(n) += tw * tLoss
+          acc(n + 1) += 1.0
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }, depth = 2)
     val cnt = math.max(acc(sz + 1), 1.0)
     (Array.tabulate(sz)(i => acc(i) / cnt), acc(sz) / cnt)
   }
@@ -397,7 +462,8 @@ class JointAutoencoder(
               randn(seed + t.toLong * k + i)).as(s"__n$i")
           }: _*)
       }
-      val (g0, _) = gradient(epochData, p)
+      val (g0, _) = if (targetLoss != "mse") rankGradient(epochData, p)
+        else gradient(epochData, p)
       val g = DenseVector(g0)
       m := m * beta1 + g * (1 - beta1)
       v := v * beta2 + (g *:* g) * (1 - beta2)

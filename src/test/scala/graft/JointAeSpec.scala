@@ -103,6 +103,56 @@ class JointAeSpec extends AnyFunSuite {
     assert(mse < 0.25, s"denoising AE failed to learn the manifold: $mse")
   }
 
+  test("joint ae: rank target-loss surrogate injection at spW=0, mseW=1 " +
+    "reproduces the plain joint-MSE path (delta-linearity identity)") {
+    val r = new scala.util.Random(27)
+    val rows = (0 until 40).map(_ =>
+      (r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian()))
+    val df = rows.toDF("y", "f0", "f1", "f2").repartition(1)
+    def fitted(tl: String) =
+      new JointAutoencoder(Seq("f0", "f1", "f2"), "y", latentDim = 2,
+        encoderHidden = 3, headHidden = 2, epochs = 10, lr = 0.02,
+        targetLoss = tl, mseWeight = 1.0, spearmanWeight = 0.0,
+        rankBatch = 64).fit(df).weights
+    val wm = fitted("mse"); val wc = fitted("combined")
+    (wm.wp zip wc.wp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"wp diverged: $a vs $b")
+    }
+    (wm.wr.flatten[Double] zip wc.wr.flatten[Double]).foreach {
+      case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"wr diverged: $a vs $b")
+    }
+  }
+
+  test("joint ae: targetLoss=combined beats MSE on target ORDERING for " +
+    "a heavy-tailed target while still reconstructing") {
+    val r = new scala.util.Random(29)
+    val rows = (0 until 300).map { i =>
+      val t = r.nextGaussian()
+      val ramp = math.max(t - 1.2, 0.0)
+      (i.toLong, t + 0.05 * r.nextGaussian(),
+        t * t - 1.0 + 0.05 * r.nextGaussian(),
+        math.sin(1.5 * t) + 0.05 * r.nextGaussian(),
+        500.0 * ramp * ramp + math.tanh(4.0 * t) +
+          0.001 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    def spearmanOf(tl: String): Double = {
+      val m = new JointAutoencoder(Seq("f0", "f1", "f2"), "y",
+        latentDim = 2, encoderHidden = 8, headHidden = 4, lr = 0.02,
+        epochs = 150, targetLoss = tl, mseWeight = 1.0,
+        spearmanWeight = 2.0, rankTau = 0.3, rankBatch = 64).fit(df)
+      Metrics.spearman(m.predict(df), "prediction", "y", Seq.empty)
+        .collect()(0).getDouble(0)
+    }
+    val sMse = spearmanOf("mse")
+    val sComb = spearmanOf("combined")
+    info(s"exact Spearman: mse=$sMse combined=$sComb")
+    assert(sComb > sMse,
+      s"combined target loss ($sComb) should out-rank mse ($sMse)")
+  }
+
   test("joint ae: staged scoring projection equals the kernel forward") {
     val r = new scala.util.Random(3)
     val rows = (0 until 50).map { i =>
