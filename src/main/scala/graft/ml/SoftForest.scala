@@ -203,7 +203,15 @@ class SoftNdfRegressor(
     val epochs: Int = 100,
     val seed: Long = 42L,
     val batchFraction: Double = 1.0,
-    val trunkUnits: Seq[Int] = Nil) extends Serializable {
+    val trunkUnits: Seq[Int] = Nil,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
+
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
 
   private val nFeat = featureCols.size
   private val nNodes = (1 << depth) - 1
@@ -247,103 +255,96 @@ class SoftNdfRegressor(
 
   /** One full-data (or sampled) gradient of the MSE loss at `p`; exposed
     * for the finite-difference spec. Returns (grad, meanLoss). */
-  def gradient(data: DataFrame, p: Array[Double], masks: Seq[Array[Int]],
-      temp: Double): (Array[Double], Double) = {
-    val trees = decode(p, masks)
-    val trunk = decodeTrunk(p)
-    val paths = SoftForest.leafPaths(depth)
+  /** Fused per-row forward (+backward into `acc` when non-null, with
+    * output delta = pred − y): returns the prediction. Shared by the MSE
+    * treeAggregate path and the rank-loss surrogate-injection path. */
+  private def rowRun(trees: Seq[SoftTreeWeights],
+      trunk: Seq[(Array[Array[Double]], Array[Double])],
+      paths: Array[Array[(Int, Boolean)]], tOffs: Seq[Int],
+      x0: Array[Double], y: Double, acc: Array[Double], temp: Double)
+      : Double = {
     val (nT, pT, tSz) = (numTrees, perTree, trunkSz)
     val (nU, nN, nL, tF) = (nUsed, nNodes, nLeaves, treeFeat)
-    val tOffs = trunkUnits.indices.map(trunkOff)
-    val k = nFeat
-    val zero = DenseVector.zeros[Double](sz + 2)
-    val acc = data.rdd.treeAggregate(zero)(
-      seqOp = (acc, row) => {
-        val y = row.getDouble(0)
-        val x0 = Array.tabulate(k)(i => row.getDouble(i + 1))
-        // shared ReLU trunk forward (trunk_units, tree.py:330-336),
-        // keeping per-layer activations for backprop
-        val acts = new Array[Array[Double]](trunk.size + 1)
-        acts(0) = x0
-        for (l <- trunk.indices) {
-          val (w, b) = trunk(l)
-          val in = acts(l)
-          acts(l + 1) = Array.tabulate(b.length) { j =>
-            var z = b(j); for (i <- in.indices) z += in(i) * w(i)(j)
-            if (z > 0) z else 0.0
-          }
+    // shared ReLU trunk forward (trunk_units, tree.py:330-336),
+    // keeping per-layer activations for backprop
+    val acts = new Array[Array[Double]](trunk.size + 1)
+    acts(0) = x0
+    for (l <- trunk.indices) {
+      val (w, b) = trunk(l)
+      val in = acts(l)
+      acts(l + 1) = Array.tabulate(b.length) { j =>
+        var z = b(j); for (i <- in.indices) z += in(i) * w(i)(j)
+        if (z > 0) z else 0.0
+      }
+    }
+    val x = acts(trunk.size)
+    // forward: per-tree node sigmoids, leaf probabilities, outputs
+    val sig = new Array[Array[Double]](nT)
+    val mus = new Array[Array[Double]](nT)
+    var pred = 0.0
+    for (t <- 0 until nT) {
+      val d = SoftForest.nodeSigmoids(trees(t), x, temp)
+      sig(t) = d
+      val mu = new Array[Double](nL)
+      var tp = 0.0
+      for (l <- 0 until nL) {
+        var m = 1.0
+        paths(l).foreach { case (n, left) =>
+          m *= (if (left) d(n) else 1.0 - d(n))
         }
-        val x = acts(trunk.size)
-        // forward: per-tree node sigmoids, leaf probabilities, outputs
-        val sig = new Array[Array[Double]](nT)
-        val mus = new Array[Array[Double]](nT)
-        var pred = 0.0
-        for (t <- 0 until nT) {
-          val d = SoftForest.nodeSigmoids(trees(t), x, temp)
-          sig(t) = d
-          val mu = new Array[Double](nL)
-          var tp = 0.0
-          for (l <- 0 until nL) {
-            var m = 1.0
-            paths(l).foreach { case (n, left) =>
-              m *= (if (left) d(n) else 1.0 - d(n))
-            }
-            mu(l) = m; tp += m * trees(t).pi(l)
-          }
-          mus(t) = mu; pred += tp
+        mu(l) = m; tp += m * trees(t).pi(l)
+      }
+      mus(t) = mu; pred += tp
+    }
+    pred /= nT
+    if (acc == null) return pred
+    val delta = pred - y
+    // backward: leaf values + routing logits per tree, accumulating
+    // the gradient w.r.t. the trunk output across ALL trees
+    val dX = new Array[Double](tF)
+    for (t <- 0 until nT) {
+      val o = tSz + t * pT
+      val d = sig(t); val mu = mus(t); val tw = trees(t)
+      val gl = new Array[Double](nN)
+      for (l <- 0 until nL) {
+        acc(o + nU * nN + nN + l) += delta / nT * mu(l)
+        val w = delta / nT * mu(l) * tw.pi(l) / temp
+        paths(l).foreach { case (n, left) =>
+          gl(n) += w * (if (left) 1.0 - d(n) else -d(n))
         }
-        pred /= nT
-        val delta = pred - y
-        // backward: leaf values + routing logits per tree, accumulating
-        // the gradient w.r.t. the trunk output across ALL trees
-        val dX = new Array[Double](tF)
-        for (t <- 0 until nT) {
-          val o = tSz + t * pT
-          val d = sig(t); val mu = mus(t); val tw = trees(t)
-          val gl = new Array[Double](nN)
-          for (l <- 0 until nL) {
-            acc(o + nU * nN + nN + l) += delta / nT * mu(l)
-            val w = delta / nT * mu(l) * tw.pi(l) / temp
-            paths(l).foreach { case (n, left) =>
-              gl(n) += w * (if (left) 1.0 - d(n) else -d(n))
-            }
-          }
-          for (m <- 0 until nN) {
-            val g = gl(m)
-            for (u <- 0 until nU) {
-              acc(o + u * nN + m) += g * x(tw.featIdx(u))
-              dX(tw.featIdx(u)) += g * tw.wDec(u)(m)
-            }
-            acc(o + nU * nN + m) += g
-          }
+      }
+      for (m <- 0 until nN) {
+        val g = gl(m)
+        for (u <- 0 until nU) {
+          acc(o + u * nN + m) += g * x(tw.featIdx(u))
+          dX(tw.featIdx(u)) += g * tw.wDec(u)(m)
         }
-        // trunk backward (ReLU mask from the stored activations)
-        var dOut = dX
-        for (l <- trunk.indices.reverse) {
-          val (w, b) = trunk(l)
-          val in = acts(l); val out = acts(l + 1)
-          val o = tOffs(l)
-          val nout = b.length
-          val dz = Array.tabulate(nout)(j =>
-            if (out(j) > 0) dOut(j) else 0.0)
-          for (i <- in.indices; j <- 0 until nout)
-            acc(o + i * nout + j) += in(i) * dz(j)
-          for (j <- 0 until nout) acc(o + in.length * nout + j) += dz(j)
-          dOut = Array.tabulate(in.length) { i =>
-            var s = 0.0; for (j <- 0 until nout) s += dz(j) * w(i)(j); s
-          }
-        }
-        acc(sz) += 0.5 * delta * delta
-        acc(sz + 1) += 1.0
-        acc
-      },
-      combOp = _ + _, depth = 2)
-    val n = math.max(acc(sz + 1), 1.0)
-    val g = new Array[Double](sz)
-    for (i <- 0 until sz) g(i) = acc(i) / n
-    // L2 (kernel-only, matching Keras kernel_regularizer): routing
-    // weights at strength l2Decision, leaf values at l2Leaf; the trunk
-    // Dense layers carry no regularizer in the reference
+        acc(o + nU * nN + m) += g
+      }
+    }
+    // trunk backward (ReLU mask from the stored activations)
+    var dOut = dX
+    for (l <- trunk.indices.reverse) {
+      val (w, b) = trunk(l)
+      val in = acts(l); val out = acts(l + 1)
+      val o = tOffs(l)
+      val nout = b.length
+      val dz = Array.tabulate(nout)(j =>
+        if (out(j) > 0) dOut(j) else 0.0)
+      for (i <- in.indices; j <- 0 until nout)
+        acc(o + i * nout + j) += in(i) * dz(j)
+      for (j <- 0 until nout) acc(o + in.length * nout + j) += dz(j)
+      dOut = Array.tabulate(in.length) { i =>
+        var s = 0.0; for (j <- 0 until nout) s += dz(j) * w(i)(j); s
+      }
+    }
+    pred
+  }
+
+  /** L2 (kernel-only, matching Keras kernel_regularizer): routing
+    * weights at strength l2Decision, leaf values at l2Leaf; the trunk
+    * Dense layers carry no regularizer in the reference. */
+  private def applyL2(g: Array[Double], p: Array[Double]): Unit =
     for (t <- 0 until numTrees) {
       val o = trunkSz + t * perTree
       for (i <- 0 until nUsed * nNodes)
@@ -352,7 +353,88 @@ class SoftNdfRegressor(
         g(o + nUsed * nNodes + nNodes + l) +=
           2.0 * l2Leaf * p(o + nUsed * nNodes + nNodes + l)
     }
+
+  def gradient(data: DataFrame, p: Array[Double], masks: Seq[Array[Int]],
+      temp: Double): (Array[Double], Double) = {
+    val trees = decode(p, masks)
+    val trunk = decodeTrunk(p)
+    val paths = SoftForest.leafPaths(depth)
+    val tOffs = trunkUnits.indices.map(trunkOff)
+    val k = nFeat
+    val zero = DenseVector.zeros[Double](sz + 2)
+    val acc = data.rdd.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val y = row.getDouble(0)
+        val x0 = Array.tabulate(k)(i => row.getDouble(i + 1))
+        val flat = acc.data
+        val pred = rowRun(trees, trunk, paths, tOffs, x0, y, flat, temp)
+        val delta = pred - y
+        acc(sz) += 0.5 * delta * delta
+        acc(sz + 1) += 1.0
+        acc
+      },
+      combOp = _ + _, depth = 2)
+    val n = math.max(acc(sz + 1), 1.0)
+    val g = new Array[Double](sz)
+    for (i <- 0 until sz) g(i) = acc(i) / n
+    applyL2(g, p)
     (g, acc(sz) / n)
+  }
+
+  /** Batched epoch gradient for loss="spearman"|"combined"
+    * (losses.py:22-189): the per-row backward is linear in pred − y, so
+    * the batch rank gradient injects via the surrogate target
+    * y′ = pred − dL/dp_i (the RankLoss.seqEpochGradient identity); slot
+    * sz+1 counts batches. */
+  def rankGradient(data: DataFrame, p: Array[Double],
+      masks: Seq[Array[Int]], temp: Double): (Array[Double], Double) = {
+    val trees = decode(p, masks)
+    val trunk = decodeTrunk(p)
+    val paths = SoftForest.leafPaths(depth)
+    val tOffs = trunkUnits.indices.map(trunkOff)
+    val k = nFeat
+    val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+      else (mseWeight, spearmanWeight)
+    val (tau, rb) = (rankTau, rankBatch)
+    val n = sz
+    val acc = data.rdd.mapPartitions { it =>
+      val acc = new Array[Double](n + 2)
+      it.grouped(rb).foreach { batch =>
+        val b = batch.size
+        if (b >= 2) {
+          val xs = new Array[Array[Double]](b)
+          val ys = new Array[Double](b)
+          val preds = new Array[Double](b)
+          var i = 0
+          batch.foreach { row =>
+            ys(i) = row.getDouble(0)
+            xs(i) = Array.tabulate(k)(j => row.getDouble(j + 1))
+            preds(i) = rowRun(trees, trunk, paths, tOffs, xs(i), 0.0,
+              null, temp)
+            i += 1
+          }
+          val (dp, lossVal) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
+          i = 0
+          while (i < b) {
+            rowRun(trees, trunk, paths, tOffs, xs(i), preds(i) - dp(i),
+              acc, temp)
+            i += 1
+          }
+          acc(n) += lossVal
+          acc(n + 1) += 1.0
+        }
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }, depth = 2)
+    val cnt = math.max(acc(sz + 1), 1.0)
+    val g = new Array[Double](sz)
+    for (i <- 0 until sz) g(i) = acc(i) / cnt
+    applyL2(g, p)
+    (g, acc(sz) / cnt)
   }
 
   def fit(df: DataFrame): SoftForestModel = {
@@ -406,7 +488,8 @@ class SoftNdfRegressor(
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
-      val (g0, _) = gradient(batch, p, masks, temp)
+      val (g0, _) = if (loss != "mse") rankGradient(batch, p, masks, temp)
+        else gradient(batch, p, masks, temp)
       val g = DenseVector(g0)
       m := m * beta1 + g * (1 - beta1)
       v := v * beta2 + (g *:* g) * (1 - beta2)

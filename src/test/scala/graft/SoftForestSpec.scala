@@ -125,6 +125,25 @@ class SoftForestSpec extends AnyFunSuite {
       }
   }
 
+  test("soft ndf: rank-loss surrogate injection at spW=0, mseW=0.5 " +
+    "reproduces the MSE path (delta-linearity identity)") {
+    val r = new scala.util.Random(41)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian()))
+    val df = rows.toDF("id", "f0", "f1", "y").repartition(1)
+    def fitted(loss: String) =
+      new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 2, depth = 2,
+        epochs = 10, loss = loss, mseWeight = 0.5, spearmanWeight = 0.0,
+        rankBatch = 64).fit(df)
+    val wm = fitted("mse"); val wc = fitted("combined")
+    (wm.trees zip wc.trees).foreach { case (a, b) =>
+      (a.pi zip b.pi).foreach { case (x, yv) =>
+        assert(math.abs(x - yv) < 1e-6, s"pi diverged: $x vs $yv") }
+      (a.bDec zip b.bDec).foreach { case (x, yv) =>
+        assert(math.abs(x - yv) < 1e-6, s"bDec diverged: $x vs $yv") }
+    }
+  }
+
   test("soft ndf: feature bagging restricts each tree to its mask; " +
     "temperature anneals to tempEnd") {
     val r = new scala.util.Random(3)
