@@ -29,6 +29,22 @@ class RankLossSpec extends AnyFunSuite {
     }
   }
 
+  test("reference fixtures (tests/test_losses.py:12-37): spearman loss " +
+    "is negative for a positively-ordered pair; combined decomposes as " +
+    "mse_weight*mse + spearman_weight*spearman") {
+    // test_spearman_correlation_loss_negative, tau=1e-2
+    val yT = Array(1.0, 2.0, 3.0, 4.0)
+    val yP = Array(1.0, 2.0, 2.0, 4.0)
+    assert(RankLoss.softSpearmanLoss(yP, yT, 1e-2) < 0)
+    // test_combined_loss_positive: defaults mse_weight=2, spearman_weight=1
+    val p2 = Array(0.9, 2.1, 2.5, 4.2)
+    val (_, combined) = RankLoss.combinedGrad(p2, yT, 1e-3, 2.0, 1.0)
+    val mse = p2.indices.map(i =>
+      (p2(i) - yT(i)) * (p2(i) - yT(i))).sum / 4.0
+    val expected = 2.0 * mse + 1.0 * RankLoss.softSpearmanLoss(p2, yT, 1e-3)
+    assert(math.abs(combined - expected) <= 1e-5 * math.abs(expected))
+  }
+
   test("combined gradient reduces to the MSE gradient at spW=0 and " +
     "includes both terms otherwise") {
     val p = Array(0.2, -0.5, 1.1, 0.0)
