@@ -107,7 +107,10 @@ object Metrics {
 
   /** Spearman rank correlation between two columns per group (exact form
     * of the reference's differentiable SpearmanCorrelation loss,
-    * losses.py:22-122). */
+    * losses.py:22-122). Exact ranking partitions the window by group —
+    * correct and fast for many bounded groups, but a FEW GIANT groups
+    * each funnel through one task; for that shape use
+    * [[spearmanBinned]], the bounded-state scale path. */
   def spearman(df: DataFrame, a: String, b: String,
       groupCols: Seq[String]): DataFrame = {
     import graft.functions.avgRank
@@ -115,6 +118,39 @@ object Metrics {
     val ranked = df.select(part ++ Seq(
       avgRank(col(a), part).as("__ra"), avgRank(col(b), part).as("__rb")): _*)
     ranked.groupBy(part: _*).agg(corr(col("__ra"), col("__rb")).as("spearman"))
+  }
+
+  /** Corpus-scale approximate Spearman: ranks are replaced by
+    * quantile-bin indices from a mergeable `approx_percentile` sketch
+    * (bounded state per group, normal map-side partial aggregation — no
+    * per-group total order, so a 100 TB group never serializes through
+    * one task). Spearman = Pearson of ranks, and the bin index is a
+    * monotone midrank proxy, so the estimate converges to the exact
+    * coefficient as bins grow (error O(1/bins) for continuous data; ties
+    * land in one bin, preserving average-rank semantics approximately).
+    * Plan: one grouped sketch aggregate → broadcast boundaries back →
+    * map-side bin assignment → one grouped corr. */
+  def spearmanBinned(df: DataFrame, a: String, b: String,
+      groupCols: Seq[String], bins: Int = 1024): DataFrame = {
+    val part = groupCols.map(col)
+    val probs = array((1 until bins).map(i =>
+      lit(i.toDouble / bins)): _*)
+    val acc = lit(math.max(10000, bins * 10))
+    val sketch = df.groupBy(part: _*).agg(
+      percentile_approx(col(a), probs, acc).as("__qa"),
+      percentile_approx(col(b), probs, acc).as("__qb"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(sketch))
+      else df.join(broadcast(sketch), groupCols)
+    // bin index = #boundaries strictly below the value (0..bins-1)
+    def binIdx(c: String, bounds: String) =
+      size(filter(col(bounds), t => t < col(c)))
+    joined
+      .select(part ++ Seq(
+        binIdx(a, "__qa").cast("double").as("__ba"),
+        binIdx(b, "__qb").cast("double").as("__bb")): _*)
+      .groupBy(part: _*)
+      .agg(corr(col("__ba"), col("__bb")).as("spearman"))
   }
 
   /** Soft differentiable Spearman loss (reference losses.py:76-117):

@@ -250,6 +250,32 @@ class MLSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("binned spearman (the bounded-state giant-group scale path) " +
+    "converges to the exact coefficient; plan broadcasts the sketch " +
+    "and never windows") {
+    val r = new scala.util.Random(12)
+    val rows = (0 until 4000).flatMap { i =>
+      val p = r.nextGaussian()
+      Seq((i.toLong, "g1", p, 0.6 * p + 0.4 * r.nextGaussian()),
+        (i.toLong, "g2", p, -0.8 * p + 0.2 * r.nextGaussian()))
+    }
+    val df = rows.toDF("id", "g", "pred", "y")
+    val exact = Metrics.spearman(df, "pred", "y", Seq("g"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val binned = Metrics.spearmanBinned(df, "pred", "y", Seq("g"),
+      bins = 512)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    for (g <- Seq("g1", "g2"))
+      assert(math.abs(binned(g) - exact(g)) < 0.02,
+        s"$g: binned=${binned(g)} exact=${exact(g)}")
+    // scale shape: no window (no per-group total order), sketch side
+    // broadcast back — state stays bounded per group
+    val plan = Metrics.spearmanBinned(df, "pred", "y", Seq("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("tsne: separated 10-D clusters stay separated in the 2-D " +
     "embedding (trustworthiness-style 5-NN purity); deterministic; " +
     "dim_i naming and out-of-sample nulls") {
