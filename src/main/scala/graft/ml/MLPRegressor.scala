@@ -61,10 +61,15 @@ object MLPRegressor {
   * - **predict**: pure Column expression from broadcast weights — the
   *   forward pass (matmul + ReLU) unrolls into codegen'd arithmetic, so
   *   scoring is a map-side projection at scan speed, no UDF, no shuffle.
+  * - **loss**: "mse" (default), or the reference's differentiable rank
+  *   objectives "spearman" / "combined" (losses.py:22-189) — executors
+  *   fold bounded in-partition batches (`rankBatch` rows) through the
+  *   pairwise soft-rank gradient ([[RankLoss]]), the reference's
+  *   per-Keras-batch loss semantics.
   *
-  * Distributed SGD parity with Keras is explicitly out of scope (v1,
-  * SURVEY.md §7.5); the properties tested are loss-decrease and fit
-  * quality on a learnable function.
+  * Step-for-step SGD parity with Keras is out of scope (SURVEY.md
+  * §7.5); the properties tested are gradient correctness
+  * (finite-difference), loss decrease, and fit quality.
   */
 class MLPRegressor(
     val featureCols: Seq[String],
