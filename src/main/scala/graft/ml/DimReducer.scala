@@ -219,6 +219,27 @@ object Metrics {
         .as("combined_loss"))
   }
 
+  /** Giant-group scale path for [[combinedLoss]]: exact MSE (a plain
+    * mergeable aggregate) + the [[spearmanBinned]] sketch-rank
+    * correlation — no per-group window anywhere, so group size never
+    * bounds parallelism. Converges to the exact combined loss at
+    * O(1/bins). */
+  def combinedLossBinned(df: DataFrame, predCol: String,
+      targetCol: String, groupCols: Seq[String], mseWeight: Double = 2.0,
+      spearmanWeight: Double = 1.0, bins: Int = 1024): DataFrame = {
+    val part = groupCols.map(col)
+    val mse = df.groupBy(part: _*).agg(
+      avg(pow(col(predCol).cast("double") -
+        col(targetCol).cast("double"), 2.0)).as("__mse"))
+    val sp = spearmanBinned(df, predCol, targetCol, groupCols, bins)
+    val joined =
+      if (groupCols.isEmpty) mse.crossJoin(sp)
+      else mse.join(sp, groupCols)
+    joined.select(part :+
+      (lit(mseWeight) * col("__mse")
+        + lit(spearmanWeight) * -col("spearman")).as("combined_loss"): _*)
+  }
+
   /** R² = 1 − SS_res/SS_tot per group (sklearn definition, used by the
     * reference's score(); keras_cortex.py:103). SS_tot via the algebraic
     * identity Σ(y−ȳ)² = Σy² − n·ȳ² so it needs a single aggregation

@@ -274,6 +274,16 @@ class MLSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(800))
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+
+    // combined-loss variant: exact MSE + sketch-rank corr, same bound
+    val exactC = Metrics.combinedLoss(df, "pred", "y", Seq("g"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val binnedC = Metrics.combinedLossBinned(df, "pred", "y", Seq("g"),
+      bins = 512)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    for (g <- Seq("g1", "g2"))
+      assert(math.abs(binnedC(g) - exactC(g)) < 0.02,
+        s"$g: binnedC=${binnedC(g)} exactC=${exactC(g)}")
   }
 
   test("tsne: separated 10-D clusters stay separated in the 2-D " +
