@@ -207,9 +207,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           best -= name
+          // braces would truncate the parent's fork-merge objBody scan;
+          // strip them along with the JSON-breaking chars
           errors += name -> (e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
-              .take(200))
+            String.valueOf(e.getMessage)
+              .replaceAll("[\"\\\\{}\\n\\r\\t]", " ").take(200))
       }
     }
     val ok = names.filterNot(errors.contains).map(n => n -> best(n))

@@ -133,15 +133,18 @@ object Metrics {
   def spearmanBinned(df: DataFrame, a: String, b: String,
       groupCols: Seq[String], bins: Int = 1024): DataFrame = {
     val part = groupCols.map(col)
+    // rows with a null in either column are excluded (they carry no rank
+    // information; leaving them in would alias null to the lowest bin)
+    val clean = df.where(col(a).isNotNull && col(b).isNotNull)
     val probs = array((1 until bins).map(i =>
       lit(i.toDouble / bins)): _*)
     val acc = lit(math.max(10000, bins * 10))
-    val sketch = df.groupBy(part: _*).agg(
+    val sketch = clean.groupBy(part: _*).agg(
       percentile_approx(col(a), probs, acc).as("__qa"),
       percentile_approx(col(b), probs, acc).as("__qb"))
     val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(sketch))
-      else df.join(broadcast(sketch), groupCols)
+      if (groupCols.isEmpty) clean.crossJoin(broadcast(sketch))
+      else clean.join(broadcast(sketch), groupCols)
     // bin index = #boundaries strictly below the value (0..bins-1)
     def binIdx(c: String, bounds: String) =
       size(filter(col(bounds), t => t < col(c)))

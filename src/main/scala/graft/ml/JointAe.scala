@@ -95,8 +95,14 @@ object JointAeKernel {
     * against the clean features). */
   def run(pFlat: Array[Double], k: Int, hE: Int, l: Int, hA: Int,
       x: Array[Double], xTgt: Array[Double], y: Double, rw: Double,
-      tw: Double, acc: Array[Double]): Double = {
-    val w = toWeights(pFlat, k, hE, l, hA)
+      tw: Double, acc: Array[Double]): Double =
+    runW(toWeights(pFlat, k, hE, l, hA), x, xTgt, y, rw, tw, acc)
+
+  /** Same as [[run]] over ALREADY-DECODED weights — the per-row hot
+    * path (decode once per gradient call, not per row). */
+  def runW(w: JointAeWeights, x: Array[Double], xTgt: Array[Double],
+      y: Double, rw: Double, tw: Double, acc: Array[Double]): Double = {
+    val (k, hE, l, hA) = (w.k, w.hE, w.latent, w.hA)
     // forward, keeping pre-activations
     val ze = Array.tabulate(hE) { j =>
       var z = w.be(j); for (i <- 0 until k) z += x(i) * w.we(i)(j); z
@@ -329,9 +335,11 @@ class JointAutoencoder(
     * finite-difference spec. */
   def gradient(data: DataFrame, p: Array[Double])
       : (Array[Double], Double) = {
-    val (kk, hE, l, hA) = (k, encoderHidden, latentDim, headHidden)
+    val kk = k
     val (rw, tw) = (reconWeight, targetWeight)
     val n = sz
+    val w = JointAeKernel.toWeights(p, kk, encoderHidden, latentDim,
+      headHidden)
     val zero = DenseVector.zeros[Double](n + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
@@ -339,10 +347,7 @@ class JointAutoencoder(
         val xTgt = Array.tabulate(kk)(i => row.getDouble(i + 1))
         val xIn = if (row.size > kk + 1)
           Array.tabulate(kk)(i => row.getDouble(kk + i + 1)) else xTgt
-        val g = new Array[Double](n)
-        val loss = JointAeKernel.run(p, kk, hE, l, hA, xIn, xTgt, y, rw,
-          tw, g)
-        for (i <- 0 until n) acc(i) += g(i)
+        val loss = JointAeKernel.runW(w, xIn, xTgt, y, rw, tw, acc.data)
         acc(n) += loss; acc(n + 1) += 1.0
         acc
       },
@@ -390,7 +395,7 @@ class JointAutoencoder(
           val (dLt, tLoss) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
           i = 0
           while (i < b) {
-            JointAeKernel.run(p, kk, hE, l, hA, xIn(i), xTgt(i),
+            JointAeKernel.runW(w, xIn(i), xTgt(i),
               preds(i) - dLt(i) / 2.0, rw / b, tw, acc)
             i += 1
           }

@@ -217,9 +217,10 @@ class LSTMTrainer(
     s"loss must be mse|spearman|combined, got $loss")
   private val nFeat = lagCols.size / seqLen
 
-  /** `layers` non-empty (reference `lstm_units` list, sequence.py:120)
+  /** `layers.size > 1` (reference `lstm_units` list, sequence.py:120)
     * or `bidirectional` selects the generalized [[LstmStackBptt]]
-    * kernel; otherwise the one-layer [[LstmBptt]] fast path. */
+    * kernel; otherwise the one-layer [[LstmBptt]] fast path — with
+    * `layers == Seq(n)` honored as a one-layer fit of n units. */
   private def stackCfg: Option[LstmStackBptt.Cfg] =
     if (bidirectional)
       Some(LstmStackBptt.Cfg(nFeat,
@@ -241,7 +242,10 @@ class LSTMTrainer(
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
   def fit(df: DataFrame): this.type = {
-    val (f, h) = (nFeat, hidden)
+    // a one-element `layers` list IS the one-layer fast path — honor its
+    // unit count (lstm_units=[n], sequence.py:120) instead of `hidden`
+    val f = nFeat
+    val h = if (!bidirectional && layers.size == 1) layers.head else hidden
     val data = df.select((targetCol +: lagCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
@@ -289,56 +293,14 @@ class LSTMTrainer(
     this
   }
 
-  /** Shared epoch loop: per-epoch (optionally sampled) treeAggregate of
-    * the flat gradient + driver-side Adam. */
+  /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
+    * transformer trainer). */
   private def adamEpochs(data: DataFrame, sz: Int, w: Array[Double],
       kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
-        => Double): Unit = {
-    val (f, t) = (nFeat, seqLen)
-    val m = new Array[Double](sz); val v = new Array[Double](sz)
-    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
-    val (ym, ys) = (yMean, yStd)
-    for (ep <- 1 to epochs) {
-      val bw = w.clone()
-      // batchFraction < 1: fresh seeded per-epoch sample (the reference's
-      // minibatch-SGD semantics at cluster granularity — a 100 TB epoch
-      // aggregates a bounded sample, not a full pass)
-      val batch = if (batchFraction >= 1.0) data
-        else data.sample(withReplacement = false, batchFraction, seed + ep)
-      // rank losses (losses.py:22-189) ride the SAME kernel via the
-      // surrogate-target injection (RankLoss.seqEpochGradient)
-      val grad = if (loss != "mse") {
-        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
-          else (mseWeight, spearmanWeight)
-        RankLoss.seqEpochGradient(batch.rdd, sz, t, f, ym, ys,
-          (x, y, acc) => kernel(bw, x, y, acc), rankTau, mw, sw, rankBatch)
-      } else batch.rdd.treeAggregate(new Array[Double](sz + 2))(
-        seqOp = (acc, row) => {
-          val y = (row.getDouble(0) - ym) / ys
-          val x = Array.tabulate(t, f)((ti, fi) =>
-            row.getDouble(1 + ti * f + fi))
-          acc(sz) += kernel(bw, x, y, acc)
-          acc(sz + 1) += 1.0
-          acc
-        },
-        combOp = (a, b) => {
-          var i = 0
-          while (i < a.length) { a(i) += b(i); i += 1 }
-          a
-        }, depth = 2)
-      val bn = math.max(grad(sz + 1), 1.0)
-      var i = 0
-      while (i < sz) {
-        val g = grad(i) / bn
-        m(i) = beta1 * m(i) + (1 - beta1) * g
-        v(i) = beta2 * v(i) + (1 - beta2) * g * g
-        val mh = m(i) / (1 - math.pow(beta1, ep))
-        val vh = v(i) / (1 - math.pow(beta2, ep))
-        w(i) -= lr * mh / (math.sqrt(vh) + eps)
-        i += 1
-      }
-    }
-  }
+        => Double): Unit =
+    SeqAdam.run(data, sz, w, SeqAdam.Cfg(nFeat, seqLen, yMean, yStd,
+      epochs, lr, seed, batchFraction, loss, mseWeight, spearmanWeight,
+      rankTau, rankBatch), kernel)
 
   /** Appends `prediction` through the distributed unrolled forward pass
     * (one-layer, stacked, or bidirectional to match the fitted layout),

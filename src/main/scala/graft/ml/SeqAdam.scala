@@ -1,0 +1,68 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared epoch loop for the sequence trainers (LSTM + transformer),
+  * previously duplicated in both: per-epoch seeded Bernoulli sampling
+  * (`batchFraction` — the reference's minibatch-SGD semantics at cluster
+  * granularity), the flat-gradient MSE treeAggregate or the rank-loss
+  * surrogate-injection path (losses.py:22-189 via
+  * [[RankLoss.seqEpochGradient]]), and driver-side Adam.
+  * `kernel(bw, x, y, acc)` accumulates one row's gradient into `acc`
+  * (when non-null) and returns the prediction. */
+private[ml] object SeqAdam {
+
+  case class Cfg(
+      nFeat: Int, seqLen: Int, yMean: Double, yStd: Double,
+      epochs: Int, lr: Double, seed: Long, batchFraction: Double,
+      loss: String, mseWeight: Double, spearmanWeight: Double,
+      rankTau: Double, rankBatch: Int)
+
+  def run(data: DataFrame, sz: Int, w: Array[Double], c: Cfg,
+      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
+        => Double): Unit = {
+    val (f, t) = (c.nFeat, c.seqLen)
+    val m = new Array[Double](sz); val v = new Array[Double](sz)
+    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val (ym, ys) = (c.yMean, c.yStd)
+    for (ep <- 1 to c.epochs) {
+      val bw = w.clone()
+      val batch = if (c.batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, c.batchFraction,
+          c.seed + ep)
+      // rank losses ride the SAME kernel via the surrogate-target
+      // injection (RankLoss.seqEpochGradient)
+      val grad = if (c.loss != "mse") {
+        val (mw, sw) = if (c.loss == "spearman") (0.0, 1.0)
+          else (c.mseWeight, c.spearmanWeight)
+        RankLoss.seqEpochGradient(batch.rdd, sz, t, f, ym, ys,
+          (x, y, acc) => kernel(bw, x, y, acc), c.rankTau, mw, sw,
+          c.rankBatch)
+      } else batch.rdd.treeAggregate(new Array[Double](sz + 2))(
+        seqOp = (acc, row) => {
+          val y = (row.getDouble(0) - ym) / ys
+          val x = Array.tabulate(t, f)((ti, fi) =>
+            row.getDouble(1 + ti * f + fi))
+          acc(sz) += kernel(bw, x, y, acc)
+          acc(sz + 1) += 1.0
+          acc
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }, depth = 2)
+      val bn = math.max(grad(sz + 1), 1.0)
+      var i = 0
+      while (i < sz) {
+        val g = grad(i) / bn
+        m(i) = beta1 * m(i) + (1 - beta1) * g
+        v(i) = beta2 * v(i) + (1 - beta2) * g * g
+        val mh = m(i) / (1 - math.pow(beta1, ep))
+        val vh = v(i) / (1 - math.pow(beta2, ep))
+        w(i) -= c.lr * mh / (math.sqrt(vh) + eps)
+        i += 1
+      }
+    }
+  }
+}

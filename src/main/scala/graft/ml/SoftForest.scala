@@ -212,6 +212,8 @@ class SoftNdfRegressor(
 
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  require(usedFeaturesRate > 0 && usedFeaturesRate <= 1.0,
+    s"usedFeaturesRate must be in (0, 1], got $usedFeaturesRate")
 
   private val nFeat = featureCols.size
   private val nNodes = (1 << depth) - 1

@@ -250,6 +250,46 @@ class MLSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("lstm: layers=Seq(n) is honored as a one-layer fit of n units " +
+    "(lstm_units=[n] config), not silently replaced by `hidden`") {
+    val r = new scala.util.Random(2)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian())
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new LSTMTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+      seqLen = 4, targetCol = "y", hidden = 8, epochs = 2,
+      layers = Seq(5))
+    m.fit(df)
+    assert(m.fittedWeights != null && m.fittedWeights.bi.length == 5,
+      s"layers=Seq(5) must train 5 units, got " +
+        s"${Option(m.fittedWeights).map(_.bi.length)}")
+  }
+
+  test("binned spearman ignores rows with nulls in either column " +
+    "(matching the no-rank-information semantics, not bin 0)") {
+    val r = new scala.util.Random(15)
+    val base = (0 until 500).map { i =>
+      val p = r.nextGaussian()
+      (i.toLong, "g", p, 0.7 * p + 0.3 * r.nextGaussian())
+    }
+    val df = base.toDF("id", "g", "pred", "y")
+    // nulls on high-y rows would drag the binned estimate if aliased to
+    // the lowest bin
+    val withNulls = df.union(
+      (0 until 200).map(i => (1000L + i, "g", r.nextGaussian() + 3.0))
+        .toDF("id", "g", "y").withColumn("pred",
+          org.apache.spark.sql.functions.lit(null).cast("double"))
+        .select("id", "g", "pred", "y"))
+    val clean = Metrics.spearmanBinned(df, "pred", "y", Seq("g"), 512)
+      .collect()(0).getDouble(1)
+    val nulled = Metrics.spearmanBinned(withNulls, "pred", "y", Seq("g"),
+      512).collect()(0).getDouble(1)
+    assert(math.abs(clean - nulled) < 1e-9,
+      s"null rows changed the estimate: $clean vs $nulled")
+  }
+
   test("binned spearman (the bounded-state giant-group scale path) " +
     "converges to the exact coefficient; plan broadcasts the sketch " +
     "and never windows") {
