@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostics: time ONE epoch-gradient of each trainable
+  * estimator's kernel at SPARK_GRAFT_SF_DIR scale (dev aid; not part of
+  * the driver contract). Run at two SFs to check the treeAggregate /
+  * batched-rank paths scale linearly in rows. */
+object TrainBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(("l_extendedprice" +: feats).map(c =>
+        col(c).cast("double")): _*).na.drop().cache()
+    val n = li.count()
+    println(s"rows=$n dir=$dir")
+
+    def time(label: String)(body: => Unit): Unit = {
+      body // warm (first-touch/codegen)
+      val t0 = System.nanoTime()
+      body; body; body
+      println(f"$label%-14s ${(System.nanoTime() - t0) / 3e9}%.3f s/epoch")
+    }
+
+    val r = new scala.util.Random(1)
+    import graft.ml._
+    // MLP: one treeAggregate epoch-gradient (hidden 16)
+    val mlp = new MLPRegressor(feats, "l_extendedprice", hidden = 16)
+    // reuse its public fit at epochs=1 is the same one aggregate + setup;
+    // time fit(epochs=1) minus nothing — acceptable as the epoch proxy
+    time("mlp") {
+      new MLPRegressor(feats, "l_extendedprice", hidden = 16,
+        epochs = 1).fit(li)
+    }
+    val ndf = new SoftNdfRegressor(feats, "l_extendedprice",
+      numTrees = 5, depth = 3)
+    val masks = Seq.fill(5)(Array(0, 1, 2))
+    val p = Array.fill(3 * 7 * 5 + (7 + 8) * 5)(r.nextGaussian() * 0.3)
+    val std = li.select(col("l_extendedprice") +: feats.map(col): _*)
+    time("soft-ndf") { ndf.gradient(std, p, masks, 1.0) }
+    val ae = new JointAutoencoder(feats, "l_extendedprice",
+      latentDim = 2, encoderHidden = 8, headHidden = 4)
+    val pae = Array.fill(JointAeKernel.size(3, 8, 2, 4))(
+      r.nextGaussian() * 0.3)
+    time("joint-ae") { ae.gradient(std, pae) }
+    time("ae-rank") {
+      new JointAutoencoder(feats, "l_extendedprice", latentDim = 2,
+        encoderHidden = 8, headHidden = 4, targetLoss = "combined",
+        rankBatch = 64).rankGradient(std, pae)
+    }
+    spark.stop()
+  }
+}
