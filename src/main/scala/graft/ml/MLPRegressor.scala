@@ -84,12 +84,15 @@ class MLPRegressor(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val weightCol: Option[String] = None) extends Serializable {
 
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  require(weightCol.isEmpty || loss == "mse",
+    "sample weights apply to the MSE loss (rank losses are batch-level)")
 
   private var weights: MLPWeights = _
   private var yMean = 0.0
@@ -99,8 +102,13 @@ class MLPRegressor(
 
   def fit(df: DataFrame): this.type = {
     val k = featureCols.size
+    // sample_weight (base.py fit signature): weight column appended LAST;
+    // the weighted-MSE gradient scales each row's delta by its weight and
+    // normalizes by the weight sum instead of the row count
     val data = df.select((targetCol +: featureCols).map(c =>
-      col(c).cast("double")): _*).na.drop()
+      col(c).cast("double")) :+
+      weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+        .as("__w"): _*).na.drop()
     data.cache()
     val n = data.count().toDouble
     require(n > 0, "no complete rows to fit on")
@@ -195,11 +203,12 @@ class MLPRegressor(
       } else batch.rdd.treeAggregate(zero)(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
+          val wt = row.getDouble(k + 1) // __w (1.0 when no weightCol)
           val x = DenseVector(featIdx.map(i => row.getDouble(i + 1)).toArray)
           val z1 = bw1.t * x + bb1
           val h = z1.map(z => if (z > 0) z else 0.0)
           val pred = (bw2 dot h) + bb2
-          val d = pred - y
+          val d = wt * (pred - y)
           // dL/dw2 = d*h ; dL/db2 = d ; back through relu
           val dh = bw2 * d
           val dz1 = DenseVector.tabulate(bb1.length)(j =>
@@ -211,8 +220,8 @@ class MLPRegressor(
           for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
           for (j <- 0 until bb1.length) { acc(off) += d * h(j); off += 1 }
           acc(off) += d
-          acc(sz) += 0.5 * d * d
-          acc(sz + 1) += 1.0
+          acc(sz) += 0.5 * wt * (pred - y) * (pred - y)
+          acc(sz + 1) += wt
           acc
         },
         combOp = _ + _, depth = 2)

@@ -33,6 +33,31 @@ class MLSpec extends AnyFunSuite {
     assert(r2 > 0.8, s"MLP failed to learn: r2=$r2")
   }
 
+  test("mlp: sample weights (weightCol) — zero-weighting a corrupted " +
+    "label subset recovers the clean fit an unweighted run loses") {
+    val r = new scala.util.Random(33)
+    val rows = (0 until 300).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val corrupt = i % 4 == 0
+      val y = if (corrupt) -3.0 * f0 + 5.0
+        else 2.0 * f0 - f1 + 0.05 * r.nextGaussian()
+      (i.toLong, f0, f1, y, if (corrupt) 0.0 else 1.0)
+    }
+    val df = rows.toDF("id", "f0", "f1", "y", "w")
+    val clean = df.where(col("w") > 0)
+    def r2Of(wc: Option[String]): Double = {
+      val m = new MLPRegressor(Seq("f0", "f1"), "y", hidden = 8,
+        lr = 0.05, epochs = 120, weightCol = wc)
+      Metrics.r2(m.fit(df).predict(clean), "prediction", "y", Seq.empty)
+        .collect()(0).getDouble(0)
+    }
+    val weighted = r2Of(Some("w"))
+    val unweighted = r2Of(None)
+    assert(weighted > 0.8, s"weighted fit failed on clean rows: $weighted")
+    assert(weighted > unweighted + 0.05,
+      s"weights had no effect: weighted=$weighted unweighted=$unweighted")
+  }
+
   test("mlp multi-output: joint fit through the shared hidden layer " +
     "learns BOTH targets (prediction_{i} contract, base.py:137-150)") {
     val r2data = (0 until 300).map { i =>
