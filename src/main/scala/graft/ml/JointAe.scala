@@ -301,7 +301,11 @@ object JointAe {
   * end-to-end): Adam on the driver over `treeAggregate` flat gradients;
   * `batchFraction` gives the seeded minibatch path. The linear-PCA
   * BottleneckEncoder stays as the closed-form sibling; this is the
-  * trained path a reference user gets from fit(). */
+  * trained path a reference user gets from fit(). Of the reference's
+  * two stochastic regularizers, GaussianNoise is implemented
+  * (`gaussianNoise`); per-layer Dropout is omitted (identity at
+  * inference, like the scoring surfaces) — the deviation is a weaker
+  * regularizer, not a different model. */
 class JointAutoencoder(
     val featureCols: Seq[String],
     val targetCol: String,
