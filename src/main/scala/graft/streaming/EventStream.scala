@@ -51,6 +51,40 @@ object EventStream {
       .format("memory").queryName(queryName).start()
   }
 
+  /** Stream-static dimension enrichment (batch form): broadcast-join a
+    * static dimension onto events, then a tumbling aggregate per dim
+    * attribute — the standard enrichment step of an event pipeline. */
+  def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, dimAttr: String, width: String = "1 hour")
+      : DataFrame =
+    events.join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), width), col(dimAttr))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col(dimAttr),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming form of [[enriched]]: a stream-static join needs NO join
+    * state — the dimension is broadcast into every micro-batch (the
+    * at-scale configuration for slowly-changing dims: republish the dim,
+    * not the stream). Watermarked tumbling aggregate, memory sink. */
+  def enrichedStream(spark: SparkSession, sourceDir: String,
+      dim: DataFrame, queryName: String, eventKey: String,
+      dimKey: String, dimAttr: String, width: String = "1 hour",
+      watermark: String = "2 hours"): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(eventKey) === col(dimKey))
+      .groupBy(window(col("ts"), width), col(dimAttr))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col(dimAttr),
+        col("n_events"), col("sum_value"))
+    stream.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+  }
+
   /** Streaming exact-dedup — the unbounded-ingest counterpart of
     * [[graft.dedup.Dedup.exactGroups]]: keep the first arrival per key
     * (e.g. a content fingerprint), with state BOUNDED by the watermark

@@ -126,6 +126,31 @@ class ExtensionsSpec extends AnyFunSuite {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("streaming: stream-static dimension enrichment (broadcast join, " +
+    "no join state) equals the batch form") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val batch = EventStream.enriched(events, dim, "user_id", "c_custkey",
+      "c_nationkey")
+      .select($"ws", $"c_nationkey", $"n_events",
+        round($"sum_value", 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enrich").toFile
+    events.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val q = EventStream.enrichedStream(spark, tmp.getAbsolutePath, dim,
+      "enrich_test", "user_id", "c_custkey", "c_nationkey")
+    q.processAllAvailable()
+    val streamed = spark.table("enrich_test")
+      .select($"ws", $"c_nationkey", $"n_events",
+        round($"sum_value", 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
 }
 
 /** IVF recall, salted-agg equality, stateful streaming vs batch. */

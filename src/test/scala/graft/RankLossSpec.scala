@@ -29,6 +29,23 @@ class RankLossSpec extends AnyFunSuite {
     }
   }
 
+  test("soft spearman gradient sums to zero (the loss is invariant to " +
+    "a constant shift of all predictions, so the gradient has no " +
+    "component along the all-ones direction)") {
+    val r = new scala.util.Random(55)
+    for (trial <- 0 until 5) {
+      val n = 8 + trial * 7
+      val p = Array.fill(n)(r.nextGaussian() * (1 + trial))
+      val y = Array.fill(n)(r.nextGaussian())
+      for (tau <- Seq(1.0, 0.3, 0.05)) {
+        val g = RankLoss.softSpearmanGrad(p, y, tau)
+        val mag = g.map(math.abs).max.max(1e-12)
+        assert(math.abs(g.sum) <= 1e-9 * n * mag,
+          s"n=$n tau=$tau: gradient sum ${g.sum} not ~0 (max |g|=$mag)")
+      }
+    }
+  }
+
   test("reference fixtures (tests/test_losses.py:12-37): spearman loss " +
     "is negative for a positively-ordered pair; combined decomposes as " +
     "mse_weight*mse + spearman_weight*spearman") {
