@@ -225,7 +225,10 @@ class MLPRegressor(
           acc
         },
         combOp = _ + _, depth = 2)
-      val g = grad(0 until sz) / math.max(grad(sz + 1), 1.0)
+      // slot sz+1 is a weight sum (or batch count) — guard against an
+      // empty batch only, NOT clamp to 1: fractional weight sums below 1
+      // must still normalize exactly
+      val g = grad(0 until sz) / math.max(grad(sz + 1), 1e-12)
       // Adam step
       m := m * beta1 + g * (1 - beta1)
       v := v * beta2 + (g *:* g) * (1 - beta2)

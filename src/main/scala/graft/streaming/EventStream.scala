@@ -56,15 +56,20 @@ object EventStream {
     * attribute — the standard enrichment step of an event pipeline. */
   def enriched(events: DataFrame, dim: DataFrame, eventKey: String,
       dimKey: String, dimAttr: String, width: String = "1 hour")
-      : DataFrame =
-    events.join(broadcast(dim.select(col(dimKey), col(dimAttr))),
-        col(eventKey) === col(dimKey))
-      .groupBy(window(col("ts"), width), col(dimAttr))
+      : DataFrame = {
+    // rename the dim side first: a same-named key (the common case for
+    // dimension joins) would make col(eventKey) === col(dimKey) ambiguous
+    val d = dim.select(col(dimKey).as("__dim_key"),
+      col(dimAttr).as("__dim_attr"))
+    events.join(broadcast(d), col(eventKey) === col("__dim_key"))
+      .groupBy(window(col("ts"), width), col("__dim_attr"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("ws"), col(dimAttr),
-        col("n_events"), col("sum_value"))
+      .select(col("window.start").as("ws"),
+        col("__dim_attr").as(dimAttr), col("n_events"), col("sum_value"))
+  }
 
-  /** Streaming form of [[enriched]]: a stream-static join needs NO join
+  /** Streaming form of [[enriched]] (the SAME plan-building code over a
+    * watermarked streaming source): a stream-static join needs NO join
     * state — the dimension is broadcast into every micro-batch (the
     * at-scale configuration for slowly-changing dims: republish the dim,
     * not the stream). Watermarked tumbling aggregate, memory sink. */
@@ -73,14 +78,10 @@ object EventStream {
       dimKey: String, dimAttr: String, width: String = "1 hour",
       watermark: String = "2 hours"): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-      .withWatermark("ts", watermark)
-      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
-        col(eventKey) === col(dimKey))
-      .groupBy(window(col("ts"), width), col(dimAttr))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("ws"), col(dimAttr),
-        col("n_events"), col("sum_value"))
+    val stream = enriched(
+      spark.readStream.schema(schema).parquet(sourceDir)
+        .withWatermark("ts", watermark),
+      dim, eventKey, dimKey, dimAttr, width)
     stream.writeStream.outputMode("complete")
       .format("memory").queryName(queryName).start()
   }

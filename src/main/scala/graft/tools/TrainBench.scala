@@ -34,10 +34,7 @@ object TrainBench {
 
     val r = new scala.util.Random(1)
     import graft.ml._
-    // MLP: one treeAggregate epoch-gradient (hidden 16)
-    val mlp = new MLPRegressor(feats, "l_extendedprice", hidden = 16)
-    // reuse its public fit at epochs=1 is the same one aggregate + setup;
-    // time fit(epochs=1) minus nothing — acceptable as the epoch proxy
+    // MLP proxy: fit(epochs=1) = one treeAggregate epoch + fixed setup
     time("mlp") {
       new MLPRegressor(feats, "l_extendedprice", hidden = 16,
         epochs = 1).fit(li)

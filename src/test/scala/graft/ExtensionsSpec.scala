@@ -150,6 +150,17 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     q.stop()
     assert(streamed == batch)
+
+    // same-named join keys (the common dimension-join shape) must not
+    // hit an ambiguous-reference error
+    val sameName = EventStream.enriched(
+      events.withColumnRenamed("user_id", "custkey"),
+      dim.withColumnRenamed("c_custkey", "custkey"),
+      "custkey", "custkey", "c_nationkey")
+      .select($"ws", $"c_nationkey", $"n_events",
+        round($"sum_value", 4).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(sameName == batch)
   }
 }
 

@@ -56,6 +56,18 @@ class MLSpec extends AnyFunSuite {
     assert(weighted > 0.8, s"weighted fit failed on clean rows: $weighted")
     assert(weighted > unweighted + 0.05,
       s"weights had no effect: weighted=$weighted unweighted=$unweighted")
+
+    // normalization is by the exact weight sum — a uniform rescale of
+    // all weights (sum far below 1) must not change the fit
+    val tiny = df.withColumn("w", col("w") * lit(1e-3))
+    val mT = new MLPRegressor(Seq("f0", "f1"), "y", hidden = 8,
+      lr = 0.05, epochs = 120, weightCol = Some("w")).fit(tiny)
+    val mW = new MLPRegressor(Seq("f0", "f1"), "y", hidden = 8,
+      lr = 0.05, epochs = 120, weightCol = Some("w")).fit(df)
+    (mT.fittedWeights.w2 zip mW.fittedWeights.w2).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9,
+        s"weight rescale changed the fit: $a vs $b")
+    }
   }
 
   test("mlp multi-output: joint fit through the shared hidden layer " +
