@@ -454,9 +454,7 @@ class JointAutoencoder(
       val lim = if (fin == 0) 0.0 else math.sqrt(6.0 / (fin + fout))
       for (_ <- 0 until cnt) { p(o) = (rng.nextDouble() * 2 - 1) * lim; o += 1 }
     }
-    val m = DenseVector.zeros[Double](sz)
-    val v = DenseVector.zeros[Double](sz)
-    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val adam = new AdamState(sz, lr)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
@@ -473,13 +471,7 @@ class JointAutoencoder(
       }
       val (g0, _) = if (targetLoss != "mse") rankGradient(epochData, p)
         else gradient(epochData, p)
-      val g = DenseVector(g0)
-      m := m * beta1 + g * (1 - beta1)
-      v := v * beta2 + (g *:* g) * (1 - beta2)
-      val mh = m / (1 - math.pow(beta1, t))
-      val vh = v / (1 - math.pow(beta2, t))
-      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
-      for (i <- 0 until sz) p(i) -= step(i)
+      adam.update(p, g0, t)
     }
     std.unpersist()
     JointAeModel(JointAeKernel.toWeights(p, k, encoderHidden, latentDim,

@@ -125,9 +125,7 @@ class MLPRegressor(
     var b2 = 0.0
     // Adam state
     val sz = k * hidden + hidden + hidden + 1
-    val m = DenseVector.zeros[Double](sz)
-    val v = DenseVector.zeros[Double](sz)
-    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val adam = new AdamState(sz, lr)
     val (ym, ys) = (yMean, yStd)
     val featIdx = featureCols.indices
 
@@ -228,13 +226,8 @@ class MLPRegressor(
       // slot sz+1 is a weight sum (or batch count) — guard against an
       // empty batch only, NOT clamp to 1: fractional weight sums below 1
       // must still normalize exactly
-      val g = grad(0 until sz) / math.max(grad(sz + 1), 1e-12)
-      // Adam step
-      m := m * beta1 + g * (1 - beta1)
-      v := v * beta2 + (g *:* g) * (1 - beta2)
-      val mh = m / (1 - math.pow(beta1, t))
-      val vh = v / (1 - math.pow(beta2, t))
-      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
+      val g = (grad(0 until sz) / math.max(grad(sz + 1), 1e-12)).toArray
+      val step = adam.step(g, t)
       var off = 0
       for (i <- 0 until k; j <- 0 until hidden) {
         w1(i, j) -= step(off); off += 1
@@ -327,9 +320,7 @@ class MLPMultiRegressor(
       (rng.nextDouble() * 2 - 1) * limOut)
     val b2 = DenseVector.zeros[Double](out)
     val sz = k * hidden + hidden + hidden * out + out
-    val m = DenseVector.zeros[Double](sz)
-    val v = DenseVector.zeros[Double](sz)
-    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val adam = new AdamState(sz, lr)
     val (ym, ys) = (yMean, yStd)
     val featIdx = featureCols.indices
     for (t <- 1 to epochs) {
@@ -373,12 +364,8 @@ class MLPMultiRegressor(
           acc
         },
         combOp = _ + _, depth = 2)
-      val g = grad(0 until sz) / math.max(grad(sz + 1), 1.0)
-      m := m * beta1 + g * (1 - beta1)
-      v := v * beta2 + (g *:* g) * (1 - beta2)
-      val mh = m / (1 - math.pow(beta1, t))
-      val vh = v / (1 - math.pow(beta2, t))
-      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
+      val g = (grad(0 until sz) / math.max(grad(sz + 1), 1.0)).toArray
+      val step = adam.step(g, t)
       var off = 0
       for (i <- 0 until k; j <- 0 until hidden) {
         w1(i, j) -= step(off); off += 1

@@ -22,8 +22,7 @@ private[ml] object SeqAdam {
       kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
         => Double): Unit = {
     val (f, t) = (c.nFeat, c.seqLen)
-    val m = new Array[Double](sz); val v = new Array[Double](sz)
-    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val adam = new AdamState(sz, c.lr)
     val (ym, ys) = (c.yMean, c.yStd)
     for (ep <- 1 to c.epochs) {
       val bw = w.clone()
@@ -53,16 +52,8 @@ private[ml] object SeqAdam {
           a
         }, depth = 2)
       val bn = math.max(grad(sz + 1), 1.0)
-      var i = 0
-      while (i < sz) {
-        val g = grad(i) / bn
-        m(i) = beta1 * m(i) + (1 - beta1) * g
-        v(i) = beta2 * v(i) + (1 - beta2) * g * g
-        val mh = m(i) / (1 - math.pow(beta1, ep))
-        val vh = v(i) / (1 - math.pow(beta2, ep))
-        w(i) -= c.lr * mh / (math.sqrt(vh) + eps)
-        i += 1
-      }
+      val g = Array.tabulate(sz)(i => grad(i) / bn)
+      adam.update(w, g, ep)
     }
   }
 }

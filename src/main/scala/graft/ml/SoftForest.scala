@@ -483,22 +483,14 @@ class SoftNdfRegressor(
       for (l <- 0 until nLeaves)                  // pi ~ random_normal
         p(o + nUsed * nNodes + nNodes + l) = rng.nextGaussian() * 0.05
     }
-    val m = DenseVector.zeros[Double](sz)
-    val v = DenseVector.zeros[Double](sz)
-    val (beta1, beta2, eps) = (0.9, 0.999, 1e-8)
+    val adam = new AdamState(sz, lr)
     var temp = tempStart
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
       val (g0, _) = if (loss != "mse") rankGradient(batch, p, masks, temp)
         else gradient(batch, p, masks, temp)
-      val g = DenseVector(g0)
-      m := m * beta1 + g * (1 - beta1)
-      v := v * beta2 + (g *:* g) * (1 - beta2)
-      val mh = m / (1 - math.pow(beta1, t))
-      val vh = v / (1 - math.pow(beta2, t))
-      val step = mh /:/ (vh.map(math.sqrt) + eps) * lr
-      for (i <- 0 until sz) p(i) -= step(i)
+      adam.update(p, g0, t)
       // linear temperature annealing, assigned at epoch end
       // (TemperatureAnnealing.on_epoch_end, tree.py:47-50)
       temp = tempStart - (tempStart - tempEnd) * t.toDouble / epochs
