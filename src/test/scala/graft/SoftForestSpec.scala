@@ -125,6 +125,25 @@ class SoftForestSpec extends AnyFunSuite {
       }
   }
 
+  test("soft ndf: single-tree forest (num_trees=1) fits and scores " +
+    "(tests/test_model_estimators.py:419 degenerate case)") {
+    val r = new scala.util.Random(47)
+    val rows = (0 until 200).map { i =>
+      val f0 = r.nextGaussian()
+      (i.toLong, f0, r.nextGaussian(),
+        (if (f0 < 0) -1.0 else 1.0) + 0.1 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "y")
+    val model = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 1,
+      depth = 2, lr = 0.1, epochs = 80).fit(df)
+    assert(model.trees.size == 1)
+    val pred = model.predict(df)
+    assert(pred.count() == 200 && pred.columns.contains("prediction"))
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.6, s"single tree failed to learn a step: r2=$r2")
+  }
+
   test("soft ndf: rank-loss surrogate injection at spW=0, mseW=0.5 " +
     "reproduces the MSE path (delta-linearity identity)") {
     val r = new scala.util.Random(41)
