@@ -1,0 +1,239 @@
+package graft.ml
+
+import breeze.linalg.DenseVector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flat-parameter kernel for a depth-general ReLU MLP — the reference's
+  * actual architecture (dense.py:17,25-29: `hidden_units` is a TUPLE,
+  * default (64, 64)); the single-hidden-layer [[MLPRegressor]] stays as
+  * the oracled scoring sibling. Layout: per hidden layer `W[in][out]`
+  * input-major then `b[out]`; finally `wOut[lastH]`, `bOut`. */
+object DeepMlpKernel {
+  /** dims = nFeatures +: hiddenLayers */
+  def size(dims: Seq[Int]): Int =
+    (1 until dims.size).map(l => dims(l - 1) * dims(l) + dims(l)).sum +
+      dims.last + 1
+
+  private def layerOff(dims: Seq[Int], l: Int): Int =
+    (1 to l).map(i => dims(i - 1) * dims(i) + dims(i)).sum
+
+  /** Forward + (if `acc` non-null) backward of 0.5·(pred − y)² with the
+    * output delta = pred − y (linear in pred − y, so the rank-loss
+    * surrogate-target injection applies). Returns the prediction. */
+  def run(w: Array[Double], dims: Seq[Int], x: Array[Double], y: Double,
+      acc: Array[Double]): Double = {
+    val L = dims.size - 1
+    val zs = new Array[Array[Double]](L) // pre-activations per layer
+    val hs = new Array[Array[Double]](L + 1)
+    hs(0) = x
+    var l = 0
+    while (l < L) {
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val o = layerOff(dims, l)
+      val in = hs(l)
+      val z = new Array[Double](nout)
+      var j = 0
+      while (j < nout) {
+        var s = w(o + nin * nout + j)
+        var i = 0
+        while (i < nin) { s += in(i) * w(o + i * nout + j); i += 1 }
+        z(j) = s
+        j += 1
+      }
+      zs(l) = z
+      hs(l + 1) = z.map(v => if (v > 0) v else 0.0)
+      l += 1
+    }
+    val oOut = layerOff(dims, L)
+    var pred = w(oOut + dims.last)
+    var j = 0
+    while (j < dims.last) { pred += hs(L)(j) * w(oOut + j); j += 1 }
+    if (acc == null) return pred
+
+    val d = pred - y
+    acc(oOut + dims.last) += d
+    var dh = new Array[Double](dims.last)
+    j = 0
+    while (j < dims.last) {
+      acc(oOut + j) += d * hs(L)(j)
+      dh(j) = w(oOut + j) * d
+      j += 1
+    }
+    l = L - 1
+    while (l >= 0) {
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val o = layerOff(dims, l)
+      val in = hs(l)
+      val dz = Array.tabulate(nout)(jj =>
+        if (zs(l)(jj) > 0) dh(jj) else 0.0)
+      val dIn = new Array[Double](nin)
+      var i = 0
+      while (i < nin) {
+        var s = 0.0
+        var jj = 0
+        while (jj < nout) {
+          acc(o + i * nout + jj) += in(i) * dz(jj)
+          s += w(o + i * nout + jj) * dz(jj)
+          jj += 1
+        }
+        dIn(i) = s
+        i += 1
+      }
+      var jj = 0
+      while (jj < nout) { acc(o + nin * nout + jj) += dz(jj); jj += 1 }
+      dh = dIn
+      l -= 1
+    }
+    pred
+  }
+}
+
+/** Depth-general MLP regressor matching the reference's `hidden_units`
+  * tuple (dense.py:17 — default (64, 64); [[MLPRegressor]] covers the
+  * one-layer shape with a DuckDB-oracled scoring query). Same training
+  * shape as every trainer here: flat-gradient treeAggregate (or bounded
+  * in-partition batches for the rank losses — the kernel backward is
+  * linear in pred − y, so dL/dp injects via y′ = pred − dL/dp), driver
+  * [[AdamState]], input un-touched / target standardized, seeded
+  * minibatch fraction. Scoring stages each layer as named codegen'd
+  * columns (no expression blow-up at depth), map-side, no UDF. */
+class DeepMLPRegressor(
+    val featureCols: Seq[String],
+    val targetCol: String,
+    val layers: Seq[Int] = Seq(64, 64),
+    val lr: Double = 1e-3,
+    val epochs: Int = 200,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 1.0,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
+
+  require(layers.nonEmpty, "at least one hidden layer")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
+
+  private val k = featureCols.size
+  private val dims = k +: layers
+  private val sz = DeepMlpKernel.size(dims)
+
+  private var weights: Array[Double] = _
+  private var yMean = 0.0
+  private var yStd = 1.0
+
+  def fittedFlat: Array[Double] = weights
+
+  def fit(df: DataFrame): this.type = {
+    val data = df.select((targetCol +: featureCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val r = data.agg(avg(col(targetCol)), stddev_pop(col(targetCol)))
+        .collect()(0)
+      yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
+    }
+    val rng = new scala.util.Random(seed)
+    val p = new Array[Double](sz)
+    var o = 0
+    for (l <- 0 until layers.size) { // Glorot uniform per layer
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val lim = math.sqrt(6.0 / (nin + nout))
+      for (_ <- 0 until nin * nout) {
+        p(o) = (rng.nextDouble() * 2 - 1) * lim; o += 1
+      }
+      o += nout // biases start at 0
+    }
+    val limOut = math.sqrt(6.0 / (dims.last + 1))
+    for (i <- 0 until dims.last) {
+      p(o) = (rng.nextDouble() * 2 - 1) * limOut; o += 1
+    }
+    val adam = new AdamState(sz, lr)
+    val (ym, ys, dd, n) = (yMean, yStd, dims, sz)
+    val kk = k
+    for (t <- 1 to epochs) {
+      val bw = p.clone()
+      val batch = if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed + t)
+      val grad = if (loss != "mse") {
+        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        val (tau, rb) = (rankTau, rankBatch)
+        batch.rdd.mapPartitions { it =>
+          val acc = new Array[Double](n + 2)
+          it.grouped(rb).foreach { rows =>
+            val b = rows.size
+            if (b >= 2) {
+              val xs = new Array[Array[Double]](b)
+              val ysA = new Array[Double](b)
+              val preds = new Array[Double](b)
+              var i = 0
+              rows.foreach { row =>
+                ysA(i) = (row.getDouble(0) - ym) / ys
+                xs(i) = Array.tabulate(kk)(j => row.getDouble(j + 1))
+                preds(i) = DeepMlpKernel.run(bw, dd, xs(i), 0.0, null)
+                i += 1
+              }
+              val (dp, lossVal) =
+                RankLoss.combinedGrad(preds, ysA, tau, mw, sw)
+              i = 0
+              while (i < b) {
+                DeepMlpKernel.run(bw, dd, xs(i), preds(i) - dp(i), acc)
+                i += 1
+              }
+              acc(n) += lossVal; acc(n + 1) += 1.0
+            }
+          }
+          Iterator.single(DenseVector(acc))
+        }.treeReduce(_ + _, depth = 2)
+      } else batch.rdd.treeAggregate(DenseVector.zeros[Double](n + 2))(
+        seqOp = (acc, row) => {
+          val y = (row.getDouble(0) - ym) / ys
+          val x = Array.tabulate(kk)(j => row.getDouble(j + 1))
+          val pred = DeepMlpKernel.run(bw, dd, x, y, acc.data)
+          val d = pred - y
+          acc(n) += 0.5 * d * d; acc(n + 1) += 1.0
+          acc
+        },
+        combOp = _ + _, depth = 2)
+      val cnt = math.max(grad(n + 1), 1e-12)
+      adam.update(p, Array.tabulate(n)(i => grad(i) / cnt), t)
+    }
+    data.unpersist()
+    weights = p
+    this
+  }
+
+  /** Appends `prediction` via staged per-layer named columns. */
+  def predict(df: DataFrame): DataFrame = {
+    require(weights != null, "fit first")
+    val p = weights
+    var cur = df
+    var in: Seq[Column] = featureCols.map(c => col(c).cast("double"))
+    var off = 0
+    for (l <- 0 until layers.size) {
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val outs = (0 until nout).map { j =>
+        greatest(in.zipWithIndex.map { case (c, i) =>
+          c * lit(p(off + i * nout + j))
+        }.reduce(_ + _) + lit(p(off + nin * nout + j)), lit(0.0))
+          .as(s"__h${l}_$j")
+      }
+      cur = cur.select(cur.columns.map(col) ++ outs: _*)
+      in = (0 until nout).map(j => col(s"__h${l}_$j"))
+      off += nin * nout + nout
+    }
+    val out = in.zipWithIndex.map { case (c, j) =>
+      c * lit(p(off + j))
+    }.reduce(_ + _) + lit(p(off + dims.last))
+    cur.withColumn("prediction", out * lit(yStd) + lit(yMean))
+      .drop((0 until layers.size).flatMap(l =>
+        (0 until dims(l + 1)).map(j => s"__h${l}_$j")): _*)
+  }
+}

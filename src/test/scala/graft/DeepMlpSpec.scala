@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+/** Depth-general MLP (the reference's hidden_units tuple, dense.py:17):
+  * gradient correctness at depth, default-shape fit quality on a target
+  * a single layer fits poorly, staged-scoring agreement, rank loss. */
+class DeepMlpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deep mlp kernel: gradient matches central finite differences " +
+    "across uneven layer widths (wide-to-narrow and narrow-to-wide)") {
+    val r = new scala.util.Random(3)
+    for (layers <- Seq(Seq(5, 2), Seq(2, 6), Seq(4, 3, 2))) {
+      val dims = 3 +: layers
+      val sz = DeepMlpKernel.size(dims)
+      val w = Array.fill(sz)(r.nextGaussian() * 0.5)
+      val x = Array.fill(3)(r.nextGaussian())
+      val y = 0.4
+      val g = new Array[Double](sz)
+      DeepMlpKernel.run(w, dims, x, y, g)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        def loss(wv: Array[Double]) = {
+          val d = DeepMlpKernel.run(wv, dims, x, y, null) - y
+          0.5 * d * d
+        }
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"layers=$layers grad mismatch at $i: analytic=${g(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("deep mlp: two hidden layers (the reference default shape) learn " +
+    "a composed nonlinear target; staged scoring equals the kernel " +
+    "forward; prediction naming contract") {
+    val r = new scala.util.Random(7)
+    // |f0| + |f1| has a non-convex kink structure a deep net composes
+    val rows = (0 until 400).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      (i.toLong, f0, f1,
+        math.abs(f0) + math.abs(f1) + 0.05 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "y")
+    val m = new DeepMLPRegressor(Seq("f0", "f1"), "y",
+      layers = Seq(12, 8), lr = 0.02, epochs = 250)
+    val pred = m.fit(df).predict(df)
+    assert(pred.columns.contains("prediction") &&
+      !pred.columns.exists(_.startsWith("__h")))
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.85, s"deep mlp failed to learn |f0|+|f1|: r2=$r2")
+
+    // staged scoring == kernel forward, destandardized with the same
+    // population stats fit used (no nulls, so same rows)
+    val ys = rows.map(_._4)
+    val mu = ys.sum / ys.size
+    val sd = math.sqrt(ys.map(v => (v - mu) * (v - mu)).sum / ys.size)
+    pred.select("f0", "f1", "prediction").limit(10).collect().foreach {
+      row =>
+        val local = DeepMlpKernel.run(m.fittedFlat, Seq(2, 12, 8),
+          Array(row.getDouble(0), row.getDouble(1)), 0.0, null)
+        assert(math.abs(local * sd + mu - row.getDouble(2)) < 1e-6,
+          s"staged scoring disagrees: ${local * sd + mu} vs " +
+            row.getDouble(2))
+    }
+  }
+
+  test("deep mlp: loss=combined surrogate path trains (identity at " +
+    "spW=0 vs mse through the depth-general kernel)") {
+    val r = new scala.util.Random(11)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian()))
+    val df = rows.toDF("id", "f0", "f1", "y").repartition(1)
+    def fitted(loss: String) =
+      new DeepMLPRegressor(Seq("f0", "f1"), "y", layers = Seq(4, 3),
+        lr = 0.02, epochs = 10, loss = loss, mseWeight = 0.5,
+        spearmanWeight = 0.0, rankBatch = 64).fit(df).fittedFlat
+    val wm = fitted("mse"); val wc = fitted("combined")
+    (wm zip wc).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"diverged: $a vs $b")
+    }
+  }
+}
