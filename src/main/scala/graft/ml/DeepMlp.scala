@@ -18,11 +18,16 @@ object DeepMlpKernel {
   private def layerOff(dims: Seq[Int], l: Int): Int =
     (1 to l).map(i => dims(i - 1) * dims(i) + dims(i)).sum
 
+  @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
   /** Forward + (if `acc` non-null) backward of 0.5·(pred − y)² with the
     * output delta = pred − y (linear in pred − y, so the rank-loss
-    * surrogate-target injection applies). Returns the prediction. */
+    * surrogate-target injection applies). `swish` selects the
+    * activation (dense.py:18 `activation` param: "relu" default; the
+    * reference family also uses "swish", autoencoder.py:21). Returns
+    * the prediction. */
   def run(w: Array[Double], dims: Seq[Int], x: Array[Double], y: Double,
-      acc: Array[Double]): Double = {
+      acc: Array[Double], swish: Boolean = false): Double = {
     val L = dims.size - 1
     val zs = new Array[Array[Double]](L) // pre-activations per layer
     val hs = new Array[Array[Double]](L + 1)
@@ -42,7 +47,8 @@ object DeepMlpKernel {
         j += 1
       }
       zs(l) = z
-      hs(l + 1) = z.map(v => if (v > 0) v else 0.0)
+      hs(l + 1) = if (swish) z.map(v => v * sigmoid(v))
+        else z.map(v => if (v > 0) v else 0.0)
       l += 1
     }
     val oOut = layerOff(dims, L)
@@ -65,8 +71,13 @@ object DeepMlpKernel {
       val (nin, nout) = (dims(l), dims(l + 1))
       val o = layerOff(dims, l)
       val in = hs(l)
-      val dz = Array.tabulate(nout)(jj =>
-        if (zs(l)(jj) > 0) dh(jj) else 0.0)
+      val dz = Array.tabulate(nout) { jj =>
+        val z = zs(l)(jj)
+        if (swish) {
+          val s = sigmoid(z)
+          dh(jj) * s * (1.0 + z * (1.0 - s))
+        } else if (z > 0) dh(jj) else 0.0
+      }
       val dIn = new Array[Double](nin)
       var i = 0
       while (i < nin) {
@@ -102,6 +113,7 @@ class DeepMLPRegressor(
     val featureCols: Seq[String],
     val targetCol: String,
     val layers: Seq[Int] = Seq(64, 64),
+    val activation: String = "relu",
     val lr: Double = 1e-3,
     val epochs: Int = 200,
     val seed: Long = 42L,
@@ -114,8 +126,11 @@ class DeepMLPRegressor(
     val rankBatch: Int = 64) extends Serializable {
 
   require(layers.nonEmpty, "at least one hidden layer")
+  require(Set("relu", "swish")(activation),
+    s"activation must be relu|swish, got $activation")
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  private val swish = activation == "swish"
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
 
@@ -156,13 +171,14 @@ class DeepMLPRegressor(
     }
     val adam = new AdamState(sz, lr)
     val (ym, ys, dd, n) = (yMean, yStd, dims, sz)
+    val sw = swish
     val kk = k
     for (t <- 1 to epochs) {
       val bw = p.clone()
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
       val grad = if (loss != "mse") {
-        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+        val (mw, spw) = if (loss == "spearman") (0.0, 1.0)
           else (mseWeight, spearmanWeight)
         val (tau, rb) = (rankTau, rankBatch)
         batch.rdd.mapPartitions { it =>
@@ -177,14 +193,15 @@ class DeepMLPRegressor(
               rows.foreach { row =>
                 ysA(i) = (row.getDouble(0) - ym) / ys
                 xs(i) = Array.tabulate(kk)(j => row.getDouble(j + 1))
-                preds(i) = DeepMlpKernel.run(bw, dd, xs(i), 0.0, null)
+                preds(i) = DeepMlpKernel.run(bw, dd, xs(i), 0.0, null, sw)
                 i += 1
               }
               val (dp, lossVal) =
-                RankLoss.combinedGrad(preds, ysA, tau, mw, sw)
+                RankLoss.combinedGrad(preds, ysA, tau, mw, spw)
               i = 0
               while (i < b) {
-                DeepMlpKernel.run(bw, dd, xs(i), preds(i) - dp(i), acc)
+                DeepMlpKernel.run(bw, dd, xs(i), preds(i) - dp(i), acc,
+                  sw)
                 i += 1
               }
               acc(n) += lossVal; acc(n + 1) += 1.0
@@ -196,7 +213,7 @@ class DeepMLPRegressor(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(kk)(j => row.getDouble(j + 1))
-          val pred = DeepMlpKernel.run(bw, dd, x, y, acc.data)
+          val pred = DeepMlpKernel.run(bw, dd, x, y, acc.data, sw)
           val d = pred - y
           acc(n) += 0.5 * d * d; acc(n + 1) += 1.0
           acc
@@ -220,9 +237,10 @@ class DeepMLPRegressor(
     for (l <- 0 until layers.size) {
       val (nin, nout) = (dims(l), dims(l + 1))
       val outs = (0 until nout).map { j =>
-        greatest(in.zipWithIndex.map { case (c, i) =>
+        val z = in.zipWithIndex.map { case (c, i) =>
           c * lit(p(off + i * nout + j))
-        }.reduce(_ + _) + lit(p(off + nin * nout + j)), lit(0.0))
+        }.reduce(_ + _) + lit(p(off + nin * nout + j))
+        (if (swish) JointAe.swishCol(z) else greatest(z, lit(0.0)))
           .as(s"__h${l}_$j")
       }
       cur = cur.select(cur.columns.map(col) ++ outs: _*)

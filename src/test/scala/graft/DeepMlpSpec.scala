@@ -11,28 +11,56 @@ class DeepMlpSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("deep mlp kernel: gradient matches central finite differences " +
-    "across uneven layer widths (wide-to-narrow and narrow-to-wide)") {
+    "across uneven layer widths and both activations") {
     val r = new scala.util.Random(3)
-    for (layers <- Seq(Seq(5, 2), Seq(2, 6), Seq(4, 3, 2))) {
+    for (layers <- Seq(Seq(5, 2), Seq(2, 6), Seq(4, 3, 2));
+         swish <- Seq(false, true)) {
       val dims = 3 +: layers
       val sz = DeepMlpKernel.size(dims)
       val w = Array.fill(sz)(r.nextGaussian() * 0.5)
       val x = Array.fill(3)(r.nextGaussian())
       val y = 0.4
       val g = new Array[Double](sz)
-      DeepMlpKernel.run(w, dims, x, y, g)
+      DeepMlpKernel.run(w, dims, x, y, g, swish)
       val eps = 1e-6
       for (i <- 0 until sz) {
         def loss(wv: Array[Double]) = {
-          val d = DeepMlpKernel.run(wv, dims, x, y, null) - y
+          val d = DeepMlpKernel.run(wv, dims, x, y, null, swish) - y
           0.5 * d * d
         }
         val wp = w.clone(); wp(i) += eps
         val wm = w.clone(); wm(i) -= eps
         val fd = (loss(wp) - loss(wm)) / (2 * eps)
         assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
-          s"layers=$layers grad mismatch at $i: analytic=${g(i)} fd=$fd")
+          s"layers=$layers swish=$swish grad mismatch at $i: " +
+            s"analytic=${g(i)} fd=$fd")
       }
+    }
+  }
+
+  test("deep mlp: swish activation fits and its staged scoring equals " +
+    "the kernel forward") {
+    val r = new scala.util.Random(19)
+    val rows = (0 until 300).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      (i.toLong, f0, f1, f0 * f0 - f1 + 0.05 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "y")
+    val m = new DeepMLPRegressor(Seq("f0", "f1"), "y",
+      layers = Seq(8, 6), activation = "swish", lr = 0.02, epochs = 200)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"swish deep mlp failed: r2=$r2")
+    val ys = rows.map(_._4)
+    val mu = ys.sum / ys.size
+    val sd = math.sqrt(ys.map(v => (v - mu) * (v - mu)).sum / ys.size)
+    pred.select("f0", "f1", "prediction").limit(5).collect().foreach {
+      row =>
+        val local = DeepMlpKernel.run(m.fittedFlat, Seq(2, 8, 6),
+          Array(row.getDouble(0), row.getDouble(1)), 0.0, null,
+          swish = true)
+        assert(math.abs(local * sd + mu - row.getDouble(2)) < 1e-6)
     }
   }
 
