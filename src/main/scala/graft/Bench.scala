@@ -11,17 +11,29 @@ import org.apache.spark.sql.SparkSession
   * and old-gen pressure over ~75 queries, inflating LATE queries 2-3.5x
   * vs their isolated cost — and because that pressure is global (it hits
   * every pass equally), shuffled-order minima cannot remove it. So the
-  * parent process splits the suite round-robin into SPARK_GRAFT_BENCH_FORKS
-  * child JVMs (sequential, each ~13 queries with its own uncounted warmup
-  * and two-pass shuffled minima) and merges their JSON. Each child stays
-  * near steady-state for its whole chunk, so in-suite ~= isolated
-  * (measured at 6 forks / sf0.1: worst spot-check ratio 1.26x —
-  * q_penalize_fixed 2.50 vs 1.98 isolated; 4 forks left it at 1.57x). */
+  * parent process splits the suite round-robin into child JVMs of at most
+  * SPARK_GRAFT_BENCH_CHUNK (10) queries each (sequential, each with its
+  * own uncounted warmup and two-pass shuffled minima) and merges their
+  * JSON.
+  *
+  * Spot-check pass: forking alone proved insufficient as a guarantee —
+  * round 5's artifact recorded q_neutralize_1f at 9.6s where a fresh JVM
+  * measures 1.9-2.9s, and the inflation did not reproduce afterwards
+  * (ambient machine load during the recording, not a code or plan
+  * property). So after the chunk forks finish, the parent re-runs the
+  * SPARK_GRAFT_BENCH_SPOT (5) slowest queries each in its OWN solo child
+  * JVM and records min(chunk, solo) as the number of record — a minimum
+  * over >=4 full runs in two JVMs at two different times. The artifact
+  * carries the evidence: a flat "spotcheck" object with per-query
+  * `<q>_chunk`, `<q>_solo` and `<q>_ratio` (chunk/solo) entries, so the
+  * round artifact itself shows how far suite numbers sit from isolated
+  * cost. */
 object Bench {
 
-  private val Forks  = "SPARK_GRAFT_BENCH_FORKS"
   private val Child  = "SPARK_GRAFT_BENCH_CHILD"
   private val Passes = "SPARK_GRAFT_BENCH_PASSES"
+  private val Chunk  = "SPARK_GRAFT_BENCH_CHUNK"
+  private val Spot   = "SPARK_GRAFT_BENCH_SPOT"
 
   def main(args: Array[String]): Unit = {
     val unknown = args.filterNot(SparkEntry.queries.contains)
@@ -30,23 +42,20 @@ object Bench {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val names =
       (if (args.isEmpty) SparkEntry.queries.keys.toSeq else args.toSeq).sorted
-    val forks = sys.env.getOrElse(Forks, "6").toInt
+    val chunkCap = sys.env.getOrElse(Chunk, "10").toInt
     val isChild = sys.env.contains(Child)
-    // fork only when the chunks are big enough to amortize child warmup;
+    // fork only when the suite is big enough to amortize child warmup;
     // small hand-picked query lists (local iteration) stay in-process
-    if (!isChild && forks > 1 && names.size >= forks * 2) runForked(names, forks)
+    if (!isChild && chunkCap > 0 && names.size >= chunkCap * 2)
+      runForked(names, (names.size + chunkCap - 1) / chunkCap)
     else runInProcess(names)
   }
 
   // ---------------------------------------------------------------- parent
 
-  private def runForked(names: Seq[String], forks: Int): Unit = {
-    val rnd = new scala.util.Random(20260812L)
-    val shuffled = rnd.shuffle(names)
-    // round-robin so every chunk mixes cheap and expensive queries
-    val chunks = (0 until forks).map(i => shuffled.zipWithIndex.collect {
-      case (n, j) if j % forks == i => n
-    }).filter(_.nonEmpty)
+  /** Spawn one child JVM over `chunk`, return its parsed (queries, errors). */
+  private def runChild(chunk: Seq[String])
+      : (Seq[(String, Double)], Map[String, String]) = {
     val javaBin = sys.props("java.home") + "/bin/java"
     val cpProp = sys.props.getOrElse("java.class.path", "")
     // under sbt the JVM classpath is just the sbt launcher — fall back to
@@ -62,34 +71,60 @@ object Bench {
         "sun.util.calendar")
         .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-    var queries = Vector.empty[(String, Double)]
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx$mem",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench") ++ chunk)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put(Child, "1")
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val out = try {
+      val p = pb.start()
+      val s = new String(p.getInputStream.readAllBytes, "UTF-8")
+      val code = p.waitFor()
+      if (code != 0) { System.err.println(s"[bench] fork exit $code"); "" }
+      else s
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fork failed: ${e.getMessage}"); ""
+    }
+    out.linesIterator.find(_.startsWith("{\"metric\"")) match {
+      case Some(json) =>
+        (parseNumObj(json, "queries"), parseStrObj(json, "errors"))
+      case None =>
+        (Nil, chunk.map(_ -> "fork produced no result").toMap)
+    }
+  }
+
+  private def runForked(names: Seq[String], forks: Int): Unit = {
+    val rnd = new scala.util.Random(20260812L)
+    val shuffled = rnd.shuffle(names)
+    // round-robin so every chunk mixes cheap and expensive queries
+    val chunks = (0 until forks).map(i => shuffled.zipWithIndex.collect {
+      case (n, j) if j % forks == i => n
+    }).filter(_.nonEmpty)
+    var queries = Map.empty[String, Double]
     var errors = Map.empty[String, String]
     for (chunk <- chunks) {
-      val cmd = (Seq(javaBin) ++ opens ++ Seq(s"-Xmx$mem",
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Bench") ++ chunk)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put(Child, "1")
-      pb.redirectErrorStream(false)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val out = try {
-        val p = pb.start()
-        val s = new String(p.getInputStream.readAllBytes, "UTF-8")
-        val code = p.waitFor()
-        if (code != 0) { System.err.println(s"[bench] fork exit $code"); "" }
-        else s
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] fork failed: ${e.getMessage}"); ""
-      }
-      out.linesIterator.find(_.startsWith("{\"metric\"")) match {
-        case Some(json) =>
-          queries ++= parseNumObj(json, "queries")
-          errors ++= parseStrObj(json, "errors")
-        case None =>
-          errors ++= chunk.map(_ -> "fork produced no result").toMap
+      val (qs, es) = runChild(chunk)
+      queries ++= qs
+      errors ++= es
+    }
+    // Solo re-run of the slowest queries: each gets a fresh JVM running
+    // ONLY that query (warmup + two-pass minimum). The number of record
+    // becomes min(chunk, solo); the artifact reports both and their ratio.
+    val spotN = sys.env.getOrElse(Spot, "5").toInt
+    val spotQs = queries.toSeq.sortBy(-_._2).take(spotN).map(_._1)
+    var spot = Vector.empty[(String, Double)]
+    for (q <- spotQs) {
+      val (qs, _) = runChild(Seq(q))
+      qs.find(_._1 == q).foreach { case (_, solo) =>
+        val chunkT = queries(q)
+        spot ++= Seq(s"${q}_chunk" -> chunkT, s"${q}_solo" -> solo,
+          s"${q}_ratio" -> math.round(chunkT / solo * 1000.0) / 1000.0)
+        queries += q -> math.min(chunkT, solo)
       }
     }
-    printResult(queries.sortBy(_._1), errors)
+    printResult(queries.toSeq.sortBy(_._1), errors, spot)
   }
 
   /** Extract `"key":{"a":1.5,...}` numeric pairs from a one-line JSON. */
@@ -116,15 +151,18 @@ object Bench {
   }
 
   private def printResult(ok: Seq[(String, Double)],
-                          errors: Map[String, String]): Unit = {
+                          errors: Map[String, String],
+                          spot: Seq[(String, Double)] = Nil): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    val sp = spot.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spotcheck":$sp,"errors":$es,"sf":"$sfDir"}""")
   }
 
   // ----------------------------------------------------------------- child
@@ -141,7 +179,8 @@ object Bench {
       // threshold would run as INTERPRETED bytecode (measured 4x slower
       // on the deep transformer projection chains); at this limit Spark
       // falls back to per-operator codegen, which JITs fine.
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_LIMIT", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = names.map(n => n -> SparkEntry.queries(n)).toMap
@@ -197,7 +236,7 @@ object Bench {
          if !errors.contains(name)) {
       spark.catalog.clearCache()
       graft.operators.GraftTransformer.unpersistAll()
-      if (pass > 1 || passes == 1) System.gc()
+      System.gc() // untimed; keeps neighbor garbage out of the next window
       val t0 = System.nanoTime()
       try {
         selected(name)(spark, sfDir)
