@@ -1,34 +1,48 @@
 package graft.ml
 
 /** Flat-parameter forward/backward kernel for the reference
-  * TransformerRegressor's DEFAULT architecture (transformer.py:145-157,
-  * 161-203, 205-235): Dense(d_model) input projection + learned position
-  * embedding, one encoder block with MULTI-HEAD self-attention (the
-  * reference default `num_heads=4`, `key_dim = d_model // num_heads` —
-  * per-head q/k/v projections, scaled dot-product softmax per head,
-  * head-major concat + output projection, the Keras MultiHeadAttention
-  * shape) with residual, a ReLU feed-forward sub-layer with residual,
-  * optional pre-norm LayerNorms (trainable γ/β, Keras ε=1e-6),
+  * TransformerRegressor (transformer.py:145-157, 161-203, 205-235):
+  * Dense(d_model) input projection + learned position embedding, then
+  * `blocks` stacked encoder blocks (transformer.py:226-227), each with
+  * MULTI-HEAD self-attention (the reference default `num_heads=4`,
+  * `key_dim = d_model // num_heads` — per-head q/k/v projections, scaled
+  * dot-product softmax per head, head-major concat + output projection,
+  * the Keras MultiHeadAttention shape) with residual, a ReLU feed-forward
+  * sub-layer with residual, optional pre-norm LayerNorms (trainable γ/β,
+  * Keras ε=1e-6, per block), then one final LayerNorm after all blocks,
   * AttentionPooling (per-token Dense(1) logit softmaxed over the
   * sequence, transformer.py:96-107 — the reference's default
   * `pooling_type="attention"`) or average pooling, and a ReLU MLP
   * prediction head (`mlp_units` default `(64,)`) before the linear
-  * output. Dropout is omitted (identity at inference).
+  * output.
   *
-  * The forward recurrence matches [[AttnScorer.score]] with the
-  * corresponding [[AttnWeights]] exactly (same exp/Σexp softmax form, no
-  * max-shift), so weights fitted here score identically through the
-  * distributed codegen'd forward pass and its DuckDB SQL mirror.
+  * TRAINING-TIME DROPOUT (the reference default `dropout_rate=0.1`,
+  * transformer.py:153) is inverted Bernoulli masking at the same sites
+  * Keras places it: the per-head softmax attention probabilities
+  * (transformer.py:171-185 — MultiHeadAttention's internal dropout),
+  * after the ReLU FFN hidden layer and after the FFN output projection
+  * (transformer.py:199-202, before the residual add), and after each
+  * ReLU MLP-head layer (transformer.py:232-234). Masks are drawn from
+  * `maskSeed` (one seed per row per epoch, supplied by the trainer), so
+  * a forward and its backward — or a finite-difference pair — see the
+  * SAME network sample; `maskSeed == 0` disables dropout (inference is
+  * always the identity, so the distributed scorer is untouched).
+  *
+  * The forward recurrence matches [[AttnScorer.scoreBlocks]] with the
+  * corresponding [[AttnWeights]] sequence exactly (same exp/Σexp softmax
+  * form, no max-shift), so weights fitted here score identically through
+  * the distributed codegen'd forward pass and its DuckDB SQL mirror.
   * [[AttnBptt]] remains the oracle-minimal single-head/average-pool
   * kernel; this one is the reference-default surface.
   *
   * Layout against ONE flat array (gradients aggregate as a single vector
-  * sum): `wIn` F×H feature-major, `bIn` H, `posEmb` T×H step-major, per
-  * head `wq bq wk bk wv bv` (H×kd input-major + kd) × numHeads, `wO`
-  * (nh·kd)×H input-major, `bO` H, `wF1` H×FF, `bF1` FF, `wF2` FF×H,
-  * `bF2` H, then — with `pool` — `wPool` H + `bPool`, then per MLP-head
-  * layer `Wm` prev×units input-major + `bm` units, `wOut` lastDim,
-  * `bOut`, and — with `norm` — `g1 c1 g2 c2 gF cF` (each H). */
+  * sum): `wIn` F×H feature-major, `bIn` H, `posEmb` T×H step-major, then
+  * PER BLOCK: per head `wq bq wk bk wv bv` (H×kd input-major + kd) ×
+  * numHeads, `wO` (nh·kd)×H input-major, `bO` H, `wF1` H×FF, `bF1` FF,
+  * `wF2` FF×H, `bF2` H, and — with `norm` — `g1 c1 g2 c2` (each H); then
+  * the tail: with `pool` `wPool` H + `bPool`, per MLP-head layer `Wm`
+  * prev×units input-major + `bm` units, `wOut` lastDim, `bOut`, and —
+  * with `norm` — the final `gF cF` (each H). */
 object AttnBpttFull {
 
   private val eps = 1e-6 // Keras LayerNormalization epsilon
@@ -37,46 +51,51 @@ object AttnBpttFull {
     * @param keyDim per-head q/k/v width (reference: d_model / num_heads)
     * @param pool true = AttentionPooling (reference default), false =
     *   average pooling
-    * @param mlp ReLU prediction-head layer sizes (reference default (64,)) */
+    * @param mlp ReLU prediction-head layer sizes (reference default (64,))
+    * @param blocks stacked encoder blocks (reference `num_blocks`, default 1)
+    * @param drop training-time dropout rate (reference default 0.1; only
+    *   active when `run` receives a non-zero maskSeed) */
   case class Cfg(f: Int, t: Int, h: Int, ff: Int, heads: Int, keyDim: Int,
-      pool: Boolean, mlp: Seq[Int], norm: Boolean) {
+      pool: Boolean, mlp: Seq[Int], norm: Boolean, blocks: Int = 1,
+      drop: Double = 0.0) {
     require(heads >= 1 && keyDim >= 1, "at least one head of width >= 1")
+    require(blocks >= 1, "at least one encoder block")
+    require(drop >= 0 && drop < 1, s"dropout rate in [0, 1), got $drop")
     val headLast: Int = if (mlp.isEmpty) h else mlp.last
     /** (name → length) blocks in flat-array order. */
-    private[ml] def blocks: Seq[Int] = {
-      val headBlocks = Seq.fill(heads)(
+    private[ml] def blockSizes: Seq[Int] = {
+      val perBlock = Seq.fill(heads)(
         Seq(h * keyDim, keyDim, h * keyDim, keyDim, h * keyDim, keyDim))
-        .flatten
+        .flatten ++
+        Seq(heads * keyDim * h, h, h * ff, ff, ff * h, h) ++
+        (if (norm) Seq.fill(4)(h) else Seq.empty)
       val mlpBlocks = mlp.foldLeft((Seq.empty[Int], h)) {
         case ((acc, prev), u) => (acc ++ Seq(prev * u, u), u)
       }._1
-      Seq(f * h, h, t * h) ++ headBlocks ++
-        Seq(heads * keyDim * h, h, h * ff, ff, ff * h, h) ++
+      Seq(f * h, h, t * h) ++ Seq.fill(blocks)(perBlock).flatten ++
         (if (pool) Seq(h, 1) else Seq.empty) ++ mlpBlocks ++
-        Seq(headLast, 1) ++ (if (norm) Seq.fill(6)(h) else Seq.empty)
+        Seq(headLast, 1) ++ (if (norm) Seq.fill(2)(h) else Seq.empty)
     }
-    def offsets: Array[Int] = blocks.scanLeft(0)(_ + _).toArray
+    def offsets: Array[Int] = blockSizes.scanLeft(0)(_ + _).toArray
     def size: Int = offsets.last
+    /** Number of (name → length) entries per encoder block. */
+    private[ml] def blocksPerEnc: Int = heads * 6 + 6 + (if (norm) 4 else 0)
   }
 
-  /** Unpack a flat vector into the scorer's weight class (multi-head +
-    * optional pooling/mlp-head/pre-norm fields populated). */
-  def toWeights(w: Array[Double], c: Cfg): AttnWeights = {
+  /** Unpack a flat vector into per-encoder-block scorer weight classes
+    * (block 0 carries wIn/bIn/posEmb, the last carries pool/head; the
+    * final LayerNorm pair lands in EVERY block's gF/cF so
+    * `blocks.last.preNorm.gF` — what [[AttnScorer.scoreBlocks]] reads —
+    * is the global final norm). */
+  def toBlockWeights(w: Array[Double], c: Cfg): Seq[AttnWeights] = {
     val o = c.offsets
     def mat(off: Int, rows: Int, cols: Int): Array[Array[Double]] =
       Array.tabulate(rows, cols)((r, j) => w(off + r * cols + j))
     def vec(off: Int, n: Int): Array[Double] =
       Array.tabulate(n)(i => w(off + i))
     val kd = c.keyDim
-    val headWs = (0 until c.heads).map { hi =>
-      val b = 3 + hi * 6
-      HeadWeights(
-        wq = mat(o(b), c.h, kd), bq = vec(o(b + 1), kd),
-        wk = mat(o(b + 2), c.h, kd), bk = vec(o(b + 3), kd),
-        wv = mat(o(b + 4), c.h, kd), bv = vec(o(b + 5), kd))
-    }
-    val a = 3 + c.heads * 6 // wO block index
-    var bi = a + 6 // next block after bF2
+    // tail offsets (after all encoder blocks)
+    var bi = 3 + c.blocks * c.blocksPerEnc
     val (wPool, bPool) =
       if (!c.pool) (null: Array[Double], 0.0)
       else { val r = (vec(o(bi), c.h), w(o(bi + 1))); bi += 2; r }
@@ -87,49 +106,90 @@ object AttnBpttFull {
       r
     }
     val wOut = vec(o(bi), c.headLast); val bOut = w(o(bi + 1)); bi += 2
-    val pn = if (!c.norm) null else LayerNormParams(
-      g1 = vec(o(bi), c.h), c1 = vec(o(bi + 1), c.h),
-      g2 = vec(o(bi + 2), c.h), c2 = vec(o(bi + 3), c.h),
-      gF = vec(o(bi + 4), c.h), cF = vec(o(bi + 5), c.h), epsilon = eps)
-    AttnWeights(
-      wq = null, bq = null, wk = null, bk = null, wv = null, bv = null,
-      wOut = wOut, bOut = bOut,
-      wIn = mat(o(0), c.f, c.h), bIn = vec(o(1), c.h),
-      posEmb = mat(o(2), c.t, c.h),
-      wF1 = mat(o(a + 2), c.h, c.ff), bF1 = vec(o(a + 3), c.ff),
-      wF2 = mat(o(a + 4), c.ff, c.h), bF2 = vec(o(a + 5), c.h),
-      wPool = wPool, bPool = bPool,
-      preNorm = pn, mlpHead = mlpHead,
-      heads = headWs, wO = mat(o(a), c.heads * kd, c.h),
-      bO = vec(o(a + 1), c.h))
+    val (gF, cF) = if (!c.norm) (null: Array[Double], null: Array[Double])
+      else (vec(o(bi), c.h), vec(o(bi + 1), c.h))
+    (0 until c.blocks).map { b =>
+      val base = 3 + b * c.blocksPerEnc
+      val headWs = (0 until c.heads).map { hi =>
+        val hb = base + hi * 6
+        HeadWeights(
+          wq = mat(o(hb), c.h, kd), bq = vec(o(hb + 1), kd),
+          wk = mat(o(hb + 2), c.h, kd), bk = vec(o(hb + 3), kd),
+          wv = mat(o(hb + 4), c.h, kd), bv = vec(o(hb + 5), kd))
+      }
+      val a = base + c.heads * 6 // wO block index
+      val pn = if (!c.norm) null else LayerNormParams(
+        g1 = vec(o(a + 6), c.h), c1 = vec(o(a + 7), c.h),
+        g2 = vec(o(a + 8), c.h), c2 = vec(o(a + 9), c.h),
+        gF = gF, cF = cF, epsilon = eps)
+      val isFirst = b == 0
+      val isLast = b == c.blocks - 1
+      AttnWeights(
+        wq = null, bq = null, wk = null, bk = null, wv = null, bv = null,
+        wOut = if (isLast) wOut else new Array[Double](c.headLast),
+        bOut = if (isLast) bOut else 0.0,
+        wIn = if (isFirst) mat(o(0), c.f, c.h) else null,
+        bIn = if (isFirst) vec(o(1), c.h) else null,
+        posEmb = if (isFirst) mat(o(2), c.t, c.h) else null,
+        wF1 = mat(o(a + 2), c.h, c.ff), bF1 = vec(o(a + 3), c.ff),
+        wF2 = mat(o(a + 4), c.ff, c.h), bF2 = vec(o(a + 5), c.h),
+        wPool = if (isLast) wPool else null,
+        bPool = if (isLast) bPool else 0.0,
+        preNorm = pn, mlpHead = if (isLast) mlpHead else Nil,
+        heads = headWs, wO = mat(o(a), c.heads * kd, c.h),
+        bO = vec(o(a + 1), c.h))
+    }
+  }
+
+  /** Single-block convenience unpack (callers fitted with blocks = 1). */
+  def toWeights(w: Array[Double], c: Cfg): AttnWeights = {
+    require(c.blocks == 1, "use toBlockWeights for stacked blocks")
+    toBlockWeights(w, c).head
   }
 
   /** Forward pass only (gradient-check helper; production scoring goes
     * through [[AttnScorer]]). */
-  def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]]): Double =
-    run(w, c, x, 0.0, null)
+  def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]],
+      maskSeed: Long = 0L): Double = run(w, c, x, 0.0, null, maskSeed)
+
+  /** Per-row dropout masks (inverted scaling 1/(1−p)), drawn in a FIXED
+    * order from `maskSeed` so forward/backward and finite-difference
+    * pairs sample the same network. */
+  private final class Masks(c: Cfg, maskSeed: Long) {
+    private val rng = new java.util.Random(maskSeed)
+    private val keep = 1.0 - c.drop
+    private def draw(): Double =
+      if (rng.nextDouble() < c.drop) 0.0 else 1.0 / keep
+    // order: per block (att heads×T×T, ffn1 T×ff, ffn2 T×h), then mlp
+    val att: Array[Array[Array[Array[Double]]]] =
+      Array.fill(c.blocks, c.heads, c.t, c.t)(draw())
+    val ffn1: Array[Array[Array[Double]]] =
+      Array.fill(c.blocks, c.t, c.ff)(draw())
+    val ffn2: Array[Array[Array[Double]]] =
+      Array.fill(c.blocks, c.t, c.h)(draw())
+    val mlp: Array[Array[Double]] =
+      c.mlp.map(u => Array.fill(u)(draw())).toArray
+  }
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.
-    * Returns the prediction (acc == null) or the loss (acc != null). */
+    * Returns the prediction (acc == null) or the loss (acc != null).
+    * `maskSeed != 0` with `c.drop > 0` samples training-time dropout. */
   def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
-      acc: Array[Double]): Double = {
+      acc: Array[Double], maskSeed: Long = 0L): Double = {
     val T = c.t; val h = c.h; val f = c.f; val ff = c.ff
-    val nh = c.heads; val kd = c.keyDim
+    val nh = c.heads; val kd = c.keyDim; val nb = c.blocks
     val o = c.offsets
     val (oIn, oBIn, oPos) = (o(0), o(1), o(2))
-    def headOff(hi: Int): Int = o(3 + hi * 6)
-    val a = 3 + nh * 6
-    val (oWO, oBO) = (o(a), o(a + 1))
-    val (oW1, oB1, oW2, oB2) = (o(a + 2), o(a + 3), o(a + 4), o(a + 5))
-    var bi = a + 6
+    def blockBase(b: Int): Int = 3 + b * c.blocksPerEnc
+    var bi = 3 + nb * c.blocksPerEnc
     val (oWP, oBP) = if (c.pool) { val r = (o(bi), o(bi + 1)); bi += 2; r }
       else (-1, -1)
     val mlpOff = c.mlp.map { _ => val r = (o(bi), o(bi + 1)); bi += 2; r }
     val (oWOut, oBOut) = (o(bi), o(bi + 1))
-    val (oG1, oC1, oG2, oC2, oGF, oCF) = if (c.norm)
-      (o(bi + 2), o(bi + 3), o(bi + 4), o(bi + 5), o(bi + 6), o(bi + 7))
-    else (-1, -1, -1, -1, -1, -1)
+    val (oGF, oCF) = if (c.norm) (o(bi + 2), o(bi + 3)) else (-1, -1)
     val invSqrtKd = 1.0 / math.sqrt(kd.toDouble)
+    val mk = if (c.drop > 0 && maskSeed != 0L) new Masks(c, maskSeed)
+      else null
 
     def lnFwd(in: Array[Double], gOff: Int, cOff: Int,
         xhat: Array[Double]): (Array[Double], Double) = {
@@ -170,10 +230,8 @@ object AttnBpttFull {
       din
     }
 
-    // ---- forward ----
+    // ---- forward: input projection + position embedding ----
     val xt = Array.ofDim[Double](T, h) // projected tokens (+ posEmb)
-    val xn = Array.ofDim[Double](T, h) // attention input (LN1(x) or x)
-    val xh1 = Array.ofDim[Double](T, h); val inv1 = new Array[Double](T)
     var t = 0
     while (t < T) {
       val raw = x(t)
@@ -185,113 +243,161 @@ object AttnBpttFull {
         xt(t)(j) = s
         j += 1
       }
-      if (c.norm) {
-        val (out, inv) = lnFwd(xt(t), oG1, oC1, xh1(t))
-        xn(t) = out; inv1(t) = inv
-      } else xn(t) = xt(t)
       t += 1
     }
-    // per-head q/k/v, softmax attention, context
-    val qs = Array.ofDim[Double](nh, T, kd)
-    val ks = Array.ofDim[Double](nh, T, kd)
-    val vs = Array.ofDim[Double](nh, T, kd)
-    val att = Array.ofDim[Double](nh, T, T)
-    val cc = Array.ofDim[Double](T, nh * kd) // head-major concat
-    var hi = 0
-    while (hi < nh) {
-      val hb = headOff(hi)
-      val (oWq, oBq, oWk, oBk, oWv, oBv) = (hb, hb + h * kd,
-        hb + h * kd + kd, hb + 2 * h * kd + kd,
-        hb + 2 * h * kd + 2 * kd, hb + 3 * h * kd + 2 * kd)
+
+    // ---- forward: encoder blocks (per-block activations kept for bwd) --
+    val ins = new Array[Array[Array[Double]]](nb + 1) // block inputs
+    ins(0) = xt
+    val xh1 = Array.ofDim[Double](nb, T, h); val inv1 = Array.ofDim[Double](nb, T)
+    val xns = new Array[Array[Array[Double]]](nb)
+    val qs = Array.ofDim[Double](nb, nh, T, kd)
+    val ks = Array.ofDim[Double](nb, nh, T, kd)
+    val vs = Array.ofDim[Double](nb, nh, T, kd)
+    val att = Array.ofDim[Double](nb, nh, T, T) // post-softmax, pre-drop
+    val ccs = Array.ofDim[Double](nb, T, nh * kd)
+    val rss = Array.ofDim[Double](nb, T, h)
+    val xh2 = Array.ofDim[Double](nb, T, h); val inv2 = Array.ofDim[Double](nb, T)
+    val rns = new Array[Array[Array[Double]]](nb)
+    val uss = Array.ofDim[Double](nb, T, ff) // post-relu, pre-drop
+    var b = 0
+    while (b < nb) {
+      val base = blockBase(b)
+      val (oG1, oC1, oG2, oC2) = if (c.norm) {
+        val a = base + nh * 6
+        (o(a + 6), o(a + 7), o(a + 8), o(a + 9))
+      } else (-1, -1, -1, -1)
+      val a = base + nh * 6
+      val (oWO, oBO) = (o(a), o(a + 1))
+      val (oW1, oB1, oW2, oB2) = (o(a + 2), o(a + 3), o(a + 4), o(a + 5))
+      val inB = ins(b)
+      val xn = Array.ofDim[Double](T, h)
       t = 0
       while (t < T) {
-        var u = 0
-        while (u < kd) {
-          var zq = w(oBq + u); var zk = w(oBk + u); var zv = w(oBv + u)
-          var i = 0
-          while (i < h) {
-            val xv = xn(t)(i); val r = i * kd + u
-            zq += xv * w(oWq + r); zk += xv * w(oWk + r)
-            zv += xv * w(oWv + r)
-            i += 1
-          }
-          qs(hi)(t)(u) = zq; ks(hi)(t)(u) = zk; vs(hi)(t)(u) = zv
-          u += 1
-        }
+        if (c.norm) {
+          val (out, inv) = lnFwd(inB(t), oG1, oC1, xh1(b)(t))
+          xn(t) = out; inv1(b)(t) = inv
+        } else xn(t) = inB(t)
         t += 1
       }
+      xns(b) = xn
+      var hi = 0
+      while (hi < nh) {
+        val hb = base + hi * 6
+        val (oWq, oBq, oWk, oBk, oWv, oBv) = (o(hb), o(hb + 1), o(hb + 2),
+          o(hb + 3), o(hb + 4), o(hb + 5))
+        t = 0
+        while (t < T) {
+          var u = 0
+          while (u < kd) {
+            var zq = w(oBq + u); var zk = w(oBk + u); var zv = w(oBv + u)
+            var i = 0
+            while (i < h) {
+              val xv = xn(t)(i); val r = i * kd + u
+              zq += xv * w(oWq + r); zk += xv * w(oWk + r)
+              zv += xv * w(oWv + r)
+              i += 1
+            }
+            qs(b)(hi)(t)(u) = zq; ks(b)(hi)(t)(u) = zk
+            vs(b)(hi)(t)(u) = zv
+            u += 1
+          }
+          t += 1
+        }
+        t = 0
+        while (t < T) {
+          var den = 0.0
+          var u = 0
+          while (u < T) {
+            var dot = 0.0
+            var j = 0
+            while (j < kd) {
+              dot += qs(b)(hi)(t)(j) * ks(b)(hi)(u)(j); j += 1
+            }
+            val e = math.exp(dot * invSqrtKd)
+            att(b)(hi)(t)(u) = e; den += e
+            u += 1
+          }
+          var u2 = 0
+          while (u2 < T) { att(b)(hi)(t)(u2) /= den; u2 += 1 }
+          var j = 0
+          while (j < kd) {
+            var s = 0.0
+            var u3 = 0
+            while (u3 < T) {
+              val aD = if (mk == null) att(b)(hi)(t)(u3)
+                else att(b)(hi)(t)(u3) * mk.att(b)(hi)(t)(u3)
+              s += aD * vs(b)(hi)(u3)(j)
+              u3 += 1
+            }
+            ccs(b)(t)(hi * kd + j) = s
+            j += 1
+          }
+          t += 1
+        }
+        hi += 1
+      }
+      // output projection + residual, FFN (+ dropout), next block input
+      val fsB = Array.ofDim[Double](T, h)
       t = 0
       while (t < T) {
-        var den = 0.0
-        var u = 0
-        while (u < T) {
-          var dot = 0.0
-          var j = 0
-          while (j < kd) { dot += qs(hi)(t)(j) * ks(hi)(u)(j); j += 1 }
-          val e = math.exp(dot * invSqrtKd)
-          att(hi)(t)(u) = e; den += e
-          u += 1
-        }
-        var u2 = 0
-        while (u2 < T) { att(hi)(t)(u2) /= den; u2 += 1 }
         var j = 0
-        while (j < kd) {
-          var s = 0.0
-          var u3 = 0
-          while (u3 < T) { s += att(hi)(t)(u3) * vs(hi)(u3)(j); u3 += 1 }
-          cc(t)(hi * kd + j) = s
+        while (j < h) {
+          var s = w(oBO + j)
+          var i = 0
+          while (i < nh * kd) { s += ccs(b)(t)(i) * w(oWO + i * h + j)
+            i += 1 }
+          rss(b)(t)(j) = inB(t)(j) + s
           j += 1
         }
+        if (c.norm) {
+          val (out, inv) = lnFwd(rss(b)(t), oG2, oC2, xh2(b)(t))
+          if (rns(b) == null) rns(b) = Array.ofDim[Double](T, h)
+          rns(b)(t) = out; inv2(b)(t) = inv
+        } else {
+          if (rns(b) == null) rns(b) = Array.ofDim[Double](T, h)
+          rns(b)(t) = rss(b)(t)
+        }
+        var i = 0
+        while (i < ff) {
+          var s = w(oB1 + i)
+          var k = 0
+          while (k < h) { s += rns(b)(t)(k) * w(oW1 + k * ff + i); k += 1 }
+          uss(b)(t)(i) = if (s > 0) s else 0.0
+          i += 1
+        }
+        var j2 = 0
+        while (j2 < h) {
+          var s = w(oB2 + j2)
+          var i2 = 0
+          while (i2 < ff) {
+            val uD = if (mk == null) uss(b)(t)(i2)
+              else uss(b)(t)(i2) * mk.ffn1(b)(t)(i2)
+            s += uD * w(oW2 + i2 * h + j2)
+            i2 += 1
+          }
+          val sD = if (mk == null) s else s * mk.ffn2(b)(t)(j2)
+          fsB(t)(j2) = rss(b)(t)(j2) + sD
+          j2 += 1
+        }
         t += 1
       }
-      hi += 1
+      ins(b + 1) = fsB
+      b += 1
     }
-    // output projection + residual, FFN, final norm
-    val zs = Array.ofDim[Double](T, h)
-    val rs = Array.ofDim[Double](T, h)
-    val rn = Array.ofDim[Double](T, h)
-    val xh2 = Array.ofDim[Double](T, h); val inv2 = new Array[Double](T)
-    val us = Array.ofDim[Double](T, ff)
-    val fs = Array.ofDim[Double](T, h)
+
+    // ---- forward: final norm, pooling, MLP head ----
+    val fs = ins(nb) // last block output
     val fn = Array.ofDim[Double](T, h)
     val xhF = Array.ofDim[Double](T, h); val invF = new Array[Double](T)
     t = 0
     while (t < T) {
-      var j = 0
-      while (j < h) {
-        var s = w(oBO + j)
-        var i = 0
-        while (i < nh * kd) { s += cc(t)(i) * w(oWO + i * h + j); i += 1 }
-        zs(t)(j) = s; rs(t)(j) = xt(t)(j) + s
-        j += 1
-      }
-      if (c.norm) {
-        val (out, inv) = lnFwd(rs(t), oG2, oC2, xh2(t))
-        rn(t) = out; inv2(t) = inv
-      } else rn(t) = rs(t)
-      var i = 0
-      while (i < ff) {
-        var s = w(oB1 + i)
-        var k = 0
-        while (k < h) { s += rn(t)(k) * w(oW1 + k * ff + i); k += 1 }
-        us(t)(i) = if (s > 0) s else 0.0
-        i += 1
-      }
-      var j2 = 0
-      while (j2 < h) {
-        var s = w(oB2 + j2)
-        var i2 = 0
-        while (i2 < ff) { s += us(t)(i2) * w(oW2 + i2 * h + j2); i2 += 1 }
-        fs(t)(j2) = rs(t)(j2) + s
-        j2 += 1
-      }
       if (c.norm) {
         val (out, inv) = lnFwd(fs(t), oGF, oCF, xhF(t))
         fn(t) = out; invF(t) = inv
       } else fn(t) = fs(t)
       t += 1
     }
-    // pooling: attention (exp-logit softmax, the scorer's form) or average
     val pooled = new Array[Double](h)
     val pes = new Array[Double](T); var peSum = 0.0
     if (c.pool) {
@@ -321,8 +427,8 @@ object AttnBpttFull {
         j += 1
       }
     }
-    // MLP head + linear output
-    val acts = new Array[Array[Double]](c.mlp.size + 1)
+    // MLP head (+ dropout after each ReLU layer) + linear output
+    val acts = new Array[Array[Double]](c.mlp.size + 1) // post-drop
     val preActs = new Array[Array[Double]](c.mlp.size)
     acts(0) = pooled
     var li = 0
@@ -337,7 +443,9 @@ object AttnBpttFull {
         var i = 0
         while (i < prev.length) { s += prev(i) * w(oWm + i * units + u)
           i += 1 }
-        z(u) = s; aOut(u) = if (s > 0) s else 0.0
+        z(u) = s
+        val r = if (s > 0) s else 0.0
+        aOut(u) = if (mk == null) r else r * mk.mlp(li)(u)
         u += 1
       }
       preActs(li) = z; acts(li + 1) = aOut
@@ -367,7 +475,7 @@ object AttnBpttFull {
       var u = 0
       while (u < units) {
         if (preActs(li)(u) > 0) {
-          val g = dTop(u)
+          val g = if (mk == null) dTop(u) else dTop(u) * mk.mlp(li)(u)
           acc(oBm + u) += g
           var i = 0
           while (i < prev.length) {
@@ -423,164 +531,196 @@ object AttnBpttFull {
         j += 1
       }
     }
-    val dxs = Array.ofDim[Double](T, h)
-    val dcc = Array.ofDim[Double](T, nh * kd)
+    // final LayerNorm backward → gradient on the LAST block's output
+    var dOut = Array.ofDim[Double](T, h)
     t = 0
     while (t < T) {
       val df = if (c.norm) lnBwd(dfn(t), xhF(t), invF(t), oGF, oCF)
         else dfn(t)
-      // FFN backward: f = r + W2·relu(W1·rn) + b2
-      val dr = new Array[Double](h)
-      val drn = new Array[Double](h)
-      var j2 = 0
-      while (j2 < h) {
-        val g = df(j2)
-        dr(j2) += g
-        acc(oB2 + j2) += g
-        j2 += 1
-      }
-      var i = 0
-      while (i < ff) {
-        if (us(t)(i) > 0) {
-          var du = 0.0
-          var j3 = 0
-          while (j3 < h) {
-            val g = df(j3)
-            acc(oW2 + i * h + j3) += us(t)(i) * g
-            du += w(oW2 + i * h + j3) * g
-            j3 += 1
+      var k = 0
+      while (k < h) { dOut(t)(k) = df(k); k += 1 }
+      t += 1
+    }
+
+    // ---- backward through encoder blocks, last → first ----
+    b = nb - 1
+    while (b >= 0) {
+      val base = blockBase(b)
+      val a = base + nh * 6
+      val (oWO, oBO) = (o(a), o(a + 1))
+      val (oW1, oB1, oW2, oB2) = (o(a + 2), o(a + 3), o(a + 4), o(a + 5))
+      val (oG1, oC1, oG2, oC2) = if (c.norm)
+        (o(a + 6), o(a + 7), o(a + 8), o(a + 9))
+      else (-1, -1, -1, -1)
+      val inB = ins(b); val xn = xns(b)
+      val dIn = Array.ofDim[Double](T, h) // gradient on block input
+      val dcc = Array.ofDim[Double](T, nh * kd)
+      t = 0
+      while (t < T) {
+        val df = dOut(t)
+        // FFN backward: f = r + drop2(W2·drop1(relu(W1·rn)) + b2)
+        val dr = new Array[Double](h)
+        val drn = new Array[Double](h)
+        val ds2 = new Array[Double](h)
+        var j2 = 0
+        while (j2 < h) {
+          val g = df(j2)
+          dr(j2) += g // residual path
+          ds2(j2) = if (mk == null) g else g * mk.ffn2(b)(t)(j2)
+          acc(oB2 + j2) += ds2(j2)
+          j2 += 1
+        }
+        var i = 0
+        while (i < ff) {
+          if (uss(b)(t)(i) > 0) {
+            val m1v = if (mk == null) 1.0 else mk.ffn1(b)(t)(i)
+            if (m1v != 0.0) {
+              val uD = uss(b)(t)(i) * m1v
+              var duD = 0.0
+              var j3 = 0
+              while (j3 < h) {
+                val g = ds2(j3)
+                acc(oW2 + i * h + j3) += uD * g
+                duD += w(oW2 + i * h + j3) * g
+                j3 += 1
+              }
+              val du = duD * m1v // through drop1 and relu (active)
+              acc(oB1 + i) += du
+              var k = 0
+              while (k < h) {
+                acc(oW1 + k * ff + i) += rns(b)(t)(k) * du
+                drn(k) += w(oW1 + k * ff + i) * du
+                k += 1
+              }
+            }
           }
-          acc(oB1 + i) += du
+          i += 1
+        }
+        if (c.norm) {
+          val back = lnBwd(drn, xh2(b)(t), inv2(b)(t), oG2, oC2)
           var k = 0
-          while (k < h) {
-            acc(oW1 + k * ff + i) += rn(t)(k) * du
-            drn(k) += w(oW1 + k * ff + i) * du
-            k += 1
-          }
+          while (k < h) { dr(k) += back(k); k += 1 }
+        } else {
+          var k = 0
+          while (k < h) { dr(k) += drn(k); k += 1 }
         }
-        i += 1
-      }
-      if (c.norm) {
-        val back = lnBwd(drn, xh2(t), inv2(t), oG2, oC2)
-        var k = 0
-        while (k < h) { dr(k) += back(k); k += 1 }
-      } else {
-        var k = 0
-        while (k < h) { dr(k) += drn(k); k += 1 }
-      }
-      // r = x + z; z = wO·cc + bO
-      var j4 = 0
-      while (j4 < h) {
-        dxs(t)(j4) += dr(j4)
-        acc(oBO + j4) += dr(j4)
-        j4 += 1
-      }
-      var i2 = 0
-      while (i2 < nh * kd) {
-        var s = 0.0
-        var j5 = 0
-        while (j5 < h) {
-          acc(oWO + i2 * h + j5) += cc(t)(i2) * dr(j5)
-          s += w(oWO + i2 * h + j5) * dr(j5)
-          j5 += 1
+        // r = in + z; z = wO·cc + bO
+        var j4 = 0
+        while (j4 < h) {
+          dIn(t)(j4) += dr(j4)
+          acc(oBO + j4) += dr(j4)
+          j4 += 1
         }
-        dcc(t)(i2) = s
-        i2 += 1
-      }
-      t += 1
-    }
-    // per-head attention backward → dxn, then LN1 → dxs
-    val dxn = Array.ofDim[Double](T, h)
-    hi = 0
-    while (hi < nh) {
-      val hb = headOff(hi)
-      val (oWq, oBq, oWk, oBk, oWv, oBv) = (hb, hb + h * kd,
-        hb + h * kd + kd, hb + 2 * h * kd + kd,
-        hb + 2 * h * kd + 2 * kd, hb + 3 * h * kd + 2 * kd)
-      val dqs = Array.ofDim[Double](T, kd)
-      val dks = Array.ofDim[Double](T, kd)
-      val dvs = Array.ofDim[Double](T, kd)
-      t = 0
-      while (t < T) {
-        val dz = new Array[Double](kd)
-        var j6 = 0
-        while (j6 < kd) { dz(j6) = dcc(t)(hi * kd + j6); j6 += 1 }
-        val da = new Array[Double](T)
-        var u = 0
-        while (u < T) {
+        var i2 = 0
+        while (i2 < nh * kd) {
           var s = 0.0
-          var j7 = 0
-          while (j7 < kd) {
-            s += dz(j7) * vs(hi)(u)(j7)
-            dvs(u)(j7) += att(hi)(t)(u) * dz(j7)
-            j7 += 1
+          var j5 = 0
+          while (j5 < h) {
+            acc(oWO + i2 * h + j5) += ccs(b)(t)(i2) * dr(j5)
+            s += w(oWO + i2 * h + j5) * dr(j5)
+            j5 += 1
           }
-          da(u) = s
-          u += 1
-        }
-        var dotSum = 0.0
-        var u2 = 0
-        while (u2 < T) { dotSum += att(hi)(t)(u2) * da(u2); u2 += 1 }
-        var u3 = 0
-        while (u3 < T) {
-          val ds = att(hi)(t)(u3) * (da(u3) - dotSum) * invSqrtKd
-          var j8 = 0
-          while (j8 < kd) {
-            dqs(t)(j8) += ds * ks(hi)(u3)(j8)
-            dks(u3)(j8) += ds * qs(hi)(t)(j8)
-            j8 += 1
-          }
-          u3 += 1
+          dcc(t)(i2) = s
+          i2 += 1
         }
         t += 1
+      }
+      // per-head attention backward → dxn, then LN1 → dIn
+      val dxn = Array.ofDim[Double](T, h)
+      var hi = 0
+      while (hi < nh) {
+        val hb = base + hi * 6
+        val (oWq, oBq, oWk, oBk, oWv, oBv) = (o(hb), o(hb + 1), o(hb + 2),
+          o(hb + 3), o(hb + 4), o(hb + 5))
+        val dqs = Array.ofDim[Double](T, kd)
+        val dks = Array.ofDim[Double](T, kd)
+        val dvs = Array.ofDim[Double](T, kd)
+        t = 0
+        while (t < T) {
+          val dz = new Array[Double](kd)
+          var j6 = 0
+          while (j6 < kd) { dz(j6) = dcc(t)(hi * kd + j6); j6 += 1 }
+          val da = new Array[Double](T)
+          var u = 0
+          while (u < T) {
+            val mv = if (mk == null) 1.0 else mk.att(b)(hi)(t)(u)
+            var s = 0.0
+            var j7 = 0
+            while (j7 < kd) {
+              s += dz(j7) * vs(b)(hi)(u)(j7)
+              dvs(u)(j7) += att(b)(hi)(t)(u) * mv * dz(j7)
+              j7 += 1
+            }
+            da(u) = s * mv // gradient w.r.t. pre-drop softmax prob
+            u += 1
+          }
+          var dotSum = 0.0
+          var u2 = 0
+          while (u2 < T) { dotSum += att(b)(hi)(t)(u2) * da(u2); u2 += 1 }
+          var u3 = 0
+          while (u3 < T) {
+            val ds = att(b)(hi)(t)(u3) * (da(u3) - dotSum) * invSqrtKd
+            var j8 = 0
+            while (j8 < kd) {
+              dqs(t)(j8) += ds * ks(b)(hi)(u3)(j8)
+              dks(u3)(j8) += ds * qs(b)(hi)(t)(j8)
+              j8 += 1
+            }
+            u3 += 1
+          }
+          t += 1
+        }
+        t = 0
+        while (t < T) {
+          var u = 0
+          while (u < kd) {
+            acc(oBq + u) += dqs(t)(u)
+            acc(oBk + u) += dks(t)(u)
+            acc(oBv + u) += dvs(t)(u)
+            u += 1
+          }
+          var i3 = 0
+          while (i3 < h) {
+            val xv = xn(t)(i3)
+            var u2 = 0
+            while (u2 < kd) {
+              val r = i3 * kd + u2
+              acc(oWq + r) += xv * dqs(t)(u2)
+              acc(oWk + r) += xv * dks(t)(u2)
+              acc(oWv + r) += xv * dvs(t)(u2)
+              dxn(t)(i3) += w(oWq + r) * dqs(t)(u2) +
+                w(oWk + r) * dks(t)(u2) + w(oWv + r) * dvs(t)(u2)
+              u2 += 1
+            }
+            i3 += 1
+          }
+          t += 1
+        }
+        hi += 1
       }
       t = 0
       while (t < T) {
-        var u = 0
-        while (u < kd) {
-          acc(oBq + u) += dqs(t)(u)
-          acc(oBk + u) += dks(t)(u)
-          acc(oBv + u) += dvs(t)(u)
-          u += 1
-        }
-        var i3 = 0
-        while (i3 < h) {
-          val xv = xn(t)(i3)
-          var u2 = 0
-          while (u2 < kd) {
-            val r = i3 * kd + u2
-            acc(oWq + r) += xv * dqs(t)(u2)
-            acc(oWk + r) += xv * dks(t)(u2)
-            acc(oWv + r) += xv * dvs(t)(u2)
-            dxn(t)(i3) += w(oWq + r) * dqs(t)(u2) +
-              w(oWk + r) * dks(t)(u2) + w(oWv + r) * dvs(t)(u2)
-            u2 += 1
-          }
-          i3 += 1
+        if (c.norm) {
+          val back = lnBwd(dxn(t), xh1(b)(t), inv1(b)(t), oG1, oC1)
+          var k = 0
+          while (k < h) { dIn(t)(k) += back(k); k += 1 }
+        } else {
+          var k = 0
+          while (k < h) { dIn(t)(k) += dxn(t)(k); k += 1 }
         }
         t += 1
       }
-      hi += 1
+      dOut = dIn // block input gradient = previous block's output gradient
+      b -= 1
     }
-    t = 0
-    while (t < T) {
-      if (c.norm) {
-        val back = lnBwd(dxn(t), xh1(t), inv1(t), oG1, oC1)
-        var k = 0
-        while (k < h) { dxs(t)(k) += back(k); k += 1 }
-      } else {
-        var k = 0
-        while (k < h) { dxs(t)(k) += dxn(t)(k); k += 1 }
-      }
-      t += 1
-    }
+
     // input projection + position embedding backward
     t = 0
     while (t < T) {
       val raw = x(t)
       var j10 = 0
       while (j10 < h) {
-        val g = dxs(t)(j10)
+        val g = dOut(t)(j10)
         acc(oBIn + j10) += g
         acc(oPos + t * h + j10) += g
         var i3 = 0
@@ -605,24 +745,29 @@ object AttnBpttFull {
     }
     glorot(o(0), c.f, c.h) // wIn
     glorot(o(2), c.t, c.h) // posEmb
-    for (hi <- 0 until c.heads) {
-      val b = 3 + hi * 6
-      glorot(o(b), c.h, c.keyDim) // wq
-      glorot(o(b + 2), c.h, c.keyDim) // wk
-      glorot(o(b + 4), c.h, c.keyDim) // wv
+    for (b <- 0 until c.blocks) {
+      val base = 3 + b * c.blocksPerEnc
+      for (hi <- 0 until c.heads) {
+        val hb = base + hi * 6
+        glorot(o(hb), c.h, c.keyDim) // wq
+        glorot(o(hb + 2), c.h, c.keyDim) // wk
+        glorot(o(hb + 4), c.h, c.keyDim) // wv
+      }
+      val a = base + c.heads * 6
+      glorot(o(a), c.heads * c.keyDim, c.h) // wO
+      glorot(o(a + 2), c.h, c.ff) // wF1
+      glorot(o(a + 4), c.ff, c.h) // wF2
+      if (c.norm) for (p <- 0 until 2) // per-block γ=1 (β stays 0)
+        for (i <- 0 until c.h) w(o(a + 6 + 2 * p) + i) = 1.0
     }
-    val a = 3 + c.heads * 6
-    glorot(o(a), c.heads * c.keyDim, c.h) // wO
-    glorot(o(a + 2), c.h, c.ff) // wF1
-    glorot(o(a + 4), c.ff, c.h) // wF2
-    var bi = a + 6
+    var bi = 3 + c.blocks * c.blocksPerEnc
     if (c.pool) { glorot(o(bi), c.h, 1); bi += 2 }
     var prev = c.h
     for (u <- c.mlp) { glorot(o(bi), prev, u); prev = u; bi += 2 }
     glorot(o(bi), c.headLast, 1) // wOut
     bi += 2
-    if (c.norm) for (p <- 0 until 3) // γ=1 (β stays 0)
-      for (i <- 0 until c.h) w(o(bi + 2 * p) + i) = 1.0
+    if (c.norm) // final γ=1 (β stays 0)
+      for (i <- 0 until c.h) w(o(bi) + i) = 1.0
     w
   }
 }

@@ -410,11 +410,16 @@ object AttnBptt {
   * Defaults train the oracle-minimal block (single head, average
   * pooling, linear head — [[AttnBptt]]); `preNorm = true` adds the
   * reference's `use_pre_norm=True` LayerNorms with trainable γ/β.
-  * Setting any of `numHeads` (> 0), `attnPool`, or `mlpUnits` switches
-  * to the full-architecture kernel [[AttnBpttFull]] — the reference's
-  * DEFAULT config (transformer.py:149-157) is `numHeads = 4,
-  * attnPool = true, mlpUnits = Seq(64), preNorm = true` with per-head
-  * key_dim = dModel / numHeads.
+  * Setting any of `numHeads` (> 0), `attnPool`, `mlpUnits`,
+  * `numBlocks` (> 1), or `dropoutRate` (> 0) switches to the
+  * full-architecture kernel [[AttnBpttFull]] — the reference's DEFAULT
+  * config (transformer.py:149-157) is `numHeads = 4, attnPool = true,
+  * mlpUnits = Seq(64), preNorm = true, numBlocks = 1,
+  * dropoutRate = 0.1` with per-head key_dim = dModel / numHeads.
+  * Dropout is training-time only (per-row per-epoch seeded masks at the
+  * Keras sites — attention probabilities, both FFN layers, the MLP
+  * head); the fitted weights score through the deterministic
+  * distributed forward pass unchanged.
   *
   * `lagCols` must be lag-major over `seqLen` timesteps — the
   * LagTransformer output order ([[graft.operators.SequenceReshape]]). */
@@ -437,7 +442,9 @@ class AttnTrainer(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val numBlocks: Int = 1,
+    val dropoutRate: Double = 0.0) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -445,20 +452,30 @@ class AttnTrainer(
     s"batchFraction must be in (0, 1], got $batchFraction")
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+  require(dropoutRate >= 0 && dropoutRate < 1,
+    s"dropoutRate must be in [0, 1), got $dropoutRate")
   private val nFeat = lagCols.size / seqLen
 
   private var weights: AttnWeights = _
+  private var blockWeights: Seq[AttnWeights] = Nil
   private var yMean = 0.0
   private var yStd = 1.0
 
   def fittedWeights: AttnWeights = weights
+  /** Per-encoder-block weights (numBlocks entries; head = fittedWeights
+    * when numBlocks == 1). */
+  def fittedBlocks: Seq[AttnWeights] =
+    if (blockWeights.nonEmpty) blockWeights else Seq(weights)
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
   /** True when any reference-default surface (multi-head, attention
-    * pooling, MLP head) is requested → the full-architecture kernel. */
+    * pooling, MLP head, stacked blocks, dropout) is requested → the
+    * full-architecture kernel. */
   private def useFull: Boolean =
-    numHeads > 0 || attnPool || mlpUnits.nonEmpty
+    numHeads > 0 || attnPool || mlpUnits.nonEmpty || numBlocks > 1 ||
+      dropoutRate > 0
 
   def fit(df: DataFrame): this.type = {
     val (f, t, h, ff) = (nFeat, seqLen, dModel, ffDim)
@@ -476,11 +493,13 @@ class AttnTrainer(
     if (useFull) {
       val heads = math.max(numHeads, 1)
       val cfg = AttnBpttFull.Cfg(f, t, h, ff, heads,
-        math.max(1, h / heads), attnPool, mlpUnits, useNorm)
+        math.max(1, h / heads), attnPool, mlpUnits, useNorm,
+        blocks = numBlocks, drop = dropoutRate)
       val w = AttnBpttFull.init(cfg, seed)
       adamEpochs(data, cfg.size, w,
-        (bw, x, y, acc) => AttnBpttFull.run(bw, cfg, x, y, acc))
-      weights = AttnBpttFull.toWeights(w, cfg)
+        (bw, x, y, acc, ms) => AttnBpttFull.run(bw, cfg, x, y, acc, ms))
+      blockWeights = AttnBpttFull.toBlockWeights(w, cfg)
+      weights = blockWeights.head
     } else {
       val sz = AttnBptt.size(f, t, h, ff, useNorm)
       val rng = new scala.util.Random(seed)
@@ -507,7 +526,7 @@ class AttnTrainer(
         for (i <- 0 until h) w(off + 2 * p * h + i) = 1.0
       }
       adamEpochs(data, sz, w,
-        (bw, x, y, acc) => AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm))
+        (bw, x, y, acc, _) => AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm))
       weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim, useNorm)
     }
     data.unpersist()
@@ -517,8 +536,8 @@ class AttnTrainer(
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
     * transformer trainer). */
   private def adamEpochs(data: DataFrame, sz: Int, w: Array[Double],
-      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
-        => Double): Unit =
+      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double],
+        Long) => Double): Unit =
     SeqAdam.run(data, sz, w, SeqAdam.Cfg(nFeat, seqLen, yMean, yStd,
       epochs, lr, seed, batchFraction, loss, mseWeight, spearmanWeight,
       rankTau, rankBatch), kernel)
@@ -527,7 +546,7 @@ class AttnTrainer(
     * un-standardizing if the target was scaled at fit. */
   def predict(df: DataFrame): DataFrame = {
     require(weights != null, "fit first")
-    val scored = AttnScorer.score(df, steps, weights)
+    val scored = AttnScorer.scoreBlocks(df, steps, fittedBlocks)
     if (scaleTarget)
       scored.withColumn("prediction",
         col("prediction") * lit(yStd) + lit(yMean))

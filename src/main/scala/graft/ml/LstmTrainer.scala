@@ -45,18 +45,30 @@ object LstmBptt {
       w(size(f, h) - 1))
   }
 
+  /** Training-time dropout sample (Keras LSTM semantics,
+    * sequence.py:123-132): `in` masks the step inputs and `rec` the
+    * recurrent state, with ONE Bernoulli mask PER GATE held constant
+    * across all timesteps of the row (the Keras `dropout` /
+    * `recurrent_dropout` behavior), inverted 1/(1−p) scaling. `seed`
+    * fixes the sample so forward/backward and finite-difference pairs
+    * see the same sub-network. */
+  case class Drop(in: Double, rec: Double, seed: Long) {
+    require(in >= 0 && in < 1 && rec >= 0 && rec < 1,
+      s"dropout rates in [0, 1), got ($in, $rec)")
+  }
+
   /** Forward pass only: prediction for one row (used by the gradient
     * check; production scoring goes through [[LstmScorer]]). */
   def forward(w: Array[Double], f: Int, h: Int,
-      x: Array[Array[Double]]): Double =
-    run(w, f, h, x, 0.0, null)
+      x: Array[Array[Double]], drop: Drop = null): Double =
+    run(w, f, h, x, 0.0, null, drop)
 
   /** Forward + (if `acc` non-null) backward, accumulating the gradient
     * into `acc` (same layout as `w`, one extra slot for the loss is NOT
     * assumed — caller tracks loss from the return). Returns the
     * prediction (acc == null) or the squared-error loss (acc != null). */
   def run(w: Array[Double], f: Int, h: Int, x: Array[Array[Double]],
-      y: Double, acc: Array[Double]): Double = {
+      y: Double, acc: Array[Double], drop: Drop = null): Double = {
     val T = x.length
     val (wiO, uiO, biO) = gateOff(0, f, h)
     val (wfO, ufO, bfO) = gateOff(1, f, h)
@@ -67,6 +79,13 @@ object LstmBptt {
     val gg = Array.ofDim[Double](T, h); val og = Array.ofDim[Double](T, h)
     val cs = Array.ofDim[Double](T, h); val hs = Array.ofDim[Double](T, h)
     val tc = Array.ofDim[Double](T, h)
+    // per-gate masks (4×f input, 4×h recurrent), drawn in fixed order
+    val (mIn, mRec) = if (drop == null) (null, null) else {
+      val rng = new java.util.Random(drop.seed)
+      def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
+        if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
+      (Array.fill(4)(mk(drop.in, f)), Array.fill(4)(mk(drop.rec, h)))
+    }
     def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
     var t = 0
     while (t < T) {
@@ -78,8 +97,15 @@ object LstmBptt {
         var fi = 0
         while (fi < f) {
           val xv = xt(fi); val r = fi * h + u
-          zi += xv * w(wiO + r); zf += xv * w(wfO + r)
-          zg += xv * w(wcO + r); zo += xv * w(woO + r)
+          if (mIn == null) {
+            zi += xv * w(wiO + r); zf += xv * w(wfO + r)
+            zg += xv * w(wcO + r); zo += xv * w(woO + r)
+          } else {
+            zi += xv * mIn(0)(fi) * w(wiO + r)
+            zf += xv * mIn(1)(fi) * w(wfO + r)
+            zg += xv * mIn(2)(fi) * w(wcO + r)
+            zo += xv * mIn(3)(fi) * w(woO + r)
+          }
           fi += 1
         }
         if (t > 0) {
@@ -87,8 +113,15 @@ object LstmBptt {
           var k = 0
           while (k < h) {
             val hv = hp(k); val r = k * h + u
-            zi += hv * w(uiO + r); zf += hv * w(ufO + r)
-            zg += hv * w(ucO + r); zo += hv * w(uoO + r)
+            if (mRec == null) {
+              zi += hv * w(uiO + r); zf += hv * w(ufO + r)
+              zg += hv * w(ucO + r); zo += hv * w(uoO + r)
+            } else {
+              zi += hv * mRec(0)(k) * w(uiO + r)
+              zf += hv * mRec(1)(k) * w(ufO + r)
+              zg += hv * mRec(2)(k) * w(ucO + r)
+              zo += hv * mRec(3)(k) * w(uoO + r)
+            }
             k += 1
           }
         }
@@ -141,8 +174,15 @@ object LstmBptt {
         var fi = 0
         while (fi < f) {
           val xv = xt(fi); val r = fi * h + u2
-          acc(wiO + r) += xv * dzi(u2); acc(wfO + r) += xv * dzf(u2)
-          acc(wcO + r) += xv * dzg(u2); acc(woO + r) += xv * dzo(u2)
+          if (mIn == null) {
+            acc(wiO + r) += xv * dzi(u2); acc(wfO + r) += xv * dzf(u2)
+            acc(wcO + r) += xv * dzg(u2); acc(woO + r) += xv * dzo(u2)
+          } else {
+            acc(wiO + r) += xv * mIn(0)(fi) * dzi(u2)
+            acc(wfO + r) += xv * mIn(1)(fi) * dzf(u2)
+            acc(wcO + r) += xv * mIn(2)(fi) * dzg(u2)
+            acc(woO + r) += xv * mIn(3)(fi) * dzo(u2)
+          }
           fi += 1
         }
         u2 += 1
@@ -155,12 +195,23 @@ object LstmBptt {
           var u3 = 0
           while (u3 < h) {
             val r = k * h + u3
-            acc(uiO + r) += hp(k) * dzi(u3)
-            acc(ufO + r) += hp(k) * dzf(u3)
-            acc(ucO + r) += hp(k) * dzg(u3)
-            acc(uoO + r) += hp(k) * dzo(u3)
-            s += w(uiO + r) * dzi(u3) + w(ufO + r) * dzf(u3) +
-              w(ucO + r) * dzg(u3) + w(uoO + r) * dzo(u3)
+            if (mRec == null) {
+              acc(uiO + r) += hp(k) * dzi(u3)
+              acc(ufO + r) += hp(k) * dzf(u3)
+              acc(ucO + r) += hp(k) * dzg(u3)
+              acc(uoO + r) += hp(k) * dzo(u3)
+              s += w(uiO + r) * dzi(u3) + w(ufO + r) * dzf(u3) +
+                w(ucO + r) * dzg(u3) + w(uoO + r) * dzo(u3)
+            } else {
+              acc(uiO + r) += hp(k) * mRec(0)(k) * dzi(u3)
+              acc(ufO + r) += hp(k) * mRec(1)(k) * dzf(u3)
+              acc(ucO + r) += hp(k) * mRec(2)(k) * dzg(u3)
+              acc(uoO + r) += hp(k) * mRec(3)(k) * dzo(u3)
+              s += w(uiO + r) * mRec(0)(k) * dzi(u3) +
+                w(ufO + r) * mRec(1)(k) * dzf(u3) +
+                w(ucO + r) * mRec(2)(k) * dzg(u3) +
+                w(uoO + r) * mRec(3)(k) * dzo(u3)
+            }
             u3 += 1
           }
           dh(k) = s
@@ -205,7 +256,9 @@ class LSTMTrainer(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val dropout: Double = 0.0,
+    val recurrentDropout: Double = 0.0) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -215,6 +268,17 @@ class LSTMTrainer(
     "bidirectional fit covers the single-layer layout the scorer scores")
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  require(dropout >= 0 && dropout < 1 &&
+    recurrentDropout >= 0 && recurrentDropout < 1,
+    s"dropout rates in [0, 1), got ($dropout, $recurrentDropout)")
+  // Training-time dropout covers the reference's DEFAULT layout — one
+  // LSTM layer, lstm_units=[(64, 0.01, 0.01)] (sequence.py:105-106,
+  // 123-132) — via per-gate Keras-style masks in [[LstmBptt.Drop]].
+  // The stacked/bidirectional fit paths train without dropout (stated
+  // boundary, same policy as the stacked-blocks scoring/fit split).
+  require((dropout == 0 && recurrentDropout == 0) ||
+    (layers.size <= 1 && !bidirectional),
+    "dropout fit covers the single-layer layout (reference default)")
   private val nFeat = lagCols.size / seqLen
 
   /** `layers.size > 1` (reference `lstm_units` list, sequence.py:120)
@@ -260,7 +324,7 @@ class LSTMTrainer(
       case Some(cfg) =>
         val w = LstmStackBptt.init(cfg, seed)
         adamEpochs(data, cfg.size, w,
-          (bw, x, y, acc) => LstmStackBptt.run(bw, cfg, x, y, acc))
+          (bw, x, y, acc, _) => LstmStackBptt.run(bw, cfg, x, y, acc))
         if (cfg.bidi) bidi = LstmStackBptt.toBidi(w, cfg)
         else stacked = LstmStackBptt.toStacked(w, cfg)
       case None =>
@@ -286,7 +350,9 @@ class LSTMTrainer(
         for (i <- 0 until h + 1)
           w(4 * blk + i) = (rng.nextDouble() * 2 - 1) * limOut
         adamEpochs(data, sz, w,
-          (bw, x, y, acc) => LstmBptt.run(bw, f, h, x, y, acc))
+          (bw, x, y, acc, ms) => LstmBptt.run(bw, f, h, x, y, acc,
+            if (dropout > 0 || recurrentDropout > 0)
+              LstmBptt.Drop(dropout, recurrentDropout, ms) else null))
         weights = LstmBptt.toWeights(w, f, h)
     }
     data.unpersist()
@@ -296,8 +362,8 @@ class LSTMTrainer(
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
     * transformer trainer). */
   private def adamEpochs(data: DataFrame, sz: Int, w: Array[Double],
-      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
-        => Double): Unit =
+      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double],
+        Long) => Double): Unit =
     SeqAdam.run(data, sz, w, SeqAdam.Cfg(nFeat, seqLen, yMean, yStd,
       epochs, lr, seed, batchFraction, loss, mseWeight, spearmanWeight,
       rankTau, rankBatch), kernel)

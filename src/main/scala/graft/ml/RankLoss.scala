@@ -103,36 +103,74 @@ object RankLoss {
     * per-Keras-batch loss semantics. Slot sz+1 counts BATCHES: the epoch
     * gradient is the batch mean.
     *
+    * Batch composition re-randomizes per epoch: rows are drawn through a
+    * bounded shuffle window (8 batches wide) whose permutation is seeded
+    * by (seed, epoch, partition), so the pairwise neighborhoods a row is
+    * ranked against change every epoch — the reference reshuffles Keras
+    * batches per epoch — with memory bounded by the window, never the
+    * partition. A leftover single-row batch (b == 1) contributes its MSE
+    * term (the Spearman term is undefined on one row) instead of being
+    * dropped.
+    *
+    * Each row carries a per-epoch `maskSeed` (dropout): the prediction
+    * forward and the gradient re-run use the SAME seed, so the surrogate
+    * identity holds per sampled sub-network.
+    *
     * Row layout: col 0 = target, cols 1.. = lag-major sequence values;
     * the kernel closure is already bound to the epoch's weights. */
   def seqEpochGradient(rows: RDD[Row], sz: Int, t: Int, f: Int,
       ym: Double, ysd: Double,
-      kernel: (Array[Array[Double]], Double, Array[Double]) => Double,
-      tau: Double, mseW: Double, spW: Double, rankBatch: Int)
-      : Array[Double] = {
+      kernel: (Array[Array[Double]], Double, Array[Double], Long) => Double,
+      tau: Double, mseW: Double, spW: Double, rankBatch: Int,
+      seed: Long, ep: Long): Array[Double] = {
     rows.mapPartitions { it =>
       val acc = new Array[Double](sz + 2)
-      it.grouped(rankBatch).foreach { batch =>
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val shufRng = new java.util.Random(
+        SeqAdam.maskSeed(seed, ep, part.toLong, -1L))
+      var idx = 0L
+      val window = math.max(rankBatch * 8, 64)
+      it.grouped(window).flatMap { chunk =>
+        // Fisher-Yates inside the bounded window: per-epoch seed ⇒
+        // fresh batch membership every epoch at O(window) memory
+        val arr = chunk.toArray
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = shufRng.nextInt(i + 1)
+          val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
+          i -= 1
+        }
+        arr.iterator
+      }.grouped(rankBatch).foreach { batch =>
         val b = batch.size
+        val xs = new Array[Array[Array[Double]]](b)
+        val ys = new Array[Double](b)
+        val preds = new Array[Double](b)
+        val seeds = new Array[Long](b)
+        var i = 0
+        batch.foreach { row =>
+          ys(i) = (row.getDouble(0) - ym) / ysd
+          xs(i) = Array.tabulate(t, f)((ti, fi) =>
+            row.getDouble(1 + ti * f + fi))
+          seeds(i) = SeqAdam.maskSeed(seed, ep, part.toLong, idx)
+          idx += 1
+          preds(i) = kernel(xs(i), ys(i), null, seeds(i))
+          i += 1
+        }
         if (b >= 2) {
-          val xs = new Array[Array[Array[Double]]](b)
-          val ys = new Array[Double](b)
-          val preds = new Array[Double](b)
-          var i = 0
-          batch.foreach { row =>
-            ys(i) = (row.getDouble(0) - ym) / ysd
-            xs(i) = Array.tabulate(t, f)((ti, fi) =>
-              row.getDouble(1 + ti * f + fi))
-            preds(i) = kernel(xs(i), ys(i), null)
-            i += 1
-          }
           val (dp, lossVal) = combinedGrad(preds, ys, tau, mseW, spW)
           i = 0
           while (i < b) {
-            kernel(xs(i), preds(i) - dp(i), acc)
+            kernel(xs(i), preds(i) - dp(i), acc, seeds(i))
             i += 1
           }
           acc(sz) += lossVal
+          acc(sz + 1) += 1.0
+        } else if (mseW != 0.0) {
+          // single leftover row: MSE gradient only
+          val d = preds(0) - ys(0)
+          kernel(xs(0), preds(0) - mseW * 2.0 * d, acc, seeds(0))
+          acc(sz) += mseW * d * d
           acc(sz + 1) += 1.0
         }
       }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.DataFrame
   * granularity), the flat-gradient MSE treeAggregate or the rank-loss
   * surrogate-injection path (losses.py:22-189 via
   * [[RankLoss.seqEpochGradient]]), and driver-side Adam.
-  * `kernel(bw, x, y, acc)` accumulates one row's gradient into `acc`
-  * (when non-null) and returns the prediction. */
+  * `kernel(bw, x, y, acc, maskSeed)` accumulates one row's gradient into
+  * `acc` (when non-null) and returns the prediction; `maskSeed` is a
+  * per-row per-epoch seed for training-time dropout masks (kernels
+  * without dropout ignore it). */
 private[ml] object SeqAdam {
 
   case class Cfg(
@@ -18,14 +20,27 @@ private[ml] object SeqAdam {
       loss: String, mseWeight: Double, spearmanWeight: Double,
       rankTau: Double, rankBatch: Int)
 
+  /** SplitMix64-style mix of (seed, epoch, partition, row index) into a
+    * per-row dropout mask seed. Never returns 0 (0 = dropout off). */
+  private[ml] def maskSeed(seed: Long, ep: Long, part: Long,
+      idx: Long): Long = {
+    var z = seed ^ (ep * 0x9E3779B97F4A7C15L) ^
+      (part * 0xC2B2AE3D27D4EB4FL) ^ (idx * 0x165667B19E3779F9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31) | 1L
+  }
+
   def run(data: DataFrame, sz: Int, w: Array[Double], c: Cfg,
-      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double])
-        => Double): Unit = {
+      kernel: (Array[Double], Array[Array[Double]], Double, Array[Double],
+        Long) => Double): Unit = {
     val (f, t) = (c.nFeat, c.seqLen)
     val adam = new AdamState(sz, c.lr)
     val (ym, ys) = (c.yMean, c.yStd)
     for (ep <- 1 to c.epochs) {
       val bw = w.clone()
+      val epL = ep.toLong
+      val seed0 = c.seed
       val batch = if (c.batchFraction >= 1.0) data
         else data.sample(withReplacement = false, c.batchFraction,
           c.seed + ep)
@@ -35,14 +50,17 @@ private[ml] object SeqAdam {
         val (mw, sw) = if (c.loss == "spearman") (0.0, 1.0)
           else (c.mseWeight, c.spearmanWeight)
         RankLoss.seqEpochGradient(batch.rdd, sz, t, f, ym, ys,
-          (x, y, acc) => kernel(bw, x, y, acc), c.rankTau, mw, sw,
-          c.rankBatch)
+          (x, y, acc, ms) => kernel(bw, x, y, acc, ms), c.rankTau, mw, sw,
+          c.rankBatch, seed0, epL)
       } else batch.rdd.treeAggregate(new Array[Double](sz + 2))(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(t, f)((ti, fi) =>
             row.getDouble(1 + ti * f + fi))
-          acc(sz) += kernel(bw, x, y, acc)
+          val ms = maskSeed(seed0, epL,
+            org.apache.spark.TaskContext.getPartitionId().toLong,
+            acc(sz + 1).toLong)
+          acc(sz) += kernel(bw, x, y, acc, ms)
           acc(sz + 1) += 1.0
           acc
         },

@@ -150,6 +150,94 @@ class AttnFitSpec extends AnyFunSuite {
     }
   }
 
+  test("stacked-blocks bptt kernel (num_blocks=2, transformer.py:226-227): " +
+    "analytic gradient matches central finite differences over every " +
+    "parameter, with and without pre-norm") {
+    val r = new scala.util.Random(23)
+    for (norm <- Seq(true, false)) {
+      val cfg = AttnBpttFull.Cfg(f = 2, t = 3, h = 4, ff = 3, heads = 2,
+        keyDim = 2, pool = true, mlp = Seq(3), norm = norm, blocks = 2)
+      val sz = cfg.size
+      val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+      val x = Array.fill(cfg.t, cfg.f)(r.nextGaussian())
+      val y = 0.3
+      val acc = new Array[Double](sz)
+      AttnBpttFull.run(w, cfg, x, y, acc)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        def loss(wv: Array[Double]) = {
+          val d = AttnBpttFull.run(wv, cfg, x, y, null) - y
+          0.5 * d * d
+        }
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"norm=$norm blocks=2 grad mismatch at $i: " +
+            s"analytic=${acc(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("dropout bptt kernel (dropout_rate>0, transformer.py:153): with " +
+    "the mask sample held fixed the analytic gradient matches finite " +
+    "differences; maskSeed=0 is the identity (inference path untouched)") {
+    val r = new scala.util.Random(29)
+    val cfg = AttnBpttFull.Cfg(f = 2, t = 3, h = 4, ff = 3, heads = 2,
+      keyDim = 2, pool = true, mlp = Seq(3), norm = true, blocks = 2,
+      drop = 0.3)
+    val sz = cfg.size
+    val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val x = Array.fill(cfg.t, cfg.f)(r.nextGaussian())
+    val y = 0.3
+    val maskSeed = 12345L
+    val acc = new Array[Double](sz)
+    AttnBpttFull.run(w, cfg, x, y, acc, maskSeed)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      def loss(wv: Array[Double]) = {
+        val d = AttnBpttFull.run(wv, cfg, x, y, null, maskSeed) - y
+        0.5 * d * d
+      }
+      val fd = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"dropout grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    // maskSeed=0 disables dropout: same prediction as a drop=0 config
+    val cfg0 = cfg.copy(drop = 0.0)
+    assert(math.abs(AttnBpttFull.run(w, cfg, x, y, null, 0L) -
+      AttnBpttFull.run(w, cfg0, x, y, null, 0L)) == 0.0,
+      "maskSeed=0 must be the deterministic inference forward")
+  }
+
+  test("stacked-blocks bptt forward matches the distributed scoreBlocks " +
+    "pass through toBlockWeights (num_blocks=2)") {
+    val r = new scala.util.Random(31)
+    val cfg = AttnBpttFull.Cfg(f = 2, t = 3, h = 4, ff = 3, heads = 2,
+      keyDim = 2, pool = true, mlp = Seq(3), norm = true, blocks = 2)
+    val w = Array.fill(cfg.size)(r.nextGaussian() * 0.3)
+    val x = Array.fill(cfg.t, cfg.f)(r.nextGaussian())
+    val cols = (0 until cfg.t).flatMap(ti =>
+      (0 until cfg.f).map(fi => s"x${ti}_$fi"))
+    val row = org.apache.spark.sql.Row.fromSeq(
+      0L +: (0 until cfg.t).flatMap(ti =>
+        (0 until cfg.f).map(fi => x(ti)(fi))))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) +:
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    val scored = AttnScorer.scoreBlocks(sdf, cols.grouped(cfg.f).toSeq,
+        AttnBpttFull.toBlockWeights(w, cfg))
+      .select("prediction").collect()(0).getDouble(0)
+    assert(math.abs(scored - AttnBpttFull.forward(w, cfg, x)) < 1e-12,
+      "stacked-blocks trainer forward and scorer disagree")
+  }
+
   test("full-architecture bptt kernel forward matches the distributed " +
     "AttnScorer forward pass through toWeights") {
     val r = new scala.util.Random(19)
@@ -199,6 +287,54 @@ class AttnFitSpec extends AnyFunSuite {
     val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
       .collect()(0).getDouble(0)
     assert(r2 > 0.8, s"default-config transformer failed to learn: r2=$r2")
+  }
+
+  test("attn: num_blocks=2 fit (transformer.py:226-227) learns AR(2) to " +
+    "R^2 > 0.8 and scores through the stacked distributed pass") {
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new AttnTrainer(Seq("lag4", "lag3", "lag2", "lag1"), seqLen = 4,
+      targetCol = "y", dModel = 8, ffDim = 16, preNorm = true, lr = 0.02,
+      epochs = 200, numHeads = 4, attnPool = true, mlpUnits = Seq(8),
+      numBlocks = 2)
+    val pred = m.fit(df).predict(df)
+    assert(m.fittedBlocks.size == 2 &&
+      m.fittedBlocks.head.wIn != null && m.fittedBlocks(1).wIn == null &&
+      m.fittedBlocks(1).wPool != null,
+      "two encoder blocks: first projects the input, last pools")
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"num_blocks=2 transformer failed to learn: r2=$r2")
+  }
+
+  test("attn: reference-default dropout fit (dropout_rate=0.1, " +
+    "transformer.py:153) still learns AR(2) to R^2 > 0.75") {
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new AttnTrainer(Seq("lag4", "lag3", "lag2", "lag1"), seqLen = 4,
+      targetCol = "y", dModel = 8, ffDim = 16, preNorm = true, lr = 0.02,
+      epochs = 200, numHeads = 4, attnPool = true, mlpUnits = Seq(8),
+      dropoutRate = 0.1)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.75, s"dropout-default transformer failed to learn: r2=$r2")
   }
 
   test("attn: fit learns the synthetic AR(2) series to R^2 > 0.8; " +

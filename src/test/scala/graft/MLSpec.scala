@@ -143,6 +143,59 @@ class MLSpec extends AnyFunSuite {
       "trainer forward and scorer disagree")
   }
 
+  test("lstm dropout kernel (Keras dropout/recurrent_dropout, " +
+    "sequence.py:123-132): with the per-gate mask sample held fixed the " +
+    "analytic gradient matches finite differences; null Drop is identity") {
+    import graft.ml.LstmBptt
+    val (f, h, t) = (2, 3, 4)
+    val sz = LstmBptt.size(f, h)
+    val r = new scala.util.Random(41)
+    val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val x = Array.fill(t, f)(r.nextGaussian())
+    val y = 0.7
+    val drop = LstmBptt.Drop(in = 0.3, rec = 0.3, seed = 777L)
+    val acc = new Array[Double](sz)
+    LstmBptt.run(w, f, h, x, y, acc, drop)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      def loss(wv: Array[Double]) = {
+        val d = LstmBptt.run(wv, f, h, x, y, null, drop) - y
+        0.5 * d * d
+      }
+      val fd = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"dropout grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    assert(LstmBptt.run(w, f, h, x, y, null) ==
+      LstmBptt.run(w, f, h, x, y, null,
+        LstmBptt.Drop(0.0, 0.0, 123L)),
+      "zero-rate Drop must equal the deterministic forward")
+  }
+
+  test("lstm: reference-default dropout fit (lstm_units=[(h, 0.01, " +
+    "0.01)], sequence.py:105-106) learns AR(2) to R^2 > 0.8") {
+    import graft.ml.{LSTMTrainer, Metrics}
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new LSTMTrainer(Seq("lag4", "lag3", "lag2", "lag1"), seqLen = 4,
+      targetCol = "y", hidden = 6, lr = 0.02, epochs = 150,
+      dropout = 0.01, recurrentDropout = 0.01)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"dropout-default LSTM failed to learn AR(2): r2=$r2")
+  }
+
   test("lstm: fit learns a synthetic AR(2) series to R^2 > 0.8; fitted " +
     "weights score through the distributed forward pass") {
     import graft.ml.{LSTMTrainer, Metrics}
