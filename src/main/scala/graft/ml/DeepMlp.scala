@@ -24,13 +24,25 @@ object DeepMlpKernel {
     * output delta = pred − y (linear in pred − y, so the rank-loss
     * surrogate-target injection applies). `swish` selects the
     * activation (dense.py:18 `activation` param: "relu" default; the
-    * reference family also uses "swish", autoencoder.py:21). Returns
-    * the prediction. */
+    * reference family also uses "swish", autoencoder.py:21). With
+    * `drop > 0` and `maskSeed != 0`, an inverted-Bernoulli mask drops
+    * each hidden activation after its nonlinearity (dense.py:28-29 —
+    * Keras Dropout after every hidden Dense); the fixed draw order from
+    * `maskSeed` keeps forward/backward and finite-difference pairs on
+    * the same sub-network. Returns the prediction. */
   def run(w: Array[Double], dims: Seq[Int], x: Array[Double], y: Double,
-      acc: Array[Double], swish: Boolean = false): Double = {
+      acc: Array[Double], swish: Boolean = false, drop: Double = 0.0,
+      maskSeed: Long = 0L): Double = {
     val L = dims.size - 1
+    val masks: Array[Array[Double]] =
+      if (drop <= 0 || maskSeed == 0L) null
+      else {
+        val rng = new java.util.Random(maskSeed)
+        Array.tabulate(L)(l => Array.fill(dims(l + 1))(
+          if (rng.nextDouble() < drop) 0.0 else 1.0 / (1.0 - drop)))
+      }
     val zs = new Array[Array[Double]](L) // pre-activations per layer
-    val hs = new Array[Array[Double]](L + 1)
+    val hs = new Array[Array[Double]](L + 1) // post-activation, post-drop
     hs(0) = x
     var l = 0
     while (l < L) {
@@ -47,8 +59,10 @@ object DeepMlpKernel {
         j += 1
       }
       zs(l) = z
-      hs(l + 1) = if (swish) z.map(v => v * sigmoid(v))
+      val act = if (swish) z.map(v => v * sigmoid(v))
         else z.map(v => if (v > 0) v else 0.0)
+      hs(l + 1) = if (masks == null) act
+        else Array.tabulate(act.length)(j2 => act(j2) * masks(l)(j2))
       l += 1
     }
     val oOut = layerOff(dims, L)
@@ -73,10 +87,11 @@ object DeepMlpKernel {
       val in = hs(l)
       val dz = Array.tabulate(nout) { jj =>
         val z = zs(l)(jj)
+        val dhj = if (masks == null) dh(jj) else dh(jj) * masks(l)(jj)
         if (swish) {
           val s = sigmoid(z)
-          dh(jj) * s * (1.0 + z * (1.0 - s))
-        } else if (z > 0) dh(jj) else 0.0
+          dhj * s * (1.0 + z * (1.0 - s))
+        } else if (z > 0) dhj else 0.0
       }
       val dIn = new Array[Double](nin)
       var i = 0
@@ -123,7 +138,8 @@ class DeepMLPRegressor(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val dropoutRate: Double = 0.0) extends Serializable {
 
   require(layers.nonEmpty, "at least one hidden layer")
   require(Set("relu", "swish")(activation),
@@ -133,6 +149,8 @@ class DeepMLPRegressor(
   private val swish = activation == "swish"
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
+  require(dropoutRate >= 0 && dropoutRate < 1,
+    s"dropoutRate must be in [0, 1), got $dropoutRate")
 
   private val k = featureCols.size
   private val dims = k +: layers
@@ -173,8 +191,11 @@ class DeepMLPRegressor(
     val (ym, ys, dd, n) = (yMean, yStd, dims, sz)
     val sw = swish
     val kk = k
+    val dr = dropoutRate
+    val seed0 = seed
     for (t <- 1 to epochs) {
       val bw = p.clone()
+      val epL = t.toLong
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
       val grad = if (loss != "mse") {
@@ -183,28 +204,40 @@ class DeepMLPRegressor(
         val (tau, rb) = (rankTau, rankBatch)
         batch.rdd.mapPartitions { it =>
           val acc = new Array[Double](n + 2)
+          val part = org.apache.spark.TaskContext.getPartitionId().toLong
+          var idx = 0L
           it.grouped(rb).foreach { rows =>
             val b = rows.size
+            val xs = new Array[Array[Double]](b)
+            val ysA = new Array[Double](b)
+            val preds = new Array[Double](b)
+            val seeds = new Array[Long](b)
+            var i = 0
+            rows.foreach { row =>
+              ysA(i) = (row.getDouble(0) - ym) / ys
+              xs(i) = Array.tabulate(kk)(j => row.getDouble(j + 1))
+              seeds(i) = SeqAdam.maskSeed(seed0, epL, part, idx)
+              idx += 1
+              preds(i) = DeepMlpKernel.run(bw, dd, xs(i), 0.0, null, sw,
+                dr, seeds(i))
+              i += 1
+            }
             if (b >= 2) {
-              val xs = new Array[Array[Double]](b)
-              val ysA = new Array[Double](b)
-              val preds = new Array[Double](b)
-              var i = 0
-              rows.foreach { row =>
-                ysA(i) = (row.getDouble(0) - ym) / ys
-                xs(i) = Array.tabulate(kk)(j => row.getDouble(j + 1))
-                preds(i) = DeepMlpKernel.run(bw, dd, xs(i), 0.0, null, sw)
-                i += 1
-              }
               val (dp, lossVal) =
                 RankLoss.combinedGrad(preds, ysA, tau, mw, spw)
               i = 0
               while (i < b) {
                 DeepMlpKernel.run(bw, dd, xs(i), preds(i) - dp(i), acc,
-                  sw)
+                  sw, dr, seeds(i))
                 i += 1
               }
               acc(n) += lossVal; acc(n + 1) += 1.0
+            } else if (mw != 0.0) {
+              // leftover single-row batch: MSE term (Spearman undefined)
+              val d = preds(0) - ysA(0)
+              DeepMlpKernel.run(bw, dd, xs(0), preds(0) - mw * 2.0 * d,
+                acc, sw, dr, seeds(0))
+              acc(n) += mw * d * d; acc(n + 1) += 1.0
             }
           }
           Iterator.single(DenseVector(acc))
@@ -213,7 +246,10 @@ class DeepMLPRegressor(
         seqOp = (acc, row) => {
           val y = (row.getDouble(0) - ym) / ys
           val x = Array.tabulate(kk)(j => row.getDouble(j + 1))
-          val pred = DeepMlpKernel.run(bw, dd, x, y, acc.data, sw)
+          val ms = SeqAdam.maskSeed(seed0, epL,
+            org.apache.spark.TaskContext.getPartitionId().toLong,
+            acc(n + 1).toLong)
+          val pred = DeepMlpKernel.run(bw, dd, x, y, acc.data, sw, dr, ms)
           val d = pred - y
           acc(n) += 0.5 * d * d; acc(n + 1) += 1.0
           acc

@@ -85,6 +85,52 @@ object JointAeKernel {
     (zl, r, p)
   }
 
+  /** Dropout-sampled forward returning only the prediction (the rank
+    * path's first pass; same mask draw order as [[runW]] so the
+    * gradient re-run with the same seed sees the same network). */
+  def forwardMasked(w: JointAeWeights, x: Array[Double], drop: AeDrop,
+      maskSeed: Long): Double = {
+    val rng = new java.util.Random(maskSeed)
+    def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
+      if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
+    val mE = mk(drop.enc, w.hE); val mZ = mk(drop.latent, w.latent)
+    val mD = mk(drop.enc, w.hE); val mH = mk(drop.head, w.hA)
+    val e = Array.tabulate(w.hE) { j =>
+      var z = w.be(j); for (i <- 0 until w.k) z += x(i) * w.we(i)(j)
+      swish(z) * mE(j)
+    }
+    val zl = Array.tabulate(w.latent) { i =>
+      var z = w.bz(i); for (j <- 0 until w.hE) z += e(j) * w.wz(j)(i)
+      swish(z) * mZ(i)
+    }
+    val d = Array.tabulate(w.hE) { j =>
+      var z = w.bd(j); for (i <- 0 until w.latent) z += zl(i) * w.wd(i)(j)
+      swish(z) * mD(j)
+    }
+    val r = Array.tabulate(w.k) { f =>
+      var z = w.br(f); for (j <- 0 until w.hE) z += d(j) * w.wr(j)(f)
+      z
+    }
+    val h = Array.tabulate(w.hA) { a =>
+      var z = w.bh(a); for (f <- 0 until w.k) z += r(f) * w.wh(f)(a)
+      swish(z) * mH(a)
+    }
+    var p = w.bp; for (a <- 0 until w.hA) p += h(a) * w.wp(a)
+    p
+  }
+
+  /** Training-time per-layer dropout rates (autoencoder.py:33-43,61-65 —
+    * the reference's `encoder_units` [(1024, 0.1)], `latent_units`
+    * (256, 0.1), `ae_units` [(96, 0.4)] carry one rate per activation;
+    * the decoder mirrors the encoder rate). Inverted-Bernoulli masks
+    * after each swish activation, drawn in fixed order (enc, latent,
+    * dec, head) from the per-row seed. */
+  case class AeDrop(enc: Double, latent: Double, head: Double) {
+    require(Seq(enc, latent, head).forall(p => p >= 0 && p < 1),
+      s"dropout rates in [0, 1), got $this")
+    def active: Boolean = enc > 0 || latent > 0 || head > 0
+  }
+
   /** One row's loss; if `acc` is non-null, accumulates dLoss/dparams into
     * it (flat layout = toWeights order). Loss = rw·(1/k)Σ(r−xTgt)² +
     * tw·(p−y)² — the Keras per-output mse with loss_weights. `x` is the
@@ -99,39 +145,56 @@ object JointAeKernel {
     runW(toWeights(pFlat, k, hE, l, hA), x, xTgt, y, rw, tw, acc)
 
   /** Same as [[run]] over ALREADY-DECODED weights — the per-row hot
-    * path (decode once per gradient call, not per row). */
+    * path (decode once per gradient call, not per row). `drop` with a
+    * non-zero `maskSeed` samples training-time dropout. */
   def runW(w: JointAeWeights, x: Array[Double], xTgt: Array[Double],
-      y: Double, rw: Double, tw: Double, acc: Array[Double]): Double = {
+      y: Double, rw: Double, tw: Double, acc: Array[Double],
+      drop: AeDrop = null, maskSeed: Long = 0L): Double = {
     val (k, hE, l, hA) = (w.k, w.hE, w.latent, w.hA)
-    // forward, keeping pre-activations
+    val useDrop = drop != null && drop.active && maskSeed != 0L
+    val (mE, mZ, mD, mH) = if (!useDrop) (null, null, null, null) else {
+      val rng = new java.util.Random(maskSeed)
+      def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
+        if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
+      (mk(drop.enc, hE), mk(drop.latent, l), mk(drop.enc, hE),
+        mk(drop.head, hA))
+    }
+    // forward, keeping pre-activations; e/zl/d/h are post-drop
     val ze = Array.tabulate(hE) { j =>
       var z = w.be(j); for (i <- 0 until k) z += x(i) * w.we(i)(j); z
     }
-    val e = ze.map(swish)
+    val e = if (mE == null) ze.map(swish)
+      else Array.tabulate(hE)(j => swish(ze(j)) * mE(j))
     val zz = Array.tabulate(l) { i =>
       var z = w.bz(i); for (j <- 0 until hE) z += e(j) * w.wz(j)(i); z
     }
-    val zl = zz.map(swish)
+    val zl = if (mZ == null) zz.map(swish)
+      else Array.tabulate(l)(i => swish(zz(i)) * mZ(i))
     val zd = Array.tabulate(hE) { j =>
       var z = w.bd(j); for (i <- 0 until l) z += zl(i) * w.wd(i)(j); z
     }
-    val d = zd.map(swish)
+    val d = if (mD == null) zd.map(swish)
+      else Array.tabulate(hE)(j => swish(zd(j)) * mD(j))
     val r = Array.tabulate(k) { f =>
       var z = w.br(f); for (j <- 0 until hE) z += d(j) * w.wr(j)(f); z
     }
     val zh = Array.tabulate(hA) { a =>
       var z = w.bh(a); for (f <- 0 until k) z += r(f) * w.wh(f)(a); z
     }
-    val h = zh.map(swish)
+    val h = if (mH == null) zh.map(swish)
+      else Array.tabulate(hA)(a => swish(zh(a)) * mH(a))
     var p = w.bp; for (a <- 0 until hA) p += h(a) * w.wp(a)
     var recon = 0.0
     for (f <- 0 until k) { val df = r(f) - xTgt(f); recon += df * df }
     val loss = rw * recon / k + tw * (p - y) * (p - y)
     if (acc == null) return loss
 
-    // backward
+    // backward (each dropped activation's gradient carries its mask)
     val dp = 2.0 * tw * (p - y)
-    val dzh = Array.tabulate(hA)(a => dp * w.wp(a) * swishD(zh(a)))
+    val dzh = Array.tabulate(hA) { a =>
+      val m = if (mH == null) 1.0 else mH(a)
+      dp * w.wp(a) * m * swishD(zh(a))
+    }
     val dr = Array.tabulate(k) { f =>
       var g = 2.0 * rw / k * (r(f) - xTgt(f))
       for (a <- 0 until hA) g += dzh(a) * w.wh(f)(a)
@@ -140,15 +203,24 @@ object JointAeKernel {
     val dd = Array.tabulate(hE) { j =>
       var g = 0.0; for (f <- 0 until k) g += dr(f) * w.wr(j)(f); g
     }
-    val dzd = Array.tabulate(hE)(j => dd(j) * swishD(zd(j)))
+    val dzd = Array.tabulate(hE) { j =>
+      val m = if (mD == null) 1.0 else mD(j)
+      dd(j) * m * swishD(zd(j))
+    }
     val dzl = Array.tabulate(l) { i =>
       var g = 0.0; for (j <- 0 until hE) g += dzd(j) * w.wd(i)(j); g
     }
-    val dzz = Array.tabulate(l)(i => dzl(i) * swishD(zz(i)))
+    val dzz = Array.tabulate(l) { i =>
+      val m = if (mZ == null) 1.0 else mZ(i)
+      dzl(i) * m * swishD(zz(i))
+    }
     val de = Array.tabulate(hE) { j =>
       var g = 0.0; for (i <- 0 until l) g += dzz(i) * w.wz(j)(i); g
     }
-    val dze = Array.tabulate(hE)(j => de(j) * swishD(ze(j)))
+    val dze = Array.tabulate(hE) { j =>
+      val m = if (mE == null) 1.0 else mE(j)
+      de(j) * m * swishD(ze(j))
+    }
 
     var o = 0
     for (i <- 0 until k; j <- 0 until hE) { acc(o) += x(i) * dze(j); o += 1 }
@@ -301,11 +373,24 @@ object JointAe {
   * end-to-end): Adam on the driver over `treeAggregate` flat gradients;
   * `batchFraction` gives the seeded minibatch path. The linear-PCA
   * BottleneckEncoder stays as the closed-form sibling; this is the
-  * trained path a reference user gets from fit(). Of the reference's
-  * two stochastic regularizers, GaussianNoise is implemented
-  * (`gaussianNoise`); per-layer Dropout is omitted (identity at
-  * inference, like the scoring surfaces) — the deviation is a weaker
-  * regularizer, not a different model. */
+  * trained path a reference user gets from fit(). Both of the
+  * reference's stochastic regularizers are implemented: GaussianNoise
+  * (`gaussianNoise`) and per-layer Dropout (`dropoutEncoder` /
+  * `dropoutLatent` / `dropoutHead` — the rates the reference carries in
+  * `encoder_units`/`latent_units`/`ae_units`, defaults 0.1/0.1/0.4,
+  * autoencoder.py:16-22; dropout here defaults OFF to keep the oracle
+  * fit deterministic, opt in for reference-default regularization).
+  *
+  * DEVIATION (standardization in lieu of BatchNormalization): the
+  * reconstruction head trains against the STANDARDIZED features, where
+  * the reference's reconstruction output targets raw X after only an
+  * input BN (autoencoder.py:30,57,78). Relative to the raw-space MSE,
+  * each feature's reconstruction error is therefore reweighted by
+  * 1/σ_f² — features are equalized rather than dollar-scaled. This is
+  * the deliberate flip side of replacing the reference's internal
+  * BatchNorm layers with input standardization; the fitted surfaces are
+  * destandardized on output so transform/reconstruct/predict remain in
+  * raw units. */
 class JointAutoencoder(
     val featureCols: Seq[String],
     val targetCol: String,
@@ -323,7 +408,10 @@ class JointAutoencoder(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val dropoutEncoder: Double = 0.0,
+    val dropoutLatent: Double = 0.0,
+    val dropoutHead: Double = 0.0) extends Serializable {
 
   require(Set("mse", "spearman", "combined")(targetLoss),
     s"targetLoss must be mse|spearman|combined, got $targetLoss")
@@ -331,17 +419,24 @@ class JointAutoencoder(
   private val k = featureCols.size
   private val sz = JointAeKernel.size(k, encoderHidden, latentDim,
     headHidden)
+  private val aeDrop = {
+    val d = JointAeKernel.AeDrop(dropoutEncoder, dropoutLatent, dropoutHead)
+    if (d.active) d else null
+  }
 
   /** Mean joint loss + flat gradient at `p` over `data` (col 0 = y
     * standardized, cols 1..k = standardized features; if 2k+1 columns,
     * cols k+1..2k are the noise-corrupted network inputs and cols 1..k
     * stay the clean reconstruction targets) — exposed for the
-    * finite-difference spec. */
-  def gradient(data: DataFrame, p: Array[Double])
+    * finite-difference spec. `ep` seeds the per-row dropout masks
+    * (0 = dropout off, the spec's deterministic mode). */
+  def gradient(data: DataFrame, p: Array[Double], ep: Long = 0L)
       : (Array[Double], Double) = {
     val kk = k
     val (rw, tw) = (reconWeight, targetWeight)
     val n = sz
+    val dd = if (ep == 0L) null else aeDrop
+    val seed0 = seed
     val w = JointAeKernel.toWeights(p, kk, encoderHidden, latentDim,
       headHidden)
     val zero = DenseVector.zeros[Double](n + 2)
@@ -351,7 +446,11 @@ class JointAutoencoder(
         val xTgt = Array.tabulate(kk)(i => row.getDouble(i + 1))
         val xIn = if (row.size > kk + 1)
           Array.tabulate(kk)(i => row.getDouble(kk + i + 1)) else xTgt
-        val loss = JointAeKernel.runW(w, xIn, xTgt, y, rw, tw, acc.data)
+        val ms = if (dd == null) 0L else SeqAdam.maskSeed(seed0, ep,
+          org.apache.spark.TaskContext.getPartitionId().toLong,
+          acc(n + 1).toLong)
+        val loss = JointAeKernel.runW(w, xIn, xTgt, y, rw, tw, acc.data,
+          dd, ms)
         acc(n) += loss; acc(n + 1) += 1.0
         acc
       },
@@ -367,8 +466,14 @@ class JointAutoencoder(
     * tw·L_rank(preds, ys). The kernel's target backward is linear in
     * (p−y′), so the rank gradient dLt injects via y′ = p − dLt_i/2
     * (then 2·tw·(p−y′) = tw·dLt_i) while the recon term is scaled rw/b
-    * per row; slot sz+1 counts batches. */
-  def rankGradient(data: DataFrame, p: Array[Double])
+    * per row; slot sz+1 counts batches. The reported loss is the FULL
+    * joint objective — each row's reconstruction term (the kernel
+    * return minus the injected surrogate-target term) plus tw·L_rank —
+    * consistent with the MSE-path gradient(). A leftover single-row
+    * batch contributes through the same path (combinedGrad degenerates
+    * to the pure MSE gradient at b = 1; skipped only for the pure
+    * spearman loss, which is undefined on one row). */
+  def rankGradient(data: DataFrame, p: Array[Double], ep: Long = 0L)
       : (Array[Double], Double) = {
     val (kk, hE, l, hA) = (k, encoderHidden, latentDim, headHidden)
     val (rw, tw) = (reconWeight, targetWeight)
@@ -376,16 +481,21 @@ class JointAutoencoder(
       else (mseWeight, spearmanWeight)
     val (tau, rb) = (rankTau, rankBatch)
     val n = sz
+    val dd = if (ep == 0L) null else aeDrop
+    val seed0 = seed
     val w = JointAeKernel.toWeights(p, kk, hE, l, hA)
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
+      val part = org.apache.spark.TaskContext.getPartitionId().toLong
+      var idx = 0L
       it.grouped(rb).foreach { batch =>
         val b = batch.size
-        if (b >= 2) {
+        if (b >= 2 || mw != 0.0) {
           val xIn = new Array[Array[Double]](b)
           val xTgt = new Array[Array[Double]](b)
           val ys = new Array[Double](b)
           val preds = new Array[Double](b)
+          val seeds = new Array[Long](b)
           var i = 0
           batch.foreach { row =>
             ys(i) = row.getDouble(0)
@@ -393,14 +503,20 @@ class JointAutoencoder(
             xIn(i) = if (row.size > kk + 1)
               Array.tabulate(kk)(j => row.getDouble(kk + j + 1))
             else xTgt(i)
-            preds(i) = JointAeKernel.forward(w, xIn(i))._3
+            seeds(i) = if (dd == null) 0L
+              else SeqAdam.maskSeed(seed0, ep, part, idx)
+            idx += 1
+            preds(i) = if (dd == null) JointAeKernel.forward(w, xIn(i))._3
+              else JointAeKernel.forwardMasked(w, xIn(i), dd, seeds(i))
             i += 1
           }
           val (dLt, tLoss) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
           i = 0
           while (i < b) {
-            JointAeKernel.runW(w, xIn(i), xTgt(i),
-              preds(i) - dLt(i) / 2.0, rw / b, tw, acc)
+            val lv = JointAeKernel.runW(w, xIn(i), xTgt(i),
+              preds(i) - dLt(i) / 2.0, rw / b, tw, acc, dd, seeds(i))
+            // strip the injected surrogate term, keep the recon term
+            acc(n) += lv - tw * (dLt(i) / 2.0) * (dLt(i) / 2.0)
             i += 1
           }
           acc(n) += tw * tLoss
@@ -469,8 +585,8 @@ class JointAutoencoder(
               randn(seed + t.toLong * k + i)).as(s"__n$i")
           }: _*)
       }
-      val (g0, _) = if (targetLoss != "mse") rankGradient(epochData, p)
-        else gradient(epochData, p)
+      val (g0, _) = if (targetLoss != "mse") rankGradient(epochData, p, t)
+        else gradient(epochData, p, t)
       adam.update(p, g0, t)
     }
     std.unpersist()

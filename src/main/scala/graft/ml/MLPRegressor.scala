@@ -91,8 +91,14 @@ class MLPRegressor(
     s"batchFraction must be in (0, 1], got $batchFraction")
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
-  require(weightCol.isEmpty || loss == "mse",
-    "sample weights apply to the MSE loss (rank losses are batch-level)")
+  // sample_weight composes with every loss, as in Keras. For the rank
+  // losses the reference's SpearmanCorrelation/CombinedLoss return ONE
+  // scalar per batch (losses.py:55-74,165-179), and Keras's weighted
+  // reduction broadcasts that scalar against the batch's sample weights
+  // and divides by the batch size — i.e. the batch loss (and so its
+  // gradient) is scaled by the batch's MEAN sample weight, not weighted
+  // per row inside the soft ranks. That exact semantics is implemented
+  // below.
 
   private var weights: MLPWeights = _
   private var yMean = 0.0
@@ -150,49 +156,60 @@ class MLPRegressor(
         // batch-mean, mirroring averaged per-step SGD updates.
         val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
           else (mseWeight, spearmanWeight)
-        val (tau, rb) = (rankTau, rankBatch)
+        val (tau, rb, kF) = (rankTau, rankBatch, k)
         batch.rdd.mapPartitions { it =>
           val acc = DenseVector.zeros[Double](sz + 2)
           it.grouped(rb).foreach { rows =>
             val b = rows.size
-            if (b >= 2) {
-              val xs = new Array[DenseVector[Double]](b)
-              val z1s = new Array[DenseVector[Double]](b)
-              val hs = new Array[DenseVector[Double]](b)
-              val preds = new Array[Double](b)
-              val ysArr = new Array[Double](b)
-              var i = 0
-              rows.foreach { row =>
-                ysArr(i) = (row.getDouble(0) - ym) / ys
-                val x = DenseVector(
-                  featIdx.map(ii => row.getDouble(ii + 1)).toArray)
-                val z1 = bw1.t * x + bb1
-                val h = z1.map(z => if (z > 0) z else 0.0)
-                preds(i) = (bw2 dot h) + bb2
-                xs(i) = x; z1s(i) = z1; hs(i) = h
-                i += 1
+            val xs = new Array[DenseVector[Double]](b)
+            val z1s = new Array[DenseVector[Double]](b)
+            val hs = new Array[DenseVector[Double]](b)
+            val preds = new Array[Double](b)
+            val ysArr = new Array[Double](b)
+            var wSum = 0.0
+            var i = 0
+            rows.foreach { row =>
+              ysArr(i) = (row.getDouble(0) - ym) / ys
+              wSum += row.getDouble(kF + 1) // __w (1.0 when unweighted)
+              val x = DenseVector(
+                featIdx.map(ii => row.getDouble(ii + 1)).toArray)
+              val z1 = bw1.t * x + bb1
+              val h = z1.map(z => if (z > 0) z else 0.0)
+              preds(i) = (bw2 dot h) + bb2
+              xs(i) = x; z1s(i) = z1; hs(i) = h
+              i += 1
+            }
+            // Keras weighted reduction of a scalar batch loss = scale by
+            // the batch's mean sample weight (see class doc)
+            val wBar = wSum / b
+            def inject(d0: Double, i2: Int): Unit = {
+              val d = wBar * d0
+              val dh = bw2 * d
+              val dz1 = DenseVector.tabulate(bb1.length)(j =>
+                if (z1s(i2)(j) > 0) dh(j) else 0.0)
+              var off = 0
+              val x = xs(i2)
+              for (ii <- 0 until x.length; j <- 0 until bb1.length) {
+                acc(off) += x(ii) * dz1(j); off += 1
               }
+              for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
+              for (j <- 0 until bb1.length) {
+                acc(off) += d * hs(i2)(j); off += 1
+              }
+              acc(off) += d
+            }
+            if (b >= 2) {
               val (dp, lossVal) =
                 RankLoss.combinedGrad(preds, ysArr, tau, mw, sw)
               i = 0
-              while (i < b) {
-                val d = dp(i)
-                val dh = bw2 * d
-                val dz1 = DenseVector.tabulate(bb1.length)(j =>
-                  if (z1s(i)(j) > 0) dh(j) else 0.0)
-                var off = 0
-                val x = xs(i)
-                for (ii <- 0 until x.length; j <- 0 until bb1.length) {
-                  acc(off) += x(ii) * dz1(j); off += 1
-                }
-                for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
-                for (j <- 0 until bb1.length) {
-                  acc(off) += d * hs(i)(j); off += 1
-                }
-                acc(off) += d
-                i += 1
-              }
-              acc(sz) += lossVal
+              while (i < b) { inject(dp(i), i); i += 1 }
+              acc(sz) += wBar * lossVal
+              acc(sz + 1) += 1.0
+            } else if (mw != 0.0) {
+              // leftover single-row batch: MSE term (Spearman undefined)
+              val d = preds(0) - ysArr(0)
+              inject(mw * 2.0 * d, 0)
+              acc(sz) += wBar * mw * d * d
               acc(sz + 1) += 1.0
             }
           }

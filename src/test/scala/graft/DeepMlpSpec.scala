@@ -38,6 +38,55 @@ class DeepMlpSpec extends AnyFunSuite {
     }
   }
 
+  test("deep mlp dropout kernel (dense.py:28-29): gradient matches " +
+    "finite differences with the mask sample fixed; maskSeed=0 is the " +
+    "deterministic forward") {
+    val r = new scala.util.Random(7)
+    val dims = Seq(3, 4, 3)
+    val sz = DeepMlpKernel.size(dims)
+    val w = Array.fill(sz)(r.nextGaussian() * 0.5)
+    val x = Array.fill(3)(r.nextGaussian())
+    val y = 0.4
+    val (drop, ms) = (0.3, 4242L)
+    for (swish <- Seq(false, true)) {
+      val g = new Array[Double](sz)
+      DeepMlpKernel.run(w, dims, x, y, g, swish, drop, ms)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        def loss(wv: Array[Double]) = {
+          val d = DeepMlpKernel.run(wv, dims, x, y, null, swish, drop,
+            ms) - y
+          0.5 * d * d
+        }
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"swish=$swish dropout grad mismatch at $i: " +
+            s"analytic=${g(i)} fd=$fd")
+      }
+      assert(DeepMlpKernel.run(w, dims, x, y, null, swish, drop, 0L) ==
+        DeepMlpKernel.run(w, dims, x, y, null, swish),
+        "maskSeed=0 must match the deterministic forward")
+    }
+  }
+
+  test("deep mlp: fit at dropoutRate=0.1 (Keras Dropout after every " +
+    "hidden Dense) still learns the two-layer fixture") {
+    val r = new scala.util.Random(19)
+    val rows = (0 until 400).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      (i.toLong, f0, f1, f0 * f1 + 0.05 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "y")
+    val m = new DeepMLPRegressor(Seq("f0", "f1"), "y",
+      layers = Seq(8, 8), lr = 0.01, epochs = 400, dropoutRate = 0.1)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.7, s"dropout deep MLP failed to learn: r2=$r2")
+  }
+
   test("deep mlp: swish activation fits and its staged scoring equals " +
     "the kernel forward") {
     val r = new scala.util.Random(19)

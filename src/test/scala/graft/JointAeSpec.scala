@@ -103,6 +103,72 @@ class JointAeSpec extends AnyFunSuite {
     assert(mse < 0.25, s"denoising AE failed to learn the manifold: $mse")
   }
 
+  test("joint ae: per-layer dropout kernel (autoencoder.py:33-43) — " +
+    "gradient matches finite differences with the mask sample fixed; " +
+    "reference-default rates (0.1/0.1/0.4) still learn the manifold") {
+    val r = new scala.util.Random(33)
+    val (k, hE, l, hA) = (3, 3, 2, 2)
+    val sz = JointAeKernel.size(k, hE, l, hA)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val w = JointAeKernel.toWeights(p, k, hE, l, hA)
+    val x = Array.fill(k)(r.nextGaussian())
+    val y = 0.4
+    val drop = JointAeKernel.AeDrop(enc = 0.3, latent = 0.3, head = 0.4)
+    val ms = 9876L
+    val acc = new Array[Double](sz)
+    JointAeKernel.runW(w, x, x, y, 1.0, 0.7, acc, drop, ms)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      def loss(pv: Array[Double]) = JointAeKernel.runW(
+        JointAeKernel.toWeights(pv, k, hE, l, hA), x, x, y, 1.0, 0.7,
+        null, drop, ms)
+      val fd = (loss(pp) - loss(pm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"dropout grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    // fit at the reference-default dropout rates still learns
+    val rows = (0 until 300).map { i =>
+      val t = r.nextGaussian()
+      (i.toLong, t + 0.05 * r.nextGaussian(),
+        t * t - 1.0 + 0.05 * r.nextGaussian(),
+        math.sin(1.5 * t) + 0.05 * r.nextGaussian(),
+        t + 0.1 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val feats = Seq("f0", "f1", "f2")
+    val model = new JointAutoencoder(feats, "y", latentDim = 1,
+      encoderHidden = 8, headHidden = 4, lr = 0.02, epochs = 300,
+      seed = 1L, dropoutEncoder = 0.1, dropoutLatent = 0.1,
+      dropoutHead = 0.4).fit(df)
+    val mse = model.reconstruct(df).select(avg(
+      feats.indices.map(f =>
+        pow(col(s"recon_$f") - col(feats(f)), 2)).reduce(_ + _) /
+        lit(feats.size.toDouble)).as("mse")).collect()(0).getDouble(0)
+    assert(mse < 0.3, s"dropout AE failed to learn the manifold: $mse")
+  }
+
+  test("joint ae: rankGradient reports the FULL joint objective — at " +
+    "spW=0, mseW=1 its loss equals the MSE-path gradient() loss") {
+    val r = new scala.util.Random(37)
+    val rows = (0 until 40).map(_ =>
+      (r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian()))
+    val df = rows.toDF("y", "f0", "f1", "f2").repartition(1)
+    val ae = new JointAutoencoder(Seq("f0", "f1", "f2"), "y",
+      latentDim = 2, encoderHidden = 3, headHidden = 2,
+      reconWeight = 1.0, targetWeight = 0.7, targetLoss = "combined",
+      mseWeight = 1.0, spearmanWeight = 0.0, rankBatch = 64)
+    val sz = JointAeKernel.size(3, 3, 2, 2)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val (_, mseLoss) = ae.gradient(df, p)
+    val (_, rankLoss) = ae.rankGradient(df, p)
+    assert(math.abs(mseLoss - rankLoss) < 1e-9 * math.max(1.0,
+      math.abs(mseLoss)),
+      s"rank-path loss $rankLoss != joint MSE loss $mseLoss")
+  }
+
   test("joint ae: rank target-loss surrogate injection at spW=0, mseW=1 " +
     "reproduces the plain joint-MSE path (delta-linearity identity)") {
     val r = new scala.util.Random(27)

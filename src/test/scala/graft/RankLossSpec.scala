@@ -191,4 +191,45 @@ class RankLossSpec extends AnyFunSuite {
       s"combined ($sComb) should out-rank mse-only ($sMse)")
     assert(sComb > 0.9, s"combined loss failed to learn ordering: $sComb")
   }
+
+  test("sample_weight composes with the rank losses (Keras scalar-loss " +
+    "weighted reduction = batch mean weight): unit weights reproduce the " +
+    "unweighted fit exactly; zero weights freeze the init") {
+    val r = new scala.util.Random(43)
+    val rows = (0 until 120).map { i =>
+      val f0 = r.nextGaussian()
+      (i.toLong, f0, r.nextGaussian(),
+        math.tanh(2.0 * f0) + 0.01 * r.nextGaussian())
+    }
+    def withW(wv: Double) = rows.map { case (id, f0, f1, y) =>
+      (id, f0, f1, y, wv)
+    }.toDF("id", "f0", "f1", "y", "w")
+    def fitW(df: org.apache.spark.sql.DataFrame,
+        wc: Option[String], eps: Int = 40) =
+      new MLPRegressor(Seq("f0", "f1"), "y", hidden = 4, lr = 0.05,
+        epochs = eps, loss = "combined", rankTau = 0.3, rankBatch = 32,
+        weightCol = wc).fit(df).fittedWeights
+    // delta-linearity at w ≡ 1: the weighted batch gradient IS the
+    // unweighted one, so the trajectories coincide (up to ulp noise from
+    // the literal-vs-column weight plan changing the y-stats summation
+    // order — 1e-12 relative over 40 epochs only holds if the gradients
+    // are semantically identical)
+    val w1 = fitW(withW(1.0), Some("w"))
+    val wNone = fitW(withW(1.0), None)
+    (w1.w2 zip wNone.w2).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)),
+        s"unit-weight fit diverged from unweighted: $a vs $b")
+    }
+    // w ≡ 0: every batch's mean weight is 0 → zero gradient → the
+    // fitted weights are exactly the (seeded) init
+    val w0 = fitW(withW(0.0), Some("w"))
+    val init = fitW(withW(1.0), None, eps = 0)
+    (w0.w2 zip init.w2).foreach { case (a, b) =>
+      assert(a == b, s"zero-weight fit moved off the init: $a vs $b")
+    }
+    (w0.w1.flatten[Double] zip init.w1.flatten[Double]).foreach {
+      case (a, b) =>
+        assert(a == b, s"zero-weight fit moved off the init: $a vs $b")
+    }
+  }
 }
