@@ -116,10 +116,11 @@ object QueriesCore {
     // exact operator; the KMV sketch below is the approximate scale
     // path). ONE percentile aggregate with all three percentages: the
     // group's value buffer is built once and probed three times.
+    // l_returnflag has 3 values, so the Percentiles guard logs the
+    // plan-time low-cardinality warning pointing at the approx knob.
     "q_quantiles" -> ((s, dir) => {
-      li(s, dir).groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
-          .as("__q"))
+      graft.operators.Percentiles.exact(li(s, dir), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.9, 0.99), knownGroups = 3L)
         .select(col("l_returnflag"),
           round(element_at(col("__q"), 1), 4).as("p50"),
           round(element_at(col("__q"), 2), 4).as("p90"),

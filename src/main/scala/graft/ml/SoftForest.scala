@@ -403,7 +403,11 @@ class SoftNdfRegressor(
       val acc = new Array[Double](n + 2)
       it.grouped(rb).foreach { batch =>
         val b = batch.size
-        if (b >= 2) {
+        // combinedGrad degenerates to the pure MSE gradient at b = 1
+        // (the Spearman term is identically 0 on one row), so leftover
+        // single-row batches still contribute their MSE term; only the
+        // pure spearman loss skips them (undefined on one row)
+        if (b >= 2 || mw != 0.0) {
           val xs = new Array[Array[Double]](b)
           val ys = new Array[Double](b)
           val preds = new Array[Double](b)

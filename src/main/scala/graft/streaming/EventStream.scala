@@ -72,7 +72,11 @@ object EventStream {
     * watermarked streaming source): a stream-static join needs NO join
     * state — the dimension is broadcast into every micro-batch (the
     * at-scale configuration for slowly-changing dims: republish the dim,
-    * not the stream). Watermarked tumbling aggregate, memory sink. */
+    * not the stream). Watermarked tumbling aggregate in APPEND mode, so
+    * the watermark both finalizes windows and EVICTS their aggregation
+    * state — total state is bounded by (windows inside the watermark
+    * horizon) × (dim attrs), never by stream lifetime. Windows newer
+    * than the horizon emit once the watermark passes them. */
   def enrichedStream(spark: SparkSession, sourceDir: String,
       dim: DataFrame, queryName: String, eventKey: String,
       dimKey: String, dimAttr: String, width: String = "1 hour",
@@ -82,7 +86,7 @@ object EventStream {
       spark.readStream.schema(schema).parquet(sourceDir)
         .withWatermark("ts", watermark),
       dim, eventKey, dimKey, dimAttr, width)
-    stream.writeStream.outputMode("complete")
+    stream.writeStream.outputMode("append")
       .format("memory").queryName(queryName).start()
   }
 

@@ -149,7 +149,19 @@ class ExtensionsSpec extends AnyFunSuite {
         round($"sum_value", 4).as("sum_value"))
       .collect().map(_.toSeq).toSet
     q.stop()
-    assert(streamed == batch)
+    // append mode emits exactly the FINALIZED windows (watermark past
+    // window end) and evicts their state: everything emitted matches the
+    // batch aggregate, and every window safely inside the horizon
+    // (end < max ts − 2h) must have been emitted
+    assert(streamed.subsetOf(batch),
+      "append-mode stream emitted a window the batch aggregate lacks")
+    val maxTs = events.agg(max($"ts")).collect()(0).getTimestamp(0)
+    val horizon = java.sql.Timestamp.from(
+      maxTs.toInstant.minusSeconds(2 * 3600 + 3600)) // − watermark − width
+    val mustHave = batch.filter(
+      _.head.asInstanceOf[java.sql.Timestamp].before(horizon))
+    assert(mustHave.nonEmpty && mustHave.subsetOf(streamed),
+      s"stream missed ${mustHave.diff(streamed).size} finalized windows")
 
     // same-named join keys (the common dimension-join shape) must not
     // hit an ambiguous-reference error

@@ -157,6 +157,30 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"$q has an exchange:\n$plan")
     }
   }
+
+  test("exact percentile over low-cardinality groups emits the plan-time " +
+    "scale warning (the unpartitioned-window analog) and points at the " +
+    "approx knob; the plan itself stays the exact aggregate") {
+    import graft.operators.Percentiles
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val guarded = Percentiles.exact(df, "l_returnflag",
+      "l_extendedprice", Seq(0.5, 0.9), knownGroups = 3L)
+    assert(Percentiles.lastWarning.exists(w =>
+      w.contains("approx_percentile") && w.contains("l_returnflag")),
+      s"expected the low-cardinality warning, got ${Percentiles.lastWarning}")
+    // high-cardinality (or unknown) keys stay silent
+    Percentiles.exact(df, "l_partkey", "l_extendedprice", Seq(0.5),
+      knownGroups = 100000L)
+    assert(Percentiles.lastWarning.isEmpty, "spurious warning")
+    Percentiles.exact(df, "l_partkey", "l_extendedprice", Seq(0.5))
+    assert(Percentiles.lastWarning.isEmpty, "unknown cardinality flagged")
+    // the guard never rewrites the plan: still the exact percentile agg
+    val direct = df.groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_extendedprice, array(0.5, 0.9))").as("__q"))
+    assert(guarded.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
