@@ -434,7 +434,7 @@ class AttnTrainer(
     val epochs: Int = 150,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 1.0,
+    val batchFraction: Double = 0.2,
     val numHeads: Int = 0,
     val attnPool: Boolean = false,
     val mlpUnits: Seq[Int] = Nil,

@@ -133,7 +133,7 @@ class DeepMLPRegressor(
     val epochs: Int = 200,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 1.0,
+    val batchFraction: Double = 0.2,
     val loss: String = "mse",
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,

@@ -403,7 +403,7 @@ class JointAutoencoder(
     val lr: Double = 0.01,
     val epochs: Int = 150,
     val seed: Long = 42L,
-    val batchFraction: Double = 1.0,
+    val batchFraction: Double = 0.2,
     val targetLoss: String = "mse",
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,

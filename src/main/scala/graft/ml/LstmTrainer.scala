@@ -249,7 +249,7 @@ class LSTMTrainer(
     val epochs: Int = 150,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 1.0,
+    val batchFraction: Double = 0.2,
     val layers: Seq[Int] = Nil,
     val bidirectional: Boolean = false,
     val loss: String = "mse",

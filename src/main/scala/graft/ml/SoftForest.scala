@@ -202,7 +202,7 @@ class SoftNdfRegressor(
     val lr: Double = 0.05,
     val epochs: Int = 100,
     val seed: Long = 42L,
-    val batchFraction: Double = 1.0,
+    val batchFraction: Double = 0.2,
     val trunkUnits: Seq[Int] = Nil,
     val loss: String = "mse",
     val mseWeight: Double = 2.0,
