@@ -42,8 +42,12 @@ object LstmStackBptt {
   /** One cell's forward/backward over a sequence, reading its gate
     * blocks at `off` in the flat array. Forward caches stay in the
     * instance; backward accepts a PER-STEP hidden-gradient injection
-    * and returns per-step input gradients (for the layer below). */
-  private final class Cell(w: Array[Double], off: Int, f: Int, h: Int) {
+    * and returns per-step input gradients (for the layer below).
+    * `mIn`/`mRec` are optional per-gate dropout masks (Keras
+    * dropout/recurrent_dropout: one mask per gate, constant across
+    * timesteps — [[LstmBptt.Drop]] semantics per layer). */
+  private final class Cell(w: Array[Double], off: Int, f: Int, h: Int,
+      mIn: Array[Array[Double]] = null, mRec: Array[Array[Double]] = null) {
     private val blk = f * h + h * h + h
     private def wO(g: Int) = off + g * blk
     private def uO(g: Int) = off + g * blk + f * h
@@ -70,8 +74,15 @@ object LstmStackBptt {
           var fi = 0
           while (fi < f) {
             val xv = xt(fi); val r = fi * h + u
-            zi += xv * w(wO(0) + r); zf += xv * w(wO(1) + r)
-            zg += xv * w(wO(2) + r); zo += xv * w(wO(3) + r)
+            if (mIn == null) {
+              zi += xv * w(wO(0) + r); zf += xv * w(wO(1) + r)
+              zg += xv * w(wO(2) + r); zo += xv * w(wO(3) + r)
+            } else {
+              zi += xv * mIn(0)(fi) * w(wO(0) + r)
+              zf += xv * mIn(1)(fi) * w(wO(1) + r)
+              zg += xv * mIn(2)(fi) * w(wO(2) + r)
+              zo += xv * mIn(3)(fi) * w(wO(3) + r)
+            }
             fi += 1
           }
           if (t > 0) {
@@ -79,8 +90,15 @@ object LstmStackBptt {
             var k = 0
             while (k < h) {
               val hv = hp(k); val r = k * h + u
-              zi += hv * w(uO(0) + r); zf += hv * w(uO(1) + r)
-              zg += hv * w(uO(2) + r); zo += hv * w(uO(3) + r)
+              if (mRec == null) {
+                zi += hv * w(uO(0) + r); zf += hv * w(uO(1) + r)
+                zg += hv * w(uO(2) + r); zo += hv * w(uO(3) + r)
+              } else {
+                zi += hv * mRec(0)(k) * w(uO(0) + r)
+                zf += hv * mRec(1)(k) * w(uO(1) + r)
+                zg += hv * mRec(2)(k) * w(uO(2) + r)
+                zo += hv * mRec(3)(k) * w(uO(3) + r)
+              }
               k += 1
             }
           }
@@ -131,8 +149,15 @@ object LstmStackBptt {
           var fi = 0
           while (fi < f) {
             val xv = xt(fi); val r = fi * h + u
-            acc(wO(0) + r) += xv * dzi(u); acc(wO(1) + r) += xv * dzf(u)
-            acc(wO(2) + r) += xv * dzg(u); acc(wO(3) + r) += xv * dzo(u)
+            if (mIn == null) {
+              acc(wO(0) + r) += xv * dzi(u); acc(wO(1) + r) += xv * dzf(u)
+              acc(wO(2) + r) += xv * dzg(u); acc(wO(3) + r) += xv * dzo(u)
+            } else {
+              acc(wO(0) + r) += xv * mIn(0)(fi) * dzi(u)
+              acc(wO(1) + r) += xv * mIn(1)(fi) * dzf(u)
+              acc(wO(2) + r) += xv * mIn(2)(fi) * dzg(u)
+              acc(wO(3) + r) += xv * mIn(3)(fi) * dzo(u)
+            }
             fi += 1
           }
           u += 1
@@ -144,8 +169,14 @@ object LstmStackBptt {
             var u2 = 0
             while (u2 < h) {
               val r = fi * h + u2
-              s += w(wO(0) + r) * dzi(u2) + w(wO(1) + r) * dzf(u2) +
-                w(wO(2) + r) * dzg(u2) + w(wO(3) + r) * dzo(u2)
+              if (mIn == null)
+                s += w(wO(0) + r) * dzi(u2) + w(wO(1) + r) * dzf(u2) +
+                  w(wO(2) + r) * dzg(u2) + w(wO(3) + r) * dzo(u2)
+              else
+                s += w(wO(0) + r) * mIn(0)(fi) * dzi(u2) +
+                  w(wO(1) + r) * mIn(1)(fi) * dzf(u2) +
+                  w(wO(2) + r) * mIn(2)(fi) * dzg(u2) +
+                  w(wO(3) + r) * mIn(3)(fi) * dzo(u2)
               u2 += 1
             }
             dx(t)(fi) = s
@@ -160,12 +191,23 @@ object LstmStackBptt {
             var u3 = 0
             while (u3 < h) {
               val r = k * h + u3
-              acc(uO(0) + r) += hp(k) * dzi(u3)
-              acc(uO(1) + r) += hp(k) * dzf(u3)
-              acc(uO(2) + r) += hp(k) * dzg(u3)
-              acc(uO(3) + r) += hp(k) * dzo(u3)
-              s += w(uO(0) + r) * dzi(u3) + w(uO(1) + r) * dzf(u3) +
-                w(uO(2) + r) * dzg(u3) + w(uO(3) + r) * dzo(u3)
+              if (mRec == null) {
+                acc(uO(0) + r) += hp(k) * dzi(u3)
+                acc(uO(1) + r) += hp(k) * dzf(u3)
+                acc(uO(2) + r) += hp(k) * dzg(u3)
+                acc(uO(3) + r) += hp(k) * dzo(u3)
+                s += w(uO(0) + r) * dzi(u3) + w(uO(1) + r) * dzf(u3) +
+                  w(uO(2) + r) * dzg(u3) + w(uO(3) + r) * dzo(u3)
+              } else {
+                acc(uO(0) + r) += hp(k) * mRec(0)(k) * dzi(u3)
+                acc(uO(1) + r) += hp(k) * mRec(1)(k) * dzf(u3)
+                acc(uO(2) + r) += hp(k) * mRec(2)(k) * dzg(u3)
+                acc(uO(3) + r) += hp(k) * mRec(3)(k) * dzo(u3)
+                s += w(uO(0) + r) * mRec(0)(k) * dzi(u3) +
+                  w(uO(1) + r) * mRec(1)(k) * dzf(u3) +
+                  w(uO(2) + r) * mRec(2)(k) * dzg(u3) +
+                  w(uO(3) + r) * mRec(3)(k) * dzo(u3)
+              }
               u3 += 1
             }
             dh(k) = s
@@ -179,19 +221,40 @@ object LstmStackBptt {
   }
 
   /** Forward pass only (gradient-check helper). */
-  def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]]): Double =
-    run(w, c, x, 0.0, null)
+  def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]],
+      drop: LstmBptt.Drop = null): Double =
+    run(w, c, x, 0.0, null, drop)
+
+  /** Per-gate masks for cell `cell` from the row's Drop sample — each
+    * cell (stacked layer / bidi direction) draws its own masks, in cell
+    * order, from one seeded stream (the Keras per-layer behavior). */
+  private def cellMasks(drop: LstmBptt.Drop, c: Cfg, nCells: Int)
+      : Array[(Array[Array[Double]], Array[Array[Double]])] = {
+    if (drop == null) return null
+    val rng = new java.util.Random(drop.seed)
+    def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
+      if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
+    Array.tabulate(nCells) { cell =>
+      val f = if (c.bidi) c.f else c.fIn(cell)
+      val h = if (c.bidi) c.layers.head else c.layers(cell)
+      (Array.fill(4)(mk(drop.in, f)), Array.fill(4)(mk(drop.rec, h)))
+    }
+  }
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.
-    * Returns the prediction (acc == null) or the loss (acc != null). */
+    * Returns the prediction (acc == null) or the loss (acc != null).
+    * `drop` samples Keras dropout/recurrent_dropout per cell. */
   def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
-      acc: Array[Double]): Double = {
+      acc: Array[Double], drop: LstmBptt.Drop = null): Double = {
     val T = x.length
     val hOff = c.headOff
+    val masks = cellMasks(drop, c, if (c.bidi) 2 else c.layers.size)
+    def mI(i: Int) = if (masks == null) null else masks(i)._1
+    def mR(i: Int) = if (masks == null) null else masks(i)._2
     if (c.bidi) {
       val h = c.layers.head
-      val fwd = new Cell(w, c.cellOff(0), c.f, h)
-      val bwd = new Cell(w, c.cellOff(1), c.f, h)
+      val fwd = new Cell(w, c.cellOff(0), c.f, h, mI(0), mR(0))
+      val bwd = new Cell(w, c.cellOff(1), c.f, h, mI(1), mR(1))
       val rev = Array.tabulate(T)(t => x(T - 1 - t))
       val hsF = fwd.forward(x)
       val hsB = bwd.forward(rev)
@@ -221,7 +284,7 @@ object LstmStackBptt {
     } else {
       val L = c.layers.size
       val cells = Array.tabulate(L)(l =>
-        new Cell(w, c.cellOff(l), c.fIn(l), c.layers(l)))
+        new Cell(w, c.cellOff(l), c.fIn(l), c.layers(l), mI(l), mR(l)))
       var cur = x
       var l = 0
       while (l < L) { cur = cells(l).forward(cur); l += 1 }

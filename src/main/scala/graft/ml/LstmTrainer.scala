@@ -271,14 +271,12 @@ class LSTMTrainer(
   require(dropout >= 0 && dropout < 1 &&
     recurrentDropout >= 0 && recurrentDropout < 1,
     s"dropout rates in [0, 1), got ($dropout, $recurrentDropout)")
-  // Training-time dropout covers the reference's DEFAULT layout — one
-  // LSTM layer, lstm_units=[(64, 0.01, 0.01)] (sequence.py:105-106,
-  // 123-132) — via per-gate Keras-style masks in [[LstmBptt.Drop]].
-  // The stacked/bidirectional fit paths train without dropout (stated
-  // boundary, same policy as the stacked-blocks scoring/fit split).
-  require((dropout == 0 && recurrentDropout == 0) ||
-    (layers.size <= 1 && !bidirectional),
-    "dropout fit covers the single-layer layout (reference default)")
+  // Training-time dropout (sequence.py:123-132, reference default
+  // lstm_units=[(64, 0.01, 0.01)]): per-gate Keras-style masks,
+  // constant across timesteps, per-row per-epoch seed — applied on
+  // every fit layout (single, stacked, bidirectional; each cell draws
+  // its own masks, the Keras per-layer behavior). One rate pair is
+  // shared across layers where the reference allows per-layer tuples.
   private val nFeat = lagCols.size / seqLen
 
   /** `layers.size > 1` (reference `lstm_units` list, sequence.py:120)
@@ -324,7 +322,9 @@ class LSTMTrainer(
       case Some(cfg) =>
         val w = LstmStackBptt.init(cfg, seed)
         adamEpochs(data, cfg.size, w,
-          (bw, x, y, acc, _) => LstmStackBptt.run(bw, cfg, x, y, acc))
+          (bw, x, y, acc, ms) => LstmStackBptt.run(bw, cfg, x, y, acc,
+            if (dropout > 0 || recurrentDropout > 0)
+              LstmBptt.Drop(dropout, recurrentDropout, ms) else null))
         if (cfg.bidi) bidi = LstmStackBptt.toBidi(w, cfg)
         else stacked = LstmStackBptt.toStacked(w, cfg)
       case None =>

@@ -285,6 +285,42 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("stacked/bidi lstm dropout kernel: per-cell per-gate masks held " +
+    "fixed — analytic gradient matches central finite differences") {
+    import graft.ml.{LstmBptt, LstmStackBptt}
+    val r = new scala.util.Random(47)
+    val (f, t) = (2, 3)
+    val drop = LstmBptt.Drop(in = 0.3, rec = 0.3, seed = 555L)
+    val cfgs = Seq(
+      LstmStackBptt.Cfg(f, Seq(3, 2), bidi = false),
+      LstmStackBptt.Cfg(f, Seq(3), bidi = true))
+    for (cfg <- cfgs) {
+      val sz = cfg.size
+      val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+      val x = Array.fill(t, f)(r.nextGaussian())
+      val y = 0.6
+      val acc = new Array[Double](sz)
+      LstmStackBptt.run(w, cfg, x, y, acc, drop)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        def loss(wv: Array[Double]) = {
+          val d = LstmStackBptt.run(wv, cfg, x, y, null, drop) - y
+          0.5 * d * d
+        }
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"bidi=${cfg.bidi} dropout grad mismatch at $i: " +
+            s"analytic=${acc(i)} fd=$fd")
+      }
+      assert(LstmStackBptt.run(w, cfg, x, y, null) ==
+        LstmStackBptt.run(w, cfg, x, y, null,
+          LstmBptt.Drop(0.0, 0.0, 99L)),
+        "zero-rate Drop must equal the deterministic forward")
+    }
+  }
+
   test("lstm: stacked (2-layer) and bidirectional fits learn the AR(2) " +
     "series to R^2 > 0.8 through the distributed forward pass") {
     import graft.ml.{LSTMTrainer, Metrics}
