@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * block. The forward recurrence matches [[AttnScorer.score]] with the
   * corresponding [[AttnWeights]] exactly, so weights fitted here score
   * identically through the distributed codegen'd forward pass (and its
-  * DuckDB SQL mirror). Dropout is omitted (identity at inference);
-  * attention pooling and the MLP head remain inference-only surfaces.
+  * DuckDB SQL mirror). This is the oracle-minimal kernel: multi-head
+  * attention, pooling, the MLP head, stacked blocks, and training-time
+  * dropout all live in [[AttnBpttFull]].
   *
   * Layout (per-row gradient of 0.5·(pred − y)² against ONE flat array, so
   * gradients aggregate as a single vector sum): `wIn` F×H feature-major,
