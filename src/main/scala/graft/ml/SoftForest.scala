@@ -208,12 +208,28 @@ class SoftNdfRegressor(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val inputNoiseStd: Double = 0.0,
+    val treeNoiseStd: Double = 0.0,
+    val treeDropoutRate: Double = 0.0) extends Serializable {
 
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
   require(usedFeaturesRate > 0 && usedFeaturesRate <= 1.0,
     s"usedFeaturesRate must be in (0, 1], got $usedFeaturesRate")
+  require(inputNoiseStd >= 0 && treeNoiseStd >= 0 &&
+    treeDropoutRate >= 0 && treeDropoutRate < 1,
+    "noise stds >= 0, tree dropout in [0, 1)")
+  /** The reference NDF's three stochastic regularizers
+    * (tree.py:291-293, 325-375, all defaulting OFF like the reference):
+    * GaussianNoise on the standardized input before the trunk
+    * (input_noise_std), an independent GaussianNoise view of the trunk
+    * output per tree (tree_noise_std — ensemble diversity), and
+    * whole-tree Dropout with inverted scaling (tree_dropout_rate — the
+    * broadcast noise_shape that zeroes an entire tree's output).
+    * Training-time only; per-row per-epoch seeded draws. */
+  private def noiseActive: Boolean =
+    inputNoiseStd > 0 || treeNoiseStd > 0 || treeDropoutRate > 0
 
   private val nFeat = featureCols.size
   private val nNodes = (1 << depth) - 1
@@ -263,10 +279,24 @@ class SoftNdfRegressor(
   private def rowRun(trees: Seq[SoftTreeWeights],
       trunk: Seq[(Array[Array[Double]], Array[Double])],
       paths: Array[Array[(Int, Boolean)]], tOffs: Seq[Int],
-      x0: Array[Double], y: Double, acc: Array[Double], temp: Double)
-      : Double = {
+      x0in: Array[Double], y: Double, acc: Array[Double], temp: Double,
+      maskSeed: Long = 0L): Double = {
     val (nT, pT, tSz) = (numTrees, perTree, trunkSz)
     val (nU, nN, nL, tF) = (nUsed, nNodes, nLeaves, treeFeat)
+    // stochastic regularizer draws (fixed order: input noise, per-tree
+    // noise, tree-dropout masks) — active only at training time
+    val rng = if (noiseActive && maskSeed != 0L)
+      new java.util.Random(maskSeed) else null
+    val x0 = if (rng == null || inputNoiseStd <= 0) x0in
+      else Array.tabulate(x0in.length)(i =>
+        x0in(i) + inputNoiseStd * rng.nextGaussian())
+    val tNoise: Array[Array[Double]] =
+      if (rng == null || treeNoiseStd <= 0) null
+      else Array.fill(nT, tF)(treeNoiseStd * rng.nextGaussian())
+    val tMask: Array[Double] =
+      if (rng == null || treeDropoutRate <= 0) null
+      else Array.fill(nT)(if (rng.nextDouble() < treeDropoutRate) 0.0
+        else 1.0 / (1.0 - treeDropoutRate))
     // shared ReLU trunk forward (trunk_units, tree.py:330-336),
     // keeping per-layer activations for backprop
     val acts = new Array[Array[Double]](trunk.size + 1)
@@ -280,12 +310,16 @@ class SoftNdfRegressor(
       }
     }
     val x = acts(trunk.size)
-    // forward: per-tree node sigmoids, leaf probabilities, outputs
+    // forward: per-tree node sigmoids (over that tree's noisy view),
+    // leaf probabilities, dropout-masked outputs
     val sig = new Array[Array[Double]](nT)
     val mus = new Array[Array[Double]](nT)
+    val xT = new Array[Array[Double]](nT)
     var pred = 0.0
     for (t <- 0 until nT) {
-      val d = SoftForest.nodeSigmoids(trees(t), x, temp)
+      xT(t) = if (tNoise == null) x
+        else Array.tabulate(tF)(i => x(i) + tNoise(t)(i))
+      val d = SoftForest.nodeSigmoids(trees(t), xT(t), temp)
       sig(t) = d
       val mu = new Array[Double](nL)
       var tp = 0.0
@@ -296,21 +330,24 @@ class SoftNdfRegressor(
         }
         mu(l) = m; tp += m * trees(t).pi(l)
       }
-      mus(t) = mu; pred += tp
+      mus(t) = mu
+      pred += (if (tMask == null) tp else tMask(t) * tp)
     }
     pred /= nT
     if (acc == null) return pred
     val delta = pred - y
-    // backward: leaf values + routing logits per tree, accumulating
-    // the gradient w.r.t. the trunk output across ALL trees
+    // backward: leaf values + routing logits per tree (scaled by the
+    // tree's dropout mask), accumulating the gradient w.r.t. the trunk
+    // output across ALL trees (additive noise has unit jacobian)
     val dX = new Array[Double](tF)
     for (t <- 0 until nT) {
       val o = tSz + t * pT
       val d = sig(t); val mu = mus(t); val tw = trees(t)
+      val scale = delta / nT * (if (tMask == null) 1.0 else tMask(t))
       val gl = new Array[Double](nN)
       for (l <- 0 until nL) {
-        acc(o + nU * nN + nN + l) += delta / nT * mu(l)
-        val w = delta / nT * mu(l) * tw.pi(l) / temp
+        acc(o + nU * nN + nN + l) += scale * mu(l)
+        val w = scale * mu(l) * tw.pi(l) / temp
         paths(l).foreach { case (n, left) =>
           gl(n) += w * (if (left) 1.0 - d(n) else -d(n))
         }
@@ -318,7 +355,7 @@ class SoftNdfRegressor(
       for (m <- 0 until nN) {
         val g = gl(m)
         for (u <- 0 until nU) {
-          acc(o + u * nN + m) += g * x(tw.featIdx(u))
+          acc(o + u * nN + m) += g * xT(t)(tw.featIdx(u))
           dX(tw.featIdx(u)) += g * tw.wDec(u)(m)
         }
         acc(o + nU * nN + m) += g
@@ -356,20 +393,28 @@ class SoftNdfRegressor(
           2.0 * l2Leaf * p(o + nUsed * nNodes + nNodes + l)
     }
 
+  /** `ep != 0` activates the stochastic regularizers with per-row
+    * per-epoch seeded draws (0 = deterministic, the spec mode). */
   def gradient(data: DataFrame, p: Array[Double], masks: Seq[Array[Int]],
-      temp: Double): (Array[Double], Double) = {
+      temp: Double, ep: Long = 0L): (Array[Double], Double) = {
     val trees = decode(p, masks)
     val trunk = decodeTrunk(p)
     val paths = SoftForest.leafPaths(depth)
     val tOffs = trunkUnits.indices.map(trunkOff)
     val k = nFeat
+    val seed0 = seed
+    val useNoise = noiseActive && ep != 0L
     val zero = DenseVector.zeros[Double](sz + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
         val y = row.getDouble(0)
         val x0 = Array.tabulate(k)(i => row.getDouble(i + 1))
         val flat = acc.data
-        val pred = rowRun(trees, trunk, paths, tOffs, x0, y, flat, temp)
+        val ms = if (!useNoise) 0L else SeqAdam.maskSeed(seed0, ep,
+          org.apache.spark.TaskContext.getPartitionId().toLong,
+          acc(sz + 1).toLong)
+        val pred = rowRun(trees, trunk, paths, tOffs, x0, y, flat, temp,
+          ms)
         val delta = pred - y
         acc(sz) += 0.5 * delta * delta
         acc(sz + 1) += 1.0
@@ -389,7 +434,8 @@ class SoftNdfRegressor(
     * y′ = pred − dL/dp_i (the RankLoss.seqEpochGradient identity); slot
     * sz+1 counts batches. */
   def rankGradient(data: DataFrame, p: Array[Double],
-      masks: Seq[Array[Int]], temp: Double): (Array[Double], Double) = {
+      masks: Seq[Array[Int]], temp: Double, ep: Long = 0L)
+      : (Array[Double], Double) = {
     val trees = decode(p, masks)
     val trunk = decodeTrunk(p)
     val paths = SoftForest.leafPaths(depth)
@@ -399,8 +445,12 @@ class SoftNdfRegressor(
       else (mseWeight, spearmanWeight)
     val (tau, rb) = (rankTau, rankBatch)
     val n = sz
+    val seed0 = seed
+    val useNoise = noiseActive && ep != 0L
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
+      val part = org.apache.spark.TaskContext.getPartitionId().toLong
+      var idx = 0L
       it.grouped(rb).foreach { batch =>
         val b = batch.size
         // combinedGrad degenerates to the pure MSE gradient at b = 1
@@ -411,19 +461,23 @@ class SoftNdfRegressor(
           val xs = new Array[Array[Double]](b)
           val ys = new Array[Double](b)
           val preds = new Array[Double](b)
+          val seeds = new Array[Long](b)
           var i = 0
           batch.foreach { row =>
             ys(i) = row.getDouble(0)
             xs(i) = Array.tabulate(k)(j => row.getDouble(j + 1))
+            seeds(i) = if (!useNoise) 0L
+              else SeqAdam.maskSeed(seed0, ep, part, idx)
+            idx += 1
             preds(i) = rowRun(trees, trunk, paths, tOffs, xs(i), 0.0,
-              null, temp)
+              null, temp, seeds(i))
             i += 1
           }
           val (dp, lossVal) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
           i = 0
           while (i < b) {
             rowRun(trees, trunk, paths, tOffs, xs(i), preds(i) - dp(i),
-              acc, temp)
+              acc, temp, seeds(i))
             i += 1
           }
           acc(n) += lossVal
@@ -492,8 +546,9 @@ class SoftNdfRegressor(
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
-      val (g0, _) = if (loss != "mse") rankGradient(batch, p, masks, temp)
-        else gradient(batch, p, masks, temp)
+      val (g0, _) = if (loss != "mse")
+        rankGradient(batch, p, masks, temp, t)
+        else gradient(batch, p, masks, temp, t)
       adam.update(p, g0, t)
       // linear temperature annealing, assigned at epoch end
       // (TemperatureAnnealing.on_epoch_end, tree.py:47-50)

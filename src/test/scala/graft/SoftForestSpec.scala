@@ -34,6 +34,59 @@ class SoftForestSpec extends AnyFunSuite {
     }
   }
 
+  test("soft ndf stochastic regularizers (tree.py:291-293,325-375): " +
+    "gradient matches finite differences with the noise sample held " +
+    "fixed; inactive config at ep!=0 equals the deterministic path") {
+    val reg = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 2,
+      depth = 2, l2Decision = 0.0, l2Leaf = 0.0,
+      inputNoiseStd = 0.2, treeNoiseStd = 0.1, treeDropoutRate = 0.3)
+    val r = new scala.util.Random(17)
+    val rows = (0 until 8).map(_ =>
+      (r.nextGaussian() * 0.5, r.nextGaussian(), r.nextGaussian()))
+    val data = rows.toDF("y", "f0", "f1").repartition(1)
+    val masks = Seq(Array(0, 1), Array(0, 1))
+    val sz = 2 * (2 * 3 + 3 + 4)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val (temp, ep) = (0.7, 5L)
+    val (g, _) = reg.gradient(data, p, masks, temp, ep)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val lp = reg.gradient(data, pp, masks, temp, ep)._2
+      val lm = reg.gradient(data, pm, masks, temp, ep)._2
+      val fd = (lp - lm) / (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"noisy grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+    // all-zero rates at ep != 0 must equal the ep = 0 deterministic path
+    val plain = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 2,
+      depth = 2, l2Decision = 0.0, l2Leaf = 0.0)
+    assert(plain.gradient(data, p, masks, temp, 5L)._2 ==
+      plain.gradient(data, p, masks, temp)._2,
+      "inactive regularizers must not perturb the gradient")
+  }
+
+  test("soft ndf: fit with the reference regularizers on (input noise + " +
+    "tree noise + tree dropout) still learns the tree target") {
+    val r = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val f2 = r.nextGaussian()
+      val y = (if (f0 < 0) { if (f1 < 0) -2.0 else -0.5 }
+               else { if (f1 < 0) 0.5 else 2.0 }) + 0.1 * r.nextGaussian()
+      (i.toLong, f0, f1, f2, y)
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val m = new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y", numTrees = 4,
+      depth = 2, lr = 0.1, epochs = 120, inputNoiseStd = 0.05,
+      treeNoiseStd = 0.05, treeDropoutRate = 0.1)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.75, s"regularized soft NDF failed to learn: r2=$r2")
+  }
+
   test("soft ndf: fit learns an axis-aligned tree target to R^2 > 0.8; " +
     "model forward matches the staged scoring projection") {
     val r = new scala.util.Random(11)
