@@ -42,6 +42,9 @@ object Bench {
         SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
     val names =
       (if (args.isEmpty) SparkEntry.queries.keys.toSeq else args.toSeq).sorted
+    if (sys.env.contains("SPARK_GRAFT_BENCH_FORKS"))
+      System.err.println("[bench] SPARK_GRAFT_BENCH_FORKS is gone — " +
+        "set SPARK_GRAFT_BENCH_CHUNK (max queries per fork) instead")
     val chunkCap = sys.env.getOrElse(Chunk, "10").toInt
     val isChild = sys.env.contains(Child)
     // fork only when the suite is big enough to amortize child warmup;

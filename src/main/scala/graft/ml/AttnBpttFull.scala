@@ -157,18 +157,18 @@ object AttnBpttFull {
     * pairs sample the same network. */
   private final class Masks(c: Cfg, maskSeed: Long) {
     private val rng = new java.util.Random(maskSeed)
-    private val keep = 1.0 - c.drop
-    private def draw(): Double =
-      if (rng.nextDouble() < c.drop) 0.0 else 1.0 / keep
-    // order: per block (att heads×T×T, ffn1 T×ff, ffn2 T×h), then mlp
+    // draw order (rng stream): ALL blocks' attention masks (block-major,
+    // then head/t/u), then all blocks' ffn1, then all blocks' ffn2,
+    // then the mlp-head layers
     val att: Array[Array[Array[Array[Double]]]] =
-      Array.fill(c.blocks, c.heads, c.t, c.t)(draw())
+      Array.fill(c.blocks, c.heads, c.t)(
+        SeqAdam.invBernoulli(rng, c.drop, c.t))
     val ffn1: Array[Array[Array[Double]]] =
-      Array.fill(c.blocks, c.t, c.ff)(draw())
+      Array.fill(c.blocks, c.t)(SeqAdam.invBernoulli(rng, c.drop, c.ff))
     val ffn2: Array[Array[Array[Double]]] =
-      Array.fill(c.blocks, c.t, c.h)(draw())
+      Array.fill(c.blocks, c.t)(SeqAdam.invBernoulli(rng, c.drop, c.h))
     val mlp: Array[Array[Double]] =
-      c.mlp.map(u => Array.fill(u)(draw())).toArray
+      c.mlp.map(u => SeqAdam.invBernoulli(rng, c.drop, u)).toArray
   }
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.

@@ -38,8 +38,7 @@ object DeepMlpKernel {
       if (drop <= 0 || maskSeed == 0L) null
       else {
         val rng = new java.util.Random(maskSeed)
-        Array.tabulate(L)(l => Array.fill(dims(l + 1))(
-          if (rng.nextDouble() < drop) 0.0 else 1.0 / (1.0 - drop)))
+        Array.tabulate(L)(l => SeqAdam.invBernoulli(rng, drop, dims(l + 1)))
       }
     val zs = new Array[Array[Double]](L) // pre-activations per layer
     val hs = new Array[Array[Double]](L + 1) // post-activation, post-drop
@@ -206,7 +205,8 @@ class DeepMLPRegressor(
           val acc = new Array[Double](n + 2)
           val part = org.apache.spark.TaskContext.getPartitionId().toLong
           var idx = 0L
-          it.grouped(rb).foreach { rows =>
+          SeqAdam.shuffledBatches(it, rb, seed0, epL, part)
+            .foreach { rows =>
             val b = rows.size
             val xs = new Array[Array[Double]](b)
             val ysA = new Array[Double](b)

@@ -86,37 +86,14 @@ object JointAeKernel {
   }
 
   /** Dropout-sampled forward returning only the prediction (the rank
-    * path's first pass; same mask draw order as [[runW]] so the
-    * gradient re-run with the same seed sees the same network). */
+    * path's first pass) — delegates to [[runW]] so there is exactly ONE
+    * masked forward (same mask draw order by construction; the gradient
+    * re-run with the same seed sees the same network). */
   def forwardMasked(w: JointAeWeights, x: Array[Double], drop: AeDrop,
       maskSeed: Long): Double = {
-    val rng = new java.util.Random(maskSeed)
-    def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
-      if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
-    val mE = mk(drop.enc, w.hE); val mZ = mk(drop.latent, w.latent)
-    val mD = mk(drop.enc, w.hE); val mH = mk(drop.head, w.hA)
-    val e = Array.tabulate(w.hE) { j =>
-      var z = w.be(j); for (i <- 0 until w.k) z += x(i) * w.we(i)(j)
-      swish(z) * mE(j)
-    }
-    val zl = Array.tabulate(w.latent) { i =>
-      var z = w.bz(i); for (j <- 0 until w.hE) z += e(j) * w.wz(j)(i)
-      swish(z) * mZ(i)
-    }
-    val d = Array.tabulate(w.hE) { j =>
-      var z = w.bd(j); for (i <- 0 until w.latent) z += zl(i) * w.wd(i)(j)
-      swish(z) * mD(j)
-    }
-    val r = Array.tabulate(w.k) { f =>
-      var z = w.br(f); for (j <- 0 until w.hE) z += d(j) * w.wr(j)(f)
-      z
-    }
-    val h = Array.tabulate(w.hA) { a =>
-      var z = w.bh(a); for (f <- 0 until w.k) z += r(f) * w.wh(f)(a)
-      swish(z) * mH(a)
-    }
-    var p = w.bp; for (a <- 0 until w.hA) p += h(a) * w.wp(a)
-    p
+    val po = new Array[Double](1)
+    runW(w, x, x, 0.0, 0.0, 0.0, null, drop, maskSeed, po)
+    po(0)
   }
 
   /** Training-time per-layer dropout rates (autoencoder.py:33-43,61-65 —
@@ -149,15 +126,16 @@ object JointAeKernel {
     * non-zero `maskSeed` samples training-time dropout. */
   def runW(w: JointAeWeights, x: Array[Double], xTgt: Array[Double],
       y: Double, rw: Double, tw: Double, acc: Array[Double],
-      drop: AeDrop = null, maskSeed: Long = 0L): Double = {
+      drop: AeDrop = null, maskSeed: Long = 0L,
+      predOut: Array[Double] = null): Double = {
     val (k, hE, l, hA) = (w.k, w.hE, w.latent, w.hA)
     val useDrop = drop != null && drop.active && maskSeed != 0L
     val (mE, mZ, mD, mH) = if (!useDrop) (null, null, null, null) else {
       val rng = new java.util.Random(maskSeed)
-      def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
-        if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
-      (mk(drop.enc, hE), mk(drop.latent, l), mk(drop.enc, hE),
-        mk(drop.head, hA))
+      (SeqAdam.invBernoulli(rng, drop.enc, hE),
+        SeqAdam.invBernoulli(rng, drop.latent, l),
+        SeqAdam.invBernoulli(rng, drop.enc, hE),
+        SeqAdam.invBernoulli(rng, drop.head, hA))
     }
     // forward, keeping pre-activations; e/zl/d/h are post-drop
     val ze = Array.tabulate(hE) { j =>
@@ -184,6 +162,7 @@ object JointAeKernel {
     val h = if (mH == null) zh.map(swish)
       else Array.tabulate(hA)(a => swish(zh(a)) * mH(a))
     var p = w.bp; for (a <- 0 until hA) p += h(a) * w.wp(a)
+    if (predOut != null) predOut(0) = p
     var recon = 0.0
     for (f <- 0 until k) { val df = r(f) - xTgt(f); recon += df * df }
     val loss = rw * recon / k + tw * (p - y) * (p - y)
@@ -488,7 +467,7 @@ class JointAutoencoder(
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
       var idx = 0L
-      it.grouped(rb).foreach { batch =>
+      SeqAdam.shuffledBatches(it, rb, seed0, ep, part).foreach { batch =>
         val b = batch.size
         if (b >= 2 || mw != 0.0) {
           val xIn = new Array[Array[Double]](b)

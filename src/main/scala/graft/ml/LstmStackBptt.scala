@@ -232,12 +232,11 @@ object LstmStackBptt {
       : Array[(Array[Array[Double]], Array[Array[Double]])] = {
     if (drop == null) return null
     val rng = new java.util.Random(drop.seed)
-    def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
-      if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
     Array.tabulate(nCells) { cell =>
       val f = if (c.bidi) c.f else c.fIn(cell)
       val h = if (c.bidi) c.layers.head else c.layers(cell)
-      (Array.fill(4)(mk(drop.in, f)), Array.fill(4)(mk(drop.rec, h)))
+      (Array.fill(4)(SeqAdam.invBernoulli(rng, drop.in, f)),
+        Array.fill(4)(SeqAdam.invBernoulli(rng, drop.rec, h)))
     }
   }
 

@@ -82,9 +82,8 @@ object LstmBptt {
     // per-gate masks (4×f input, 4×h recurrent), drawn in fixed order
     val (mIn, mRec) = if (drop == null) (null, null) else {
       val rng = new java.util.Random(drop.seed)
-      def mk(p: Double, n: Int): Array[Double] = Array.fill(n)(
-        if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
-      (Array.fill(4)(mk(drop.in, f)), Array.fill(4)(mk(drop.rec, h)))
+      (Array.fill(4)(SeqAdam.invBernoulli(rng, drop.in, f)),
+        Array.fill(4)(SeqAdam.invBernoulli(rng, drop.rec, h)))
     }
     def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
     var t = 0

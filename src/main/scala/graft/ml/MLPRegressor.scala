@@ -161,9 +161,11 @@ class MLPRegressor(
         val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
           else (mseWeight, spearmanWeight)
         val (tau, rb, kF) = (rankTau, rankBatch, k)
+        val (sd, ep) = (seed, t.toLong)
         batch.rdd.mapPartitions { it =>
           val acc = DenseVector.zeros[Double](sz + 2)
-          it.grouped(rb).foreach { rows =>
+          val part = org.apache.spark.TaskContext.getPartitionId().toLong
+          SeqAdam.shuffledBatches(it, rb, sd, ep, part).foreach { rows =>
             val b = rows.size
             val xs = new Array[DenseVector[Double]](b)
             val z1s = new Array[DenseVector[Double]](b)

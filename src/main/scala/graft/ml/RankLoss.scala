@@ -126,22 +126,9 @@ object RankLoss {
     rows.mapPartitions { it =>
       val acc = new Array[Double](sz + 2)
       val part = org.apache.spark.TaskContext.getPartitionId()
-      val shufRng = new java.util.Random(
-        SeqAdam.maskSeed(seed, ep, part.toLong, -1L))
       var idx = 0L
-      val window = math.max(rankBatch * 8, 64)
-      it.grouped(window).flatMap { chunk =>
-        // Fisher-Yates inside the bounded window: per-epoch seed ⇒
-        // fresh batch membership every epoch at O(window) memory
-        val arr = chunk.toArray
-        var i = arr.length - 1
-        while (i > 0) {
-          val j = shufRng.nextInt(i + 1)
-          val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
-          i -= 1
-        }
-        arr.iterator
-      }.grouped(rankBatch).foreach { batch =>
+      SeqAdam.shuffledBatches(it, rankBatch, seed, ep, part.toLong)
+        .foreach { batch =>
         val b = batch.size
         val xs = new Array[Array[Array[Double]]](b)
         val ys = new Array[Double](b)

@@ -31,6 +31,38 @@ private[ml] object SeqAdam {
     z ^ (z >>> 31) | 1L
   }
 
+  /** One inverted-Bernoulli dropout mask: 0 with probability p, else
+    * 1/(1−p); p <= 0 short-circuits WITHOUT consuming the rng stream.
+    * The single definition every kernel draws from — the draw semantics
+    * (including stream consumption) must stay identical across kernels
+    * for the forward/backward same-sub-network invariant. */
+  private[ml] def invBernoulli(rng: java.util.Random, p: Double,
+      n: Int): Array[Double] = Array.fill(n)(
+    if (p <= 0) 1.0 else if (rng.nextDouble() < p) 0.0 else 1.0 / (1 - p))
+
+  /** Per-epoch batch composition for the rank losses: a bounded shuffle
+    * window (8 batches wide) whose permutation is seeded by (seed,
+    * epoch, partition), so the pairwise neighborhoods a row is ranked
+    * against change every epoch — the reference reshuffles Keras
+    * batches per epoch — with memory bounded by the window, never the
+    * partition. Shared by ALL rank-loss paths (seq kernels, MLPs,
+    * autoencoder, soft forest). */
+  private[ml] def shuffledBatches[T](it: Iterator[T], rankBatch: Int,
+      seed: Long, ep: Long, part: Long): Iterator[Seq[T]] = {
+    val rng = new java.util.Random(maskSeed(seed, ep, part, -1L))
+    val window = math.max(rankBatch * 8, 64)
+    it.grouped(window).flatMap { chunk =>
+      val arr = chunk.toArray[Any]
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = rng.nextInt(i + 1)
+        val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
+        i -= 1
+      }
+      arr.iterator.asInstanceOf[Iterator[T]]
+    }.grouped(rankBatch)
+  }
+
   def run(data: DataFrame, sz: Int, w: Array[Double], c: Cfg,
       kernel: (Array[Double], Array[Array[Double]], Double, Array[Double],
         Long) => Double): Unit = {

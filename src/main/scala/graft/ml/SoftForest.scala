@@ -451,7 +451,7 @@ class SoftNdfRegressor(
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
       var idx = 0L
-      it.grouped(rb).foreach { batch =>
+      SeqAdam.shuffledBatches(it, rb, seed0, ep, part).foreach { batch =>
         val b = batch.size
         // combinedGrad degenerates to the pure MSE gradient at b = 1
         // (the Spearman term is identically 0 on one row), so leftover

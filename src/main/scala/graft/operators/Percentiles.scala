@@ -28,9 +28,12 @@ object Percentiles {
   /** Group-count threshold below which the exact mode is flagged. */
   val LowCardinality = 64L
 
-  /** Last emitted warning (test observability; None when the last call
-    * was clean). */
-  @volatile var lastWarning: Option[String] = None
+  /** Last warning emitted by THIS thread's most recent `exact` call
+    * (test observability; None when that call was clean). Thread-local
+    * so concurrent query declarations cannot race each other's state. */
+  private val lastWarn =
+    ThreadLocal.withInitial[Option[String]](() => None)
+  def lastWarning: Option[String] = lastWarn.get()
 
   /** Exact percentiles of `valueCol` per `groupCol` at `percentages`,
     * as one `percentile(..., array(...))` aggregate (the group's value
@@ -40,13 +43,13 @@ object Percentiles {
     * skip the check entirely. */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
       percentages: Seq[Double], knownGroups: Long = -1L): DataFrame = {
-    lastWarning = None
+    lastWarn.set(None)
     if (knownGroups >= 0 && knownGroups < LowCardinality) {
       val msg = s"exact percentile over ~$knownGroups group(s) of " +
         s"'$groupCol' buffers every '$valueCol' value per group on one " +
         "reducer; at scale prefer approx_percentile (mergeable t-digest) " +
         "or the winsorize/robust-scale `approx` knob"
-      lastWarning = Some(msg)
+      lastWarn.set(Some(msg))
       log.warn(msg)
     }
     val ps = percentages.mkString(", ")

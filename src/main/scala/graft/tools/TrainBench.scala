@@ -34,10 +34,12 @@ object TrainBench {
 
     val r = new scala.util.Random(1)
     import graft.ml._
-    // MLP proxy: fit(epochs=1) = one treeAggregate epoch + fixed setup
+    // MLP proxy: fit(epochs=1) = one treeAggregate epoch + fixed setup;
+    // batchFraction pinned to full-batch so the row is comparable across
+    // rounds regardless of the trainer default
     time("mlp") {
       new MLPRegressor(feats, "l_extendedprice", hidden = 16,
-        epochs = 1).fit(li)
+        epochs = 1, batchFraction = 1.0).fit(li)
     }
     val ndf = new SoftNdfRegressor(feats, "l_extendedprice",
       numTrees = 5, depth = 3)
