@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * the oracled scoring sibling. Layout: per hidden layer `W[in][out]`
   * input-major then `b[out]`; finally `wOut[lastH]`, `bOut`. */
 object DeepMlpKernel {
-  /** dims = nFeatures +: hiddenLayers */
-  def size(dims: Seq[Int]): Int =
+  /** dims = nFeatures +: hiddenLayers; `out` linear output heads share
+    * every hidden layer (the reference's `output_units`,
+    * keras_estimators/base.py:33 with dense.py's hidden stack). */
+  def size(dims: Seq[Int], out: Int = 1): Int =
     (1 until dims.size).map(l => dims(l - 1) * dims(l) + dims(l)).sum +
-      dims.last + 1
+      dims.last * out + out
 
   private def layerOff(dims: Seq[Int], l: Int): Int =
     (1 to l).map(i => dims(i - 1) * dims(i) + dims(i)).sum
@@ -33,6 +35,20 @@ object DeepMlpKernel {
   def run(w: Array[Double], dims: Seq[Int], x: Array[Double], y: Double,
       acc: Array[Double], swish: Boolean = false, drop: Double = 0.0,
       maskSeed: Long = 0L): Double = {
+    val po = new Array[Double](1)
+    runV(w, dims, 1, x, Array(y), acc, swish, drop, maskSeed, po)
+    po(0)
+  }
+
+  /** Vector-output form: `out` linear heads over the shared hidden
+    * stack (layout: hidden layers, then wOut lastH×out input-major,
+    * bOut[out]; out = 1 is byte-identical to the single-output layout).
+    * Fills `predOut` with the predictions and, when `acc` is non-null,
+    * accumulates the gradient of Σ_o ½(pred_o − y_o)². Returns the
+    * summed loss. */
+  def runV(w: Array[Double], dims: Seq[Int], out: Int, x: Array[Double],
+      y: Array[Double], acc: Array[Double], swish: Boolean,
+      drop: Double, maskSeed: Long, predOut: Array[Double]): Double = {
     val L = dims.size - 1
     val masks: Array[Array[Double]] =
       if (drop <= 0 || maskSeed == 0L) null
@@ -65,20 +81,37 @@ object DeepMlpKernel {
       l += 1
     }
     val oOut = layerOff(dims, L)
-    var pred = w(oOut + dims.last)
-    var j = 0
-    while (j < dims.last) { pred += hs(L)(j) * w(oOut + j); j += 1 }
-    if (acc == null) return pred
-
-    val d = pred - y
-    acc(oOut + dims.last) += d
-    var dh = new Array[Double](dims.last)
-    j = 0
-    while (j < dims.last) {
-      acc(oOut + j) += d * hs(L)(j)
-      dh(j) = w(oOut + j) * d
-      j += 1
+    val lastH = dims.last
+    val oB = oOut + lastH * out
+    var loss = 0.0
+    var o2 = 0
+    while (o2 < out) {
+      var pred = w(oB + o2)
+      var j = 0
+      while (j < lastH) { pred += hs(L)(j) * w(oOut + j * out + o2)
+        j += 1 }
+      predOut(o2) = pred
+      val d = pred - y(o2)
+      loss += 0.5 * d * d
+      o2 += 1
     }
+    if (acc == null) return loss
+
+    // shared hidden: dh sums every head's pull through wOut
+    val dh = new Array[Double](lastH)
+    o2 = 0
+    while (o2 < out) {
+      val d = predOut(o2) - y(o2)
+      acc(oB + o2) += d
+      var j = 0
+      while (j < lastH) {
+        acc(oOut + j * out + o2) += d * hs(L)(j)
+        dh(j) += w(oOut + j * out + o2) * d
+        j += 1
+      }
+      o2 += 1
+    }
+    var dhCur = dh
     l = L - 1
     while (l >= 0) {
       val (nin, nout) = (dims(l), dims(l + 1))
@@ -86,7 +119,8 @@ object DeepMlpKernel {
       val in = hs(l)
       val dz = Array.tabulate(nout) { jj =>
         val z = zs(l)(jj)
-        val dhj = if (masks == null) dh(jj) else dh(jj) * masks(l)(jj)
+        val dhj = if (masks == null) dhCur(jj)
+          else dhCur(jj) * masks(l)(jj)
         if (swish) {
           val s = sigmoid(z)
           dhj * s * (1.0 + z * (1.0 - s))
@@ -107,10 +141,10 @@ object DeepMlpKernel {
       }
       var jj = 0
       while (jj < nout) { acc(o + nin * nout + jj) += dz(jj); jj += 1 }
-      dh = dIn
+      dhCur = dIn
       l -= 1
     }
-    pred
+    loss
   }
 }
 
@@ -289,5 +323,141 @@ class DeepMLPRegressor(
     cur.withColumn("prediction", out * lit(yStd) + lit(yMean))
       .drop((0 until layers.size).flatMap(l =>
         (0 until dims(l + 1)).map(j => s"__h${l}_$j")): _*)
+  }
+}
+
+/** Multi-output DEEP MLP — the reference's `MLPRegressor` with
+  * `output_units > 1` at its actual default depth (dense.py:17
+  * `hidden_units=(64, 64)` feeding every linear head, with the same
+  * optional per-layer Dropout): every hidden layer is shared, outputs
+  * train jointly against the summed per-output standardized MSE.
+  * [[MLPMultiRegressor]] remains the one-layer oracled sibling; this is
+  * the depth-general path. Scoring stages layers as named codegen'd
+  * columns and appends `prediction_{i}` (base.py:137-150). */
+class DeepMLPMultiRegressor(
+    val featureCols: Seq[String],
+    val targetCols: Seq[String],
+    val layers: Seq[Int] = Seq(64, 64),
+    val activation: String = "relu",
+    val lr: Double = 1e-3,
+    val epochs: Int = 200,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 0.2,
+    val dropoutRate: Double = 0.0) extends Serializable {
+
+  require(targetCols.size >= 2, "use DeepMLPRegressor for a single output")
+  require(layers.nonEmpty, "at least one hidden layer")
+  require(Set("relu", "swish")(activation),
+    s"activation must be relu|swish, got $activation")
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
+  require(dropoutRate >= 0 && dropoutRate < 1,
+    s"dropoutRate must be in [0, 1), got $dropoutRate")
+  private val swish = activation == "swish"
+  private val k = featureCols.size
+  private val out = targetCols.size
+  private val dims = k +: layers
+  private val sz = DeepMlpKernel.size(dims, out)
+
+  private var weights: Array[Double] = _
+  private var yMean: Array[Double] = Array.fill(out)(0.0)
+  private var yStd: Array[Double] = Array.fill(out)(1.0)
+
+  def fittedFlat: Array[Double] = weights
+
+  def fit(df: DataFrame): this.type = {
+    val data = df.select((targetCols ++ featureCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val stats = targetCols.flatMap(c =>
+        Seq(avg(col(c)), stddev_pop(col(c))))
+      val r = data.agg(stats.head, stats.tail: _*).collect()(0)
+      yMean = Array.tabulate(out)(o => r.getDouble(2 * o))
+      yStd = Array.tabulate(out)(o =>
+        math.max(r.getDouble(2 * o + 1), 1e-12))
+    }
+    val rng = new scala.util.Random(seed)
+    val p = new Array[Double](sz)
+    var o = 0
+    for (l <- 0 until layers.size) { // Glorot uniform per layer
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val lim = math.sqrt(6.0 / (nin + nout))
+      for (_ <- 0 until nin * nout) {
+        p(o) = (rng.nextDouble() * 2 - 1) * lim; o += 1
+      }
+      o += nout // biases start at 0
+    }
+    val limOut = math.sqrt(6.0 / (dims.last + out))
+    for (_ <- 0 until dims.last * out) {
+      p(o) = (rng.nextDouble() * 2 - 1) * limOut; o += 1
+    }
+    val adam = new AdamState(sz, lr)
+    val (ym, ys, dd, n, oo) = (yMean, yStd, dims, sz, out)
+    val sw = swish
+    val kk = k
+    val dr = dropoutRate
+    val seed0 = seed
+    for (t <- 1 to epochs) {
+      val bw = p.clone()
+      val epL = t.toLong
+      val batch = if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed + t)
+      val grad = batch.rdd.treeAggregate(DenseVector.zeros[Double](n + 2))(
+        seqOp = (acc, row) => {
+          val y = Array.tabulate(oo)(o2 =>
+            (row.getDouble(o2) - ym(o2)) / ys(o2))
+          val x = Array.tabulate(kk)(j => row.getDouble(j + oo))
+          val ms = SeqAdam.maskSeed(seed0, epL,
+            org.apache.spark.TaskContext.getPartitionId().toLong,
+            acc(n + 1).toLong)
+          val po = new Array[Double](oo)
+          acc(n) += DeepMlpKernel.runV(bw, dd, oo, x, y, acc.data, sw,
+            dr, ms, po)
+          acc(n + 1) += 1.0
+          acc
+        },
+        combOp = _ + _, depth = 2)
+      val cnt = math.max(grad(n + 1), 1e-12)
+      adam.update(p, Array.tabulate(n)(i => grad(i) / cnt), t)
+    }
+    data.unpersist()
+    weights = p
+    this
+  }
+
+  /** Appends `prediction_{i}` via staged per-layer named columns,
+    * destandardized per output. */
+  def predict(df: DataFrame): DataFrame = {
+    require(weights != null, "fit first")
+    val p = weights
+    var cur = df
+    var in: Seq[Column] = featureCols.map(c => col(c).cast("double"))
+    var off = 0
+    for (l <- 0 until layers.size) {
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val outs = (0 until nout).map { j =>
+        val z = in.zipWithIndex.map { case (c, i) =>
+          c * lit(p(off + i * nout + j))
+        }.reduce(_ + _) + lit(p(off + nin * nout + j))
+        (if (swish) JointAe.swishCol(z) else greatest(z, lit(0.0)))
+          .as(s"__h${l}_$j")
+      }
+      cur = cur.select(cur.columns.map(col) ++ outs: _*)
+      in = (0 until nout).map(j => col(s"__h${l}_$j"))
+      off += nin * nout + nout
+    }
+    val oB = off + dims.last * out
+    val names = MLPRegressor.predictionNames(out)
+    names.zipWithIndex.foreach { case (name, o2) =>
+      val z = in.zipWithIndex.map { case (c, j) =>
+        c * lit(p(off + j * out + o2))
+      }.reduce(_ + _) + lit(p(oB + o2))
+      cur = cur.withColumn(name, z * lit(yStd(o2)) + lit(yMean(o2)))
+    }
+    cur.drop((0 until layers.size).flatMap(l =>
+      (0 until dims(l + 1)).map(j => s"__h${l}_$j")): _*)
   }
 }

@@ -87,6 +87,57 @@ class DeepMlpSpec extends AnyFunSuite {
     assert(r2 > 0.7, s"dropout deep MLP failed to learn: r2=$r2")
   }
 
+  test("deep mlp multi-output kernel (output_units>1 over the shared " +
+    "hidden stack): gradient matches finite differences, with and " +
+    "without dropout") {
+    val r = new scala.util.Random(29)
+    val dims = Seq(3, 4, 3)
+    val out = 2
+    val sz = DeepMlpKernel.size(dims, out)
+    val w = Array.fill(sz)(r.nextGaussian() * 0.5)
+    val x = Array.fill(3)(r.nextGaussian())
+    val y = Array.fill(out)(r.nextGaussian() * 0.5)
+    for ((drop, ms) <- Seq((0.0, 0L), (0.3, 777L))) {
+      val g = new Array[Double](sz)
+      val po = new Array[Double](out)
+      DeepMlpKernel.runV(w, dims, out, x, y, g, false, drop, ms, po)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        def loss(wv: Array[Double]) =
+          DeepMlpKernel.runV(wv, dims, out, x, y, null, false, drop, ms,
+            new Array[Double](out))
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"drop=$drop multi grad mismatch at $i: analytic=${g(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("deep mlp multi-output: joint two-layer fit learns two targets " +
+    "(prediction_{i} contract) at the reference default depth") {
+    val r = new scala.util.Random(31)
+    val rows = (0 until 400).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      (i.toLong, f0, f1,
+        f0 * f1 + 0.05 * r.nextGaussian(),
+        math.tanh(2.0 * f0) - f1 + 0.05 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "y0", "y1")
+    val m = new DeepMLPMultiRegressor(Seq("f0", "f1"), Seq("y0", "y1"),
+      layers = Seq(8, 8), lr = 0.01, epochs = 400)
+    val pred = m.fit(df).predict(df)
+    assert(pred.columns.contains("prediction_0") &&
+      pred.columns.contains("prediction_1"))
+    val r20 = Metrics.r2(pred, "prediction_0", "y0", Seq.empty)
+      .collect()(0).getDouble(0)
+    val r21 = Metrics.r2(pred, "prediction_1", "y1", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r20 > 0.7 && r21 > 0.7,
+      s"multi-output deep MLP failed: r2=($r20, $r21)")
+  }
+
   test("deep mlp: swish activation fits and its staged scoring equals " +
     "the kernel forward") {
     val r = new scala.util.Random(19)
