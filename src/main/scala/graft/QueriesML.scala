@@ -37,6 +37,15 @@ object QueriesML {
     w2 = Array.tabulate(4, 2)((j, o) => ((j * 5 + o * 3) % 7 - 3) / 10.0),
     b2 = Array(0.05, -0.02))
 
+  /** Pinned DEEP multi-output weights (3 → 4 → 3 hidden, 2 heads; flat
+    * [[DeepMlpKernel]] layout). x/7 values: non-terminating binary
+    * fractions keep rounded outputs off the round-half boundary where
+    * Spark (HALF_UP) and DuckDB disagree — see the pinnedBn note. */
+  private val deepDims = Seq(3, 4, 3)
+  val pinnedDeep: Array[Double] =
+    Array.tabulate(DeepMlpKernel.size(deepDims, 2))(i =>
+      ((i * 11) % 19 - 9) / 7.0)
+
   /** Pinned bottleneck (4 features → 2 latents) for the scoring query.
     * Weights are non-terminating binary fractions (x/7, x/13, …): the
     * inputs are integer-and-2-decimal valued, so terminating-decimal
@@ -277,6 +286,18 @@ object QueriesML {
         mlpFeats.map(c => col(c).cast("double")))
       li(s, dir).select(col("l_orderkey") +: col("l_linenumber") +:
         outs.map { case (n, c) => round(c, 6).as(n) }: _*)
+    }),
+
+    // multi-output DEEP scoring (round-6 DeepMLPMultiRegressor forward):
+    // two shared ReLU hidden layers feeding two linear heads, staged
+    // per-layer named codegen'd columns, CTE-chain SQL mirror
+    "q_deep_multi" -> ((s, dir) => {
+      DeepMlpScore.stage(li(s, dir),
+        mlpFeats.map(c => col(c).cast("double")), pinnedDeep,
+        deepDims, 2, swish = false, Array(0.0, 0.0), Array(1.0, 1.0))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction_0"), 6).as("prediction_0"),
+          round(col("prediction_1"), 6).as("prediction_1"))
     }),
 
     // pinned linear-bottleneck scoring: latent codes, reconstruction and
@@ -566,6 +587,10 @@ object QueriesML {
          |  $outs
          |FROM lineitem""".stripMargin
     },
+    "q_deep_multi" -> DeepMlpScore.sql("lineitem",
+      Seq("l_orderkey", "l_linenumber"),
+      mlpFeats.map(c => s"CAST($c AS DOUBLE)"),
+      pinnedDeep, deepDims, 2, Array(0.0, 0.0), Array(1.0, 1.0), 6),
     "q_bottleneck" -> {
       val fx = bnFeats.map(c => s"CAST($c AS DOUBLE)")
       val zN = Seq("latent_0", "latent_1")

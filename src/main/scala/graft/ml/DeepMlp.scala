@@ -300,11 +300,29 @@ class DeepMLPRegressor(
   /** Appends `prediction` via staged per-layer named columns. */
   def predict(df: DataFrame): DataFrame = {
     require(weights != null, "fit first")
-    val p = weights
+    DeepMlpScore.stage(df, featureCols.map(c => col(c).cast("double")),
+      weights, dims, 1, swish, Array(yMean), Array(yStd))
+  }
+}
+
+/** Staged scoring shared by the flat deep-MLP layouts ([[DeepMlpKernel]]
+  * — per hidden layer W input-major + b, then `out` linear heads): each
+  * layer is one select of named codegen'd columns (no expression
+  * blow-up at depth), heads destandardized per output. [[sql]] is the
+  * DuckDB mirror — same CTE-per-layer staging, left-associated sums in
+  * the SAME term order, so pinned-weight outputs are IEEE-identical and
+  * the oracle hashes match bit-for-bit (the q_ae_score scheme). */
+object DeepMlpScore {
+
+  /** Appends [[MLPRegressor.predictionNames]] columns over `feats`. */
+  def stage(df: DataFrame, feats: Seq[Column], p: Array[Double],
+      dims: Seq[Int], out: Int, swish: Boolean,
+      yMean: Array[Double], yStd: Array[Double]): DataFrame = {
+    val L = dims.size - 1
     var cur = df
-    var in: Seq[Column] = featureCols.map(c => col(c).cast("double"))
+    var in: Seq[Column] = feats
     var off = 0
-    for (l <- 0 until layers.size) {
+    for (l <- 0 until L) {
       val (nin, nout) = (dims(l), dims(l + 1))
       val outs = (0 until nout).map { j =>
         val z = in.zipWithIndex.map { case (c, i) =>
@@ -317,12 +335,53 @@ class DeepMLPRegressor(
       in = (0 until nout).map(j => col(s"__h${l}_$j"))
       off += nin * nout + nout
     }
-    val out = in.zipWithIndex.map { case (c, j) =>
-      c * lit(p(off + j))
-    }.reduce(_ + _) + lit(p(off + dims.last))
-    cur.withColumn("prediction", out * lit(yStd) + lit(yMean))
-      .drop((0 until layers.size).flatMap(l =>
-        (0 until dims(l + 1)).map(j => s"__h${l}_$j")): _*)
+    val oB = off + dims.last * out
+    MLPRegressor.predictionNames(out).zipWithIndex.foreach {
+      case (name, o) =>
+        val z = in.zipWithIndex.map { case (c, j) =>
+          c * lit(p(off + j * out + o))
+        }.reduce(_ + _) + lit(p(oB + o))
+        cur = cur.withColumn(name, z * lit(yStd(o)) + lit(yMean(o)))
+    }
+    cur.drop((0 until L).flatMap(l =>
+      (0 until dims(l + 1)).map(j => s"__h${l}_$j")): _*)
+  }
+
+  /** DuckDB CTE mirror of [[stage]] (ReLU layouts — the pinned oracle
+    * query uses relu; swish's sigmoid has no bit-exact SQL twin here).
+    * `keySql` columns ride through the CTE chain; heads come back
+    * rounded to `scale` digits under the prediction-naming contract. */
+  def sql(table: String, keySql: Seq[String], featSql: Seq[String],
+      p: Array[Double], dims: Seq[Int], out: Int,
+      yMean: Array[Double], yStd: Array[Double], scale: Int): String = {
+    val L = dims.size - 1
+    var in: Seq[String] = featSql
+    var off = 0
+    val ctes = (0 until L).map { l =>
+      val (nin, nout) = (dims(l), dims(l + 1))
+      val cols = (0 until nout).map { j =>
+        val z = in.zipWithIndex.map { case (c, i) =>
+          s"$c * ${p(off + i * nout + j)}"
+        }.mkString("(", " + ", s" + ${p(off + nin * nout + j)})")
+        s"greatest($z, 0.0) AS h${l}_$j"
+      }
+      val src = if (l == 0) table else s"h${l - 1}"
+      in = (0 until nout).map(j => s"h${l}_$j")
+      off += nin * nout + nout
+      s"h$l AS (SELECT *,\n    ${cols.mkString(",\n    ")}\n  FROM $src)"
+    }
+    val oB = off + dims.last * out
+    val heads = MLPRegressor.predictionNames(out).zipWithIndex.map {
+      case (name, o) =>
+        val z = in.zipWithIndex.map { case (c, j) =>
+          s"$c * ${p(off + j * out + o)}"
+        }.mkString("(", " + ", s" + ${p(oB + o)})")
+        s"round($z * ${yStd(o)} + ${yMean(o)}, $scale) AS $name"
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT ${keySql.mkString(", ")},
+       |  ${heads.mkString(",\n  ")}
+       |FROM h${L - 1}""".stripMargin
   }
 }
 
@@ -432,32 +491,7 @@ class DeepMLPMultiRegressor(
     * destandardized per output. */
   def predict(df: DataFrame): DataFrame = {
     require(weights != null, "fit first")
-    val p = weights
-    var cur = df
-    var in: Seq[Column] = featureCols.map(c => col(c).cast("double"))
-    var off = 0
-    for (l <- 0 until layers.size) {
-      val (nin, nout) = (dims(l), dims(l + 1))
-      val outs = (0 until nout).map { j =>
-        val z = in.zipWithIndex.map { case (c, i) =>
-          c * lit(p(off + i * nout + j))
-        }.reduce(_ + _) + lit(p(off + nin * nout + j))
-        (if (swish) JointAe.swishCol(z) else greatest(z, lit(0.0)))
-          .as(s"__h${l}_$j")
-      }
-      cur = cur.select(cur.columns.map(col) ++ outs: _*)
-      in = (0 until nout).map(j => col(s"__h${l}_$j"))
-      off += nin * nout + nout
-    }
-    val oB = off + dims.last * out
-    val names = MLPRegressor.predictionNames(out)
-    names.zipWithIndex.foreach { case (name, o2) =>
-      val z = in.zipWithIndex.map { case (c, j) =>
-        c * lit(p(off + j * out + o2))
-      }.reduce(_ + _) + lit(p(oB + o2))
-      cur = cur.withColumn(name, z * lit(yStd(o2)) + lit(yMean(o2)))
-    }
-    cur.drop((0 until layers.size).flatMap(l =>
-      (0 until dims(l + 1)).map(j => s"__h${l}_$j")): _*)
+    DeepMlpScore.stage(df, featureCols.map(c => col(c).cast("double")),
+      weights, dims, out, swish, yMean, yStd)
   }
 }

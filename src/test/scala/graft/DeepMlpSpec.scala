@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.ml._
 
 /** Depth-general MLP (the reference's hidden_units tuple, dense.py:17):
@@ -136,6 +137,33 @@ class DeepMlpSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(r20 > 0.7 && r21 > 0.7,
       s"multi-output deep MLP failed: r2=($r20, $r21)")
+  }
+
+  test("deep mlp multi-output: pinned staged scoring (the q_deep_multi " +
+    "forward) equals the vector kernel on every row") {
+    val r = new scala.util.Random(37)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, r.nextGaussian() * 10, r.nextDouble() * 0.1,
+        r.nextDouble() * 0.08)
+    }
+    val df = rows.toDF("id", "l_quantity", "l_discount", "l_tax")
+    val dims = Seq(3, 4, 3)
+    val p = QueriesML.pinnedDeep
+    val staged = DeepMlpScore.stage(df,
+      Seq("l_quantity", "l_discount", "l_tax").map(c =>
+        col(c).cast("double")), p, dims, 2, swish = false,
+      Array(0.0, 0.0), Array(1.0, 1.0))
+    val got = staged.orderBy("id")
+      .select("prediction_0", "prediction_1").collect()
+    rows.zip(got).foreach { case ((_, q, d, t), row) =>
+      val po = new Array[Double](2)
+      DeepMlpKernel.runV(p, dims, 2, Array(q, d, t), Array(0.0, 0.0),
+        null, false, 0.0, 0L, po)
+      assert(math.abs(row.getDouble(0) - po(0)) < 1e-9 &&
+        math.abs(row.getDouble(1) - po(1)) < 1e-9,
+        s"staged != kernel: (${row.getDouble(0)}, ${row.getDouble(1)}) " +
+          s"vs (${po(0)}, ${po(1)})")
+    }
   }
 
   test("deep mlp: swish activation fits and its staged scoring equals " +
