@@ -82,8 +82,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("pinned scoring paths (mlp/forest/bottleneck) are pure " +
     "projections: zero exchanges, no UDFs") {
-    for (q <- Seq("q_mlp_score", "q_mlp_multi", "q_forest_score",
-        "q_bottleneck")) {
+    for (q <- Seq("q_mlp_score", "q_mlp_multi", "q_deep_multi",
+        "q_forest_score", "q_bottleneck")) {
       val plan = planOf(QueriesML.queries(q)(spark, sf))
       assert(exchanges(plan) == 0, s"$q must not shuffle:\n$plan")
       assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
