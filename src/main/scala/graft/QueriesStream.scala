@@ -42,6 +42,17 @@ object QueriesStream {
           round(col("value"), 4).as("last_purchase_value"))
     }),
 
+    // Interval join: each view pairs with the same user's clicks within
+    // the next 12 hours (equi-join on user_id carrying the range — the
+    // attribution primitive; stream-stream form in EventStream)
+    "q_interval_join" -> ((s, dir) => {
+      EventStream.intervalJoin(ev(s, dir), "view", "click", "12 hours")
+        .select(col("user_id"), col("view_id"),
+          unix_micros(col("view_ts")).as("view_ts"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts"),
+          round(col("click_value"), 4).as("click_value"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       EventStream.sessions(ev(s, dir), "30 minutes")
         .select(col("user_id"),
@@ -70,6 +81,16 @@ object QueriesStream {
          |ASOF LEFT JOIN (SELECT user_id, ts, value FROM e
          |      WHERE event_type = 'purchase') p
          |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "q_interval_join" ->
+      s"""$evCte
+         |SELECT v.user_id, v.event_id AS view_id,
+         |  epoch_us(v.ts) AS view_ts,
+         |  c.event_id AS click_id, epoch_us(c.ts) AS click_ts,
+         |  round(c.value, 4) AS click_value
+         |FROM (SELECT * FROM e WHERE event_type = 'view') v
+         |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |  ON v.user_id = c.user_id AND c.ts > v.ts
+         | AND c.ts <= v.ts + INTERVAL '12 hours'""".stripMargin,
     // Spark session_window semantics: an event < gap after the previous
     // one extends the session; exactly-gap starts a new one (hence >=).
     "q_sessionize" ->

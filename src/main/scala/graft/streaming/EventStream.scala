@@ -90,6 +90,57 @@ object EventStream {
       .format("memory").queryName(queryName).start()
   }
 
+  /** Interval (event-time range) join — the attribution primitive: each
+    * `leftType` event pairs with the SAME user's `rightType` events in
+    * `(ts, ts + horizon]`. The range rides an equi-join on user_id —
+    * one shuffle per side, never a cross product — so the batch form
+    * scales like any keyed join. [[intervalJoinStream]] is the
+    * streaming form of the same plan. */
+  def intervalJoin(events: DataFrame, leftType: String = "view",
+      rightType: String = "click", horizon: String = "12 hours")
+      : DataFrame =
+    joinPairs(shapeLeft(events, leftType), shapeRight(events, rightType),
+      horizon)
+
+  private def shapeLeft(df: DataFrame, t: String): DataFrame =
+    df.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+
+  // rename the key: both sides come from the same source, so a shared
+  // user_id column would make the join condition ambiguous
+  private def shapeRight(df: DataFrame, t: String): DataFrame =
+    df.filter(col("event_type") === t)
+      .select(col("user_id").as("__r_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+
+  private def joinPairs(v: DataFrame, c: DataFrame,
+      horizon: String): DataFrame =
+    v.join(c, col("user_id") === col("__r_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"), col("click_value"))
+
+  /** Stream-stream form of [[intervalJoin]] (the canonical watermarked
+    * stream-stream join, built by the SAME plan code): both sides carry
+    * a watermark and the join condition bounds each side's event time
+    * relative to the other, so Spark derives a state-retention bound of
+    * ~(watermark + horizon) per side — join state holds a horizon's
+    * worth of events, never the stream's lifetime. Append mode: a pair
+    * emits once the watermark passes it. */
+  def intervalJoinStream(spark: SparkSession, sourceDir: String,
+      queryName: String, leftType: String = "view",
+      rightType: String = "click", horizon: String = "12 hours",
+      watermark: String = "1 hour"): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    def src = spark.readStream.schema(schema).parquet(sourceDir)
+    val v = shapeLeft(src, leftType).withWatermark("view_ts", watermark)
+    val c = shapeRight(src, rightType).withWatermark("click_ts", watermark)
+    joinPairs(v, c, horizon).writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+  }
+
   /** Streaming exact-dedup — the unbounded-ingest counterpart of
     * [[graft.dedup.Dedup.exactGroups]]: keep the first arrival per key
     * (e.g. a content fingerprint), with state BOUNDED by the watermark

@@ -174,6 +174,32 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(sameName == batch)
   }
+  test("streaming: stream-stream interval join (view->click attribution) " +
+    "equals the batch range join; watermarks bound join state") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = EventStream.intervalJoin(events, "view", "click", "12 hours")
+      .select($"user_id", $"view_id", $"click_id",
+        round($"click_value", 4).as("click_value"))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture should produce view->click pairs")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivj").toFile
+    events.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val q = EventStream.intervalJoinStream(spark, tmp.getAbsolutePath,
+      "interval_join_test", "view", "click", "12 hours", "1 hour")
+    q.processAllAvailable()
+    val streamed = spark.table("interval_join_test")
+      .select($"user_id", $"view_id", $"click_id",
+        round($"click_value", 4).as("click_value"))
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    // inner-join pairs emit when matched (the watermark only bounds
+    // state); the file source drains in one micro-batch here, so the
+    // streamed result is the full batch join
+    assert(streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size} pairs")
+  }
 }
 
 /** IVF recall, salted-agg equality, stateful streaming vs batch. */

@@ -91,6 +91,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join rides the user_id equi-join (range as join filter, " +
+    "never a cross product)") {
+    val plan = planOf(QueriesStream.queries("q_interval_join")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_interval_join must keep the range on an equi-join:\n$plan")
+  }
+
   test("sequence scorers (lstm/attention) add NO exchange beyond the one " +
     "lag window") {
     for (q <- Seq("q_seq_score", "q_attn_score")) {
