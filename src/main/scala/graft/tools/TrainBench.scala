@@ -41,6 +41,12 @@ object TrainBench {
       new MLPRegressor(feats, "l_extendedprice", hidden = 16,
         epochs = 1, batchFraction = 1.0).fit(li)
     }
+    time("deep-multi") {
+      new DeepMLPMultiRegressor(feats,
+        Seq("l_extendedprice", "t2"), layers = Seq(16, 16),
+        epochs = 1, batchFraction = 1.0)
+        .fit(li.withColumn("t2", col("l_quantity") * 0.5))
+    }
     val ndf = new SoftNdfRegressor(feats, "l_extendedprice",
       numTrees = 5, depth = 3)
     val masks = Seq.fill(5)(Array(0, 1, 2))
