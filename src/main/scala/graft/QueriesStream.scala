@@ -53,6 +53,17 @@ object QueriesStream {
           round(col("click_value"), 4).as("click_value"))
     }),
 
+    // Left-outer variant: unconverted views survive with null click
+    // fields — the conversion-rate numerator/denominator in one pass
+    "q_interval_left" -> ((s, dir) => {
+      EventStream.intervalJoin(ev(s, dir), "view", "click", "12 hours",
+        "left_outer")
+        .select(col("user_id"), col("view_id"),
+          unix_micros(col("view_ts")).as("view_ts"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts"),
+          round(col("click_value"), 4).as("click_value"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       EventStream.sessions(ev(s, dir), "30 minutes")
         .select(col("user_id"),
@@ -89,6 +100,16 @@ object QueriesStream {
          |  round(c.value, 4) AS click_value
          |FROM (SELECT * FROM e WHERE event_type = 'view') v
          |JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |  ON v.user_id = c.user_id AND c.ts > v.ts
+         | AND c.ts <= v.ts + INTERVAL '12 hours'""".stripMargin,
+    "q_interval_left" ->
+      s"""$evCte
+         |SELECT v.user_id, v.event_id AS view_id,
+         |  epoch_us(v.ts) AS view_ts,
+         |  c.event_id AS click_id, epoch_us(c.ts) AS click_ts,
+         |  round(c.value, 4) AS click_value
+         |FROM (SELECT * FROM e WHERE event_type = 'view') v
+         |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
          |  ON v.user_id = c.user_id AND c.ts > v.ts
          | AND c.ts <= v.ts + INTERVAL '12 hours'""".stripMargin,
     // Spark session_window semantics: an event < gap after the previous

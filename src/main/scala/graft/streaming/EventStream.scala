@@ -97,10 +97,10 @@ object EventStream {
     * scales like any keyed join. [[intervalJoinStream]] is the
     * streaming form of the same plan. */
   def intervalJoin(events: DataFrame, leftType: String = "view",
-      rightType: String = "click", horizon: String = "12 hours")
-      : DataFrame =
+      rightType: String = "click", horizon: String = "12 hours",
+      joinType: String = "inner"): DataFrame =
     joinPairs(shapeLeft(events, leftType), shapeRight(events, rightType),
-      horizon)
+      horizon, joinType)
 
   private def shapeLeft(df: DataFrame, t: String): DataFrame =
     df.filter(col("event_type") === t)
@@ -114,11 +114,14 @@ object EventStream {
       .select(col("user_id").as("__r_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"), col("value").as("click_value"))
 
-  private def joinPairs(v: DataFrame, c: DataFrame,
-      horizon: String): DataFrame =
+  // "left_outer" keeps unmatched left events with null right fields —
+  // the conversion-attribution shape (views that never converted)
+  private def joinPairs(v: DataFrame, c: DataFrame, horizon: String,
+      joinType: String = "inner"): DataFrame =
     v.join(c, col("user_id") === col("__r_user") &&
         col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("view_ts"),
         col("click_id"), col("click_ts"), col("click_value"))
 
@@ -127,17 +130,20 @@ object EventStream {
     * a watermark and the join condition bounds each side's event time
     * relative to the other, so Spark derives a state-retention bound of
     * ~(watermark + horizon) per side — join state holds a horizon's
-    * worth of events, never the stream's lifetime. Append mode: a pair
-    * emits once the watermark passes it. */
+    * worth of events, never the stream's lifetime. Append mode: inner
+    * matches emit when found; `left_outer` null-rows emit once the
+    * watermark proves no match can still arrive. */
   def intervalJoinStream(spark: SparkSession, sourceDir: String,
       queryName: String, leftType: String = "view",
       rightType: String = "click", horizon: String = "12 hours",
-      watermark: String = "1 hour"): StreamingQuery = {
+      watermark: String = "1 hour", joinType: String = "inner")
+      : StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
     def src = spark.readStream.schema(schema).parquet(sourceDir)
     val v = shapeLeft(src, leftType).withWatermark("view_ts", watermark)
     val c = shapeRight(src, rightType).withWatermark("click_ts", watermark)
-    joinPairs(v, c, horizon).writeStream.outputMode(OutputMode.Append())
+    joinPairs(v, c, horizon, joinType).writeStream
+      .outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
   }
 

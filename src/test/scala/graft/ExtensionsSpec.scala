@@ -199,6 +199,46 @@ class ExtensionsSpec extends AnyFunSuite {
     // streamed result is the full batch join
     assert(streamed == batch,
       s"stream=${streamed.size} batch=${batch.size} pairs")
+
+    // left_outer: null rows (unconverted views) may only emit once the
+    // watermark proves no click can still arrive — matched rows must
+    // equal the batch join's, and every view whose horizon closed
+    // safely before the final watermark must be present
+    val batchL = EventStream.intervalJoin(events, "view", "click",
+      "12 hours", "left_outer")
+      .select($"user_id", $"view_id", $"view_ts", $"click_id",
+        round($"click_value", 4).as("click_value"))
+      .collect().map(_.toSeq).toSet
+    val qL = EventStream.intervalJoinStream(spark, tmp.getAbsolutePath,
+      "interval_left_test", "view", "click", "12 hours", "1 hour",
+      "left_outer")
+    qL.processAllAvailable()
+    val streamedL = spark.table("interval_left_test")
+      .select($"user_id", $"view_id", $"view_ts", $"click_id",
+        round($"click_value", 4).as("click_value"))
+      .collect().map(_.toSeq).toSet
+    qL.stop()
+    assert(streamedL.subsetOf(batchL),
+      "left-outer stream emitted a row the batch join lacks")
+    assert(streamedL.filter(_(3) != null) == batchL.filter(_(3) != null),
+      "left-outer stream must emit every matched pair")
+    // the final GLOBAL watermark is the min over both inputs' watermarks
+    // (each = that side's max event time − delay), so the click stream's
+    // last event bounds null-row emission too
+    val maxTs = Seq("view", "click").map(t =>
+      events.filter($"event_type" === t).agg(max($"ts"))
+        .collect()(0).getTimestamp(0)).min
+    // − horizon − watermark − a margin: the join-state watermark that
+    // licenses a null row is computed off the PREVIOUS batch and its
+    // eviction bound is exclusive, so the exact boundary view can
+    // legitimately still be open when the source drains
+    val closed = java.sql.Timestamp.from(maxTs.toInstant
+      .minusSeconds(12 * 3600 + 3600 + 600))
+    val mustHave = batchL.filter(r => r(3) == null &&
+      r(2).asInstanceOf[java.sql.Timestamp].before(closed))
+    assert(mustHave.nonEmpty && mustHave.subsetOf(streamedL),
+      s"stream missed closed-horizon unmatched views: " +
+        mustHave.diff(streamedL).mkString("; "))
   }
 }
 
