@@ -73,6 +73,22 @@ object QueriesML {
     wo = m22(7), uo = m22(8), bo = v2(4),
     wOut = Array(0.6, -0.4), bOut = 0.05)
 
+  /** Pinned second stacked layer (2→2) + head, and the per-layer norms
+    * for the use_layer_norm / use_batch_norm scoring query
+    * (sequence.py:141-144): layer 0 gets a trainable-shape LayerNorm
+    * (per-timestep, Keras eps 1e-3), layer 1 a BatchNorm at INFERENCE —
+    * pinned moving stats folded to the per-unit Keras affine. */
+  val pinnedLstmL2: LstmWeights = LstmWeights(
+    wi = m22(9), ui = m22(10), bi = v2(5),
+    wf = m22(11), uf = m22(12), bf = v2(6),
+    wc = m22(13), uc = m22(14), bc = v2(7),
+    wo = m22(15), uo = m22(16), bo = v2(8),
+    wOut = Array(0.7, 0.35), bOut = -0.15)
+  val pinnedLstmNorms: Seq[LstmNorm] = Seq(
+    LstmNorm(Array(1.1, 0.9), Array(0.05, -0.05)),
+    LstmNorm(Array(1.2, 0.8), Array(0.1, -0.1), eps = 1e-3,
+      movingMean = Array(0.05, -0.02), movingVar = Array(0.04, 0.09)))
+
   /** Pinned single-head attention (2 features/step, 2 hidden) + head. */
   val pinnedAttn: AttnWeights = AttnWeights(
     wq = m22(1), bq = v2(5), wk = m22(4), bk = v2(6),
@@ -359,6 +375,17 @@ object QueriesML {
           round(col("prediction"), 6).as("seq_score"))
     }),
 
+    // stacked LSTM with the reference's use_layer_norm / use_batch_norm
+    // stages (sequence.py:141-144): layer 0 LayerNorm per timestep,
+    // layer 1 BatchNorm-at-inference (pinned moving stats), all pure
+    // codegen'd column arithmetic from the same expression algebra
+    "q_lstm_ln" -> ((s, dir) => {
+      LstmScorer.scoreStacked(seqBase(s, dir), seqSteps,
+        Seq(pinnedLstm, pinnedLstmL2), pinnedLstmNorms)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("ln_score"))
+    }),
+
     // pinned single-head attention forward pass (transformer analog)
     "q_attn_score" -> ((s, dir) => {
       AttnScorer.score(seqBase(s, dir), seqSteps, pinnedAttn)
@@ -636,6 +663,10 @@ object QueriesML {
     },
     "q_seq_score" -> LstmScorer.sql(seqBaseSql, "base", seqSteps, pinnedLstm,
       "l_orderkey, l_linenumber, round(prediction, 6) AS seq_score"),
+    "q_lstm_ln" -> LstmScorer.sqlStacked(seqBaseSql, "base", seqSteps,
+      Seq(pinnedLstm, pinnedLstmL2),
+      "l_orderkey, l_linenumber, round(prediction, 6) AS ln_score",
+      pinnedLstmNorms),
     "q_attn_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps, pinnedAttn,
       "l_orderkey, l_linenumber, round(prediction, 6) AS attn_score"),
     "q_transformer_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,

@@ -21,8 +21,18 @@ package graft.ml
   * score identically through the distributed codegen'd forward pass. */
 object LstmStackBptt {
 
-  /** @param layers hidden width per stacked layer (bidi: exactly one) */
-  case class Cfg(f: Int, layers: Seq[Int], bidi: Boolean) {
+  /** Keras LayerNormalization default epsilon (the LSTM path's
+    * use_layer_norm stage carries no explicit eps, sequence.py:141-142). */
+  val LnEps = 1e-3
+
+  /** @param layers hidden width per stacked layer (bidi: exactly one)
+    * @param layerNorm trainable LayerNormalization after every layer
+    *   (the reference's `use_layer_norm`, sequence.py:141-142): inner
+    *   layers normalize each timestep's hidden vector, the last layer
+    *   its final state (bidi: the concatenated [fwd, bwd] state); γ/β
+    *   blocks append after the head in the flat layout */
+  case class Cfg(f: Int, layers: Seq[Int], bidi: Boolean,
+      layerNorm: Boolean = false) {
     require(layers.nonEmpty, "at least one LSTM layer")
     require(!bidi || layers.size == 1,
       "bidirectional fit covers the single-layer layout the scorer scores")
@@ -36,7 +46,65 @@ object LstmStackBptt {
     def headDim: Int = if (bidi) 2 * layers.head else layers.last
     def headOff: Int =
       if (bidi) 2 * cellSize(f, layers.head) else cellOff(layers.size)
-    def size: Int = headOff + headDim + 1
+    /** The head bias slot (γ/β blocks sit after it when layerNorm). */
+    def headBias: Int = headOff + headDim
+    /** Normalized width of LN block l (bidi: one block over 2H). */
+    def lnWidth(l: Int): Int = if (bidi) 2 * layers.head else layers(l)
+    def lnCount: Int = if (bidi) 1 else layers.size
+    /** γ of LN block l sits at lnOff(l); β at lnOff(l) + lnWidth(l). */
+    def lnOff(l: Int): Int = headOff + headDim + 1 +
+      (0 until l).map(i => 2 * lnWidth(i)).sum
+    def size: Int = headOff + headDim + 1 +
+      (if (layerNorm) (0 until lnCount).map(i => 2 * lnWidth(i)).sum
+       else 0)
+  }
+
+  /** Trainable LayerNorm block over `h` units, γ at `gOff`, β at
+    * `gOff + h` in the flat array. forward returns (y, xhat, invstd);
+    * backward consumes (dy, xhat, invstd), accumulates dγ/dβ, returns dx. */
+  private final class LnOp(w: Array[Double], gOff: Int, h: Int) {
+    def forward(x: Array[Double]): (Array[Double], Array[Double], Double) = {
+      var mu = 0.0
+      var i = 0
+      while (i < h) { mu += x(i); i += 1 }
+      mu /= h
+      var v = 0.0
+      i = 0
+      while (i < h) { val d = x(i) - mu; v += d * d; i += 1 }
+      v /= h
+      val s = 1.0 / math.sqrt(v + LnEps)
+      val xhat = new Array[Double](h)
+      val y = new Array[Double](h)
+      i = 0
+      while (i < h) {
+        xhat(i) = (x(i) - mu) * s
+        y(i) = w(gOff + i) * xhat(i) + w(gOff + h + i)
+        i += 1
+      }
+      (y, xhat, s)
+    }
+    def backward(dy: Array[Double], xhat: Array[Double], s: Double,
+        acc: Array[Double]): Array[Double] = {
+      val dxhat = new Array[Double](h)
+      var mDx = 0.0
+      var mDxX = 0.0
+      var i = 0
+      while (i < h) {
+        acc(gOff + h + i) += dy(i)
+        acc(gOff + i) += dy(i) * xhat(i)
+        dxhat(i) = dy(i) * w(gOff + i)
+        mDx += dxhat(i); mDxX += dxhat(i) * xhat(i)
+        i += 1
+      }
+      mDx /= h; mDxX /= h
+      val dx = new Array[Double](h)
+      i = 0
+      while (i < h) {
+        dx(i) = s * (dxhat(i) - mDx - xhat(i) * mDxX)
+        i += 1
+      }
+      dx
+    }
   }
 
   /** One cell's forward/backward over a sequence, reading its gate
@@ -227,7 +295,11 @@ object LstmStackBptt {
 
   /** Per-gate masks for cell `cell` from the row's Drop sample — each
     * cell (stacked layer / bidi direction) draws its own masks, in cell
-    * order, from one seeded stream (the Keras per-layer behavior). */
+    * order, from one seeded stream (the Keras per-layer behavior).
+    * `drop.perCell` rates, when present, give each stacked layer its
+    * own (dropout, recurrent_dropout) pair — the reference's
+    * `lstm_units` tuples (bidi directions share the single layer's
+    * pair, as Keras' Bidirectional wraps one configured cell). */
   private def cellMasks(drop: LstmBptt.Drop, c: Cfg, nCells: Int)
       : Array[(Array[Array[Double]], Array[Array[Double]])] = {
     if (drop == null) return null
@@ -235,8 +307,11 @@ object LstmStackBptt {
     Array.tabulate(nCells) { cell =>
       val f = if (c.bidi) c.f else c.fIn(cell)
       val h = if (c.bidi) c.layers.head else c.layers(cell)
-      (Array.fill(4)(SeqAdam.invBernoulli(rng, drop.in, f)),
-        Array.fill(4)(SeqAdam.invBernoulli(rng, drop.rec, h)))
+      val (pIn, pRec) =
+        if (drop.perCell == null || c.bidi) (drop.in, drop.rec)
+        else drop.perCell(cell)
+      (Array.fill(4)(SeqAdam.invBernoulli(rng, pIn, f)),
+        Array.fill(4)(SeqAdam.invBernoulli(rng, pRec, h)))
     }
   }
 
@@ -257,24 +332,34 @@ object LstmStackBptt {
       val rev = Array.tabulate(T)(t => x(T - 1 - t))
       val hsF = fwd.forward(x)
       val hsB = bwd.forward(rev)
-      var pred = w(c.size - 1)
+      // concatenated [fwd, bwd] final state; Keras applies the
+      // use_layer_norm stage after the Bidirectional wrapper's output
+      val z = new Array[Double](2 * h)
+      System.arraycopy(hsF(T - 1), 0, z, 0, h)
+      System.arraycopy(hsB(T - 1), 0, z, h, h)
+      val ln = if (c.layerNorm) new LnOp(w, c.lnOff(0), 2 * h) else null
+      val (zn, xhat, s) =
+        if (ln != null) ln.forward(z) else (z, null, 0.0)
+      var pred = w(c.headBias)
       var u = 0
-      while (u < h) {
-        pred += w(hOff + u) * hsF(T - 1)(u) +
-          w(hOff + h + u) * hsB(T - 1)(u)
-        u += 1
-      }
+      while (u < 2 * h) { pred += w(hOff + u) * zn(u); u += 1 }
       if (acc == null) return pred
       val d = pred - y
-      acc(c.size - 1) += d
+      acc(c.headBias) += d
+      val dzn = new Array[Double](2 * h)
+      u = 0
+      while (u < 2 * h) {
+        acc(hOff + u) += d * zn(u)
+        dzn(u) = w(hOff + u) * d
+        u += 1
+      }
+      val dz = if (ln != null) ln.backward(dzn, xhat, s, acc) else dzn
       val injF = Array.ofDim[Double](T, h)
       val injB = Array.ofDim[Double](T, h)
       u = 0
       while (u < h) {
-        acc(hOff + u) += d * hsF(T - 1)(u)
-        acc(hOff + h + u) += d * hsB(T - 1)(u)
-        injF(T - 1)(u) = w(hOff + u) * d
-        injB(T - 1)(u) = w(hOff + h + u) * d
+        injF(T - 1)(u) = dz(u)
+        injB(T - 1)(u) = dz(h + u)
         u += 1
       }
       fwd.backward(injF, acc, needDx = false)
@@ -284,27 +369,71 @@ object LstmStackBptt {
       val L = c.layers.size
       val cells = Array.tabulate(L)(l =>
         new Cell(w, c.cellOff(l), c.fIn(l), c.layers(l), mI(l), mR(l)))
+      val lns = if (c.layerNorm)
+        Array.tabulate(L)(l => new LnOp(w, c.lnOff(l), c.layers(l)))
+      else null
+      // LN caches: inner layers per timestep, last layer final step only
+      val xhatC = if (c.layerNorm) Array.ofDim[Array[Double]](L, T) else null
+      val sC = if (c.layerNorm) Array.ofDim[Double](L, T) else null
       var cur = x
       var l = 0
-      while (l < L) { cur = cells(l).forward(cur); l += 1 }
+      while (l < L) {
+        cur = cells(l).forward(cur)
+        if (c.layerNorm && l < L - 1) {
+          val normed = new Array[Array[Double]](T)
+          var t = 0
+          while (t < T) {
+            val (yv, xh, sv) = lns(l).forward(cur(t))
+            normed(t) = yv; xhatC(l)(t) = xh; sC(l)(t) = sv
+            t += 1
+          }
+          cur = normed
+        }
+        l += 1
+      }
       val hLast = c.layers.last
-      var pred = w(c.size - 1)
+      val lastState =
+        if (c.layerNorm) {
+          val (yv, xh, sv) = lns(L - 1).forward(cur(T - 1))
+          xhatC(L - 1)(T - 1) = xh; sC(L - 1)(T - 1) = sv
+          yv
+        } else cur(T - 1)
+      var pred = w(c.headBias)
       var u = 0
-      while (u < hLast) { pred += w(hOff + u) * cur(T - 1)(u); u += 1 }
+      while (u < hLast) { pred += w(hOff + u) * lastState(u); u += 1 }
       if (acc == null) return pred
       val d = pred - y
-      acc(c.size - 1) += d
-      var inj = Array.ofDim[Double](T, hLast)
+      acc(c.headBias) += d
+      val dLast = new Array[Double](hLast)
       u = 0
       while (u < hLast) {
-        acc(hOff + u) += d * cur(T - 1)(u)
-        inj(T - 1)(u) = w(hOff + u) * d
+        acc(hOff + u) += d * lastState(u)
+        dLast(u) = w(hOff + u) * d
         u += 1
       }
+      var inj = Array.ofDim[Double](T, hLast)
+      inj(T - 1) =
+        if (c.layerNorm)
+          lns(L - 1).backward(dLast, xhatC(L - 1)(T - 1),
+            sC(L - 1)(T - 1), acc)
+        else dLast
       l = L - 1
       while (l >= 0) {
         val dx = cells(l).backward(inj, acc, needDx = l > 0)
-        inj = dx
+        if (l > 0) {
+          // dx is the gradient w.r.t. layer l-1's (normalized) outputs;
+          // route it back through that layer's LN before injecting
+          inj = if (c.layerNorm) {
+            val injPrev = new Array[Array[Double]](T)
+            var t = 0
+            while (t < T) {
+              injPrev(t) = lns(l - 1).backward(dx(t), xhatC(l - 1)(t),
+                sC(l - 1)(t), acc)
+              t += 1
+            }
+            injPrev
+          } else dx
+        }
         l -= 1
       }
       0.5 * d * d
@@ -338,9 +467,21 @@ object LstmStackBptt {
       val h = c.layers(l)
       val (wOut, bOut) =
         if (l == c.layers.size - 1)
-          (Array.tabulate(h)(u => w(hOff + u)), w(c.size - 1))
+          (Array.tabulate(h)(u => w(hOff + u)), w(c.headBias))
         else (new Array[Double](h), 0.0)
       cellWeights(w, c.cellOff(l), c.fIn(l), h, wOut, bOut)
+    }
+  }
+
+  /** The fitted LayerNorm blocks as the scorer's [[LstmNorm]] list
+    * (one per stacked layer, aligned with [[toStacked]]). */
+  def stackNorms(w: Array[Double], c: Cfg): Seq[LstmNorm] = {
+    require(!c.bidi && c.layerNorm)
+    c.layers.indices.map { l =>
+      val h = c.lnWidth(l)
+      val o = c.lnOff(l)
+      LstmNorm(Array.tabulate(h)(i => w(o + i)),
+        Array.tabulate(h)(i => w(o + h + i)), LnEps)
     }
   }
 
@@ -354,7 +495,16 @@ object LstmStackBptt {
       new Array[Double](h), 0.0)
     val bwd = cellWeights(w, c.cellOff(1), c.f, h,
       new Array[Double](h), 0.0)
-    (fwd, bwd, Array.tabulate(2 * h)(u => w(c.headOff + u)), w(c.size - 1))
+    (fwd, bwd, Array.tabulate(2 * h)(u => w(c.headOff + u)), w(c.headBias))
+  }
+
+  /** The fitted LayerNorm over the concatenated [fwd, bwd] state. */
+  def bidiNorm(w: Array[Double], c: Cfg): LstmNorm = {
+    require(c.bidi && c.layerNorm)
+    val h = c.lnWidth(0)
+    val o = c.lnOff(0)
+    LstmNorm(Array.tabulate(h)(i => w(o + i)),
+      Array.tabulate(h)(i => w(o + h + i)), LnEps)
   }
 
   /** Glorot input blocks, scaled-uniform recurrent blocks, unit forget
@@ -383,6 +533,10 @@ object LstmStackBptt {
     val limOut = math.sqrt(6.0 / (c.headDim + 1))
     for (i <- 0 until c.headDim + 1)
       w(c.headOff + i) = (rng.nextDouble() * 2 - 1) * limOut
+    // LayerNorm blocks: Keras init γ=1, β=0
+    if (c.layerNorm)
+      for (l <- 0 until c.lnCount; i <- 0 until c.lnWidth(l))
+        w(c.lnOff(l) + i) = 1.0
     w
   }
 }

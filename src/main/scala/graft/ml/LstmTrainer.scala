@@ -51,10 +51,18 @@ object LstmBptt {
     * across all timesteps of the row (the Keras `dropout` /
     * `recurrent_dropout` behavior), inverted 1/(1−p) scaling. `seed`
     * fixes the sample so forward/backward and finite-difference pairs
-    * see the same sub-network. */
-  case class Drop(in: Double, rec: Double, seed: Long) {
+    * see the same sub-network. `perCell`, when set, carries one
+    * (dropout, recurrent_dropout) pair PER STACKED LAYER — the
+    * reference's `lstm_units` tuple list (sequence.py:105,123) — and
+    * overrides the scalar rates in [[LstmStackBptt]]'s mask sampling
+    * (the one-layer kernel has a single cell and ignores it). */
+  case class Drop(in: Double, rec: Double, seed: Long,
+      perCell: Seq[(Double, Double)] = null) {
     require(in >= 0 && in < 1 && rec >= 0 && rec < 1,
       s"dropout rates in [0, 1), got ($in, $rec)")
+    require(perCell == null || perCell.forall { case (i, r) =>
+      i >= 0 && i < 1 && r >= 0 && r < 1 },
+      s"per-layer dropout rates in [0, 1), got $perCell")
   }
 
   /** Forward pass only: prediction for one row (used by the gradient
@@ -257,7 +265,9 @@ class LSTMTrainer(
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
     val dropout: Double = 0.0,
-    val recurrentDropout: Double = 0.0) extends Serializable {
+    val recurrentDropout: Double = 0.0,
+    val layerDropouts: Seq[(Double, Double)] = Nil,
+    val layerNorm: Boolean = false) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -270,34 +280,57 @@ class LSTMTrainer(
   require(dropout >= 0 && dropout < 1 &&
     recurrentDropout >= 0 && recurrentDropout < 1,
     s"dropout rates in [0, 1), got ($dropout, $recurrentDropout)")
+  require(layerDropouts.isEmpty ||
+    layerDropouts.size == math.max(layers.size, 1),
+    s"layerDropouts (${layerDropouts.size}) must align with the layer " +
+      s"list (${math.max(layers.size, 1)}) — the lstm_units tuple shape")
   // Training-time dropout (sequence.py:123-132, reference default
   // lstm_units=[(64, 0.01, 0.01)]): per-gate Keras-style masks,
   // constant across timesteps, per-row per-epoch seed — applied on
   // every fit layout (single, stacked, bidirectional; each cell draws
-  // its own masks, the Keras per-layer behavior). One rate pair is
-  // shared across layers where the reference allows per-layer tuples.
+  // its own masks, the Keras per-layer behavior). `layerDropouts`
+  // carries the reference's PER-LAYER (dropout, recurrent_dropout)
+  // tuples (sequence.py:105,123); the scalar pair remains the
+  // shared-rate shorthand. Bidirectional wraps one configured cell, so
+  // both directions share the single pair — exactly Keras.
+  private val effDropouts: Seq[(Double, Double)] =
+    if (layerDropouts.nonEmpty) layerDropouts
+    else Seq.fill(math.max(layers.size, 1))((dropout, recurrentDropout))
+  private def anyDropout: Boolean =
+    effDropouts.exists(p => p._1 > 0 || p._2 > 0)
   private val nFeat = lagCols.size / seqLen
 
-  /** `layers.size > 1` (reference `lstm_units` list, sequence.py:120)
-    * or `bidirectional` selects the generalized [[LstmStackBptt]]
-    * kernel; otherwise the one-layer [[LstmBptt]] fast path — with
-    * `layers == Seq(n)` honored as a one-layer fit of n units. */
+  /** `layers.size > 1` (reference `lstm_units` list, sequence.py:120),
+    * `bidirectional`, or `layerNorm` (the trainable use_layer_norm
+    * stage lives only in the generalized kernel) selects
+    * [[LstmStackBptt]]; otherwise the one-layer [[LstmBptt]] fast
+    * path — with `layers == Seq(n)` honored as a one-layer fit of n
+    * units. `use_batch_norm` training (batch statistics + moving
+    * averages) is NOT fitted — the standardization-in-lieu-of-BatchNorm
+    * deviation documented on the autoencoder; BN scoring parity over
+    * pinned moving stats is [[LstmNorm]]'s affine mode. */
   private def stackCfg: Option[LstmStackBptt.Cfg] =
     if (bidirectional)
       Some(LstmStackBptt.Cfg(nFeat,
-        if (layers.isEmpty) Seq(hidden) else layers, bidi = true))
-    else if (layers.size > 1)
-      Some(LstmStackBptt.Cfg(nFeat, layers, bidi = false))
+        if (layers.isEmpty) Seq(hidden) else layers, bidi = true,
+        layerNorm = layerNorm))
+    else if (layers.size > 1 || layerNorm)
+      Some(LstmStackBptt.Cfg(nFeat,
+        if (layers.isEmpty) Seq(hidden) else layers, bidi = false,
+        layerNorm = layerNorm))
     else None
 
   private var weights: LstmWeights = _
   private var stacked: Seq[LstmWeights] = Nil
+  private var stackedNorms: Seq[LstmNorm] = Nil
   private var bidi: (LstmWeights, LstmWeights, Array[Double], Double) = _
+  private var bidiLn: LstmNorm = _
   private var yMean = 0.0
   private var yStd = 1.0
 
   def fittedWeights: LstmWeights = weights
   def fittedLayers: Seq[LstmWeights] = stacked
+  def fittedNorms: Seq[LstmNorm] = stackedNorms
   def fittedBidi: (LstmWeights, LstmWeights, Array[Double], Double) = bidi
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
@@ -322,10 +355,17 @@ class LSTMTrainer(
         val w = LstmStackBptt.init(cfg, seed)
         adamEpochs(data, cfg.size, w,
           (bw, x, y, acc, ms) => LstmStackBptt.run(bw, cfg, x, y, acc,
-            if (dropout > 0 || recurrentDropout > 0)
-              LstmBptt.Drop(dropout, recurrentDropout, ms) else null))
-        if (cfg.bidi) bidi = LstmStackBptt.toBidi(w, cfg)
-        else stacked = LstmStackBptt.toStacked(w, cfg)
+            if (anyDropout)
+              LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms,
+                if (effDropouts.size > 1) effDropouts else null)
+            else null))
+        if (cfg.bidi) {
+          bidi = LstmStackBptt.toBidi(w, cfg)
+          if (layerNorm) bidiLn = LstmStackBptt.bidiNorm(w, cfg)
+        } else {
+          stacked = LstmStackBptt.toStacked(w, cfg)
+          if (layerNorm) stackedNorms = LstmStackBptt.stackNorms(w, cfg)
+        }
       case None =>
         val sz = LstmBptt.size(f, h)
         val rng = new scala.util.Random(seed)
@@ -350,8 +390,9 @@ class LSTMTrainer(
           w(4 * blk + i) = (rng.nextDouble() * 2 - 1) * limOut
         adamEpochs(data, sz, w,
           (bw, x, y, acc, ms) => LstmBptt.run(bw, f, h, x, y, acc,
-            if (dropout > 0 || recurrentDropout > 0)
-              LstmBptt.Drop(dropout, recurrentDropout, ms) else null))
+            if (anyDropout)
+              LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms)
+            else null))
         weights = LstmBptt.toWeights(w, f, h)
     }
     data.unpersist()
@@ -374,8 +415,9 @@ class LSTMTrainer(
     val scored =
       if (bidi != null)
         LstmScorer.scoreBidirectional(df, steps, bidi._1, bidi._2,
-          bidi._3, bidi._4)
-      else if (stacked.nonEmpty) LstmScorer.scoreStacked(df, steps, stacked)
+          bidi._3, bidi._4, bidiLn)
+      else if (stacked.nonEmpty)
+        LstmScorer.scoreStacked(df, steps, stacked, stackedNorms)
       else {
         require(weights != null, "fit first")
         LstmScorer.score(df, steps, weights)

@@ -89,6 +89,25 @@ case class LstmWeights(
   def hidden: Int = bi.length
 }
 
+/** Per-layer normalization after an LSTM layer — the reference's
+  * `use_layer_norm` / `use_batch_norm` flags (sequence.py:141-144).
+  * `movingMean`/`movingVar` null = LayerNormalization (per-sample mean
+  * and variance over the hidden axis, Keras default eps 1e-3);
+  * non-null = BatchNormalization at INFERENCE, where the pinned moving
+  * statistics fold to a per-unit affine (training-side BN is the
+  * standardization-in-lieu-of-BatchNorm deviation documented on the
+  * autoencoder). Inner stacked layers normalize every timestep
+  * (return_sequences=True output); the final layer normalizes its last
+  * hidden state (the (batch, H) tensor Keras sees). */
+case class LstmNorm(gamma: Array[Double], beta: Array[Double],
+    eps: Double = 1e-3,
+    movingMean: Array[Double] = null,
+    movingVar: Array[Double] = null) extends Serializable {
+  require(gamma.length == beta.length, "gamma/beta size mismatch")
+  require((movingMean == null) == (movingVar == null),
+    "BatchNorm needs BOTH moving stats; LayerNorm neither")
+}
+
 object LstmScorer {
   import SeqAlg._
 
@@ -128,28 +147,80 @@ object LstmScorer {
     Seq(gates, cell, hid)
   }
 
-  private def headExpr[E](alg: Alg[E], w: LstmWeights, lastT: Int,
-      pfx: String): E =
-    linear(alg, (0 until w.hidden).map(u => alg.ref(s"${pfx}h${lastT}_$u")),
-      w.wOut.toSeq, Some(w.bOut))
-
-  /** Per-layer (prefix, input-steps) wiring for a stacked LSTM: layer
-    * n+1's timestep features are layer n's hidden columns at every step
-    * (Keras return_sequences=True between layers, sequence.py:125-131).
-    * The head reads the LAST layer's final hidden state. */
-  private def layerWiring(weights: Seq[LstmWeights],
-      steps: Seq[Seq[String]]): Seq[(String, Seq[Seq[String]])] =
-    weights.indices.map { li =>
-      val pfx = if (li == 0) "__" else s"__l${li}_"
-      val in = if (li == 0) steps
-        else {
-          val prevPfx = if (li == 1) "__" else s"__l${li - 1}_"
-          val prevH = weights(li - 1).hidden
-          steps.indices.map(t =>
-            (0 until prevH).map(u => s"${prevPfx}h${t}_$u"))
-        }
-      (pfx, in)
+  /** Normalization stages for one layer at one timestep (the
+    * [[LstmNorm]] semantics): LayerNorm emits mean → variance →
+    * normalized columns (3 chained stages, per-sample statistics over
+    * the hidden axis); BatchNorm-at-inference folds its pinned moving
+    * stats into constants and emits one per-unit affine stage. */
+  private def normStages[E](alg: Alg[E], n: LstmNorm, pfx: String,
+      t: Int, h: Int, inName: Int => String): Seq[Seq[(String, E)]] = {
+    require(n.gamma.length == h, s"norm width ${n.gamma.length} != $h")
+    if (n.movingMean != null) {
+      Seq((0 until h).map { u =>
+        val sc = n.gamma(u) / math.sqrt(n.movingVar(u) + n.eps)
+        val sh = n.beta(u) - n.movingMean(u) * sc
+        s"${pfx}n${t}_$u" ->
+          alg.add(alg.mulW(alg.ref(inName(u)), sc), alg.const(sh))
+      })
+    } else {
+      val mName = s"${pfx}nm$t"
+      val vName = s"${pfx}nv$t"
+      val mean = alg.mulW(
+        (0 until h).map(u => alg.ref(inName(u))).reduce(alg.add), 1.0 / h)
+      val variance = alg.mulW(
+        (0 until h).map { u =>
+          val d = alg.sub(alg.ref(inName(u)), alg.ref(mName))
+          alg.mul(d, d)
+        }.reduce(alg.add), 1.0 / h)
+      val normed = (0 until h).map { u =>
+        val d = alg.sub(alg.ref(inName(u)), alg.ref(mName))
+        s"${pfx}n${t}_$u" -> alg.add(
+          alg.mulW(alg.div(d,
+            alg.sqrt(alg.add(alg.ref(vName), alg.const(n.eps)))),
+            n.gamma(u)),
+          alg.const(n.beta(u)))
+      }
+      Seq(Seq(mName -> mean), Seq(vName -> variance), normed)
     }
+  }
+
+  /** The whole stacked forward pass as ordered stages + head expression,
+    * emitted once for BOTH engines: layer n+1's timestep features are
+    * layer n's (optionally normalized) hidden columns at every step
+    * (Keras return_sequences=True between layers, sequence.py:125-131);
+    * `norms` (aligned with `weights`, null entries skip) inserts the
+    * reference's per-layer use_layer_norm/use_batch_norm stage — inner
+    * layers at every timestep, the last layer on its final hidden state
+    * only. The head reads the LAST layer's (normalized) final state. */
+  private def stackedStages[E](alg: Alg[E], weights: Seq[LstmWeights],
+      steps: Seq[Seq[String]], norms: Seq[LstmNorm])
+      : (Seq[Seq[(String, E)]], E) = {
+    require(norms.isEmpty || norms.size == weights.size,
+      s"norms (${norms.size}) must align with layers (${weights.size})")
+    val lastT = steps.size - 1
+    val stages = Seq.newBuilder[Seq[(String, E)]]
+    var in: Seq[Seq[String]] = steps
+    for (li <- weights.indices) {
+      val pfx = if (li == 0) "__" else s"__l${li}_"
+      val w = weights(li)
+      for (t <- steps.indices; st <- stepStages(alg, w, in, t, pfx))
+        stages += st
+      val norm = if (norms.isEmpty) null else norms(li)
+      val hCol: Int => Int => String = t => u => s"${pfx}h${t}_$u"
+      if (norm != null) {
+        val ts = if (li < weights.size - 1) steps.indices else Seq(lastT)
+        for (t <- ts; st <- normStages(alg, norm, pfx, t, w.hidden,
+            hCol(t)))
+          stages += st
+        in = steps.indices.map(t =>
+          (0 until w.hidden).map(u => s"${pfx}n${t}_$u"))
+      } else
+        in = steps.indices.map(t => (0 until w.hidden).map(hCol(t)))
+    }
+    val head = linear(alg, in(lastT).map(alg.ref),
+      weights.last.wOut.toSeq, Some(weights.last.bOut))
+    (stages.result(), head)
+  }
 
   /** Appends `prediction` = unrolled LSTM forward pass over the lag-major
     * timesteps; each stage is a named projection (gates → cell → hidden
@@ -159,17 +230,15 @@ object LstmScorer {
 
   /** Stacked variant (the reference's `lstm_units` list,
     * sequence.py:125-131): layer n+1 consumes layer n's per-step hidden
-    * states; only the LAST layer's output head is used. */
+    * states; only the LAST layer's output head is used. `norms` adds the
+    * per-layer use_layer_norm/use_batch_norm stages (sequence.py:141-144). */
   def scoreStacked(df: DataFrame, steps: Seq[Seq[String]],
-      weights: Seq[LstmWeights]): DataFrame = {
-    val wiring = layerWiring(weights, steps)
+      weights: Seq[LstmWeights], norms: Seq[LstmNorm] = Nil): DataFrame = {
+    val (stages, head) = stackedStages(ColAlg, weights, steps, norms)
     var cur = df
-    for (li <- weights.indices; t <- steps.indices;
-         stage <- stepStages(ColAlg, weights(li), wiring(li)._2, t,
-           wiring(li)._1))
+    for (stage <- stages)
       cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
-    val out = cur.withColumn("prediction",
-      headExpr(ColAlg, weights.last, steps.size - 1, wiring.last._1))
+    val out = cur.withColumn("prediction", head)
     out.drop(out.columns.filter(_.startsWith("__")): _*)
   }
 
@@ -179,7 +248,7 @@ object LstmScorer {
     * [fwd_h, bwd_h] (`wOut` spans 2H; per-cell heads are unused). */
   def scoreBidirectional(df: DataFrame, steps: Seq[Seq[String]],
       fwd: LstmWeights, bwd: LstmWeights, wOut: Array[Double],
-      bOut: Double): DataFrame = {
+      bOut: Double, norm: LstmNorm = null): DataFrame = {
     require(wOut.length == fwd.hidden + bwd.hidden,
       "bidirectional head must span both cells' hidden states")
     var cur = df
@@ -191,9 +260,21 @@ object LstmScorer {
          stage <- stepStages(ColAlg, bwd, rev, t, "__bwd_"))
       cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
     val lastT = steps.size - 1
-    val refs = (0 until fwd.hidden).map(u => col(s"__fwd_h${lastT}_$u")) ++
-      (0 until bwd.hidden).map(u => col(s"__bwd_h${lastT}_$u"))
-    val head = refs.zip(wOut).map { case (r, wt) => r * lit(wt) }
+    val h = fwd.hidden
+    val concat: Int => String = u =>
+      if (u < h) s"__fwd_h${lastT}_$u" else s"__bwd_h${lastT}_${u - h}"
+    // norm over the CONCATENATED [fwd, bwd] final state — Keras applies
+    // the use_layer_norm stage after the Bidirectional wrapper's output
+    val headIn: Seq[Column] =
+      if (norm == null) (0 until 2 * h).map(u => col(concat(u)))
+      else {
+        for (stage <- normStages(ColAlg, norm, "__bi_", lastT,
+            2 * h, concat))
+          cur = cur.select(
+            col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+        (0 until 2 * h).map(u => col(s"__bi_n${lastT}_$u"))
+      }
+    val head = headIn.zip(wOut).map { case (r, wt) => r * lit(wt) }
       .reduce(_ + _) + lit(bOut)
     val out = cur.withColumn("prediction", head)
     out.drop(out.columns.filter(_.startsWith("__")): _*)
@@ -207,20 +288,18 @@ object LstmScorer {
     sqlStacked(baseCte, baseName, steps, Seq(w), finalSelect)
 
   def sqlStacked(baseCte: String, baseName: String, steps: Seq[Seq[String]],
-      weights: Seq[LstmWeights], finalSelect: String): String = {
-    val wiring = layerWiring(weights, steps)
+      weights: Seq[LstmWeights], finalSelect: String,
+      norms: Seq[LstmNorm] = Nil): String = {
+    val (stages, head) = stackedStages(SqlAlg, weights, steps, norms)
     val sb = new StringBuilder(baseCte)
     var prev = baseName
     var si = 0
-    for (li <- weights.indices; t <- steps.indices;
-         stage <- stepStages(SqlAlg, weights(li), wiring(li)._2, t,
-           wiring(li)._1)) {
+    for (stage <- stages) {
       val name = s"s$si"
       val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
       sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
       prev = name; si += 1
     }
-    val head = headExpr(SqlAlg, weights.last, steps.size - 1, wiring.last._1)
     sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
     sb.append(s"\nSELECT $finalSelect FROM fin")
     sb.toString

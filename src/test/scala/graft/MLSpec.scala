@@ -321,6 +321,153 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("stacked lstm PER-LAYER dropout tuples (lstm_units=[(h,d,rd),...], " +
+    "sequence.py:105,123): distinct per-layer rates gradient-check; " +
+    "uniform tuples reproduce the shared-scalar masks exactly") {
+    import graft.ml.{LstmBptt, LstmStackBptt}
+    val r = new scala.util.Random(53)
+    val (f, t) = (2, 3)
+    val cfg = LstmStackBptt.Cfg(f, Seq(3, 2), bidi = false)
+    val sz = cfg.size
+    val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val x = Array.fill(t, f)(r.nextGaussian())
+    val y = 0.6
+    // layer 0 drops inputs only; layer 1 drops recurrent state only
+    val drop = LstmBptt.Drop(0.0, 0.0, 555L,
+      perCell = Seq((0.4, 0.0), (0.0, 0.5)))
+    val acc = new Array[Double](sz)
+    LstmStackBptt.run(w, cfg, x, y, acc, drop)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      def loss(wv: Array[Double]) = {
+        val d = LstmStackBptt.run(wv, cfg, x, y, null, drop) - y
+        0.5 * d * d
+      }
+      val fd = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"per-layer dropout grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    // uniform tuples == the scalar shorthand (same rng stream, same masks)
+    assert(LstmStackBptt.run(w, cfg, x, y, null,
+        LstmBptt.Drop(0.3, 0.2, 777L)) ==
+      LstmStackBptt.run(w, cfg, x, y, null,
+        LstmBptt.Drop(0.0, 0.0, 777L,
+          perCell = Seq((0.3, 0.2), (0.3, 0.2)))),
+      "uniform per-layer tuples must equal the shared-scalar path")
+  }
+
+  test("lstm use_layer_norm (sequence.py:141-142): trainable LayerNorm " +
+    "gradient matches finite differences (stacked AND bidi, gamma/beta " +
+    "slots included); kernel forward equals the normalized scorer") {
+    import graft.ml.{LstmScorer, LstmStackBptt}
+    val r = new scala.util.Random(61)
+    val (f, t) = (2, 3)
+    val cfgs = Seq(
+      LstmStackBptt.Cfg(f, Seq(3, 2), bidi = false, layerNorm = true),
+      LstmStackBptt.Cfg(f, Seq(3), bidi = true, layerNorm = true))
+    for (cfg <- cfgs) {
+      val sz = cfg.size
+      val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+      // non-trivial gamma/beta so the LN path is exercised off-identity
+      for (l <- 0 until cfg.lnCount; i <- 0 until cfg.lnWidth(l)) {
+        w(cfg.lnOff(l) + i) = 0.8 + 0.1 * i
+        w(cfg.lnOff(l) + cfg.lnWidth(l) + i) = 0.05 * (i + 1)
+      }
+      val x = Array.fill(t, f)(r.nextGaussian())
+      val y = 0.6
+      val acc = new Array[Double](sz)
+      LstmStackBptt.run(w, cfg, x, y, acc)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        def loss(wv: Array[Double]) = {
+          val d = LstmStackBptt.run(wv, cfg, x, y, null) - y
+          0.5 * d * d
+        }
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - acc(i)) <= 2e-5 * math.max(1.0, math.abs(fd)),
+          s"bidi=${cfg.bidi} LN grad mismatch at $i: " +
+            s"analytic=${acc(i)} fd=$fd")
+      }
+      // kernel forward == unrolled distributed forward with LstmNorm
+      val cols = (0 until t).flatMap(ti =>
+        (0 until f).map(fi => s"x${ti}_$fi"))
+      val row = org.apache.spark.sql.Row.fromSeq(
+        0L +: (0 until t).flatMap(ti => (0 until f).map(fi => x(ti)(fi))))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType)))
+      val sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+      val steps = cols.grouped(f).toSeq
+      val scored = (if (cfg.bidi) {
+        val (fw, bw, wOut, bOut) = LstmStackBptt.toBidi(w, cfg)
+        LstmScorer.scoreBidirectional(sdf, steps, fw, bw, wOut, bOut,
+          LstmStackBptt.bidiNorm(w, cfg))
+      } else LstmScorer.scoreStacked(sdf, steps,
+        LstmStackBptt.toStacked(w, cfg), LstmStackBptt.stackNorms(w, cfg)))
+        .select("prediction").collect()(0).getDouble(0)
+      assert(math.abs(scored - LstmStackBptt.forward(w, cfg, x)) < 1e-10,
+        s"bidi=${cfg.bidi}: LN trainer forward and scorer disagree " +
+          s"(kernel=${LstmStackBptt.forward(w, cfg, x)} scored=$scored)")
+    }
+  }
+
+  test("lstm use_layer_norm fit learns AR(2) to R^2 > 0.8; " +
+    "use_batch_norm scoring folds pinned moving stats to the exact " +
+    "per-unit affine") {
+    import graft.ml.{LSTMTrainer, LstmNorm, LstmScorer, Metrics}
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val lags = Seq("lag4", "lag3", "lag2", "lag1")
+    val m = new LSTMTrainer(lags, seqLen = 4, targetCol = "y",
+      hidden = 6, lr = 0.02, epochs = 150, layerNorm = true)
+    val pred = m.fit(df).predict(df)
+    assert(m.fittedNorms.size == 1 && m.fittedNorms.head.gamma.length == 6)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"layer-norm LSTM failed to learn AR(2): r2=$r2")
+
+    // BatchNorm-at-inference through the SCORER: a 1-step 1-unit cell
+    // whose hidden value is hand-computable, then the Keras formula
+    // y = gamma*(h - movingMean)/sqrt(movingVar + eps) + beta ahead of
+    // the head — the pinned-moving-stats affine the use_batch_norm flag
+    // scores with
+    import graft.ml.LstmWeights
+    val cell = LstmWeights(
+      wi = Array(Array(0.4)), ui = Array(Array(0.0)), bi = Array(0.1),
+      wf = Array(Array(0.2)), uf = Array(Array(0.0)), bf = Array(1.0),
+      wc = Array(Array(0.7)), uc = Array(Array(0.0)), bc = Array(-0.2),
+      wo = Array(Array(0.5)), uo = Array(Array(0.0)), bo = Array(0.3),
+      wOut = Array(1.5), bOut = 0.25)
+    val bn = LstmNorm(Array(2.0), Array(0.1), eps = 1e-3,
+      movingMean = Array(0.3), movingVar = Array(4.0))
+    val xv = 0.9
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val hVal = sig(0.5 * xv + 0.3) *
+      math.tanh(sig(0.4 * xv + 0.1) * math.tanh(0.7 * xv - 0.2))
+    val expected = 1.5 *
+      (2.0 * (hVal - 0.3) / math.sqrt(4.0 + 1e-3) + 0.1) + 0.25
+    val scored = LstmScorer.scoreStacked(Seq((1L, xv)).toDF("id", "x0"),
+      Seq(Seq("x0")), Seq(cell), Seq(bn))
+      .select("prediction").collect()(0).getDouble(0)
+    assert(math.abs(scored - expected) < 1e-12,
+      s"BN scoring mismatch: scored=$scored expected=$expected")
+  }
+
   test("lstm: stacked (2-layer) and bidirectional fits learn the AR(2) " +
     "series to R^2 > 0.8 through the distributed forward pass") {
     import graft.ml.{LSTMTrainer, Metrics}
@@ -335,8 +482,11 @@ class MLSpec extends AnyFunSuite {
     }
     val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
     val lags = Seq("lag4", "lag3", "lag2", "lag1")
+    // per-layer dropout tuples ride the stacked fit — the reference's
+    // lstm_units=[(6, .01, .01), (4, .02, .02)] shape (sequence.py:105)
     val st = new LSTMTrainer(lags, seqLen = 4, targetCol = "y",
-      lr = 0.02, epochs = 150, layers = Seq(6, 4))
+      lr = 0.02, epochs = 150, layers = Seq(6, 4),
+      layerDropouts = Seq((0.01, 0.01), (0.02, 0.02)))
     val predS = st.fit(df).predict(df)
     assert(st.fittedLayers.size == 2)
     val r2s = Metrics.r2(predS, "prediction", "y", Seq.empty)
