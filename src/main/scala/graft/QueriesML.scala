@@ -89,6 +89,13 @@ object QueriesML {
     LstmNorm(Array(1.2, 0.8), Array(0.1, -0.1), eps = 1e-3,
       movingMean = Array(0.05, -0.02), movingVar = Array(0.04, 0.09)))
 
+  /** Pinned Dense(2) multi-output head over the stacked final state —
+    * the base class's `output_units > 1` scoring query (base.py:46,
+    * sequence.py:146; `prediction_{i}` contract base.py:144-150). */
+  val pinnedLstmHeadW: Array[Array[Double]] =
+    Array(Array(0.6, -0.4), Array(-0.3, 0.5))
+  val pinnedLstmHeadB: Array[Double] = Array(0.05, -0.1)
+
   /** Pinned single-head attention (2 features/step, 2 hidden) + head. */
   val pinnedAttn: AttnWeights = AttnWeights(
     wq = m22(1), bq = v2(5), wk = m22(4), bk = v2(6),
@@ -373,6 +380,17 @@ object QueriesML {
       LstmScorer.score(seqBase(s, dir), seqSteps, pinnedLstm)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("prediction"), 6).as("seq_score"))
+    }),
+
+    // multi-output LSTM head (output_units=2): both predictions from
+    // ONE shared forward pass — the staged hidden columns are computed
+    // once and every head is a map-side projection over them
+    "q_lstm_multi" -> ((s, dir) => {
+      LstmScorer.scoreStackedMulti(seqBase(s, dir), seqSteps,
+        Seq(pinnedLstm, pinnedLstmL2), pinnedLstmHeadW, pinnedLstmHeadB)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction_0"), 6).as("prediction_0"),
+          round(col("prediction_1"), 6).as("prediction_1"))
     }),
 
     // stacked LSTM with the reference's use_layer_norm / use_batch_norm
@@ -667,6 +685,11 @@ object QueriesML {
       Seq(pinnedLstm, pinnedLstmL2),
       "l_orderkey, l_linenumber, round(prediction, 6) AS ln_score",
       pinnedLstmNorms),
+    "q_lstm_multi" -> LstmScorer.sqlStackedMulti(seqBaseSql, "base",
+      seqSteps, Seq(pinnedLstm, pinnedLstmL2), pinnedLstmHeadW,
+      pinnedLstmHeadB,
+      "l_orderkey, l_linenumber, round(prediction_0, 6) AS prediction_0, " +
+        "round(prediction_1, 6) AS prediction_1"),
     "q_attn_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps, pinnedAttn,
       "l_orderkey, l_linenumber, round(prediction, 6) AS attn_score"),
     "q_transformer_score" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,

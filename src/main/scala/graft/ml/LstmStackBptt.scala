@@ -30,10 +30,15 @@ object LstmStackBptt {
     *   (the reference's `use_layer_norm`, sequence.py:141-142): inner
     *   layers normalize each timestep's hidden vector, the last layer
     *   its final state (bidi: the concatenated [fwd, bwd] state); γ/β
-    *   blocks append after the head in the flat layout */
+    *   blocks append after the head in the flat layout
+    * @param out Dense(output_units) head width (base.py:46,
+    *   sequence.py:146) — `out > 1` trains ALL outputs jointly through
+    *   the shared cells, the Keras multi-output model; head weights
+    *   pack output-major (wOut_o at headOff + o·headDim), biases after */
   case class Cfg(f: Int, layers: Seq[Int], bidi: Boolean,
-      layerNorm: Boolean = false) {
+      layerNorm: Boolean = false, out: Int = 1) {
     require(layers.nonEmpty, "at least one LSTM layer")
+    require(out >= 1, "at least one output unit")
     require(!bidi || layers.size == 1,
       "bidirectional fit covers the single-layer layout the scorer scores")
     /** Input width of layer l. */
@@ -46,15 +51,17 @@ object LstmStackBptt {
     def headDim: Int = if (bidi) 2 * layers.head else layers.last
     def headOff: Int =
       if (bidi) 2 * cellSize(f, layers.head) else cellOff(layers.size)
-    /** The head bias slot (γ/β blocks sit after it when layerNorm). */
-    def headBias: Int = headOff + headDim
+    /** Bias slot of output o (γ/β blocks sit after all head slots). */
+    def headBias(o: Int): Int = headOff + out * headDim + o
+    /** The single-output head bias (the out == 1 common case). */
+    def headBias: Int = headBias(0)
     /** Normalized width of LN block l (bidi: one block over 2H). */
     def lnWidth(l: Int): Int = if (bidi) 2 * layers.head else layers(l)
     def lnCount: Int = if (bidi) 1 else layers.size
     /** γ of LN block l sits at lnOff(l); β at lnOff(l) + lnWidth(l). */
-    def lnOff(l: Int): Int = headOff + headDim + 1 +
+    def lnOff(l: Int): Int = headOff + out * (headDim + 1) +
       (0 until l).map(i => 2 * lnWidth(i)).sum
-    def size: Int = headOff + headDim + 1 +
+    def size: Int = headOff + out * (headDim + 1) +
       (if (layerNorm) (0 until lnCount).map(i => 2 * lnWidth(i)).sum
        else 0)
   }
@@ -293,6 +300,21 @@ object LstmStackBptt {
       drop: LstmBptt.Drop = null): Double =
     run(w, c, x, 0.0, null, drop)
 
+  /** Multi-output forward: all `c.out` predictions. */
+  def forwardMulti(w: Array[Double], c: Cfg, x: Array[Array[Double]],
+      drop: LstmBptt.Drop = null): Array[Double] = {
+    val preds = new Array[Double](c.out)
+    runMulti(w, c, x, new Array[Double](c.out), null, drop, preds)
+    preds
+  }
+
+  /** Single-output compatibility wrapper over [[runMulti]]. */
+  def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
+      acc: Array[Double], drop: LstmBptt.Drop = null): Double = {
+    require(c.out == 1, "multi-output Cfg needs runMulti")
+    runMulti(w, c, x, Array(y), acc, drop)
+  }
+
   /** Per-gate masks for cell `cell` from the row's Drop sample — each
     * cell (stacked layer / bidi direction) draws its own masks, in cell
     * order, from one seeded stream (the Keras per-layer behavior).
@@ -316,10 +338,15 @@ object LstmStackBptt {
   }
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.
-    * Returns the prediction (acc == null) or the loss (acc != null).
+    * Returns the first prediction (acc == null) or the summed
+    * 0.5·Σ(pred_o − y_o)² loss (acc != null) — the Keras multi-output
+    * mse with the shared recurrent trunk trained jointly. `predsOut`
+    * (length `c.out`) receives every output's prediction when non-null.
     * `drop` samples Keras dropout/recurrent_dropout per cell. */
-  def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
-      acc: Array[Double], drop: LstmBptt.Drop = null): Double = {
+  def runMulti(w: Array[Double], c: Cfg, x: Array[Array[Double]],
+      ys: Array[Double], acc: Array[Double],
+      drop: LstmBptt.Drop = null,
+      predsOut: Array[Double] = null): Double = {
     val T = x.length
     val hOff = c.headOff
     val masks = cellMasks(drop, c, if (c.bidi) 2 else c.layers.size)
@@ -340,23 +367,38 @@ object LstmStackBptt {
       val ln = if (c.layerNorm) new LnOp(w, c.lnOff(0), 2 * h) else null
       val (zn, xhat, s) =
         if (ln != null) ln.forward(z) else (z, null, 0.0)
-      var pred = w(c.headBias)
-      var u = 0
-      while (u < 2 * h) { pred += w(hOff + u) * zn(u); u += 1 }
-      if (acc == null) return pred
-      val d = pred - y
-      acc(c.headBias) += d
-      val dzn = new Array[Double](2 * h)
-      u = 0
-      while (u < 2 * h) {
-        acc(hOff + u) += d * zn(u)
-        dzn(u) = w(hOff + u) * d
-        u += 1
+      val hd = 2 * h
+      val preds = new Array[Double](c.out)
+      var o = 0
+      while (o < c.out) {
+        var p = w(c.headBias(o))
+        var u = 0
+        while (u < hd) { p += w(hOff + o * hd + u) * zn(u); u += 1 }
+        preds(o) = p
+        o += 1
+      }
+      if (predsOut != null)
+        System.arraycopy(preds, 0, predsOut, 0, c.out)
+      if (acc == null) return preds(0)
+      var loss = 0.0
+      val dzn = new Array[Double](hd)
+      o = 0
+      while (o < c.out) {
+        val d = preds(o) - ys(o)
+        loss += 0.5 * d * d
+        acc(c.headBias(o)) += d
+        var u = 0
+        while (u < hd) {
+          acc(hOff + o * hd + u) += d * zn(u)
+          dzn(u) += w(hOff + o * hd + u) * d
+          u += 1
+        }
+        o += 1
       }
       val dz = if (ln != null) ln.backward(dzn, xhat, s, acc) else dzn
       val injF = Array.ofDim[Double](T, h)
       val injB = Array.ofDim[Double](T, h)
-      u = 0
+      var u = 0
       while (u < h) {
         injF(T - 1)(u) = dz(u)
         injB(T - 1)(u) = dz(h + u)
@@ -364,7 +406,7 @@ object LstmStackBptt {
       }
       fwd.backward(injF, acc, needDx = false)
       bwd.backward(injB, acc, needDx = false)
-      0.5 * d * d
+      loss
     } else {
       val L = c.layers.size
       val cells = Array.tabulate(L)(l =>
@@ -398,18 +440,35 @@ object LstmStackBptt {
           xhatC(L - 1)(T - 1) = xh; sC(L - 1)(T - 1) = sv
           yv
         } else cur(T - 1)
-      var pred = w(c.headBias)
-      var u = 0
-      while (u < hLast) { pred += w(hOff + u) * lastState(u); u += 1 }
-      if (acc == null) return pred
-      val d = pred - y
-      acc(c.headBias) += d
+      val preds = new Array[Double](c.out)
+      var o = 0
+      while (o < c.out) {
+        var p = w(c.headBias(o))
+        var u = 0
+        while (u < hLast) {
+          p += w(hOff + o * hLast + u) * lastState(u)
+          u += 1
+        }
+        preds(o) = p
+        o += 1
+      }
+      if (predsOut != null)
+        System.arraycopy(preds, 0, predsOut, 0, c.out)
+      if (acc == null) return preds(0)
+      var loss = 0.0
       val dLast = new Array[Double](hLast)
-      u = 0
-      while (u < hLast) {
-        acc(hOff + u) += d * lastState(u)
-        dLast(u) = w(hOff + u) * d
-        u += 1
+      o = 0
+      while (o < c.out) {
+        val d = preds(o) - ys(o)
+        loss += 0.5 * d * d
+        acc(c.headBias(o)) += d
+        var u = 0
+        while (u < hLast) {
+          acc(hOff + o * hLast + u) += d * lastState(u)
+          dLast(u) += w(hOff + o * hLast + u) * d
+          u += 1
+        }
+        o += 1
       }
       var inj = Array.ofDim[Double](T, hLast)
       inj(T - 1) =
@@ -436,7 +495,7 @@ object LstmStackBptt {
         }
         l -= 1
       }
-      0.5 * d * d
+      loss
     }
   }
 
@@ -461,7 +520,7 @@ object LstmStackBptt {
   /** Unpack into the stacked scorer's layer list (only the LAST layer's
     * head is read by [[LstmScorer.scoreStacked]]; inner heads are 0). */
   def toStacked(w: Array[Double], c: Cfg): Seq[LstmWeights] = {
-    require(!c.bidi)
+    require(!c.bidi && c.out == 1, "multi-output: stackCells + headMulti")
     val hOff = c.headOff
     c.layers.indices.map { l =>
       val h = c.layers(l)
@@ -472,6 +531,23 @@ object LstmStackBptt {
       cellWeights(w, c.cellOff(l), c.fIn(l), h, wOut, bOut)
     }
   }
+
+  /** Cells only (zero heads) — the multi-output unpack, paired with
+    * [[headMulti]] for [[LstmScorer.scoreStackedMulti]]. */
+  def stackCells(w: Array[Double], c: Cfg): Seq[LstmWeights] = {
+    require(!c.bidi)
+    c.layers.indices.map { l =>
+      val h = c.layers(l)
+      cellWeights(w, c.cellOff(l), c.fIn(l), h, new Array[Double](h), 0.0)
+    }
+  }
+
+  /** The Dense(output_units) head: out×headDim weight rows + biases. */
+  def headMulti(w: Array[Double], c: Cfg)
+      : (Array[Array[Double]], Array[Double]) =
+    (Array.tabulate(c.out, c.headDim)((o, u) =>
+      w(c.headOff + o * c.headDim + u)),
+      Array.tabulate(c.out)(o => w(c.headBias(o))))
 
   /** The fitted LayerNorm blocks as the scorer's [[LstmNorm]] list
     * (one per stacked layer, aligned with [[toStacked]]). */
@@ -489,7 +565,7 @@ object LstmStackBptt {
     * spanning 2H, bOut) surface; the per-cell heads are unused. */
   def toBidi(w: Array[Double], c: Cfg)
       : (LstmWeights, LstmWeights, Array[Double], Double) = {
-    require(c.bidi)
+    require(c.bidi && c.out == 1, "multi-output: headMulti")
     val h = c.layers.head
     val fwd = cellWeights(w, c.cellOff(0), c.f, h,
       new Array[Double](h), 0.0)
@@ -530,8 +606,8 @@ object LstmStackBptt {
           for (i <- 0 until h) w(base + f * h + h * h + i) = 1.0
       }
     }
-    val limOut = math.sqrt(6.0 / (c.headDim + 1))
-    for (i <- 0 until c.headDim + 1)
+    val limOut = math.sqrt(6.0 / (c.headDim + c.out))
+    for (i <- 0 until c.out * (c.headDim + 1))
       w(c.headOff + i) = (rng.nextDouble() * 2 - 1) * limOut
     // LayerNorm blocks: Keras init γ=1, β=0
     if (c.layerNorm)

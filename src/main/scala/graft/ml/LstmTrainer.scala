@@ -428,3 +428,104 @@ class LSTMTrainer(
     else scored
   }
 }
+
+/** Joint multi-output LSTM fit — the base class's `output_units > 1`
+  * (base.py:46, sequence.py:146) with the `prediction_{i}` naming
+  * contract (base.py:144-150): ALL heads train together through the
+  * SHARED recurrent trunk (one Dense(output_units) over the final
+  * state), per-output target standardization, the
+  * [[MLPMultiRegressor]] shape on the [[LstmStackBptt]] kernel.
+  * Stacked layers, per-layer dropout tuples, and `layerNorm` compose;
+  * mse-only (the MLPMultiRegressor boundary — the rank objectives rank
+  * one output) and non-bidirectional (the multi scorer reads the
+  * stacked layout). */
+class LSTMMultiTrainer(
+    val lagCols: Seq[String],
+    val seqLen: Int,
+    val targetCols: Seq[String],
+    val hidden: Int = 8,
+    val lr: Double = 1e-2,
+    val epochs: Int = 150,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 0.2,
+    val layers: Seq[Int] = Nil,
+    val dropout: Double = 0.0,
+    val recurrentDropout: Double = 0.0,
+    val layerDropouts: Seq[(Double, Double)] = Nil,
+    val layerNorm: Boolean = false) extends Serializable {
+
+  require(targetCols.size >= 2, "use LSTMTrainer for a single output")
+  require(lagCols.size % seqLen == 0,
+    s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
+  require(layerDropouts.isEmpty ||
+    layerDropouts.size == math.max(layers.size, 1),
+    "layerDropouts must align with the layer list")
+
+  private val nFeat = lagCols.size / seqLen
+  private val out = targetCols.size
+  private val effDropouts: Seq[(Double, Double)] =
+    if (layerDropouts.nonEmpty) layerDropouts
+    else Seq.fill(math.max(layers.size, 1))((dropout, recurrentDropout))
+  private def anyDropout: Boolean =
+    effDropouts.exists(p => p._1 > 0 || p._2 > 0)
+
+  private var cells: Seq[LstmWeights] = Nil
+  private var headW: Array[Array[Double]] = _
+  private var headB: Array[Double] = _
+  private var norms: Seq[LstmNorm] = Nil
+  private var yMean: Array[Double] = Array.fill(out)(0.0)
+  private var yStd: Array[Double] = Array.fill(out)(1.0)
+
+  def fittedCells: Seq[LstmWeights] = cells
+  def fittedHead: (Array[Array[Double]], Array[Double]) = (headW, headB)
+
+  def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
+
+  def fit(df: DataFrame): this.type = {
+    val cfg = LstmStackBptt.Cfg(nFeat,
+      if (layers.isEmpty) Seq(hidden) else layers, bidi = false,
+      layerNorm = layerNorm, out = out)
+    val data = df.select((targetCols ++ lagCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val exprs = targetCols.map(c => avg(col(c))) ++
+        targetCols.map(c => stddev_pop(col(c)))
+      val r = data.agg(exprs.head, exprs.tail: _*).collect()(0)
+      yMean = Array.tabulate(out)(o => r.getDouble(o))
+      yStd = Array.tabulate(out)(o =>
+        math.max(r.getDouble(out + o), 1e-12))
+    }
+    val w = LstmStackBptt.init(cfg, seed)
+    SeqAdam.runMulti(data, cfg.size, w, out, yMean, yStd, nFeat, seqLen,
+      epochs, lr, seed, batchFraction,
+      (bw, x, ys, acc, ms) => LstmStackBptt.runMulti(bw, cfg, x, ys, acc,
+        if (anyDropout)
+          LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms,
+            if (effDropouts.size > 1) effDropouts else null)
+        else null))
+    cells = LstmStackBptt.stackCells(w, cfg)
+    val (hw, hb) = LstmStackBptt.headMulti(w, cfg)
+    headW = hw; headB = hb
+    if (layerNorm) norms = LstmStackBptt.stackNorms(w, cfg)
+    data.unpersist()
+    this
+  }
+
+  /** Appends `prediction_{i}` per target through the distributed
+    * stacked forward pass, un-standardizing each output. */
+  def predict(df: DataFrame): DataFrame = {
+    require(cells.nonEmpty, "fit first")
+    var scored = LstmScorer.scoreStackedMulti(df, steps, cells, headW,
+      headB, norms)
+    if (scaleTarget)
+      for (o <- 0 until out)
+        scored = scored.withColumn(s"prediction_$o",
+          col(s"prediction_$o") * lit(yStd(o)) + lit(yMean(o)))
+    scored
+  }
+}

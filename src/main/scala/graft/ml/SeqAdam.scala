@@ -106,4 +106,45 @@ private[ml] object SeqAdam {
       adam.update(w, g, ep)
     }
   }
+
+  /** Multi-output epoch loop (output_units > 1, base.py:46): rows carry
+    * `nOut` leading target columns, each standardized per-output; the
+    * kernel receives the standardized target VECTOR and accumulates the
+    * joint Keras summed-mse gradient. Mse-only — the same boundary as
+    * [[MLPMultiRegressor]] (rank objectives rank ONE output). */
+  def runMulti(data: DataFrame, sz: Int, w: Array[Double], nOut: Int,
+      yMean: Array[Double], yStd: Array[Double], nFeat: Int, seqLen: Int,
+      epochs: Int, lr: Double, seed: Long, batchFraction: Double,
+      kernel: (Array[Double], Array[Array[Double]], Array[Double],
+        Array[Double], Long) => Double): Unit = {
+    val (f, t) = (nFeat, seqLen)
+    val adam = new AdamState(sz, lr)
+    for (ep <- 1 to epochs) {
+      val bw = w.clone()
+      val epL = ep.toLong
+      val batch = if (batchFraction >= 1.0) data
+        else data.sample(withReplacement = false, batchFraction, seed + ep)
+      val grad = batch.rdd.treeAggregate(new Array[Double](sz + 2))(
+        seqOp = (acc, row) => {
+          val ys = Array.tabulate(nOut)(o =>
+            (row.getDouble(o) - yMean(o)) / yStd(o))
+          val x = Array.tabulate(t, f)((ti, fi) =>
+            row.getDouble(nOut + ti * f + fi))
+          val ms = maskSeed(seed, epL,
+            org.apache.spark.TaskContext.getPartitionId().toLong,
+            acc(sz + 1).toLong)
+          acc(sz) += kernel(bw, x, ys, acc, ms)
+          acc(sz + 1) += 1.0
+          acc
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }, depth = 2)
+      val bn = math.max(grad(sz + 1), 1.0)
+      val g = Array.tabulate(sz)(i => grad(i) / bn)
+      adam.update(w, g, ep)
+    }
+  }
 }

@@ -194,7 +194,7 @@ object LstmScorer {
     * only. The head reads the LAST layer's (normalized) final state. */
   private def stackedStages[E](alg: Alg[E], weights: Seq[LstmWeights],
       steps: Seq[Seq[String]], norms: Seq[LstmNorm])
-      : (Seq[Seq[(String, E)]], E) = {
+      : (Seq[Seq[(String, E)]], Seq[String]) = {
     require(norms.isEmpty || norms.size == weights.size,
       s"norms (${norms.size}) must align with layers (${weights.size})")
     val lastT = steps.size - 1
@@ -217,9 +217,7 @@ object LstmScorer {
       } else
         in = steps.indices.map(t => (0 until w.hidden).map(hCol(t)))
     }
-    val head = linear(alg, in(lastT).map(alg.ref),
-      weights.last.wOut.toSeq, Some(weights.last.bOut))
-    (stages.result(), head)
+    (stages.result(), in(lastT))
   }
 
   /** Appends `prediction` = unrolled LSTM forward pass over the lag-major
@@ -234,12 +232,34 @@ object LstmScorer {
     * per-layer use_layer_norm/use_batch_norm stages (sequence.py:141-144). */
   def scoreStacked(df: DataFrame, steps: Seq[Seq[String]],
       weights: Seq[LstmWeights], norms: Seq[LstmNorm] = Nil): DataFrame = {
-    val (stages, head) = stackedStages(ColAlg, weights, steps, norms)
+    val (stages, headIn) = stackedStages(ColAlg, weights, steps, norms)
     var cur = df
     for (stage <- stages)
       cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
-    val out = cur.withColumn("prediction", head)
+    val out = cur.withColumn("prediction",
+      linear(ColAlg, headIn.map(ColAlg.ref), weights.last.wOut.toSeq,
+        Some(weights.last.bOut)))
     out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** Multi-output variant — the base class's `output_units > 1` with
+    * the `prediction_{i}` naming contract (base.py:46,144-150,
+    * sequence.py:146): one Dense row per output over the (optionally
+    * normalized) final state; cells come from the joint fit's shared
+    * trunk ([[LstmStackBptt.stackCells]] + headMulti). */
+  def scoreStackedMulti(df: DataFrame, steps: Seq[Seq[String]],
+      weights: Seq[LstmWeights], headW: Array[Array[Double]],
+      headB: Array[Double], norms: Seq[LstmNorm] = Nil): DataFrame = {
+    require(headW.length == headB.length, "head rows must match biases")
+    val (stages, headIn) = stackedStages(ColAlg, weights, steps, norms)
+    var cur = df
+    for (stage <- stages)
+      cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+    for (o <- headW.indices)
+      cur = cur.withColumn(s"prediction_$o",
+        linear(ColAlg, headIn.map(ColAlg.ref), headW(o).toSeq,
+          Some(headB(o))))
+    cur.drop(cur.columns.filter(_.startsWith("__")): _*)
   }
 
   /** Bidirectional variant (the reference's `bidirectional` flag,
@@ -290,7 +310,28 @@ object LstmScorer {
   def sqlStacked(baseCte: String, baseName: String, steps: Seq[Seq[String]],
       weights: Seq[LstmWeights], finalSelect: String,
       norms: Seq[LstmNorm] = Nil): String = {
-    val (stages, head) = stackedStages(SqlAlg, weights, steps, norms)
+    val (stages, headIn) = stackedStages(SqlAlg, weights, steps, norms)
+    val head = linear(SqlAlg, headIn.map(SqlAlg.ref),
+      weights.last.wOut.toSeq, Some(weights.last.bOut))
+    sqlChain(baseCte, baseName, stages, Seq("prediction" -> head),
+      finalSelect)
+  }
+
+  /** DuckDB mirror of [[scoreStackedMulti]]. */
+  def sqlStackedMulti(baseCte: String, baseName: String,
+      steps: Seq[Seq[String]], weights: Seq[LstmWeights],
+      headW: Array[Array[Double]], headB: Array[Double],
+      finalSelect: String, norms: Seq[LstmNorm] = Nil): String = {
+    val (stages, headIn) = stackedStages(SqlAlg, weights, steps, norms)
+    val heads = headW.indices.map(o => s"prediction_$o" ->
+      linear(SqlAlg, headIn.map(SqlAlg.ref), headW(o).toSeq,
+        Some(headB(o))))
+    sqlChain(baseCte, baseName, stages, heads, finalSelect)
+  }
+
+  private def sqlChain(baseCte: String, baseName: String,
+      stages: Seq[Seq[(String, String)]],
+      heads: Seq[(String, String)], finalSelect: String): String = {
     val sb = new StringBuilder(baseCte)
     var prev = baseName
     var si = 0
@@ -300,7 +341,8 @@ object LstmScorer {
       sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
       prev = name; si += 1
     }
-    sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
+    val hs = heads.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    sb.append(s",\nfin AS (\n  SELECT *,\n    $hs FROM $prev)")
     sb.append(s"\nSELECT $finalSelect FROM fin")
     sb.toString
   }

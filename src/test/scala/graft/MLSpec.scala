@@ -418,6 +418,86 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("lstm multi-output (output_units > 1, base.py:46, " +
+    "sequence.py:146): joint summed-mse gradient matches finite " +
+    "differences through the shared trunk (incl. LN); kernel forward " +
+    "equals scoreStackedMulti per output") {
+    import graft.ml.{LstmScorer, LstmStackBptt}
+    val r = new scala.util.Random(67)
+    val (f, t) = (2, 3)
+    val cfg = LstmStackBptt.Cfg(f, Seq(3, 2), bidi = false,
+      layerNorm = true, out = 2)
+    val sz = cfg.size
+    val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+    for (l <- 0 until cfg.lnCount; i <- 0 until cfg.lnWidth(l))
+      w(cfg.lnOff(l) + i) = 0.9 + 0.05 * i
+    val x = Array.fill(t, f)(r.nextGaussian())
+    val ys = Array(0.6, -0.3)
+    val acc = new Array[Double](sz)
+    LstmStackBptt.runMulti(w, cfg, x, ys, acc)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      def loss(wv: Array[Double]) = {
+        val p = LstmStackBptt.forwardMulti(wv, cfg, x)
+        0.5 * ((p(0) - ys(0)) * (p(0) - ys(0)) +
+          (p(1) - ys(1)) * (p(1) - ys(1)))
+      }
+      val fd = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 2e-5 * math.max(1.0, math.abs(fd)),
+        s"multi-output grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    // distributed multi scorer == kernel forward, both outputs
+    val cols = (0 until t).flatMap(ti => (0 until f).map(fi => s"x${ti}_$fi"))
+    val row = org.apache.spark.sql.Row.fromSeq(
+      0L +: (0 until t).flatMap(ti => (0 until f).map(fi => x(ti)(fi))))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) +:
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    val (hw, hb) = LstmStackBptt.headMulti(w, cfg)
+    val scored = LstmScorer.scoreStackedMulti(sdf, cols.grouped(f).toSeq,
+      LstmStackBptt.stackCells(w, cfg), hw, hb,
+      LstmStackBptt.stackNorms(w, cfg))
+      .select("prediction_0", "prediction_1").collect()(0)
+    val kp = LstmStackBptt.forwardMulti(w, cfg, x)
+    assert(math.abs(scored.getDouble(0) - kp(0)) < 1e-10 &&
+      math.abs(scored.getDouble(1) - kp(1)) < 1e-10,
+      "multi scorer and kernel forward disagree")
+  }
+
+  test("lstm multi-output joint fit learns two targets over one shared " +
+    "trunk to R^2 > 0.8 each, with the prediction_{i} naming contract") {
+    import graft.ml.{LSTMMultiTrainer, Metrics}
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i),                                    // y0: AR(2) next
+        0.5 * series(i - 1) - 0.8 * series(i - 2))    // y1: linear lags
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y0", "y1")
+    val m = new LSTMMultiTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+      seqLen = 4, targetCols = Seq("y0", "y1"), hidden = 6, lr = 0.02,
+      epochs = 150)
+    val pred = m.fit(df).predict(df)
+    assert(pred.columns.contains("prediction_0") &&
+      pred.columns.contains("prediction_1"))
+    val r20 = Metrics.r2(pred, "prediction_0", "y0", Seq.empty)
+      .collect()(0).getDouble(0)
+    val r21 = Metrics.r2(pred, "prediction_1", "y1", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r20 > 0.8 && r21 > 0.8,
+      s"joint multi-output LSTM fit: r2_0=$r20 r2_1=$r21")
+  }
+
   test("lstm use_layer_norm fit learns AR(2) to R^2 > 0.8; " +
     "use_batch_norm scoring folds pinned moving stats to the exact " +
     "per-unit affine") {
