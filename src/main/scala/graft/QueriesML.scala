@@ -145,6 +145,13 @@ object QueriesML {
     mlpHead = Seq((frac(2, 3, 11, 11), fracV(3, 16, 7))),
     wOut = Array(6.0 / 11, -4.0 / 11, 3.0 / 11))
 
+  /** Pinned Dense(2) multi-output head over the transformer's MLP-head
+    * units — `output_units > 1` (base.py:46, transformer.py:236). */
+  val pinnedAttnHeadW: Array[Array[Double]] =
+    Array(Array(6.0 / 11, -4.0 / 11, 3.0 / 11),
+      Array(-2.0 / 7, 5.0 / 9, 1.0 / 3))
+  val pinnedAttnHeadB: Array[Double] = Array(1.0 / 7, -1.0 / 9)
+
   /** Multi-head variant of the default config (num_heads=2 over
     * d_model=2, key_dim=1 — the Keras `d_model // num_heads` shape,
     * transformer.py:175-178): per-head q/k/v, head-major concat,
@@ -459,6 +466,17 @@ object QueriesML {
           round(col("prediction"), 6).as("keras_score"))
     }),
 
+    // multi-output transformer head (output_units=2): both predictions
+    // from ONE shared encoder/pooling/MLP-head pass — each output a
+    // map-side Dense row over the staged representation
+    "q_attn_multi" -> ((s, dir) => {
+      AttnScorer.scoreBlocksMulti(seqBase(s, dir), seqSteps,
+        Seq(pinnedKerasDefault), pinnedAttnHeadW, pinnedAttnHeadB)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction_0"), 6).as("prediction_0"),
+          round(col("prediction_1"), 6).as("prediction_1"))
+    }),
+
     // CombinedLoss metric (losses.py:125-189): weighted MSE + negative
     // Spearman of a trailing-MA prediction vs price, per returnflag.
     // Computed on thousand-scaled values (the reference standardizes
@@ -704,6 +722,10 @@ object QueriesML {
     "q_keras_default" -> AttnScorer.sql(seqBaseSql, "base", seqSteps,
       pinnedKerasDefault,
       "l_orderkey, l_linenumber, round(prediction, 6) AS keras_score"),
+    "q_attn_multi" -> AttnScorer.sqlBlocksMulti(seqBaseSql, "base",
+      seqSteps, Seq(pinnedKerasDefault), pinnedAttnHeadW, pinnedAttnHeadB,
+      "l_orderkey, l_linenumber, round(prediction_0, 6) AS prediction_0, " +
+        "round(prediction_1, 6) AS prediction_1"),
     "q_stacked_blocks" -> AttnScorer.sqlBlocks(seqBaseSql, "base", seqSteps,
       Seq(pinnedKerasDefault, pinnedBlockTail),
       "l_orderkey, l_linenumber, round(prediction, 6) AS stack_score"),

@@ -57,10 +57,11 @@ object AttnBpttFull {
     *   active when `run` receives a non-zero maskSeed) */
   case class Cfg(f: Int, t: Int, h: Int, ff: Int, heads: Int, keyDim: Int,
       pool: Boolean, mlp: Seq[Int], norm: Boolean, blocks: Int = 1,
-      drop: Double = 0.0) {
+      drop: Double = 0.0, out: Int = 1) {
     require(heads >= 1 && keyDim >= 1, "at least one head of width >= 1")
     require(blocks >= 1, "at least one encoder block")
     require(drop >= 0 && drop < 1, s"dropout rate in [0, 1), got $drop")
+    require(out >= 1, "at least one output unit")
     val headLast: Int = if (mlp.isEmpty) h else mlp.last
     /** (name → length) blocks in flat-array order. */
     private[ml] def blockSizes: Seq[Int] = {
@@ -74,7 +75,8 @@ object AttnBpttFull {
       }._1
       Seq(f * h, h, t * h) ++ Seq.fill(blocks)(perBlock).flatten ++
         (if (pool) Seq(h, 1) else Seq.empty) ++ mlpBlocks ++
-        Seq(headLast, 1) ++ (if (norm) Seq.fill(2)(h) else Seq.empty)
+        Seq(out * headLast, out) ++
+        (if (norm) Seq.fill(2)(h) else Seq.empty)
     }
     def offsets: Array[Int] = blockSizes.scanLeft(0)(_ + _).toArray
     def size: Int = offsets.last
@@ -88,6 +90,8 @@ object AttnBpttFull {
     * `blocks.last.preNorm.gF` — what [[AttnScorer.scoreBlocks]] reads —
     * is the global final norm). */
   def toBlockWeights(w: Array[Double], c: Cfg): Seq[AttnWeights] = {
+    // out > 1: the blocks' wOut/bOut hold output 0's row (output-major
+    // layout) — the multi scorer ignores them and reads [[headMulti]]
     val o = c.offsets
     def mat(off: Int, rows: Int, cols: Int): Array[Array[Double]] =
       Array.tabulate(rows, cols)((r, j) => w(off + r * cols + j))
@@ -147,10 +151,38 @@ object AttnBpttFull {
     toBlockWeights(w, c).head
   }
 
+  /** The Dense(output_units) head: out×headLast rows + biases, for
+    * [[AttnScorer.scoreBlocksMulti]] (base.py:46, transformer.py:236). */
+  def headMulti(w: Array[Double], c: Cfg)
+      : (Array[Array[Double]], Array[Double]) = {
+    val o = c.offsets
+    var bi = 3 + c.blocks * c.blocksPerEnc
+    if (c.pool) bi += 2
+    bi += 2 * c.mlp.size
+    val hl = c.headLast
+    (Array.tabulate(c.out, hl)((oi, j) => w(o(bi) + oi * hl + j)),
+      Array.tabulate(c.out)(oi => w(o(bi + 1) + oi)))
+  }
+
   /** Forward pass only (gradient-check helper; production scoring goes
     * through [[AttnScorer]]). */
   def forward(w: Array[Double], c: Cfg, x: Array[Array[Double]],
       maskSeed: Long = 0L): Double = run(w, c, x, 0.0, null, maskSeed)
+
+  /** Multi-output forward: all `c.out` predictions. */
+  def forwardMulti(w: Array[Double], c: Cfg, x: Array[Array[Double]],
+      maskSeed: Long = 0L): Array[Double] = {
+    val preds = new Array[Double](c.out)
+    runMulti(w, c, x, new Array[Double](c.out), null, maskSeed, preds)
+    preds
+  }
+
+  /** Single-output compatibility wrapper over [[runMulti]]. */
+  def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
+      acc: Array[Double], maskSeed: Long = 0L): Double = {
+    require(c.out == 1, "multi-output Cfg needs runMulti")
+    runMulti(w, c, x, Array(y), acc, maskSeed)
+  }
 
   /** Per-row dropout masks (inverted scaling 1/(1−p)), drawn in a FIXED
     * order from `maskSeed` so forward/backward and finite-difference
@@ -172,10 +204,13 @@ object AttnBpttFull {
   }
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.
-    * Returns the prediction (acc == null) or the loss (acc != null).
+    * Returns the first prediction (acc == null) or the Keras summed
+    * multi-output mse 0.5·Σ(pred_o − y_o)² (acc != null); `predsOut`
+    * receives every output when non-null.
     * `maskSeed != 0` with `c.drop > 0` samples training-time dropout. */
-  def run(w: Array[Double], c: Cfg, x: Array[Array[Double]], y: Double,
-      acc: Array[Double], maskSeed: Long = 0L): Double = {
+  def runMulti(w: Array[Double], c: Cfg, x: Array[Array[Double]],
+      ys: Array[Double], acc: Array[Double], maskSeed: Long = 0L,
+      predsOut: Array[Double] = null): Double = {
     val T = c.t; val h = c.h; val f = c.f; val ff = c.ff
     val nh = c.heads; val kd = c.keyDim; val nb = c.blocks
     val o = c.offsets
@@ -452,21 +487,36 @@ object AttnBpttFull {
       li += 1
     }
     val top = acts(c.mlp.size)
-    var pred = w(oBOut)
-    var j = 0
-    while (j < top.length) { pred += top(j) * w(oWOut + j); j += 1 }
-    if (acc == null) return pred
+    val hl = top.length
+    val preds = new Array[Double](c.out)
+    var oi = 0
+    while (oi < c.out) {
+      var p = w(oBOut + oi)
+      var j2 = 0
+      while (j2 < hl) { p += top(j2) * w(oWOut + oi * hl + j2); j2 += 1 }
+      preds(oi) = p
+      oi += 1
+    }
+    if (predsOut != null) System.arraycopy(preds, 0, predsOut, 0, c.out)
+    if (acc == null) return preds(0)
 
     // ---- backward ----
-    val d = pred - y
-    acc(oBOut) += d
-    var dTop = new Array[Double](top.length)
-    j = 0
-    while (j < top.length) {
-      acc(oWOut + j) += d * top(j)
-      dTop(j) = d * w(oWOut + j)
-      j += 1
+    var loss = 0.0
+    var dTop = new Array[Double](hl)
+    oi = 0
+    while (oi < c.out) {
+      val d = preds(oi) - ys(oi)
+      loss += 0.5 * d * d
+      acc(oBOut + oi) += d
+      var j2 = 0
+      while (j2 < hl) {
+        acc(oWOut + oi * hl + j2) += d * top(j2)
+        dTop(j2) += d * w(oWOut + oi * hl + j2)
+        j2 += 1
+      }
+      oi += 1
     }
+    var j = 0
     li = c.mlp.size - 1
     while (li >= 0) {
       val (oWm, oBm) = mlpOff(li)
@@ -729,7 +779,7 @@ object AttnBpttFull {
       }
       t += 1
     }
-    0.5 * d * d
+    loss
   }
 
   /** Glorot-uniform init per matrix (the reference's Keras defaults);
@@ -764,7 +814,7 @@ object AttnBpttFull {
     if (c.pool) { glorot(o(bi), c.h, 1); bi += 2 }
     var prev = c.h
     for (u <- c.mlp) { glorot(o(bi), prev, u); prev = u; bi += 2 }
-    glorot(o(bi), c.headLast, 1) // wOut
+    glorot(o(bi), c.headLast, c.out) // wOut (out rows for output_units>1)
     bi += 2
     if (c.norm) // final γ=1 (β stays 0)
       for (i <- 0 until c.h) w(o(bi) + i) = 1.0

@@ -554,3 +554,95 @@ class AttnTrainer(
     else scored
   }
 }
+
+/** Joint multi-output transformer fit — `output_units > 1`
+  * (base.py:46, transformer.py:236) with the `prediction_{i}` naming
+  * contract: the final Dense reads the shared pooled/MLP-head
+  * representation with one row per output, all outputs trained jointly
+  * through the full-architecture kernel ([[AttnBpttFull]] — multi-head
+  * attention, attention pooling, MLP head, stacked blocks, and dropout
+  * all compose). Per-output target standardization; mse-only (the
+  * [[MLPMultiRegressor]] boundary — rank objectives rank ONE output). */
+class AttnMultiTrainer(
+    val lagCols: Seq[String],
+    val seqLen: Int,
+    val targetCols: Seq[String],
+    val dModel: Int = 8,
+    val ffDim: Int = 16,
+    val preNorm: Boolean = false,
+    val lr: Double = 1e-2,
+    val epochs: Int = 150,
+    val seed: Long = 42L,
+    val scaleTarget: Boolean = true,
+    val batchFraction: Double = 0.2,
+    val numHeads: Int = 0,
+    val attnPool: Boolean = false,
+    val mlpUnits: Seq[Int] = Nil,
+    val numBlocks: Int = 1,
+    val dropoutRate: Double = 0.0) extends Serializable {
+
+  require(targetCols.size >= 2, "use AttnTrainer for a single output")
+  require(lagCols.size % seqLen == 0,
+    s"${lagCols.size} lag columns do not reshape into $seqLen steps")
+  require(batchFraction > 0 && batchFraction <= 1.0,
+    s"batchFraction must be in (0, 1], got $batchFraction")
+  require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+  require(dropoutRate >= 0 && dropoutRate < 1,
+    s"dropoutRate must be in [0, 1), got $dropoutRate")
+
+  private val nFeat = lagCols.size / seqLen
+  private val out = targetCols.size
+
+  private var blocks: Seq[AttnWeights] = Nil
+  private var headW: Array[Array[Double]] = _
+  private var headB: Array[Double] = _
+  private var yMean: Array[Double] = Array.fill(out)(0.0)
+  private var yStd: Array[Double] = Array.fill(out)(1.0)
+
+  def fittedBlocks: Seq[AttnWeights] = blocks
+  def fittedHead: (Array[Array[Double]], Array[Double]) = (headW, headB)
+
+  def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
+
+  def fit(df: DataFrame): this.type = {
+    val heads = math.max(numHeads, 1)
+    val cfg = AttnBpttFull.Cfg(nFeat, seqLen, dModel, ffDim, heads,
+      math.max(1, dModel / heads), attnPool, mlpUnits, preNorm,
+      blocks = numBlocks, drop = dropoutRate, out = out)
+    val data = df.select((targetCols ++ lagCols).map(c =>
+      col(c).cast("double")): _*).na.drop()
+    data.cache()
+    require(data.count() > 0, "no complete rows to fit on")
+    if (scaleTarget) {
+      val exprs = targetCols.map(c => avg(col(c))) ++
+        targetCols.map(c => stddev_pop(col(c)))
+      val r = data.agg(exprs.head, exprs.tail: _*).collect()(0)
+      yMean = Array.tabulate(out)(o => r.getDouble(o))
+      yStd = Array.tabulate(out)(o =>
+        math.max(r.getDouble(out + o), 1e-12))
+    }
+    val w = AttnBpttFull.init(cfg, seed)
+    SeqAdam.runMulti(data, cfg.size, w, out, yMean, yStd, nFeat, seqLen,
+      epochs, lr, seed, batchFraction,
+      (bw, x, ys, acc, ms) => AttnBpttFull.runMulti(bw, cfg, x, ys, acc,
+        ms))
+    blocks = AttnBpttFull.toBlockWeights(w, cfg)
+    val (hw, hb) = AttnBpttFull.headMulti(w, cfg)
+    headW = hw; headB = hb
+    data.unpersist()
+    this
+  }
+
+  /** Appends `prediction_{i}` per target through the distributed
+    * forward pass, un-standardizing each output. */
+  def predict(df: DataFrame): DataFrame = {
+    require(blocks.nonEmpty, "fit first")
+    var scored = AttnScorer.scoreBlocksMulti(df, steps, blocks, headW,
+      headB)
+    if (scaleTarget)
+      for (o <- 0 until out)
+        scored = scored.withColumn(s"prediction_$o",
+          col(s"prediction_$o") * lit(yStd(o)) + lit(yMean(o)))
+    scored
+  }
+}

@@ -736,20 +736,23 @@ object AttnScorer {
         .reduce(alg.add)
   }
 
-  private def headExpr[E](alg: Alg[E], blocks: Seq[AttnWeights],
-      l: Int): E = {
+  /** What the final Dense reads: the pooled vector, or the last MLP
+    * head layer's staged units (transformer.py:232-236). */
+  private def headInputs[E](alg: Alg[E], blocks: Seq[AttnWeights],
+      l: Int): Seq[E] = {
     val last = blocks.last
     if (last.mlpHead.isEmpty)
-      linear(alg, (0 until last.hidden)
-        .map(j => pooledExpr(alg, blocks, l, j)),
-        last.wOut.toSeq, Some(last.bOut))
+      (0 until last.hidden).map(j => pooledExpr(alg, blocks, l, j))
     else {
       val li = last.mlpHead.size - 1
-      linear(alg, last.mlpHead.last._2.indices
-        .map(u => alg.ref(s"__hd${li}_$u")),
-        last.wOut.toSeq, Some(last.bOut))
+      last.mlpHead.last._2.indices.map(u => alg.ref(s"__hd${li}_$u"))
     }
   }
+
+  private def headExpr[E](alg: Alg[E], blocks: Seq[AttnWeights],
+      l: Int): E =
+    linear(alg, headInputs(alg, blocks, l), blocks.last.wOut.toSeq,
+      Some(blocks.last.bOut))
 
   /** Appends `prediction` = attention forward pass (named-stage unroll). */
   def score(df: DataFrame, steps: Seq[Seq[String]], w: AttnWeights)
@@ -768,6 +771,25 @@ object AttnScorer {
     val out = cur.withColumn("prediction",
       headExpr(ColAlg, blocks, steps.size))
     out.drop(out.columns.filter(_.startsWith("__")): _*)
+  }
+
+  /** Multi-output head (output_units > 1, base.py:46,
+    * transformer.py:236): every `prediction_{i}` reads the SAME staged
+    * forward pass — pooling/MLP-head computed once, each output one
+    * map-side Dense row. The blocks' own wOut/bOut are unused. */
+  def scoreBlocksMulti(df: DataFrame, steps: Seq[Seq[String]],
+      blocks: Seq[AttnWeights], headW: Array[Array[Double]],
+      headB: Array[Double]): DataFrame = {
+    checkBlocks(blocks)
+    require(headW.length == headB.length, "head rows must match biases")
+    var cur = df
+    for (stage <- stages(ColAlg, blocks, steps))
+      cur = cur.select(col("*") +: stage.map { case (n, e) => e.as(n) }: _*)
+    val ins = headInputs(ColAlg, blocks, steps.size)
+    for (o <- headW.indices)
+      cur = cur.withColumn(s"prediction_$o",
+        linear(ColAlg, ins, headW(o).toSeq, Some(headB(o))))
+    cur.drop(cur.columns.filter(_.startsWith("__")): _*)
   }
 
   private def checkBlocks(blocks: Seq[AttnWeights]): Unit = {
@@ -797,6 +819,30 @@ object AttnScorer {
     }
     val head = headExpr(SqlAlg, blocks, steps.size)
     sb.append(s",\nfin AS (\n  SELECT *, $head AS prediction FROM $prev)")
+    sb.append(s"\nSELECT $finalSelect FROM fin")
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[scoreBlocksMulti]]. */
+  def sqlBlocksMulti(baseCte: String, baseName: String,
+      steps: Seq[Seq[String]], blocks: Seq[AttnWeights],
+      headW: Array[Array[Double]], headB: Array[Double],
+      finalSelect: String): String = {
+    checkBlocks(blocks)
+    val sb = new StringBuilder(baseCte)
+    var prev = baseName
+    var si = 0
+    for (stage <- stages(SqlAlg, blocks, steps)) {
+      val name = s"a$si"
+      val cols = stage.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      sb.append(s",\n$name AS (\n  SELECT *,\n    $cols\n  FROM $prev)")
+      prev = name; si += 1
+    }
+    val ins = headInputs(SqlAlg, blocks, steps.size)
+    val hs = headW.indices.map(o =>
+      linear(SqlAlg, ins, headW(o).toSeq, Some(headB(o))) +
+        s" AS prediction_$o").mkString(",\n    ")
+    sb.append(s",\nfin AS (\n  SELECT *,\n    $hs FROM $prev)")
     sb.append(s"\nSELECT $finalSelect FROM fin")
     sb.toString
   }

@@ -367,4 +367,80 @@ class AttnFitSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(r2n > 0.8, s"pre-norm transformer failed to learn: r2=$r2n")
   }
+
+  test("attn multi-output (output_units > 1, base.py:46, " +
+    "transformer.py:236): joint summed-mse gradient matches finite " +
+    "differences through the full architecture; kernel forward equals " +
+    "scoreBlocksMulti per output") {
+    val r = new scala.util.Random(71)
+    val cfg = AttnBpttFull.Cfg(f = 2, t = 3, h = 4, ff = 3, heads = 2,
+      keyDim = 2, pool = true, mlp = Seq(3), norm = true, out = 2)
+    val sz = cfg.size
+    val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val x = Array.fill(cfg.t, cfg.f)(r.nextGaussian())
+    val ys = Array(0.3, -0.4)
+    val acc = new Array[Double](sz)
+    AttnBpttFull.runMulti(w, cfg, x, ys, acc)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val wp = w.clone(); wp(i) += eps
+      val wm = w.clone(); wm(i) -= eps
+      def loss(wv: Array[Double]) = {
+        val p = AttnBpttFull.forwardMulti(wv, cfg, x)
+        0.5 * ((p(0) - ys(0)) * (p(0) - ys(0)) +
+          (p(1) - ys(1)) * (p(1) - ys(1)))
+      }
+      val fd = (loss(wp) - loss(wm)) / (2 * eps)
+      assert(math.abs(fd - acc(i)) <= 2e-5 * math.max(1.0, math.abs(fd)),
+        s"multi-output grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+    }
+    // distributed multi scorer == kernel forward, both outputs
+    val cols = (0 until cfg.t).flatMap(ti =>
+      (0 until cfg.f).map(fi => s"x${ti}_$fi"))
+    val row = org.apache.spark.sql.Row.fromSeq(
+      0L +: (0 until cfg.t).flatMap(ti =>
+        (0 until cfg.f).map(fi => x(ti)(fi))))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType) +:
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.DoubleType)))
+    val sdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    val (hw, hb) = AttnBpttFull.headMulti(w, cfg)
+    val scored = AttnScorer.scoreBlocksMulti(sdf, cols.grouped(cfg.f).toSeq,
+      AttnBpttFull.toBlockWeights(w, cfg), hw, hb)
+      .select("prediction_0", "prediction_1").collect()(0)
+    val kp = AttnBpttFull.forwardMulti(w, cfg, x)
+    assert(math.abs(scored.getDouble(0) - kp(0)) < 1e-10 &&
+      math.abs(scored.getDouble(1) - kp(1)) < 1e-10,
+      "multi scorer and kernel forward disagree")
+  }
+
+  test("attn multi-output joint fit learns two targets over one shared " +
+    "encoder to R^2 > 0.8 each, with the prediction_{i} naming contract") {
+    val r = new scala.util.Random(4)
+    val series = new Array[Double](620)
+    for (i <- 2 until series.length)
+      series(i) = 1.4 * series(i - 1) - 0.45 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (4 until 600).map { i =>
+      (i.toLong, series(i - 4), series(i - 3), series(i - 2), series(i - 1),
+        series(i),
+        0.5 * series(i - 1) - 0.8 * series(i - 2))
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y0", "y1")
+    val m = new AttnMultiTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+      seqLen = 4, targetCols = Seq("y0", "y1"), dModel = 6, ffDim = 12,
+      lr = 0.02, epochs = 200)
+    val pred = m.fit(df).predict(df)
+    assert(pred.columns.contains("prediction_0") &&
+      pred.columns.contains("prediction_1"))
+    val r20 = Metrics.r2(pred, "prediction_0", "y0", Seq.empty)
+      .collect()(0).getDouble(0)
+    val r21 = Metrics.r2(pred, "prediction_1", "y1", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r20 > 0.8 && r21 > 0.8,
+      s"joint multi-output transformer fit: r2_0=$r20 r2_1=$r21")
+  }
 }
