@@ -213,6 +213,17 @@ object QueriesML {
   private val softFeatStats = Seq((25.5, 14.0), (0.05, 0.03), (0.04, 0.02))
   private val softFeatCols = Seq("l_quantity", "l_discount", "l_tax")
 
+  /** The pinned trees with a 2-output pi MATRIX (num_leaves,
+    * output_units — tree.py:127-133): output 0 keeps the single-output
+    * leaf values, output 1 gets its own set over the SAME routing. */
+  val pinnedSoftTreesMulti: Seq[SoftTreeWeights] = Seq(
+    pinnedSoftTrees(0).copy(piM = Array(
+      pinnedSoftTrees(0).pi,
+      Array(-3.0 / 7, 6.0 / 11, -2.0 / 9, 5.0 / 13))),
+    pinnedSoftTrees(1).copy(piM = Array(
+      pinnedSoftTrees(1).pi,
+      Array(4.0 / 11, -7.0 / 13, 1.0 / 3, -2.0 / 5))))
+
   /** Pinned nonlinear joint autoencoder (4 feats → swish(2) → latent 2
     * → swish(2) → recon 4 → swish(2) → prediction) for the trained-path
     * scoring query (autoencoder.py:25-85 architecture). */
@@ -380,6 +391,20 @@ object QueriesML {
       li(s, dir).select(col("l_orderkey"), col("l_linenumber"),
         round(SoftForest.forestColumn(pinnedSoftTrees, feats, 0.5), 6)
           .as("soft_forest_score"))
+    }),
+
+    // multi-output soft forest (pi matrix over SHARED routing,
+    // tree.py:127-133,205): leaf probabilities staged once as named
+    // codegen'd columns, each prediction_i a projection over them
+    "q_soft_multi" -> ((s, dir) => {
+      SoftForestModel(pinnedSoftTreesMulti, Nil,
+        softFeatStats.map(_._1).toArray, softFeatStats.map(_._2).toArray,
+        0.5, 0.0, 1.0, softFeatCols,
+        yMeans = Array(0.0, 0.0), yStds = Array(1.0, 1.0))
+        .predictMulti(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction_0"), 6).as("prediction_0"),
+          round(col("prediction_1"), 6).as("prediction_1"))
     }),
 
     // pinned LSTM-cell forward pass over the lag-major sequence layout
@@ -695,6 +720,17 @@ object QueriesML {
       s"""SELECT l_orderkey, l_linenumber,
          |  round(${SoftForest.forestSql(pinnedSoftTrees, fx, 0.5)}, 6)
          |    AS soft_forest_score
+         |FROM lineitem""".stripMargin
+    },
+    "q_soft_multi" -> {
+      val fx = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>
+        s"((CAST($c AS DOUBLE) - $m) / $sd)"
+      }
+      def out(o: Int): String = SoftForest.forestSql(
+        pinnedSoftTreesMulti.map(t => t.copy(pi = t.piM(o))), fx, 0.5)
+      s"""SELECT l_orderkey, l_linenumber,
+         |  round(${out(0)}, 6) AS prediction_0,
+         |  round(${out(1)}, 6) AS prediction_1
          |FROM lineitem""".stripMargin
     },
     "q_seq_score" -> LstmScorer.sql(seqBaseSql, "base", seqSteps, pinnedLstm,

@@ -16,10 +16,15 @@ case class SoftTreeWeights(
     featIdx: Array[Int],          // bagged indices into featureCols
     wDec: Array[Array[Double]],   // [nUsed][nNodes] routing logit weights
     bDec: Array[Double],          // [nNodes] routing logit bias
-    pi: Array[Double]) extends Serializable {
+    pi: Array[Double],            // [nLeaves] leaf values (output 0)
+    piM: Array[Array[Double]] = null) // [out][nLeaves], output_units > 1
+  extends Serializable {
   def nNodes: Int = bDec.length          // 2^depth − 1
   def nLeaves: Int = pi.length           // 2^depth
   def depth: Int = java.lang.Integer.numberOfTrailingZeros(nLeaves)
+  /** Output count (the reference's pi is (num_leaves, output_units),
+    * tree.py:127-133; piM == null is the single-output layout). */
+  def nOut: Int = if (piM == null) 1 else piM.length
 }
 
 /** Soft-routing forward pass + SQL mirror shared by scoring and the
@@ -132,14 +137,16 @@ case class SoftForestModel(
     trunk: Seq[(Array[Array[Double]], Array[Double])],
     featMeans: Array[Double], featStds: Array[Double],
     temperature: Double, yMean: Double, yStd: Double,
-    featureCols: Seq[String]) {
+    featureCols: Seq[String],
+    yMeans: Array[Double] = null, yStds: Array[Double] = null) {
 
-  def predict(df: DataFrame): DataFrame = {
+  /** Standardized features → staged trunk columns; returns the staged
+    * frame, the final feature refs, and the staged column names. */
+  private def stageTrunk(df: DataFrame)
+      : (DataFrame, Seq[Column], Seq[String]) = {
     val stdFeats = featureCols.zipWithIndex.map { case (c, i) =>
       (col(c).cast("double") - lit(featMeans(i))) / lit(featStds(i))
     }
-    // optional shared ReLU trunk (trunk_units, tree.py:330-336), staged
-    // layer by layer as named columns so each expression stays small
     var cur = df
     var feats: Seq[Column] = stdFeats
     trunk.zipWithIndex.foreach { case ((w, b), l) =>
@@ -151,18 +158,63 @@ case class SoftForestModel(
       cur = cur.select(cur.columns.map(col) ++ outs: _*)
       feats = b.indices.map(j => col(s"__trunk${l}_$j"))
     }
+    val names = trunk.zipWithIndex.flatMap { case ((_, b), l) =>
+      b.indices.map(j => s"__trunk${l}_$j")
+    }
+    (cur, feats, names)
+  }
+
+  def predict(df: DataFrame): DataFrame = {
+    if (trees.head.piM != null) return predictMulti(df)
+    val (cur, feats, trunkCols) = stageTrunk(df)
     val staged = cur.select(cur.columns.map(col) ++ trees.zipWithIndex.map {
       case (t, i) => SoftForest.treeColumn(t, feats, temperature)
         .as(s"__tree_$i")
     }: _*)
     val avg = trees.indices.map(i => col(s"__tree_$i")).reduce(_ + _) /
       lit(trees.size.toDouble)
-    val dropCols = trees.indices.map(i => s"__tree_$i") ++
-      trunk.zipWithIndex.flatMap { case ((_, b), l) =>
-        b.indices.map(j => s"__trunk${l}_$j")
-      }
+    val dropCols = trees.indices.map(i => s"__tree_$i") ++ trunkCols
     staged.withColumn("prediction", avg * lit(yStd) + lit(yMean))
       .drop(dropCols: _*)
+  }
+
+  /** Multi-output scoring (`output_units > 1`, tree.py:127-133,205):
+    * each tree's LEAF PROBABILITIES are staged ONCE as named codegen'd
+    * columns (the routing is shared across outputs — outputs = mu @ pi),
+    * then every `prediction_{i}` is a cheap projection Σ μ·π_i averaged
+    * over trees. */
+  def predictMulti(df: DataFrame): DataFrame = {
+    val nOut = trees.head.nOut
+    val (cur0, feats, trunkCols) = stageTrunk(df)
+    var cur = cur0
+    val paths = SoftForest.leafPaths(trees.head.depth)
+    // stage per-tree leaf probabilities: sigmoids inline, one column
+    // per (tree, leaf) — each a depth-sized product of sigmoids
+    trees.zipWithIndex.foreach { case (t, ti) =>
+      val d = (0 until t.nNodes).map(m =>
+        lit(1.0) / (lit(1.0) + exp(-(t.featIdx.indices.map(u =>
+          feats(t.featIdx(u)) * lit(t.wDec(u)(m))).reduce(_ + _) +
+          lit(t.bDec(m))) / lit(temperature))))
+      val mus = (0 until t.nLeaves).map { l =>
+        paths(l).map { case (m, left) =>
+          if (left) d(m) else lit(1.0) - d(m)
+        }.reduce(_ * _).as(s"__mu_${ti}_$l")
+      }
+      cur = cur.select(cur.columns.map(col) ++ mus: _*)
+    }
+    for (o <- 0 until nOut) {
+      val sum = trees.zipWithIndex.map { case (t, ti) =>
+        (0 until t.nLeaves).map(l =>
+          col(s"__mu_${ti}_$l") * lit(t.piM(o)(l))).reduce(_ + _)
+      }.reduce(_ + _) / lit(trees.size.toDouble)
+      val (ym, ysd) =
+        if (yMeans != null) (yMeans(o), yStds(o)) else (yMean, yStd)
+      cur = cur.withColumn(s"prediction_$o", sum * lit(ysd) + lit(ym))
+    }
+    val dropCols = trunkCols ++ trees.zipWithIndex.flatMap {
+      case (t, ti) => (0 until t.nLeaves).map(l => s"__mu_${ti}_$l")
+    }
+    cur.drop(dropCols: _*)
   }
 
   /** Driver-local trunk forward over a standardized row (test aid). */
@@ -192,6 +244,7 @@ case class SoftForestModel(
 class SoftNdfRegressor(
     val featureCols: Seq[String],
     val targetCol: String,
+    val extraTargetCols: Seq[String] = Nil,
     val numTrees: Int = 5,
     val depth: Int = 3,
     val usedFeaturesRate: Double = 1.0,
@@ -231,6 +284,16 @@ class SoftNdfRegressor(
   private def noiseActive: Boolean =
     inputNoiseStd > 0 || treeNoiseStd > 0 || treeDropoutRate > 0
 
+  /** All targets: `output_units = 1 + extraTargetCols.size` — the
+    * reference's pi matrix (num_leaves, output_units) with SHARED
+    * routing (tree.py:127-133,205: outputs = mu @ pi), trained jointly.
+    * Multi-output composes with trunk/bagging/annealing/regularizers;
+    * rank losses stay single-output (the MLPMultiRegressor boundary). */
+  val targetCols: Seq[String] = targetCol +: extraTargetCols
+  private val nOut = targetCols.size
+  require(nOut == 1 || loss == "mse",
+    "multi-output NDF is mse-only (rank objectives rank ONE output)")
+
   private val nFeat = featureCols.size
   private val nNodes = (1 << depth) - 1
   private val nLeaves = 1 << depth
@@ -244,21 +307,26 @@ class SoftNdfRegressor(
   private def trunkOff(l: Int): Int = trunkLayerSz.take(l).sum
   private val nUsed =
     math.max(1, math.round(treeFeat * usedFeaturesRate).toInt)
-  private val perTree = nUsed * nNodes + nNodes + nLeaves
+  // leaf block: output-major (π_o at piOff + o·nLeaves, tree.py:131)
+  private val perTree = nUsed * nNodes + nNodes + nLeaves * nOut
   private val sz = trunkSz + numTrees * perTree
 
-  /** Decode the flat parameter vector into broadcastable tree weights. */
+  /** Decode the flat parameter vector into broadcastable tree weights
+    * (`pi` = output 0; `piM` carries every output when nOut > 1). */
   def decode(p: Array[Double], masks: Seq[Array[Int]])
       : Seq[SoftTreeWeights] =
     (0 until numTrees).map { t =>
       val o = trunkSz + t * perTree
+      val piOff = o + nUsed * nNodes + nNodes
       SoftTreeWeights(
         featIdx = masks(t),
         wDec = Array.tabulate(nUsed, nNodes)((u, m) =>
           p(o + u * nNodes + m)),
         bDec = Array.tabulate(nNodes)(m => p(o + nUsed * nNodes + m)),
-        pi = Array.tabulate(nLeaves)(l =>
-          p(o + nUsed * nNodes + nNodes + l)))
+        pi = Array.tabulate(nLeaves)(l => p(piOff + l)),
+        piM = if (nOut == 1) null
+          else Array.tabulate(nOut, nLeaves)((o2, l) =>
+            p(piOff + o2 * nLeaves + l)))
     }
 
   /** Decode the trunk layers (weights[in][out], bias[out]) per layer. */
@@ -280,7 +348,9 @@ class SoftNdfRegressor(
       trunk: Seq[(Array[Array[Double]], Array[Double])],
       paths: Array[Array[(Int, Boolean)]], tOffs: Seq[Int],
       x0in: Array[Double], y: Double, acc: Array[Double], temp: Double,
-      maskSeed: Long = 0L): Double = {
+      maskSeed: Long = 0L, ys: Array[Double] = null,
+      predsOut: Array[Double] = null): Double = {
+    val ysEff = if (ys != null) ys else Array(y)
     val (nT, pT, tSz) = (numTrees, perTree, trunkSz)
     val (nU, nN, nL, tF) = (nUsed, nNodes, nLeaves, treeFeat)
     // stochastic regularizer draws (fixed order: input noise, per-tree
@@ -315,41 +385,55 @@ class SoftNdfRegressor(
     val sig = new Array[Array[Double]](nT)
     val mus = new Array[Array[Double]](nT)
     val xT = new Array[Array[Double]](nT)
-    var pred = 0.0
+    val preds = new Array[Double](nOut)
     for (t <- 0 until nT) {
       xT(t) = if (tNoise == null) x
         else Array.tabulate(tF)(i => x(i) + tNoise(t)(i))
       val d = SoftForest.nodeSigmoids(trees(t), xT(t), temp)
       sig(t) = d
       val mu = new Array[Double](nL)
-      var tp = 0.0
       for (l <- 0 until nL) {
         var m = 1.0
         paths(l).foreach { case (n, left) =>
           m *= (if (left) d(n) else 1.0 - d(n))
         }
-        mu(l) = m; tp += m * trees(t).pi(l)
+        mu(l) = m
       }
       mus(t) = mu
-      pred += (if (tMask == null) tp else tMask(t) * tp)
+      val tw = trees(t)
+      val mask = if (tMask == null) 1.0 else tMask(t)
+      for (o2 <- 0 until nOut) {
+        val piO = if (tw.piM == null) tw.pi else tw.piM(o2)
+        var tp = 0.0
+        for (l <- 0 until nL) tp += mu(l) * piO(l)
+        preds(o2) += mask * tp
+      }
     }
-    pred /= nT
-    if (acc == null) return pred
-    val delta = pred - y
+    for (o2 <- 0 until nOut) preds(o2) /= nT
+    if (predsOut != null) System.arraycopy(preds, 0, predsOut, 0, nOut)
+    if (acc == null) return preds(0)
+    val deltas = Array.tabulate(nOut)(o2 => preds(o2) - ysEff(o2))
     // backward: leaf values + routing logits per tree (scaled by the
-    // tree's dropout mask), accumulating the gradient w.r.t. the trunk
-    // output across ALL trees (additive noise has unit jacobian)
+    // tree's dropout mask; the routing gradient SUMS over outputs — the
+    // shared pi-matrix semantics), accumulating the gradient w.r.t. the
+    // trunk output across ALL trees (additive noise has unit jacobian)
     val dX = new Array[Double](tF)
     for (t <- 0 until nT) {
       val o = tSz + t * pT
+      val piOff = o + nU * nN + nN
       val d = sig(t); val mu = mus(t); val tw = trees(t)
-      val scale = delta / nT * (if (tMask == null) 1.0 else tMask(t))
+      val mask = if (tMask == null) 1.0 else tMask(t)
       val gl = new Array[Double](nN)
       for (l <- 0 until nL) {
-        acc(o + nU * nN + nN + l) += scale * mu(l)
-        val w = scale * mu(l) * tw.pi(l) / temp
+        var wSum = 0.0
+        for (o2 <- 0 until nOut) {
+          val scale = deltas(o2) / nT * mask
+          val piO = if (tw.piM == null) tw.pi else tw.piM(o2)
+          acc(piOff + o2 * nL + l) += scale * mu(l)
+          wSum += scale * mu(l) * piO(l) / temp
+        }
         paths(l).foreach { case (n, left) =>
-          gl(n) += w * (if (left) 1.0 - d(n) else -d(n))
+          gl(n) += wSum * (if (left) 1.0 - d(n) else -d(n))
         }
       }
       for (m <- 0 until nN) {
@@ -377,7 +461,7 @@ class SoftNdfRegressor(
         var s = 0.0; for (j <- 0 until nout) s += dz(j) * w(i)(j); s
       }
     }
-    pred
+    preds(0)
   }
 
   /** L2 (kernel-only, matching Keras kernel_regularizer): routing
@@ -388,7 +472,7 @@ class SoftNdfRegressor(
       val o = trunkSz + t * perTree
       for (i <- 0 until nUsed * nNodes)
         g(o + i) += 2.0 * l2Decision * p(o + i)
-      for (l <- 0 until nLeaves)
+      for (l <- 0 until nLeaves * nOut)
         g(o + nUsed * nNodes + nNodes + l) +=
           2.0 * l2Leaf * p(o + nUsed * nNodes + nNodes + l)
     }
@@ -407,16 +491,19 @@ class SoftNdfRegressor(
     val zero = DenseVector.zeros[Double](sz + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
-        val y = row.getDouble(0)
-        val x0 = Array.tabulate(k)(i => row.getDouble(i + 1))
+        val ys = Array.tabulate(nOut)(o2 => row.getDouble(o2))
+        val x0 = Array.tabulate(k)(i => row.getDouble(i + nOut))
         val flat = acc.data
         val ms = if (!useNoise) 0L else SeqAdam.maskSeed(seed0, ep,
           org.apache.spark.TaskContext.getPartitionId().toLong,
           acc(sz + 1).toLong)
-        val pred = rowRun(trees, trunk, paths, tOffs, x0, y, flat, temp,
-          ms)
-        val delta = pred - y
-        acc(sz) += 0.5 * delta * delta
+        val preds = new Array[Double](nOut)
+        rowRun(trees, trunk, paths, tOffs, x0, 0.0, flat, temp, ms,
+          ys = ys, predsOut = preds)
+        for (o2 <- 0 until nOut) {
+          val delta = preds(o2) - ys(o2)
+          acc(sz) += 0.5 * delta * delta
+        }
         acc(sz + 1) += 1.0
         acc
       },
@@ -498,23 +585,29 @@ class SoftNdfRegressor(
   }
 
   def fit(df: DataFrame): SoftForestModel = {
-    val data = df.select((targetCol +: featureCols).map(c =>
+    val data = df.select((targetCols ++ featureCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
     require(data.count() > 0, "no complete rows to fit on")
     // input standardization (the reference's input BatchNormalization)
-    // + target standardization in the same single aggregate
+    // + per-output target standardization in the same single aggregate
     val statCols = featureCols.flatMap(c =>
       Seq(avg(col(c)), stddev_pop(col(c)))) ++
-      Seq(avg(col(targetCol)), stddev_pop(col(targetCol)))
+      targetCols.flatMap(c => Seq(avg(col(c)), stddev_pop(col(c))))
     val r = data.agg(statCols.head, statCols.tail: _*).collect()(0)
     val fMean = Array.tabulate(nFeat)(i => r.getDouble(2 * i))
     val fStd = Array.tabulate(nFeat)(i =>
       math.max(r.getDouble(2 * i + 1), 1e-12))
-    val yMean = r.getDouble(2 * nFeat)
-    val yStd = math.max(r.getDouble(2 * nFeat + 1), 1e-12)
+    val yMeans = Array.tabulate(nOut)(o2 =>
+      r.getDouble(2 * (nFeat + o2)))
+    val yStds = Array.tabulate(nOut)(o2 =>
+      math.max(r.getDouble(2 * (nFeat + o2) + 1), 1e-12))
+    val yMean = yMeans(0)
+    val yStd = yStds(0)
     val std = data.select(
-      ((col(targetCol) - lit(yMean)) / lit(yStd)) +:
+      targetCols.zipWithIndex.map { case (c, o2) =>
+        (col(c) - lit(yMeans(o2))) / lit(yStds(o2))
+      } ++
       featureCols.zipWithIndex.map { case (c, i) =>
         (col(c) - lit(fMean(i))) / lit(fStd(i))
       }: _*)
@@ -538,7 +631,7 @@ class SoftNdfRegressor(
       val o = trunkSz + t * perTree
       for (i <- 0 until nUsed * nNodes)
         p(o + i) = (rng.nextDouble() * 2 - 1) * limit
-      for (l <- 0 until nLeaves)                  // pi ~ random_normal
+      for (l <- 0 until nLeaves * nOut)           // pi ~ random_normal
         p(o + nUsed * nNodes + nNodes + l) = rng.nextGaussian() * 0.05
     }
     val adam = new AdamState(sz, lr)
@@ -556,6 +649,6 @@ class SoftNdfRegressor(
     }
     std.unpersist()
     SoftForestModel(decode(p, masks), decodeTrunk(p), fMean, fStd, temp,
-      yMean, yStd, featureCols)
+      yMean, yStd, featureCols, yMeans, yStds)
   }
 }

@@ -234,4 +234,76 @@ class SoftForestSpec extends AnyFunSuite {
     }
     assert(math.abs(model.temperature - 0.5) < 1e-12)
   }
+
+  test("soft ndf multi-output (pi matrix (num_leaves, output_units), " +
+    "tree.py:127-133,205): joint gradient matches finite differences " +
+    "through the SHARED routing; pi blocks are output-major") {
+    val reg = new SoftNdfRegressor(Seq("f0", "f1"), "y0",
+      extraTargetCols = Seq("y1"), numTrees = 2, depth = 2,
+      l2Decision = 0.0, l2Leaf = 0.0)
+    val r = new scala.util.Random(13)
+    val rows = (0 until 8).map(i =>
+      (r.nextGaussian() * 0.5, r.nextGaussian() * 0.5,
+        r.nextGaussian(), r.nextGaussian()))
+    val data = rows.toDF("y0", "y1", "f0", "f1")
+    val masks = Seq(Array(0, 1), Array(0, 1))
+    val sz = 2 * (2 * 3 + 3 + 4 * 2) // wDec + bDec + pi(2 outputs)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val temp = 0.7
+    val (g, _) = reg.gradient(data, p, masks, temp)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val lp = reg.gradient(data, pp, masks, temp)._2
+      val lm = reg.gradient(data, pm, masks, temp)._2
+      val fd = (lp - lm) / (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"multi grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("soft ndf multi-output joint fit learns two tree-shaped targets " +
+    "over shared routing to R^2 > 0.8 each; predictMulti stages the " +
+    "leaf probabilities ONCE and agrees with the driver-local forward") {
+    val r = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val y0 = (if (f0 < 0) { if (f1 < 0) -2.0 else -0.5 }
+                else { if (f1 < 0) 0.5 else 2.0 }) + 0.1 * r.nextGaussian()
+      // second target: DIFFERENT leaf values over the same partition
+      val y1 = (if (f0 < 0) { if (f1 < 0) 1.0 else 3.0 }
+                else { if (f1 < 0) -1.5 else 0.5 }) + 0.1 * r.nextGaussian()
+      (i.toLong, f0, f1, y0, y1)
+    }
+    val df = rows.toDF("id", "f0", "f1", "y0", "y1")
+    val m = new SoftNdfRegressor(Seq("f0", "f1"), "y0",
+      extraTargetCols = Seq("y1"), numTrees = 4, depth = 2, lr = 0.1,
+      epochs = 120)
+    val model = m.fit(df)
+    val pred = model.predict(df)
+    assert(pred.columns.contains("prediction_0") &&
+      pred.columns.contains("prediction_1"))
+    val r20 = Metrics.r2(pred, "prediction_0", "y0", Seq.empty)
+      .collect()(0).getDouble(0)
+    val r21 = Metrics.r2(pred, "prediction_1", "y1", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r20 > 0.8 && r21 > 0.8,
+      s"joint multi-output NDF fit: r2_0=$r20 r2_1=$r21")
+    // staged multi scoring == driver-local per-output forward
+    val sample = pred.select("f0", "f1", "prediction_0", "prediction_1")
+      .limit(20).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(2)(i =>
+        (row.getDouble(i) - model.featMeans(i)) / model.featStds(i))
+      for (o <- 0 until 2) {
+        val local = model.trees.map(t =>
+          SoftForest.treeForward(t.copy(pi = t.piM(o)), x,
+            model.temperature)).sum / model.trees.size *
+          model.yStds(o) + model.yMeans(o)
+        assert(math.abs(local - row.getDouble(2 + o)) < 1e-9,
+          s"multi scorer and driver forward disagree on output $o")
+      }
+    }
+  }
 }
