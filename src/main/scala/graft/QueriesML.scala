@@ -239,6 +239,13 @@ object QueriesML {
   private val aeFeatStats = Seq((25.5, 14.0), (38000.0, 22000.0),
     (0.05, 0.03), (0.04, 0.02))
 
+  /** The pinned AE with a 2-output target head (Dense(output_units)
+    * target_prediction, autoencoder.py:67-69): output 0 keeps the
+    * single head row, output 1 its own row over the SAME staged chain. */
+  val pinnedAeMulti: JointAeWeights = pinnedAe.copy(
+    wpM = Array(pinnedAe.wp, Array(-3.0 / 11, 5.0 / 13)),
+    bpM = Array(pinnedAe.bp, -2.0 / 9))
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -378,6 +385,19 @@ object QueriesML {
           round(col("recon_0"), 6).as("recon_0"),
           round(col("recon_3"), 6).as("recon_3"),
           round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // multi-output AE target head: encoder/decoder/head-hidden staged
+    // ONCE, each prediction_i one Dense row over the shared __h columns
+    "q_ae_multi" -> ((s, dir) => {
+      val feats = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
+        (col(c).cast("double") - lit(m)) / lit(sd)
+      }
+      JointAe.stageMulti(li(s, dir), feats, pinnedAeMulti)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("latent_0"), 6).as("latent_0"),
+          round(col("prediction_0"), 6).as("prediction_0"),
+          round(col("prediction_1"), 6).as("prediction_1"))
     }),
 
     // pinned SOFT forest: the differentiable-NDF routing forward pass
@@ -712,6 +732,17 @@ object QueriesML {
           |  round(latent_0, 6) AS latent_0, round(latent_1, 6) AS latent_1,
           |  round(recon_0, 6) AS recon_0, round(recon_3, 6) AS recon_3,
           |  round(prediction, 6) AS prediction""".stripMargin)
+    },
+    "q_ae_multi" -> {
+      val fx = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
+        s"((CAST($c AS DOUBLE) - $m) / $sd)"
+      }
+      JointAe.sqlMulti("WITH base AS (SELECT * FROM lineitem)", "base", fx,
+        pinnedAeMulti, "l_orderkey, l_linenumber",
+        """l_orderkey, l_linenumber,
+          |  round(latent_0, 6) AS latent_0,
+          |  round(prediction_0, 6) AS prediction_0,
+          |  round(prediction_1, 6) AS prediction_1""".stripMargin)
     },
     "q_soft_forest" -> {
       val fx = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>

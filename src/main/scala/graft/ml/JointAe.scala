@@ -19,20 +19,25 @@ case class JointAeWeights(
     wd: Array[Array[Double]], bd: Array[Double],   // [L][hE] decoder
     wr: Array[Array[Double]], br: Array[Double],   // [hE][k] recon
     wh: Array[Array[Double]], bh: Array[Double],   // [k][hA] head hidden
-    wp: Array[Double], bp: Double) extends Serializable {
+    wp: Array[Double], bp: Double,                 // [hA] head (output 0)
+    wpM: Array[Array[Double]] = null,              // [out][hA], out > 1
+    bpM: Array[Double] = null) extends Serializable {
   def k: Int = we.length
   def hE: Int = be.length
   def latent: Int = bz.length
   def hA: Int = bh.length
+  /** Target-head width — the reference's Dense(output_units)
+    * target_prediction (autoencoder.py:67-69, base.py:46). */
+  def nOut: Int = if (wpM == null) 1 else wpM.length
 }
 
 /** Flat-gradient kernel for the joint autoencoder (the LstmBptt /
   * AttnBptt pattern: executors fold rows into one flat gradient vector;
   * the driver runs Adam). */
 object JointAeKernel {
-  def size(k: Int, hE: Int, l: Int, hA: Int): Int =
+  def size(k: Int, hE: Int, l: Int, hA: Int, out: Int = 1): Int =
     k * hE + hE + hE * l + l + l * hE + hE + hE * k + k +
-      k * hA + hA + hA + 1
+      k * hA + hA + hA * out + out
 
   @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
   @inline private def swish(z: Double): Double = z * sigmoid(z)
@@ -40,8 +45,8 @@ object JointAeKernel {
     val s = sigmoid(z); s * (1.0 + z * (1.0 - s))
   }
 
-  def toWeights(p: Array[Double], k: Int, hE: Int, l: Int, hA: Int)
-      : JointAeWeights = {
+  def toWeights(p: Array[Double], k: Int, hE: Int, l: Int, hA: Int,
+      out: Int = 1): JointAeWeights = {
     var o = 0
     def mat(r: Int, c: Int): Array[Array[Double]] = {
       val m = Array.tabulate(r, c)((i, j) => p(o + i * c + j)); o += r * c; m
@@ -54,8 +59,12 @@ object JointAeKernel {
     val wd = mat(l, hE); val bd = vec(hE)
     val wr = mat(hE, k); val br = vec(k)
     val wh = mat(k, hA); val bh = vec(hA)
-    val wp = vec(hA); val bp = p(o)
-    JointAeWeights(we, be, wz, bz, wd, bd, wr, br, wh, bh, wp, bp)
+    // head: output-major wp blocks then the bias block
+    val wpM = Array.fill(out)(vec(hA))
+    val bpM = vec(out)
+    JointAeWeights(we, be, wz, bz, wd, bd, wr, br, wh, bh,
+      wpM(0), bpM(0),
+      if (out == 1) null else wpM, if (out == 1) null else bpM)
   }
 
   /** Driver-local forward over a standardized row: (latent, recon, pred). */
@@ -127,7 +136,8 @@ object JointAeKernel {
   def runW(w: JointAeWeights, x: Array[Double], xTgt: Array[Double],
       y: Double, rw: Double, tw: Double, acc: Array[Double],
       drop: AeDrop = null, maskSeed: Long = 0L,
-      predOut: Array[Double] = null): Double = {
+      predOut: Array[Double] = null,
+      ysM: Array[Double] = null): Double = {
     val (k, hE, l, hA) = (w.k, w.hE, w.latent, w.hA)
     val useDrop = drop != null && drop.active && maskSeed != 0L
     val (mE, mZ, mD, mH) = if (!useDrop) (null, null, null, null) else {
@@ -161,18 +171,42 @@ object JointAeKernel {
     }
     val h = if (mH == null) zh.map(swish)
       else Array.tabulate(hA)(a => swish(zh(a)) * mH(a))
-    var p = w.bp; for (a <- 0 until hA) p += h(a) * w.wp(a)
-    if (predOut != null) predOut(0) = p
+    // multi-output head (Dense(output_units) target_prediction,
+    // autoencoder.py:67-69): Keras mse over the output vector is the
+    // MEAN over outputs, so the target term scales by 1/nOut
+    val nOut = w.nOut
+    // scoring callers pass no target vector; zeros keep the (ignored)
+    // loss computation in-bounds
+    val ysEff = if (ysM != null) ysM
+      else if (nOut == 1) Array(y) else new Array[Double](nOut)
+    val preds = new Array[Double](nOut)
+    for (o2 <- 0 until nOut) {
+      val wpO = if (w.wpM == null) w.wp else w.wpM(o2)
+      var p = if (w.bpM == null) w.bp else w.bpM(o2)
+      for (a <- 0 until hA) p += h(a) * wpO(a)
+      preds(o2) = p
+    }
+    if (predOut != null)
+      System.arraycopy(preds, 0, predOut, 0,
+        math.min(nOut, predOut.length))
     var recon = 0.0
     for (f <- 0 until k) { val df = r(f) - xTgt(f); recon += df * df }
-    val loss = rw * recon / k + tw * (p - y) * (p - y)
+    var tgt = 0.0
+    for (o2 <- 0 until nOut) {
+      val dlt = preds(o2) - ysEff(o2); tgt += dlt * dlt
+    }
+    val loss = rw * recon / k + tw * tgt / nOut
     if (acc == null) return loss
 
     // backward (each dropped activation's gradient carries its mask)
-    val dp = 2.0 * tw * (p - y)
+    val dps = Array.tabulate(nOut)(o2 =>
+      2.0 * tw / nOut * (preds(o2) - ysEff(o2)))
     val dzh = Array.tabulate(hA) { a =>
       val m = if (mH == null) 1.0 else mH(a)
-      dp * w.wp(a) * m * swishD(zh(a))
+      var s = 0.0
+      for (o2 <- 0 until nOut)
+        s += dps(o2) * (if (w.wpM == null) w.wp(a) else w.wpM(o2)(a))
+      s * m * swishD(zh(a))
     }
     val dr = Array.tabulate(k) { f =>
       var g = 2.0 * rw / k * (r(f) - xTgt(f))
@@ -212,8 +246,10 @@ object JointAeKernel {
     for (f <- 0 until k) { acc(o) += dr(f); o += 1 }
     for (f <- 0 until k; a <- 0 until hA) { acc(o) += r(f) * dzh(a); o += 1 }
     for (a <- 0 until hA) { acc(o) += dzh(a); o += 1 }
-    for (a <- 0 until hA) { acc(o) += h(a) * dp; o += 1 }
-    acc(o) += dp
+    for (o2 <- 0 until nOut; a <- 0 until hA) {
+      acc(o) += h(a) * dps(o2); o += 1
+    }
+    for (o2 <- 0 until nOut) { acc(o) += dps(o2); o += 1 }
     loss
   }
 }
@@ -226,7 +262,8 @@ case class JointAeModel(
     weights: JointAeWeights,
     featMeans: Array[Double], featStds: Array[Double],
     yMean: Double, yStd: Double,
-    featureCols: Seq[String]) {
+    featureCols: Seq[String],
+    yMeans: Array[Double] = null, yStds: Array[Double] = null) {
 
   private def stdFeats: Seq[Column] = featureCols.zipWithIndex.map {
     case (c, i) => (col(c).cast("double") - lit(featMeans(i))) /
@@ -247,8 +284,16 @@ case class JointAeModel(
     }
   }
 
-  /** Appends `latent_{i}` and `prediction` (base.py:137-150 contract). */
+  /** Appends `latent_{i}` and `prediction` (base.py:137-150 contract);
+    * a multi-output head emits `prediction_{i}` instead. */
   def predict(df: DataFrame): DataFrame = {
+    if (weights.wpM != null) {
+      var staged = JointAe.stageMulti(df, stdFeats, weights)
+      for (o <- weights.wpM.indices)
+        staged = staged.withColumn(s"prediction_$o",
+          col(s"prediction_$o") * lit(yStds(o)) + lit(yMeans(o)))
+      return staged.drop(featureCols.indices.map(f => s"recon_$f"): _*)
+    }
     val staged = JointAe.stageTo(df, stdFeats, weights, upTo = "pred")
     staged.withColumn("prediction",
       col("prediction") * lit(yStd) + lit(yMean))
@@ -304,6 +349,33 @@ object JointAe {
     }.reduce(_ + _) + lit(w.bp)).as("prediction"): _*)
   }
 
+  /** Multi-output head staging (`output_units > 1`,
+    * autoencoder.py:67-69): the shared encoder/decoder/head-hidden
+    * stages are computed once; each `prediction_{i}` is one Dense row
+    * over the staged head units. */
+  def stageMulti(df: DataFrame, feats: Seq[Column], w: JointAeWeights)
+      : DataFrame = {
+    require(w.wpM != null, "single-output weights: use stageTo")
+    val hed = stageHead(df, feats, w)
+    val hC = (0 until w.hA).map(a => col(s"__h$a"))
+    val heads = w.wpM.indices.map { o =>
+      (hC.zipWithIndex.map { case (c, a) =>
+        c * lit(w.wpM(o)(a))
+      }.reduce(_ + _) + lit(w.bpM(o))).as(s"prediction_$o")
+    }
+    hed.select(hed.columns.filterNot(_.startsWith("__h"))
+      .map(col).toSeq ++ heads: _*)
+  }
+
+  /** Stage through the head-hidden layer, KEEPING the `__h` columns. */
+  private def stageHead(df: DataFrame, feats: Seq[Column],
+      w: JointAeWeights): DataFrame = {
+    val rec = stageTo(df, feats, w, upTo = "recon")
+    val rC = (0 until w.k).map(f => col(s"recon_$f"))
+    rec.select(rec.columns.map(col).toSeq ++ (0 until w.hA).map(a =>
+      swishCol(dense(rC, w.wh, w.bh, a)).as(s"__h$a")): _*)
+  }
+
   /** SQL mirror of stageTo(upTo="pred") as chained CTEs over `from`.
     * `fx` are the standardized feature expressions. Returns the final
     * select list source (CTE chain + SELECT of id cols, latent_i,
@@ -346,6 +418,28 @@ object JointAe {
        |  FROM hed)
        |SELECT $selectCols FROM fin""".stripMargin
   }
+
+  /** SQL mirror of [[stageMulti]] — the multi-output head over the
+    * same staged chain (`prediction_{i}` per Dense row). */
+  def sqlMulti(withSql: String, from: String, fx: Seq[String],
+      w: JointAeWeights, idCols: String, selectCols: String): String = {
+    require(w.wpM != null, "single-output weights: use sql")
+    val single = sql(withSql, from, fx, w, idCols, "1")
+    // reuse the chain up to `hed`, swap the head stage
+    val upToHed = single.substring(0, single.indexOf(",\nfin AS ("))
+    val zN = (0 until w.latent).map(i => s"latent_$i")
+    val rN = (0 until w.k).map(f => s"recon_$f")
+    val pS = w.wpM.indices.map { o =>
+      (0 until w.hA).map(a => s"__h$a * ${w.wpM(o)(a)}")
+        .mkString(" + ") + s" + ${w.bpM(o)} AS prediction_$o"
+    }
+    s"""$upToHed,
+       |fin AS (
+       |  SELECT $idCols, ${zN.mkString(", ")}, ${rN.mkString(", ")},
+       |    ${pS.mkString(",\n    ")}
+       |  FROM hed)
+       |SELECT $selectCols FROM fin""".stripMargin
+  }
 }
 
 /** Joint-loss nonlinear autoencoder trainer (autoencoder.py:25-135
@@ -373,6 +467,7 @@ object JointAe {
 class JointAutoencoder(
     val featureCols: Seq[String],
     val targetCol: String,
+    val extraTargetCols: Seq[String] = Nil,
     val latentDim: Int = 2,
     val encoderHidden: Int = 8,
     val headHidden: Int = 4,
@@ -395,9 +490,17 @@ class JointAutoencoder(
   require(Set("mse", "spearman", "combined")(targetLoss),
     s"targetLoss must be mse|spearman|combined, got $targetLoss")
 
+  /** All target-head outputs — the reference's Dense(output_units)
+    * target_prediction (autoencoder.py:67-69), trained jointly with the
+    * reconstruction head; rank losses stay single-output. */
+  val targetCols: Seq[String] = targetCol +: extraTargetCols
+  private val nOut = targetCols.size
+  require(nOut == 1 || targetLoss == "mse",
+    "multi-output target head is mse-only (rank objectives rank ONE output)")
+
   private val k = featureCols.size
   private val sz = JointAeKernel.size(k, encoderHidden, latentDim,
-    headHidden)
+    headHidden, nOut)
   private val aeDrop = {
     val d = JointAeKernel.AeDrop(dropoutEncoder, dropoutLatent, dropoutHead)
     if (d.active) d else null
@@ -416,20 +519,21 @@ class JointAutoencoder(
     val n = sz
     val dd = if (ep == 0L) null else aeDrop
     val seed0 = seed
+    val nO = nOut
     val w = JointAeKernel.toWeights(p, kk, encoderHidden, latentDim,
-      headHidden)
+      headHidden, nO)
     val zero = DenseVector.zeros[Double](n + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
-        val y = row.getDouble(0)
-        val xTgt = Array.tabulate(kk)(i => row.getDouble(i + 1))
-        val xIn = if (row.size > kk + 1)
-          Array.tabulate(kk)(i => row.getDouble(kk + i + 1)) else xTgt
+        val ys = Array.tabulate(nO)(o2 => row.getDouble(o2))
+        val xTgt = Array.tabulate(kk)(i => row.getDouble(i + nO))
+        val xIn = if (row.size > kk + nO)
+          Array.tabulate(kk)(i => row.getDouble(kk + i + nO)) else xTgt
         val ms = if (dd == null) 0L else SeqAdam.maskSeed(seed0, ep,
           org.apache.spark.TaskContext.getPartitionId().toLong,
           acc(n + 1).toLong)
-        val loss = JointAeKernel.runW(w, xIn, xTgt, y, rw, tw, acc.data,
-          dd, ms)
+        val loss = JointAeKernel.runW(w, xIn, xTgt, ys(0), rw, tw,
+          acc.data, dd, ms, ysM = ys)
         acc(n) += loss; acc(n + 1) += 1.0
         acc
       },
@@ -513,20 +617,23 @@ class JointAutoencoder(
   }
 
   def fit(df: DataFrame): JointAeModel = {
-    val data = df.select((targetCol +: featureCols).map(c =>
+    val data = df.select((targetCols ++ featureCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
     require(data.count() > 0, "no complete rows to fit on")
     val statCols = featureCols.flatMap(c =>
       Seq(avg(col(c)), stddev_pop(col(c)))) ++
-      Seq(avg(col(targetCol)), stddev_pop(col(targetCol)))
+      targetCols.flatMap(c => Seq(avg(col(c)), stddev_pop(col(c))))
     val r = data.agg(statCols.head, statCols.tail: _*).collect()(0)
     val fMean = Array.tabulate(k)(i => r.getDouble(2 * i))
     val fStd = Array.tabulate(k)(i => math.max(r.getDouble(2 * i + 1), 1e-12))
-    val yMean = r.getDouble(2 * k)
-    val yStd = math.max(r.getDouble(2 * k + 1), 1e-12)
+    val yMeans = Array.tabulate(nOut)(o2 => r.getDouble(2 * (k + o2)))
+    val yStds = Array.tabulate(nOut)(o2 =>
+      math.max(r.getDouble(2 * (k + o2) + 1), 1e-12))
     val std = data.select(
-      ((col(targetCol) - lit(yMean)) / lit(yStd)).as("__y") +:
+      targetCols.zipWithIndex.map { case (c, o2) =>
+        ((col(c) - lit(yMeans(o2))) / lit(yStds(o2))).as(s"__y$o2")
+      } ++
       featureCols.zipWithIndex.map { case (c, i) =>
         ((col(c) - lit(fMean(i))) / lit(fStd(i))).as(s"__x$i")
       }: _*)
@@ -543,7 +650,7 @@ class JointAutoencoder(
       (0, 0, encoderHidden),
       (encoderHidden, k, encoderHidden * k), (0, 0, k),
       (k, headHidden, k * headHidden), (0, 0, headHidden),
-      (headHidden, 1, headHidden), (0, 0, 1))
+      (headHidden, nOut, headHidden * nOut), (0, 0, nOut))
     var o = 0
     fans.foreach { case (fin, fout, cnt) =>
       val lim = if (fin == 0) 0.0 else math.sqrt(6.0 / (fin + fout))
@@ -558,8 +665,9 @@ class JointAutoencoder(
       // reconstruction still targets the clean standardized features
       val epochData = if (gaussianNoise <= 0.0) batch else {
         val cs = batch.columns
-        batch.select((col(cs.head) +: cs.tail.map(col)) ++
-          cs.tail.zipWithIndex.map { case (c, i) =>
+        val featCs = cs.drop(nOut)
+        batch.select(cs.map(col) ++
+          featCs.zipWithIndex.map { case (c, i) =>
             (col(c) + lit(gaussianNoise) *
               randn(seed + t.toLong * k + i)).as(s"__n$i")
           }: _*)
@@ -570,6 +678,7 @@ class JointAutoencoder(
     }
     std.unpersist()
     JointAeModel(JointAeKernel.toWeights(p, k, encoderHidden, latentDim,
-      headHidden), fMean, fStd, yMean, yStd, featureCols)
+      headHidden, nOut), fMean, fStd, yMeans(0), yStds(0), featureCols,
+      yMeans, yStds)
   }
 }

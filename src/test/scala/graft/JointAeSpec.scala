@@ -247,4 +247,72 @@ class JointAeSpec extends AnyFunSuite {
         - row.getDouble(6)) < 1e-9)
     }
   }
+
+  test("joint ae multi-output target head (Dense(output_units), " +
+    "autoencoder.py:67-69): joint gradient matches finite differences " +
+    "with the Keras mean-over-outputs mse") {
+    val ae = new JointAutoencoder(Seq("f0", "f1", "f2"), "y0",
+      extraTargetCols = Seq("y1"), latentDim = 2, encoderHidden = 3,
+      headHidden = 2, reconWeight = 1.0, targetWeight = 0.7)
+    val r = new scala.util.Random(9)
+    val rows = (0 until 6).map(_ =>
+      (r.nextGaussian() * 0.5, r.nextGaussian() * 0.5, r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian()))
+    val data = rows.toDF("y0", "y1", "f0", "f1", "f2")
+    val sz = JointAeKernel.size(3, 3, 2, 2, out = 2)
+    val p = Array.fill(sz)(r.nextGaussian() * 0.4)
+    val (g, _) = ae.gradient(data, p)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val fd = (ae.gradient(data, pp)._2 - ae.gradient(data, pm)._2) /
+        (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"multi grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("joint ae multi-output fit learns recon AND two target heads " +
+    "jointly (prediction_{i} contract); staged multi scoring equals the " +
+    "kernel forward per output") {
+    val r = new scala.util.Random(8)
+    val rows = (0 until 400).map { i =>
+      val t = r.nextGaussian()
+      (i.toLong, t + 0.05 * r.nextGaussian(),
+        t * t - 1.0 + 0.05 * r.nextGaussian(),
+        math.sin(1.5 * t) + 0.05 * r.nextGaussian(),
+        t + 0.1 * r.nextGaussian(),
+        -0.8 * t + 0.1 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y0", "y1")
+    val m = new JointAutoencoder(Seq("f0", "f1", "f2"), "y0",
+      extraTargetCols = Seq("y1"), latentDim = 1, encoderHidden = 6,
+      headHidden = 4, lr = 0.02, epochs = 200, batchFraction = 1.0)
+    val model = m.fit(df)
+    val pred = model.predict(df)
+    assert(pred.columns.contains("prediction_0") &&
+      pred.columns.contains("prediction_1"))
+    val r20 = Metrics.r2(pred, "prediction_0", "y0", Seq.empty)
+      .collect()(0).getDouble(0)
+    val r21 = Metrics.r2(pred, "prediction_1", "y1", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r20 > 0.8 && r21 > 0.8,
+      s"joint multi-output AE fit: r2_0=$r20 r2_1=$r21")
+    // staged multi scoring == kernel forward (standardized space)
+    val sample = pred.select("f0", "f1", "f2", "prediction_0",
+      "prediction_1").limit(10).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(3)(i =>
+        (row.getDouble(i) - model.featMeans(i)) / model.featStds(i))
+      val po = new Array[Double](2)
+      JointAeKernel.runW(model.weights, x, x, 0.0, 0.0, 0.0, null,
+        predOut = po)
+      for (o <- 0 until 2) {
+        val local = po(o) * model.yStds(o) + model.yMeans(o)
+        assert(math.abs(local - row.getDouble(3 + o)) < 1e-9,
+          s"multi AE scorer and kernel disagree on output $o")
+      }
+    }
+  }
 }
