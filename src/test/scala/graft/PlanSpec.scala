@@ -166,6 +166,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-output scoring queries (NDF pi matrix, AE target head) " +
+    "stay shuffle-free: the shared trunk is staged once and every " +
+    "prediction_i is a map-side projection over it") {
+    for (q <- Seq("q_soft_multi", "q_ae_multi")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q has an exchange:\n$plan")
+    }
+    // the sequence multi heads keep the ONE lag-window exchange of
+    // their single-output siblings — no extra shuffle for extra heads
+    for (q <- Seq("q_lstm_multi", "q_attn_multi")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(exchanges(plan) <= 1, s"$q shuffles beyond the lag window")
+    }
+  }
+
   test("exact percentile over low-cardinality groups emits the plan-time " +
     "scale warning (the unpartitioned-window analog) and points at the " +
     "approx knob; the plan itself stays the exact aggregate") {
