@@ -246,6 +246,14 @@ object QueriesML {
     wpM = Array(pinnedAe.wp, Array(-3.0 / 11, 5.0 / 13)),
     bpM = Array(pinnedAe.bp, -2.0 / 9))
 
+  /** Pinned DEPTH-GENERAL AE chain (encoder_units=[3,2] → latent 2 →
+    * mirrored decoder → recon 4 → ae_units=[2] → prediction — the
+    * reference's list-shaped config, autoencoder.py:15-19). */
+  val deepAeCfg: DeepAeKernel.Cfg =
+    DeepAeKernel.Cfg(k = 4, enc = Seq(3, 2), latent = 2, head = Seq(2))
+  val pinnedDeepAeW: Array[Double] =
+    Array.tabulate(deepAeCfg.size)(i => (((i * 7 + 3) % 23) - 11) / 29.0)
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -384,6 +392,19 @@ object QueriesML {
           round(col("latent_1"), 6).as("latent_1"),
           round(col("recon_0"), 6).as("recon_0"),
           round(col("recon_3"), 6).as("recon_3"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // depth-general AE chain (encoder_units/ae_units LISTS): every
+    // stage a named codegen'd projection, same staging as q_ae_score
+    "q_deep_ae" -> ((s, dir) => {
+      val feats = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
+        (col(c).cast("double") - lit(m)) / lit(sd)
+      }
+      DeepAeKernel.score(li(s, dir), feats, pinnedDeepAeW, deepAeCfg)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("latent_0"), 6).as("latent_0"),
+          round(col("recon_0"), 6).as("recon_0"),
           round(col("prediction"), 6).as("prediction"))
     }),
 
@@ -743,6 +764,17 @@ object QueriesML {
           |  round(latent_0, 6) AS latent_0,
           |  round(prediction_0, 6) AS prediction_0,
           |  round(prediction_1, 6) AS prediction_1""".stripMargin)
+    },
+    "q_deep_ae" -> {
+      val fx = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
+        s"((CAST($c AS DOUBLE) - $m) / $sd)"
+      }
+      DeepAeKernel.sql("WITH base AS (SELECT * FROM lineitem)", "base", fx,
+        pinnedDeepAeW, deepAeCfg, "l_orderkey, l_linenumber",
+        """l_orderkey, l_linenumber,
+          |  round(latent_0, 6) AS latent_0,
+          |  round(recon_0, 6) AS recon_0,
+          |  round(prediction, 6) AS prediction""".stripMargin)
     },
     "q_soft_forest" -> {
       val fx = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>
