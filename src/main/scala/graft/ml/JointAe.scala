@@ -321,20 +321,31 @@ object JointAe {
   /** Stage layers onto `df` as named columns, stopping at `upTo`
     * ("latent" | "recon" | "pred"). Intermediate encoder/decoder/head
     * columns are dropped; latent (and recon) stay, matching the
-    * reference's transform/reconstruct/predict output surfaces. */
+    * reference's transform/reconstruct/predict output surfaces.
+    *
+    * `aff` (nullable) carries the inference BatchNorm affines of the
+    * BN-trained sibling ([[BnAeKernel]]) — 4 per-unit (scale, shift)
+    * pairs for the encoder/latent/decoder/head sites, applied between
+    * each Dense pre-activation and its swish (the input-site affine is
+    * pre-applied by the caller into `feats`). Scoring stays a pure
+    * codegen'd projection either way. */
   def stageTo(df: DataFrame, feats: Seq[Column], w: JointAeWeights,
-      upTo: String): DataFrame = {
+      upTo: String,
+      aff: Seq[(Array[Double], Array[Double])] = null): DataFrame = {
+    def bn(site: Int, j: Int, c: Column): Column =
+      if (aff == null) c
+      else c * lit(aff(site)._1(j)) + lit(aff(site)._2(j))
     val base = df.columns.map(col).toSeq
     val enc = df.select(base ++ (0 until w.hE).map(j =>
-      swishCol(dense(feats, w.we, w.be, j)).as(s"__e$j")): _*)
+      swishCol(bn(0, j, dense(feats, w.we, w.be, j))).as(s"__e$j")): _*)
     val eC = (0 until w.hE).map(j => col(s"__e$j"))
     val lat = enc.select(base ++ (0 until w.latent).map(i =>
-      swishCol(dense(eC, w.wz, w.bz, i)).as(s"latent_$i")): _*)
+      swishCol(bn(1, i, dense(eC, w.wz, w.bz, i))).as(s"latent_$i")): _*)
     if (upTo == "latent") return lat
     val zC = (0 until w.latent).map(i => col(s"latent_$i"))
     val latCols = base ++ zC.indices.map(i => col(s"latent_$i"))
     val dec = lat.select(latCols ++ (0 until w.hE).map(j =>
-      swishCol(dense(zC, w.wd, w.bd, j)).as(s"__d$j")): _*)
+      swishCol(bn(2, j, dense(zC, w.wd, w.bd, j))).as(s"__d$j")): _*)
     val dC = (0 until w.hE).map(j => col(s"__d$j"))
     val rec = dec.select(latCols ++ (0 until w.k).map(f =>
       dense(dC, w.wr, w.br, f).as(s"recon_$f")): _*)
@@ -342,7 +353,7 @@ object JointAe {
     val rC = (0 until w.k).map(f => col(s"recon_$f"))
     val recCols = latCols ++ (0 until w.k).map(f => col(s"recon_$f"))
     val hed = rec.select(recCols ++ (0 until w.hA).map(a =>
-      swishCol(dense(rC, w.wh, w.bh, a)).as(s"__h$a")): _*)
+      swishCol(bn(3, a, dense(rC, w.wh, w.bh, a))).as(s"__h$a")): _*)
     val hC = (0 until w.hA).map(a => col(s"__h$a"))
     hed.select(recCols :+ (hC.zipWithIndex.map { case (c, a) =>
       c * lit(w.wp(a))
@@ -353,10 +364,10 @@ object JointAe {
     * autoencoder.py:67-69): the shared encoder/decoder/head-hidden
     * stages are computed once; each `prediction_{i}` is one Dense row
     * over the staged head units. */
-  def stageMulti(df: DataFrame, feats: Seq[Column], w: JointAeWeights)
-      : DataFrame = {
+  def stageMulti(df: DataFrame, feats: Seq[Column], w: JointAeWeights,
+      aff: Seq[(Array[Double], Array[Double])] = null): DataFrame = {
     require(w.wpM != null, "single-output weights: use stageTo")
-    val hed = stageHead(df, feats, w)
+    val hed = stageHead(df, feats, w, aff)
     val hC = (0 until w.hA).map(a => col(s"__h$a"))
     val heads = w.wpM.indices.map { o =>
       (hC.zipWithIndex.map { case (c, a) =>
@@ -369,11 +380,14 @@ object JointAe {
 
   /** Stage through the head-hidden layer, KEEPING the `__h` columns. */
   private def stageHead(df: DataFrame, feats: Seq[Column],
-      w: JointAeWeights): DataFrame = {
-    val rec = stageTo(df, feats, w, upTo = "recon")
+      w: JointAeWeights,
+      aff: Seq[(Array[Double], Array[Double])] = null): DataFrame = {
+    val rec = stageTo(df, feats, w, upTo = "recon", aff)
     val rC = (0 until w.k).map(f => col(s"recon_$f"))
     rec.select(rec.columns.map(col).toSeq ++ (0 until w.hA).map(a =>
-      swishCol(dense(rC, w.wh, w.bh, a)).as(s"__h$a")): _*)
+      swishCol(if (aff == null) dense(rC, w.wh, w.bh, a)
+        else dense(rC, w.wh, w.bh, a) * lit(aff(3)._1(a)) +
+          lit(aff(3)._2(a))).as(s"__h$a")): _*)
   }
 
   /** SQL mirror of stageTo(upTo="pred") as chained CTEs over `from`.
@@ -381,21 +395,25 @@ object JointAe {
     * select list source (CTE chain + SELECT of id cols, latent_i,
     * recon_i, prediction). */
   def sql(withSql: String, from: String, fx: Seq[String],
-      w: JointAeWeights, idCols: String, selectCols: String): String = {
+      w: JointAeWeights, idCols: String, selectCols: String,
+      aff: Seq[(Array[Double], Array[Double])] = null): String = {
+    def bn(site: Int, j: Int, z: String): String =
+      if (aff == null) z
+      else s"($z) * ${aff(site)._1(j)} + ${aff(site)._2(j)}"
     val eS = (0 until w.hE).map(j =>
-      s"${swishSql(denseSql(fx, w.we, w.be, j))} AS __e$j")
+      s"${swishSql(bn(0, j, denseSql(fx, w.we, w.be, j)))} AS __e$j")
     val eN = (0 until w.hE).map(j => s"__e$j")
     val zS = (0 until w.latent).map(i =>
-      s"${swishSql(denseSql(eN, w.wz, w.bz, i))} AS latent_$i")
+      s"${swishSql(bn(1, i, denseSql(eN, w.wz, w.bz, i)))} AS latent_$i")
     val zN = (0 until w.latent).map(i => s"latent_$i")
     val dS = (0 until w.hE).map(j =>
-      s"${swishSql(denseSql(zN, w.wd, w.bd, j))} AS __d$j")
+      s"${swishSql(bn(2, j, denseSql(zN, w.wd, w.bd, j)))} AS __d$j")
     val dN = (0 until w.hE).map(j => s"__d$j")
     val rS = (0 until w.k).map(f =>
       s"${denseSql(dN, w.wr, w.br, f)} AS recon_$f")
     val rN = (0 until w.k).map(f => s"recon_$f")
     val hS = (0 until w.hA).map(a =>
-      s"${swishSql(denseSql(rN, w.wh, w.bh, a))} AS __h$a")
+      s"${swishSql(bn(3, a, denseSql(rN, w.wh, w.bh, a)))} AS __h$a")
     val pS = (0 until w.hA).map(a => s"__h$a * ${w.wp(a)}")
       .mkString(" + ") + s" + ${w.bp}"
     s"""$withSql, enc AS (
@@ -422,9 +440,10 @@ object JointAe {
   /** SQL mirror of [[stageMulti]] — the multi-output head over the
     * same staged chain (`prediction_{i}` per Dense row). */
   def sqlMulti(withSql: String, from: String, fx: Seq[String],
-      w: JointAeWeights, idCols: String, selectCols: String): String = {
+      w: JointAeWeights, idCols: String, selectCols: String,
+      aff: Seq[(Array[Double], Array[Double])] = null): String = {
     require(w.wpM != null, "single-output weights: use sql")
-    val single = sql(withSql, from, fx, w, idCols, "1")
+    val single = sql(withSql, from, fx, w, idCols, "1", aff)
     // reuse the chain up to `hed`, swap the head stage
     val upToHed = single.substring(0, single.indexOf(",\nfin AS ("))
     val zN = (0 until w.latent).map(i => s"latent_$i")
