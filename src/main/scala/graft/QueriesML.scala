@@ -246,6 +246,25 @@ object QueriesML {
     wpM = Array(pinnedAe.wp, Array(-3.0 / 11, 5.0 / 13)),
     bpM = Array(pinnedAe.bp, -2.0 / 9))
 
+  /** Pinned inference affines of the BatchNorm autoencoder
+    * ([[graft.ml.BnJointAutoencoder]] population-statistics fold,
+    * autoencoder.py:30,35,41,52,63): the input site absorbs the raw
+    * feature scales (gamma/sqrt(var+eps) ≈ 1/sd with a learned gamma
+    * near 1), sites 1..4 sit between each Dense pre-activation and its
+    * swish. */
+  private val aeBnAff0: (Array[Double], Array[Double]) = {
+    val g = Array(9.0 / 8, 7.0 / 8, 1.0, 5.0 / 4)
+    val b = Array(1.0 / 7, -1.0 / 9, 2.0 / 11, -1.0 / 13)
+    (Array.tabulate(4)(i => g(i) / aeFeatStats(i)._2),
+      Array.tabulate(4)(i =>
+        b(i) - g(i) * aeFeatStats(i)._1 / aeFeatStats(i)._2))
+  }
+  private val aeBnAff: Seq[(Array[Double], Array[Double])] = Seq(
+    (Array(9.0 / 8, 6.0 / 7), fracV(2, 61, 7)),
+    (Array(7.0 / 6, 4.0 / 5), fracV(2, 62, 7)),
+    (Array(10.0 / 9, 5.0 / 6), fracV(2, 63, 7)),
+    (Array(8.0 / 7, 11.0 / 10), fracV(2, 64, 7)))
+
   /** Pinned DEPTH-GENERAL AE chain (encoder_units=[3,2] → latent 2 →
     * mirrored decoder → recon 4 → ae_units=[2] → prediction — the
     * reference's list-shaped config, autoencoder.py:15-19). */
@@ -387,6 +406,23 @@ object QueriesML {
         (col(c).cast("double") - lit(m)) / lit(sd)
       }
       JointAe.stageTo(li(s, dir), feats, pinnedAe, upTo = "pred")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("latent_0"), 6).as("latent_0"),
+          round(col("latent_1"), 6).as("latent_1"),
+          round(col("recon_0"), 6).as("recon_0"),
+          round(col("recon_3"), 6).as("recon_3"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // BatchNorm AE scoring (BnJointAutoencoder inference): the five BN
+    // sites folded to per-unit population affines — the input site on
+    // the RAW features, sites 1..4 between each Dense and its swish —
+    // over the SAME staged projection chain as q_ae_score
+    "q_ae_bn" -> ((s, dir) => {
+      val feats = bnFeats.zip(aeBnAff0._1.zip(aeBnAff0._2)).map {
+        case (c, (sc, sh)) => col(c).cast("double") * lit(sc) + lit(sh)
+      }
+      JointAe.stageTo(li(s, dir), feats, pinnedAe, upTo = "pred", aeBnAff)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("latent_0"), 6).as("latent_0"),
           round(col("latent_1"), 6).as("latent_1"),
@@ -753,6 +789,18 @@ object QueriesML {
           |  round(latent_0, 6) AS latent_0, round(latent_1, 6) AS latent_1,
           |  round(recon_0, 6) AS recon_0, round(recon_3, 6) AS recon_3,
           |  round(prediction, 6) AS prediction""".stripMargin)
+    },
+    "q_ae_bn" -> {
+      val fx = bnFeats.zip(aeBnAff0._1.zip(aeBnAff0._2)).map {
+        case (c, (sc, sh)) => s"(CAST($c AS DOUBLE) * $sc + $sh)"
+      }
+      JointAe.sql("WITH base AS (SELECT * FROM lineitem)", "base", fx,
+        pinnedAe, "l_orderkey, l_linenumber",
+        """l_orderkey, l_linenumber,
+          |  round(latent_0, 6) AS latent_0, round(latent_1, 6) AS latent_1,
+          |  round(recon_0, 6) AS recon_0, round(recon_3, 6) AS recon_3,
+          |  round(prediction, 6) AS prediction""".stripMargin,
+        aeBnAff)
     },
     "q_ae_multi" -> {
       val fx = bnFeats.zip(aeFeatStats).map { case (c, (m, sd)) =>
