@@ -35,6 +35,15 @@ case class SoftTreeWeights(
   */
 object SoftForest {
 
+  /** Trainable input-BatchNormalization state for one gradient pass
+    * (tree.py:323: `x = layers.BatchNormalization()(inputs)`): learned
+    * gamma/beta plus the CURRENT batch's feature mean / 1/sqrt(var+eps).
+    * The input site's statistics are data-only — independent of every
+    * trainable parameter — so the batch-stat normalization adds no
+    * gradient coupling; only dGamma/dBeta accumulate. */
+  final case class InputBn(gamma: Array[Double], beta: Array[Double],
+      mean: Array[Double], invStd: Array[Double]) extends Serializable
+
   /** Root path of each leaf: (heap node index, wentLeft) per level. */
   def leafPaths(depth: Int): Array[Array[(Int, Boolean)]] =
     Array.tabulate(1 << depth) { l =>
@@ -236,10 +245,21 @@ case class SoftForestModel(
   * tree.py:21-50: linear start→end over the epochs), per-tree feature
   * bagging (used_features_rate, tree.py:112-119), L2 on routing kernels
   * and leaf values (kernel-only, matching Keras Dense kernel_regularizer),
-  * input standardization in lieu of BatchNormalization, and target
-  * standardization (base.py:89-100). `batchFraction` < 1 takes a seeded
-  * per-epoch Bernoulli sample — minibatch semantics at cluster
+  * and target standardization (base.py:89-100). `batchFraction` < 1 takes
+  * a seeded per-epoch Bernoulli sample — minibatch semantics at cluster
   * granularity, the 100 TB path.
+  *
+  * Input conditioning (the reference's unconditional
+  * `BatchNormalization()(inputs)`, tree.py:323): `useInputBn = true`
+  * trains the layer literally — learned gamma/beta, normalization by the
+  * CURRENT batch's statistics (one data-only aggregate per epoch batch;
+  * the input site has no parameter-dependent statistics, so the batch
+  * coupling adds no gradient terms), population stats folded into the
+  * scorer's (mean, std) slots at fit end. The default pre-standardizes
+  * instead — the exact population fold of the same layer at gamma=1,
+  * beta=0; since the BN output feeds a LINEAR map, trainable gamma/beta
+  * are absorbable reparameterizations of the same function class, and
+  * the two modes differ only in optimization dynamics.
   */
 class SoftNdfRegressor(
     val featureCols: Seq[String],
@@ -264,7 +284,8 @@ class SoftNdfRegressor(
     val rankBatch: Int = 64,
     val inputNoiseStd: Double = 0.0,
     val treeNoiseStd: Double = 0.0,
-    val treeDropoutRate: Double = 0.0) extends Serializable {
+    val treeDropoutRate: Double = 0.0,
+    val useInputBn: Boolean = false) extends Serializable {
 
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
@@ -309,7 +330,15 @@ class SoftNdfRegressor(
     math.max(1, math.round(treeFeat * usedFeaturesRate).toInt)
   // leaf block: output-major (π_o at piOff + o·nLeaves, tree.py:131)
   private val perTree = nUsed * nNodes + nNodes + nLeaves * nOut
-  private val sz = trunkSz + numTrees * perTree
+  // trainable input-BN gamma/beta ride at the END of the flat vector
+  // (useInputBn, tree.py:323) so every other offset is unchanged
+  private val bnOff0 = trunkSz + numTrees * perTree
+  private val sz = bnOff0 + (if (useInputBn) 2 * nFeat else 0)
+
+  /** Decode the input-BN affine (gamma block then beta block). */
+  def decodeBn(p: Array[Double]): (Array[Double], Array[Double]) =
+    (Array.tabulate(nFeat)(j => p(bnOff0 + j)),
+      Array.tabulate(nFeat)(j => p(bnOff0 + nFeat + j)))
 
   /** Decode the flat parameter vector into broadcastable tree weights
     * (`pi` = output 0; `piM` carries every output when nOut > 1). */
@@ -349,7 +378,8 @@ class SoftNdfRegressor(
       paths: Array[Array[(Int, Boolean)]], tOffs: Seq[Int],
       x0in: Array[Double], y: Double, acc: Array[Double], temp: Double,
       maskSeed: Long = 0L, ys: Array[Double] = null,
-      predsOut: Array[Double] = null): Double = {
+      predsOut: Array[Double] = null,
+      bn: SoftForest.InputBn = null): Double = {
     val ysEff = if (ys != null) ys else Array(y)
     val (nT, pT, tSz) = (numTrees, perTree, trunkSz)
     val (nU, nN, nL, tF) = (nUsed, nNodes, nLeaves, treeFeat)
@@ -357,9 +387,15 @@ class SoftNdfRegressor(
     // noise, tree-dropout masks) — active only at training time
     val rng = if (noiseActive && maskSeed != 0L)
       new java.util.Random(maskSeed) else null
-    val x0 = if (rng == null || inputNoiseStd <= 0) x0in
-      else Array.tabulate(x0in.length)(i =>
-        x0in(i) + inputNoiseStd * rng.nextGaussian())
+    // trainable input BN (tree.py:323) normalizes the RAW row with the
+    // batch statistics, then GaussianNoise applies to ITS output
+    // (tree.py:326-328 order)
+    val x0bn = if (bn == null) x0in
+      else Array.tabulate(x0in.length)(j =>
+        bn.gamma(j) * (x0in(j) - bn.mean(j)) * bn.invStd(j) + bn.beta(j))
+    val x0 = if (rng == null || inputNoiseStd <= 0) x0bn
+      else Array.tabulate(x0bn.length)(i =>
+        x0bn(i) + inputNoiseStd * rng.nextGaussian())
     val tNoise: Array[Array[Double]] =
       if (rng == null || treeNoiseStd <= 0) null
       else Array.fill(nT, tF)(treeNoiseStd * rng.nextGaussian())
@@ -461,7 +497,38 @@ class SoftNdfRegressor(
         var s = 0.0; for (j <- 0 until nout) s += dz(j) * w(i)(j); s
       }
     }
+    // input-BN affine gradient: after the trunk loop dOut is dL/dx0 =
+    // dL/d(BN output) (the additive noise has unit jacobian); the batch
+    // statistics carry no parameter dependence, so only gamma/beta
+    // accumulate (BatchNorm.backwardInput semantics)
+    if (bn != null) {
+      var j = 0
+      while (j < dOut.length) {
+        acc(bnOff0 + j) += dOut(j) * (x0in(j) - bn.mean(j)) * bn.invStd(j)
+        acc(bnOff0 + nFeat + j) += dOut(j)
+        j += 1
+      }
+    }
     preds(0)
+  }
+
+  /** Current-batch feature statistics for the input BN: data-only, one
+    * narrow aggregate over the epoch's sampled batch (the Keras
+    * batch-statistics analog at this trainer's cluster-granularity
+    * minibatch). Keras BatchNormalization epsilon 1e-3. */
+  private def batchBnStats(data: DataFrame, p: Array[Double])
+      : SoftForest.InputBn = {
+    val (g, b) = decodeBn(p)
+    val names = data.columns.drop(nOut)
+    val aggs = names.toSeq.flatMap(c => Seq(avg(col(c)), var_pop(col(c))))
+    val r = data.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.isNullAt(0))
+      return SoftForest.InputBn(g, b, new Array[Double](nFeat),
+        Array.fill(nFeat)(1.0))
+    SoftForest.InputBn(g, b,
+      Array.tabulate(nFeat)(i => r.getDouble(2 * i)),
+      Array.tabulate(nFeat)(i =>
+        1.0 / math.sqrt(r.getDouble(2 * i + 1) + BatchNorm.Eps)))
   }
 
   /** L2 (kernel-only, matching Keras kernel_regularizer): routing
@@ -488,6 +555,7 @@ class SoftNdfRegressor(
     val k = nFeat
     val seed0 = seed
     val useNoise = noiseActive && ep != 0L
+    val bn = if (!useInputBn) null else batchBnStats(data, p)
     val zero = DenseVector.zeros[Double](sz + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
@@ -499,7 +567,7 @@ class SoftNdfRegressor(
           acc(sz + 1).toLong)
         val preds = new Array[Double](nOut)
         rowRun(trees, trunk, paths, tOffs, x0, 0.0, flat, temp, ms,
-          ys = ys, predsOut = preds)
+          ys = ys, predsOut = preds, bn = bn)
         for (o2 <- 0 until nOut) {
           val delta = preds(o2) - ys(o2)
           acc(sz) += 0.5 * delta * delta
@@ -534,6 +602,7 @@ class SoftNdfRegressor(
     val n = sz
     val seed0 = seed
     val useNoise = noiseActive && ep != 0L
+    val bn = if (!useInputBn) null else batchBnStats(data, p)
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -557,14 +626,14 @@ class SoftNdfRegressor(
               else SeqAdam.maskSeed(seed0, ep, part, idx)
             idx += 1
             preds(i) = rowRun(trees, trunk, paths, tOffs, xs(i), 0.0,
-              null, temp, seeds(i))
+              null, temp, seeds(i), bn = bn)
             i += 1
           }
           val (dp, lossVal) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
           i = 0
           while (i < b) {
             rowRun(trees, trunk, paths, tOffs, xs(i), preds(i) - dp(i),
-              acc, temp, seeds(i))
+              acc, temp, seeds(i), bn = bn)
             i += 1
           }
           acc(n) += lossVal
@@ -604,12 +673,16 @@ class SoftNdfRegressor(
       math.max(r.getDouble(2 * (nFeat + o2) + 1), 1e-12))
     val yMean = yMeans(0)
     val yStd = yStds(0)
+    // with trainable input BN the features stay RAW (the BN layer IS
+    // the reference's input conditioning, tree.py:323); otherwise
+    // pre-standardize (the population fold of that same layer)
     val std = data.select(
       targetCols.zipWithIndex.map { case (c, o2) =>
         (col(c) - lit(yMeans(o2))) / lit(yStds(o2))
       } ++
       featureCols.zipWithIndex.map { case (c, i) =>
-        (col(c) - lit(fMean(i))) / lit(fStd(i))
+        if (useInputBn) col(c)
+        else (col(c) - lit(fMean(i))) / lit(fStd(i))
       }: _*)
     std.cache(); std.count(); data.unpersist()
 
@@ -634,6 +707,8 @@ class SoftNdfRegressor(
       for (l <- 0 until nLeaves * nOut)           // pi ~ random_normal
         p(o + nUsed * nNodes + nNodes + l) = rng.nextGaussian() * 0.05
     }
+    if (useInputBn)                               // BN gamma=1, beta=0
+      for (j <- 0 until nFeat) p(bnOff0 + j) = 1.0
     val adam = new AdamState(sz, lr)
     var temp = tempStart
     for (t <- 1 to epochs) {
@@ -648,7 +723,19 @@ class SoftNdfRegressor(
       temp = tempStart - (tempStart - tempEnd) * t.toDouble / epochs
     }
     std.unpersist()
-    SoftForestModel(decode(p, masks), decodeTrunk(p), fMean, fStd, temp,
+    // population fold of the trained input BN into the scorer's
+    // (mean, std) slots: (x − m')/sd' ≡ gamma·(x − mu)/sqrt(var+eps) +
+    // beta with sd' = sqrt(var+eps)/gamma, m' = mu − beta·sd' — the
+    // inference affine, so the staged scoring path is unchanged
+    val (mEff, sEff) = if (!useInputBn) (fMean, fStd) else {
+      val (g, b) = decodeBn(p)
+      val sd = Array.tabulate(nFeat) { i =>
+        val gv = if (math.abs(g(i)) < 1e-12) 1e-12 else g(i)
+        math.sqrt(fStd(i) * fStd(i) + BatchNorm.Eps) / gv
+      }
+      (Array.tabulate(nFeat)(i => fMean(i) - b(i) * sd(i)), sd)
+    }
+    SoftForestModel(decode(p, masks), decodeTrunk(p), mEff, sEff, temp,
       yMean, yStd, featureCols, yMeans, yStds)
   }
 }

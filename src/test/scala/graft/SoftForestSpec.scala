@@ -306,4 +306,66 @@ class SoftForestSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("soft ndf trainable input BN (tree.py:323): gradient incl. the " +
+    "gamma/beta tail matches central finite differences on RAW-scale " +
+    "features (batch statistics are data-only, so FD is exact)") {
+    val reg = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 2,
+      depth = 2, l2Decision = 0.0, l2Leaf = 0.0, useInputBn = true)
+    val r = new scala.util.Random(7)
+    // deliberately unstandardized: offset and scale-skewed features
+    val rows = (0 until 8).map(_ =>
+      (r.nextGaussian() * 0.5, r.nextGaussian() * 30.0 + 100.0,
+        r.nextGaussian() * 0.01 - 0.5))
+    val data = rows.toDF("y", "f0", "f1")
+    val masks = Seq(Array(0, 1), Array(0, 1))
+    val core = 2 * (2 * 3 + 3 + 4)
+    val sz = core + 4
+    val p = Array.tabulate(sz)(i =>
+      if (i < core) r.nextGaussian() * 0.4
+      else if (i < core + 2) 1.0 + r.nextGaussian() * 0.1
+      else r.nextGaussian() * 0.1)
+    val temp = 0.7
+    val (g, _) = reg.gradient(data, p, masks, temp)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val fd = (reg.gradient(data, pp, masks, temp)._2 -
+        reg.gradient(data, pm, masks, temp)._2) / (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"bn grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("soft ndf trainable input BN: fit learns the tree target from " +
+    "RAW scale-skewed features, and the population fold keeps the " +
+    "staged scorer equal to the driver forward") {
+    val r = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val y = (if (f0 < 0) { if (f1 < 0) -2.0 else -0.5 }
+               else { if (f1 < 0) 0.5 else 2.0 }) + 0.1 * r.nextGaussian()
+      // raw columns carry offsets and a 200x scale spread
+      (i.toLong, f0 * 40.0 + 300.0, f1 * 0.2 - 3.0, y)
+    }
+    val df = rows.toDF("id", "f0", "f1", "y")
+    val m = new SoftNdfRegressor(Seq("f0", "f1"), "y", numTrees = 4,
+      depth = 2, lr = 0.1, epochs = 120, useInputBn = true)
+    val model = m.fit(df)
+    val pred = model.predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"input-BN soft NDF failed to learn: r2=$r2")
+    val sample = pred.select("f0", "f1", "prediction").limit(20).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(2)(i =>
+        (row.getDouble(i) - model.featMeans(i)) / model.featStds(i))
+      val local = model.trees.map(t =>
+        SoftForest.treeForward(t, x, model.temperature)).sum /
+        model.trees.size * model.yStd + model.yMean
+      assert(math.abs(local - row.getDouble(2)) < 1e-9,
+        s"bn-folded scorer and driver forward disagree")
+    }
+  }
 }
