@@ -499,6 +499,66 @@ object LstmStackBptt {
     }
   }
 
+  /** Per-row forward to the PRE-HEAD final state with caches retained —
+    * the hook for the batch-level BatchNorm trainer ([[LSTMBnTrainer]]):
+    * `use_batch_norm`'s statistics couple the rows of a batch, so the BN
+    * layer, the Dense head, and their gradients live at BATCH level, and
+    * each row's dL/d(state) is injected back through this session's
+    * BPTT. LayerNorm is excluded (one normalizer per site; the
+    * both-flags-set Keras stacking is out of scope). */
+  final class StateSession(w: Array[Double], c: Cfg,
+      x: Array[Array[Double]], drop: LstmBptt.Drop = null) {
+    require(!c.layerNorm, "BatchNorm session excludes layerNorm")
+    private val T = x.length
+    private val masks = cellMasks(drop, c, if (c.bidi) 2 else c.layers.size)
+    private def mI(i: Int) = if (masks == null) null else masks(i)._1
+    private def mR(i: Int) = if (masks == null) null else masks(i)._2
+    private var cells: Array[Cell] = _
+    /** The pre-norm final state (bidi: concatenated [fwd, bwd]). */
+    val state: Array[Double] = if (c.bidi) {
+      val h = c.layers.head
+      cells = Array(new Cell(w, c.cellOff(0), c.f, h, mI(0), mR(0)),
+        new Cell(w, c.cellOff(1), c.f, h, mI(1), mR(1)))
+      val rev = Array.tabulate(T)(t => x(T - 1 - t))
+      val hsF = cells(0).forward(x)
+      val hsB = cells(1).forward(rev)
+      val z = new Array[Double](2 * h)
+      System.arraycopy(hsF(T - 1), 0, z, 0, h)
+      System.arraycopy(hsB(T - 1), 0, z, h, h)
+      z
+    } else {
+      cells = Array.tabulate(c.layers.size)(l =>
+        new Cell(w, c.cellOff(l), c.fIn(l), c.layers(l), mI(l), mR(l)))
+      var cur = x
+      for (l <- c.layers.indices) cur = cells(l).forward(cur)
+      cur(T - 1)
+    }
+    /** BPTT from an injected final-state gradient. */
+    def backward(dState: Array[Double], acc: Array[Double]): Unit =
+      if (c.bidi) {
+        val h = c.layers.head
+        val injF = Array.ofDim[Double](T, h)
+        val injB = Array.ofDim[Double](T, h)
+        var u = 0
+        while (u < h) {
+          injF(T - 1)(u) = dState(u)
+          injB(T - 1)(u) = dState(h + u)
+          u += 1
+        }
+        cells(0).backward(injF, acc, needDx = false)
+        cells(1).backward(injB, acc, needDx = false)
+      } else {
+        var inj = Array.ofDim[Double](T, c.layers.last)
+        inj(T - 1) = dState
+        var l = c.layers.size - 1
+        while (l >= 0) {
+          val dx = cells(l).backward(inj, acc, needDx = l > 0)
+          if (l > 0) inj = dx
+          l -= 1
+        }
+      }
+  }
+
   private def cellWeights(w: Array[Double], off: Int, f: Int, h: Int,
       wOut: Array[Double], bOut: Double): LstmWeights = {
     val blk = f * h + h * h + h
