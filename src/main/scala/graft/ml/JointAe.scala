@@ -473,16 +473,15 @@ object JointAe {
   * autoencoder.py:16-22; dropout here defaults OFF to keep the oracle
   * fit deterministic, opt in for reference-default regularization).
   *
-  * DEVIATION (standardization in lieu of BatchNormalization): the
-  * reconstruction head trains against the STANDARDIZED features, where
-  * the reference's reconstruction output targets raw X after only an
-  * input BN (autoencoder.py:30,57,78). Relative to the raw-space MSE,
-  * each feature's reconstruction error is therefore reweighted by
-  * 1/σ_f² — features are equalized rather than dollar-scaled. This is
-  * the deliberate flip side of replacing the reference's internal
-  * BatchNorm layers with input standardization; the fitted surfaces are
-  * destandardized on output so transform/reconstruct/predict remain in
-  * raw units. */
+  * Standardization mode: this trainer replaces the reference's BN
+  * layers with input standardization, so the reconstruction head trains
+  * against the STANDARDIZED features — relative to the raw-space MSE,
+  * each feature's error is reweighted by 1/σ_f² (features equalized
+  * rather than dollar-scaled); fitted surfaces are destandardized on
+  * output. For the reference's ACTUAL default architecture — trainable
+  * BatchNormalization at all five sites with true per-batch statistics
+  * and the raw-space reconstruction objective — use the
+  * [[BnJointAutoencoder]] sibling, which closes that deviation. */
 class JointAutoencoder(
     val featureCols: Seq[String],
     val targetCol: String,
