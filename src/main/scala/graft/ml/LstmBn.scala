@@ -3,33 +3,37 @@ package graft.ml
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** LSTM `use_batch_norm` TRAINING (sequence.py:108,143-144) for the
-  * single-layer and bidirectional layouts — the reference's DEFAULT
-  * depth (`lstm_units` carries one layer), where the flag's only BN
-  * site is the final (bidi: concatenated) hidden state feeding the
-  * Dense head. Training is faithful Keras batch semantics: each
-  * bounded in-partition batch normalizes the states with ITS OWN
-  * statistics, the backward couples the batch's rows through them
-  * ([[BatchNorm.backward]]), and gamma/beta train jointly with the
-  * cells via per-row BPTT from the injected state gradient
-  * ([[LstmStackBptt.StateSession]]). Keras dropout/recurrent_dropout
-  * and the rank losses compose (the head-side gradient is injected
-  * directly, so no surrogate-target trick is needed).
+/** LSTM `use_batch_norm` TRAINING (sequence.py:108,143-144) — all the
+  * layouts the scorer scores: single-layer, bidirectional, and STACKED
+  * `lstm_units` lists. Keras places a BatchNormalization after every
+  * LSTM layer: inner (return_sequences) layers carry a (batch, time,
+  * units) tensor, so their BN normalizes over batch×time; the last
+  * layer's BN normalizes its final (bidi: concatenated) state over the
+  * batch. Training is faithful per-batch semantics throughout: each
+  * bounded in-partition batch normalizes with ITS OWN statistics, the
+  * backward couples the batch's rows (and, for inner sites, timesteps)
+  * through them ([[BatchNorm.backward]]), and every gamma/beta trains
+  * jointly with the cells — the single/bidi path injects the state
+  * gradient through [[LstmStackBptt.StateSession]]; the stacked path
+  * synchronizes layers at batch level through
+  * [[LstmStackBptt.LayerSession]], running BN between each layer's
+  * per-row forward sweeps. Keras dropout/recurrent_dropout and the
+  * rank losses compose (head-side gradients inject directly).
   *
-  * Inference folds POPULATION statistics — re-estimated over the full
-  * training set at the final weights, the order-independent analog of
-  * Keras' moving average — into the scorer's [[LstmNorm]] moving-stats
-  * slots, so the fitted model scores through the SAME distributed
-  * staged forward as the pinned-BN inference path (q_lstm_ln).
-  *
-  * Stacked multi-layer BN TRAINING (the time-distributed inner sites,
-  * normalized over batch×time) is not fitted — a documented boundary;
-  * those layouts still SCORE via pinned moving stats. */
+  * Inference folds POPULATION statistics — re-estimated site by site
+  * over the full training set at the final weights (inner sites over
+  * all rows × timesteps, exactly the tensor Keras' moving averages
+  * see), the order-independent analog of Keras' moving average — into
+  * the scorer's [[LstmNorm]] moving-stats slots, so fitted models score
+  * through the SAME distributed staged forward as the pinned-BN
+  * inference path (q_lstm_ln). The `use_layer_norm` + `use_batch_norm`
+  * both-flags stacking remains out of scope (one normalizer per site). */
 class LSTMBnTrainer(
     val lagCols: Seq[String],
     val seqLen: Int,
     val targetCol: String,
     val hidden: Int = 8,
+    val layers: Seq[Int] = Nil,
     val bidirectional: Boolean = false,
     val lr: Double = 1e-2,
     val epochs: Int = 150,
@@ -51,24 +55,41 @@ class LSTMBnTrainer(
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
 
+  private val effLayers: Seq[Int] = if (layers.isEmpty) Seq(hidden) else layers
+  private val nLayers = effLayers.size
+  require(!bidirectional || nLayers == 1,
+    "bidirectional fit covers the single-layer layout the scorer scores")
+
   private val nFeat = lagCols.size / seqLen
-  private val cfg = LstmStackBptt.Cfg(nFeat, Seq(hidden),
+  private val cfg = LstmStackBptt.Cfg(nFeat, effLayers,
     bidi = bidirectional)
   private val hd = cfg.headDim
-  private val bnOff = cfg.size
-  /** Flat size: kernel cells + head, then BN gamma/beta over the state. */
-  val size: Int = cfg.size + 2 * hd
+  /** BN site widths: one block per layer (inner sites over the
+    * return_sequences units, the last over the final state; bidi one
+    * block over the concatenated state). */
+  private val bnWidths: Seq[Int] =
+    if (bidirectional) Seq(2 * effLayers.head) else effLayers
+  private def bnBlockOff(l: Int): Int =
+    cfg.size + 2 * bnWidths.take(l).sum
+  /** Flat size: kernel cells + head, then per-site BN gamma/beta. */
+  val size: Int = cfg.size + 2 * bnWidths.sum
 
   private var w: Array[Double] = _
-  private var norm: LstmNorm = _
+  private var norms: Seq[LstmNorm] = Nil
   private var yMean = 0.0
   private var yStd = 1.0
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
-  def fittedNorm: LstmNorm = norm
+  def fittedNorm: LstmNorm = norms.last
+  def fittedNorms: Seq[LstmNorm] = norms
   def fittedWeights: Array[Double] = w
   def config: LstmStackBptt.Cfg = cfg
   def targetStats: (Double, Double) = (yMean, yStd)
+
+  @inline private def gammaOf(p: Array[Double], l: Int): Array[Double] =
+    Array.tabulate(bnWidths(l))(i => p(bnBlockOff(l) + i))
+  @inline private def betaOf(p: Array[Double], l: Int): Array[Double] =
+    Array.tabulate(bnWidths(l))(i => p(bnBlockOff(l) + bnWidths(l) + i))
 
   /** Batched epoch gradient: one batch = one BN statistics group = one
     * gradient unit (batch-count normalized). The MSE mode is defined as
@@ -81,7 +102,10 @@ class LSTMBnTrainer(
     val (f, t0) = (nFeat, seqLen)
     val c = cfg
     val n = size
-    val (bOff, hdd) = (bnOff, hd)
+    val nL = nLayers
+    val widths = bnWidths
+    val offs = widths.indices.map(bnBlockOff)
+    val hdd = hd
     val bsz = batchSize
     val seed0 = seed
     val anyDrop = (dropout > 0 || recurrentDropout > 0) && ep != 0L
@@ -93,8 +117,9 @@ class LSTMBnTrainer(
     }
     val tau = rankTau
     val spearmanOnly = loss == "spearman"
-    val gamma = Array.tabulate(hdd)(i => p(bOff + i))
-    val beta = Array.tabulate(hdd)(i => p(bOff + hdd + i))
+    val stacked = nL > 1
+    val gammas = widths.indices.map(l => gammaOf(p, l)).toArray
+    val betas = widths.indices.map(l => betaOf(p, l)).toArray
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -104,55 +129,25 @@ class LSTMBnTrainer(
         // the pure Spearman loss is undefined on one row; every other
         // config lets a leftover singleton contribute its MSE term
         if (b >= 2 || !spearmanOnly) {
-          val sessions = new Array[LstmStackBptt.StateSession](b)
           val ys = new Array[Double](b)
-          val z = new Array[Array[Double]](b)
+          val xs = new Array[Array[Array[Double]]](b)
+          val drops = new Array[LstmBptt.Drop](b)
           var i = 0
           batch.foreach { row =>
             ys(i) = row.getDouble(0)
-            val x = Array.tabulate(t0, f)((t, j) =>
+            xs(i) = Array.tabulate(t0, f)((t, j) =>
               row.getDouble(1 + t * f + j))
-            val dr = if (!anyDrop) null
+            drops(i) = if (!anyDrop) null
               else LstmBptt.Drop(din, drec,
                 SeqAdam.maskSeed(seed0, ep, part, idx))
             idx += 1
-            sessions(i) = new LstmStackBptt.StateSession(p, c, x, dr)
-            z(i) = sessions(i).state
             i += 1
           }
-          val bnF = BatchNorm.forward(z, gamma, beta)
-          val preds = Array.tabulate(b) { i2 =>
-            var pr = p(c.headBias)
-            var u = 0
-            while (u < hdd) {
-              pr += p(c.headOff + u) * bnF.out(i2)(u); u += 1
-            }
-            pr
-          }
-          val (dPred, lossVal) =
-            RankLoss.combinedGrad(preds, ys, tau, mw, sw)
-          val dBnOut = Array.tabulate(b, hdd)((i2, u) =>
-            dPred(i2) * p(c.headOff + u))
-          i = 0
-          while (i < b) {
-            acc(c.headBias) += dPred(i)
-            var u = 0
-            while (u < hdd) {
-              acc(c.headOff + u) += dPred(i) * bnF.out(i)(u); u += 1
-            }
-            i += 1
-          }
-          val tmpG = new Array[Double](hdd)
-          val tmpB = new Array[Double](hdd)
-          val dZ = BatchNorm.backward(bnF, gamma, dBnOut, tmpG, tmpB)
-          var u = 0
-          while (u < hdd) {
-            acc(bOff + u) += tmpG(u)
-            acc(bOff + hdd + u) += tmpB(u)
-            u += 1
-          }
-          i = 0
-          while (i < b) { sessions(i).backward(dZ(i), acc); i += 1 }
+          val lossVal =
+            if (!stacked) runSingle(p, c, acc, xs, ys, drops, gammas(0),
+              betas(0), offs(0), hdd, tau, mw, sw)
+            else runStacked(p, c, acc, xs, ys, drops, gammas, betas,
+              offs.toArray, widths.toArray, hdd, tau, mw, sw)
           acc(n) += lossVal
           acc(n + 1) += 1.0
         }
@@ -165,6 +160,157 @@ class LSTMBnTrainer(
     }, depth = 2)
     val cnt = math.max(acc(size + 1), 1.0)
     (Array.tabulate(size)(i => acc(i) / cnt), acc(size) / cnt)
+  }
+
+  /** One batch, single-layer or bidirectional layout: BN over the
+    * final (concat) state, gradients through [[StateSession]]s. */
+  private def runSingle(p: Array[Double], c: LstmStackBptt.Cfg,
+      acc: Array[Double], xs: Array[Array[Array[Double]]],
+      ys: Array[Double], drops: Array[LstmBptt.Drop],
+      gamma: Array[Double], beta: Array[Double], bOff: Int, hdd: Int,
+      tau: Double, mw: Double, sw: Double): Double = {
+    val b = xs.length
+    val sessions = Array.tabulate(b)(i =>
+      new LstmStackBptt.StateSession(p, c, xs(i), drops(i)))
+    val z = Array.tabulate(b)(i => sessions(i).state)
+    val bnF = BatchNorm.forward(z, gamma, beta)
+    val preds = Array.tabulate(b) { i =>
+      var pr = p(c.headBias)
+      var u = 0
+      while (u < hdd) { pr += p(c.headOff + u) * bnF.out(i)(u); u += 1 }
+      pr
+    }
+    val (dPred, lossVal) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
+    val dBnOut = Array.tabulate(b, hdd)((i, u) =>
+      dPred(i) * p(c.headOff + u))
+    var i = 0
+    while (i < b) {
+      acc(c.headBias) += dPred(i)
+      var u = 0
+      while (u < hdd) {
+        acc(c.headOff + u) += dPred(i) * bnF.out(i)(u); u += 1
+      }
+      i += 1
+    }
+    val tmpG = new Array[Double](hdd)
+    val tmpB = new Array[Double](hdd)
+    val dZ = BatchNorm.backward(bnF, gamma, dBnOut, tmpG, tmpB)
+    var u = 0
+    while (u < hdd) {
+      acc(bOff + u) += tmpG(u)
+      acc(bOff + hdd + u) += tmpB(u)
+      u += 1
+    }
+    i = 0
+    while (i < b) { sessions(i).backward(dZ(i), acc); i += 1 }
+    lossVal
+  }
+
+  /** One batch, stacked layout: layers synchronize at batch level —
+    * layer l's per-row forward sweeps, then BN over the batch×time
+    * block (the Keras 3D axis=-1 semantics), feed layer l+1; the last
+    * layer's final states batch-normalize before the head. Backward
+    * mirrors it: state-BN backward → per-row BPTT of the top layer →
+    * inner-BN backward over the stacked per-step input gradients →
+    * next layer down. */
+  private def runStacked(p: Array[Double], c: LstmStackBptt.Cfg,
+      acc: Array[Double], xs: Array[Array[Array[Double]]],
+      ys: Array[Double], drops: Array[LstmBptt.Drop],
+      gammas: Array[Array[Double]], betas: Array[Array[Double]],
+      offs: Array[Int], widths: Array[Int], hdd: Int,
+      tau: Double, mw: Double, sw: Double): Double = {
+    val b = xs.length
+    val t0 = xs(0).length
+    val nL = c.layers.size
+    val sessions = Array.tabulate(b)(i =>
+      new LstmStackBptt.LayerSession(p, c, drops(i)))
+    // forward: per-layer sweeps with batch×time BN between layers
+    val innerBn = new Array[BatchNorm.Fwd](nL - 1)
+    var cur: Array[Array[Array[Double]]] = xs
+    var l = 0
+    var states: Array[Array[Double]] = null
+    while (l < nL) {
+      val hs = Array.tabulate(b)(i => sessions(i).forwardLayer(l, cur(i)))
+      if (l < nL - 1) {
+        val h = c.layers(l)
+        val flat = new Array[Array[Double]](b * t0)
+        var i = 0
+        while (i < b) {
+          var t = 0
+          while (t < t0) { flat(i * t0 + t) = hs(i)(t); t += 1 }
+          i += 1
+        }
+        val bnF = BatchNorm.forward(flat, gammas(l), betas(l))
+        innerBn(l) = bnF
+        cur = Array.tabulate(b, t0)((i, t) => bnF.out(i * t0 + t))
+      } else states = Array.tabulate(b)(i => hs(i)(t0 - 1))
+      l += 1
+    }
+    val bnLast = BatchNorm.forward(states, gammas(nL - 1), betas(nL - 1))
+    val preds = Array.tabulate(b) { i =>
+      var pr = p(c.headBias)
+      var u = 0
+      while (u < hdd) { pr += p(c.headOff + u) * bnLast.out(i)(u); u += 1 }
+      pr
+    }
+    val (dPred, lossVal) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
+    // head + state-site BN backward
+    val dBnOut = Array.tabulate(b, hdd)((i, u) =>
+      dPred(i) * p(c.headOff + u))
+    var i = 0
+    while (i < b) {
+      acc(c.headBias) += dPred(i)
+      var u = 0
+      while (u < hdd) {
+        acc(c.headOff + u) += dPred(i) * bnLast.out(i)(u); u += 1
+      }
+      i += 1
+    }
+    val lastOff = offs(nL - 1)
+    val tmpG = new Array[Double](hdd)
+    val tmpB = new Array[Double](hdd)
+    val dStates = BatchNorm.backward(bnLast, gammas(nL - 1), dBnOut,
+      tmpG, tmpB)
+    var u = 0
+    while (u < hdd) {
+      acc(lastOff + u) += tmpG(u)
+      acc(lastOff + hdd + u) += tmpB(u)
+      u += 1
+    }
+    // top layer BPTT, then inner BN + lower layers in reverse
+    var dIn: Array[Array[Array[Double]]] =
+      Array.tabulate(b) { i2 =>
+        val inj = Array.ofDim[Double](t0, c.layers(nL - 1))
+        inj(t0 - 1) = dStates(i2)
+        sessions(i2).backwardLayer(nL - 1, inj, acc)
+      }
+    l = nL - 2
+    while (l >= 0) {
+      val h = c.layers(l)
+      // dIn rows are gradients w.r.t. layer l's NORMALIZED outputs
+      val flatD = new Array[Array[Double]](b * t0)
+      var i2 = 0
+      while (i2 < b) {
+        var t = 0
+        while (t < t0) { flatD(i2 * t0 + t) = dIn(i2)(t); t += 1 }
+        i2 += 1
+      }
+      val tg = new Array[Double](h)
+      val tb = new Array[Double](h)
+      val dFlat = BatchNorm.backward(innerBn(l), gammas(l), flatD, tg, tb)
+      var u2 = 0
+      while (u2 < h) {
+        acc(offs(l) + u2) += tg(u2)
+        acc(offs(l) + h + u2) += tb(u2)
+        u2 += 1
+      }
+      dIn = Array.tabulate(b) { i3 =>
+        val inj = Array.tabulate(t0)(t => dFlat(i3 * t0 + t))
+        sessions(i3).backwardLayer(l, inj, acc)
+      }
+      l -= 1
+    }
+    lossVal
   }
 
   def fit(df: DataFrame): this.type = {
@@ -185,7 +331,8 @@ class LSTMBnTrainer(
 
     val p = new Array[Double](size)
     System.arraycopy(LstmStackBptt.init(cfg, seed), 0, p, 0, cfg.size)
-    for (u <- 0 until hd) p(bnOff + u) = 1.0 // gamma=1, beta=0
+    for (l <- bnWidths.indices; u <- 0 until bnWidths(l))
+      p(bnBlockOff(l) + u) = 1.0 // gamma=1, beta=0
     val adam = new AdamState(size, lr)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
@@ -193,22 +340,67 @@ class LSTMBnTrainer(
       val (g0, _) = gradient(batch, p, t)
       adam.update(p, g0, t)
     }
-    // population statistics of the final state at the fitted weights
-    // (dropout off) — the inference BN fold
+    // site-by-site population statistics at the fitted weights
+    // (dropout off): inner sites over all rows × timesteps, the last
+    // site over the final (concat) states — each pass folds every
+    // EARLIER site's affine, since downstream activations depend on
+    // upstream statistics
+    val built = scala.collection.mutable.ArrayBuffer.empty[LstmNorm]
+    for (site <- bnWidths.indices) {
+      val (m, v) = siteStats(std, p, built.toSeq, site)
+      built += LstmNorm(gammaOf(p, site), betaOf(p, site),
+        BatchNorm.Eps, m, v)
+    }
+    norms = built.toSeq
+    w = p
+    std.unpersist()
+    this
+  }
+
+  /** Population mean/variance of BN site `site`'s pre-normalization
+    * values over the full training set, with sites < `site` folded to
+    * their inference affines. */
+  private def siteStats(std: DataFrame, p: Array[Double],
+      prior: Seq[LstmNorm], site: Int)
+      : (Array[Double], Array[Double]) = {
     val (f, t0) = (nFeat, seqLen)
     val c = cfg
-    val hdd = hd
-    val pF = p
+    val nL = nLayers
+    val wWidth = bnWidths(site)
+    val priorAff: Array[(Array[Double], Array[Double])] =
+      prior.map(nm => BatchNorm.affine(nm.gamma, nm.beta,
+        nm.movingMean, nm.movingVar)).toArray
     val stats = std.rdd.mapPartitions { it =>
-      val s = new Array[Double](2 * hdd + 1)
+      val s = new Array[Double](2 * wWidth + 1)
       it.foreach { row =>
         val x = Array.tabulate(t0, f)((t, j) => row.getDouble(1 + t * f + j))
-        val st = new LstmStackBptt.StateSession(pF, c, x).state
-        var u = 0
-        while (u < hdd) {
-          s(u) += st(u); s(hdd + u) += st(u) * st(u); u += 1
+        val samples: Seq[Array[Double]] = if (c.bidi || nL == 1) {
+          Seq(new LstmStackBptt.StateSession(p, c, x).state)
+        } else {
+          val sess = new LstmStackBptt.LayerSession(p, c)
+          var cur = x
+          var out: Seq[Array[Double]] = null
+          var l = 0
+          while (l <= site) {
+            val hs = sess.forwardLayer(l, cur)
+            if (l == site)
+              out = if (site == nL - 1) Seq(hs(t0 - 1)) else hs.toSeq
+            else {
+              val (sc, sh) = priorAff(l)
+              cur = hs.map(hv => Array.tabulate(hv.length)(u =>
+                sc(u) * hv(u) + sh(u)))
+            }
+            l += 1
+          }
+          out
         }
-        s(2 * hdd) += 1.0
+        samples.foreach { v =>
+          var u = 0
+          while (u < wWidth) {
+            s(u) += v(u); s(wWidth + u) += v(u) * v(u); u += 1
+          }
+          s(2 * wWidth) += 1.0
+        }
       }
       Iterator.single(s)
     }.treeReduce({ (a, b) =>
@@ -216,27 +408,24 @@ class LSTMBnTrainer(
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }, depth = 2)
-    val cnt = math.max(stats(2 * hd), 1.0)
-    val movMean = Array.tabulate(hd)(u => stats(u) / cnt)
-    val movVar = Array.tabulate(hd)(u =>
-      math.max(stats(hd + u) / cnt - movMean(u) * movMean(u), 0.0))
-    norm = LstmNorm(Array.tabulate(hd)(u => p(bnOff + u)),
-      Array.tabulate(hd)(u => p(bnOff + hd + u)),
-      BatchNorm.Eps, movMean, movVar)
-    w = p
-    std.unpersist()
-    this
+    val cnt = math.max(stats(2 * wWidth), 1.0)
+    val mean = Array.tabulate(wWidth)(u => stats(u) / cnt)
+    val varr = Array.tabulate(wWidth)(u =>
+      math.max(stats(wWidth + u) / cnt - mean(u) * mean(u), 0.0))
+    (mean, varr)
   }
 
   /** Appends `prediction` through the SAME distributed staged forward
-    * as the pinned-BN inference scorer (population affine folded). */
+    * as the pinned-BN inference scorer (population affines folded per
+    * site). */
   def predict(df: DataFrame): DataFrame = {
     require(w != null, "fit first")
     val scored = if (bidirectional) {
       val (fw, bw, wOut, bOut) = LstmStackBptt.toBidi(w, cfg)
-      LstmScorer.scoreBidirectional(df, steps, fw, bw, wOut, bOut, norm)
+      LstmScorer.scoreBidirectional(df, steps, fw, bw, wOut, bOut,
+        norms.head)
     } else LstmScorer.scoreStacked(df, steps,
-      LstmStackBptt.toStacked(w, cfg), Seq(norm))
+      LstmStackBptt.toStacked(w, cfg), norms)
     if (scaleTarget)
       scored.withColumn("prediction",
         col("prediction") * lit(yStd) + lit(yMean))

@@ -559,6 +559,33 @@ object LstmStackBptt {
       }
   }
 
+  /** Per-row, per-LAYER forward/backward session for the STACKED
+    * BatchNorm trainer: Keras `use_batch_norm` places a BN between
+    * every pair of stacked LSTM layers, normalizing the (batch, time,
+    * units) tensor over batch×time — so layer l+1's input depends on
+    * the whole batch's layer-l outputs, and the trainer must
+    * synchronize layers at BATCH level between per-row calls. Each
+    * call pair (forwardLayer then, later, backwardLayer in reverse
+    * order) uses this session's retained caches. */
+  final class LayerSession(w: Array[Double], c: Cfg,
+      drop: LstmBptt.Drop = null) {
+    require(!c.bidi && !c.layerNorm,
+      "stacked BN sessions cover the non-bidi, non-LN layouts")
+    private val masks = cellMasks(drop, c, c.layers.size)
+    private val cells = Array.tabulate(c.layers.size)(l =>
+      new Cell(w, c.cellOff(l), c.fIn(l), c.layers(l),
+        if (masks == null) null else masks(l)._1,
+        if (masks == null) null else masks(l)._2))
+    /** Forward layer l over `xIn` (T × fIn(l)); per-step hiddens. */
+    def forwardLayer(l: Int, xIn: Array[Array[Double]])
+        : Array[Array[Double]] = cells(l).forward(xIn)
+    /** Backward layer l with per-step injected hidden gradients;
+      * returns per-step input gradients (null at layer 0). */
+    def backwardLayer(l: Int, inj: Array[Array[Double]],
+        acc: Array[Double]): Array[Array[Double]] =
+      cells(l).backward(inj, acc, needDx = l > 0)
+  }
+
   private def cellWeights(w: Array[Double], off: Int, f: Int, h: Int,
       wOut: Array[Double], bOut: Double): LstmWeights = {
     val blk = f * h + h * h + h

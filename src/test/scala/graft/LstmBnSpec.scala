@@ -126,4 +126,81 @@ class LstmBnSpec extends AnyFunSuite {
     }
     p * yStd + yMean
   }
+
+  test("lstm bn stacked (2-layer): gradient matches finite differences " +
+    "— inner BN couples batch AND time, the state BN couples the batch") {
+    val m = new LSTMBnTrainer(lags, seqLen = 4, targetCol = "y",
+      layers = Seq(3, 2), batchSize = 6)
+    val r = new scala.util.Random(41)
+    val rows = (0 until 6).map(_ =>
+      (r.nextGaussian() * 0.5, r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian()))
+    val data = rows.toDF("y", "lag4", "lag3", "lag2", "lag1")
+      .repartition(1)
+    val sz = m.size
+    val bnTail = 2 * (3 + 2)
+    val p = Array.tabulate(sz)(i =>
+      if (i < sz - bnTail) r.nextGaussian() * 0.3
+      else 1.0 + r.nextGaussian() * 0.1)
+    val (g, _) = m.gradient(data, p)
+    val eps = 1e-6
+    for (i <- 0 until sz) {
+      val pp = p.clone(); pp(i) += eps
+      val pm = p.clone(); pm(i) -= eps
+      val fd = (m.gradient(data, pp)._2 - m.gradient(data, pm)._2) /
+        (2 * eps)
+      assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+        s"stacked bn lstm grad mismatch at $i: analytic=${g(i)} fd=$fd")
+    }
+  }
+
+  test("lstm bn stacked: use_batch_norm fit (layers=[6,4]) learns AR(2) " +
+    "to R^2 > 0.8 and scores through the per-site population affines " +
+    "(inner site over rows x timesteps)") {
+    val df = ar2(600, 7).toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new LSTMBnTrainer(lags, seqLen = 4, targetCol = "y",
+      layers = Seq(6, 4), lr = 0.02, epochs = 150)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"stacked BN LSTM failed to learn AR(2): r2=$r2")
+    assert(m.fittedNorms.size == 2 &&
+      m.fittedNorms.forall(_.movingMean != null))
+    // staged scoring == driver forward folding each site's affine
+    val sample = pred.select((lags.map(col) :+ col("prediction")): _*)
+      .limit(10).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(4, 1)((t, _) => row.getDouble(t))
+      val pv = predViaStacked(m, x)
+      assert(math.abs(pv - row.getDouble(4)) < 1e-9,
+        s"stacked bn scorer and driver forward disagree: " +
+          s"$pv vs ${row.getDouble(4)}")
+    }
+  }
+
+  /** Driver-side stacked inference forward: per-layer sweeps with each
+    * site's population affine folded between layers, then the head. */
+  private def predViaStacked(m: LSTMBnTrainer,
+      x: Array[Array[Double]]): Double = {
+    val cfg = m.config
+    val w = m.fittedWeights
+    val (yMean, yStd) = m.targetStats
+    val sess = new LstmStackBptt.LayerSession(w, cfg)
+    var cur = x
+    var state: Array[Double] = null
+    for (l <- cfg.layers.indices) {
+      val hs = sess.forwardLayer(l, cur)
+      val nm = m.fittedNorms(l)
+      def fold(v: Array[Double]): Array[Double] =
+        Array.tabulate(v.length) { u =>
+          nm.gamma(u) * (v(u) - nm.movingMean(u)) /
+            math.sqrt(nm.movingVar(u) + nm.eps) + nm.beta(u)
+        }
+      if (l < cfg.layers.size - 1) cur = hs.map(fold)
+      else state = fold(hs(hs.length - 1))
+    }
+    var p = w(cfg.headBias)
+    for (u <- state.indices) p += w(cfg.headOff + u) * state(u)
+    p * yStd + yMean
+  }
 }
