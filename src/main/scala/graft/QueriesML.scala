@@ -273,6 +273,18 @@ object QueriesML {
   val pinnedDeepAeW: Array[Double] =
     Array.tabulate(deepAeCfg.size)(i => (((i * 7 + 3) % 23) - 11) / 29.0)
 
+  /** Pinned ACT-stage inference affines of the BatchNorm DEEP chain
+    * ([[graft.ml.DeepBnKernel]] population fold) — one (scale, shift)
+    * pair per activated stage down the chain; the input-site affine is
+    * [[aeBnAff0]] pre-applied to the raw feature columns. */
+  private val deepBnAff: Seq[(Array[Double], Array[Double])] =
+    deepAeCfg.stages.filter(_.act).map(_.nOut).zipWithIndex.map {
+      case (w0, i) =>
+        (Array.tabulate(w0)(j =>
+          1.0 + (((i * 5 + j * 3 + 2) % 7) - 3) / 14.0),
+          fracV(w0, 71 + i, 9))
+    }
+
   /** Pinned 2-tree depth-2 forest for the deterministic scoring query. */
   val pinnedTrees: Seq[PinnedTrees.TreeNode] = {
     import PinnedTrees._
@@ -438,6 +450,21 @@ object QueriesML {
         (col(c).cast("double") - lit(m)) / lit(sd)
       }
       DeepAeKernel.score(li(s, dir), feats, pinnedDeepAeW, deepAeCfg)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("latent_0"), 6).as("latent_0"),
+          round(col("recon_0"), 6).as("recon_0"),
+          round(col("prediction"), 6).as("prediction"))
+    }),
+
+    // BatchNorm DEEP-chain scoring (DeepBnAutoencoder inference): the
+    // list-shaped config with population BN affines threaded per ACT
+    // stage — the q_deep_ae chain with q_ae_bn's affine treatment
+    "q_deep_bn" -> ((s, dir) => {
+      val feats = bnFeats.zip(aeBnAff0._1.zip(aeBnAff0._2)).map {
+        case (c, (sc, sh)) => col(c).cast("double") * lit(sc) + lit(sh)
+      }
+      DeepAeKernel.score(li(s, dir), feats, pinnedDeepAeW, deepAeCfg,
+        deepBnAff)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("latent_0"), 6).as("latent_0"),
           round(col("recon_0"), 6).as("recon_0"),
@@ -823,6 +850,18 @@ object QueriesML {
           |  round(latent_0, 6) AS latent_0,
           |  round(recon_0, 6) AS recon_0,
           |  round(prediction, 6) AS prediction""".stripMargin)
+    },
+    "q_deep_bn" -> {
+      val fx = bnFeats.zip(aeBnAff0._1.zip(aeBnAff0._2)).map {
+        case (c, (sc, sh)) => s"(CAST($c AS DOUBLE) * $sc + $sh)"
+      }
+      DeepAeKernel.sql("WITH base AS (SELECT * FROM lineitem)", "base", fx,
+        pinnedDeepAeW, deepAeCfg, "l_orderkey, l_linenumber",
+        """l_orderkey, l_linenumber,
+          |  round(latent_0, 6) AS latent_0,
+          |  round(recon_0, 6) AS recon_0,
+          |  round(prediction, 6) AS prediction""".stripMargin,
+        deepBnAff)
     },
     "q_soft_forest" -> {
       val fx = softFeatCols.zip(softFeatStats).map { case (c, (m, sd)) =>

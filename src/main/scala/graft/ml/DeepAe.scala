@@ -209,17 +209,28 @@ object DeepAeKernel {
       (if (c.out == 1) "prediction" else s"prediction_$j")
     else s"__s${s}_$j"
 
+  /** Index of stage `s` among the ACT stages (the BN sites of the
+    * BatchNorm chain, [[DeepBnAutoencoder]]) — valid when stages(s).act. */
+  def actIdx(c: Cfg, s: Int): Int = c.stages.take(s).count(_.act)
+
   /** Stage the whole chain onto `df` (dropout is inference-identity):
-    * appends latent_{i}, recon_{i}, prediction(_{i}); drops internals. */
+    * appends latent_{i}, recon_{i}, prediction(_{i}); drops internals.
+    * `aff` (nullable) carries the BatchNorm chain's inference affines,
+    * one (scale, shift) pair per ACT stage in stage order, applied
+    * between each Dense pre-activation and its swish (the input-site
+    * affine is pre-applied by the caller into `feats`). */
   def score(df: DataFrame, feats: Seq[Column], w: Array[Double],
-      c: Cfg): DataFrame = {
+      c: Cfg, aff: Seq[(Array[Double], Array[Double])] = null): DataFrame = {
     var cur = df
     var in: Seq[Column] = feats
     for (s <- c.stages.indices) {
       val st = c.stages(s)
       val off = c.stageOff(s)
       val cols = (0 until st.nOut).map { j =>
-        val z = dense(in, w, off, st.nIn, st.nOut, j)
+        val z0 = dense(in, w, off, st.nIn, st.nOut, j)
+        val z = if (aff == null || !st.act) z0
+          else z0 * lit(aff(actIdx(c, s))._1(j)) +
+            lit(aff(actIdx(c, s))._2(j))
         (if (st.act) swishCol(z) else z).as(stageName(c, s, j))
       }
       cur = cur.select(cur.columns.map(col) ++ cols: _*)
@@ -230,8 +241,8 @@ object DeepAeKernel {
 
   /** DuckDB mirror of [[score]] as chained CTEs. */
   def sql(withSql: String, from: String, fx: Seq[String],
-      w: Array[Double], c: Cfg, idCols: String,
-      selectCols: String): String = {
+      w: Array[Double], c: Cfg, idCols: String, selectCols: String,
+      aff: Seq[(Array[Double], Array[Double])] = null): String = {
     val sb = new StringBuilder(withSql)
     var prev = from
     var in: Seq[String] = fx
@@ -241,7 +252,10 @@ object DeepAeKernel {
       val off = c.stageOff(s)
       val names = (0 until st.nOut).map(j => stageName(c, s, j))
       val exprs = (0 until st.nOut).map { j =>
-        val z = denseSql(in, w, off, st.nIn, st.nOut, j)
+        val z0 = denseSql(in, w, off, st.nIn, st.nOut, j)
+        val z = if (aff == null || !st.act) z0
+          else s"($z0) * ${aff(actIdx(c, s))._1(j)} + " +
+            s"${aff(actIdx(c, s))._2(j)}"
         s"${if (st.act) swishSql(z) else z} AS ${names(j)}"
       }
       val cte = s"c$s"

@@ -160,7 +160,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("trained-model scoring queries (soft forest, joint autoencoder) " +
     "are shuffle-free projection chains — map-side at scan speed") {
-    for (q <- Seq("q_soft_forest", "q_ae_score", "q_ae_bn")) {
+    for (q <- Seq("q_soft_forest", "q_ae_score", "q_ae_bn", "q_deep_bn")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!plan.contains("Exchange"), s"$q has an exchange:\n$plan")
     }
