@@ -63,6 +63,31 @@ object TrainBench {
         encoderHidden = 8, headHidden = 4, targetLoss = "combined",
         rankBatch = 64).rankGradient(std, pae)
     }
+    // BatchNorm trainers (round 6): one batched epoch-gradient each —
+    // the per-batch BN statistics ride the SAME mapPartitions shape, so
+    // these rows prove the coupling adds no superlinear term
+    val bnAe = new BnJointAutoencoder(feats, "l_extendedprice",
+      latentDim = 2, encoderHidden = 8, headHidden = 4)
+    val pbn = Array.tabulate(BnAeKernel.size(3, 8, 2, 4)) { i =>
+      if (i < JointAeKernel.size(3, 8, 2, 4)) r.nextGaussian() * 0.3
+      else 1.0
+    }
+    time("bn-ae") { bnAe.gradient(std, pbn) }
+    val dbn = new DeepBnAutoencoder(feats, "l_extendedprice",
+      encoderUnits = Seq(8, 4), latentDim = 2, headUnits = Seq(4))
+    val pdbn = Array.tabulate(dbn.size)(i =>
+      if (i < dbn.cfg.size) r.nextGaussian() * 0.3 else 1.0)
+    time("deep-bn-ae") { dbn.gradient(std, pdbn) }
+    val lags = li.select(col("l_extendedprice").as("y"),
+      col("l_quantity").as("lag4"), col("l_discount").as("lag3"),
+      col("l_tax").as("lag2"),
+      (col("l_quantity") * 0.1).as("lag1")).cache()
+    lags.count()
+    val lstmBn = new LSTMBnTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+      seqLen = 4, targetCol = "y", hidden = 8)
+    val plstm = Array.tabulate(lstmBn.size)(i =>
+      if (i < lstmBn.config.size) r.nextGaussian() * 0.2 else 1.0)
+    time("lstm-bn") { lstmBn.gradient(lags, plstm) }
     spark.stop()
   }
 }
