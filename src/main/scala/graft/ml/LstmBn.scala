@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
   * see), the order-independent analog of Keras' moving average — into
   * the scorer's [[LstmNorm]] moving-stats slots, so fitted models score
   * through the SAME distributed staged forward as the pinned-BN
-  * inference path (q_lstm_ln). The `use_layer_norm` + `use_batch_norm`
-  * both-flags stacking remains out of scope (one normalizer per site). */
+  * inference path (q_lstm_ln).
+  *
+  * `layerNorm = true` adds the BOTH-FLAGS Keras stacking
+  * (sequence.py:141-144 applies LayerNormalization first, then
+  * BatchNormalization): a trainable per-sample LN precedes each BN
+  * site during training, and at inference the BN population affine
+  * FOLDS INTO the LN's gamma/beta (affine∘LN is again an LN), so the
+  * fitted model still scores through one [[LstmNorm]] per layer with
+  * no scorer changes. */
 class LSTMBnTrainer(
     val lagCols: Seq[String],
     val seqLen: Int,
@@ -43,6 +50,7 @@ class LSTMBnTrainer(
     val batchSize: Int = 32,
     val dropout: Double = 0.0,
     val recurrentDropout: Double = 0.0,
+    val layerNorm: Boolean = false,
     val loss: String = "mse",
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
@@ -71,8 +79,13 @@ class LSTMBnTrainer(
     if (bidirectional) Seq(2 * effLayers.head) else effLayers
   private def bnBlockOff(l: Int): Int =
     cfg.size + 2 * bnWidths.take(l).sum
-  /** Flat size: kernel cells + head, then per-site BN gamma/beta. */
-  val size: Int = cfg.size + 2 * bnWidths.sum
+  /** LN gamma/beta blocks (both-flags mode) sit after the BN blocks. */
+  private def lnBlockOff(l: Int): Int =
+    cfg.size + 2 * bnWidths.sum + 2 * bnWidths.take(l).sum
+  /** Flat size: kernel cells + head, per-site BN gamma/beta, then (in
+    * both-flags mode) per-site LN gamma/beta. */
+  val size: Int = cfg.size + 2 * bnWidths.sum +
+    (if (layerNorm) 2 * bnWidths.sum else 0)
 
   private var w: Array[Double] = _
   private var norms: Seq[LstmNorm] = Nil
@@ -90,6 +103,48 @@ class LSTMBnTrainer(
     Array.tabulate(bnWidths(l))(i => p(bnBlockOff(l) + i))
   @inline private def betaOf(p: Array[Double], l: Int): Array[Double] =
     Array.tabulate(bnWidths(l))(i => p(bnBlockOff(l) + bnWidths(l) + i))
+  @inline private def lnGammaOf(p: Array[Double], l: Int): Array[Double] =
+    Array.tabulate(bnWidths(l))(i => p(lnBlockOff(l) + i))
+  @inline private def lnBetaOf(p: Array[Double], l: Int): Array[Double] =
+    Array.tabulate(bnWidths(l))(i => p(lnBlockOff(l) + bnWidths(l) + i))
+
+  /** Per-sample trainable LayerNorm for the both-flags mode: forward
+    * returns (y, xhat, invStd); backward accumulates dGamma/dBeta into
+    * the given arrays and returns dx. Keras LN eps 1e-3. */
+  private object Ln {
+    def forward(x: Array[Double], gamma: Array[Double],
+        beta: Array[Double]): (Array[Double], Array[Double], Double) = {
+      val h = x.length
+      var mu = 0.0
+      var i = 0
+      while (i < h) { mu += x(i); i += 1 }
+      mu /= h
+      var v = 0.0
+      i = 0
+      while (i < h) { val d = x(i) - mu; v += d * d; i += 1 }
+      val s0 = 1.0 / math.sqrt(v / h + BatchNorm.Eps)
+      val xhat = Array.tabulate(h)(j => (x(j) - mu) * s0)
+      (Array.tabulate(h)(j => gamma(j) * xhat(j) + beta(j)), xhat, s0)
+    }
+    def backward(dy: Array[Double], xhat: Array[Double], s0: Double,
+        gamma: Array[Double], dG: Array[Double], dB: Array[Double])
+        : Array[Double] = {
+      val h = dy.length
+      val dxhat = new Array[Double](h)
+      var mDx = 0.0
+      var mDxX = 0.0
+      var i = 0
+      while (i < h) {
+        dG(i) += dy(i) * xhat(i)
+        dB(i) += dy(i)
+        dxhat(i) = dy(i) * gamma(i)
+        mDx += dxhat(i); mDxX += dxhat(i) * xhat(i)
+        i += 1
+      }
+      mDx /= h; mDxX /= h
+      Array.tabulate(h)(j => s0 * (dxhat(j) - mDx - xhat(j) * mDxX))
+    }
+  }
 
   /** Batched epoch gradient: one batch = one BN statistics group = one
     * gradient unit (batch-count normalized). The MSE mode is defined as
@@ -120,6 +175,12 @@ class LSTMBnTrainer(
     val stacked = nL > 1
     val gammas = widths.indices.map(l => gammaOf(p, l)).toArray
     val betas = widths.indices.map(l => betaOf(p, l)).toArray
+    val lnG = if (!layerNorm) null
+      else widths.indices.map(l => lnGammaOf(p, l)).toArray
+    val lnB = if (!layerNorm) null
+      else widths.indices.map(l => lnBetaOf(p, l)).toArray
+    val lnOffs = if (!layerNorm) null
+      else widths.indices.map(lnBlockOff).toArray
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -145,9 +206,13 @@ class LSTMBnTrainer(
           }
           val lossVal =
             if (!stacked) runSingle(p, c, acc, xs, ys, drops, gammas(0),
-              betas(0), offs(0), hdd, tau, mw, sw)
+              betas(0), offs(0), hdd, tau, mw, sw,
+              if (lnG == null) null else lnG(0),
+              if (lnB == null) null else lnB(0),
+              if (lnOffs == null) -1 else lnOffs(0))
             else runStacked(p, c, acc, xs, ys, drops, gammas, betas,
-              offs.toArray, widths.toArray, hdd, tau, mw, sw)
+              offs.toArray, widths.toArray, hdd, tau, mw, sw,
+              lnG, lnB, lnOffs)
           acc(n) += lossVal
           acc(n + 1) += 1.0
         }
@@ -168,11 +233,24 @@ class LSTMBnTrainer(
       acc: Array[Double], xs: Array[Array[Array[Double]]],
       ys: Array[Double], drops: Array[LstmBptt.Drop],
       gamma: Array[Double], beta: Array[Double], bOff: Int, hdd: Int,
-      tau: Double, mw: Double, sw: Double): Double = {
+      tau: Double, mw: Double, sw: Double,
+      lnG: Array[Double] = null, lnB: Array[Double] = null,
+      lnOff: Int = -1): Double = {
     val b = xs.length
     val sessions = Array.tabulate(b)(i =>
       new LstmStackBptt.StateSession(p, c, xs(i), drops(i)))
-    val z = Array.tabulate(b)(i => sessions(i).state)
+    // both-flags mode: trainable per-row LN precedes the BN site
+    // (sequence.py:141-144 order)
+    val lnXhat = if (lnG == null) null else new Array[Array[Double]](b)
+    val lnS = if (lnG == null) null else new Array[Double](b)
+    val z = Array.tabulate(b) { i =>
+      val st = sessions(i).state
+      if (lnG == null) st else {
+        val (y0, xh, s0) = Ln.forward(st, lnG, lnB)
+        lnXhat(i) = xh; lnS(i) = s0
+        y0
+      }
+    }
     val bnF = BatchNorm.forward(z, gamma, beta)
     val preds = Array.tabulate(b) { i =>
       var pr = p(c.headBias)
@@ -202,7 +280,22 @@ class LSTMBnTrainer(
       u += 1
     }
     i = 0
-    while (i < b) { sessions(i).backward(dZ(i), acc); i += 1 }
+    while (i < b) {
+      val dState = if (lnG == null) dZ(i) else {
+        val dG = new Array[Double](hdd)
+        val dB = new Array[Double](hdd)
+        val dx = Ln.backward(dZ(i), lnXhat(i), lnS(i), lnG, dG, dB)
+        var u2 = 0
+        while (u2 < hdd) {
+          acc(lnOff + u2) += dG(u2)
+          acc(lnOff + hdd + u2) += dB(u2)
+          u2 += 1
+        }
+        dx
+      }
+      sessions(i).backward(dState, acc)
+      i += 1
+    }
     lossVal
   }
 
@@ -218,21 +311,27 @@ class LSTMBnTrainer(
       ys: Array[Double], drops: Array[LstmBptt.Drop],
       gammas: Array[Array[Double]], betas: Array[Array[Double]],
       offs: Array[Int], widths: Array[Int], hdd: Int,
-      tau: Double, mw: Double, sw: Double): Double = {
+      tau: Double, mw: Double, sw: Double,
+      lnG: Array[Array[Double]] = null, lnB: Array[Array[Double]] = null,
+      lnOffs: Array[Int] = null): Double = {
     val b = xs.length
     val t0 = xs(0).length
     val nL = c.layers.size
     val sessions = Array.tabulate(b)(i =>
       new LstmStackBptt.LayerSession(p, c, drops(i)))
-    // forward: per-layer sweeps with batch×time BN between layers
+    // forward: per-layer sweeps with batch×time BN between layers; in
+    // both-flags mode a per-sample LN precedes every BN site (inner
+    // sites: one LN per (row, t) sample — the Keras 3D LN axis)
     val innerBn = new Array[BatchNorm.Fwd](nL - 1)
+    val lnXhat = if (lnG == null) null
+      else Array.ofDim[Array[Array[Double]]](nL)
+    val lnS = if (lnG == null) null else Array.ofDim[Array[Double]](nL)
     var cur: Array[Array[Array[Double]]] = xs
     var l = 0
     var states: Array[Array[Double]] = null
     while (l < nL) {
       val hs = Array.tabulate(b)(i => sessions(i).forwardLayer(l, cur(i)))
       if (l < nL - 1) {
-        val h = c.layers(l)
         val flat = new Array[Array[Double]](b * t0)
         var i = 0
         while (i < b) {
@@ -240,10 +339,32 @@ class LSTMBnTrainer(
           while (t < t0) { flat(i * t0 + t) = hs(i)(t); t += 1 }
           i += 1
         }
-        val bnF = BatchNorm.forward(flat, gammas(l), betas(l))
+        val pre = if (lnG == null) flat else {
+          lnXhat(l) = new Array[Array[Double]](b * t0)
+          lnS(l) = new Array[Double](b * t0)
+          Array.tabulate(b * t0) { q =>
+            val (y0, xh, s0) = Ln.forward(flat(q), lnG(l), lnB(l))
+            lnXhat(l)(q) = xh; lnS(l)(q) = s0
+            y0
+          }
+        }
+        val bnF = BatchNorm.forward(pre, gammas(l), betas(l))
         innerBn(l) = bnF
         cur = Array.tabulate(b, t0)((i, t) => bnF.out(i * t0 + t))
-      } else states = Array.tabulate(b)(i => hs(i)(t0 - 1))
+      } else {
+        states = Array.tabulate(b) { i =>
+          val st = hs(i)(t0 - 1)
+          if (lnG == null) st else {
+            if (lnXhat(l) == null) {
+              lnXhat(l) = new Array[Array[Double]](b)
+              lnS(l) = new Array[Double](b)
+            }
+            val (y0, xh, s0) = Ln.forward(st, lnG(l), lnB(l))
+            lnXhat(l)(i) = xh; lnS(l)(i) = s0
+            y0
+          }
+        }
+      }
       l += 1
     }
     val bnLast = BatchNorm.forward(states, gammas(nL - 1), betas(nL - 1))
@@ -269,13 +390,26 @@ class LSTMBnTrainer(
     val lastOff = offs(nL - 1)
     val tmpG = new Array[Double](hdd)
     val tmpB = new Array[Double](hdd)
-    val dStates = BatchNorm.backward(bnLast, gammas(nL - 1), dBnOut,
+    val dStates0 = BatchNorm.backward(bnLast, gammas(nL - 1), dBnOut,
       tmpG, tmpB)
     var u = 0
     while (u < hdd) {
       acc(lastOff + u) += tmpG(u)
       acc(lastOff + hdd + u) += tmpB(u)
       u += 1
+    }
+    val dStates = if (lnG == null) dStates0 else Array.tabulate(b) { i2 =>
+      val dG = new Array[Double](hdd)
+      val dB = new Array[Double](hdd)
+      val dx = Ln.backward(dStates0(i2), lnXhat(nL - 1)(i2),
+        lnS(nL - 1)(i2), lnG(nL - 1), dG, dB)
+      var u2 = 0
+      while (u2 < hdd) {
+        acc(lnOffs(nL - 1) + u2) += dG(u2)
+        acc(lnOffs(nL - 1) + hdd + u2) += dB(u2)
+        u2 += 1
+      }
+      dx
     }
     // top layer BPTT, then inner BN + lower layers in reverse
     var dIn: Array[Array[Array[Double]]] =
@@ -297,12 +431,25 @@ class LSTMBnTrainer(
       }
       val tg = new Array[Double](h)
       val tb = new Array[Double](h)
-      val dFlat = BatchNorm.backward(innerBn(l), gammas(l), flatD, tg, tb)
+      val dFlat0 = BatchNorm.backward(innerBn(l), gammas(l), flatD, tg, tb)
       var u2 = 0
       while (u2 < h) {
         acc(offs(l) + u2) += tg(u2)
         acc(offs(l) + h + u2) += tb(u2)
         u2 += 1
+      }
+      val dFlat = if (lnG == null) dFlat0 else Array.tabulate(b * t0) { q =>
+        val dG = new Array[Double](h)
+        val dB = new Array[Double](h)
+        val dx = Ln.backward(dFlat0(q), lnXhat(l)(q), lnS(l)(q),
+          lnG(l), dG, dB)
+        var u3 = 0
+        while (u3 < h) {
+          acc(lnOffs(l) + u3) += dG(u3)
+          acc(lnOffs(l) + h + u3) += dB(u3)
+          u3 += 1
+        }
+        dx
       }
       dIn = Array.tabulate(b) { i3 =>
         val inj = Array.tabulate(t0)(t => dFlat(i3 * t0 + t))
@@ -331,8 +478,10 @@ class LSTMBnTrainer(
 
     val p = new Array[Double](size)
     System.arraycopy(LstmStackBptt.init(cfg, seed), 0, p, 0, cfg.size)
-    for (l <- bnWidths.indices; u <- 0 until bnWidths(l))
-      p(bnBlockOff(l) + u) = 1.0 // gamma=1, beta=0
+    for (l <- bnWidths.indices; u <- 0 until bnWidths(l)) {
+      p(bnBlockOff(l) + u) = 1.0 // BN gamma=1, beta=0
+      if (layerNorm) p(lnBlockOff(l) + u) = 1.0 // LN gamma=1, beta=0
+    }
     val adam = new AdamState(size, lr)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
@@ -348,8 +497,20 @@ class LSTMBnTrainer(
     val built = scala.collection.mutable.ArrayBuffer.empty[LstmNorm]
     for (site <- bnWidths.indices) {
       val (m, v) = siteStats(std, p, built.toSeq, site)
-      built += LstmNorm(gammaOf(p, site), betaOf(p, site),
-        BatchNorm.Eps, m, v)
+      built += (if (!layerNorm)
+        LstmNorm(gammaOf(p, site), betaOf(p, site), BatchNorm.Eps, m, v)
+      else {
+        // both-flags fold: the BN population affine (s, c) composes
+        // into the LN's gamma/beta — affine∘LN is again an LN, so the
+        // scorer sees ONE LayerNorm per site
+        val (sc, ch) = BatchNorm.affine(gammaOf(p, site),
+          betaOf(p, site), m, v)
+        val g = lnGammaOf(p, site)
+        val bta = lnBetaOf(p, site)
+        LstmNorm(Array.tabulate(bnWidths(site))(u => sc(u) * g(u)),
+          Array.tabulate(bnWidths(site))(u => sc(u) * bta(u) + ch(u)),
+          BatchNorm.Eps)
+      })
     }
     norms = built.toSeq
     w = p
@@ -367,9 +528,17 @@ class LSTMBnTrainer(
     val c = cfg
     val nL = nLayers
     val wWidth = bnWidths(site)
-    val priorAff: Array[(Array[Double], Array[Double])] =
-      prior.map(nm => BatchNorm.affine(nm.gamma, nm.beta,
-        nm.movingMean, nm.movingVar)).toArray
+    // earlier sites fold to a per-unit affine (BN-only mode) or to a
+    // folded LayerNorm (both-flags mode, movingMean == null)
+    val priorNorms = prior.toArray
+    val lnGv = if (!layerNorm) null else lnGammaOf(p, site)
+    val lnBv = if (!layerNorm) null else lnBetaOf(p, site)
+    def foldPrior(nm: LstmNorm, v: Array[Double]): Array[Double] =
+      if (nm.movingMean != null) {
+        val (sc, sh) = BatchNorm.affine(nm.gamma, nm.beta,
+          nm.movingMean, nm.movingVar)
+        Array.tabulate(v.length)(u => sc(u) * v(u) + sh(u))
+      } else Ln.forward(v, nm.gamma, nm.beta)._1
     val stats = std.rdd.mapPartitions { it =>
       val s = new Array[Double](2 * wWidth + 1)
       it.foreach { row =>
@@ -385,16 +554,15 @@ class LSTMBnTrainer(
             val hs = sess.forwardLayer(l, cur)
             if (l == site)
               out = if (site == nL - 1) Seq(hs(t0 - 1)) else hs.toSeq
-            else {
-              val (sc, sh) = priorAff(l)
-              cur = hs.map(hv => Array.tabulate(hv.length)(u =>
-                sc(u) * hv(u) + sh(u)))
-            }
+            else cur = hs.map(hv => foldPrior(priorNorms(l), hv))
             l += 1
           }
           out
         }
-        samples.foreach { v =>
+        samples.foreach { v0 =>
+          // both-flags mode: the BN site's pre-normalization values are
+          // the LN OUTPUTS (sequence.py applies LN first)
+          val v = if (lnGv == null) v0 else Ln.forward(v0, lnGv, lnBv)._1
           var u = 0
           while (u < wWidth) {
             s(u) += v(u); s(wWidth + u) += v(u) * v(u); u += 1

@@ -203,4 +203,73 @@ class LstmBnSpec extends AnyFunSuite {
     for (u <- state.indices) p += w(cfg.headOff + u) * state(u)
     p * yStd + yMean
   }
+
+  test("lstm bn both-flags (use_layer_norm + use_batch_norm, the Keras " +
+    "LN-then-BN order): gradient matches finite differences — single " +
+    "AND stacked layouts") {
+    for (stacked <- Seq(false, true)) {
+      val m = new LSTMBnTrainer(lags, seqLen = 4, targetCol = "y",
+        hidden = 3, layers = if (stacked) Seq(3, 2) else Nil,
+        layerNorm = true, batchSize = 6)
+      val r = new scala.util.Random(if (stacked) 53 else 47)
+      val rows = (0 until 6).map(_ =>
+        (r.nextGaussian() * 0.5, r.nextGaussian(), r.nextGaussian(),
+          r.nextGaussian(), r.nextGaussian()))
+      val data = rows.toDF("y", "lag4", "lag3", "lag2", "lag1")
+        .repartition(1)
+      val sz = m.size
+      val bnTail = 4 * (if (stacked) 3 + 2 else 3) // BN + LN blocks
+      val p = Array.tabulate(sz)(i =>
+        if (i < sz - bnTail) r.nextGaussian() * 0.3
+        else 1.0 + r.nextGaussian() * 0.1)
+      val (g, _) = m.gradient(data, p)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val pp = p.clone(); pp(i) += eps
+        val pm = p.clone(); pm(i) -= eps
+        val fd = (m.gradient(data, pp)._2 - m.gradient(data, pm)._2) /
+          (2 * eps)
+        assert(math.abs(fd - g(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"both-flags grad mismatch (stacked=$stacked) at $i: " +
+            s"analytic=${g(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("lstm bn both-flags fit learns AR(2) to R^2 > 0.8; the BN " +
+    "population affine folds into the LN gamma/beta so the staged " +
+    "scorer sees ONE LayerNorm per site (parity with the driver fold)") {
+    val df = ar2(600, 9).toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+    val m = new LSTMBnTrainer(lags, seqLen = 4, targetCol = "y",
+      hidden = 6, layerNorm = true, lr = 0.02, epochs = 150)
+    val pred = m.fit(df).predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"both-flags LSTM failed to learn AR(2): r2=$r2")
+    val nm = m.fittedNorm
+    assert(nm.movingMean == null,
+      "both-flags mode must emit a FOLDED LayerNorm (no moving stats)")
+    val sample = pred.select((lags.map(col) :+ col("prediction")): _*)
+      .limit(10).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(4, 1)((t, _) => row.getDouble(t))
+      val cfg = m.config
+      val w = m.fittedWeights
+      val (yMean, yStd) = m.targetStats
+      val st = new LstmStackBptt.StateSession(w, cfg, x).state
+      val h = st.length
+      var mu = 0.0
+      st.foreach(mu += _); mu /= h
+      var v = 0.0
+      st.foreach(z => v += (z - mu) * (z - mu)); v /= h
+      val s0 = 1.0 / math.sqrt(v + nm.eps)
+      var pv = w(cfg.headBias)
+      for (u <- st.indices)
+        pv += w(cfg.headOff + u) *
+          (nm.gamma(u) * (st(u) - mu) * s0 + nm.beta(u))
+      val local = pv * yStd + yMean
+      assert(math.abs(local - row.getDouble(4)) < 1e-9,
+        s"both-flags folded scorer disagrees: $local vs ${row.getDouble(4)}")
+    }
+  }
 }
