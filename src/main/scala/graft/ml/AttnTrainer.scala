@@ -28,21 +28,29 @@ object AttnBptt {
 
   private val eps = 1e-6 // Keras LayerNormalization epsilon
 
-  def size(f: Int, t: Int, h: Int, ff: Int, norm: Boolean = false): Int =
+  def size(f: Int, t: Int, h: Int, ff: Int, norm: Boolean = false,
+      cross: Boolean = false): Int =
     f * h + h + t * h + 3 * (h * h + h) + h * ff + ff + ff * h + h + h + 1 +
-      (if (norm) 6 * h else 0)
+      (if (norm) 6 * h else 0) + (if (cross) 3 * (t * t + t) else 0)
 
-  private def offsets(f: Int, t: Int, h: Int, ff: Int): Array[Int] = {
+  private def offsets(f: Int, t: Int, h: Int, ff: Int,
+      norm: Boolean): Array[Int] = {
     // wIn bIn pos wq bq wk bk wv bv w1 b1 w2 b2 wOut bOut g1 c1 g2 c2 gF cF
+    // then the cross-mode tail: wqF bqF wkF bkF wvF bvF (feature-axis
+    // q/k/v of CrossAttention, transformer.py:51-90 — seqLen-sized
+    // projections over the transposed tokens); norm sizes collapse to 0
+    // when norm is off so the tail offsets stay valid either way
+    val nh = if (norm) h else 0
     val sizes = Array(f * h, h, t * h, h * h, h, h * h, h, h * h, h,
-      h * ff, ff, ff * h, h, h, 1, h, h, h, h, h, h)
+      h * ff, ff, ff * h, h, h, 1, nh, nh, nh, nh, nh, nh,
+      t * t, t, t * t, t, t * t, t)
     sizes.scanLeft(0)(_ + _)
   }
 
   /** Unpack a flat vector into the scorer's full-block weight class. */
   def toWeights(w: Array[Double], f: Int, t: Int, h: Int, ff: Int,
-      norm: Boolean = false): AttnWeights = {
-    val o = offsets(f, t, h, ff)
+      norm: Boolean = false, cross: Boolean = false): AttnWeights = {
+    val o = offsets(f, t, h, ff, norm)
     def mat(off: Int, rows: Int, cols: Int): Array[Array[Double]] =
       Array.tabulate(rows, cols)((r, c) => w(off + r * cols + c))
     def vec(off: Int, n: Int): Array[Double] =
@@ -56,6 +64,12 @@ object AttnBptt {
       posEmb = mat(o(2), t, h),
       wF1 = mat(o(9), h, ff), bF1 = vec(o(10), ff),
       wF2 = mat(o(11), ff, h), bF2 = vec(o(12), h),
+      wqF = if (!cross) null else mat(o(21), t, t),
+      bqF = if (!cross) null else vec(o(22), t),
+      wkF = if (!cross) null else mat(o(23), t, t),
+      bkF = if (!cross) null else vec(o(24), t),
+      wvF = if (!cross) null else mat(o(25), t, t),
+      bvF = if (!cross) null else vec(o(26), t),
       preNorm = if (!norm) null else LayerNormParams(
         g1 = vec(o(15), h), c1 = vec(o(16), h),
         g2 = vec(o(17), h), c2 = vec(o(18), h),
@@ -65,16 +79,23 @@ object AttnBptt {
   /** Forward pass only (gradient-check helper; production scoring goes
     * through [[AttnScorer]]). */
   def forward(w: Array[Double], f: Int, h: Int, ff: Int,
-      x: Array[Array[Double]], norm: Boolean = false): Double =
-    run(w, f, h, ff, x, 0.0, null, norm)
+      x: Array[Array[Double]], norm: Boolean = false,
+      cross: Boolean = false): Double =
+    run(w, f, h, ff, x, 0.0, null, norm, cross)
 
   /** Forward + (if `acc` non-null) backward accumulating into `acc`.
-    * Returns the prediction (acc == null) or the loss (acc != null). */
+    * Returns the prediction (acc == null) or the loss (acc != null).
+    * `cross` adds the feature-axis attention of the reference's
+    * `attention_type="cross"` dual-axis mode (transformer.py:51-90):
+    * a second single-head attention over the TRANSPOSED tokens (one
+    * token per hidden dim, width T, softmax scale √T) whose context —
+    * transposed back — sums with the temporal context before the
+    * residual, exactly the [[AttnScorer]] cross stages. */
   def run(w: Array[Double], f: Int, h: Int, ff: Int,
       x: Array[Array[Double]], y: Double, acc: Array[Double],
-      norm: Boolean = false): Double = {
+      norm: Boolean = false, cross: Boolean = false): Double = {
     val T = x.length
-    val o = offsets(f, T, h, ff)
+    val o = offsets(f, T, h, ff, norm)
     val (oIn, oBIn, oPos) = (o(0), o(1), o(2))
     val (oWq, oBq, oWk, oBk, oWv, oBv) = (o(3), o(4), o(5), o(6), o(7), o(8))
     val (oW1, oB1, oW2, oB2, oWOut, oBOut) =
@@ -162,6 +183,60 @@ object AttnBptt {
       }
       t += 1
     }
+    // feature-axis attention forward (cross mode): tokens are the h
+    // hidden dims, each of width T, projected through the seqLen-sized
+    // q/k/v; softmax scale √T; context fz(j)(t) sums into z(t)(j) below
+    val (oWqF, oBqF, oWkF, oBkF, oWvF, oBvF) =
+      (o(21), o(22), o(23), o(24), o(25), o(26))
+    val fqs = if (cross) Array.ofDim[Double](h, T) else null
+    val fks = if (cross) Array.ofDim[Double](h, T) else null
+    val fvs = if (cross) Array.ofDim[Double](h, T) else null
+    val fatt = if (cross) Array.ofDim[Double](h, h) else null
+    val fz = if (cross) Array.ofDim[Double](h, T) else null
+    if (cross) {
+      val invSqrtT = 1.0 / math.sqrt(T.toDouble)
+      var j = 0
+      while (j < h) {
+        var s = 0
+        while (s < T) {
+          var zq = w(oBqF + s); var zk = w(oBkF + s); var zv = w(oBvF + s)
+          var t2 = 0
+          while (t2 < T) {
+            val xv = xn(t2)(j); val r = t2 * T + s
+            zq += xv * w(oWqF + r); zk += xv * w(oWkF + r)
+            zv += xv * w(oWvF + r)
+            t2 += 1
+          }
+          fqs(j)(s) = zq; fks(j)(s) = zk; fvs(j)(s) = zv
+          s += 1
+        }
+        j += 1
+      }
+      j = 0
+      while (j < h) {
+        var den = 0.0
+        var j2 = 0
+        while (j2 < h) {
+          var dot = 0.0
+          var s = 0
+          while (s < T) { dot += fqs(j)(s) * fks(j2)(s); s += 1 }
+          val e = math.exp(dot * invSqrtT)
+          fatt(j)(j2) = e; den += e
+          j2 += 1
+        }
+        j2 = 0
+        while (j2 < h) { fatt(j)(j2) /= den; j2 += 1 }
+        var t2 = 0
+        while (t2 < T) {
+          var sum = 0.0
+          var j3 = 0
+          while (j3 < h) { sum += fatt(j)(j3) * fvs(j3)(t2); j3 += 1 }
+          fz(j)(t2) = sum
+          t2 += 1
+        }
+        j += 1
+      }
+    }
     // attention weights a_{t,u} = softmax_u(q_t·k_u/√H) — computed in the
     // same exp/Σexp form as the scorer (no max-shift: the scorer's SQL
     // mirror has none, and fitted-scale scores stay well inside range)
@@ -197,7 +272,8 @@ object AttnBptt {
         var s = 0.0
         var u = 0
         while (u < T) { s += att(t)(u) * vs(u)(j); u += 1 }
-        zs(t)(j) = s; rs(t)(j) = xt(t)(j) + s
+        val zTot = if (cross) s + fz(j)(t) else s
+        zs(t)(j) = zTot; rs(t)(j) = xt(t)(j) + zTot
         j += 1
       }
       if (norm) {
@@ -344,6 +420,76 @@ object AttnBptt {
       }
       t += 1
     }
+    // feature-axis attention backward (cross mode): dfz(j)(t) = dzs(t)(j)
+    // (z is the SUM of the two contexts); symmetric softmax-attention
+    // backward over the transposed tokens, token gradients land in dxnF
+    val dxnF = if (cross) Array.ofDim[Double](T, h) else null
+    if (cross) {
+      val invSqrtT = 1.0 / math.sqrt(T.toDouble)
+      val dfqs = Array.ofDim[Double](h, T)
+      val dfks = Array.ofDim[Double](h, T)
+      val dfvs = Array.ofDim[Double](h, T)
+      var j = 0
+      while (j < h) {
+        val da = new Array[Double](h)
+        var j2 = 0
+        while (j2 < h) {
+          var s = 0.0
+          var t2 = 0
+          while (t2 < T) {
+            s += dzs(t2)(j) * fvs(j2)(t2)
+            dfvs(j2)(t2) += fatt(j)(j2) * dzs(t2)(j)
+            t2 += 1
+          }
+          da(j2) = s
+          j2 += 1
+        }
+        var dotSum = 0.0
+        j2 = 0
+        while (j2 < h) { dotSum += fatt(j)(j2) * da(j2); j2 += 1 }
+        j2 = 0
+        while (j2 < h) {
+          val ds = fatt(j)(j2) * (da(j2) - dotSum) * invSqrtT
+          var s = 0
+          while (s < T) {
+            dfqs(j)(s) += ds * fks(j2)(s)
+            dfks(j2)(s) += ds * fqs(j)(s)
+            s += 1
+          }
+          j2 += 1
+        }
+        j += 1
+      }
+      // feature q/k/v projection backward per hidden-dim token j
+      j = 0
+      while (j < h) {
+        var s = 0
+        while (s < T) {
+          acc(oBqF + s) += dfqs(j)(s)
+          acc(oBkF + s) += dfks(j)(s)
+          acc(oBvF + s) += dfvs(j)(s)
+          s += 1
+        }
+        var t2 = 0
+        while (t2 < T) {
+          val xv = xn(t2)(j)
+          var dx = 0.0
+          var s2 = 0
+          while (s2 < T) {
+            val r = t2 * T + s2
+            acc(oWqF + r) += xv * dfqs(j)(s2)
+            acc(oWkF + r) += xv * dfks(j)(s2)
+            acc(oWvF + r) += xv * dfvs(j)(s2)
+            dx += w(oWqF + r) * dfqs(j)(s2) + w(oWkF + r) * dfks(j)(s2) +
+              w(oWvF + r) * dfvs(j)(s2)
+            s2 += 1
+          }
+          dxnF(t2)(j) += dx
+          t2 += 1
+        }
+        j += 1
+      }
+    }
     // q/k/v projections backward (inputs are the attention tokens xn);
     // the token gradient flows through LN1 when norm is on
     t = 0
@@ -370,6 +516,10 @@ object AttnBptt {
           j9 += 1
         }
         i2 += 1
+      }
+      if (cross) {
+        var kf = 0
+        while (kf < h) { dxn(kf) += dxnF(t)(kf); kf += 1 }
       }
       if (norm) {
         val back = lnBwd(dxn, xh1(t), inv1(t), oG1, oC1)
@@ -422,6 +572,14 @@ object AttnBptt {
   * head); the fitted weights score through the deterministic
   * distributed forward pass unchanged.
   *
+  * `attentionType` covers the reference's three modes
+  * (transformer.py:168-190): "temporal" (default), "feature" — the
+  * iTransformer-style mode, fitted as the SAME kernel over the
+  * transposed token layout (composes with every full-kernel surface),
+  * and "cross" — the dual-axis mode, fitted by the reduced kernel
+  * extended with the feature-axis q/k/v (single-head, the scorer's
+  * [[AttnWeights]] constraint).
+  *
   * `lagCols` must be lag-major over `seqLen` timesteps — the
   * LagTransformer output order ([[graft.operators.SequenceReshape]]). */
 class AttnTrainer(
@@ -445,7 +603,8 @@ class AttnTrainer(
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
     val numBlocks: Int = 1,
-    val dropoutRate: Double = 0.0) extends Serializable {
+    val dropoutRate: Double = 0.0,
+    val attentionType: String = "temporal") extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -456,6 +615,8 @@ class AttnTrainer(
   require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
   require(dropoutRate >= 0 && dropoutRate < 1,
     s"dropoutRate must be in [0, 1), got $dropoutRate")
+  require(Set("temporal", "feature", "cross")(attentionType),
+    s"attention_type must be temporal|feature|cross, got $attentionType")
   private val nFeat = lagCols.size / seqLen
 
   private var weights: AttnWeights = _
@@ -478,10 +639,25 @@ class AttnTrainer(
     numHeads > 0 || attnPool || mlpUnits.nonEmpty || numBlocks > 1 ||
       dropoutRate > 0
 
+  /** Feature mode (iTransformer, transformer.py:179-186) fits the SAME
+    * kernels over the TRANSPOSED token layout — tokens = the nFeat
+    * features, token width = seqLen — exactly the layout
+    * [[TransformerRegressor]] scores with `attentionType="feature"`.
+    * Cross mode extends the reduced kernel with the feature-axis q/k/v
+    * (single-head, the [[AttnWeights]] constraint). */
   def fit(df: DataFrame): this.type = {
-    val (f, t, h, ff) = (nFeat, seqLen, dModel, ffDim)
+    val featMode = attentionType == "feature"
+    val crossMode = attentionType == "cross"
+    require(!crossMode || !useFull,
+      "cross mode is single-head (scorer constraint) — leave numHeads/" +
+        "attnPool/mlpUnits/numBlocks/dropoutRate at their defaults")
+    val (f, t) = if (featMode) (seqLen, nFeat) else (nFeat, seqLen)
+    val (h, ff) = (dModel, ffDim)
     val useNorm = preNorm
-    val data = df.select((targetCol +: lagCols).map(c =>
+    // feature mode selects the lag columns token-major over the
+    // TRANSPOSED steps so the kernel's row parse sees that layout
+    val orderedLags = if (featMode) steps.transpose.flatten else lagCols
+    val data = df.select((targetCol +: orderedLags).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
     val n = data.count().toDouble
@@ -497,12 +673,12 @@ class AttnTrainer(
         math.max(1, h / heads), attnPool, mlpUnits, useNorm,
         blocks = numBlocks, drop = dropoutRate)
       val w = AttnBpttFull.init(cfg, seed)
-      adamEpochs(data, cfg.size, w,
+      adamEpochs(data, sz = cfg.size, w, f, t,
         (bw, x, y, acc, ms) => AttnBpttFull.run(bw, cfg, x, y, acc, ms))
       blockWeights = AttnBpttFull.toBlockWeights(w, cfg)
       weights = blockWeights.head
     } else {
-      val sz = AttnBptt.size(f, t, h, ff, useNorm)
+      val sz = AttnBptt.size(f, t, h, ff, useNorm, crossMode)
       val rng = new scala.util.Random(seed)
       val w = new Array[Double](sz)
       // Glorot-uniform per matrix (the reference's Keras defaults, incl.
@@ -523,23 +699,30 @@ class AttnTrainer(
       glorot(off, h, ff); off += h * ff + ff // wF1
       glorot(off, ff, h); off += ff * h + h // wF2
       glorot(off, h, 1); off += h + 1 // wOut, bOut
-      if (useNorm) for (p <- 0 until 3) { // γ=1 (β stays 0)
-        for (i <- 0 until h) w(off + 2 * p * h + i) = 1.0
+      if (useNorm) { // γ=1 (β stays 0)
+        for (p <- 0 until 3; i <- 0 until h) w(off + 2 * p * h + i) = 1.0
+        off += 6 * h
       }
-      adamEpochs(data, sz, w,
-        (bw, x, y, acc, _) => AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm))
-      weights = AttnBptt.toWeights(w, nFeat, seqLen, dModel, ffDim, useNorm)
+      if (crossMode) for (_ <- 0 until 3) { // wqF/wkF/wvF (+ biases)
+        glorot(off, t, t); off += t * t + t
+      }
+      adamEpochs(data, sz, w, f, t,
+        (bw, x, y, acc, _) =>
+          AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm, crossMode))
+      weights = AttnBptt.toWeights(w, f, t, h, ff, useNorm, crossMode)
     }
     data.unpersist()
     this
   }
 
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
-    * transformer trainer). */
+    * transformer trainer). `f`/`t` are the KERNEL dims (swapped in
+    * feature mode). */
   private def adamEpochs(data: DataFrame, sz: Int, w: Array[Double],
+      f: Int, t: Int,
       kernel: (Array[Double], Array[Array[Double]], Double, Array[Double],
         Long) => Double): Unit =
-    SeqAdam.run(data, sz, w, SeqAdam.Cfg(nFeat, seqLen, yMean, yStd,
+    SeqAdam.run(data, sz, w, SeqAdam.Cfg(f, t, yMean, yStd,
       epochs, lr, seed, batchFraction, loss, mseWeight, spearmanWeight,
       rankTau, rankBatch), kernel)
 
@@ -547,7 +730,9 @@ class AttnTrainer(
     * un-standardizing if the target was scaled at fit. */
   def predict(df: DataFrame): DataFrame = {
     require(weights != null, "fit first")
-    val scored = AttnScorer.scoreBlocks(df, steps, fittedBlocks)
+    val scoreSteps =
+      if (attentionType == "feature") steps.transpose else steps
+    val scored = AttnScorer.scoreBlocks(df, scoreSteps, fittedBlocks)
     if (scaleTarget)
       scored.withColumn("prediction",
         col("prediction") * lit(yStd) + lit(yMean))
@@ -561,8 +746,10 @@ class AttnTrainer(
   * representation with one row per output, all outputs trained jointly
   * through the full-architecture kernel ([[AttnBpttFull]] — multi-head
   * attention, attention pooling, MLP head, stacked blocks, and dropout
-  * all compose). Per-output target standardization; mse-only (the
-  * [[MLPMultiRegressor]] boundary — rank objectives rank ONE output). */
+  * all compose). Per-output target standardization.
+  * `loss = "spearman" | "combined"` trains the reference's rank
+  * objectives with their exact multi-output semantics — the loss
+  * flattens (batch, out) to ONE ranked vector (losses.py:67-69). */
 class AttnMultiTrainer(
     val lagCols: Seq[String],
     val seqLen: Int,
@@ -579,7 +766,13 @@ class AttnMultiTrainer(
     val attnPool: Boolean = false,
     val mlpUnits: Seq[Int] = Nil,
     val numBlocks: Int = 1,
-    val dropoutRate: Double = 0.0) extends Serializable {
+    val dropoutRate: Double = 0.0,
+    val attentionType: String = "temporal",
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(targetCols.size >= 2, "use AttnTrainer for a single output")
   require(lagCols.size % seqLen == 0,
@@ -589,6 +782,11 @@ class AttnMultiTrainer(
   require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
   require(dropoutRate >= 0 && dropoutRate < 1,
     s"dropoutRate must be in [0, 1), got $dropoutRate")
+  require(Set("temporal", "feature")(attentionType),
+    "multi-output attention_type is temporal|feature (cross is " +
+      s"single-head, the AttnWeights constraint), got $attentionType")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
 
   private val nFeat = lagCols.size / seqLen
   private val out = targetCols.size
@@ -605,11 +803,14 @@ class AttnMultiTrainer(
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
   def fit(df: DataFrame): this.type = {
+    val featMode = attentionType == "feature"
+    val (f, t) = if (featMode) (seqLen, nFeat) else (nFeat, seqLen)
     val heads = math.max(numHeads, 1)
-    val cfg = AttnBpttFull.Cfg(nFeat, seqLen, dModel, ffDim, heads,
+    val cfg = AttnBpttFull.Cfg(f, t, dModel, ffDim, heads,
       math.max(1, dModel / heads), attnPool, mlpUnits, preNorm,
       blocks = numBlocks, drop = dropoutRate, out = out)
-    val data = df.select((targetCols ++ lagCols).map(c =>
+    val orderedLags = if (featMode) steps.transpose.flatten else lagCols
+    val data = df.select((targetCols ++ orderedLags).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
     require(data.count() > 0, "no complete rows to fit on")
@@ -622,10 +823,11 @@ class AttnMultiTrainer(
         math.max(r.getDouble(out + o), 1e-12))
     }
     val w = AttnBpttFull.init(cfg, seed)
-    SeqAdam.runMulti(data, cfg.size, w, out, yMean, yStd, nFeat, seqLen,
+    SeqAdam.runMulti(data, cfg.size, w, out, yMean, yStd, f, t,
       epochs, lr, seed, batchFraction,
-      (bw, x, ys, acc, ms) => AttnBpttFull.runMulti(bw, cfg, x, ys, acc,
-        ms))
+      (bw, x, ys, acc, ms, po) => AttnBpttFull.runMulti(bw, cfg, x, ys,
+        acc, ms, po),
+      loss, mseWeight, spearmanWeight, rankTau, rankBatch)
     blocks = AttnBpttFull.toBlockWeights(w, cfg)
     val (hw, hb) = AttnBpttFull.headMulti(w, cfg)
     headW = hw; headB = hb
@@ -637,7 +839,9 @@ class AttnMultiTrainer(
     * forward pass, un-standardizing each output. */
   def predict(df: DataFrame): DataFrame = {
     require(blocks.nonEmpty, "fit first")
-    var scored = AttnScorer.scoreBlocksMulti(df, steps, blocks, headW,
+    val scoreSteps =
+      if (attentionType == "feature") steps.transpose else steps
+    var scored = AttnScorer.scoreBlocksMulti(df, scoreSteps, blocks, headW,
       headB)
     if (scaleTarget)
       for (o <- 0 until out)

@@ -392,7 +392,10 @@ object DeepMlpScore {
   * train jointly against the summed per-output standardized MSE.
   * [[MLPMultiRegressor]] remains the one-layer oracled sibling; this is
   * the depth-general path. Scoring stages layers as named codegen'd
-  * columns and appends `prediction_{i}` (base.py:137-150). */
+  * columns and appends `prediction_{i}` (base.py:137-150).
+  * `loss = "spearman" | "combined"` trains the reference's rank
+  * objectives with their exact multi-output semantics — the loss
+  * flattens (batch, out) to ONE ranked vector (losses.py:67-69). */
 class DeepMLPMultiRegressor(
     val featureCols: Seq[String],
     val targetCols: Seq[String],
@@ -403,7 +406,12 @@ class DeepMLPMultiRegressor(
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
     val batchFraction: Double = 0.2,
-    val dropoutRate: Double = 0.0) extends Serializable {
+    val dropoutRate: Double = 0.0,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(targetCols.size >= 2, "use DeepMLPRegressor for a single output")
   require(layers.nonEmpty, "at least one hidden layer")
@@ -413,6 +421,8 @@ class DeepMLPMultiRegressor(
     s"batchFraction must be in (0, 1], got $batchFraction")
   require(dropoutRate >= 0 && dropoutRate < 1,
     s"dropoutRate must be in [0, 1), got $dropoutRate")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
   private val swish = activation == "swish"
   private val k = featureCols.size
   private val out = targetCols.size
@@ -464,7 +474,60 @@ class DeepMLPMultiRegressor(
       val epL = t.toLong
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
-      val grad = batch.rdd.treeAggregate(DenseVector.zeros[Double](n + 2))(
+      val grad = if (loss != "mse") {
+        // rank-loss path with the reference's multi-output semantics:
+        // (batch, out) flattens to ONE soft-ranked vector per batch
+        // (losses.py:67-69); the flattened dL/dp injects as per-output
+        // surrogate targets (the vector kernel backward is linear in
+        // each pred_o − y_o). A 1-row leftover batch still ranks its
+        // `out >= 2` flattened elements.
+        val (mw, spw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        val (tau, rb) = (rankTau, rankBatch)
+        batch.rdd.mapPartitions { it =>
+          val acc = new Array[Double](n + 2)
+          val part = org.apache.spark.TaskContext.getPartitionId().toLong
+          var idx = 0L
+          SeqAdam.shuffledBatches(it, rb, seed0, epL, part)
+            .foreach { rows =>
+            val b = rows.size
+            val xs = new Array[Array[Double]](b)
+            val seeds = new Array[Long](b)
+            val flatP = new Array[Double](b * oo)
+            val flatY = new Array[Double](b * oo)
+            var i = 0
+            rows.foreach { row =>
+              xs(i) = Array.tabulate(kk)(j => row.getDouble(j + oo))
+              seeds(i) = SeqAdam.maskSeed(seed0, epL, part, idx)
+              idx += 1
+              val po = new Array[Double](oo)
+              DeepMlpKernel.runV(bw, dd, oo, xs(i), new Array[Double](oo),
+                null, sw, dr, seeds(i), po)
+              var o2 = 0
+              while (o2 < oo) {
+                flatY(i * oo + o2) = (row.getDouble(o2) - ym(o2)) / ys(o2)
+                flatP(i * oo + o2) = po(o2)
+                o2 += 1
+              }
+              i += 1
+            }
+            val (dp, lossVal) =
+              RankLoss.combinedGrad(flatP, flatY, tau, mw, spw)
+            val scratch = new Array[Double](oo)
+            i = 0
+            while (i < b) {
+              val sur = Array.tabulate(oo)(o2 =>
+                flatP(i * oo + o2) - dp(i * oo + o2))
+              DeepMlpKernel.runV(bw, dd, oo, xs(i), sur, acc, sw, dr,
+                seeds(i), scratch)
+              i += 1
+            }
+            acc(n) += lossVal
+            acc(n + 1) += 1.0
+          }
+          Iterator.single(DenseVector(acc))
+        }.treeReduce(_ + _, depth = 2)
+      } else batch.rdd.treeAggregate(DenseVector.zeros[Double](n + 2))(
         seqOp = (acc, row) => {
           val y = Array.tabulate(oo)(o2 =>
             (row.getDouble(o2) - ym(o2)) / ys(o2))

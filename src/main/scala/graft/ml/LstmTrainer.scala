@@ -436,9 +436,10 @@ class LSTMTrainer(
   * state), per-output target standardization, the
   * [[MLPMultiRegressor]] shape on the [[LstmStackBptt]] kernel.
   * Stacked layers, per-layer dropout tuples, and `layerNorm` compose;
-  * mse-only (the MLPMultiRegressor boundary — the rank objectives rank
-  * one output) and non-bidirectional (the multi scorer reads the
-  * stacked layout). */
+  * non-bidirectional (the multi scorer reads the stacked layout).
+  * `loss = "spearman" | "combined"` trains the reference's rank
+  * objectives with their exact multi-output semantics — the loss
+  * flattens (batch, out) to ONE ranked vector (losses.py:67-69). */
 class LSTMMultiTrainer(
     val lagCols: Seq[String],
     val seqLen: Int,
@@ -453,9 +454,16 @@ class LSTMMultiTrainer(
     val dropout: Double = 0.0,
     val recurrentDropout: Double = 0.0,
     val layerDropouts: Seq[(Double, Double)] = Nil,
-    val layerNorm: Boolean = false) extends Serializable {
+    val layerNorm: Boolean = false,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(targetCols.size >= 2, "use LSTMTrainer for a single output")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
   require(batchFraction > 0 && batchFraction <= 1.0,
@@ -503,11 +511,13 @@ class LSTMMultiTrainer(
     val w = LstmStackBptt.init(cfg, seed)
     SeqAdam.runMulti(data, cfg.size, w, out, yMean, yStd, nFeat, seqLen,
       epochs, lr, seed, batchFraction,
-      (bw, x, ys, acc, ms) => LstmStackBptt.runMulti(bw, cfg, x, ys, acc,
+      (bw, x, ys, acc, ms, po) => LstmStackBptt.runMulti(bw, cfg, x, ys,
+        acc,
         if (anyDropout)
           LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms,
             if (effDropouts.size > 1) effDropouts else null)
-        else null))
+        else null, po),
+      loss, mseWeight, spearmanWeight, rankTau, rankBatch)
     cells = LstmStackBptt.stackCells(w, cfg)
     val (hw, hb) = LstmStackBptt.headMulti(w, cfg)
     headW = hw; headB = hb

@@ -298,7 +298,12 @@ class MLPRegressor(
   * per-output MSE — the same flat-gradient treeAggregate kernel as the
   * single-output fit, with per-output target standardization. Scoring
   * goes through [[MLPRegressor.predictColumns]] (the q_mlp_multi path)
-  * and appends `prediction_{i}`. */
+  * and appends `prediction_{i}`.
+  * `loss = "spearman" | "combined"` trains the reference's rank
+  * objectives with their exact multi-output semantics: the loss
+  * RESHAPES (batch, out) to (-1, 1) before soft-ranking
+  * (losses.py:67-69), so every output's predictions rank together in
+  * one flattened vector per batch. */
 class MLPMultiRegressor(
     val featureCols: Seq[String],
     val targetCols: Seq[String],
@@ -307,11 +312,18 @@ class MLPMultiRegressor(
     val epochs: Int = 200,
     val seed: Long = 42L,
     val scaleTarget: Boolean = true,
-    val batchFraction: Double = 0.2) extends Serializable {
+    val batchFraction: Double = 0.2,
+    val loss: String = "mse",
+    val mseWeight: Double = 2.0,
+    val spearmanWeight: Double = 1.0,
+    val rankTau: Double = 1e-3,
+    val rankBatch: Int = 64) extends Serializable {
 
   require(targetCols.size >= 2, "use MLPRegressor for a single output")
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
+  require(Set("mse", "spearman", "combined")(loss),
+    s"loss must be mse|spearman|combined, got $loss")
   private val out = targetCols.size
 
   private var weights: MLPMultiWeights = _
@@ -352,7 +364,74 @@ class MLPMultiRegressor(
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
       val zero = DenseVector.zeros[Double](sz + 2)
-      val grad = batch.rdd.treeAggregate(zero)(
+      val grad = if (loss != "mse") {
+        // rank-loss path with the reference's multi-output semantics:
+        // (batch, out) flattens to ONE soft-ranked vector per batch
+        // (losses.py:67-69); per-row injection scatters the flattened
+        // dL/dp back through the shared hidden layer. A 1-row leftover
+        // batch still ranks its `out >= 2` flattened elements.
+        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        val (tau, rb, nOut) = (rankTau, rankBatch, out)
+        val (sd, ep) = (seed, t.toLong)
+        batch.rdd.mapPartitions { it =>
+          val acc = DenseVector.zeros[Double](sz + 2)
+          val part = org.apache.spark.TaskContext.getPartitionId().toLong
+          SeqAdam.shuffledBatches(it, rb, sd, ep, part).foreach { rows =>
+            val b = rows.size
+            val xs = new Array[DenseVector[Double]](b)
+            val z1s = new Array[DenseVector[Double]](b)
+            val hs = new Array[DenseVector[Double]](b)
+            val flatP = new Array[Double](b * nOut)
+            val flatY = new Array[Double](b * nOut)
+            var i = 0
+            rows.foreach { row =>
+              val x = DenseVector(
+                featIdx.map(ii => row.getDouble(ii + nOut)).toArray)
+              val z1 = bw1.t * x + bb1
+              val h = z1.map(z => if (z > 0) z else 0.0)
+              var o = 0
+              while (o < nOut) {
+                flatY(i * nOut + o) = (row.getDouble(o) - ym(o)) / ys(o)
+                var p = bb2(o)
+                for (j <- 0 until h.length) p += h(j) * bw2(j, o)
+                flatP(i * nOut + o) = p
+                o += 1
+              }
+              xs(i) = x; z1s(i) = z1; hs(i) = h
+              i += 1
+            }
+            val (dp, lossVal) =
+              RankLoss.combinedGrad(flatP, flatY, tau, mw, sw)
+            i = 0
+            while (i < b) {
+              val dz1 = DenseVector.tabulate(bb1.length) { j =>
+                if (z1s(i)(j) > 0) {
+                  var s = 0.0
+                  for (o <- 0 until nOut) s += bw2(j, o) * dp(i * nOut + o)
+                  s
+                } else 0.0
+              }
+              var off = 0
+              val x = xs(i)
+              for (ii <- 0 until x.length; j <- 0 until bb1.length) {
+                acc(off) += x(ii) * dz1(j); off += 1
+              }
+              for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
+              for (j <- 0 until bb1.length; o <- 0 until nOut) {
+                acc(off) += hs(i)(j) * dp(i * nOut + o); off += 1
+              }
+              for (o <- 0 until nOut) {
+                acc(off) += dp(i * nOut + o); off += 1
+              }
+              i += 1
+            }
+            acc(sz) += lossVal
+            acc(sz + 1) += 1.0
+          }
+          Iterator.single(acc)
+        }.treeReduce(_ + _, depth = 2)
+      } else batch.rdd.treeAggregate(zero)(
         seqOp = (acc, row) => {
           val y = Array.tabulate(out)(o =>
             (row.getDouble(o) - ym(o)) / ys(o))

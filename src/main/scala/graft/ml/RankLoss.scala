@@ -169,6 +169,81 @@ object RankLoss {
     }, depth = 2)
   }
 
+  /** Multi-output rank-loss epoch gradient (`output_units > 1`,
+    * base.py:46): the reference's SpearmanCorrelation loss RESHAPES the
+    * (batch, out) tensors to (-1, 1) before soft-ranking
+    * (losses.py:67-69) — every output's predictions rank together in ONE
+    * flattened vector — and the Keras mse likewise means over all
+    * batch·out elements. So the batch gradient is [[combinedGrad]] over
+    * the flattened length-(b·out) vectors, scattered back per output and
+    * injected through the UNCHANGED multi kernel as per-output surrogate
+    * targets (every multi backward in this repo is linear in each
+    * pred_o − y_o). A leftover single-row batch needs no special case:
+    * its flattened vector still has `nOut >= 2` elements, exactly the
+    * degenerate batch the reference's loss would see.
+    *
+    * Row layout: cols 0..nOut-1 = targets, then lag-major sequence
+    * values; kernel signature = (x, ys, acc, maskSeed, predsOut). */
+  def seqEpochGradientMulti(rows: RDD[Row], sz: Int, t: Int, f: Int,
+      nOut: Int, yMean: Array[Double], yStd: Array[Double],
+      kernel: (Array[Array[Double]], Array[Double], Array[Double], Long,
+        Array[Double]) => Double,
+      tau: Double, mseW: Double, spW: Double, rankBatch: Int,
+      seed: Long, ep: Long): Array[Double] = {
+    rows.mapPartitions { it =>
+      val acc = new Array[Double](sz + 2)
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      var idx = 0L
+      SeqAdam.shuffledBatches(it, rankBatch, seed, ep, part.toLong)
+        .foreach { batch =>
+        val b = batch.size
+        val xs = new Array[Array[Array[Double]]](b)
+        val ys = new Array[Array[Double]](b)
+        val preds = new Array[Array[Double]](b)
+        val seeds = new Array[Long](b)
+        var i = 0
+        batch.foreach { row =>
+          ys(i) = Array.tabulate(nOut)(o =>
+            (row.getDouble(o) - yMean(o)) / yStd(o))
+          xs(i) = Array.tabulate(t, f)((ti, fi) =>
+            row.getDouble(nOut + ti * f + fi))
+          seeds(i) = SeqAdam.maskSeed(seed, ep, part.toLong, idx)
+          idx += 1
+          preds(i) = new Array[Double](nOut)
+          kernel(xs(i), ys(i), null, seeds(i), preds(i))
+          i += 1
+        }
+        val flatP = new Array[Double](b * nOut)
+        val flatY = new Array[Double](b * nOut)
+        i = 0
+        while (i < b) {
+          var o = 0
+          while (o < nOut) {
+            flatP(i * nOut + o) = preds(i)(o)
+            flatY(i * nOut + o) = ys(i)(o)
+            o += 1
+          }
+          i += 1
+        }
+        val (dp, lossVal) = combinedGrad(flatP, flatY, tau, mseW, spW)
+        i = 0
+        while (i < b) {
+          val sur = Array.tabulate(nOut)(o =>
+            preds(i)(o) - dp(i * nOut + o))
+          kernel(xs(i), sur, acc, seeds(i), null)
+          i += 1
+        }
+        acc(sz) += lossVal
+        acc(sz + 1) += 1.0
+      }
+      Iterator.single(acc)
+    }.treeReduce({ (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }, depth = 2)
+  }
+
   /** Combined loss (losses.py:125-189): mseW·mean((p−y)²) + spW·softSp.
     * Returns (dL/dp, batch loss). */
   def combinedGrad(p: Array[Double], y: Array[Double], tau: Double,

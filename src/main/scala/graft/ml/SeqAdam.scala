@@ -110,13 +110,19 @@ private[ml] object SeqAdam {
   /** Multi-output epoch loop (output_units > 1, base.py:46): rows carry
     * `nOut` leading target columns, each standardized per-output; the
     * kernel receives the standardized target VECTOR and accumulates the
-    * joint Keras summed-mse gradient. Mse-only — the same boundary as
-    * [[MLPMultiRegressor]] (rank objectives rank ONE output). */
+    * joint Keras summed-mse gradient (and fills `predsOut` when
+    * non-null). `loss = "spearman" | "combined"` trains the reference's
+    * rank objectives with their exact multi-output semantics — the loss
+    * flattens (batch, out) to one vector (losses.py:67-69) — via
+    * [[RankLoss.seqEpochGradientMulti]]'s surrogate-target injection. */
   def runMulti(data: DataFrame, sz: Int, w: Array[Double], nOut: Int,
       yMean: Array[Double], yStd: Array[Double], nFeat: Int, seqLen: Int,
       epochs: Int, lr: Double, seed: Long, batchFraction: Double,
       kernel: (Array[Double], Array[Array[Double]], Array[Double],
-        Array[Double], Long) => Double): Unit = {
+        Array[Double], Long, Array[Double]) => Double,
+      loss: String = "mse", mseWeight: Double = 2.0,
+      spearmanWeight: Double = 1.0, rankTau: Double = 1e-3,
+      rankBatch: Int = 64): Unit = {
     val (f, t) = (nFeat, seqLen)
     val adam = new AdamState(sz, lr)
     for (ep <- 1 to epochs) {
@@ -124,7 +130,13 @@ private[ml] object SeqAdam {
       val epL = ep.toLong
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + ep)
-      val grad = batch.rdd.treeAggregate(new Array[Double](sz + 2))(
+      val grad = if (loss != "mse") {
+        val (mw, sw) = if (loss == "spearman") (0.0, 1.0)
+          else (mseWeight, spearmanWeight)
+        RankLoss.seqEpochGradientMulti(batch.rdd, sz, t, f, nOut, yMean,
+          yStd, (x, ys, acc, ms, po) => kernel(bw, x, ys, acc, ms, po),
+          rankTau, mw, sw, rankBatch, seed, epL)
+      } else batch.rdd.treeAggregate(new Array[Double](sz + 2))(
         seqOp = (acc, row) => {
           val ys = Array.tabulate(nOut)(o =>
             (row.getDouble(o) - yMean(o)) / yStd(o))
@@ -133,7 +145,7 @@ private[ml] object SeqAdam {
           val ms = maskSeed(seed, epL,
             org.apache.spark.TaskContext.getPartitionId().toLong,
             acc(sz + 1).toLong)
-          acc(sz) += kernel(bw, x, ys, acc, ms)
+          acc(sz) += kernel(bw, x, ys, acc, ms, null)
           acc(sz + 1) += 1.0
           acc
         },

@@ -443,4 +443,134 @@ class AttnFitSpec extends AnyFunSuite {
     assert(r20 > 0.8 && r21 > 0.8,
       s"joint multi-output transformer fit: r2_0=$r20 r2_1=$r21")
   }
+
+  test("cross bptt kernel (attention_type=cross, transformer.py:51-90): " +
+    "analytic gradient matches central finite differences over every " +
+    "parameter incl. the feature-axis q/k/v (with and without pre-norm)") {
+    val (f, t, h, ff) = (2, 3, 3, 4)
+    for (norm <- Seq(false, true)) {
+      val sz = AttnBptt.size(f, t, h, ff, norm, cross = true)
+      val r = new scala.util.Random(47)
+      val w = Array.fill(sz)(r.nextGaussian() * 0.4)
+      val x = Array.fill(t, f)(r.nextGaussian())
+      val y = 0.4
+      val acc = new Array[Double](sz)
+      AttnBptt.run(w, f, h, ff, x, y, acc, norm, cross = true)
+      val eps = 1e-6
+      for (i <- 0 until sz) {
+        val wp = w.clone(); wp(i) += eps
+        val wm = w.clone(); wm(i) -= eps
+        def loss(wv: Array[Double]) = {
+          val d = AttnBptt.run(wv, f, h, ff, x, y, null, norm,
+            cross = true) - y
+          0.5 * d * d
+        }
+        val fd = (loss(wp) - loss(wm)) / (2 * eps)
+        assert(math.abs(fd - acc(i)) <= 1e-5 * math.max(1.0, math.abs(fd)),
+          s"norm=$norm cross grad mismatch at $i: analytic=${acc(i)} fd=$fd")
+      }
+    }
+  }
+
+  test("cross bptt kernel forward matches the distributed scorer's " +
+    "dual-axis cross stages through toWeights") {
+    val (f, t, h, ff) = (2, 3, 3, 4)
+    for (norm <- Seq(false, true)) {
+      val sz = AttnBptt.size(f, t, h, ff, norm, cross = true)
+      val r = new scala.util.Random(53)
+      val w = Array.fill(sz)(r.nextGaussian() * 0.3)
+      val x = Array.fill(t, f)(r.nextGaussian())
+      val cols = (0 until t).flatMap(ti =>
+        (0 until f).map(fi => s"x${ti}_$fi"))
+      val row = org.apache.spark.sql.Row.fromSeq(
+        0L +: (0 until t).flatMap(ti => (0 until f).map(fi => x(ti)(fi))))
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType)))
+      val sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(row), 1), schema)
+      val ws = AttnBptt.toWeights(w, f, t, h, ff, norm, cross = true)
+      assert(ws.wqF != null && ws.bvF != null,
+        "cross toWeights must carry the feature-axis arrays")
+      val scored = AttnScorer.score(sdf, cols.grouped(f).toSeq, ws)
+        .select("prediction").collect()(0).getDouble(0)
+      assert(math.abs(scored -
+        AttnBptt.forward(w, f, h, ff, x, norm, cross = true)) < 1e-12,
+        s"norm=$norm: cross trainer forward and scorer disagree")
+    }
+  }
+
+  test("attn: attention_type=cross fit (dual-axis, transformer.py:168-172) " +
+    "learns a two-feature lag mix to R^2 > 0.8; fitted weights score " +
+    "through TransformerRegressor(cross)") {
+    val r = new scala.util.Random(9)
+    val n = 640
+    val a = Array.fill(n)(r.nextGaussian())
+    val b = Array.fill(n)(r.nextGaussian())
+    val rows = (3 until 600).map { i =>
+      (i.toLong, a(i - 3), b(i - 3), a(i - 2), b(i - 2), a(i - 1), b(i - 1),
+        0.8 * a(i - 1) - 0.5 * b(i - 2) + 0.3 * a(i - 3) * b(i - 1))
+    }
+    val lagCols = Seq("a3", "b3", "a2", "b2", "a1", "b1")
+    val df = rows.toDF("id" +: lagCols :+ "y": _*)
+    val m = new AttnTrainer(lagCols, seqLen = 3, targetCol = "y",
+      dModel = 6, ffDim = 12, preNorm = true, lr = 0.02, epochs = 200,
+      attentionType = "cross")
+    val pred = m.fit(df).predict(df)
+    assert(m.fittedWeights.wqF != null,
+      "cross fit must produce the feature-axis q/k/v")
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"cross-attention fit failed to learn: r2=$r2")
+    // the reference-shaped estimator surface scores the same fit: the
+    // trainer un-standardizes (affine), so the two predictions must be
+    // perfectly correlated
+    val viaReg = TransformerRegressor(lagCols, seqLen = 3,
+      m.fittedWeights, attentionType = "cross").predict(df)
+      .select("id", "prediction").withColumnRenamed("prediction", "raw")
+    val joined = pred.select("id", "prediction").join(viaReg, "id")
+    val corr = joined.select(org.apache.spark.sql.functions
+      .corr("prediction", "raw")).collect()(0).getDouble(0)
+    assert(corr > 1.0 - 1e-9,
+      s"TransformerRegressor(cross) disagrees with the trainer: corr=$corr")
+  }
+
+  test("attn: attention_type=feature fit (iTransformer, " +
+    "transformer.py:179-186) trains the kernels over the transposed " +
+    "token layout to R^2 > 0.8, incl. the full-architecture composition") {
+    val r = new scala.util.Random(9)
+    val n = 640
+    val a = Array.fill(n)(r.nextGaussian())
+    val b = Array.fill(n)(r.nextGaussian())
+    val rows = (3 until 600).map { i =>
+      (i.toLong, a(i - 3), b(i - 3), a(i - 2), b(i - 2), a(i - 1), b(i - 1),
+        0.8 * a(i - 1) - 0.5 * b(i - 2) + 0.3 * a(i - 3) * b(i - 1))
+    }
+    val lagCols = Seq("a3", "b3", "a2", "b2", "a1", "b1")
+    val df = rows.toDF("id" +: lagCols :+ "y": _*)
+    // reduced kernel over the transposed layout
+    val m = new AttnTrainer(lagCols, seqLen = 3, targetCol = "y",
+      dModel = 6, ffDim = 12, lr = 0.02, epochs = 200,
+      attentionType = "feature")
+    val pred = m.fit(df).predict(df)
+    // feature-mode weight shapes: wIn reads seqLen-wide tokens, posEmb
+    // has one row per FEATURE token
+    assert(m.fittedWeights.wIn.length == 3 &&
+      m.fittedWeights.posEmb.length == 2,
+      "feature-mode weights must be shaped for the transposed layout")
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"feature-attention fit failed to learn: r2=$r2")
+    // composes with the full-architecture kernel (multi-head + pooling)
+    val mf = new AttnTrainer(lagCols, seqLen = 3, targetCol = "y",
+      dModel = 6, ffDim = 12, preNorm = true, lr = 0.02, epochs = 200,
+      numHeads = 2, attnPool = true, mlpUnits = Seq(6),
+      attentionType = "feature")
+    val predF = mf.fit(df).predict(df)
+    val r2f = Metrics.r2(predF, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2f > 0.8, s"feature full-architecture fit: r2=$r2f")
+  }
 }

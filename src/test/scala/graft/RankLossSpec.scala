@@ -232,4 +232,110 @@ class RankLossSpec extends AnyFunSuite {
         assert(a == b, s"zero-weight fit moved off the init: $a vs $b")
     }
   }
+
+  test("multi-output rank loss (the reference flattens (batch, out) to " +
+    "ONE ranked vector, losses.py:67-69): MLPMultiRegressor trained with " +
+    "loss=combined at spearmanWeight=0, mseWeight=out/2 reproduces the " +
+    "joint-mse path — the flattened delta-linearity identity") {
+    val r = new scala.util.Random(17)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian())
+    }
+    // single partition + rankBatch ≥ n → ONE batch of n·out flattened
+    // elements: dp_{i,o} = mseW·2·d_{i,o}/(n·out); the joint-mse path
+    // normalizes Σ_o d_o∇ by n, so mseW = out/2 makes them equal
+    val df = rows.toDF("id", "f0", "f1", "f2", "y0", "y1").repartition(1)
+    def weights(loss: String) =
+      new MLPMultiRegressor(Seq("f0", "f1", "f2"), Seq("y0", "y1"),
+        hidden = 4, lr = 0.02, epochs = 10, loss = loss, mseWeight = 1.0,
+        spearmanWeight = 0.0, rankBatch = 64).fit(df).fittedWeights
+    val wm = weights("mse"); val wc = weights("combined")
+    (wm.w2.flatten[Double] zip wc.w2.flatten[Double]).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-6,
+        s"multi w2 diverged: $a vs $b")
+    }
+    (wm.w1.flatten[Double] zip wc.w1.flatten[Double]).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-6,
+        s"multi w1 diverged: $a vs $b")
+    }
+    (wm.b2 zip wc.b2).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"multi b2 diverged: $a vs $b")
+    }
+  }
+
+  test("multi-output flattened identity holds for the deep MLP and the " +
+    "transformer multi trainers (the SeqAdam.runMulti injection path)") {
+    val r = new scala.util.Random(23)
+    val rows = (0 until 30).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian(), r.nextGaussian())
+    }
+    val df = rows.toDF("id", "lag4", "lag3", "lag2", "lag1", "y0", "y1")
+      .repartition(1)
+    def attnW(loss: String) =
+      new AttnMultiTrainer(Seq("lag4", "lag3", "lag2", "lag1"),
+        seqLen = 4, targetCols = Seq("y0", "y1"), dModel = 4, ffDim = 6,
+        lr = 0.02, epochs = 5, loss = loss, mseWeight = 1.0,
+        spearmanWeight = 0.0, rankBatch = 64).fit(df).fittedHead
+    val (hwM, hbM) = attnW("mse"); val (hwC, hbC) = attnW("combined")
+    (hwM.flatten[Double] zip hwC.flatten[Double]).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"attn multi head diverged: $a vs $b")
+    }
+    (hbM zip hbC).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"attn multi bias diverged: $a vs $b")
+    }
+    def deepW(loss: String) =
+      new DeepMLPMultiRegressor(Seq("lag4", "lag3", "lag2", "lag1"),
+        Seq("y0", "y1"), layers = Seq(4), lr = 0.02, epochs = 10,
+        loss = loss, mseWeight = 1.0, spearmanWeight = 0.0,
+        rankBatch = 64).fit(df).fittedFlat
+    (deepW("mse") zip deepW("combined")).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"deep multi diverged: $a vs $b")
+    }
+  }
+
+  test("multi-output mlp with loss=combined beats MSE-only on the " +
+    "objective the reference's flatten semantics actually optimizes — " +
+    "the JOINT soft Spearman over the flattened (row, output) vector") {
+    val r = new scala.util.Random(21)
+    val rows = (0 until 300).map { i =>
+      val f0 = r.nextGaussian()
+      val ramp = math.max(f0 - 1.2, 0.0)
+      (i.toLong, f0, r.nextGaussian(), r.nextGaussian(),
+        500.0 * ramp * ramp + math.tanh(4.0 * f0) +
+          0.001 * r.nextGaussian(),
+        math.tanh(2.0 * f0) + 0.001 * r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y0", "y1")
+    // evaluate in the training (per-output standardized) space: collect,
+    // standardize each column by its own moments, flatten row-major —
+    // exactly the vector the loss ranks (losses.py:67-69)
+    def zscore(a: Array[Double]): Array[Double] = {
+      val m = a.sum / a.length
+      val s = math.sqrt(a.map(v => (v - m) * (v - m)).sum / a.length)
+      a.map(v => (v - m) / math.max(s, 1e-12))
+    }
+    def jointSoftSpearman(loss: String): Double = {
+      val m = new MLPMultiRegressor(Seq("f0", "f1", "f2"),
+        Seq("y0", "y1"), hidden = 8, lr = 0.05, epochs = 120,
+        loss = loss, rankTau = 0.3, rankBatch = 64)
+      val got = m.fit(df).predict(df)
+        .select("prediction_0", "prediction_1", "y0", "y1").collect()
+      val p0 = zscore(got.map(_.getDouble(0)))
+      val p1 = zscore(got.map(_.getDouble(1)))
+      val t0 = zscore(got.map(_.getDouble(2)))
+      val t1 = zscore(got.map(_.getDouble(3)))
+      val flatP = got.indices.flatMap(i => Seq(p0(i), p1(i))).toArray
+      val flatY = got.indices.flatMap(i => Seq(t0(i), t1(i))).toArray
+      -RankLoss.softSpearmanLoss(flatP, flatY, 0.3)
+    }
+    val sMse = jointSoftSpearman("mse")
+    val sComb = jointSoftSpearman("combined")
+    info(s"joint flattened soft Spearman: mse-only=$sMse combined=$sComb")
+    assert(sComb > sMse,
+      s"multi combined ($sComb) should beat mse-only ($sMse) on the " +
+        "flattened objective")
+    assert(sComb > 0.5, s"joint rank training failed: $sComb")
+  }
 }
