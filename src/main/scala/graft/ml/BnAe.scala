@@ -65,9 +65,10 @@ object BnAeKernel {
     * each row its noise + dropout draw stream (noise first — k Gaussians
     * when `noiseStd` > 0 — then the four mask blocks in the
     * [[JointAeKernel.runW]] order). With `injectTgt` non-null the
-    * target-head gradient rows are taken verbatim (rank-loss surrogate:
-    * dL/dpred_i, already scaled by the caller) and the returned loss is
-    * the reconstruction term only — the caller adds its own target
+    * target-head gradient rows are taken verbatim per output
+    * (rank-loss surrogate: dL/dpred_{i,o} — [b][nOut], already scaled
+    * by the caller up to the kernel's tw factor) and the returned loss
+    * is the reconstruction term only — the caller adds its own target
     * loss; otherwise the MSE target term is computed in-kernel and the
     * full joint batch objective is returned. */
   def runBatch(w: BnAeWeights, x: Array[Array[Double]],
@@ -75,7 +76,7 @@ object BnAeKernel {
       acc: Array[Double], drop: AeDrop = null,
       seeds: Array[Long] = null, noiseStd: Double = 0.0,
       predOut: Array[Array[Double]] = null,
-      injectTgt: Array[Double] = null): Double = {
+      injectTgt: Array[Array[Double]] = null): Double = {
     val c = w.core
     val (k, hE, l, hA, nOut) = (c.k, c.hE, c.latent, c.hA, c.nOut)
     val b = x.length
@@ -178,7 +179,7 @@ object BnAeKernel {
 
     // ---- backward ----
     val dPreds = if (injectTgt != null)
-      Array.tabulate(b, 1)((i, _) => tw * injectTgt(i))
+      Array.tabulate(b, nOut)((i, o2) => tw * injectTgt(i)(o2))
     else Array.tabulate(b, nOut)((i, o2) =>
       2.0 * tw / (nOut * b) * (preds(i)(o2) - ysM(i)(o2)))
     // head
@@ -442,10 +443,11 @@ class BnJointAutoencoder(
   require(Set("mse", "spearman", "combined")(targetLoss),
     s"targetLoss must be mse|spearman|combined, got $targetLoss")
 
+  /** The rank losses compose with multi-output target heads under the
+    * reference's exact semantics — the loss flattens (batch, out) to
+    * one ranked vector (losses.py:67-69). */
   val targetCols: Seq[String] = targetCol +: extraTargetCols
   private val nOut = targetCols.size
-  require(nOut == 1 || targetLoss == "mse",
-    "multi-output target head is mse-only (rank objectives rank ONE output)")
 
   private val k = featureCols.size
   private val sz = BnAeKernel.size(k, encoderHidden, latentDim,
@@ -497,15 +499,29 @@ class BnJointAutoencoder(
           val loss = BnAeKernel.runBatch(w, x, ys, rw, tw, acc, dd,
             seeds, noiseStd)
           acc(n) += loss; acc(n + 1) += 1.0
-        } else if (b >= 2 || mw != 0.0) {
-          val po = Array.ofDim[Double](b, 1)
+        } else if (b >= 2 || mw != 0.0 || nO >= 2) {
+          // rank loss with the reference's multi-output semantics:
+          // (batch, out) flattens to ONE ranked vector (losses.py:67-69)
+          val po = Array.ofDim[Double](b, nO)
           BnAeKernel.runBatch(w, x, ys, rw, tw, null, dd, seeds,
             noiseStd, po)
-          val preds = Array.tabulate(b)(i2 => po(i2)(0))
-          val ysv = Array.tabulate(b)(i2 => ys(i2)(0))
-          val (dLt, tLoss) = RankLoss.combinedGrad(preds, ysv, tau, mw, sw)
+          val flatP = new Array[Double](b * nO)
+          val flatY = new Array[Double](b * nO)
+          var i2 = 0
+          while (i2 < b) {
+            var o2 = 0
+            while (o2 < nO) {
+              flatP(i2 * nO + o2) = po(i2)(o2)
+              flatY(i2 * nO + o2) = ys(i2)(o2)
+              o2 += 1
+            }
+            i2 += 1
+          }
+          val (dLt, tLoss) =
+            RankLoss.combinedGrad(flatP, flatY, tau, mw, sw)
+          val inj = Array.tabulate(b, nO)((i3, o2) => dLt(i3 * nO + o2))
           val reconLoss = BnAeKernel.runBatch(w, x, ys, rw, tw, acc, dd,
-            seeds, noiseStd, null, dLt)
+            seeds, noiseStd, null, inj)
           acc(n) += reconLoss + tw * tLoss
           acc(n + 1) += 1.0
         }

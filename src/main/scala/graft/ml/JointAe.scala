@@ -510,11 +510,11 @@ class JointAutoencoder(
 
   /** All target-head outputs — the reference's Dense(output_units)
     * target_prediction (autoencoder.py:67-69), trained jointly with the
-    * reconstruction head; rank losses stay single-output. */
+    * reconstruction head. The rank losses compose with multi-output
+    * heads under the reference's exact semantics — the loss flattens
+    * (batch, out) to one ranked vector (losses.py:67-69). */
   val targetCols: Seq[String] = targetCol +: extraTargetCols
   private val nOut = targetCols.size
-  require(nOut == 1 || targetLoss == "mse",
-    "multi-output target head is mse-only (rank objectives rank ONE output)")
 
   private val k = featureCols.size
   private val sz = JointAeKernel.size(k, encoderHidden, latentDim,
@@ -573,7 +573,14 @@ class JointAutoencoder(
     * consistent with the MSE-path gradient(). A leftover single-row
     * batch contributes through the same path (combinedGrad degenerates
     * to the pure MSE gradient at b = 1; skipped only for the pure
-    * spearman loss, which is undefined on one row). */
+    * single-output spearman loss, which is undefined on one element —
+    * a multi-output row still flattens to nOut >= 2).
+    *
+    * Multi-output target heads use the reference's exact semantics —
+    * the loss FLATTENS (batch, out) to one ranked vector
+    * (losses.py:67-69); the kernel's per-output backward is
+    * 2·tw/nOut·(p−y′), so the flattened gradient injects via
+    * y′_o = p_o − nOut·dLt_o/2. */
   def rankGradient(data: DataFrame, p: Array[Double], ep: Long = 0L)
       : (Array[Double], Double) = {
     val (kk, hE, l, hA) = (k, encoderHidden, latentDim, headHidden)
@@ -582,42 +589,59 @@ class JointAutoencoder(
       else (mseWeight, spearmanWeight)
     val (tau, rb) = (rankTau, rankBatch)
     val n = sz
+    val nO = nOut
     val dd = if (ep == 0L) null else aeDrop
     val seed0 = seed
-    val w = JointAeKernel.toWeights(p, kk, hE, l, hA)
+    val w = JointAeKernel.toWeights(p, kk, hE, l, hA, nO)
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
       var idx = 0L
       SeqAdam.shuffledBatches(it, rb, seed0, ep, part).foreach { batch =>
         val b = batch.size
-        if (b >= 2 || mw != 0.0) {
+        if (b >= 2 || mw != 0.0 || nO >= 2) {
           val xIn = new Array[Array[Double]](b)
           val xTgt = new Array[Array[Double]](b)
-          val ys = new Array[Double](b)
-          val preds = new Array[Double](b)
           val seeds = new Array[Long](b)
+          val flatP = new Array[Double](b * nO)
+          val flatY = new Array[Double](b * nO)
           var i = 0
           batch.foreach { row =>
-            ys(i) = row.getDouble(0)
-            xTgt(i) = Array.tabulate(kk)(j => row.getDouble(j + 1))
-            xIn(i) = if (row.size > kk + 1)
-              Array.tabulate(kk)(j => row.getDouble(kk + j + 1))
+            xTgt(i) = Array.tabulate(kk)(j => row.getDouble(j + nO))
+            xIn(i) = if (row.size > kk + nO)
+              Array.tabulate(kk)(j => row.getDouble(kk + j + nO))
             else xTgt(i)
             seeds(i) = if (dd == null) 0L
               else SeqAdam.maskSeed(seed0, ep, part, idx)
             idx += 1
-            preds(i) = if (dd == null) JointAeKernel.forward(w, xIn(i))._3
-              else JointAeKernel.forwardMasked(w, xIn(i), dd, seeds(i))
+            val po = new Array[Double](nO)
+            JointAeKernel.runW(w, xIn(i), xTgt(i), 0.0, rw, tw, null,
+              dd, seeds(i), predOut = po, ysM = new Array[Double](nO))
+            var o2 = 0
+            while (o2 < nO) {
+              flatP(i * nO + o2) = po(o2)
+              flatY(i * nO + o2) = row.getDouble(o2)
+              o2 += 1
+            }
             i += 1
           }
-          val (dLt, tLoss) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
+          val (dLt, tLoss) =
+            RankLoss.combinedGrad(flatP, flatY, tau, mw, sw)
           i = 0
           while (i < b) {
-            val lv = JointAeKernel.runW(w, xIn(i), xTgt(i),
-              preds(i) - dLt(i) / 2.0, rw / b, tw, acc, dd, seeds(i))
+            val sur = Array.tabulate(nO)(o2 =>
+              flatP(i * nO + o2) - nO * dLt(i * nO + o2) / 2.0)
+            val lv = JointAeKernel.runW(w, xIn(i), xTgt(i), 0.0, rw / b,
+              tw, acc, dd, seeds(i), ysM = sur)
             // strip the injected surrogate term, keep the recon term
-            acc(n) += lv - tw * (dLt(i) / 2.0) * (dLt(i) / 2.0)
+            var surTerm = 0.0
+            var o2 = 0
+            while (o2 < nO) {
+              val s = nO * dLt(i * nO + o2) / 2.0
+              surTerm += s * s
+              o2 += 1
+            }
+            acc(n) += lv - tw * surTerm / nO
             i += 1
           }
           acc(n) += tw * tLoss

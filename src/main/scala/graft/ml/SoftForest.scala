@@ -308,12 +308,11 @@ class SoftNdfRegressor(
   /** All targets: `output_units = 1 + extraTargetCols.size` — the
     * reference's pi matrix (num_leaves, output_units) with SHARED
     * routing (tree.py:127-133,205: outputs = mu @ pi), trained jointly.
-    * Multi-output composes with trunk/bagging/annealing/regularizers;
-    * rank losses stay single-output (the MLPMultiRegressor boundary). */
+    * Multi-output composes with trunk/bagging/annealing/regularizers
+    * AND the rank losses (the reference's loss flattens (batch, out)
+    * to one ranked vector, losses.py:67-69 — [[rankGradient]]). */
   val targetCols: Seq[String] = targetCol +: extraTargetCols
   private val nOut = targetCols.size
-  require(nOut == 1 || loss == "mse",
-    "multi-output NDF is mse-only (rank objectives rank ONE output)")
 
   private val nFeat = featureCols.size
   private val nNodes = (1 << depth) - 1
@@ -587,7 +586,9 @@ class SoftNdfRegressor(
     * (losses.py:22-189): the per-row backward is linear in pred − y, so
     * the batch rank gradient injects via the surrogate target
     * y′ = pred − dL/dp_i (the RankLoss.seqEpochGradient identity); slot
-    * sz+1 counts batches. */
+    * sz+1 counts batches. Multi-output uses the reference's exact
+    * semantics — the loss FLATTENS (batch, out) to one ranked vector
+    * (losses.py:67-69) — so the single-output path is just nOut = 1. */
   def rankGradient(data: DataFrame, p: Array[Double],
       masks: Seq[Array[Int]], temp: Double, ep: Long = 0L)
       : (Array[Double], Double) = {
@@ -600,6 +601,7 @@ class SoftNdfRegressor(
       else (mseWeight, spearmanWeight)
     val (tau, rb) = (rankTau, rankBatch)
     val n = sz
+    val nO = nOut
     val seed0 = seed
     val useNoise = noiseActive && ep != 0L
     val bn = if (!useInputBn) null else batchBnStats(data, p)
@@ -612,28 +614,40 @@ class SoftNdfRegressor(
         // combinedGrad degenerates to the pure MSE gradient at b = 1
         // (the Spearman term is identically 0 on one row), so leftover
         // single-row batches still contribute their MSE term; only the
-        // pure spearman loss skips them (undefined on one row)
-        if (b >= 2 || mw != 0.0) {
+        // pure single-output spearman loss skips them (undefined on one
+        // element — a multi-output row still flattens to nOut >= 2)
+        if (b >= 2 || mw != 0.0 || nO >= 2) {
           val xs = new Array[Array[Double]](b)
-          val ys = new Array[Double](b)
-          val preds = new Array[Double](b)
+          val ysM = new Array[Array[Double]](b)
           val seeds = new Array[Long](b)
+          val flatP = new Array[Double](b * nO)
+          val flatY = new Array[Double](b * nO)
           var i = 0
           batch.foreach { row =>
-            ys(i) = row.getDouble(0)
-            xs(i) = Array.tabulate(k)(j => row.getDouble(j + 1))
+            ysM(i) = Array.tabulate(nO)(o2 => row.getDouble(o2))
+            xs(i) = Array.tabulate(k)(j => row.getDouble(j + nO))
             seeds(i) = if (!useNoise) 0L
               else SeqAdam.maskSeed(seed0, ep, part, idx)
             idx += 1
-            preds(i) = rowRun(trees, trunk, paths, tOffs, xs(i), 0.0,
-              null, temp, seeds(i), bn = bn)
+            val po = new Array[Double](nO)
+            rowRun(trees, trunk, paths, tOffs, xs(i), 0.0, null, temp,
+              seeds(i), ys = ysM(i), predsOut = po, bn = bn)
+            var o2 = 0
+            while (o2 < nO) {
+              flatP(i * nO + o2) = po(o2)
+              flatY(i * nO + o2) = ysM(i)(o2)
+              o2 += 1
+            }
             i += 1
           }
-          val (dp, lossVal) = RankLoss.combinedGrad(preds, ys, tau, mw, sw)
+          val (dp, lossVal) =
+            RankLoss.combinedGrad(flatP, flatY, tau, mw, sw)
           i = 0
           while (i < b) {
-            rowRun(trees, trunk, paths, tOffs, xs(i), preds(i) - dp(i),
-              acc, temp, seeds(i), bn = bn)
+            val sur = Array.tabulate(nO)(o2 =>
+              flatP(i * nO + o2) - dp(i * nO + o2))
+            rowRun(trees, trunk, paths, tOffs, xs(i), 0.0, acc, temp,
+              seeds(i), ys = sur, bn = bn)
             i += 1
           }
           acc(n) += lossVal

@@ -295,6 +295,70 @@ class RankLossSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-output flattened identity holds for the soft forest and " +
+    "both autoencoder target heads (forest: mseW=out/2 vs the " +
+    "row-normalized joint-mse; AEs: mseW=1, the kernels' internal " +
+    "1/out scaling)") {
+    val r = new scala.util.Random(29)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, r.nextGaussian(), r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian(), r.nextGaussian())
+    }
+    val df = rows.toDF("id", "f0", "f1", "f2", "y0", "y1").repartition(1)
+    // soft NDF: per-output deltas are NOT out-normalized in the kernel,
+    // so the identity weight is out/2 (the MLPMultiRegressor relation)
+    def forest(loss: String) =
+      new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y0",
+        extraTargetCols = Seq("y1"), numTrees = 2, depth = 2, lr = 0.05,
+        epochs = 5, batchFraction = 1.0, loss = loss, mseWeight = 1.0,
+        spearmanWeight = 0.0, rankBatch = 64).fit(df)
+    val fm = forest("mse"); val fc = forest("combined")
+    (fm.trees zip fc.trees).foreach { case (a, b) =>
+      (a.wDec.flatten[Double] zip b.wDec.flatten[Double]).foreach {
+        case (x, y2) => assert(math.abs(x - y2) < 1e-6,
+          s"forest wDec diverged: $x vs $y2")
+      }
+      (a.piM.flatten[Double] zip b.piM.flatten[Double]).foreach {
+        case (x, y2) => assert(math.abs(x - y2) < 1e-6,
+          s"forest piM diverged: $x vs $y2")
+      }
+    }
+    // joint AE: the kernel's target backward carries 2·tw/out, so the
+    // identity weight is mseWeight = 1
+    def ae(loss: String) =
+      new JointAutoencoder(Seq("f0", "f1", "f2"), "y0",
+        extraTargetCols = Seq("y1"), latentDim = 2, encoderHidden = 4,
+        headHidden = 3, lr = 0.02, epochs = 5, batchFraction = 1.0,
+        targetLoss = loss, mseWeight = 1.0, spearmanWeight = 0.0,
+        rankBatch = 64).fit(df).weights
+    val am = ae("mse"); val ac = ae("combined")
+    (am.wpM.flatten[Double] zip ac.wpM.flatten[Double]).foreach {
+      case (x, y2) => assert(math.abs(x - y2) < 1e-6,
+        s"ae head diverged: $x vs $y2")
+    }
+    (am.we.flatten[Double] zip ac.we.flatten[Double]).foreach {
+      case (x, y2) => assert(math.abs(x - y2) < 1e-6,
+        s"ae encoder diverged: $x vs $y2")
+    }
+    // BN AE: both paths batch identically (shuffledBatches at batchSize),
+    // so the identity holds per batch at mseWeight = 1 for ANY batch mix
+    def bnAe(loss: String) =
+      new BnJointAutoencoder(Seq("f0", "f1", "f2"), "y0",
+        extraTargetCols = Seq("y1"), latentDim = 2, encoderHidden = 4,
+        headHidden = 3, lr = 0.02, epochs = 5, batchFraction = 1.0,
+        batchSize = 16, targetLoss = loss, mseWeight = 1.0,
+        spearmanWeight = 0.0).fit(df).weights
+    val bm = bnAe("mse"); val bc = bnAe("combined")
+    (bm.core.wpM.flatten[Double] zip bc.core.wpM.flatten[Double]).foreach {
+      case (x, y2) => assert(math.abs(x - y2) < 1e-6,
+        s"bn-ae head diverged: $x vs $y2")
+    }
+    (bm.core.we.flatten[Double] zip bc.core.we.flatten[Double]).foreach {
+      case (x, y2) => assert(math.abs(x - y2) < 1e-6,
+        s"bn-ae encoder diverged: $x vs $y2")
+    }
+  }
+
   test("multi-output mlp with loss=combined beats MSE-only on the " +
     "objective the reference's flatten semantics actually optimizes — " +
     "the JOINT soft Spearman over the flattened (row, output) vector") {
