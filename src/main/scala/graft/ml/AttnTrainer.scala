@@ -604,7 +604,8 @@ class AttnTrainer(
     val rankBatch: Int = 64,
     val numBlocks: Int = 1,
     val dropoutRate: Double = 0.0,
-    val attentionType: String = "temporal") extends Serializable {
+    val attentionType: String = "temporal",
+    val optimizer: String = "adam") extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -724,7 +725,7 @@ class AttnTrainer(
         Long) => Double): Unit =
     SeqAdam.run(data, sz, w, SeqAdam.Cfg(f, t, yMean, yStd,
       epochs, lr, seed, batchFraction, loss, mseWeight, spearmanWeight,
-      rankTau, rankBatch), kernel)
+      rankTau, rankBatch, optimizer), kernel)
 
   /** Appends `prediction` through the distributed unrolled forward pass,
     * un-standardizing if the target was scaled at fit. */
@@ -772,7 +773,8 @@ class AttnMultiTrainer(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val optimizer: String = "adam") extends Serializable {
 
   require(targetCols.size >= 2, "use AttnTrainer for a single output")
   require(lagCols.size % seqLen == 0,
@@ -827,7 +829,7 @@ class AttnMultiTrainer(
       epochs, lr, seed, batchFraction,
       (bw, x, ys, acc, ms, po) => AttnBpttFull.runMulti(bw, cfg, x, ys,
         acc, ms, po),
-      loss, mseWeight, spearmanWeight, rankTau, rankBatch)
+      loss, mseWeight, spearmanWeight, rankTau, rankBatch, optimizer)
     blocks = AttnBpttFull.toBlockWeights(w, cfg)
     val (hw, hb) = AttnBpttFull.headMulti(w, cfg)
     headW = hw; headB = hb

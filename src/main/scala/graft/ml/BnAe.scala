@@ -438,7 +438,8 @@ class BnJointAutoencoder(
     val rankTau: Double = 1e-3,
     val dropoutEncoder: Double = 0.0,
     val dropoutLatent: Double = 0.0,
-    val dropoutHead: Double = 0.0) extends Serializable {
+    val dropoutHead: Double = 0.0,
+    val optimizer: String = "adam") extends Serializable {
 
   require(Set("mse", "spearman", "combined")(targetLoss),
     s"targetLoss must be mse|spearman|combined, got $targetLoss")
@@ -575,7 +576,7 @@ class BnJointAutoencoder(
       for (_ <- 0 until s) { p(o) = 1.0; o += 1 }
       o += s
     }
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)

@@ -295,7 +295,8 @@ class DeepJointAutoencoder(
     val lr: Double = 0.01,
     val epochs: Int = 150,
     val seed: Long = 42L,
-    val batchFraction: Double = 0.2) extends Serializable {
+    val batchFraction: Double = 0.2,
+    val optimizer: String = "adam") extends Serializable {
 
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
@@ -375,7 +376,7 @@ class DeepJointAutoencoder(
     std.cache(); std.count(); data.unpersist()
 
     val p = DeepAeKernel.init(cfg, seed)
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)

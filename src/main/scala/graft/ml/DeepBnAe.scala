@@ -267,7 +267,8 @@ class DeepBnAutoencoder(
     val epochs: Int = 150,
     val seed: Long = 42L,
     val batchFraction: Double = 0.2,
-    val batchSize: Int = 32) extends Serializable {
+    val batchSize: Int = 32,
+    val optimizer: String = "adam") extends Serializable {
 
   val targetCols: Seq[String] = targetCol +: extraTargetCols
   private val nOut = targetCols.size
@@ -354,7 +355,7 @@ class DeepBnAutoencoder(
     val widths = DeepBnKernel.bnWidths(cfg)
     for (site <- widths.indices; j <- 0 until widths(site))
       p(DeepBnKernel.bnOff(cfg, site) + j) = 1.0 // gamma=1, beta=0
-    val adam = new AdamState(size, lr)
+    val adam = new AdamState(size, lr, optimizer)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)

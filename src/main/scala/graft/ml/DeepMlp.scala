@@ -172,7 +172,8 @@ class DeepMLPRegressor(
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
-    val dropoutRate: Double = 0.0) extends Serializable {
+    val dropoutRate: Double = 0.0,
+    val optimizer: String = "adam") extends Serializable {
 
   require(layers.nonEmpty, "at least one hidden layer")
   require(Set("relu", "swish")(activation),
@@ -220,7 +221,7 @@ class DeepMLPRegressor(
     for (i <- 0 until dims.last) {
       p(o) = (rng.nextDouble() * 2 - 1) * limOut; o += 1
     }
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     val (ym, ys, dd, n) = (yMean, yStd, dims, sz)
     val sw = swish
     val kk = k
@@ -411,7 +412,8 @@ class DeepMLPMultiRegressor(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val optimizer: String = "adam") extends Serializable {
 
   require(targetCols.size >= 2, "use DeepMLPRegressor for a single output")
   require(layers.nonEmpty, "at least one hidden layer")
@@ -463,7 +465,7 @@ class DeepMLPMultiRegressor(
     for (_ <- 0 until dims.last * out) {
       p(o) = (rng.nextDouble() * 2 - 1) * limOut; o += 1
     }
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     val (ym, ys, dd, n, oo) = (yMean, yStd, dims, sz, out)
     val sw = swish
     val kk = k

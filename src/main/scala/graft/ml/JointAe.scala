@@ -503,7 +503,8 @@ class JointAutoencoder(
     val rankBatch: Int = 64,
     val dropoutEncoder: Double = 0.0,
     val dropoutLatent: Double = 0.0,
-    val dropoutHead: Double = 0.0) extends Serializable {
+    val dropoutHead: Double = 0.0,
+    val optimizer: String = "adam") extends Serializable {
 
   require(Set("mse", "spearman", "combined")(targetLoss),
     s"targetLoss must be mse|spearman|combined, got $targetLoss")
@@ -698,7 +699,7 @@ class JointAutoencoder(
       val lim = if (fin == 0) 0.0 else math.sqrt(6.0 / (fin + fout))
       for (_ <- 0 until cnt) { p(o) = (rng.nextDouble() * 2 - 1) * lim; o += 1 }
     }
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)

@@ -54,7 +54,8 @@ class LSTMBnTrainer(
     val loss: String = "mse",
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
-    val rankTau: Double = 1e-3) extends Serializable {
+    val rankTau: Double = 1e-3,
+    val optimizer: String = "adam") extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -482,7 +483,7 @@ class LSTMBnTrainer(
       p(bnBlockOff(l) + u) = 1.0 // BN gamma=1, beta=0
       if (layerNorm) p(lnBlockOff(l) + u) = 1.0 // LN gamma=1, beta=0
     }
-    val adam = new AdamState(size, lr)
+    val adam = new AdamState(size, lr, optimizer)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)

@@ -267,7 +267,8 @@ class LSTMTrainer(
     val dropout: Double = 0.0,
     val recurrentDropout: Double = 0.0,
     val layerDropouts: Seq[(Double, Double)] = Nil,
-    val layerNorm: Boolean = false) extends Serializable {
+    val layerNorm: Boolean = false,
+    val optimizer: String = "adam") extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -406,7 +407,7 @@ class LSTMTrainer(
         Long) => Double): Unit =
     SeqAdam.run(data, sz, w, SeqAdam.Cfg(nFeat, seqLen, yMean, yStd,
       epochs, lr, seed, batchFraction, loss, mseWeight, spearmanWeight,
-      rankTau, rankBatch), kernel)
+      rankTau, rankBatch, optimizer), kernel)
 
   /** Appends `prediction` through the distributed unrolled forward pass
     * (one-layer, stacked, or bidirectional to match the fitted layout),
@@ -459,7 +460,8 @@ class LSTMMultiTrainer(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val optimizer: String = "adam") extends Serializable {
 
   require(targetCols.size >= 2, "use LSTMTrainer for a single output")
   require(Set("mse", "spearman", "combined")(loss),
@@ -517,7 +519,7 @@ class LSTMMultiTrainer(
           LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms,
             if (effDropouts.size > 1) effDropouts else null)
         else null, po),
-      loss, mseWeight, spearmanWeight, rankTau, rankBatch)
+      loss, mseWeight, spearmanWeight, rankTau, rankBatch, optimizer)
     cells = LstmStackBptt.stackCells(w, cfg)
     val (hw, hb) = LstmStackBptt.headMulti(w, cfg)
     headW = hw; headB = hb

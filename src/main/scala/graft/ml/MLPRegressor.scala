@@ -89,7 +89,8 @@ class MLPRegressor(
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
-    val weightCol: Option[String] = None) extends Serializable {
+    val weightCol: Option[String] = None,
+    val optimizer: String = "adam") extends Serializable {
 
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
@@ -135,7 +136,7 @@ class MLPRegressor(
     var b2 = 0.0
     // Adam state
     val sz = k * hidden + hidden + hidden + 1
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     val (ym, ys) = (yMean, yStd)
     val featIdx = featureCols.indices
 
@@ -317,7 +318,8 @@ class MLPMultiRegressor(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val rankBatch: Int = 64) extends Serializable {
+    val rankBatch: Int = 64,
+    val optimizer: String = "adam") extends Serializable {
 
   require(targetCols.size >= 2, "use MLPRegressor for a single output")
   require(batchFraction > 0 && batchFraction <= 1.0,
@@ -355,7 +357,7 @@ class MLPMultiRegressor(
       (rng.nextDouble() * 2 - 1) * limOut)
     val b2 = DenseVector.zeros[Double](out)
     val sz = k * hidden + hidden + hidden * out + out
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     val (ym, ys) = (yMean, yStd)
     val featIdx = featureCols.indices
     for (t <- 1 to epochs) {

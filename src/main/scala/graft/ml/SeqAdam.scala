@@ -18,7 +18,7 @@ private[ml] object SeqAdam {
       nFeat: Int, seqLen: Int, yMean: Double, yStd: Double,
       epochs: Int, lr: Double, seed: Long, batchFraction: Double,
       loss: String, mseWeight: Double, spearmanWeight: Double,
-      rankTau: Double, rankBatch: Int)
+      rankTau: Double, rankBatch: Int, optimizer: String = "adam")
 
   /** SplitMix64-style mix of (seed, epoch, partition, row index) into a
     * per-row dropout mask seed. Never returns 0 (0 = dropout off). */
@@ -67,7 +67,7 @@ private[ml] object SeqAdam {
       kernel: (Array[Double], Array[Array[Double]], Double, Array[Double],
         Long) => Double): Unit = {
     val (f, t) = (c.nFeat, c.seqLen)
-    val adam = new AdamState(sz, c.lr)
+    val adam = new AdamState(sz, c.lr, c.optimizer)
     val (ym, ys) = (c.yMean, c.yStd)
     for (ep <- 1 to c.epochs) {
       val bw = w.clone()
@@ -122,9 +122,9 @@ private[ml] object SeqAdam {
         Array[Double], Long, Array[Double]) => Double,
       loss: String = "mse", mseWeight: Double = 2.0,
       spearmanWeight: Double = 1.0, rankTau: Double = 1e-3,
-      rankBatch: Int = 64): Unit = {
+      rankBatch: Int = 64, optimizer: String = "adam"): Unit = {
     val (f, t) = (nFeat, seqLen)
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     for (ep <- 1 to epochs) {
       val bw = w.clone()
       val epL = ep.toLong

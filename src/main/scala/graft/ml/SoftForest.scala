@@ -285,7 +285,8 @@ class SoftNdfRegressor(
     val inputNoiseStd: Double = 0.0,
     val treeNoiseStd: Double = 0.0,
     val treeDropoutRate: Double = 0.0,
-    val useInputBn: Boolean = false) extends Serializable {
+    val useInputBn: Boolean = false,
+    val optimizer: String = "adam") extends Serializable {
 
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
@@ -723,7 +724,7 @@ class SoftNdfRegressor(
     }
     if (useInputBn)                               // BN gamma=1, beta=0
       for (j <- 0 until nFeat) p(bnOff0 + j) = 1.0
-    val adam = new AdamState(sz, lr)
+    val adam = new AdamState(sz, lr, optimizer)
     var temp = tempStart
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std

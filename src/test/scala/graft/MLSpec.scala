@@ -33,6 +33,46 @@ class MLSpec extends AnyFunSuite {
     assert(r2 > 0.8, s"MLP failed to learn: r2=$r2")
   }
 
+  test("optimizer selection (base.py:31,48 — the reference's " +
+    "Type[optimizers.Optimizer] field): sgd/rmsprop/adamax all fit the " +
+    "linear target; non-default optimizers change the trajectory") {
+    val df = data.toDF()
+    def fitWith(opt: String, lrO: Double) =
+      new MLPRegressor(Seq("f0", "f1", "f2"), "y", hidden = 8,
+        lr = lrO, epochs = 150, optimizer = opt).fit(df)
+    // every Keras optimizer class the knob covers converges on the
+    // easy linear fixture (lr tuned per rule like a Keras user would)
+    for ((opt, lrO) <- Seq(("sgd", 0.1), ("rmsprop", 0.01),
+      ("adamax", 0.05))) {
+      val pred = fitWith(opt, lrO).predict(df)
+      val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+        .collect()(0).getDouble(0)
+      assert(r2 > 0.8, s"optimizer=$opt failed to learn: r2=$r2")
+    }
+    // distinct update rules → distinct trajectories from the same init
+    val wAdam = fitWith("adam", 0.05).fittedWeights
+    val wSgd = fitWith("sgd", 0.05).fittedWeights
+    assert((wAdam.w2 zip wSgd.w2).exists { case (a, b) =>
+      math.abs(a - b) > 1e-9
+    }, "sgd produced the identical trajectory to adam")
+    // the seq trainers share the knob through SeqAdam
+    val r = new scala.util.Random(7)
+    val series = new Array[Double](320)
+    for (i <- 2 until series.length)
+      series(i) = 1.2 * series(i - 1) - 0.4 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    val rows = (2 until 300).map(i =>
+      (i.toLong, series(i - 2), series(i - 1), series(i)))
+    val sdf = rows.toDF("id", "lag2", "lag1", "y")
+    val lstm = new LSTMTrainer(Seq("lag2", "lag1"), seqLen = 2,
+      targetCol = "y", hidden = 4, lr = 0.01, epochs = 150,
+      optimizer = "rmsprop")
+    val lp = lstm.fit(sdf).predict(sdf)
+    val lr2 = Metrics.r2(lp, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(lr2 > 0.6, s"lstm rmsprop fit failed: r2=$lr2")
+  }
+
   test("mlp: sample weights (weightCol) — zero-weighting a corrupted " +
     "label subset recovers the clean fit an unweighted run loses") {
     val r = new scala.util.Random(33)
