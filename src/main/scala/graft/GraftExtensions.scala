@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{InverseNormalCdfExpr, MinHashSigsExpr,
+import graft.functions.{InverseNormalCdfExpr, MedianMadAgg, MinHashSigsExpr,
   SortedIntersectSizeExpr, VecDotExpr}
 
 /** SQL-surface registration of the engine's native Catalyst expressions
@@ -15,6 +15,8 @@ import graft.functions.{InverseNormalCdfExpr, MinHashSigsExpr,
   *   - `sorted_intersect_size(a, b)` — two-pointer merge intersection
   *     (the n-gram Jaccard kernel)
   *   - `minhash_sigs(h1, h2, n)` — fused n-way minhash minimums
+  *   - `median_mad(x)` — fused exact median + MAD aggregate (the
+  *     robust-scaler kernel; one buffer, both statistics)
   *
   * This closes the loop on SURVEY.md §2.11: the same codegen'd kernels
   * the DataFrame operators use are addressable from plain `spark.sql`,
@@ -50,6 +52,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_size expects 2 arguments")
         SortedIntersectSizeExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("median_mad"),
+      info("median_mad",
+        "median_mad(x) - array(median(x), median(abs(x - median(x))))"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "median_mad expects 1 argument")
+        MedianMadAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType))
       }),
     (FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs",

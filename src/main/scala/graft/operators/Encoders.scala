@@ -43,18 +43,23 @@ case class TargetEncoder(catCols: Seq[String], targetCol: String,
 
 /** Per-group robust scaling: (x − median) / (1.4826 · MAD), the
   * outlier-insensitive alternative to z-scoring (1.4826 makes MAD a
-  * consistent σ estimator under normality). Two grouped aggregates —
-  * the median, then the median absolute deviation around it — each a
-  * tiny per-group frame broadcast back; degenerate MAD (< 1e-12) yields
-  * null rather than ±inf.
+  * consistent σ estimator under normality). Degenerate MAD (< 1e-12)
+  * yields null rather than ±inf.
   *
-  * Exact `percentile` buffers every group value in the aggregation
-  * buffer — fine for bounded-cardinality groups (eras, categories), a
-  * per-group memory hazard when one group holds billions of rows. Set
-  * `approx = true` for the scale path: `approx_percentile` (KLL-style
-  * bounded sketch, mergeable map-side) holds O(accuracy) state per group
-  * regardless of group size. Exact stays the default (and the oracle
-  * mode — DuckDB's quantile_cont matches it bit-for-bit).
+  * Exact mode runs ONE fused `median_mad` aggregate per feature
+  * ([[graft.functions.MedianMadAgg]]): each group's values are buffered
+  * once and both statistics probed from the same sorted array — one
+  * scan + one all-values shuffle, where the composable two-pass
+  * formulation (median, re-scan, median of |x−med|) costs two of each.
+  * The buffer shape matches `percentile` (every group value in the
+  * ObjectHashAggregate buffer, merged map-side) — fine for bounded-
+  * cardinality groups (eras, categories), a per-group memory hazard
+  * when one group holds billions of rows. Set `approx = true` for the
+  * scale path: `approx_percentile` (KLL-style bounded sketch, mergeable
+  * map-side) holds O(accuracy) state per group regardless of group size
+  * (necessarily two-pass — the MAD sketch needs the median first).
+  * Exact stays the default (and the oracle mode — the interpolation is
+  * the same estimator DuckDB's quantile_cont implements).
   *
   * Output: `{f}_robust` per feature.
   */
@@ -62,16 +67,31 @@ case class RobustScaler(featureCols: Seq[String], groupCol: String,
     approx: Boolean = false, accuracy: Int = 10000)
     extends GraftTransformer {
   def outputNames: Seq[String] = featureCols.map(f => s"${f}_robust")
-  private def pct(e: String, p: Double): String =
-    if (approx) s"approx_percentile($e, $p, $accuracy)"
-    else s"percentile($e, $p)"
-  def transform(df: DataFrame): DataFrame = {
+  def transform(df: DataFrame): DataFrame =
+    if (approx) transformApprox(df) else transformExact(df)
+
+  private def transformExact(df: DataFrame): DataFrame = {
+    val aggs = featureCols.map(f =>
+      graft.functions.MedianMad(col(f).cast("double")).as(s"__mm_$f"))
+    val stats = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(stats), Seq(groupCol))
+    val outs = featureCols.map { f =>
+      val med = element_at(col(s"__mm_$f"), 1)
+      val mad = element_at(col(s"__mm_$f"), 2)
+      when(mad > 1e-12, (col(f) - med) / (lit(1.4826) * mad))
+        .as(s"${f}_robust")
+    }
+    joined.select(df.columns.map(col) ++ outs: _*)
+  }
+
+  private def transformApprox(df: DataFrame): DataFrame = {
+    def pct(e: String): String = s"approx_percentile($e, 0.5, $accuracy)"
     val medAggs = featureCols.map(f =>
-      expr(pct(s"`$f`", 0.5)).as(s"__med_$f"))
+      expr(pct(s"`$f`")).as(s"__med_$f"))
     val meds = df.groupBy(col(groupCol)).agg(medAggs.head, medAggs.tail: _*)
     val withMed = df.join(broadcast(meds), Seq(groupCol))
     val madAggs = featureCols.map(f =>
-      expr(pct(s"abs(`$f` - `__med_$f`)", 0.5)).as(s"__mad_$f"))
+      expr(pct(s"abs(`$f` - `__med_$f`)")).as(s"__mad_$f"))
     val mads = withMed.groupBy(col(groupCol))
       .agg(madAggs.head, madAggs.tail: _*)
     val joined = withMed.join(broadcast(mads), Seq(groupCol))

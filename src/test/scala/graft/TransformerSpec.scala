@@ -204,6 +204,42 @@ class TransformerSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(2)), "zero MAD → null, not ±inf")
   }
 
+  test("median_mad: fused aggregate agrees exactly with the two-pass " +
+    "percentile formulation on real data, and is SQL-addressable") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+    val fused = li.groupBy("g")
+      .agg(graft.functions.MedianMad(col("v")).as("mm"))
+      .select(col("g"), element_at(col("mm"), 1).as("med"),
+        element_at(col("mm"), 2).as("mad"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    val meds = li.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+    val twoPass = li.join(broadcast(meds), Seq("g"))
+      .groupBy("g").agg(first(col("med")).as("med"),
+        expr("percentile(abs(v - med), 0.5)").as("mad"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(fused.keySet == twoPass.keySet)
+    fused.foreach { case (g, (med, mad)) =>
+      assert(med == twoPass(g)._1, s"median mismatch for group $g")
+      assert(mad == twoPass(g)._2, s"MAD mismatch for group $g")
+    }
+    // odd/even interpolation fixture: 1..4 → med 2.5, |x-2.5| sorted
+    // = [0.5,0.5,1.5,1.5] → mad 1.0; empty-after-nulls group → null
+    import spark.implicits._
+    val tiny = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("n", Option.empty[Double])).toDF("g", "v")
+    GraftFunctions.register(spark)
+    tiny.createOrReplaceTempView("mm_tiny")
+    val viaSql = spark.sql(
+      "SELECT g, median_mad(v) AS mm FROM mm_tiny GROUP BY g")
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(viaSql("a").contains(Seq(2.5, 1.0)))
+    assert(viaSql("n").isEmpty, "all-null group yields null")
+  }
+
   test("winsorizer: clips at the group's interpolated quantiles and " +
     "leaves interior values untouched") {
     import spark.implicits._
