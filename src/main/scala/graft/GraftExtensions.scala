@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{InverseNormalCdfExpr, MedianMadAgg, MinHashSigsExpr,
+import graft.functions.{ExactPercentilesAgg, FastRoundExpr,
+  InverseNormalCdfExpr, MedianMadAgg, MinHashSigsExpr,
   SortedIntersectSizeExpr, VecDotExpr}
 
 /** SQL-surface registration of the engine's native Catalyst expressions
@@ -17,6 +18,10 @@ import graft.functions.{InverseNormalCdfExpr, MedianMadAgg, MinHashSigsExpr,
   *   - `minhash_sigs(h1, h2, n)` — fused n-way minhash minimums
   *   - `median_mad(x)` — fused exact median + MAD aggregate (the
   *     robust-scaler kernel; one buffer, both statistics)
+  *   - `fast_round(x, s)` — HALF_UP decimal round, bit-identical to
+  *     Spark's `round` on doubles via a guarded binary fast path
+  *   - `exact_percentiles(x, array(p...))` — exact multi-percentile
+  *     over a primitive value buffer (the quantile/winsorize kernel)
   *
   * This closes the loop on SURVEY.md §2.11: the same codegen'd kernels
   * the DataFrame operators use are addressable from plain `spark.sql`,
@@ -52,6 +57,44 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_size expects 2 arguments")
         SortedIntersectSizeExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("fast_round"),
+      info("fast_round",
+        "fast_round(x, s) - HALF_UP decimal round, bit-identical to " +
+          "round(x, s) on doubles with a guarded binary fast path"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable &&
+          args(1).dataType == org.apache.spark.sql.types.IntegerType,
+          "fast_round expects (double, int literal)")
+        FastRoundExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.DoubleType),
+          args(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("exact_percentiles"),
+      info("exact_percentiles",
+        "exact_percentiles(x, array(p...)) - percentile(x, array(p...)) " +
+          "over a primitive value buffer (same interpolation estimator)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).foldable,
+          "exact_percentiles expects (double, foldable double array)")
+        // SQL decimal literals (array(0.5, 0.9)) arrive as Decimal —
+        // convert elementwise rather than assuming a double array
+        val ps = (args(1).eval(), args(1).dataType) match {
+          case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(et, _)) =>
+            (0 until a.numElements()).map(i => a.get(i, et) match {
+              case d: java.lang.Number => d.doubleValue()
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case other => throw new IllegalArgumentException(
+                s"exact_percentiles: non-numeric percentage $other")
+            })
+          case (other, _) => throw new IllegalArgumentException(
+            s"exact_percentiles: expected an array literal, got $other")
+        }
+        ExactPercentilesAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args.head, org.apache.spark.sql.types.DoubleType), ps)
       }),
     (FunctionIdentifier("median_mad"),
       info("median_mad",

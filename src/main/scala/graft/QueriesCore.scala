@@ -17,6 +17,14 @@ import graft.operators._
   */
 object QueriesCore {
 
+  // Shadows functions.round for the query outputs: bit-identical
+  // HALF_UP decimal rounding via graft.functions.FastRound (native
+  // codegen'd fast path; Spark's BigDecimal round costs ~1.3s/600k rows
+  // of single-core time on multi-column outputs). SQL oracle strings
+  // keep DuckDB's own round.
+  private def round(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = graft.functions.FastRound(c, s)
+
+
   private def li(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 

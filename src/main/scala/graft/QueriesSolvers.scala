@@ -20,6 +20,14 @@ import graft.solvers.{FeatureNeutralizer, FeaturePenalizer}
   */
 object QueriesSolvers {
 
+  // Shadows functions.round for the query outputs: bit-identical
+  // HALF_UP decimal rounding via graft.functions.FastRound (native
+  // codegen'd fast path; Spark's BigDecimal round costs ~1.3s/600k rows
+  // of single-core time on multi-column outputs). SQL oracle strings
+  // keep DuckDB's own round.
+  private def round(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = graft.functions.FastRound(c, s)
+
+
   /** lineitem with a monthly era and a deterministic unique row id.
     *
     * The synthetic lineitem has NO unique natural key ((l_orderkey,

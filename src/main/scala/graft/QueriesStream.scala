@@ -12,6 +12,14 @@ import graft.streaming.EventStream
   */
 object QueriesStream {
 
+  // Shadows functions.round for the query outputs: bit-identical
+  // HALF_UP decimal rounding via graft.functions.FastRound (native
+  // codegen'd fast path; Spark's BigDecimal round costs ~1.3s/600k rows
+  // of single-core time on multi-column outputs). SQL oracle strings
+  // keep DuckDB's own round.
+  private def round(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = graft.functions.FastRound(c, s)
+
+
   /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
     * natively — sessions set spark.sql.legacy.parquet.nanosAsLong, and
     * the nanos are floor-truncated to microseconds here (DuckDB's

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,14 +122,17 @@ case class Winsorizer(featureCols: Seq[String], groupCol: String,
   require(lo >= 0 && hi <= 1 && lo < hi, s"bad quantile range [$lo, $hi]")
   def outputNames: Seq[String] = featureCols.map(f => s"${f}_wins")
   // ONE percentile aggregate per feature with BOTH percentages: the
-  // sort/count buffer of the group's values is built once and probed
-  // twice, instead of two aggregates each buffering the full group
-  // (measured 2x on the bench's 600k-row groups)
-  private def pct(f: String): String =
-    if (approx) s"approx_percentile(`$f`, array($lo, $hi), $accuracy)"
-    else s"percentile(`$f`, array($lo, $hi))"
+  // group's value buffer is built once and probed twice, instead of two
+  // aggregates each buffering the full group (measured 2x on the
+  // bench's 600k-row groups). Exact mode uses the primitive-buffer
+  // aggregate (graft.functions.ExactPercentilesAgg — same estimator as
+  // percentile/quantile_cont, no boxed hash map).
+  private def pct(f: String): Column =
+    if (approx) expr(s"approx_percentile(`$f`, array($lo, $hi), $accuracy)")
+    else graft.functions.ExactPercentiles(
+      col(f).cast("double"), Seq(lo, hi))
   def transform(df: DataFrame): DataFrame = {
-    val aggs = featureCols.map(f => expr(pct(f)).as(s"__q_$f"))
+    val aggs = featureCols.map(f => pct(f).as(s"__q_$f"))
     val qs = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     val joined = df.join(broadcast(qs), Seq(groupCol))
     val outs = featureCols.map { f =>

@@ -374,8 +374,8 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
     // exercised structurally: every definition is (id, info, builder)
     // with a builder that produces a well-typed expression
     assert(GraftFunctions.definitions.map(_._1.funcName).sorted ==
-      Seq("inv_norm_cdf", "minhash_sigs", "sorted_intersect_size",
-        "vec_dot"))
+      Seq("exact_percentiles", "fast_round", "inv_norm_cdf", "median_mad",
+        "minhash_sigs", "sorted_intersect_size", "vec_dot"))
     val ext = new GraftExtensions
     val se = new org.apache.spark.sql.SparkSessionExtensions
     ext(se)  // must not throw; injection is covered by register() above

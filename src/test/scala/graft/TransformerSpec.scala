@@ -240,6 +240,29 @@ class TransformerSpec extends AnyFunSuite {
     assert(viaSql("n").isEmpty, "all-null group yields null")
   }
 
+  test("exact_percentiles: primitive-buffer aggregate agrees exactly " +
+    "with Spark's percentile on real data, via Column and SQL") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+    val ps = Seq(0.05, 0.5, 0.9, 0.99)
+    val ours = li.groupBy("g")
+      .agg(graft.functions.ExactPercentiles(col("v"), ps).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val theirs = li.groupBy("g")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(ours.keySet == theirs.keySet)
+    ours.foreach { case (g, qs) =>
+      assert(qs == theirs(g), s"percentile mismatch for group $g") }
+    GraftFunctions.register(spark)
+    li.createOrReplaceTempView("ep_vals")
+    val viaSql = spark.sql(
+      "SELECT g, exact_percentiles(v, array(0.5, 0.9)) AS q, " +
+        "percentile(v, array(0.5, 0.9)) AS p FROM ep_vals GROUP BY g")
+    assert(viaSql.where(col("q") =!= col("p")).count() == 0L)
+  }
+
   test("winsorizer: clips at the group's interpolated quantiles and " +
     "leaves interior values untouched") {
     import spark.implicits._
