@@ -23,8 +23,11 @@ object QueriesCorpus {
   private def round(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = graft.functions.FastRound(c, s)
 
 
+  // tokenizer-heavy corpus kernels: same parallelism floor as
+  // QueriesText.docs (one-row-group file = one task otherwise)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.ParallelInput.cpuBound(
+      s.read.parquet(s"$dir/documents.parquet"))
 
   private val bm25Terms = Seq("spark", "join", "query")
 

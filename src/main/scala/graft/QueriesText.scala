@@ -21,8 +21,11 @@ object QueriesText {
   private def round(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = graft.functions.FastRound(c, s)
 
 
+  // text kernels are CPU-bound per doc; floor the scan parallelism
+  // (one-row-group file = one task otherwise — see ParallelInput)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.ParallelInput.cpuBound(
+      s.read.parquet(s"$dir/documents.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> ((s, dir) => {
