@@ -115,6 +115,7 @@ object Bench {
     // Solo re-run of the slowest queries: each gets a fresh JVM running
     // ONLY that query (warmup + two-pass minimum). The number of record
     // becomes min(chunk, solo); the artifact reports both and their ratio.
+    val chunkSum = queries.values.sum
     val spotN = sys.env.getOrElse(Spot, "5").toInt
     val spotQs = queries.toSeq.sortBy(-_._2).take(spotN).map(_._1)
     var spot = Vector.empty[(String, Double)]
@@ -127,7 +128,7 @@ object Bench {
         queries += q -> math.min(chunkT, solo)
       }
     }
-    printResult(queries.toSeq.sortBy(_._1), errors, spot)
+    printResult(queries.toSeq.sortBy(_._1), errors, spot, Some(chunkSum))
   }
 
   /** Extract `"key":{"a":1.5,...}` numeric pairs from a one-line JSON. */
@@ -155,7 +156,8 @@ object Bench {
 
   private def printResult(ok: Seq[(String, Double)],
                           errors: Map[String, String],
-                          spot: Seq[(String, Double)] = Nil): Unit = {
+                          spot: Seq[(String, Double)] = Nil,
+                          chunkSum: Option[Double] = None): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -165,7 +167,28 @@ object Bench {
     val sp = spot.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spotcheck":$sp,"errors":$es,"sf":"$sfDir"}""")
+    // `value` (the number of record) = Σ per-query min(chunk, solo);
+    // `value_chunk_sum` = Σ chunk-run times BEFORE solo substitution —
+    // both sums are in the artifact so the in-suite vs isolated spread is
+    // auditable from the JSON alone (round-6 advice item 4).
+    val extra = chunkSum.map(c =>
+      s""","value_chunk_sum":$c,"number_of_record":"value = sum of per-query min(chunk, solo)"""")
+      .getOrElse("")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec"$extra,"queries":$qs,"spotcheck":$sp,"errors":$es,"sf":"$sfDir"}"""
+    println(json)
+    // The round-6 artifact lost its headline number to the driver's
+    // stdout tail capture ("parsed": null) — ALSO write the full JSON to
+    // a committed file so the number of record survives independent of
+    // how stdout is captured. Children skip this (the parent merges).
+    if (!sys.env.contains(Child)) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/bench_full.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    }
   }
 
   // ----------------------------------------------------------------- child
@@ -176,6 +199,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Stages whose generated method exceeds HotSpot's 8000-byte JIT

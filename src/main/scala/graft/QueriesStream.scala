@@ -20,14 +20,14 @@ object QueriesStream {
   private def round(c: org.apache.spark.sql.Column, s: Int): org.apache.spark.sql.Column = graft.functions.FastRound(c, s)
 
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
-    * natively — sessions set spark.sql.legacy.parquet.nanosAsLong, and
-    * the nanos are floor-truncated to microseconds here (DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast truncates identically). Window starts
-    * are emitted as epoch-microsecond longs on both sides. */
+  /** Schema-adaptive events ingestion — see [[graft.sources.Events]]:
+    * `ts` normalizes to TimestampType whether the parquet stores
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong), timestamp[us],
+    * or timestamp[us] NTZ (the driver's current layout). Window starts
+    * are emitted as epoch-microsecond longs on both sides; the DuckDB
+    * oracle's `CAST(ts AS TIMESTAMP)` normalizes identically. */
   private def ev(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Events.load(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_window" -> ((s, dir) => {

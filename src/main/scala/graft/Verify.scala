@@ -25,13 +25,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails to plan/run must still produce an output row in
+    // the correctness artifact (round-6 lesson: 5 broken queries were
+    // silently ABSENT from CORRECTNESS_r06 instead of visibly failing).
+    // On failure we write a one-row sentinel parquet with a single
+    // `_error` column — the oracle compare then reports a schema/row
+    // mismatch for that query rather than dropping it — and record the
+    // message in errors.json for the human reader.
+    var errors = Map.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).take(500)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors += name -> msg
+        import spark.implicits._
+        try Seq(msg).toDF("_error").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +66,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -95,35 +95,61 @@ object EventStream {
     * `(ts, ts + horizon]`. The range rides an equi-join on user_id —
     * one shuffle per side, never a cross product — so the batch form
     * scales like any keyed join. [[intervalJoinStream]] is the
-    * streaming form of the same plan. */
+    * streaming form of the same plan.
+    *
+    * Hot-key guard (`salts > 1`): at 100 TB a single celebrity user_id
+    * lands ALL its rows from both sides in one partition pair — one
+    * straggler task doing O(hot_views × hot_clicks) work. With salting,
+    * the left side scatters across `salts` sub-keys (hash of its event
+    * id) and the right side replicates once per salt, so the hot key's
+    * work spreads over `salts` tasks at the cost of a ×salts blowup of
+    * the (filtered, narrow) right side — the standard space-for-skew
+    * trade. Each (view, click) pair still meets exactly once, in the one
+    * partition owning the view's salt, so results are identical for
+    * inner AND left_outer (each view keeps exactly one salt). For batch
+    * plans AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`,
+    * on by default) already mitigates sort-merge skew at runtime;
+    * explicit salting is the deterministic bound, and the option that
+    * still works where AQE cannot run (stateful streaming). */
   def intervalJoin(events: DataFrame, leftType: String = "view",
       rightType: String = "click", horizon: String = "12 hours",
-      joinType: String = "inner"): DataFrame =
-    joinPairs(shapeLeft(events, leftType), shapeRight(events, rightType),
-      horizon, joinType)
+      joinType: String = "inner", salts: Int = 1): DataFrame =
+    joinPairs(shapeLeft(events, leftType, salts),
+      shapeRight(events, rightType, salts), horizon, joinType, salts)
 
-  private def shapeLeft(df: DataFrame, t: String): DataFrame =
-    df.filter(col("event_type") === t)
+  private def shapeLeft(df: DataFrame, t: String, salts: Int = 1): DataFrame = {
+    val base = df.filter(col("event_type") === t)
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
+    if (salts <= 1) base
+    else base.withColumn("__salt",
+      pmod(xxhash64(col("view_id")), lit(salts.toLong)))
+  }
 
   // rename the key: both sides come from the same source, so a shared
   // user_id column would make the join condition ambiguous
-  private def shapeRight(df: DataFrame, t: String): DataFrame =
-    df.filter(col("event_type") === t)
+  private def shapeRight(df: DataFrame, t: String, salts: Int = 1): DataFrame = {
+    val base = df.filter(col("event_type") === t)
       .select(col("user_id").as("__r_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"), col("value").as("click_value"))
+    if (salts <= 1) base
+    else base.withColumn("__r_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+  }
 
   // "left_outer" keeps unmatched left events with null right fields —
   // the conversion-attribution shape (views that never converted)
   private def joinPairs(v: DataFrame, c: DataFrame, horizon: String,
-      joinType: String = "inner"): DataFrame =
-    v.join(c, col("user_id") === col("__r_user") &&
+      joinType: String = "inner", salts: Int = 1): DataFrame = {
+    val keyCond = col("user_id") === col("__r_user") &&
+      (if (salts <= 1) lit(true) else col("__salt") === col("__r_salt"))
+    v.join(c, keyCond &&
         col("click_ts") > col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
       joinType)
       .select(col("user_id"), col("view_id"), col("view_ts"),
         col("click_id"), col("click_ts"), col("click_value"))
+  }
 
   /** Stream-stream form of [[intervalJoin]] (the canonical watermarked
     * stream-stream join, built by the SAME plan code): both sides carry

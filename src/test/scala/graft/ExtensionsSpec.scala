@@ -105,16 +105,14 @@ class ExtensionsSpec extends AnyFunSuite {
   test("streaming: tumbling window memory-sink result equals the batch " +
     "form (same aggregation, incremental execution)") {
     val batch = EventStream.tumbling(
-      spark.read.parquet(s"$sf/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")), "1 hour")
+      graft.sources.Events.load(spark, sf), "1 hour")
       .select($"ws", $"event_type", $"n_events",
         round($"sum_value", 4).as("sum_value"))
       .collect().map(_.toSeq).toSet
 
     // stream the same parquet through a file source with a watermark
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Events.load(spark, sf)
       .write.mode("overwrite").parquet(tmp.getAbsolutePath)
     val q = EventStream.tumblingStream(spark, tmp.getAbsolutePath,
       "tumbling_test", "1 hour", "2 hours")
@@ -129,8 +127,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("streaming: stream-static dimension enrichment (broadcast join, " +
     "no join state) equals the batch form") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.sources.Events.load(spark, sf)
     val dim = spark.read.parquet(s"$sf/customer.parquet")
     val batch = EventStream.enriched(events, dim, "user_id", "c_custkey",
       "c_nationkey")
@@ -176,8 +173,7 @@ class ExtensionsSpec extends AnyFunSuite {
   }
   test("streaming: stream-stream interval join (view->click attribution) " +
     "equals the batch range join; watermarks bound join state") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.sources.Events.load(spark, sf)
     val batch = EventStream.intervalJoin(events, "view", "click", "12 hours")
       .select($"user_id", $"view_id", $"click_id",
         round($"click_value", 4).as("click_value"))
@@ -239,6 +235,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mustHave.nonEmpty && mustHave.subsetOf(streamedL),
       s"stream missed closed-horizon unmatched views: " +
         mustHave.diff(streamedL).mkString("; "))
+  }
+
+  test("interval join hot-key salting: a celebrity user_id produces the " +
+    "identical result salted and unsalted (inner + left_outer), with no " +
+    "cartesian product in the salted plan") {
+    // one user owns ~90% of events (the 100 TB celebrity-key shape);
+    // a handful of normal users and never-converting views cover the
+    // outer-join edge
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 400).map { i =>
+      val user = if (i % 10 < 9) 1L else (2L + i % 7)
+      val typ = if (i % 2 == 0) "view" else "click"
+      (i.toLong, user, typ,
+        java.sql.Timestamp.from(base.plusSeconds(i * 600L)), i / 100.0)
+    } ++ Seq( // views with no click inside the horizon
+      (900L, 50L, "view",
+        java.sql.Timestamp.from(base.plusSeconds(999999L)), 0.0))
+    val events = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = EventStream.intervalJoin(events, "view", "click",
+        "12 hours", jt).collect().map(_.toSeq).toSet
+      val salted = EventStream.intervalJoin(events, "view", "click",
+        "12 hours", jt, salts = 8)
+      assert(!salted.queryExecution.executedPlan.toString
+        .contains("Cartesian"), "salted join must stay an equi-join")
+      assert(salted.collect().map(_.toSeq).toSet == plain,
+        s"salted $jt result diverged")
+      assert(plain.nonEmpty)
+      if (jt == "left_outer")
+        assert(plain.exists(_(3) == null), "fixture must have null rows")
+    }
   }
 }
 
@@ -365,8 +392,7 @@ class ScalePathSpec extends AnyFunSuite {
     "equal the batch aggregate") {
     import graft.streaming.EventStream
     val src = java.nio.file.Files.createTempDirectory("graft-state").toFile
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Events.load(spark, sf)
     ev.write.mode("overwrite").parquet(src.getAbsolutePath)
     val q = EventStream.statefulUserTotals(spark, src.getAbsolutePath,
       "user_totals_test")

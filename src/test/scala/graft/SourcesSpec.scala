@@ -31,8 +31,7 @@ class SourcesSpec extends AnyFunSuite {
     "the batch distinct-key set; one row per key") {
     import graft.streaming.EventStream
     val src = java.nio.file.Files.createTempDirectory("graft-sdedup").toFile
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Events.load(spark, sf)
     ev.write.mode("overwrite").parquet(src.getAbsolutePath)
     val q = EventStream.dedupStream(spark, src.getAbsolutePath,
       "dedup_stream_test", Seq("user_id", "event_type"))
@@ -98,6 +97,43 @@ class SourcesSpec extends AnyFunSuite {
       chunkSize = 64, stride = 32).collect().map(_.toSeq).toSet
     assert(splitS == splitB && splitB.nonEmpty)
     assert(chunkS == chunkB && chunkB.nonEmpty)
+  }
+
+  test("events ingestion is layout-adaptive: long-nanos, timestamp[us] " +
+    "and timestamp_ntz parquet all yield the identical tumbling result") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import graft.streaming.EventStream
+    // round-7 regression guard: the driver's regenerated events.parquet
+    // switched TIMESTAMP(NANOS) -> timestamp[us] NTZ and every event-time
+    // query died at analysis; Events.adapt must accept all three layouts
+    val base = Seq(
+      (1L, 1L, "click", 1.5, 1700000000000000L),
+      (2L, 1L, "view", 2.0, 1700000300000000L),
+      (3L, 2L, "click", 0.5, 1700003600000000L),
+      (4L, 2L, "purchase", 9.0, 1700007200000000L)
+    ).toDF("event_id", "user_id", "event_type", "value", "us")
+    val keep = Seq($"event_id", $"user_id", $"event_type", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    base.select(keep :+ (col("us") * 1000L).as("ts"): _*)
+      .write.parquet(s"$tmp/long")
+    base.select(keep :+ expr("timestamp_micros(us)").as("ts"): _*)
+      .write.parquet(s"$tmp/ltz")
+    base.select(keep :+ expr("timestamp_micros(us)")
+        .cast("timestamp_ntz").as("ts"): _*)
+      .write.parquet(s"$tmp/ntz")
+    // each fixture must genuinely exercise its branch
+    assert(spark.read.parquet(s"$tmp/long").schema("ts").dataType == LongType)
+    assert(spark.read.parquet(s"$tmp/ntz").schema("ts").dataType ==
+      TimestampNTZType)
+    def res(p: String): Set[Seq[Any]] = EventStream.tumbling(
+      graft.sources.Events.adapt(spark.read.parquet(p)), "1 hour")
+      .select(unix_micros(col("ws")).as("ws"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val want = res(s"$tmp/long")
+    assert(want.nonEmpty)
+    assert(res(s"$tmp/ltz") == want)
+    assert(res(s"$tmp/ntz") == want)
   }
 }
 

@@ -37,13 +37,22 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     import glob, os
     ok_all = True
+    seen = set()
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if only and name not in only:
             continue
+        seen.add(name)
         spark_df = pd.concat([pd.read_parquet(p) for p in
                               sorted(glob.glob(f"{qdir}/*.parquet"))],
                              ignore_index=True)
+        if list(spark_df.columns) == ["_error"]:
+            # Verify's failed-query sentinel: the query raised instead of
+            # producing rows — report it as an ERROR row, never silence it
+            msg = spark_df["_error"].iloc[0] if len(spark_df) else "?"
+            print(f"{name}: ERROR {msg}")
+            ok_all = False
+            continue
         if name not in oracle:
             print(f"{name}: NO-ORACLE rows={len(spark_df)}")
             continue
@@ -73,6 +82,11 @@ def main():
         if status == "FAIL":
             ok_all = False
         print(f"{name}: {status} rows={len(s)}{detail}")
+    for name in sorted(set(oracle) - seen):
+        if only and name not in only:
+            continue
+        print(f"{name}: MISSING (no output directory)")
+        ok_all = False
     sys.exit(0 if ok_all else 1)
 
 main()
