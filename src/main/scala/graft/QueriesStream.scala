@@ -50,6 +50,21 @@ object QueriesStream {
           round(col("value"), 4).as("last_purchase_value"))
     }),
 
+    // Hot-key-safe as-of join (time-bucketed two-pass carry-forward):
+    // identical semantics and oracle as q_asof, heavy pass partitioned
+    // by (user_id, day) so a celebrity user can never serialize one task
+    "q_asof_bucketed" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asofBucketed(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"), "1 day")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("last_purchase_value"))
+    }),
+
     // Interval join: each view pairs with the same user's clicks within
     // the next 12 hours (equi-join on user_id carrying the range — the
     // attribution primitive; stream-stream form in EventStream)
@@ -92,6 +107,16 @@ object QueriesStream {
          | round(sum(value), 4) AS sum_value
          |FROM e GROUP BY 1, 2""".stripMargin,
     "q_asof" ->
+      s"""$evCte
+         |SELECT c.event_id, c.user_id,
+         |  round(p.value, 4) AS last_purchase_value
+         |FROM (SELECT event_id, user_id, ts FROM e
+         |      WHERE event_type = 'click') c
+         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM e
+         |      WHERE event_type = 'purchase') p
+         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // the bucketed variant computes the SAME join — one oracle pins both
+    "q_asof_bucketed" ->
       s"""$evCte
          |SELECT c.event_id, c.user_id,
          |  round(p.value, 4) AS last_purchase_value

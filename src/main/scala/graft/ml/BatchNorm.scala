@@ -19,11 +19,16 @@ object BatchNorm {
   /** Keras BatchNormalization default epsilon. */
   val Eps = 1e-3
 
-  /** Cached forward state for one BN site over one batch. */
+  /** Cached forward state for one BN site over one batch. `mean`/`varB`
+    * are the batch's biased statistics — kept for the optional
+    * moving-average inference mode (Keras parity), which accumulates
+    * them across training batches. */
   final class Fwd(
       val out: Array[Array[Double]],  // [b][n] gamma*xhat + beta
       val xhat: Array[Array[Double]], // [b][n]
-      val invStd: Array[Double])      // [n] 1/sqrt(var_b + eps)
+      val invStd: Array[Double],      // [n] 1/sqrt(var_b + eps)
+      val mean: Array[Double],        // [n] batch mean
+      val varB: Array[Double])        // [n] batch biased variance
 
   /** Training forward: batch-normalize `z` ([b][n]) with this batch's
     * biased mean/variance, then apply the learned affine gamma/beta. */
@@ -52,7 +57,8 @@ object BatchNorm {
     val invStd = new Array[Double](n)
     j = 0
     while (j < n) {
-      invStd(j) = 1.0 / math.sqrt(varr(j) / b + Eps); j += 1
+      varr(j) /= b
+      invStd(j) = 1.0 / math.sqrt(varr(j) + Eps); j += 1
     }
     val xhat = Array.ofDim[Double](b, n)
     val out = Array.ofDim[Double](b, n)
@@ -66,7 +72,7 @@ object BatchNorm {
       }
       i += 1
     }
-    new Fwd(out, xhat, invStd)
+    new Fwd(out, xhat, invStd, mean, varr)
   }
 
   /** Training backward. Given dL/dOut ([b][n]) and the cached forward,

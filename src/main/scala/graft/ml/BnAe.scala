@@ -71,12 +71,19 @@ object BnAeKernel {
     * is the reconstruction term only — the caller adds its own target
     * loss; otherwise the MSE target term is computed in-kernel and the
     * full joint batch objective is returned. */
+  /** Length of the per-site batch-statistics accumulator consumed by
+    * [[runBatch]]'s `bnStats`: per site, mean sums then var sums, sites
+    * in order, plus one trailing batch counter. */
+  def statsLen(k: Int, hE: Int, l: Int, hA: Int): Int =
+    2 * (k + hE + l + hE + hA) + 1
+
   def runBatch(w: BnAeWeights, x: Array[Array[Double]],
       ysM: Array[Array[Double]], rw: Double, tw: Double,
       acc: Array[Double], drop: AeDrop = null,
       seeds: Array[Long] = null, noiseStd: Double = 0.0,
       predOut: Array[Array[Double]] = null,
-      injectTgt: Array[Array[Double]] = null): Double = {
+      injectTgt: Array[Array[Double]] = null,
+      bnStats: Array[Double] = null): Double = {
     val c = w.core
     val (k, hE, l, hA, nOut) = (c.k, c.hE, c.latent, c.hA, c.nOut)
     val b = x.length
@@ -144,6 +151,25 @@ object BnAeKernel {
       var a = 0
       while (a < hA) { p += h(i)(a) * wpO(a); a += 1 }
       p
+    }
+    // moving-average inference mode: accumulate each site's BATCH
+    // statistics (Keras updates its moving averages from exactly these)
+    if (bnStats != null) {
+      val fwds = Array(bn0, bne, bnz, bnd, bnh)
+      val sDims = Array(k, hE, l, hE, hA)
+      var o2 = 0
+      var s = 0
+      while (s < 5) {
+        val fw = fwds(s); val n2 = sDims(s); var j = 0
+        while (j < n2) {
+          bnStats(o2 + j) += fw.mean(j)
+          bnStats(o2 + n2 + j) += fw.varB(j)
+          j += 1
+        }
+        o2 += 2 * n2
+        s += 1
+      }
+      bnStats(o2) += 1.0
     }
     if (predOut != null) {
       var i = 0
@@ -416,7 +442,13 @@ case class BnAeModel(
   * site's POPULATION statistics over the full training set at the final
   * weights (one staged aggregation per site — the "precise BatchNorm"
   * re-estimation), then folds them to per-unit affines so scoring stays
-  * a codegen'd projection. */
+  * a codegen'd projection. `bnInference = "moving_average"` selects the
+  * strict-Keras parity mode instead: moving averages of the training
+  * batches' statistics (momentum `bnMomentum`, Keras default 0.99, EMA
+  * stepped once per optimizer step so it stays order-independent —
+  * see the note in [[fit]]), folded through the SAME affine chain.
+  * Training weights are identical under both modes; only the inference
+  * statistics differ. */
 class BnJointAutoencoder(
     val featureCols: Seq[String],
     val targetCol: String,
@@ -439,10 +471,14 @@ class BnJointAutoencoder(
     val dropoutEncoder: Double = 0.0,
     val dropoutLatent: Double = 0.0,
     val dropoutHead: Double = 0.0,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam",
+    val bnInference: String = "population",
+    val bnMomentum: Double = 0.99) extends Serializable {
 
   require(Set("mse", "spearman", "combined")(targetLoss),
     s"targetLoss must be mse|spearman|combined, got $targetLoss")
+  require(Set("population", "moving_average")(bnInference),
+    s"bnInference must be population|moving_average, got $bnInference")
 
   /** The rank losses compose with multi-output target heads under the
     * reference's exact semantics — the loss flattens (batch, out) to
@@ -463,6 +499,11 @@ class BnJointAutoencoder(
     * gradient unit (batch-count normalized), matching the rank paths.
     * `ep` = 0 disables noise/dropout (the finite-difference mode) and
     * pins batch composition. */
+  /** Per-site batch-statistics sums from the most recent [[gradient]]
+    * call that collected them (moving-average mode only): layout =
+    * [[BnAeKernel.statsLen]], driver-side after the treeReduce. */
+  @transient private var lastEpochStats: Array[Double] = _
+
   def gradient(data: DataFrame, p: Array[Double], ep: Long = 0L)
       : (Array[Double], Double) = {
     val (kk, nO, bsz) = (k, nOut, batchSize)
@@ -474,10 +515,13 @@ class BnJointAutoencoder(
     val dd = if (ep == 0L) null else aeDrop
     val noiseStd = if (ep == 0L) 0.0 else gaussianNoise
     val seed0 = seed
+    val collect = ep != 0L && bnInference == "moving_average"
+    val sLen = BnAeKernel.statsLen(kk, encoderHidden, latentDim, headHidden)
     val w = BnAeKernel.toWeights(p, kk, encoderHidden, latentDim,
       headHidden, nO)
     val acc = data.rdd.mapPartitions { it =>
-      val acc = new Array[Double](n + 2)
+      val acc = new Array[Double](n + 2 + (if (collect) sLen else 0))
+      val stats = if (collect) new Array[Double](sLen) else null
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
       var idx = 0L
       SeqAdam.shuffledBatches(it, bsz, seed0, ep, part).foreach { batch =>
@@ -498,14 +542,16 @@ class BnJointAutoencoder(
         }
         if (tl == "mse") {
           val loss = BnAeKernel.runBatch(w, x, ys, rw, tw, acc, dd,
-            seeds, noiseStd)
+            seeds, noiseStd, bnStats = stats)
           acc(n) += loss; acc(n + 1) += 1.0
         } else if (b >= 2 || mw != 0.0 || nO >= 2) {
           // rank loss with the reference's multi-output semantics:
           // (batch, out) flattens to ONE ranked vector (losses.py:67-69)
           val po = Array.ofDim[Double](b, nO)
+          // stats collect on this pass only — the inject pass below
+          // re-runs the identical forward over the same batch
           BnAeKernel.runBatch(w, x, ys, rw, tw, null, dd, seeds,
-            noiseStd, po)
+            noiseStd, po, bnStats = stats)
           val flatP = new Array[Double](b * nO)
           val flatY = new Array[Double](b * nO)
           var i2 = 0
@@ -527,12 +573,14 @@ class BnJointAutoencoder(
           acc(n + 1) += 1.0
         }
       }
+      if (collect) System.arraycopy(stats, 0, acc, n + 2, sLen)
       Iterator.single(acc)
     }.treeReduce({ (a, b) =>
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }, depth = 2)
+    if (collect) lastEpochStats = acc.slice(n + 2, n + 2 + sLen)
     val cnt = math.max(acc(sz + 1), 1.0)
     (Array.tabulate(sz)(i => acc(i) / cnt), acc(sz) / cnt)
   }
@@ -577,14 +625,50 @@ class BnJointAutoencoder(
       o += s
     }
     val adam = new AdamState(sz, lr, optimizer)
+    // strict-Keras inference statistics (bnInference="moving_average"):
+    // Keras initializes moving_mean=0 / moving_var=1 and updates them
+    // from each training batch's statistics with momentum 0.99
+    // (keras BatchNormalization defaults; reference autoencoder.py:30-63
+    // inherits them). A literal per-batch EMA is order-dependent and
+    // ill-defined when batches execute in parallel, so the EMA step here
+    // is per OPTIMIZER STEP (= epoch): the step's batches all run at the
+    // same weights, their statistics average order-independently, and
+    // that average feeds one EMA update — same estimator, deterministic
+    // under any partitioning. Default stays "population" (re-estimation
+    // at the final weights — the more accurate inference statistics).
+    val sDims = Array(k, hE, l, hE, hA)
+    val maMean = sDims.map(n2 => new Array[Double](n2))
+    val maVar = sDims.map(n2 => Array.fill(n2)(1.0))
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
       val (g0, _) = gradient(batch, p, t)
       adam.update(p, g0, t)
+      if (bnInference == "moving_average" && lastEpochStats != null) {
+        val st = lastEpochStats
+        val batches = math.max(st(st.length - 1), 1.0)
+        var o2 = 0
+        for (s <- sDims.indices) {
+          val n2 = sDims(s)
+          var j = 0
+          while (j < n2) {
+            maMean(s)(j) = bnMomentum * maMean(s)(j) +
+              (1.0 - bnMomentum) * st(o2 + j) / batches
+            maVar(s)(j) = bnMomentum * maVar(s)(j) +
+              (1.0 - bnMomentum) * st(o2 + n2 + j) / batches
+            j += 1
+          }
+          o2 += 2 * n2
+        }
+      }
     }
     val w = BnAeKernel.toWeights(p, k, hE, l, hA, nOut)
-    val (aff0, affs) = reestimate(std, w)
+    val (aff0, affs) =
+      if (bnInference == "moving_average")
+        (BatchNorm.affine(w.gamma(0), w.beta(0), maMean(0), maVar(0)),
+          (1 to 4).map(s =>
+            BatchNorm.affine(w.gamma(s), w.beta(s), maMean(s), maVar(s))))
+      else reestimate(std, w)
     std.unpersist()
     BnAeModel(w, aff0, affs, yMeans, yStds, featureCols)
   }

@@ -55,4 +55,68 @@ object AsOfJoin {
         leftCols.filterNot(keyCols.contains).map(col) ++
         valueCols.map(c => col("__last").getField(c).as(c)): _*)
   }
+
+  /** Hot-key-safe as-of join: identical semantics to [[asof]], computed
+    * with the carry-forward split across TIME BUCKETS so a celebrity key
+    * never serializes into one window task.
+    *
+    * [[asof]]'s window partitions by the key alone — at 100 TB one user
+    * with millions of events is one monster sort partition. Here the
+    * heavy pass partitions by (key, time-bucket): each bucket carries
+    * forward locally, then a per-(key, bucket) aggregate (ONE row per
+    * bucket — tiny regardless of skew) threads the carry-in value across
+    * buckets with a second, cheap window, and a co-partitioned join
+    * patches rows that precede their bucket's first right row. Work per
+    * task is bounded by the hottest key's events per `bucket` width —
+    * tune `bucket` so that is a sane partition (e.g. "1 hour" for a key
+    * doing ~1M events/day). Three exchanges instead of one, each
+    * skew-safe; equality with [[asof]] is pinned across bucket widths
+    * on a hot-key fixture by ExtensionsSpec and by the q_asof_bucketed
+    * oracle (same DuckDB ASOF JOIN as q_asof). */
+  def asofBucketed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      bucket: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftCols = left.columns.toSeq
+    val rvType = StructType(valueCols.map(c => right.schema(c)).toArray)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__rv")) ++
+        leftCols.filterNot(keyCols.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rvType).as("__rv")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val u = r.unionByName(l)
+      .withColumn("__b", window(col("__t"), bucket).getField("start"))
+    // pass 1: carry-forward WITHIN each (key, bucket) — the only pass
+    // that touches every row, partitioned so hot keys split by time
+    val wLocal = Window.partitionBy(keyCols.map(col) :+ col("__b"): _*)
+      .orderBy(col("__t"), col("__side"), col("__rv").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("__last",
+      last(col("__rv"), ignoreNulls = true).over(wLocal))
+    // pass 2: one row per (key, bucket) — the bucket's FINAL carried
+    // value — then thread carry-ins across buckets per key. This frame
+    // has |buckets-with-data| rows per key: skew-immune by construction.
+    val finals = local
+      .groupBy(keyCols.map(col) :+ col("__b"): _*)
+      .agg(max_by(col("__last"),
+        struct(col("__t"), col("__side"), col("__rv"))).as("__bfinal"))
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = finals.withColumn("__carry",
+      last(col("__bfinal"), ignoreNulls = true).over(wCarry))
+      .select(keyCols.map(col) :+ col("__b") :+ col("__carry"): _*)
+    // pass 3: co-partitioned join (key, bucket) patches rows whose
+    // bucket-local carry is null with the previous buckets' final value
+    local.join(carry, keyCols :+ "__b")
+      .where(col("__side") === 1)
+      .withColumn("__eff", coalesce(col("__last"), col("__carry")))
+      .select(keyCols.map(col) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        valueCols.map(c => col("__eff").getField(c).as(c)): _*)
+  }
 }

@@ -152,6 +152,54 @@ class BnAeSpec extends AnyFunSuite {
     }
   }
 
+  test("bn ae: strict-Keras moving-average inference mode — training " +
+    "weights identical to population mode, scoring flows through the " +
+    "same folded-affine chain, and the flag actually changes the stats") {
+    val rows = manifold(200, 5)
+    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    val feats = Seq("f0", "f1", "f2")
+    def trainer(mode: String) = new BnJointAutoencoder(feats, "y",
+      latentDim = 2, encoderHidden = 3, headHidden = 2, epochs = 30,
+      seed = 11L, bnInference = mode)
+    val pop = trainer("population").fit(df)
+    val ma = trainer("moving_average").fit(df)
+    // the flag must not touch training: weights agree to reduce-order
+    // noise (treeReduce combine order varies with task timing, so two
+    // fits differ at ~1e-16 regardless of any flag)
+    def close(a: Array[Double], b: Array[Double]): Boolean =
+      a.length == b.length &&
+        a.indices.forall(i => math.abs(a(i) - b(i)) < 1e-9)
+    assert(pop.weights.core.we.zip(ma.weights.core.we)
+      .forall { case (a, b) => close(a, b) })
+    assert(pop.weights.core.wh.zip(ma.weights.core.wh)
+      .forall { case (a, b) => close(a, b) })
+    (0 until 5).foreach { s =>
+      assert(close(pop.weights.gamma(s), ma.weights.gamma(s)))
+      assert(close(pop.weights.beta(s), ma.weights.beta(s)))
+    }
+    // the inference statistics must differ (EMA of training-batch stats
+    // vs final-weights population re-estimation)
+    assert(!pop.aff0._1.sameElements(ma.aff0._1) ||
+      !pop.aff0._2.sameElements(ma.aff0._2))
+    // MA-mode scoring goes through the SAME staged folded-affine chain:
+    // the staged Spark projection equals the driver inference forward
+    val out = ma.reconstruct(df)
+      .join(ma.predict(df).select(col("id"), col("prediction")), "id")
+      .select("f0", "f1", "f2", "latent_0", "latent_1", "recon_0",
+        "prediction").limit(10).collect()
+    out.foreach { row =>
+      val x0 = Array.tabulate(3)(i =>
+        row.getDouble(i) * ma.aff0._1(i) + ma.aff0._2(i))
+      val (zl, rec, ps) = BnAeKernel.forwardAffine(ma.weights, ma.aff, x0)
+      assert(math.abs(zl(0) - row.getDouble(3)) < 1e-9)
+      assert(math.abs(zl(1) - row.getDouble(4)) < 1e-9)
+      assert(math.abs(rec(0) - row.getDouble(5)) < 1e-9)
+      assert(math.abs(ps(0) * ma.yStds(0) + ma.yMeans(0)
+        - row.getDouble(6)) < 1e-9)
+      assert(!row.getDouble(6).isNaN)
+    }
+  }
+
   test("bn ae: rank target-loss surrogate injection at spW=0, mseW=1 " +
     "reproduces the batched joint-MSE path (delta-linearity identity)") {
     val r = new scala.util.Random(27)

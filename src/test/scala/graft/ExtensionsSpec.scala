@@ -267,6 +267,46 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(plain.exists(_(3) == null), "fixture must have null rows")
     }
   }
+
+  test("as-of join, time-bucketed hot-key variant: equals the one-window " +
+    "asof on a celebrity-key fixture at several bucket widths") {
+    import graft.operators.AsOfJoin
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    // user 1 = hot key spanning many days; sparse users around it; rows
+    // include clicks BEFORE any purchase (null carry), same-timestamp
+    // click/purchase pairs (tie resolves to the purchase), and purchases
+    // whose value is null (must mask older values, not be skipped)
+    val rows = (0 until 600).map { i =>
+      val user = if (i % 8 < 7) 1L else (2L + i % 5)
+      val typ = if (i % 3 == 0) "purchase" else "click"
+      val value: java.lang.Double =
+        if (i % 30 == 0) null else java.lang.Double.valueOf(i / 10.0)
+      (i.toLong, user, typ,
+        java.sql.Timestamp.from(base.plusSeconds(i * 3700L)), value)
+    } ++ Seq(
+      (900L, 1L, "click",
+        java.sql.Timestamp.from(base.minusSeconds(60)), null),
+      (901L, 7L, "purchase",
+        java.sql.Timestamp.from(base.plusSeconds(1000)),
+        java.lang.Double.valueOf(5.0)),
+      (902L, 7L, "click",
+        java.sql.Timestamp.from(base.plusSeconds(1000)),
+        java.lang.Double.valueOf(0.0)))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val want = AsOfJoin.asof(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("value")).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty && want.exists(_(3) == null),
+      "fixture must exercise the no-preceding-purchase case")
+    for (width <- Seq("6 hours", "1 day", "10 days")) {
+      val got = AsOfJoin.asofBucketed(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("value"), width).collect().map(_.toSeq).toSet
+      assert(got == want, s"bucketed asof diverged at width=$width")
+    }
+  }
 }
 
 /** IVF recall, salted-agg equality, stateful streaming vs batch. */
