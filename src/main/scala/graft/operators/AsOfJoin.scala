@@ -98,12 +98,20 @@ object AsOfJoin {
     val local = u.withColumn("__last",
       last(col("__rv"), ignoreNulls = true).over(wLocal))
     // pass 2: one row per (key, bucket) — the bucket's FINAL carried
-    // value — then thread carry-ins across buckets per key. This frame
-    // has |buckets-with-data| rows per key: skew-immune by construction.
-    val finals = local
+    // value — then thread carry-ins across buckets per key. Computed
+    // directly on the union (NOT on `local`: Catalyst does not reuse the
+    // window subplan across branches, so deriving finals from it would
+    // run the heavy (key, bucket) sort twice — plan-audited). The
+    // bucket-final value is the greatest-(t, side, rv) RIGHT row: left
+    // rows carry a null ordering struct, which max_by ignores, and
+    // left-only buckets still group (null __bfinal threads through the
+    // ignoreNulls carry window). Partial aggregation shrinks this to one
+    // row per (key, bucket) per map task before its shuffle — narrow and
+    // skew-immune regardless of the hot key.
+    val finals = u
       .groupBy(keyCols.map(col) :+ col("__b"): _*)
-      .agg(max_by(col("__last"),
-        struct(col("__t"), col("__side"), col("__rv"))).as("__bfinal"))
+      .agg(max_by(col("__rv"), when(col("__rv").isNotNull,
+        struct(col("__t"), col("__side"), col("__rv")))).as("__bfinal"))
     val wCarry = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -156,7 +156,10 @@ class BnAeSpec extends AnyFunSuite {
     "weights identical to population mode, scoring flows through the " +
     "same folded-affine chain, and the flag actually changes the stats") {
     val rows = manifold(200, 5)
-    val df = rows.toDF("id", "f0", "f1", "f2", "y")
+    // one partition: treeReduce combine order is then deterministic, so
+    // the two fits below are bit-comparable (multi-partition reduce
+    // order varies with task timing and compounds over the epochs)
+    val df = rows.toDF("id", "f0", "f1", "f2", "y").coalesce(1)
     val feats = Seq("f0", "f1", "f2")
     def trainer(mode: String) = new BnJointAutoencoder(feats, "y",
       latentDim = 2, encoderHidden = 3, headHidden = 2, epochs = 30,
