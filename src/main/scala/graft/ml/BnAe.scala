@@ -647,15 +647,21 @@ class BnJointAutoencoder(
       if (bnInference == "moving_average" && lastEpochStats != null) {
         val st = lastEpochStats
         val batches = math.max(st(st.length - 1), 1.0)
+        // Keras steps the EMA once per BATCH; an epoch of k batches whose
+        // statistics all sit near the epoch average composes in closed
+        // form to momentum^k — without this the (0,1) initialization
+        // keeps ~momentum^epochs weight (0.99^150 ≈ 0.22) and the folded
+        // statistics stay visibly biased at realistic epoch counts
+        val effM = math.pow(bnMomentum, batches)
         var o2 = 0
         for (s <- sDims.indices) {
           val n2 = sDims(s)
           var j = 0
           while (j < n2) {
-            maMean(s)(j) = bnMomentum * maMean(s)(j) +
-              (1.0 - bnMomentum) * st(o2 + j) / batches
-            maVar(s)(j) = bnMomentum * maVar(s)(j) +
-              (1.0 - bnMomentum) * st(o2 + n2 + j) / batches
+            maMean(s)(j) = effM * maMean(s)(j) +
+              (1.0 - effM) * st(o2 + j) / batches
+            maVar(s)(j) = effM * maVar(s)(j) +
+              (1.0 - effM) * st(o2 + n2 + j) / batches
             j += 1
           }
           o2 += 2 * n2

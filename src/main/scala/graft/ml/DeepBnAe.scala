@@ -52,10 +52,15 @@ object DeepBnKernel {
     * it and the reconstruction targets it in raw space. `seeds` draw
     * each row's noise (k Gaussians when noiseStd > 0) then per-stage
     * dropout masks in stage order. */
+  /** Per-site batch-statistics accumulator length for [[runBatch]]'s
+    * `bnStats` (per site: mean sums then var sums; one trailing batch
+    * counter). */
+  def statsLen(c: Cfg): Int = 2 * bnWidths(c).sum + 1
+
   def runBatch(p: Array[Double], c: Cfg, xs: Array[Array[Double]],
       ysM: Array[Array[Double]], rw: Double, tw: Double,
       acc: Array[Double], noiseStd: Double = 0.0,
-      seeds: Array[Long] = null): Double = {
+      seeds: Array[Long] = null, bnStats: Array[Double] = null): Double = {
     val b = xs.length
     val nS = c.stages.size
     val useNoise = noiseStd > 0.0 && seeds != null
@@ -86,8 +91,21 @@ object DeepBnKernel {
     @inline def mask(i: Int, s: Int): Array[Double] =
       if (masks(i) == null) null else masks(i)(s)
 
+    val widths = bnWidths(c)
+    @inline def accStats(site: Int, f: BatchNorm.Fwd): Unit =
+      if (bnStats != null) {
+        val w0 = widths(site); val o = 2 * widths.take(site).sum
+        var j = 0
+        while (j < w0) {
+          bnStats(o + j) += f.mean(j)
+          bnStats(o + w0 + j) += f.varB(j)
+          j += 1
+        }
+      }
+
     // ---- forward ----
     val bn0 = BatchNorm.forward(xs, gammaOf(p, c, 0), betaOf(p, c, 0))
+    accStats(0, bn0)
     val x0 = if (!useNoise) bn0.out
       else Array.tabulate(b, c.k)((i, f) => bn0.out(i)(f) + noise(i)(f))
     val acts = new Array[Array[Array[Double]]](nS + 1) // [stage][b][w]
@@ -109,6 +127,7 @@ object DeepBnKernel {
       acts(s + 1) = if (!st.act) z else {
         val bnF = BatchNorm.forward(z, gammaOf(p, c, site),
           betaOf(p, c, site))
+        accStats(site, bnF)
         bnCache(s) = bnF
         site += 1
         Array.tabulate(b, st.nOut) { (i, j) =>
@@ -268,7 +287,12 @@ class DeepBnAutoencoder(
     val seed: Long = 42L,
     val batchFraction: Double = 0.2,
     val batchSize: Int = 32,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam",
+    val bnInference: String = "population",
+    val bnMomentum: Double = 0.99) extends Serializable {
+
+  require(Set("population", "moving_average")(bnInference),
+    s"bnInference must be population|moving_average, got $bnInference")
 
   val targetCols: Seq[String] = targetCol +: extraTargetCols
   private val nOut = targetCols.size
@@ -298,8 +322,11 @@ class DeepBnAutoencoder(
     val wantSeeds = ep != 0L &&
       (gaussianNoise > 0 || c.stages.exists(_.drop > 0))
     val seed0 = seed
+    val collect = ep != 0L && bnInference == "moving_average"
+    val sLen = DeepBnKernel.statsLen(c)
     val acc = data.rdd.mapPartitions { it =>
-      val acc = new Array[Double](n + 2)
+      val acc = new Array[Double](n + 2 + (if (collect) sLen else 0))
+      val stats = if (collect) new Array[Double](sLen) else null
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
       var idx = 0L
       SeqAdam.shuffledBatches(it, bsz, seed0, ep, part).foreach { batch =>
@@ -317,19 +344,26 @@ class DeepBnAutoencoder(
           i += 1
         }
         val loss = DeepBnKernel.runBatch(p, c, xs, ys, rw, tw, acc,
-          noiseStd, seeds)
+          noiseStd, seeds, stats)
         acc(n) += loss
         acc(n + 1) += 1.0
+        if (stats != null) stats(sLen - 1) += 1.0
       }
+      if (collect) System.arraycopy(stats, 0, acc, n + 2, sLen)
       Iterator.single(acc)
     }.treeReduce({ (a, b) =>
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }, depth = 2)
+    if (collect) lastEpochStats = acc.slice(n + 2, n + 2 + sLen)
     val cnt = math.max(acc(size + 1), 1.0)
     (Array.tabulate(size)(i => acc(i) / cnt), acc(size) / cnt)
   }
+
+  /** Most recent collected per-site batch-statistics sums (driver-side
+    * after the treeReduce; moving-average mode only). */
+  @transient private var lastEpochStats: Array[Double] = _
 
   def fit(df: DataFrame): this.type = {
     val data = df.select((targetCols ++ featureCols).map(c =>
@@ -356,13 +390,43 @@ class DeepBnAutoencoder(
     for (site <- widths.indices; j <- 0 until widths(site))
       p(DeepBnKernel.bnOff(cfg, site) + j) = 1.0 // gamma=1, beta=0
     val adam = new AdamState(size, lr, optimizer)
+    // moving-average inference statistics (strict-Keras mode) — EMA of
+    // the epoch-average batch statistics, k batch updates composed per
+    // optimizer step as momentum^k (see BnJointAutoencoder.fit)
+    val maMean = widths.map(w0 => new Array[Double](w0))
+    val maVar = widths.map(w0 => Array.fill(w0)(1.0))
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
       val (g0, _) = gradient(batch, p, t)
       adam.update(p, g0, t)
+      if (bnInference == "moving_average" && lastEpochStats != null) {
+        val st = lastEpochStats
+        val batches = math.max(st(st.length - 1), 1.0)
+        val effM = math.pow(bnMomentum, batches)
+        var o = 0
+        for (s <- widths.indices) {
+          val w0 = widths(s)
+          var j = 0
+          while (j < w0) {
+            maMean(s)(j) = effM * maMean(s)(j) +
+              (1.0 - effM) * st(o + j) / batches
+            maVar(s)(j) = effM * maVar(s)(j) +
+              (1.0 - effM) * st(o + w0 + j) / batches
+            j += 1
+          }
+          o += 2 * w0
+        }
+      }
     }
-    affs = reestimate(std, p)
+    affs =
+      if (bnInference == "moving_average")
+        widths.indices.map(s => BatchNorm.affine(
+          Array.tabulate(widths(s))(j => p(DeepBnKernel.bnOff(cfg, s) + j)),
+          Array.tabulate(widths(s))(j =>
+            p(DeepBnKernel.bnOff(cfg, s) + widths(s) + j)),
+          maMean(s), maVar(s)))
+      else reestimate(std, p)
     w = p
     std.unpersist()
     this

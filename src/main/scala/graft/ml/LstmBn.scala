@@ -55,12 +55,16 @@ class LSTMBnTrainer(
     val mseWeight: Double = 2.0,
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam",
+    val bnInference: String = "population",
+    val bnMomentum: Double = 0.99) extends Serializable {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  require(Set("population", "moving_average")(bnInference),
+    s"bnInference must be population|moving_average, got $bnInference")
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
 
@@ -182,8 +186,14 @@ class LSTMBnTrainer(
       else widths.indices.map(l => lnBetaOf(p, l)).toArray
     val lnOffs = if (!layerNorm) null
       else widths.indices.map(lnBlockOff).toArray
+    // moving-average mode: per-site batch-statistics sums ride the same
+    // treeReduce (layout: per site mean-sums then var-sums, then one
+    // trailing batch counter)
+    val collect = ep != 0L && bnInference == "moving_average"
+    val sLen = 2 * widths.sum + 1
     val acc = data.rdd.mapPartitions { it =>
-      val acc = new Array[Double](n + 2)
+      val acc = new Array[Double](n + 2 + (if (collect) sLen else 0))
+      val stats = if (collect) new Array[Double](sLen) else null
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
       var idx = 0L
       SeqAdam.shuffledBatches(it, bsz, seed0, ep, part).foreach { batch =>
@@ -210,22 +220,41 @@ class LSTMBnTrainer(
               betas(0), offs(0), hdd, tau, mw, sw,
               if (lnG == null) null else lnG(0),
               if (lnB == null) null else lnB(0),
-              if (lnOffs == null) -1 else lnOffs(0))
+              if (lnOffs == null) -1 else lnOffs(0), stats)
             else runStacked(p, c, acc, xs, ys, drops, gammas, betas,
               offs.toArray, widths.toArray, hdd, tau, mw, sw,
-              lnG, lnB, lnOffs)
+              lnG, lnB, lnOffs, stats)
           acc(n) += lossVal
           acc(n + 1) += 1.0
+          if (stats != null) stats(sLen - 1) += 1.0
         }
       }
+      if (collect) System.arraycopy(stats, 0, acc, n + 2, sLen)
       Iterator.single(acc)
     }.treeReduce({ (a, b) =>
       var i = 0
       while (i < a.length) { a(i) += b(i); i += 1 }
       a
     }, depth = 2)
+    if (collect) lastEpochStats = acc.slice(n + 2, n + 2 + sLen)
     val cnt = math.max(acc(size + 1), 1.0)
     (Array.tabulate(size)(i => acc(i) / cnt), acc(size) / cnt)
+  }
+
+  /** Most recent collected per-site batch-statistics sums (driver-side
+    * after the treeReduce; moving-average mode only). */
+  @transient private var lastEpochStats: Array[Double] = _
+
+  /** Accumulate one BN site's batch statistics into `stats` at the
+    * site's offset (mean sums then var sums). */
+  @inline private def accSite(stats: Array[Double], off: Int,
+      width: Int, f: BatchNorm.Fwd): Unit = {
+    var u = 0
+    while (u < width) {
+      stats(off + u) += f.mean(u)
+      stats(off + width + u) += f.varB(u)
+      u += 1
+    }
   }
 
   /** One batch, single-layer or bidirectional layout: BN over the
@@ -236,7 +265,7 @@ class LSTMBnTrainer(
       gamma: Array[Double], beta: Array[Double], bOff: Int, hdd: Int,
       tau: Double, mw: Double, sw: Double,
       lnG: Array[Double] = null, lnB: Array[Double] = null,
-      lnOff: Int = -1): Double = {
+      lnOff: Int = -1, bnStats: Array[Double] = null): Double = {
     val b = xs.length
     val sessions = Array.tabulate(b)(i =>
       new LstmStackBptt.StateSession(p, c, xs(i), drops(i)))
@@ -253,6 +282,7 @@ class LSTMBnTrainer(
       }
     }
     val bnF = BatchNorm.forward(z, gamma, beta)
+    if (bnStats != null) accSite(bnStats, 0, hdd, bnF)
     val preds = Array.tabulate(b) { i =>
       var pr = p(c.headBias)
       var u = 0
@@ -314,7 +344,7 @@ class LSTMBnTrainer(
       offs: Array[Int], widths: Array[Int], hdd: Int,
       tau: Double, mw: Double, sw: Double,
       lnG: Array[Array[Double]] = null, lnB: Array[Array[Double]] = null,
-      lnOffs: Array[Int] = null): Double = {
+      lnOffs: Array[Int] = null, bnStats: Array[Double] = null): Double = {
     val b = xs.length
     val t0 = xs(0).length
     val nL = c.layers.size
@@ -350,6 +380,8 @@ class LSTMBnTrainer(
           }
         }
         val bnF = BatchNorm.forward(pre, gammas(l), betas(l))
+        if (bnStats != null)
+          accSite(bnStats, 2 * widths.take(l).sum, widths(l), bnF)
         innerBn(l) = bnF
         cur = Array.tabulate(b, t0)((i, t) => bnF.out(i * t0 + t))
       } else {
@@ -369,6 +401,8 @@ class LSTMBnTrainer(
       l += 1
     }
     val bnLast = BatchNorm.forward(states, gammas(nL - 1), betas(nL - 1))
+    if (bnStats != null)
+      accSite(bnStats, 2 * widths.take(nL - 1).sum, widths(nL - 1), bnLast)
     val preds = Array.tabulate(b) { i =>
       var pr = p(c.headBias)
       var u = 0
@@ -484,20 +518,47 @@ class LSTMBnTrainer(
       if (layerNorm) p(lnBlockOff(l) + u) = 1.0 // LN gamma=1, beta=0
     }
     val adam = new AdamState(size, lr, optimizer)
+    // moving-average inference statistics (strict-Keras mode): EMA of
+    // the per-epoch average batch statistics, one composed update of
+    // the epoch's k batches per optimizer step (momentum^k — see
+    // BnJointAutoencoder.fit for the closed-form rationale); Keras init
+    // moving_mean=0 / moving_var=1
+    val maMean = bnWidths.map(w0 => new Array[Double](w0))
+    val maVar = bnWidths.map(w0 => Array.fill(w0)(1.0))
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
       val (g0, _) = gradient(batch, p, t)
       adam.update(p, g0, t)
+      if (bnInference == "moving_average" && lastEpochStats != null) {
+        val st = lastEpochStats
+        val batches = math.max(st(st.length - 1), 1.0)
+        val effM = math.pow(bnMomentum, batches)
+        var o = 0
+        for (s <- bnWidths.indices) {
+          val w0 = bnWidths(s)
+          var u = 0
+          while (u < w0) {
+            maMean(s)(u) = effM * maMean(s)(u) +
+              (1.0 - effM) * st(o + u) / batches
+            maVar(s)(u) = effM * maVar(s)(u) +
+              (1.0 - effM) * st(o + w0 + u) / batches
+            u += 1
+          }
+          o += 2 * w0
+        }
+      }
     }
-    // site-by-site population statistics at the fitted weights
-    // (dropout off): inner sites over all rows × timesteps, the last
-    // site over the final (concat) states — each pass folds every
-    // EARLIER site's affine, since downstream activations depend on
-    // upstream statistics
+    // site-by-site inference statistics: population re-estimates at the
+    // fitted weights (dropout off; each pass folds every EARLIER site's
+    // affine, since downstream activations depend on upstream
+    // statistics) — or, in moving-average mode, the training-time EMAs,
+    // folded through the IDENTICAL affine/LN composition below
     val built = scala.collection.mutable.ArrayBuffer.empty[LstmNorm]
     for (site <- bnWidths.indices) {
-      val (m, v) = siteStats(std, p, built.toSeq, site)
+      val (m, v) =
+        if (bnInference == "moving_average") (maMean(site), maVar(site))
+        else siteStats(std, p, built.toSeq, site)
       built += (if (!layerNorm)
         LstmNorm(gammaOf(p, site), betaOf(p, site), BatchNorm.Eps, m, v)
       else {

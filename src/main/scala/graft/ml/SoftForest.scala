@@ -255,7 +255,10 @@ case class SoftForestModel(
   * CURRENT batch's statistics (one data-only aggregate per epoch batch;
   * the input site has no parameter-dependent statistics, so the batch
   * coupling adds no gradient terms), population stats folded into the
-  * scorer's (mean, std) slots at fit end. The default pre-standardizes
+  * scorer's (mean, std) slots at fit end — or, with `bnInference =
+  * "moving_average"`, the strict-Keras EMA of the per-epoch batch
+  * statistics (momentum `bnMomentum`), folded through the SAME affine
+  * so the scorer is unchanged. The default pre-standardizes
   * instead — the exact population fold of the same layer at gamma=1,
   * beta=0; since the BN output feeds a LINEAR map, trainable gamma/beta
   * are absorbable reparameterizations of the same function class, and
@@ -286,10 +289,14 @@ class SoftNdfRegressor(
     val treeNoiseStd: Double = 0.0,
     val treeDropoutRate: Double = 0.0,
     val useInputBn: Boolean = false,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam",
+    val bnInference: String = "population",
+    val bnMomentum: Double = 0.99) extends Serializable {
 
   require(Set("mse", "spearman", "combined")(loss),
     s"loss must be mse|spearman|combined, got $loss")
+  require(Set("population", "moving_average")(bnInference),
+    s"bnInference must be population|moving_average, got $bnInference")
   require(usedFeaturesRate > 0 && usedFeaturesRate <= 1.0,
     s"usedFeaturesRate must be in (0, 1], got $usedFeaturesRate")
   require(inputNoiseStd >= 0 && treeNoiseStd >= 0 &&
@@ -544,6 +551,11 @@ class SoftNdfRegressor(
           2.0 * l2Leaf * p(o + nUsed * nNodes + nNodes + l)
     }
 
+  /** Most recent epoch's input-BN batch statistics (driver-side — the
+    * input site's statistics are ONE narrow aggregate per epoch, see
+    * [[batchBnStats]]); consumed by the moving-average inference mode. */
+  @transient private var lastBnStats: SoftForest.InputBn = _
+
   /** `ep != 0` activates the stochastic regularizers with per-row
     * per-epoch seeded draws (0 = deterministic, the spec mode). */
   def gradient(data: DataFrame, p: Array[Double], masks: Seq[Array[Int]],
@@ -556,6 +568,7 @@ class SoftNdfRegressor(
     val seed0 = seed
     val useNoise = noiseActive && ep != 0L
     val bn = if (!useInputBn) null else batchBnStats(data, p)
+    if (ep != 0L) lastBnStats = bn
     val zero = DenseVector.zeros[Double](sz + 2)
     val acc = data.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
@@ -606,6 +619,7 @@ class SoftNdfRegressor(
     val seed0 = seed
     val useNoise = noiseActive && ep != 0L
     val bn = if (!useInputBn) null else batchBnStats(data, p)
+    if (ep != 0L) lastBnStats = bn
     val acc = data.rdd.mapPartitions { it =>
       val acc = new Array[Double](n + 2)
       val part = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -672,7 +686,8 @@ class SoftNdfRegressor(
     val data = df.select((targetCols ++ featureCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
-    require(data.count() > 0, "no complete rows to fit on")
+    val nRows = data.count()
+    require(nRows > 0, "no complete rows to fit on")
     // input standardization (the reference's input BatchNormalization)
     // + per-output target standardization in the same single aggregate
     val statCols = featureCols.flatMap(c =>
@@ -726,6 +741,18 @@ class SoftNdfRegressor(
       for (j <- 0 until nFeat) p(bnOff0 + j) = 1.0
     val adam = new AdamState(sz, lr, optimizer)
     var temp = tempStart
+    // moving-average inference statistics (strict-Keras mode): EMA of
+    // the per-epoch input-BN batch statistics, momentum bnMomentum,
+    // Keras init moving_mean=0 / moving_var=1. Keras steps the EMA once
+    // per batch_size-32 batch (base.py:120); this trainer's input-BN
+    // granularity is the whole epoch sample, so one epoch composes its
+    // k ≈ sampleRows/32 identical-statistics batch updates in closed
+    // form: momentum^k (without the composition the (0,1) init keeps
+    // momentum^epochs weight and the folded stats stay visibly biased)
+    val kerasBatchesPerEpoch = math.max(1L,
+      math.round(nRows * math.min(batchFraction, 1.0) / 32.0))
+    val maMean = new Array[Double](nFeat)
+    val maVar = Array.fill(nFeat)(1.0)
     for (t <- 1 to epochs) {
       val batch = if (batchFraction >= 1.0) std
         else std.sample(withReplacement = false, batchFraction, seed + t)
@@ -733,6 +760,18 @@ class SoftNdfRegressor(
         rankGradient(batch, p, masks, temp, t)
         else gradient(batch, p, masks, temp, t)
       adam.update(p, g0, t)
+      if (useInputBn && bnInference == "moving_average" &&
+          lastBnStats != null) {
+        val effM = math.pow(bnMomentum, kerasBatchesPerEpoch.toDouble)
+        var j = 0
+        while (j < nFeat) {
+          val v = 1.0 / (lastBnStats.invStd(j) * lastBnStats.invStd(j)) -
+            BatchNorm.Eps
+          maMean(j) = effM * maMean(j) + (1.0 - effM) * lastBnStats.mean(j)
+          maVar(j) = effM * maVar(j) + (1.0 - effM) * v
+          j += 1
+        }
+      }
       // linear temperature annealing, assigned at epoch end
       // (TemperatureAnnealing.on_epoch_end, tree.py:47-50)
       temp = tempStart - (tempStart - tempEnd) * t.toDouble / epochs
@@ -741,14 +780,18 @@ class SoftNdfRegressor(
     // population fold of the trained input BN into the scorer's
     // (mean, std) slots: (x − m')/sd' ≡ gamma·(x − mu)/sqrt(var+eps) +
     // beta with sd' = sqrt(var+eps)/gamma, m' = mu − beta·sd' — the
-    // inference affine, so the staged scoring path is unchanged
+    // inference affine, so the staged scoring path is unchanged. The
+    // moving-average mode folds (maMean, maVar) through the SAME affine.
     val (mEff, sEff) = if (!useInputBn) (fMean, fStd) else {
       val (g, b) = decodeBn(p)
+      val (mu, varr) =
+        if (bnInference == "moving_average") (maMean, maVar)
+        else (fMean, Array.tabulate(nFeat)(i => fStd(i) * fStd(i)))
       val sd = Array.tabulate(nFeat) { i =>
         val gv = if (math.abs(g(i)) < 1e-12) 1e-12 else g(i)
-        math.sqrt(fStd(i) * fStd(i) + BatchNorm.Eps) / gv
+        math.sqrt(varr(i) + BatchNorm.Eps) / gv
       }
-      (Array.tabulate(nFeat)(i => fMean(i) - b(i) * sd(i)), sd)
+      (Array.tabulate(nFeat)(i => mu(i) - b(i) * sd(i)), sd)
     }
     SoftForestModel(decode(p, masks), decodeTrunk(p), mEff, sEff, temp,
       yMean, yStd, featureCols, yMeans, yStds)

@@ -111,4 +111,47 @@ class DeepBnAeSpec extends AnyFunSuite {
         row.getDouble(5)) < 1e-9)
     }
   }
+
+  test("deep bn ae, strict-Keras moving-average mode: training identical " +
+    "to population mode, affines differ, staged scoring still equals " +
+    "the driver chain") {
+    val r = new scala.util.Random(9)
+    val rows = (0 until 300).map { i =>
+      val t = r.nextGaussian()
+      (i.toLong, t + 0.05 * r.nextGaussian(),
+        t * t - 1.0 + 0.05 * r.nextGaussian(),
+        math.sin(1.5 * t) + 0.05 * r.nextGaussian(),
+        t + 0.1 * r.nextGaussian())
+    }
+    // one partition: cross-fit comparison needs a deterministic reduce
+    val df = rows.toDF("id", "f0", "f1", "f2", "y").coalesce(1)
+    val feats = Seq("f0", "f1", "f2")
+    def fitWith(mode: String) = new DeepBnAutoencoder(feats, "y",
+      encoderUnits = Seq(6, 3), latentDim = 1, headUnits = Seq(3),
+      lr = 0.02, epochs = 60, seed = 2L, batchFraction = 1.0,
+      bnInference = mode, bnMomentum = 0.9).fit(df)
+    val pop = fitWith("population")
+    val ma = fitWith("moving_average")
+    assert(pop.fittedWeights.sameElements(ma.fittedWeights),
+      "the flag must not touch training")
+    assert(pop.fittedAffines.zip(ma.fittedAffines).exists {
+      case ((s1, c1), (s2, c2)) =>
+        !s1.sameElements(s2) || !c1.sameElements(c2)
+    }, "moving-average mode must produce different inference affines")
+    // the MA affines thread the SAME staged chain
+    val pred = ma.predict(df)
+    val sample = pred.select("f0", "f1", "f2", "latent_0", "prediction")
+      .limit(10).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(3)(i => row.getDouble(i))
+      val acts = DeepBnKernel.forwardAffine(ma.fittedWeights, ma.cfg,
+        ma.fittedAffines, x)
+      val (yM, yS) = ma.targetStats
+      assert(math.abs(acts(ma.cfg.latentStage + 1)(0) -
+        row.getDouble(3)) < 1e-9)
+      assert(math.abs(acts(ma.cfg.stages.size)(0) * yS(0) + yM(0) -
+        row.getDouble(4)) < 1e-9)
+      assert(!row.getDouble(4).isNaN)
+    }
+  }
 }

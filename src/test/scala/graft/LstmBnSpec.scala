@@ -127,6 +127,41 @@ class LstmBnSpec extends AnyFunSuite {
     p * yStd + yMean
   }
 
+  test("lstm bn, strict-Keras moving-average mode: training identical " +
+    "to population mode, the folded statistics differ, and the MA " +
+    "scorer still learns AR(2) through the same staged forward") {
+    // one partition: cross-fit comparison needs a deterministic reduce
+    val df = ar2(500, 6).toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+      .coalesce(1)
+    // momentum 0.9: the fixture's effective Keras batch-step count is
+    // small, so the default 0.99 would keep a visible share of the
+    // (0,1) EMA init (same early-training bias real Keras shows)
+    def fitWith(mode: String) = new LSTMBnTrainer(lags, seqLen = 4,
+      targetCol = "y", hidden = 6, lr = 0.02, epochs = 120,
+      bnInference = mode, bnMomentum = 0.9).fit(df)
+    val pop = fitWith("population")
+    val ma = fitWith("moving_average")
+    assert(pop.fittedWeights.sameElements(ma.fittedWeights),
+      "the flag must not touch training")
+    val (nP, nM) = (pop.fittedNorm, ma.fittedNorm)
+    assert(!nP.movingMean.sameElements(nM.movingMean) ||
+      !nP.movingVar.sameElements(nM.movingVar),
+      "moving-average mode must produce different inference statistics")
+    val pred = ma.predict(df)
+    val r2 = Metrics.r2(pred, "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"MA-mode BN LSTM failed to learn AR(2): r2=$r2")
+    // staged scoring still equals the driver forward through the
+    // (now EMA-backed) affine fold
+    val sample = pred.select((lags.map(col) :+ col("prediction")): _*)
+      .limit(10).collect()
+    sample.foreach { row =>
+      val x = Array.tabulate(4, 1)((t, _) => row.getDouble(t))
+      val pv = predVia(ma, x)
+      assert(math.abs(pv - row.getDouble(4)) < 1e-9)
+    }
+  }
+
   test("lstm bn stacked (2-layer): gradient matches finite differences " +
     "— inner BN couples batch AND time, the state BN couples the batch") {
     val m = new LSTMBnTrainer(lags, seqLen = 4, targetCol = "y",

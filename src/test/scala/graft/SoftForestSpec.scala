@@ -368,4 +368,39 @@ class SoftForestSpec extends AnyFunSuite {
         s"bn-folded scorer and driver forward disagree")
     }
   }
+
+  test("soft ndf input BN, strict-Keras moving-average mode: training " +
+    "identical to population mode, folded (mean, std) slots differ, and " +
+    "the unchanged staged scorer still learns the tree target") {
+    val r = new scala.util.Random(13)
+    val rows = (0 until 400).map { i =>
+      val f0 = r.nextGaussian(); val f1 = r.nextGaussian()
+      val y = (if (f0 < 0) { if (f1 < 0) -2.0 else -0.5 }
+               else { if (f1 < 0) 0.5 else 2.0 }) + 0.1 * r.nextGaussian()
+      (i.toLong, f0 * 40.0 + 300.0, f1 * 0.2 - 3.0, y)
+    }
+    // one partition: cross-fit comparison needs a deterministic reduce
+    val df = rows.toDF("id", "f0", "f1", "y").coalesce(1)
+    // momentum 0.9: at this fixture's ~300 effective Keras batch steps
+    // the default 0.99 EMA retains ~5% of its (0,1) init — the same
+    // early-training bias real Keras has — which shifts the folded mean
+    // by ~0.4σ on the 300-offset raw feature; 0.9 decays the init fully
+    // (0.9^300 ≈ 2e-14), as a Keras user would configure at this scale
+    def fitWith(mode: String) = new SoftNdfRegressor(Seq("f0", "f1"), "y",
+      numTrees = 3, depth = 2, lr = 0.1, epochs = 100, useInputBn = true,
+      bnInference = mode, bnMomentum = 0.9).fit(df)
+    val pop = fitWith("population")
+    val ma = fitWith("moving_average")
+    // the flag only changes the folded inference statistics
+    pop.trees.zip(ma.trees).foreach { case (a, b) =>
+      assert(a.wDec.map(_.toSeq).toSeq == b.wDec.map(_.toSeq).toSeq)
+      assert(a.pi.sameElements(b.pi))
+    }
+    assert(!pop.featMeans.sameElements(ma.featMeans) ||
+      !pop.featStds.sameElements(ma.featStds),
+      "moving-average mode must produce different folded stats")
+    val r2 = Metrics.r2(ma.predict(df), "prediction", "y", Seq.empty)
+      .collect()(0).getDouble(0)
+    assert(r2 > 0.8, s"MA-mode scorer failed to learn: r2=$r2")
+  }
 }
