@@ -641,11 +641,19 @@ object QueriesML {
     // batch-bounded; the n² expansion here is a broadcast join (zero
     // pre-aggregation shuffle, see Metrics.softSpearman). price/1000
     // keeps the sigmoid off its saturated tails so the soft ranks differ
-    // from exact ranks.
+    // from exact ranks. The 256-smallest selection is TWO-PHASE (salted
+    // local top-256, then a global top-256 over <= 256·32 survivors per
+    // group) so a status with a billion orders never serializes one
+    // sort task — same scale shape as Sketches.kmvDistinct; results
+    // identical by the top-k union property.
     "q_soft_spearman" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(md5(col("o_orderkey").cast("string")))
+      val key = md5(col("o_orderkey").cast("string"))
+      val wLocal = Window
+        .partitionBy(col("o_orderstatus"), pmod(hash(key), lit(32)))
+        .orderBy(key)
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(key)
       val batch = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("lrn", row_number().over(wLocal)).where(col("lrn") <= 256)
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 256)
         .withColumn("price_k", col("o_totalprice") / lit(1000.0))
         .withColumn("cust_k", col("o_custkey") / lit(1000.0))

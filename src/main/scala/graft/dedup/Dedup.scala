@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 
@@ -27,6 +26,26 @@ import graft.text.TextFunctions
   * North-star extension beyond the reference surface (SURVEY.md §7.6).
   */
 object Dedup {
+
+  /** Drop rows whose bucket holds more than `maxSize` rows.
+    *
+    * Counts run as a map-side-combined groupBy (a degenerate hot bucket
+    * — every empty doc hashing to one key — counts in PARALLEL partial
+    * aggregates), and the over-cap bucket set is by construction tiny
+    * (it only holds pathological keys), so it broadcasts into a
+    * LEFT ANTI join: the fact side never shuffles for the cap, and hot
+    * buckets are already REMOVED before the candidate join's exchange.
+    * The previous aggregate-only count window buffered the hottest
+    * bucket's every row in one WindowExec task just to discard them. */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
+      maxSize: Int): DataFrame = {
+    val over = df.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxSize)
+      .select(bucketCols.map(c => col(c).as(s"__cap_$c")): _*)
+    val cond = bucketCols.map(c => col(c) <=> col(s"__cap_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(over), cond, "left_anti")
+  }
 
   /** Exact dedup groups: fingerprint → (keeper = min id, group size).
     * One hash-partial-aggregated shuffle on the 128-bit fingerprint. */
@@ -113,13 +132,11 @@ object Dedup {
     val key = md5(concat_ws(",", col("__b") +: (0 until rowsPerBand).map(r =>
       element_at(col("minhash"), col("__b") * rowsPerBand + r + 1)): _*))
     val bands = withB.select(col(idCol), key.as("bucket"))
-    val capped = bands
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val capped = capBuckets(bands, Seq("bucket"), maxBucketSize)
     val a = capped.as("a"); val b = capped.as("b")
     // merge hint: the self-join must never broadcast (both sides are the
-    // full banded corpus at scale), and the cap-Window's exchange already
-    // hash-partitions on bucket, so the SMJ adds no shuffle
+    // full banded corpus at scale); both aliases share one subtree, so
+    // the SMJ's bucket exchange is computed once and reused
     a.hint("merge").join(b, col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
@@ -213,9 +230,7 @@ object Dedup {
     val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
       explode(array(keys: _*)).as("k"))
       .select(col("id"), col("h"), col("k.ci").as("ci"), col("k.cv").as("cv"))
-    val capped = banded
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("ci", "cv")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val capped = capBuckets(banded, Seq("ci", "cv"), maxBucketSize)
     // Self-join both sides from the SAME plan (aliases, not a re-projected
     // copy): the canonically-identical subtrees let Spark reuse one
     // exchange — the 60-aggregate simhash build above runs once, not once
@@ -300,9 +315,7 @@ object Dedup {
     val keyed = base.select(col("id"), col("v"), col("nrm"),
       explode(array((0 until bands).map(b =>
         srpBandKey(col("v"), dim, b, planesPerBand)): _*)).as("bucket"))
-    val capped = keyed
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+    val capped = capBuckets(keyed, Seq("bucket"), maxBucketSize)
     val right = capped.select(col("id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("nrm_b"), col("bucket"))
     capped.hint("merge").join(right, Seq("bucket"))

@@ -33,13 +33,25 @@ object Sketches {
       "CAST(j AS INT), 1)) - 1) * (16.0 ** (10 - j)))) AS BIGINT) AS DOUBLE)" +
       s" / $TWO_POW_40"
 
-  /** Appends `approx_distinct` per group. */
+  /** Appends `approx_distinct` per group.
+    *
+    * Two-phase top-k: the k smallest hashes of a group equal the k
+    * smallest of the union of per-salt k-smallest, so the only window
+    * that touches full-cardinality data partitions by (group, salt) —
+    * a group with a billion distinct values spreads over `salts` sort
+    * tasks instead of serializing into one (the unpartitioned-window
+    * scale killer). The second window sees ≤ k·salts rows per group. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      k: Int = 256): DataFrame = {
+      k: Int = 256, salts: Int = 32): DataFrame = {
     val part = groupCols.map(col)
     val hashed = df.select(part :+ unitHash(col(valueCol)).as("__hv"): _*)
       .distinct()
-    val ranked = hashed.withColumn("__rk", row_number().over(
+    val local = hashed
+      .withColumn("__salt", pmod(hash(col("__hv")), lit(salts)))
+      .withColumn("__lrk", row_number().over(
+        Window.partitionBy(part :+ col("__salt"): _*).orderBy(col("__hv"))))
+      .where(col("__lrk") <= k)
+    val ranked = local.withColumn("__rk", row_number().over(
       Window.partitionBy(part: _*).orderBy(col("__hv"))))
       .where(col("__rk") <= k)
     ranked.groupBy(part: _*)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Categorical target encoding with leave-one-out: each row's category
@@ -11,10 +10,18 @@ import org.apache.spark.sql.functions._
   * row's own target is excluded. Optionally blended toward the global
   * mean by `smoothing` (the empirical-Bayes shrinkage m/(n+m) form).
   *
-  * Scale shape: one window over the category key (shuffle on the key;
-  * map-side partial aggregation does not apply to windows, but the state
-  * per key is two scalars) plus a broadcast 1-row global-mean frame.
-  * Categories with a single row fall back to the global mean.
+  * Scale shape: per category column, ONE map-side-combined groupBy
+  * producing (Σ_g, n_g) — two scalars per category — broadcast back
+  * onto the un-shuffled fact frame (null-safe key, so a null category
+  * still LOO-encodes within its group). The fact side never shuffles
+  * and a monster category costs nothing beyond its partial sums; the
+  * earlier aggregate-only window form serialized every row of the
+  * hottest category into one WindowExec task. The broadcast holds
+  * |categories| rows — target encoding presumes aggregable category
+  * cardinality (millions, not billions; beyond that LOO means are
+  * statistically meaningless anyway). Plus a broadcast 1-row
+  * global-mean frame. Categories with a single row fall back to the
+  * global mean.
   *
   * Output: `{cat}_te[_{suffix}]` per category column.
   */
@@ -28,15 +35,17 @@ case class TargetEncoder(catCols: Seq[String], targetCol: String,
     val scalars = df.agg(avg(y).as("__gm"))
     val joined = df.crossJoin(broadcast(scalars))
     catCols.zip(outputNames).foldLeft(joined) { case (acc, (c, out)) =>
-      val w = Window.partitionBy(col(c))
-      val n = count(y).over(w)
-      val loo = (sum(y).over(w) - y) / (n - lit(1)).cast("double")
+      val stats = df.groupBy(col(c).as("__te_key"))
+        .agg(sum(y).as("__te_s"), count(y).as("__te_n"))
+      val n = col("__te_n")
+      val loo = (col("__te_s") - y) / (n - lit(1)).cast("double")
       val blended =
         if (smoothing <= 0) loo
         else (loo * (n - 1).cast("double") + lit(smoothing) * col("__gm")) /
           ((n - 1).cast("double") + lit(smoothing))
-      acc.withColumn(out,
-        when(n > 1, blended).otherwise(col("__gm")))
+      acc.join(broadcast(stats), acc(c) <=> col("__te_key"), "left")
+        .withColumn(out, when(n > 1, blended).otherwise(col("__gm")))
+        .drop("__te_key", "__te_s", "__te_n")
     }.drop("__gm")
   }
 }

@@ -99,6 +99,53 @@ class PlanSpec extends AnyFunSuite {
       s"q_interval_join must keep the range on an equi-join:\n$plan")
   }
 
+  test("bucketed as-of join: exactly one full-data window on (key, " +
+    "bucket), carry branch pre-aggregates map-side, no cartesian") {
+    val plan = planOf(QueriesStream.queries("q_asof_bucketed")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed asof must stay an equi-join:\n$plan")
+    // ONE window partitioned by (user_id, bucket) — the heavy pass; the
+    // per-key carry window runs over one row per (key, bucket). A
+    // regression that derives the carry branch from the windowed frame
+    // doubles the heavy sort (caught by this count).
+    // heavy spec: PARTITION BY (user_id, __b) ORDER BY __t...; the tiny
+    // per-key carry window (PARTITION BY user_id ORDER BY __b) has no
+    // __t after __b and must not count
+    val heavyWindows = "windowspecdefinition\\(user_id#\\d+L, __b#\\d+, __t#"
+      .r.findAllIn(plan).length
+    assert(heavyWindows == 1,
+      s"expected exactly one (key, bucket) window, got $heavyWindows:\n$plan")
+    // the carry branch reaches its shuffle pre-aggregated (partial
+    // max_by before the exchange)
+    assert(plan.contains("partial_max_by"),
+      s"carry branch must partial-aggregate map-side:\n$plan")
+  }
+
+  test("target encoding never shuffles the fact side: category stats " +
+    "arrive by broadcast join, no window over the category") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = planOf(TargetEncoder(Seq("l_returnflag"), "l_quantity")
+      .transform(li))
+    assert(!plan.contains("Window"),
+      s"no category window expected:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats must broadcast onto the fact side:\n$plan")
+    assert(exchanges(plan) == 1,
+      s"only the stats aggregate's tiny exchange expected:\n$plan")
+  }
+
+  test("LSH bucket caps are broadcast anti-joins on the over-cap set — " +
+    "no count window buffering the hottest bucket in one task") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = graft.dedup.Dedup.minHashSignatures(docs, "doc_id", "text")
+    val plan = planOf(graft.dedup.Dedup.lshCandidates(sigs, "doc_id"))
+    assert(!plan.contains("windowspecdefinition(bucket"),
+      s"cap must not be a bucket window:\n$plan")
+    assert(plan.contains("LeftAnti, BuildRight"),
+      s"cap must be a broadcast left-anti join:\n$plan")
+  }
+
   test("sequence scorers (lstm/attention) add NO exchange beyond the one " +
     "lag window") {
     for (q <- Seq("q_seq_score", "q_attn_score")) {
