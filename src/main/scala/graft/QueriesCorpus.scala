@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate,
+import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate, DupSpans,
   QualityFilterTransformer, RepetitionTransformer}
 import graft.dedup.{Dedup, DupClusters}
 
@@ -61,6 +61,14 @@ object QueriesCorpus {
       Decontaminate.overlap(docs(s, dir), "doc_id", "text",
         col("doc_id") % 97 === 0, shingleSize = 4)
         .select(col("doc_id"), col("n_shared"))
+    }),
+
+    // Lee et al. 2022 duplicated-span stats: positions whose word 8-gram
+    // recurs anywhere in the corpus, plus per-doc token coverage.
+    "q_dup_spans" -> ((s, dir) => {
+      DupSpans.spanStats(docs(s, dir), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          col("n_dup_tokens"), round(col("dup_frac"), 6).as("dup_frac"))
     }),
 
     "q_hash_split" -> ((s, dir) => {
@@ -187,6 +195,30 @@ object QueriesCorpus {
          |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
          |SELECT tr.doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (s) GROUP BY tr.doc_id""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""WITH w AS ($wCte),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    md5(array_to_string(list_slice(l, pos, pos + 7), ' ')) AS fp
+         |  FROM (SELECT doc_id, l,
+         |        unnest(range(1, greatest(len(l) - 6, 1))) AS pos FROM w)),
+         |counts AS (SELECT fp, count(*) AS c FROM g GROUP BY fp),
+         |dup AS (SELECT doc_id, pos FROM g JOIN counts USING (fp)
+         |        WHERE c > 1),
+         |cov AS (
+         |  SELECT doc_id, count(DISTINCT pos) AS n_dup_spans,
+         |    count(DISTINCT pos + o) AS n_dup_tokens
+         |  FROM dup CROSS JOIN (SELECT unnest(range(0, 8)) AS o)
+         |  GROUP BY doc_id)
+         |SELECT w.doc_id, greatest(len(w.l) - 7, 0) AS n_spans,
+         |  coalesce(c.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
+         |  CASE WHEN len(w.l) > 7 THEN
+         |    round(CAST(coalesce(c.n_dup_spans, 0) AS DOUBLE)
+         |          / (len(w.l) - 7), 6)
+         |  ELSE 0.0 END AS dup_frac
+         |FROM w LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     "q_hash_split" -> {
       // hex16(md5[1..4]) via per-digit polynomial (exact in doubles)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine}
+import graft.sim.{CosineTopK, IvfCosine, SemDedup}
 import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -78,6 +78,17 @@ object QueriesSim {
           col("rank"))
     }),
 
+    // SemDeDup (arXiv:2303.09540): pinned-centroid clustering + within-
+    // cell cosine pruning, keep-lowest-centroid-sim priority. The full
+    // semantic-dedup decision — assignment, priority, prune — under a
+    // bit-for-bit oracle.
+    "q_semdedup" -> ((s, dir) => {
+      SemDedup.dedup(emb(s, dir), "vec_id", "embedding",
+        IvfCosine.pinnedCentroids(16, DIM), threshold = thr)
+        .select(col("vec_id"), col("cell"),
+          round(col("centroid_sim"), 6).as("centroid_sim"), col("keep"))
+    }),
+
     // scale path: multi-band sign-random-projection buckets (md5-derived
     // literal ±1 planes), bucket-size cap, exact pre-normalized cosine
     // check in-bucket only.
@@ -145,6 +156,39 @@ object QueriesSim {
          |  FROM sims)
          |SELECT qid, nid, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_semdedup" -> {
+      val cents = IvfCosine.pinnedCentroids(16, DIM)
+      val values = cents.zipWithIndex.map { case (c, j) =>
+        val cc = c.map(x => x * x).sum
+        s"($j, [${c.mkString(", ")}], $cc)"
+      }.mkString(",\n    ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c(j, cv, cc) AS (
+         |  SELECT * FROM (VALUES
+         |    $values)),
+         |assigned AS (
+         |  SELECT vec_id, e, j AS cell, cv FROM v CROSS JOIN c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
+         |    j) = 1),
+         |pr AS (
+         |  SELECT vec_id, e, cell, sqrt(list_inner_product(e, e)) AS nrm,
+         |    list_inner_product(e, cv)
+         |      / (sqrt(list_inner_product(e, e))
+         |         * sqrt(list_inner_product(cv, cv))) AS csim
+         |  FROM assigned),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM pr a JOIN pr b ON a.cell = b.cell
+         |  WHERE (a.csim < b.csim
+         |         OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+         |    AND list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= $thr)
+         |SELECT p.vec_id, p.cell, round(p.csim, 6) AS centroid_sim,
+         |  (d.vec_id IS NULL) AS keep
+         |FROM pr p LEFT JOIN dups d ON p.vec_id = d.vec_id""".stripMargin
     },
 
     "q_embed_neardup" -> {

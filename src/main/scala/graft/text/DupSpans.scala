@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-span detection — the position-level exact
+  * substring dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+  * Language Models Better" (arXiv:2107.06499 — public paper), re-expressed
+  * relationally: a word `k`-gram starting at some position is a DUPLICATED
+  * SPAN iff the identical k-gram occurs anywhere else in the corpus
+  * (another document, or another position of the same document). The
+  * per-document outputs are the paper's curation signals: duplicated-span
+  * count and the fraction of token positions covered by at least one
+  * duplicated span.
+  *
+  * The suffix-array machinery of the paper is a single-machine design; the
+  * Spark-first shape is two pre-aggregated exchanges on a fixed-width
+  * fingerprint key:
+  *   1. every (doc, pos) k-gram is fingerprinted with md5 (32-byte key —
+  *      the shuffle never carries gram text),
+  *   2. corpus-wide counts per fingerprint run as a map-side-combined
+  *      groupBy (hot boilerplate grams count in parallel partials),
+  *   3. positions join back to the `count > 1` fingerprints on an
+  *      equi-join (shuffle join by default — BOTH sides are corpus-sized;
+  *      at 100 TB neither broadcasts),
+  *   4. token coverage explodes each duplicated position to its k token
+  *      indices and counts distinct per doc — no per-document buffering
+  *      of position arrays anywhere.
+  * Every step is a scan-speed projection or a key-partitioned exchange;
+  * nothing is quadratic and no operator holds a whole hot group in one
+  * task.
+  *
+  * North-star extension beyond the reference surface (SURVEY.md §7.6).
+  */
+object DupSpans {
+
+  /** One row per input document:
+    * (idCol, n_spans, n_dup_spans, n_dup_tokens, dup_frac). */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol),
+      CorpusOps.words(col(textCol)).as("__w"))
+    // 1-based span positions, fingerprinted; docs shorter than k emit no
+    // grams (wordNgrams returns an empty array) and rejoin at step 4
+    val grams = base
+      .select(col(idCol),
+        posexplode(CorpusOps.wordNgrams(col("__w"), k))
+          .as(Seq("__p0", "__gram")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        md5(col("__gram")).as("__fp"))
+    val dupFps = grams.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+      .select(col("__fp"))
+    val dup = grams.join(dupFps, Seq("__fp"))
+    val cov = dup
+      .select(col(idCol), col("pos"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__t"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("pos")).as("n_dup_spans"),
+        countDistinct(col("__t")).as("n_dup_tokens"))
+    val nSpans = greatest(size(col("__w")) - (k - 1), lit(0))
+      .cast("long")
+    base
+      .select(col(idCol), nSpans.as("n_spans"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        when(col("n_spans") > 0,
+          coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+            / col("n_spans"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.SemDedup
+import graft.text.DupSpans
+
+/** Pinned-value tests for the two corpus-scale dedup extensions added in
+  * round 7: SemDeDup (semantic dedup, arXiv:2303.09540) and
+  * duplicated-span detection (arXiv:2107.06499). */
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+
+  test("semdedup: keep-lowest-centroid-sim priority prunes the redundant " +
+    "cluster-mate, other cells untouched") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.05)),  // cell 0, HIGHEST centroid sim → pruned
+      (2L, Array(0.9, 0.10)),  // cell 0, lower centroid sim → kept keeper
+      (3L, Array(0.05, 1.0)),  // cell 1, no near mate
+      (4L, Array(-1.0, 0.1))   // cell 1 (closer to [0,1] than [1,0])
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.dedup(emb, "vec_id", "embedding", cents,
+      threshold = 0.9).orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Int]("cell")).toSeq == Seq(0, 0, 1, 1))
+    // cos(1,2) ≈ 0.998 ≥ 0.9 and csim(2) < csim(1): 1 is the duplicate
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ==
+      Seq(false, true, true, true))
+    // centroid_sim really is the cosine to the OWN cell's centroid
+    assert(math.abs(out(0).getAs[Double]("centroid_sim")
+      - 1.0 / math.sqrt(1.0025)) < 1e-12)
+  }
+
+  test("semdedup: over-cap cells are skipped (all rows kept), and the " +
+    "pairwise join never plans a cartesian product") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.05)), (2L, Array(0.9, 0.10)),
+      (3L, Array(0.05, 1.0))).toDF("vec_id", "embedding")
+    val capped = SemDedup.dedup(emb, "vec_id", "embedding", cents,
+      threshold = 0.9, maxCellSize = 1)
+    assert(capped.where(!col("keep")).count() == 0,
+      "cell 0 exceeds the cap, so its pair must be dropped, not joined")
+    val plan = SemDedup.dedup(emb, "vec_id", "embedding", cents,
+      threshold = 0.9).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pairwise pruning must ride the cell equi-join")
+  }
+
+  test("dup spans: cross-doc and within-doc duplicated 3-grams, token " +
+    "coverage merges overlaps, short docs emit zero rows") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // grams: [a b c][b c d][c d e]
+      (2L, "x y z a b c"),     // [x y z][y z a][z a b][a b c]
+      (3L, "q w"),             // shorter than k
+      (4L, "m n m n m n")      // every gram duplicated within-doc
+    ).toDF("doc_id", "text")
+    val out = DupSpans.spanStats(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    def row(i: Int): (Long, Long, Long, Double) =
+      (out(i).getAs[Long]("n_spans"), out(i).getAs[Long]("n_dup_spans"),
+        out(i).getAs[Long]("n_dup_tokens"), out(i).getAs[Double]("dup_frac"))
+    // doc 1: "a b c" (pos 1) also in doc 2 → tokens 1-3 covered
+    assert(row(0) == (3L, 1L, 3L, 1.0 / 3))
+    // doc 2: "a b c" at pos 4 → tokens 4-6 covered
+    assert(row(1) == (4L, 1L, 3L, 0.25))
+    assert(row(2) == (0L, 0L, 0L, 0.0))
+    // doc 4: [m n m][n m n][m n m][n m n] — 4/4 dup, full token coverage
+    assert(row(3) == (4L, 4L, 6L, 1.0))
+  }
+}
