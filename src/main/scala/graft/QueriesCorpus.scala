@@ -63,6 +63,15 @@ object QueriesCorpus {
         .select(col("doc_id"), col("n_shared"))
     }),
 
+    // decontamination when the reference set cannot broadcast: 2 MiB
+    // hash-bitset prefilter + shuffle-hash exact confirm. Identical
+    // results to q_decontaminate (shared oracle), scale-path plan.
+    "q_decontaminate_scale" -> ((s, dir) => {
+      Decontaminate.overlapLargeRef(docs(s, dir), "doc_id", "text",
+        col("doc_id") % 97 === 0, shingleSize = 4)
+        .select(col("doc_id"), col("n_shared"))
+    }),
+
     // Lee et al. 2022 duplicated-span stats: positions whose word 8-gram
     // recurs anywhere in the corpus, plus per-doc token coverage.
     "q_dup_spans" -> ((s, dir) => {
@@ -188,6 +197,17 @@ object QueriesCorpus {
     },
 
     "q_decontaminate" ->
+      s"""WITH w AS ($wCte),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(${ngramSql(4)})) AS s FROM w),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (s) GROUP BY tr.doc_id""".stripMargin,
+
+    // the scale-path variant is result-identical by construction (the
+    // bitset prefilter only removes rows the exact join would drop)
+    "q_decontaminate_scale" ->
       s"""WITH w AS ($wCte),
          |sh AS (SELECT doc_id,
          |  unnest(list_distinct(${ngramSql(4)})) AS s FROM w),

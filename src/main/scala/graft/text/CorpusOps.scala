@@ -170,6 +170,42 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Decontamination against a reference set too large to broadcast —
+    * e.g. screening a fresh crawl against the n-grams of an existing
+    * trillion-token training corpus, where neither join side fits in a
+    * broadcast relation.
+    *
+    * Same results as [[overlap]] (the oracle is shared), different plan:
+    * a [[graft.functions.HashBitset]] prefilter (2 MiB, built
+    * distributively in one pass over the reference side — in a real
+    * pipeline it is built once offline and reused across corpus shards)
+    * drops ~all clean shingles map-side, so the exact-confirm SHUFFLE
+    * join's exchanges carry only prefilter survivors: bitset false
+    * positives plus true contamination, instead of every (doc, shingle)
+    * pair of the corpus. The join is hinted shuffle-hash — the point of
+    * the variant is that nothing broadcasts but the 2 MiB filter. */
+  def overlapLargeRef(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, shingleSize: Int = 5): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.functions.HashBitset
+    val base = docs.select(col(idCol), isEval.as("__ev"),
+      CorpusOps.words(col(textCol)).as("__w"))
+    val sh = array_distinct(CorpusOps.wordNgrams(col("__w"), shingleSize))
+    val evalSh = base.where(col("__ev"))
+      .select(explode(sh).as("__sh")).distinct()
+    // one bounded scalar collect: the merged 2 MiB bitset
+    val bitset = evalSh
+      .agg(HashBitset.agg(Dedup.md5Chunk(col("__sh"), 1, 6)))
+      .head.getAs[Array[Byte]](0)
+    val trainSh = base.where(!col("__ev"))
+      .select(col(idCol), explode(sh).as("__sh"))
+      .where(HashBitset.contains(bitset,
+        Dedup.md5Chunk(col("__sh"), 1, 6)))
+    trainSh.join(evalSh.hint("shuffle_hash"), "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }
 
 /** Deterministic corpus utilities: hash splits, sequence packing,

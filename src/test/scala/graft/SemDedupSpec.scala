@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashBitset
 import graft.sim.SemDedup
-import graft.text.DupSpans
+import graft.text.{Decontaminate, DupSpans}
 
 /** Pinned-value tests for the two corpus-scale dedup extensions added in
   * round 7: SemDeDup (semantic dedup, arXiv:2303.09540) and
@@ -68,5 +69,38 @@ class SemDedupSpec extends AnyFunSuite {
     assert(row(2) == (0L, 0L, 0L, 0.0))
     // doc 4: [m n m][n m n][m n m][n m n] — 4/4 dup, full token coverage
     assert(row(3) == (4L, 4L, 6L, 1.0))
+  }
+
+  test("hash bitset: distributed build, codegen probe, 24-bit aliasing") {
+    val bs = Seq(1L, 100L).toDF("h")
+      .agg(HashBitset.agg(col("h"))).head.getAs[Array[Byte]](0)
+    assert(bs.length == (1 << 24) / 8)
+    val probe = Seq(1L, 2L, 100L, (1L << 24) + 1L).toDF("h")
+      .select(col("h"), HashBitset.contains(bs, col("h")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probe(1L) && probe(100L) && !probe(2L))
+    assert(probe((1L << 24) + 1L),
+      "only the low 24 bits participate — prefix aliases must collide")
+  }
+
+  test("scale-path decontamination: identical results to the broadcast " +
+    "form, no broadcast join, bitset prefilter ahead of the exchange") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val ev = col("doc_id") % 97 === 0
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scale = Decontaminate.overlapLargeRef(docs, "doc_id", "text", ev, 4)
+    assert(rows(scale) ==
+      rows(Decontaminate.overlap(docs, "doc_id", "text", ev, 4)))
+    assert(rows(scale) == Set((1L, 1L)))
+    val plan = scale.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the point of the variant: nothing broadcasts but the 2 MiB bitset")
+    assert(plan.contains("hash_bitset_contains"),
+      "prefilter must appear in the physical plan")
   }
 }
