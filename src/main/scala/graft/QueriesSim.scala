@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine, SemDedup}
+import graft.sim.{CosineTopK, IvfCosine, PqCosine, SemDedup}
 import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -76,6 +76,21 @@ object QueriesSim {
         k = 5, nprobe = 4, dim = DIM)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
+    }),
+
+    // product quantization (Jégou et al. 2011): encode → ADC shortlist →
+    // exact re-rank, all against pinned codebooks — the storage-bound
+    // scale path (m bytes + a norm per vector) under a full oracle.
+    "q_pq_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+      val codes = PqCosine.encode(corpus, "vec_id", "embedding", books)
+      val probes = corpus.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      PqCosine.search(codes, corpus, probes, "vec_id", "embedding",
+        "qid", "qvec", books, k = 5, shortlist = 20)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
     }),
 
     // SemDeDup (arXiv:2303.09540): pinned-centroid clustering + within-
@@ -156,6 +171,62 @@ object QueriesSim {
          |  FROM sims)
          |SELECT qid, nid, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_pq_topk" -> {
+      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+      val values = (for {
+        mi <- books.indices; ki <- books(mi).indices
+      } yield {
+        val c = books(mi)(ki)
+        val cc = c.map(x => x * x).sum
+        s"($mi, $ki, [${c.mkString(", ")}], $cc)"
+      }).mkString(",\n    ")
+      // flat LUT index = m·16 + code + 1 (1-based); the 8-term ADC sum is
+      // written explicitly so the addition order matches the Spark side
+      val adcSum = (0 until 8).map(mi =>
+        s"l.l[${mi * 16} + c.c[${mi + 1}] + 1]").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cb(m, k, cv, cc) AS (
+         |  SELECT * FROM (VALUES
+         |    $values)),
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM v CROSS JOIN cb
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
+         |    cc - 2 * list_inner_product(
+         |      list_slice(e, m * 8 + 1, m * 8 + 8), cv), k) = 1),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS c FROM enc
+         |  GROUP BY vec_id),
+         |nr AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+         |p AS (SELECT vec_id AS qid, e AS q,
+         |      sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 50),
+         |lut AS (
+         |  SELECT qid, list(val ORDER BY m, k) AS l FROM (
+         |    SELECT p.qid, cb.m, cb.k,
+         |      list_inner_product(
+         |        list_slice(p.q, cb.m * 8 + 1, cb.m * 8 + 8), cb.cv) AS val
+         |    FROM p CROSS JOIN cb) GROUP BY qid),
+         |short AS (
+         |  SELECT l.qid, c.vec_id AS nid,
+         |    ($adcSum) / (p.qn * n.nrm) AS approx_cos
+         |  FROM lut l JOIN p ON p.qid = l.qid
+         |  CROSS JOIN codes c JOIN nr n ON n.vec_id = c.vec_id
+         |  WHERE c.vec_id <> l.qid
+         |  QUALIFY row_number() OVER (PARTITION BY l.qid
+         |    ORDER BY approx_cos DESC, nid) <= 20),
+         |rer AS (
+         |  SELECT s.qid, s.nid,
+         |    list_inner_product(p.q, v.e)
+         |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
+         |    s.approx_cos
+         |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
+         |SELECT qid, nid, round(cosine, 6) AS cosine,
+         |  round(approx_cos, 6) AS approx_cos,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rank
+         |FROM rer QUALIFY rank <= 5""".stripMargin
     },
 
     "q_semdedup" -> {
