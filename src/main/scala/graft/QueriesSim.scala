@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine, PqCosine, SemDedup}
+import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine, SemDedup}
 import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -93,6 +93,23 @@ object QueriesSim {
           round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
     }),
 
+    // IVF-PQ (Jégou et al. 2011 §V / the FAISS IVFPQ structure): coarse
+    // cells prune the scan, residual PQ codes bound the bytes per
+    // candidate, exact re-rank touches only the shortlist — the full
+    // web-scale ANN index under one oracle.
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val coarse = IvfCosine.pinnedCentroids(16, DIM)
+      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+      val codes = IvfPq.encode(corpus, "vec_id", "embedding", coarse, books)
+      val probes = corpus.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfPq.search(codes, corpus, probes, "vec_id", "embedding",
+        "qid", "qvec", coarse, books, k = 5, nprobe = 4, shortlist = 20)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
+    }),
+
     // SemDeDup (arXiv:2303.09540): pinned-centroid clustering + within-
     // cell cosine pruning, keep-lowest-centroid-sim priority. The full
     // semantic-dedup decision — assignment, priority, prune — under a
@@ -171,6 +188,86 @@ object QueriesSim {
          |  FROM sims)
          |SELECT qid, nid, round(cosine, 6) AS cosine, rank
          |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "q_ivfpq_topk" -> {
+      val coarse = IvfCosine.pinnedCentroids(16, DIM)
+      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+      val coarseVals = coarse.zipWithIndex.map { case (c, j) =>
+        val cc = c.map(x => x * x).sum
+        s"($j, [${c.mkString(", ")}], $cc)"
+      }.mkString(",\n    ")
+      val bookVals = (for {
+        mi <- books.indices; ki <- books(mi).indices
+      } yield {
+        val c = books(mi)(ki)
+        val bb = c.map(x => x * x).sum
+        s"($mi, $ki, [${c.mkString(", ")}], $bb)"
+      }).mkString(",\n    ")
+      // ADC = qc + 8 LUT lookups, explicit left-associated chain
+      val adcSum = "pc.qc + " + (0 until 8).map(mi =>
+        s"l.l[${mi * 16} + cd.cl[${mi + 1}] + 1]").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c(j, cv, cc) AS (
+         |  SELECT * FROM (VALUES
+         |    $coarseVals)),
+         |cb(m, k, bv, bb) AS (
+         |  SELECT * FROM (VALUES
+         |    $bookVals)),
+         |assigned AS (
+         |  SELECT vec_id, e, j AS cell, cv AS ccv FROM v CROSS JOIN c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
+         |    j) = 1),
+         |enc AS (
+         |  SELECT vec_id, m, k AS code FROM assigned CROSS JOIN cb
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
+         |    bb - 2 * (list_inner_product(
+         |                list_slice(e, m * 8 + 1, m * 8 + 8), bv)
+         |              - list_inner_product(
+         |                list_slice(ccv, m * 8 + 1, m * 8 + 8), bv)),
+         |    k) = 1),
+         |codes AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS cl FROM enc
+         |  GROUP BY vec_id),
+         |meta AS (
+         |  SELECT vec_id, cell, sqrt(list_inner_product(e, e)) AS nrm
+         |  FROM assigned),
+         |p AS (SELECT vec_id AS qid, e AS q,
+         |      sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 50),
+         |lut AS (
+         |  SELECT qid, list(val ORDER BY m, k) AS l FROM (
+         |    SELECT p.qid, cb.m, cb.k,
+         |      list_inner_product(
+         |        list_slice(p.q, cb.m * 8 + 1, cb.m * 8 + 8), cb.bv) AS val
+         |    FROM p CROSS JOIN cb) GROUP BY qid),
+         |pc AS (
+         |  SELECT qid, qn, j AS cell, list_inner_product(q, cv) AS qc
+         |  FROM p CROSS JOIN c
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    list_inner_product(q, cv)
+         |      / (qn * sqrt(list_inner_product(cv, cv))) DESC, j) <= 4),
+         |short AS (
+         |  SELECT pc.qid, mt.vec_id AS nid,
+         |    ($adcSum) / (pc.qn * mt.nrm) AS approx_cos
+         |  FROM pc JOIN meta mt ON mt.cell = pc.cell
+         |  JOIN codes cd ON cd.vec_id = mt.vec_id
+         |  JOIN lut l ON l.qid = pc.qid
+         |  WHERE mt.vec_id <> pc.qid
+         |  QUALIFY row_number() OVER (PARTITION BY pc.qid
+         |    ORDER BY approx_cos DESC, nid) <= 20),
+         |rer AS (
+         |  SELECT s.qid, s.nid,
+         |    list_inner_product(p.q, v.e)
+         |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
+         |    s.approx_cos
+         |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
+         |SELECT qid, nid, round(cosine, 6) AS cosine,
+         |  round(approx_cos, 6) AS approx_cos,
+         |  row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rank
+         |FROM rer QUALIFY rank <= 5""".stripMargin
     },
 
     "q_pq_topk" -> {

@@ -370,6 +370,25 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"pq recall too low: $recall")
   }
 
+  test("ivfpq: full probe + full shortlist re-ranks to exactly the " +
+    "brute-force top-k (coarse routing, residual codes, ADC all covered)") {
+    import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine}
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = corpus.count().toInt
+    val probes = corpus.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val coarse = IvfCosine.pinnedCentroids(8, 64)
+    val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+    val codes = IvfPq.encode(corpus, "vec_id", "embedding", coarse, books)
+    val ivfpq = IvfPq.search(codes, corpus, probes, "vec_id", "embedding",
+      "qid", "qvec", coarse, books, k = 5, nprobe = 8, shortlist = n)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    val brute = CosineTopK.bruteForce(corpus, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = 64)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    assert(ivfpq == brute)
+  }
+
   test("embeddingNearDups at the default (8 bands x 12 planes): recall " +
     ">= 0.9 vs brute-force ground truth at cosine >= 0.95; no false " +
     "positives") {
