@@ -78,6 +78,18 @@ object QueriesText {
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simHashNearDups(Dedup.simHash(docs(s, dir), "doc_id", "text"),
         "doc_id", maxHamming = 3, maxBucketSize = 1000)
+    }),
+
+    // ingest-time screening: the src16-19 "new batch" checked for
+    // near-dups against the already-ingested src0-15 corpus — the daily
+    // incremental-dedup shape (never re-joins the corpus with itself)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isDelta = substring(col("source"), 4, 10).cast("int") >= 16
+      Dedup.simHashScreen(
+        Dedup.simHash(d.where(isDelta), "doc_id", "text"),
+        Dedup.simHash(d.where(!isDelta), "doc_id", "text"),
+        "doc_id", maxHamming = 3, maxBucketSize = 1000)
     })
   )
 
@@ -231,6 +243,35 @@ object QueriesText {
          |SELECT doc_id, simhash FROM sh""".stripMargin,
 
     "q_simhash_pairs" -> simhashPairsSql,
+
+    "q_dedup_incremental" -> {
+      def bandedSql(src: String): String = (0 until 4).map { ci =>
+        s"SELECT doc_id AS id, simhash AS h, $ci AS ci, " +
+          s"(simhash >> ${ci * 15}) & ${(1L << 15) - 1} AS cv FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""$simHashCte,
+         |sp AS (
+         |  SELECT sh.doc_id, sh.simhash,
+         |    CAST(substr(d.source, 4) AS INT) >= 16 AS is_delta
+         |  FROM sh JOIN documents d USING (doc_id)),
+         |shd AS (SELECT doc_id, simhash FROM sp WHERE is_delta),
+         |she AS (SELECT doc_id, simhash FROM sp WHERE NOT is_delta),
+         |bd AS (
+         |  ${bandedSql("shd")}),
+         |be AS (
+         |  ${bandedSql("she")}),
+         |cd AS (SELECT * FROM bd
+         |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000),
+         |ce AS (SELECT * FROM be
+         |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 1000),
+         |cand AS (
+         |  SELECT a.id, CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hm,
+         |    b.id AS mid
+         |  FROM cd a JOIN ce b ON a.ci = b.ci AND a.cv = b.cv
+         |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+         |SELECT id AS doc_id, hm AS hamming, mid AS matched_id FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY hm, mid) = 1""".stripMargin
+    },
 
     "q_dedup_ngram" ->
       """WITH sh AS (

@@ -212,6 +212,55 @@ object Dedup {
     * an equi-join on (chunk index, chunk value); the exact
     * `bit_count(a XOR b)` check runs on candidates only. Same hot-bucket
     * cap as every band join. */
+  /** Ingest-time near-duplicate SCREENING: for every `delta` row, the
+    * closest `existing` row within `maxHamming` bits (or no row — clean
+    * rows simply don't appear). The shape every production pipeline
+    * needs daily: a new crawl batch checked against the corpus already
+    * ingested, without ever re-joining the corpus against itself.
+    *
+    * Same pigeonhole banding as [[simHashNearDups]], but the equi-join is
+    * delta-banded × existing-banded — the big existing side shuffles on
+    * the SAME (chunk, value) keys as a self-join would, while the pair
+    * count is |delta|-proportional. No first-matching-chunk dedup is
+    * needed: the per-delta argmin over (hamming, existing id) absorbs
+    * multi-chunk candidate duplicates for free. Output: (idCol, hamming,
+    * matched_id). */
+  def simHashScreen(delta: DataFrame, existing: DataFrame, idCol: String,
+      hashCol: String = "simhash", maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val chunks = maxHamming + 1
+    val bits = 60
+    val base = bits / chunks
+    val extra = bits % chunks
+    val offsets = (0 until chunks).scanLeft(0)((acc, i) =>
+      acc + base + (if (i < extra) 1 else 0))
+    def banded(hashes: DataFrame): DataFrame = {
+      val keys = (0 until chunks).map { ci =>
+        val width = offsets(ci + 1) - offsets(ci)
+        val chunk = shiftright(col(hashCol), offsets(ci))
+          .bitwiseAND((1L << width) - 1)
+        struct(lit(ci).as("ci"), chunk.as("cv"))
+      }
+      capBuckets(hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
+        explode(array(keys: _*)).as("k"))
+        .select(col("id"), col("h"), col("k.ci").as("ci"),
+          col("k.cv").as("cv")), Seq("ci", "cv"), maxBucketSize)
+    }
+    val d = banded(delta)
+    val e = banded(existing)
+    d.as("a").join(e.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv"))
+      .select(col("a.id").as("id"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long")
+          .as("hamming"),
+        col("b.id").as("matched_id"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("id"))
+      .agg(min(struct(col("hamming"), col("matched_id"))).as("__m"))
+      .select(col("id").as(idCol), col("__m.hamming").as("hamming"),
+        col("__m.matched_id").as("matched_id"))
+  }
+
   def simHashNearDups(hashes: DataFrame, idCol: String,
       hashCol: String = "simhash", maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {

@@ -64,6 +64,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("simhash screen: per-delta argmin over (hamming, existing id), " +
+    "radius respected, clean delta rows absent") {
+    val delta = Seq(
+      (1L, 1L),                                     // 1 bit from e100, 2 from e101
+      (2L, 15L),                                    // 4 bits from e100 (out), 1 from e101
+      (3L, (1L << 50) | (1L << 40) | (1L << 30) | (1L << 20) | (1L << 10)),
+      (4L, 7L)                                      // exact match with e101
+    ).toDF("doc_id", "simhash")
+    val existing = Seq((100L, 0L), (101L, 7L)).toDF("doc_id", "simhash")
+    val out = Dedup.simHashScreen(delta, existing, "doc_id", maxHamming = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 100L)), 2L -> ((1L, 101L)),
+      4L -> ((0L, 101L))), s"got $out")
+  }
+
   test("ngram jaccard: exact dup = 1.0; disjoint pair absent") {
     val docs = Seq(
       (1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "zzzzyyyy")
