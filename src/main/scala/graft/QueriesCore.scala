@@ -155,6 +155,13 @@ object QueriesCore {
           col("l_quantity_count").as("n"))
     }),
 
+    // One-pass table profile: per-column ingest statistics as data
+    // (exact distincts for the oracle; approx_count_distinct at 100 TB).
+    "q_profile" -> ((s, dir) => {
+      TableProfile.profile(li(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
     // Global min-max scaling via broadcast scalar aggregate (no global window).
     "q_minmax" -> ((s, dir) => {
       MinMaxScaler(Seq("l_extendedprice")).transform(li(s, dir))
@@ -345,6 +352,15 @@ object QueriesCore {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         | count(l_quantity) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax").map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | count(*) - count($c) AS n_nulls,
+         | count(DISTINCT $c) AS n_distinct,
+         | round(min(CAST($c AS DOUBLE)), 6) AS min_value,
+         | round(max(CAST($c AS DOUBLE)), 6) AS max_value,
+         | round(avg(CAST($c AS DOUBLE)), 6) AS avg_value
+         |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n"),
     "q_minmax" ->
       """SELECT l_orderkey, l_linenumber,
         | round(CASE WHEN mx - mn < 1e-10 THEN 0.5

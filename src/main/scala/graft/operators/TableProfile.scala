@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiling — the data-quality report a pipeline runs
+  * before training on a new table: per numeric column, row count, null
+  * count, distinct count, min / max / mean. The standard first step of
+  * any ingest ("ANALYZE"-style column statistics), emitted as data so it
+  * can be joined, thresholded, and alerted on.
+  *
+  * Shape: ONE aggregation over the scan producing a single row (all
+  * per-column statistics as parallel aggregate expressions — partial
+  * aggregation map-side, a single-row merge, no groupBy key), then a
+  * constant-size reshape of that row into one output row per column.
+  * The only heavyweight piece is the exact `count(DISTINCT c)` per
+  * column (Catalyst plans multi-distinct aggregates through one Expand —
+  * one pass over the scan, a shuffle keyed by the distinct values); at
+  * 100 TB swap it for `approx_count_distinct` (HLL++, shuffle-free
+  * partials) — kept exact here so the profile verifies bit-for-bit
+  * against the DuckDB oracle.
+  */
+object TableProfile {
+
+  // bit-identical HALF_UP decimal rounding (the repo's oracle contract)
+  private def round(c: Column, s: Int): Column = graft.functions.FastRound(c, s)
+
+  /** One row per profiled column:
+    * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
+    * avg_value). Numeric statistics are computed over `cast(c as
+    * double)` and rounded to 6 decimals (the repo's oracle convention
+    * for libm-adjacent values). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def s(name: String, c: String) = s"__${name}_$c"
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(
+        count(lit(1)).as(s("n", c)),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s("nn", c)),
+        countDistinct(col(c)).as(s("nd", c)),
+        round(min(d), 6).as(s("mn", c)),
+        round(max(d), 6).as(s("mx", c)),
+        round(avg(d), 6).as(s("av", c)))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s("n", c)).as("n_rows"),
+        col(s("nn", c)).as("n_nulls"), col(s("nd", c)).as("n_distinct"),
+        col(s("mn", c)).as("min_value"), col(s("mx", c)).as("max_value"),
+        col(s("av", c)).as("avg_value"))
+    }
+    agged.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+}

@@ -301,4 +301,22 @@ class TransformerSpec extends AnyFunSuite {
     assert(math.abs(re.getDouble(1) - ra.getDouble(1)) < 0.05)
     df.unpersist()
   }
+
+  test("table profile: per-column rows, nulls, distincts, min/max/mean " +
+    "in one pass over a frame with nulls") {
+    import graft.operators.TableProfile
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 10.0)
+    ).toDF("a", "b")
+    val out = TableProfile.profile(df, Seq("a", "b"))
+      .orderBy("col_name").collect()
+    val a = out(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4L &&
+      a.getLong(2) == 1L && a.getLong(3) == 2L)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 2.0)
+    assert(math.abs(a.getDouble(6) - 5.0 / 3) < 1e-6)
+    val b = out(1)
+    assert(b.getLong(2) == 1L && b.getLong(3) == 2L &&
+      b.getDouble(4) == 10.0 && b.getDouble(5) == 30.0)
+  }
 }
