@@ -180,8 +180,12 @@ object Bench {
     // The round-6 artifact lost its headline number to the driver's
     // stdout tail capture ("parsed": null) — ALSO write the full JSON to
     // a committed file so the number of record survives independent of
-    // how stdout is captured. Children skip this (the parent merges).
-    if (!sys.env.contains(Child)) {
+    // how stdout is captured. Children skip this (the parent merges), and
+    // so do PARTIAL runs (a hand-picked local iteration must never
+    // overwrite the committed full-suite number of record).
+    val isFullSuite =
+      (ok.map(_._1) ++ errors.keys).toSet == SparkEntry.queries.keySet
+    if (!sys.env.contains(Child) && isFullSuite) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "/root/repo/bench_full.json")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
