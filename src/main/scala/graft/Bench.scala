@@ -183,14 +183,25 @@ object Bench {
     // how stdout is captured. Children skip this (the parent merges), and
     // so do PARTIAL runs (a hand-picked local iteration must never
     // overwrite the committed full-suite number of record).
+    // A run with errors (dead fork, broken query) has an UNDERSTATED
+    // total — its `value` sums only the surviving queries — so it must
+    // not replace the number of record either; it lands in a sibling
+    // file so the evidence is preserved without corrupting the headline.
     val isFullSuite =
       (ok.map(_._1) ++ errors.keys).toSet == SparkEntry.queries.keySet
     if (!sys.env.contains(Child) && isFullSuite) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "/root/repo/bench_full.json")
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      val target = if (errors.isEmpty) out
+        else {
+          System.err.println(s"[bench] ${errors.size} errored queries — " +
+            s"NOT overwriting $out (partial total)")
+          out.stripSuffix(".json") + "_failed.json"
+        }
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(target), json + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+        System.err.println(s"[bench] could not write $target: ${e.getMessage}")
       }
     }
   }

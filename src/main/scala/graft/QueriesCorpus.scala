@@ -76,8 +76,9 @@ object QueriesCorpus {
     // recurs anywhere in the corpus, plus per-doc token coverage.
     "q_dup_spans" -> ((s, dir) => {
       DupSpans.spanStats(docs(s, dir), "doc_id", "text", k = 8)
-        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
-          col("n_dup_tokens"), round(col("dup_frac"), 6).as("dup_frac"))
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_dup_spans"), col("n_dup_tokens"),
+          round(col("dup_frac"), 6).as("dup_frac"))
     }),
 
     "q_hash_split" -> ((s, dir) => {
@@ -231,7 +232,8 @@ object QueriesCorpus {
          |    count(DISTINCT pos + o) AS n_dup_tokens
          |  FROM dup CROSS JOIN (SELECT unnest(range(0, 8)) AS o)
          |  GROUP BY doc_id)
-         |SELECT w.doc_id, greatest(len(w.l) - 7, 0) AS n_spans,
+         |SELECT w.doc_id, len(w.l) AS n_tokens,
+         |  greatest(len(w.l) - 7, 0) AS n_spans,
          |  coalesce(c.n_dup_spans, 0) AS n_dup_spans,
          |  coalesce(c.n_dup_tokens, 0) AS n_dup_tokens,
          |  CASE WHEN len(w.l) > 7 THEN

@@ -37,7 +37,7 @@ object Dedup {
     * buckets are already REMOVED before the candidate join's exchange.
     * The previous aggregate-only count window buffered the hottest
     * bucket's every row in one WindowExec task just to discard them. */
-  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
+  private[graft] def capBuckets(df: DataFrame, bucketCols: Seq[String],
       maxSize: Int): DataFrame = {
     val over = df.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > maxSize)

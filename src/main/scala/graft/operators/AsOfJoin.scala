@@ -88,8 +88,24 @@ object AsOfJoin {
       keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast(rvType).as("__rv")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
+    // bucket id by integer arithmetic, NOT the window() function: the
+    // TimeWindowing analyzer rule injects an isnotnull(time) filter, so
+    // window() would silently DROP null-timestamp rows that asof keeps
+    // (they sort first in its null-first ordering). um − pmod(um, w) is
+    // exact floor alignment on the epoch-microsecond line and maps a
+    // null timestamp to a null bucket, which sorts first in the carry
+    // window — the same position asof gives those rows.
+    val widthUs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(bucket))
+      require(iv.months == 0,
+        s"asofBucketed bucket must be a fixed-width day/time interval: $bucket")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val um = unix_micros(col("__t"))
     val u = r.unionByName(l)
-      .withColumn("__b", window(col("__t"), bucket).getField("start"))
+      .withColumn("__b", um - pmod(um, lit(widthUs)))
     // pass 1: carry-forward WITHIN each (key, bucket) — the only pass
     // that touches every row, partitioned so hot keys split by time
     val wLocal = Window.partitionBy(keyCols.map(col) :+ col("__b"): _*)
@@ -119,8 +135,17 @@ object AsOfJoin {
       last(col("__bfinal"), ignoreNulls = true).over(wCarry))
       .select(keyCols.map(col) :+ col("__b") :+ col("__carry"): _*)
     // pass 3: co-partitioned join (key, bucket) patches rows whose
-    // bucket-local carry is null with the previous buckets' final value
-    local.join(carry, keyCols :+ "__b")
+    // bucket-local carry is null with the previous buckets' final value.
+    // NULL-SAFE keys: asof's window treats a null key (or the null
+    // bucket of a null timestamp) as its own group, so the patch join
+    // must match them too — a plain equi-join would silently DROP every
+    // null-key left row and diverge from asof
+    val carryK = carry.select(
+      keyCols.map(c => col(c).as(s"__ck_$c")) ++
+        Seq(col("__b").as("__cb"), col("__carry")): _*)
+    val patchCond = (keyCols.map(c => col(c) <=> col(s"__ck_$c")) :+
+      (col("__b") <=> col("__cb"))).reduce(_ && _)
+    local.join(carryK, patchCond)
       .where(col("__side") === 1)
       .withColumn("__eff", coalesce(col("__last"), col("__carry")))
       .select(keyCols.map(col) ++

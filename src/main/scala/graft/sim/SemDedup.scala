@@ -51,14 +51,11 @@ object SemDedup {
       .withColumn("centroid_sim",
         Similarity.dot(col(vecCol), cvec)
           / (col("__nrm") * sqrt(Similarity.dot(cvec, cvec))))
-    val capped =
-      if (maxCellSize == Int.MaxValue) assigned
-      else {
-        val over = assigned.groupBy(col("cell"))
-          .agg(count(lit(1)).as("__n")).where(col("__n") > maxCellSize)
-          .select(col("cell"))
-        assigned.join(broadcast(over), Seq("cell"), "left_anti")
-      }
+    // over-cap cells leave the PAIRING input only (their rows stay in
+    // the output, all kept) — same broadcast anti-join cap as every LSH
+    // band join
+    val capped = graft.dedup.Dedup.capBuckets(assigned, Seq("cell"),
+      maxCellSize)
     def side(suffix: String): DataFrame = capped.select(col("cell"),
       col(idCol).as(s"__id$suffix"), col(vecCol).as(s"__v$suffix"),
       col("__nrm").as(s"__n$suffix"),

@@ -113,9 +113,16 @@ object EventStream {
     * still works where AQE cannot run (stateful streaming). */
   def intervalJoin(events: DataFrame, leftType: String = "view",
       rightType: String = "click", horizon: String = "12 hours",
-      joinType: String = "inner", salts: Int = 1): DataFrame =
+      joinType: String = "inner", salts: Int = 1): DataFrame = {
+    // salting replicates the RIGHT side once per salt, which is only
+    // result-preserving when unmatched right rows are never emitted — a
+    // right_outer/full join would emit each unmatched right row `salts`
+    // times. Fail loudly instead of multiplying rows.
+    require(salts <= 1 || joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin salting supports inner/left_outer only, got $joinType")
     joinPairs(shapeLeft(events, leftType, salts),
       shapeRight(events, rightType, salts), horizon, joinType, salts)
+  }
 
   private def shapeLeft(df: DataFrame, t: String, salts: Int = 1): DataFrame = {
     val base = df.filter(col("event_type") === t)

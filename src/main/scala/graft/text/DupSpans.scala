@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   * relationally: a word `k`-gram starting at some position is a DUPLICATED
   * SPAN iff the identical k-gram occurs anywhere else in the corpus
   * (another document, or another position of the same document). The
-  * per-document outputs are the paper's curation signals: duplicated-span
-  * count and the fraction of token positions covered by at least one
-  * duplicated span.
+  * per-document outputs are the paper's curation signals: the
+  * duplicated-SPAN count and fraction (`n_dup_spans`, `dup_frac` =
+  * n_dup_spans / n_spans), and the token-coverage count `n_dup_tokens`
+  * (tokens under at least one duplicated span, overlaps merged) with
+  * `n_tokens` alongside, so the coverage FRACTION — Lee et al.'s "what
+  * share of the text is duplicated" number — is `n_dup_tokens /
+  * n_tokens`.
   *
   * The suffix-array machinery of the paper is a single-machine design; the
   * Spark-first shape is two pre-aggregated exchanges on a fixed-width
@@ -35,7 +39,7 @@ import org.apache.spark.sql.functions._
 object DupSpans {
 
   /** One row per input document:
-    * (idCol, n_spans, n_dup_spans, n_dup_tokens, dup_frac). */
+    * (idCol, n_tokens, n_spans, n_dup_spans, n_dup_tokens, dup_frac). */
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val base = docs.select(col(idCol),
@@ -61,9 +65,10 @@ object DupSpans {
     val nSpans = greatest(size(col("__w")) - (k - 1), lit(0))
       .cast("long")
     base
-      .select(col(idCol), nSpans.as("n_spans"))
+      .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
+        nSpans.as("n_spans"))
       .join(cov, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
+      .select(col(idCol), col("n_tokens"), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
         when(col("n_spans") > 0,

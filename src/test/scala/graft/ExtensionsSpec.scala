@@ -309,6 +309,21 @@ class ExtensionsSpec extends AnyFunSuite {
         java.sql.Timestamp.from(base.plusSeconds(1000)),
         java.lang.Double.valueOf(0.0)))
     val ev = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      // null KEY and null TIMESTAMP rows: asof groups a null key like any
+      // other partition value, so the bucketed variant must match them
+      // too (its patch join is null-safe — a plain equi-join would drop
+      // these left rows entirely)
+      .unionByName(Seq(
+        (910L, null.asInstanceOf[java.lang.Long], "purchase",
+          java.sql.Timestamp.from(base.plusSeconds(500)),
+          java.lang.Double.valueOf(9.0)),
+        (911L, null.asInstanceOf[java.lang.Long], "click",
+          java.sql.Timestamp.from(base.plusSeconds(600)),
+          null.asInstanceOf[java.lang.Double]),
+        (912L, java.lang.Long.valueOf(7L), "click",
+          null.asInstanceOf[java.sql.Timestamp],
+          null.asInstanceOf[java.lang.Double])
+      ).toDF("event_id", "user_id", "event_type", "ts", "value"))
     val clicks = ev.where($"event_type" === "click")
       .select($"event_id", $"user_id", $"ts")
     val purchases = ev.where($"event_type" === "purchase")
@@ -317,6 +332,10 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq("value")).collect().map(_.toSeq).toSet
     assert(want.nonEmpty && want.exists(_(3) == null),
       "fixture must exercise the no-preceding-purchase case")
+    assert(want.exists(r => r(0) == null && r(3) == 9.0),
+      "null-key click must match the null-key purchase")
+    assert(want.exists(_(1) == 912L),
+      "null-timestamp click must survive")
     for (width <- Seq("6 hours", "1 day", "10 days")) {
       val got = AsOfJoin.asofBucketed(clicks, purchases, Seq("user_id"),
         "ts", "ts", Seq("value"), width).collect().map(_.toSeq).toSet

@@ -112,7 +112,7 @@ class PlanSpec extends AnyFunSuite {
     // heavy spec: PARTITION BY (user_id, __b) ORDER BY __t...; the tiny
     // per-key carry window (PARTITION BY user_id ORDER BY __b) has no
     // __t after __b and must not count
-    val heavyWindows = "windowspecdefinition\\(user_id#\\d+L, __b#\\d+, __t#"
+    val heavyWindows = "windowspecdefinition\\(user_id#\\d+L, __b#\\d+L?, __t#"
       .r.findAllIn(plan).length
     assert(heavyWindows == 1,
       s"expected exactly one (key, bucket) window, got $heavyWindows:\n$plan")

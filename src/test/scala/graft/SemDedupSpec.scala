@@ -59,16 +59,17 @@ class SemDedupSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val out = DupSpans.spanStats(docs, "doc_id", "text", k = 3)
       .orderBy("doc_id").collect()
-    def row(i: Int): (Long, Long, Long, Double) =
-      (out(i).getAs[Long]("n_spans"), out(i).getAs[Long]("n_dup_spans"),
+    def row(i: Int): (Long, Long, Long, Long, Double) =
+      (out(i).getAs[Long]("n_tokens"), out(i).getAs[Long]("n_spans"),
+        out(i).getAs[Long]("n_dup_spans"),
         out(i).getAs[Long]("n_dup_tokens"), out(i).getAs[Double]("dup_frac"))
     // doc 1: "a b c" (pos 1) also in doc 2 → tokens 1-3 covered
-    assert(row(0) == (3L, 1L, 3L, 1.0 / 3))
+    assert(row(0) == (5L, 3L, 1L, 3L, 1.0 / 3))
     // doc 2: "a b c" at pos 4 → tokens 4-6 covered
-    assert(row(1) == (4L, 1L, 3L, 0.25))
-    assert(row(2) == (0L, 0L, 0L, 0.0))
+    assert(row(1) == (6L, 4L, 1L, 3L, 0.25))
+    assert(row(2) == (2L, 0L, 0L, 0L, 0.0))
     // doc 4: [m n m][n m n][m n m][n m n] — 4/4 dup, full token coverage
-    assert(row(3) == (4L, 4L, 6L, 1.0))
+    assert(row(3) == (6L, 4L, 4L, 6L, 1.0))
   }
 
   test("hash bitset: distributed build, codegen probe, 24-bit aliasing") {

@@ -43,8 +43,15 @@ def main():
         if only and name not in only:
             continue
         seen.add(name)
-        spark_df = pd.concat([pd.read_parquet(p) for p in
-                              sorted(glob.glob(f"{qdir}/*.parquet"))],
+        parts = sorted(glob.glob(f"{qdir}/*.parquet"))
+        if not parts:
+            # dir exists but holds no data files (e.g. a write died before
+            # both the result AND the sentinel landed) — report, don't
+            # crash the whole report on pd.concat([])
+            print(f"{name}: ERROR no parquet files in output dir")
+            ok_all = False
+            continue
+        spark_df = pd.concat([pd.read_parquet(p) for p in parts],
                              ignore_index=True)
         if list(spark_df.columns) == ["_error"]:
             # Verify's failed-query sentinel: the query raised instead of
