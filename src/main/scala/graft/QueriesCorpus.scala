@@ -127,6 +127,18 @@ object QueriesCorpus {
         "doc_id", maxHamming = 3, maxBucketSize = 1000)
       DupClusters.minLabelClusters(pairs, "id_a", "id_b", iters = 4)
         .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // Exact components to CONVERGENCE (large-star/small-star) over the
+    // same near-dup pair list — the scale path past q_dup_clusters'
+    // fixed 4-round budget; its oracle is true reachability, not an
+    // unrolled round count.
+    "q_cc_components" -> ((s, dir) => {
+      val pairs = Dedup.simHashNearDups(
+        Dedup.simHash(docs(s, dir), "doc_id", "text"),
+        "doc_id", maxHamming = 3, maxBucketSize = 1000)
+      DupClusters.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster"))
     })
   )
 
@@ -325,6 +337,21 @@ object QueriesCorpus {
          |l0 AS (SELECT DISTINCT src AS id, src AS cluster FROM edges),
          |$rounds
          |SELECT id AS doc_id, cluster FROM l4""".stripMargin
-    }
+    },
+
+    "q_cc_components" ->
+      // true-reachability min label: the oracle for CONVERGED components
+      // is transitive closure (recursive CTE), not an unrolled budget
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM
+         |  (${QueriesText.simhashPairsSql})),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |r AS (
+         |  SELECT DISTINCT src AS id, src AS reach FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.reach AS reach
+         |  FROM edges e JOIN r ON r.id = e.dst)
+         |SELECT id AS doc_id, min(reach) AS cluster FROM r
+         |GROUP BY id""".stripMargin
   )
 }

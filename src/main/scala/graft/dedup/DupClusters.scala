@@ -58,4 +58,83 @@ object DupClusters {
     }
     labels
   }
+
+  /** Exact connected components to CONVERGENCE: alternating
+    * large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    * Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    * Beyond", SoCC 2014).
+    *
+    * [[minLabelClusters]] is the fixed-budget form: one hop of label
+    * movement per round, so a component of diameter d needs d rounds —
+    * fine for the star-shaped near-dup components it serves, wrong for
+    * adversarially chained ones (a 100-hop chain at a 4-round budget
+    * splits into 25 clusters and the dedup keeps 25 "representatives"
+    * of one duplicate group). Star contraction instead REWIRES the graph
+    * each round — large-star hangs every node's larger neighbors onto
+    * its minimum, small-star collapses the smaller ones — which halves
+    * long paths per round, giving O(log n) rounds on any topology with
+    * per-round work proportional to the current edge count (the paper's
+    * Theorems 1-2). Each round is two groupBy-min + join passes over a
+    * canonical (lo, hi) edge list; nothing graph-shaped lives on the
+    * driver.
+    *
+    * Convergence is detected EXACTLY: same edge count and no edge in
+    * E' \ E (a LEFT ANTI probe capped at one row) — two tiny jobs per
+    * round against localCheckpoint'ed leaves (same lineage-truncation
+    * rationale as [[minLabelClusters]]). At the fixpoint the edge list
+    * IS the component map: every edge is (root, member) with root the
+    * component-minimum id.
+    *
+    * No reference analog (the reference has no graph component); this is
+    * the scale path behind q_dup_clusters' fixed-budget oracle form.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    liveCaches.release()
+    def keep(df: DataFrame): DataFrame =
+      liveCaches.keep(df.localCheckpoint(eager = true))
+    // canonical (lo, hi) pairs; self-loops dropped
+    var e = keep(pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct())
+    var eCount = e.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      // large-star: sym view; m(u) = min(u, min N(u)); every neighbor
+      // v > u re-hangs onto m(u). m(u) <= u < v, so (m, v) is canonical.
+      val sym = e.union(e.select(col("hi").as("lo"), col("lo").as("hi")))
+        .toDF("u", "v")
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("__nmin"))
+        .select(col("u"), least(col("u"), col("__nmin")).as("m"))
+      val ls = sym.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .where(col("lo") =!= col("hi")).distinct()
+      // small-star on the downward orientation (hi -> lo): every
+      // smaller neighbor (and u itself) re-hangs onto min N_down(u).
+      // mv <= v for each down-neighbor v, so pairs stay canonical.
+      val down = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val dmins = down.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val rewired = down.join(dmins, "u")
+        .select(col("mv").as("lo"), col("v").as("hi"))
+        .where(col("lo") =!= col("hi"))
+      val selfEdges = dmins
+        .select(col("mv").as("lo"), col("u").as("hi"))
+      val e2 = keep(rewired.union(selfEdges).distinct())
+      val e2Count = e2.count()
+      converged = e2Count == eCount &&
+        e2.join(e, Seq("lo", "hi"), "left_anti").limit(1).count() == 0L
+      e = e2
+      eCount = e2Count
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxRounds rounds")
+    // star fixpoint: (root, member) edges + the roots themselves
+    e.select(col("hi").as("id"), col("lo").as("cluster"))
+      .union(e.select(col("lo").as("id"), col("lo").as("cluster")))
+      .distinct()
+  }
 }

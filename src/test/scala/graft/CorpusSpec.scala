@@ -138,6 +138,46 @@ class CorpusSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L))
   }
 
+  test("connected components: star contraction converges on a long " +
+    "chain where the fixed-budget propagation cannot") {
+    // a 40-hop path: diameter 40 >> the 4-round min-label budget
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val budget = DupClusters.minLabelClusters(chain, "id_a", "id_b",
+      iters = 4).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(budget.values.toSet.size > 1,
+      "4 rounds must NOT converge a 40-hop chain (else this test is vacuous)")
+    val cc = DupClusters.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (0L to 40L).map(_ -> 0L).toMap,
+      s"one component labeled by its min id; got $cc")
+  }
+
+  test("connected components: equals a local union-find on a random " +
+    "multi-component graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(120) { _ =>
+      // 3 id islands so several components are guaranteed
+      val base = rnd.nextInt(3) * 1000L
+      (base + rnd.nextInt(25), base + rnd.nextInt(25))
+    }.filter(p => p._1 != p._2)
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = DupClusters.connectedComponents(
+      edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("vocabulary: top-k by occurrences with doc frequencies, " +
     "deterministic ties") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
