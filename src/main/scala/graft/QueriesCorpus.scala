@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate, DupSpans,
-  QualityFilterTransformer, RepetitionTransformer}
+  HeavyHitters, QualityFilterTransformer, RepetitionTransformer}
 import graft.dedup.{Dedup, DupClusters}
 
 /** Corpus-curation queries over the `documents` table: quality
@@ -127,6 +127,18 @@ object QueriesCorpus {
         "doc_id", maxHamming = 3, maxBucketSize = 1000)
       DupClusters.minLabelClusters(pairs, "id_a", "id_b", iters = 4)
         .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // Exact bigram heavy hitters: Misra-Gries candidate sketch + exact
+    // confirm — result equals brute-force groupBy-count thresholding
+    // (which is precisely what the oracle runs) with a vocabulary-free
+    // shuffle bound.
+    "q_heavy_hitters" -> ((s, dir) => {
+      HeavyHitters.exact(docs(s, dir),
+        CorpusOps.wordNgrams(CorpusOps.words(col("text")), 2),
+        theta = 0.001)
+        .select(col("token"), col("n_occurrences"),
+          round(col("frac"), 6).as("frac"))
     }),
 
     // Exact components to CONVERGENCE (large-star/small-star) over the
@@ -338,6 +350,15 @@ object QueriesCorpus {
          |$rounds
          |SELECT id AS doc_id, cluster FROM l4""".stripMargin
     },
+
+    "q_heavy_hitters" ->
+      s"""WITH w AS ($wCte),
+         |g AS (SELECT unnest(${ngramSql(2)}) AS token FROM w),
+         |n AS (SELECT count(*) AS n FROM g)
+         |SELECT token, count(*) AS n_occurrences,
+         |  round(count(*) / (1.0 * n.n), 6) AS frac
+         |FROM g, n GROUP BY token, n.n
+         |HAVING count(*) >= 0.001 * n.n""".stripMargin,
 
     "q_cc_components" ->
       // true-reachability min label: the oracle for CONVERGED components

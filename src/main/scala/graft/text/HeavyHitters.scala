@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact corpus heavy hitters — every token whose frequency is at least
+  * `theta` of all token occurrences — WITHOUT a full-vocabulary shuffle.
+  *
+  * Two passes over the token stream:
+  *
+  *   1. candidate pass: one [[graft.functions.FrequentItems]] Misra-
+  *      Gries sketch (k = ceil(2/theta) counters) plus the total token
+  *      count, both in a SINGLE aggregation to one scalar row. The
+  *      sketch guarantee makes the candidate array a superset of every
+  *      theta-frequent token; its size is bounded by k regardless of
+  *      vocabulary size.
+  *   2. confirm pass: exact counts of candidate tokens only. The
+  *      membership probe is a codegen'd InSet literal (the candidate
+  *      array rides the task binary — at most k strings), and the
+  *      post-partial-aggregation shuffle carries <= k rows per task
+  *      instead of the vocabulary.
+  *
+  * The one `.collect()` is the single-row candidate/total scalar — the
+  * repo's documented bounded-scalar pattern (cf. Bm25's document-
+  * frequency row). False sketch candidates die in the exact HAVING, so
+  * the result equals brute-force `groupBy(token).count()` filtering,
+  * which is exactly what the DuckDB oracle runs. A plain groupBy at
+  * 100 TB shuffles billions of distinct tokens to answer a question
+  * about the few hundred above threshold; this shuffles k rows per task.
+  *
+  * No reference analog (centimators has no text layer); greenfield
+  * SURVEY.md §7.6 scope.
+  */
+object HeavyHitters {
+
+  /** (token, n_occurrences, frac) for every token with frequency >=
+    * theta of all token occurrences, exactly. `tokens` is any
+    * array<string> expression over `docs` (words, n-grams, ...). */
+  def exact(docs: DataFrame, tokens: org.apache.spark.sql.Column,
+      theta: Double): DataFrame = {
+    require(theta > 0 && theta <= 1, s"heavy hitters: theta=$theta")
+    val k = math.ceil(2.0 / theta).toInt
+    val toks = docs.select(explode(tokens).as("token"))
+    val row = toks.agg(
+      graft.functions.FrequentItems.mgCandidates(col("token"), k)
+        .as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand: Seq[String] = row.getSeq[String](0)
+    val n = row.getLong(1)
+    if (cand.isEmpty || n == 0L)
+      return toks.select(col("token"), lit(0L).as("n_occurrences"),
+        lit(0d).as("frac")).limit(0)
+    toks.where(col("token").isInCollection(cand))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= lit(theta) * lit(n.toDouble))
+      .withColumn("frac", col("n_occurrences") / lit(n.toDouble))
+  }
+}

@@ -178,6 +178,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("heavy hitters: Misra-Gries candidates + exact confirm equal " +
+    "brute force under sketch saturation and cross-partition merges") {
+    // skewed stream: token t_i appears (i+1)^2 times, 40 types, so
+    // theta=0.05 forces k=40... use theta large enough that k << 40
+    // and the decrement/merge paths actually run
+    val rnd = new scala.util.Random(11)
+    val occurrences = rnd.shuffle(
+      (0 until 40).flatMap(i => Seq.fill((i + 1) * (i + 1))(s"t$i")))
+    val docs = occurrences.grouped(37).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(16)
+    val tokens = graft.text.CorpusOps.words(col("text"))
+    for (theta <- Seq(0.3, 0.1, 0.02)) {
+      val got = graft.text.HeavyHitters.exact(docs, tokens, theta)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = occurrences.size.toDouble
+      val expect = occurrences.groupBy(identity).view
+        .mapValues(_.size.toLong)
+        .filter { case (_, c) => c >= theta * n }.toMap
+      assert(got == expect, s"theta=$theta: got $got")
+    }
+  }
+
+  test("heavy hitters: empty corpus and no-qualifier corpus both yield " +
+    "zero rows with the full schema") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val tokens = graft.text.CorpusOps.words(col("text"))
+    val out = graft.text.HeavyHitters.exact(empty, tokens, 0.5)
+    assert(out.columns.toSeq ==
+      Seq("token", "n_occurrences", "frac") && out.count() == 0L)
+    val uniform = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(graft.text.HeavyHitters.exact(uniform, tokens, 0.5).count() == 0L)
+  }
+
   test("vocabulary: top-k by occurrences with doc frequencies, " +
     "deterministic ties") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
