@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate, DupSpans,
-  HeavyHitters, QualityFilterTransformer, RepetitionTransformer}
+  HeavyHitters, NgramLm, QualityFilterTransformer, RepetitionTransformer}
 import graft.dedup.{Dedup, DupClusters}
 
 /** Corpus-curation queries over the `documents` table: quality
@@ -127,6 +127,14 @@ object QueriesCorpus {
         "doc_id", maxHamming = 3, maxBucketSize = 1000)
       DupClusters.minLabelClusters(pairs, "id_a", "id_b", iters = 4)
         .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // Stupid-backoff bigram LM scoring: counts from the train split,
+    // every doc scored, so val/test docs exercise the backoff path.
+    "q_ngram_lm" -> ((s, dir) => {
+      NgramLm.scoreStupidBackoff(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
     }),
 
     // Exact bigram heavy hitters: Misra-Gries candidate sketch + exact
@@ -349,6 +357,38 @@ object QueriesCorpus {
          |l0 AS (SELECT DISTINCT src AS id, src AS cluster FROM edges),
          |$rounds
          |SELECT id AS doc_id, cluster FROM l4""".stripMargin
+    },
+
+    "q_ngram_lm" -> {
+      // train-split filter: same md5-bucket mirror as q_hash_split
+      val digit = (i: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR))" +
+          s", $i, 1)) - 1)"
+      val bucket = s"((${digit(1)} * 4096 + ${digit(2)} * 256 + " +
+        s"${digit(3)} * 16 + ${digit(4)}) % 10)"
+      s"""WITH w AS ($wCte),
+         |tr AS (SELECT l FROM w WHERE $bucket <= 7),
+         |uni AS (SELECT t, count(*) AS c FROM
+         |  (SELECT unnest(l) AS t FROM tr) GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) + count(*) AS nu FROM uni),
+         |bi AS (SELECT bg, count(*) AS c FROM
+         |  (SELECT unnest(${ngramSql(2)}) AS bg FROM tr) GROUP BY bg),
+         |pos AS (SELECT doc_id, i AS pos, l[i] || ' ' || l[i + 1] AS bg,
+         |    l[i] AS w1, l[i + 1] AS w2
+         |  FROM w, unnest(range(1, greatest(len(l), 1))) AS t(i)),
+         |sc AS (SELECT p.doc_id, p.pos,
+         |    CASE WHEN b.c IS NOT NULL THEN ln(b.c / (1.0 * u1.c))
+         |      ELSE ln(0.4 * (coalesce(u2.c, 0) + 1) / tot.nu) END AS lp
+         |  FROM pos p
+         |  LEFT JOIN bi b ON b.bg = p.bg
+         |  LEFT JOIN uni u1 ON u1.t = p.w1
+         |  LEFT JOIN uni u2 ON u2.t = p.w2, tot),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
+         |  FROM sc GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  round(a.s / a.n_bigrams, 6) AS avg_logprob
+         |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
 
     "q_heavy_hitters" ->

@@ -212,6 +212,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(graft.text.HeavyHitters.exact(uniform, tokens, 0.5).count() == 0L)
   }
 
+  test("ngram LM: stupid-backoff scores match a hand computation for " +
+    "seen bigrams, unseen bigrams, and unseen words") {
+    // docs land in "train" or not according to the REAL hash split, so
+    // the test pins the actual code path: resolve bucket per id first
+    val assign = spark.range(50).select(col("id"),
+      graft.text.CorpusSplit.hashSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = assign.collectFirst { case (i, "train") => i }.get
+    val valId = assign.collectFirst { case (i, s) if s != "train" => i }.get
+    val docs = Seq(
+      (trainId, "a b a b c"), // train: bigrams ab, ba, ab, bc
+      (valId, "a b x")        // held out: ab seen; "b x" unseen, x unseen
+    ).toDF("doc_id", "text")
+    val out = graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // train counts: uni a=2 b=2 c=1 (N=5, U=3); bi "a b"=2 "b a"=1 "b c"=1
+    val nu = 5.0 + 3.0
+    val lpAb = math.log(2.0 / 2.0)
+    val trainExp = (math.log(2.0 / 2.0) + math.log(1.0 / 2.0) +
+      math.log(2.0 / 2.0) + math.log(1.0 / 2.0)) / 4.0
+    val valExp = (lpAb + math.log(0.4 * (0 + 1) / nu)) / 2.0
+    assert(out(trainId)._1 == 4L)
+    assert(math.abs(out(trainId)._2 - trainExp) < 1e-9,
+      s"train doc: ${out(trainId)._2} vs $trainExp")
+    assert(out(valId)._1 == 2L)
+    assert(math.abs(out(valId)._2 - valExp) < 1e-9,
+      s"held-out doc: ${out(valId)._2} vs $valExp")
+  }
+
+  test("ngram LM: one-word and empty docs emit zero bigrams and a null " +
+    "score; every input doc appears exactly once") {
+    val assign = spark.range(50).select(col("id"),
+      graft.text.CorpusSplit.hashSplit(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = assign.collectFirst { case (i, "train") => i }.get
+    val docs = Seq((trainId, "a b c"), (97L, "single"), (98L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out.keySet == Set(trainId, 97L, 98L))
+    assert(out(97L) == ((0L, None)) && out(98L) == ((0L, None)))
+  }
+
   test("vocabulary: top-k by occurrences with doc frequencies, " +
     "deterministic ties") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b z")).toDF("doc_id", "text")
