@@ -159,6 +159,46 @@ object QueriesCorpus {
         "doc_id", maxHamming = 3, maxBucketSize = 1000)
       DupClusters.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // Canonical-representative selection per duplicate cluster: the
+    // keep/drop decision after clustering (keep the longest member,
+    // ties to the smallest id) — champion election is a map-side
+    // combined groupBy, never a per-cluster window.
+    "q_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.simHashNearDups(
+        Dedup.simHash(d, "doc_id", "text"),
+        "doc_id", maxHamming = 3, maxBucketSize = 1000)
+      val comps = DupClusters.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      DupClusters.canonicalPerCluster(comps, "doc_id", "cluster",
+        d, "n_chars")
+        .select(col("doc_id"), col("cluster"), col("n_chars"),
+          col("is_canonical"))
+    }),
+
+    // Gopher quality-rule battery (Rae et al. 2021 Table A1): five
+    // independent boolean rules + keep = AND, all one codegen'd
+    // projection over a single tokenization.
+    "q_gopher" -> ((s, dir) => {
+      graft.text.GopherRules.battery(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("n_stopwords"),
+          col("r_word_count"), col("r_mean_word_len"),
+          col("r_symbol_ratio"), col("r_alpha_frac"), col("r_stopwords"),
+          col("keep"))
+    }),
+
+    // CCNet head/middle/tail perplexity buckets over the bigram-LM
+    // scores: cut points are ONE tiny exact-percentile aggregate
+    // broadcast back as scalars — no global sort, no window.
+    "q_lm_buckets" -> ((s, dir) => {
+      graft.text.LmBuckets.headMiddleTail(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
+          col("bucket"))
     })
   )
 
@@ -359,37 +399,54 @@ object QueriesCorpus {
          |SELECT id AS doc_id, cluster FROM l4""".stripMargin
     },
 
-    "q_ngram_lm" -> {
-      // train-split filter: same md5-bucket mirror as q_hash_split
-      val digit = (i: Int) =>
-        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR))" +
-          s", $i, 1)) - 1)"
-      val bucket = s"((${digit(1)} * 4096 + ${digit(2)} * 256 + " +
-        s"${digit(3)} * 16 + ${digit(4)}) % 10)"
-      s"""WITH w AS ($wCte),
-         |tr AS (SELECT l FROM w WHERE $bucket <= 7),
-         |uni AS (SELECT t, count(*) AS c FROM
-         |  (SELECT unnest(l) AS t FROM tr) GROUP BY t),
-         |tot AS (SELECT CAST(sum(c) AS DOUBLE) + count(*) AS nu FROM uni),
-         |bi AS (SELECT bg, count(*) AS c FROM
-         |  (SELECT unnest(${ngramSql(2)}) AS bg FROM tr) GROUP BY bg),
-         |pos AS (SELECT doc_id, i AS pos, l[i] || ' ' || l[i + 1] AS bg,
-         |    l[i] AS w1, l[i + 1] AS w2
-         |  FROM w, unnest(range(1, greatest(len(l), 1))) AS t(i)),
-         |sc AS (SELECT p.doc_id, p.pos,
-         |    CASE WHEN b.c IS NOT NULL THEN ln(b.c / (1.0 * u1.c))
-         |      ELSE ln(0.4 * (coalesce(u2.c, 0) + 1) / tot.nu) END AS lp
-         |  FROM pos p
-         |  LEFT JOIN bi b ON b.bg = p.bg
-         |  LEFT JOIN uni u1 ON u1.t = p.w1
-         |  LEFT JOIN uni u2 ON u2.t = p.w2, tot),
-         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-         |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
-         |  FROM sc GROUP BY doc_id)
-         |SELECT w.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
-         |  round(a.s / a.n_bigrams, 6) AS avg_logprob
-         |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin
-    },
+    "q_ngram_lm" -> lmScoredSql,
+
+    "q_lm_buckets" ->
+      // cut points: exact 1/3 + 2/3 quantiles of the round-6 scores,
+      // re-rounded — quantile_cont ≡ ExactPercentiles (q_quantiles)
+      s"""WITH scored AS ($lmScoredSql),
+         |cuts AS (SELECT
+         |  round(quantile_cont(avg_logprob, 1.0/3), 6) AS c1,
+         |  round(quantile_cont(avg_logprob, 2.0/3), 6) AS c2
+         | FROM scored WHERE avg_logprob IS NOT NULL)
+         |SELECT doc_id, n_bigrams, avg_logprob,
+         | CASE WHEN avg_logprob >= c2 THEN 'head'
+         |   WHEN avg_logprob >= c1 THEN 'middle'
+         |   ELSE 'tail' END AS bucket
+         |FROM scored, cuts""".stripMargin,
+
+    "q_gopher" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        | FROM documents),
+        |s AS (SELECT doc_id, len(l) AS n_words,
+        |  CASE WHEN len(l) > 0 THEN
+        |    list_sum(list_transform(l, x -> CAST(length(x) AS BIGINT)))
+        |      / CAST(len(l) AS DOUBLE) END AS mwl,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+        |  CASE WHEN len(l) > 0 THEN
+        |    len(list_filter(l, x -> regexp_matches(x, '[a-z]')))
+        |      / CAST(len(l) AS DOUBLE) END AS af,
+        |  len(list_filter(l, x -> list_contains(
+        |    ['the','be','to','of','and','that','have','with'], x)))
+        |    AS n_stop
+        | FROM w)
+        |SELECT doc_id, n_words,
+        | round(mwl, 6) AS mean_word_len,
+        | round(af, 6) AS alpha_frac,
+        | n_stop AS n_stopwords,
+        | (n_words >= 20 AND n_words <= 100000) AS r_word_count,
+        | (mwl IS NOT NULL AND mwl >= 3 AND mwl <= 10) AS r_mean_word_len,
+        | (n_words > 0 AND n_sym / CAST(n_words AS DOUBLE) <= 0.1)
+        |   AS r_symbol_ratio,
+        | (af IS NOT NULL AND af >= 0.8) AS r_alpha_frac,
+        | (n_stop >= 2) AS r_stopwords,
+        | ((n_words >= 20 AND n_words <= 100000)
+        |   AND (mwl IS NOT NULL AND mwl >= 3 AND mwl <= 10)
+        |   AND (n_words > 0 AND n_sym / CAST(n_words AS DOUBLE) <= 0.1)
+        |   AND (af IS NOT NULL AND af >= 0.8)
+        |   AND (n_stop >= 2)) AS keep
+        |FROM s""".stripMargin,
 
     "q_heavy_hitters" ->
       s"""WITH w AS ($wCte),
@@ -400,19 +457,70 @@ object QueriesCorpus {
          |FROM g, n GROUP BY token, n.n
          |HAVING count(*) >= 0.001 * n.n""".stripMargin,
 
-    "q_cc_components" ->
-      // true-reachability min label: the oracle for CONVERGED components
-      // is transitive closure (recursive CTE), not an unrolled budget
-      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM
-         |  (${QueriesText.simhashPairsSql})),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-         |r AS (
-         |  SELECT DISTINCT src AS id, src AS reach FROM edges
-         |  UNION
-         |  SELECT e.src AS id, r.reach AS reach
-         |  FROM edges e JOIN r ON r.id = e.dst)
-         |SELECT id AS doc_id, min(reach) AS cluster FROM r
-         |GROUP BY id""".stripMargin
+    // true-reachability min label: the oracle for CONVERGED components
+    // is transitive closure (recursive CTE), not an unrolled budget
+    "q_cc_components" -> ccSql,
+
+    "q_canonical" ->
+      // champion per cluster: max n_chars, ties to smallest doc_id
+      s"""WITH comp AS ($ccSql),
+         |j AS (SELECT comp.doc_id, comp.cluster, d.n_chars
+         |  FROM comp JOIN documents d ON d.doc_id = comp.doc_id),
+         |ch AS (SELECT cluster, doc_id AS champ FROM (
+         |   SELECT cluster, doc_id, row_number() OVER (
+         |     PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+         |   FROM j) WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster, j.n_chars,
+         | (j.doc_id = ch.champ) AS is_canonical
+         |FROM j JOIN ch USING (cluster)""".stripMargin
   )
+
+  /** Oracle mirror of [[graft.text.NgramLm.scoreStupidBackoff]]:
+    * (doc_id, n_bigrams, avg_logprob round-6); train-split filter is the
+    * same md5-bucket mirror as q_hash_split. */
+  private lazy val lmScoredSql: String = {
+    val digit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR))" +
+        s", $i, 1)) - 1)"
+    val bucket = s"((${digit(1)} * 4096 + ${digit(2)} * 256 + " +
+      s"${digit(3)} * 16 + ${digit(4)}) % 10)"
+    s"""WITH w AS ($wCte),
+       |tr AS (SELECT l FROM w WHERE $bucket <= 7),
+       |uni AS (SELECT t, count(*) AS c FROM
+       |  (SELECT unnest(l) AS t FROM tr) GROUP BY t),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) + count(*) AS nu FROM uni),
+       |bi AS (SELECT bg, count(*) AS c FROM
+       |  (SELECT unnest(${ngramSql(2)}) AS bg FROM tr) GROUP BY bg),
+       |pos AS (SELECT doc_id, i AS pos, l[i] || ' ' || l[i + 1] AS bg,
+       |    l[i] AS w1, l[i + 1] AS w2
+       |  FROM w, unnest(range(1, greatest(len(l), 1))) AS t(i)),
+       |sc AS (SELECT p.doc_id, p.pos,
+       |    CASE WHEN b.c IS NOT NULL THEN ln(b.c / (1.0 * u1.c))
+       |      ELSE ln(0.4 * (coalesce(u2.c, 0) + 1) / tot.nu) END AS lp
+       |  FROM pos p
+       |  LEFT JOIN bi b ON b.bg = p.bg
+       |  LEFT JOIN uni u1 ON u1.t = p.w1
+       |  LEFT JOIN uni u2 ON u2.t = p.w2, tot),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
+       |  FROM sc GROUP BY doc_id)
+       |SELECT w.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  round(a.s / a.n_bigrams, 6) AS avg_logprob
+       |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
+  /** Oracle mirror of converged connected components over the simhash
+    * near-dup pairs: (doc_id, cluster) by true reachability. */
+  private lazy val ccSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM
+       |  (${QueriesText.simhashPairsSql})),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |r AS (
+       |  SELECT DISTINCT src AS id, src AS reach FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.reach AS reach
+       |  FROM edges e JOIN r ON r.id = e.dst)
+       |SELECT id AS doc_id, min(reach) AS cluster FROM r
+       |GROUP BY id""".stripMargin
 }

@@ -90,8 +90,43 @@ object QueriesText {
         Dedup.simHash(d.where(isDelta), "doc_id", "text"),
         Dedup.simHash(d.where(!isDelta), "doc_id", "text"),
         "doc_id", maxHamming = 3, maxBucketSize = 1000)
+    }),
+
+    // PII scrub: the synthetic corpus carries no PII, so the query
+    // demonstrates the operator on deterministically derived text
+    // (doc_id-seeded emails / IPs / phone numbers appended in-query,
+    // identically mirrored in the oracle) — detection counts AND the
+    // redacted text verify bit-for-bit. The operator itself is general.
+    "q_pii_scrub" -> ((s, dir) => {
+      graft.text.PiiScrub.scrub(
+        docs(s, dir).withColumn("text", piiText), "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"),
+          col("n_phone"), col("n_pii"), col("redacted"))
     })
   )
+
+  /** doc_id-seeded PII-bearing text (Spark side; [[piiTextSql]] is the
+    * oracle mirror): a third of docs get an email, a third an IP + an
+    * international phone number, a third stay clean. */
+  private def piiText: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") * 7 % 256).cast("string"), lit(" call +1555"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+
+  private val piiTextSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com now' " +
+      "WHEN doc_id % 3 = 1 THEN text || ' from 10.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+      "CAST(doc_id * 7 % 256 AS VARCHAR) || ' call +1555' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+      "ELSE text END"
 
   /** md5-digit simhash as a reusable oracle CTE (`sh(doc_id, simhash)`) —
     * mirror of Dedup.simHash. */
@@ -287,6 +322,25 @@ object QueriesText {
         |FROM sh a JOIN sh b
         |  ON b.id > a.id AND b.id <= a.id + 20
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5""".stripMargin,
+
+    "q_pii_scrub" -> {
+      // identical RE2-subset regexes as the Spark side, from the same
+      // constants; counts on the original, redaction chained in order
+      val Seq(em, ip, ph) = graft.text.PiiScrub.classes.map(_._2)
+      val red = graft.text.PiiScrub.classes.foldLeft("t") {
+        case (acc, (_, pat, tok)) =>
+          s"regexp_replace($acc, '$pat', '$tok', 'g')"
+      }
+      s"""WITH p AS (SELECT doc_id, $piiTextSql AS t FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(t, '$em')) AS n_email,
+         | len(regexp_extract_all(t, '$ip')) AS n_ipv4,
+         | len(regexp_extract_all(t, '$ph')) AS n_phone,
+         | len(regexp_extract_all(t, '$em')) + len(regexp_extract_all(t, '$ip'))
+         |   + len(regexp_extract_all(t, '$ph')) AS n_pii,
+         | $red AS redacted
+         |FROM p""".stripMargin
+    }
   )
 }

@@ -137,4 +137,32 @@ object DupClusters {
       .union(e.select(col("lo").as("id"), col("lo").as("cluster")))
       .distinct()
   }
+
+  /** Canonical-representative selection — the step after clustering in
+    * every dedup pipeline: per duplicate cluster keep ONE document (the
+    * highest-quality member: max `qualityCol`, ties to the smallest id)
+    * and mark the rest for dropping.
+    *
+    * `members` is (idCol, clusterCol) — e.g. [[connectedComponents]]
+    * output; `docs` carries the quality column. Champion election is a
+    * map-side-combined `max(struct(quality, -id))` groupBy — one row per
+    * cluster, never a per-cluster window, so a pathological million-doc
+    * template cluster costs its partials, not one buffering task. The
+    * champion frame (|clusters| rows <= |members|) joins back on the
+    * cluster key.
+    */
+  def canonicalPerCluster(members: DataFrame, idCol: String,
+      clusterCol: String, docs: DataFrame,
+      qualityCol: String): DataFrame = {
+    val withQ = members.join(
+      docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+    val champs = withQ.groupBy(col(clusterCol))
+      .agg(max(struct(col(qualityCol).as("q"),
+        (-col(idCol)).as("negId"))).as("__c"))
+      .select(col(clusterCol),
+        (-col("__c.negId")).cast("long").as("__champ"))
+    withQ.join(champs, Seq(clusterCol))
+      .select(col(idCol), col(clusterCol), col(qualityCol),
+        (col(idCol) === col("__champ")).as("is_canonical"))
+  }
 }

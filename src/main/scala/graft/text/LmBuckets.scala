@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+  * arXiv:1911.00359 §4.3): score every document with the corpus-trained
+  * LM ([[NgramLm.scoreStupidBackoff]]), then split the corpus into
+  * head / middle / tail terciles by score — the standard quality
+  * stratification step before mixing pretraining data (head = most
+  * fluent third, tail = least). CCNet buckets by perplexity ascending;
+  * avg log-prob descending is the same ordering.
+  *
+  * Cut points are the exact 1/3 and 2/3 quantiles of the ROUNDED scores
+  * (one tiny two-value aggregate, broadcast back as scalars — never a
+  * global sort or an unpartitioned window), so labeling is a map-side
+  * comparison and the whole plan shuffles only for the LM joins the
+  * score already needs. Documents too short to score (no bigrams) land
+  * in `tail` by definition. At 100 TB the cut-point aggregate is the
+  * one piece that buffers all n scores on a reducer — swap it for
+  * `approx_percentile` there (bucket boundaries tolerate approximation;
+  * same guidance as [[graft.operators.Percentiles]]).
+  */
+object LmBuckets {
+
+  private val liveCaches =
+    graft.operators.GraftTransformer.newCacheQueue()
+
+  /** (idCol, n_bigrams, avg_logprob, bucket) for every document. */
+  def headMiddleTail(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    liveCaches.release()
+    // the LM scoring joins run ONCE: the scored frame is persisted and
+    // read by both the cut-point aggregate and the labeling pass
+    val scored = liveCaches.keep(
+      NgramLm.scoreStupidBackoff(docs, idCol, textCol)
+        .withColumn("avg_logprob",
+          graft.functions.FastRound(col("avg_logprob"), 6))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cuts = scored.where(col("avg_logprob").isNotNull)
+      .agg(graft.functions.ExactPercentiles(
+        col("avg_logprob"), Seq(1.0 / 3, 2.0 / 3)).as("__q"))
+      .select(
+        graft.functions.FastRound(element_at(col("__q"), 1), 6).as("__c1"),
+        graft.functions.FastRound(element_at(col("__q"), 2), 6).as("__c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_logprob") >= col("__c2"), "head")
+          .when(col("avg_logprob") >= col("__c1"), "middle")
+          .otherwise("tail"))
+      .drop("__c1", "__c2")
+  }
+}

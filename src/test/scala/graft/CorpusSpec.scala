@@ -310,4 +310,88 @@ class CorpusSpec extends AnyFunSuite {
     assert(g(1L) == Seq("a b", "b c"))
     assert(g(2L).isEmpty)
   }
+
+  test("gopher rule battery: each rule fails independently; keep is the " +
+    "AND of all five (Rae et al. 2021 Table A1)") {
+    val long20 = (1 to 20).map(_ => "the data").mkString(" ") // 40 words
+    val docs = Seq(
+      (1L, long20),                             // passes everything
+      (2L, "the short the doc"),                // fails word count only
+      (3L, long20 + " " + (1 to 30).map(_ => "x").mkString(" ")),
+        // 70 words incl 30 one-char → mean len < 3
+      (4L, (1 to 25).map(_ => "data row").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.text.GopherRules.battery(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("r_word_count") &&
+      out(1).getAs[Boolean]("r_stopwords") && !out(1).getAs[Boolean]("keep"))
+    assert(!out(2).getAs[Boolean]("r_mean_word_len"),
+      s"mean=${out(2).getAs[Double]("mean_word_len")}")
+    assert(out(2).getAs[Boolean]("r_word_count"))
+    assert(!out(3).getAs[Boolean]("r_stopwords") &&
+      out(3).getAs[Long]("n_stopwords") == 0L)
+    // alphabetic fraction is 1.0 on letter-only corpora
+    assert(out.forall(_.getAs[Boolean]("r_alpha_frac")))
+  }
+
+  test("pii scrub: counts on original text, chained redaction, clean " +
+    "docs untouched") {
+    val docs = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org now"),
+      (2L, "host 192.168.0.1 call +12345678 end"),
+      (3L, "no pii here"),
+      (4L, "v1.2.3.4.5 is a version") // \b blocks "1"; "2.3.4.5" matches
+    ).toDF("doc_id", "text")
+    val out = graft.text.PiiScrub.scrub(docs, "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_email") == 2L &&
+      out(0).getAs[Long]("n_pii") == 2L)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail [EMAIL] and [EMAIL] now")
+    assert(out(1).getAs[Long]("n_ipv4") == 1L &&
+      out(1).getAs[Long]("n_phone") == 1L)
+    assert(out(1).getAs[String]("redacted") ==
+      "host [IP] call [PHONE] end")
+    assert(out(2).getAs[Long]("n_pii") == 0L &&
+      out(2).getAs[String]("redacted") == "no pii here")
+    assert(out(3).getAs[Long]("n_ipv4") == 1L)
+  }
+
+  test("lm buckets: tercile labels ordered by score, sizes within one " +
+    "of n/3, unscorable docs land in tail") {
+    // 90 scorable docs with text drawn from a tiny vocab + 1 one-word doc
+    val docs = (1L to 90L).map { i =>
+      val w = Seq("a", "b", "c", "d")((i % 4).toInt)
+      (i, s"$w a b " + (if (i % 3 == 0) "a b a b" else "c d"))
+    } :+ (91L, "solo")
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.text.LmBuckets.headMiddleTail(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(out.length == 91)
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // ties at a cut point go to the higher bucket, so the buckets are
+    // totally ordered: head >= middle > tail (non-null scores)
+    def scores(b: String) = out.filter(_._3 == b).flatMap(_._2)
+    assert(scores("head").min >= scores("middle").max)
+    if (scores("tail").nonEmpty)
+      assert(scores("middle").min > scores("tail").max)
+    assert(out.find(_._1 == 91L).get._3 == "tail", "null score → tail")
+  }
+
+  test("canonical per cluster: longest member wins, ties to smallest " +
+    "id, exactly one canonical per cluster") {
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster")
+    val docs = Seq((1L, 50L), (2L, 80L), (3L, 80L), (10L, 5L), (11L, 5L))
+      .toDF("doc_id", "n_chars")
+    val out = DupClusters.canonicalPerCluster(members, "doc_id",
+      "cluster", docs, "n_chars")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_canonical")).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false))
+  }
 }
