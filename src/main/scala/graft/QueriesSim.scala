@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine, SemDedup}
+import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine, SemDedup, SqCosine}
 import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -89,6 +89,21 @@ object QueriesSim {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       PqCosine.search(codes, corpus, probes, "vec_id", "embedding",
         "qid", "qvec", books, k = 5, shortlist = 20)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
+    }),
+
+    // scalar int8 quantization (FAISS SQ8): per-vector linear codes +
+    // asymmetric float-query scoring — the codebook-free middle rung of
+    // the compression ladder (float32 → SQ8 → PQ → IVF-PQ), fully
+    // deterministic so the whole path is under one oracle.
+    "q_sq8_topk" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val codes = SqCosine.encode(corpus, "vec_id", "embedding")
+      val probes = corpus.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SqCosine.search(codes, corpus, probes, "vec_id", "embedding",
+        "qid", "qvec", k = 5, shortlist = 20)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
     }),
@@ -325,6 +340,43 @@ object QueriesSim {
          |    ORDER BY cosine DESC, nid) AS rank
          |FROM rer QUALIFY rank <= 5""".stripMargin
     },
+
+    "q_sq8_topk" ->
+      // encode mirror: abs/max/÷/round are single non-accumulating ops
+      // (engine-exact); ADC = scale · list_inner_product over the
+      // double-cast codes ≡ the Spark VecDot on cast codes
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale,
+        |    sqrt(list_inner_product(e, e)) AS nrm,
+        |    CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0 THEN
+        |      list_transform(e, x -> CAST(round(
+        |        x / (list_max(list_transform(e, y -> abs(y))) / 127.0))
+        |        AS DOUBLE))
+        |      ELSE list_transform(e, x -> 0.0) END AS c
+        |  FROM v),
+        |p AS (SELECT vec_id AS qid, e AS q,
+        |      sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 50),
+        |short AS (
+        |  SELECT p.qid, c.vec_id AS nid,
+        |    (c.scale * list_inner_product(p.q, c.c)) / (p.qn * c.nrm)
+        |      AS approx_cos
+        |  FROM p CROSS JOIN codes c WHERE c.vec_id <> p.qid
+        |  QUALIFY row_number() OVER (PARTITION BY p.qid
+        |    ORDER BY approx_cos DESC, nid) <= 20),
+        |rer AS (
+        |  SELECT s.qid, s.nid,
+        |    list_inner_product(p.q, v.e)
+        |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
+        |    s.approx_cos
+        |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
+        |SELECT qid, nid, round(cosine, 6) AS cosine,
+        |  round(approx_cos, 6) AS approx_cos,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rank
+        |FROM rer QUALIFY rank <= 5""".stripMargin,
 
     "q_semdedup" -> {
       val cents = IvfCosine.pinnedCentroids(16, DIM)

@@ -405,6 +405,38 @@ class ScalePathSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"pq recall too low: $recall")
   }
 
+  test("sq8: full-corpus shortlist re-ranks to exactly the brute-force " +
+    "top-k; codes are int8-range with the max dimension at ±127") {
+    import graft.sim.{CosineTopK, SqCosine}
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = corpus.count().toInt
+    val probes = corpus.where($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val codes = SqCosine.encode(corpus, "vec_id", "embedding")
+    val row = codes.where($"vec_id" === 0).head
+    val cs = row.getSeq[Int](row.fieldIndex("codes"))
+    assert(cs.forall(c => c >= -127 && c <= 127))
+    // the max-|x| dimension encodes to exactly ±127 by construction
+    assert(cs.exists(c => math.abs(c) == 127))
+    assert(row.getAs[Double]("scale") > 0)
+    // shortlist = whole corpus -> the exact re-rank sees every candidate
+    val sq = SqCosine.search(codes, corpus, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5, shortlist = n)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    val brute = CosineTopK.bruteForce(corpus, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = 64)
+      .select("qid", "nid", "rank").collect().map(_.toSeq).toSet
+    assert(sq == brute)
+    // SQ8 keeps ~7 bits/dim of signal, so even shortlist=20 should hold
+    // near-perfect recall (unlike PQ's untrained-codebook worst case)
+    val sq20 = SqCosine.search(codes, corpus, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 5, shortlist = 20)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val bruteIds = brute.map(s => Seq(s(0), s(1)))
+    val recall = sq20.intersect(bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.9, s"sq8 recall too low: $recall")
+  }
+
   test("ivfpq: full probe + full shortlist re-ranks to exactly the " +
     "brute-force top-k (coarse routing, residual codes, ADC all covered)") {
     import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine}
