@@ -162,6 +162,18 @@ object QueriesCore {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
 
+    // Z-order layout keys (the OPTIMIZE ZORDER BY shape): 8-bit
+    // quantization of two clustering columns, Morton interleave, and
+    // the 16-way layout bucket (z >> 12) the range exchange targets —
+    // the key arithmetic under a full oracle; the exchange itself is
+    // pinned in PlanSpec/the locality test.
+    "q_zorder" -> ((s, dir) => {
+      graft.operators.ZOrder.withZ(li(s, dir),
+        Seq("l_extendedprice", "l_quantity"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("z"),
+          shiftrightunsigned(col("z"), 12).as("bucket"))
+    }),
+
     // Global min-max scaling via broadcast scalar aggregate (no global window).
     "q_minmax" -> ((s, dir) => {
       MinMaxScaler(Seq("l_extendedprice")).transform(li(s, dir))
@@ -348,6 +360,30 @@ object QueriesCore {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_zorder" -> {
+      // 8-bit linear quantization + Morton interleave, same operation
+      // order as ZOrder.quantize/interleave; disjoint bit positions
+      // make the interleave sum ≡ bitwise OR
+      val inter = (for { b <- 0 until 8; d <- 0 until 2 }
+        yield s"(((q$d >> $b) & 1) << ${b * 2 + d})").mkString(" + ")
+      s"""WITH s AS (SELECT
+         |  CAST(min(l_extendedprice) AS DOUBLE) AS mn0,
+         |  CAST(max(l_extendedprice) AS DOUBLE) AS mx0,
+         |  CAST(min(l_quantity) AS DOUBLE) AS mn1,
+         |  CAST(max(l_quantity) AS DOUBLE) AS mx1 FROM lineitem),
+         |q AS (SELECT l_orderkey, l_linenumber,
+         |  CAST(least(255.0, greatest(0.0, CASE WHEN mx0 > mn0 THEN
+         |    floor((CAST(l_extendedprice AS DOUBLE) - mn0) / (mx0 - mn0)
+         |      * 255) ELSE 0.0 END)) AS BIGINT) AS q0,
+         |  CAST(least(255.0, greatest(0.0, CASE WHEN mx1 > mn1 THEN
+         |    floor((CAST(l_quantity AS DOUBLE) - mn1) / (mx1 - mn1)
+         |      * 255) ELSE 0.0 END)) AS BIGINT) AS q1
+         | FROM lineitem, s)
+         |SELECT l_orderkey, l_linenumber, $inter AS z,
+         | ($inter) >> 12 AS bucket
+         |FROM q""".stripMargin
+    },
     "q_salted" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         | count(l_quantity) AS n

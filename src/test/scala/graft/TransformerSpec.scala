@@ -319,4 +319,54 @@ class TransformerSpec extends AnyFunSuite {
     assert(b.getLong(2) == 1L && b.getLong(3) == 2L &&
       b.getDouble(4) == 10.0 && b.getDouble(5) == 30.0)
   }
+
+  test("zorder: pinned Morton interleave, clamp + degenerate-column " +
+    "quantization") {
+    import graft.operators.ZOrder
+    // q0=3 (011), q1=5 (101) at 3 bits -> bit b of dim d lands at 2b+d:
+    // 1 + 2 + 4 + 32 = 39
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(ZOrder.interleave(Seq(col("a"), col("b")), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 39L)
+    // quantize: full range maps ends to 0/levels; constant column -> 0
+    val df = Seq((0.0, 7.0), (10.0, 7.0), (5.0, 7.0)).toDF("x", "c")
+    val q = ZOrder.withZ(df, Seq("x", "c"), bits = 8)
+      .select(col("x"), col("z")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // c is constant -> contributes 0 bits, z = spread(q(x)) over even bits
+    def spread(v: Long): Long =
+      (0 until 8).map(b => ((v >> b) & 1L) << (2 * b)).sum
+    assert(q(0.0) == spread(0L))
+    assert(q(10.0) == spread(255L))
+    assert(q(5.0) == spread(127L)) // floor(0.5*255) = 127
+  }
+
+  test("zorder layout: rows in one bucket are close in EVERY clustered " +
+    "dimension, and partitions are sorted by z") {
+    import graft.operators.ZOrder
+    // a 64x64 grid of points: global quantized spread is 255 per dim;
+    // any 16-way z-bucket (top 4 Morton bits = top 2 bits of each dim)
+    // confines each dim to a quarter of its range
+    val grid = (for { i <- 0 until 64; j <- 0 until 64 }
+      yield (i.toDouble, j.toDouble)).toDF("x", "y")
+    val bucketed = ZOrder.withZ(grid, Seq("x", "y"), bits = 8)
+      .withColumn("bucket", shiftrightunsigned(col("z"), 12))
+    val spreads = bucketed.groupBy("bucket")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(spreads.length == 16)
+    assert(spreads.forall(r => r.getDouble(1) <= 16.0 &&
+      r.getDouble(2) <= 16.0),
+      "a z-bucket must confine both dimensions to ~1/4 of their range")
+    // layout: z monotone within every partition (stats-pruned write shape)
+    val parts = ZOrder.layout(grid, Seq("x", "y"), bits = 8,
+      numPartitions = 4)
+      .select("z").rdd.mapPartitions { it =>
+        val zs = it.map(_.getLong(0)).toSeq
+        Iterator(zs.isEmpty || zs.sliding(2).forall(w =>
+          w.size < 2 || w(0) <= w(1)))
+      }.collect()
+    assert(parts.forall(identity))
+  }
 }
