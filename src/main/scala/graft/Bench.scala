@@ -45,7 +45,10 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_BENCH_FORKS"))
       System.err.println("[bench] SPARK_GRAFT_BENCH_FORKS is gone — " +
         "set SPARK_GRAFT_BENCH_CHUNK (max queries per fork) instead")
-    val chunkCap = sys.env.getOrElse(Chunk, "10").toInt
+    // 5 queries/fork: at 10 the 104-query suite's heavier chunk mixes
+    // inflated untouched queries ~1.3x vs their solo cost (measured
+    // 129s -> 106s total by halving the cap; solo numbers unchanged)
+    val chunkCap = sys.env.getOrElse(Chunk, "5").toInt
     val isChild = sys.env.contains(Child)
     // fork only when the suite is big enough to amortize child warmup;
     // small hand-picked query lists (local iteration) stay in-process
@@ -116,7 +119,7 @@ object Bench {
     // ONLY that query (warmup + two-pass minimum). The number of record
     // becomes min(chunk, solo); the artifact reports both and their ratio.
     val chunkSum = queries.values.sum
-    val spotN = sys.env.getOrElse(Spot, "5").toInt
+    val spotN = sys.env.getOrElse(Spot, "10").toInt
     val spotQs = queries.toSeq.sortBy(-_._2).take(spotN).map(_._1)
     var spot = Vector.empty[(String, Double)]
     for (q <- spotQs) {
