@@ -69,6 +69,39 @@ object QueriesCore {
           round(col("l_extendedprice_max4"), 6).as("price_max4"))
     }),
 
+    // Rolling pairwise stats between two series per supplier: corr,
+    // beta (cov/var(y)), cov over a 10-row trailing frame — the quant
+    // companions of the rolling family, same single-exchange window.
+    "q_rolling_corr" -> ((s, dir) => {
+      // integer-valued inputs (price in cents, integral quantity) make
+      // the sum-formula window stats EXACT under any evaluation order
+      // — bit-identical across engines (see RollingCorrTransformer)
+      val base = li(s, dir)
+        .withColumn("price_c", graft.functions.FastRound(
+          col("l_extendedprice") * 100, 0).cast("long"))
+        .withColumn("qty_i", col("l_quantity").cast("long"))
+      RollingCorrTransformer("price_c", "qty_i", Seq(10),
+        "l_suppkey", ord).transform(base)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("price_c_qty_i_corr10"), 6).as("corr10"),
+          round(col("price_c_qty_i_beta10"), 6).as("beta10"),
+          round(col("price_c_qty_i_cov10"), 4).as("cov10"))
+    }),
+
+    // Calendar resample + forward fill: one row per (returnflag, day),
+    // daily mean price carried over gap days, gaps flagged — the panel
+    // completion step ahead of any windowed feature.
+    "q_resample" -> ((s, dir) => {
+      graft.operators.Resample.dailyFfill(li(s, dir), "l_returnflag",
+        "l_shipdate", "l_extendedprice")
+        .select(col("l_returnflag"),
+          // ISO string: parquet DATE arrives as datetime.date from
+          // Spark but datetime64 from DuckDB in the compare harness
+          col("day").cast("string").as("day"),
+          round(col("l_extendedprice_ffill"), 6).as("price_ffill"),
+          col("is_gap"))
+    }),
+
     // LogReturnTransformer: ln diff per supplier over shipdate order.
     "q_logreturn" -> ((s, dir) => {
       LogReturnTransformer(Seq("l_extendedprice"), "l_suppkey", ord)
@@ -303,6 +336,52 @@ object QueriesCore {
          | round(${roll("max", 4)}, 6) AS price_max4
          |FROM lineitem""".stripMargin
     },
+    "q_rolling_corr" ->
+      // sum-formula mirror over exact integer window sums (cents ×
+      // units): 10Σxy − ΣxΣy and the variance factors are exact under
+      // any order, so corr/beta/cov are bit-identical to the Spark side
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+         |  l_shipdate,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+         |  CAST(l_quantity AS BIGINT) AS yq FROM lineitem),
+         |s AS (SELECT l_orderkey, l_linenumber,
+         |   count(xc) OVER w AS cnt,
+         |   sum(xc) OVER w AS sx, sum(yq) OVER w AS sy,
+         |   sum(xc * yq) OVER w AS sxy,
+         |   sum(xc * xc) OVER w AS sxx,
+         |   sum(yq * yq) OVER w AS syy
+         | FROM b WINDOW w AS ($tickerOrd
+         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT l_orderkey, l_linenumber,
+         | round(CASE WHEN cnt = 10
+         |   AND 10 * sxx - sx * sx > 0 AND 10 * syy - sy * sy > 0
+         |  THEN CAST(10 * sxy - sx * sy AS DOUBLE)
+         |    / sqrt(CAST(10 * sxx - sx * sx AS DOUBLE)
+         |      * CAST(10 * syy - sy * sy AS DOUBLE)) END, 6) AS corr10,
+         | round(CASE WHEN cnt = 10 AND 10 * syy - sy * sy > 0
+         |  THEN CAST(10 * sxy - sx * sy AS DOUBLE)
+         |    / CAST(10 * syy - sy * sy AS DOUBLE) END, 6) AS beta10,
+         | round(CASE WHEN cnt = 10
+         |  THEN CAST(10 * sxy - sx * sy AS DOUBLE) / 90.0 END, 4) AS cov10
+         |FROM s""".stripMargin,
+    "q_resample" ->
+      """WITH per AS (
+        |  SELECT l_returnflag AS k, CAST(l_shipdate AS DATE) AS day,
+        |    avg(l_extendedprice) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |spans AS (SELECT k, min(day) AS d0, max(day) AS d1 FROM per
+        |  GROUP BY k),
+        |grid AS (SELECT k, CAST(unnest(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM spans),
+        |j AS (SELECT g.k, g.day, p.v FROM grid g
+        |  LEFT JOIN per p ON p.k = g.k AND p.day = g.day)
+        |SELECT k AS l_returnflag, CAST(day AS VARCHAR) AS day,
+        | round(last_value(v IGNORE NULLS) OVER (PARTITION BY k
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   6) AS price_ffill,
+        | (v IS NULL) AS is_gap
+        |FROM j""".stripMargin,
     "q_groupstats" ->
       s"""WITH base AS (
          |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

@@ -113,6 +113,65 @@ case class LogReturnTransformer(
   }
 }
 
+/** Trailing rolling pairwise statistics between two series per group —
+  * rolling correlation, beta (cov(x,y)/var(y), the hedge-ratio /
+  * factor-exposure shape), and covariance: the standard quant-panel
+  * companions of the reference's univariate rolling family, same
+  * min-samples contract (null until the frame holds `window` rows) and
+  * the same single-exchange window shape, so adjacent ticker-keyed
+  * stages fuse.
+  *
+  * Computed from the five raw window sums (Σx, Σy, Σxy, Σx², Σy²) via
+  * the sum formula — cov = (kΣxy − ΣxΣy)/(k(k−1)), corr and beta from
+  * the exact integer factors kΣv² − (Σv)² — NOT from Spark's
+  * corr/covar_samp co-moment aggregates, for two reasons. (1) ANSI
+  * mode: the Window operator evaluates its aggregates for every row
+  * regardless of any when() guard, and corr's internal division raises
+  * DIVIDE_BY_ZERO on a zero-variance window; here every division lives
+  * in the lazy projection with a null-guarded divisor, so degenerate
+  * windows yield null instead of NaN or an error. (2) Engine-exact
+  * reproducibility: co-moment streaming updates accumulate differently
+  * in every engine (a measured round-boundary flip vs DuckDB at 1e-6),
+  * while for integer-valued inputs the window sums are EXACT under any
+  * evaluation order, so corr/beta/cov become bit-identical across
+  * engines (the q_rolling_corr query feeds integer cents/units for
+  * this reason; with fractional inputs the formula is still correct,
+  * just not bit-pinned). Columns are assumed non-null within a pair
+  * (the panel contract). No reference counterpart (time_series.py
+  * stops at the moving average); greenfield SURVEY.md §7.6 scope. */
+case class RollingCorrTransformer(
+    xCol: String,
+    yCol: String,
+    windows: Seq[Int],
+    tickerCol: String,
+    orderCols: Seq[String]) extends GraftTransformer {
+  require(windows.forall(_ >= 2), s"pairwise stats need window >= 2")
+  def outputNames: Seq[String] =
+    windows.flatMap(k => Seq(s"${xCol}_${yCol}_corr$k",
+      s"${xCol}_${yCol}_beta$k", s"${xCol}_${yCol}_cov$k"))
+  def transform(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(tickerCol).orderBy(orderCols.map(col): _*)
+    val outs = windows.flatMap { k =>
+      val frame = w.rowsBetween(-(k - 1), Window.currentRow)
+      val x = col(xCol); val y = col(yCol)
+      val full = count(x).over(frame) === k
+      val n = lit(k)
+      val dxy = (n * sum(x * y).over(frame)
+        - sum(x).over(frame) * sum(y).over(frame)).cast("double")
+      def fac(v: Column) = (n * sum(v * v).over(frame)
+        - sum(v).over(frame) * sum(v).over(frame)).cast("double")
+      val fx = fac(x); val fy = fac(y)
+      Seq(
+        when(full, dxy / when(fx > 0 && fy > 0, sqrt(fx * fy)))
+          .as(s"${xCol}_${yCol}_corr$k"),
+        when(full, dxy / when(fy > 0, fy)).as(s"${xCol}_${yCol}_beta$k"),
+        when(full, dxy / lit((k.toLong * (k - 1)).toDouble))
+          .as(s"${xCol}_${yCol}_cov$k"))
+    }
+    df.select(df.columns.map(col) ++ outs: _*)
+  }
+}
+
 /** Per-row statistics across feature groups (horizontal aggregation).
   * Reference: GroupStatsTransformer, stats.py:20-146 — output
   * `{group}_groupstats_{stat}`, with NaN thresholds (std needs >= 2 cols,

@@ -320,6 +320,59 @@ class TransformerSpec extends AnyFunSuite {
       b.getDouble(4) == 10.0 && b.getDouble(5) == 30.0)
   }
 
+  test("rolling corr/beta/cov: hand-computed full window, min-samples " +
+    "nulls, zero-variance guard") {
+    import graft.operators.RollingCorrTransformer
+    val df = Seq(
+      ("t", 1, 1.0, 1.0), ("t", 2, 2.0, 2.0), ("t", 3, 3.0, 3.0),
+      ("t", 4, 4.0, 5.0),
+      // u: constant y -> var(y)=0 -> corr and beta null, cov 0
+      ("u", 1, 1.0, 7.0), ("u", 2, 2.0, 7.0), ("u", 3, 3.0, 7.0)
+    ).toDF("tk", "i", "x", "y")
+    val out = RollingCorrTransformer("x", "y", Seq(3), "tk", Seq("i"))
+      .transform(df).orderBy("tk", "i").collect()
+    def g(r: Int, c: String) =
+      if (out(r).isNullAt(out(r).fieldIndex(c))) None
+      else Some(out(r).getDouble(out(r).fieldIndex(c)))
+    // rows 0,1: window not full
+    assert(g(0, "x_y_corr3").isEmpty && g(1, "x_y_cov3").isEmpty)
+    // t row 2: x=y over (1,2,3) -> corr 1, beta 1, cov 1
+    assert(math.abs(g(2, "x_y_corr3").get - 1.0) < 1e-12)
+    assert(math.abs(g(2, "x_y_beta3").get - 1.0) < 1e-12)
+    assert(math.abs(g(2, "x_y_cov3").get - 1.0) < 1e-12)
+    // t row 3: x=(2,3,4), y=(2,3,5): cov=1.5, var(y)=7/3, corr=1.5/sqrt(1*7/3)
+    assert(math.abs(g(3, "x_y_cov3").get - 1.5) < 1e-12)
+    assert(math.abs(g(3, "x_y_beta3").get - 1.5 / (7.0 / 3)) < 1e-12)
+    assert(math.abs(g(3, "x_y_corr3").get
+      - 1.5 / math.sqrt(7.0 / 3)) < 1e-12)
+    // u row 6 (full window, constant y): guard nulls corr/beta, cov = 0
+    assert(g(6, "x_y_corr3").isEmpty && g(6, "x_y_beta3").isEmpty)
+    assert(math.abs(g(6, "x_y_cov3").get) < 1e-12)
+  }
+
+  test("resample: daily grid per key, gap days forward-filled and " +
+    "flagged, same-day observations averaged") {
+    import graft.operators.Resample
+    val df = Seq(
+      ("a", "2021-01-01 10:00:00", 10.0),
+      ("a", "2021-01-01 15:00:00", 20.0), // same day -> mean 15
+      ("a", "2021-01-02 09:00:00", 30.0),
+      ("a", "2021-01-04 09:00:00", 40.0), // day 3 is a gap
+      ("b", "2021-03-01 00:00:00", 7.0)   // single-day key
+    ).toDF("k", "ts", "v")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = Resample.dailyFfill(df, "k", "ts", "v")
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("a", "2021-01-01", 15.0, false),
+      ("a", "2021-01-02", 30.0, false),
+      ("a", "2021-01-03", 30.0, true),
+      ("a", "2021-01-04", 40.0, false),
+      ("b", "2021-03-01", 7.0, false)))
+  }
+
   test("zorder: pinned Morton interleave, clamp + degenerate-column " +
     "quantization") {
     import graft.operators.ZOrder
