@@ -88,6 +88,16 @@ object QueriesCore {
           round(col("price_c_qty_i_cov10"), 4).as("cov10"))
     }),
 
+    // Truncated EWMA per supplier (pandas ewm.mean shape): pure lag
+    // projection after one ticker sort, bit-identical weight chain in
+    // both engines.
+    "q_ewma" -> ((s, dir) => {
+      EwmaTransformer(Seq("l_extendedprice"), span = ewmaSpan,
+        lookback = ewmaLookback, "l_suppkey", ord).transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice_ewma"), 6).as("price_ewma"))
+    }),
+
     // Calendar resample + forward fill: one row per (returnflag, day),
     // daily mean price carried over gap days, gaps flagged — the panel
     // completion step ahead of any windowed feature.
@@ -247,6 +257,10 @@ object QueriesCore {
   private val tickerOrd =
     "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber"
 
+  // EWMA parameters shared by the Spark query and its oracle mirror
+  private val ewmaSpan = 5.0
+  private val ewmaLookback = 10
+
   private def maSql(v: String, w: Int) =
     s"""CASE WHEN count($v) OVER ($tickerOrd
        |  ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) = $w
@@ -364,6 +378,25 @@ object QueriesCore {
          | round(CASE WHEN cnt = 10
          |  THEN CAST(10 * sxy - sx * sy AS DOUBLE) / 90.0 END, 4) AS cov10
          |FROM s""".stripMargin,
+    "q_ewma" -> {
+      // identical α^j double literals (Scala's shortest round-trip repr
+      // parses back to the same double) and the identical left-assoc
+      // term order as EwmaTransformer
+      val alpha = 1.0 - 2.0 / (ewmaSpan + 1.0)
+      def x(j: Int) =
+        if (j == 0) "l_extendedprice"
+        else s"lag(l_extendedprice, $j) OVER ($tickerOrd)"
+      val num = (0 until ewmaLookback).map(j =>
+        s"CASE WHEN ${x(j)} IS NOT NULL THEN ${x(j)} * ${math.pow(alpha, j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val den = (0 until ewmaLookback).map(j =>
+        s"CASE WHEN ${x(j)} IS NOT NULL THEN ${math.pow(alpha, j)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber,
+         | round(($num) / ($den), 6) AS price_ewma
+         |FROM lineitem""".stripMargin
+    },
+
     "q_resample" ->
       """WITH per AS (
         |  SELECT l_returnflag AS k, CAST(l_shipdate AS DATE) AS day,

@@ -172,6 +172,47 @@ case class RollingCorrTransformer(
   }
 }
 
+/** Truncated exponentially-weighted moving average per group — the
+  * pandas `ewm(span=...).mean()` shape every quant panel uses for
+  * decayed smoothing, with the tail truncated at `lookback` lags:
+  * ewma_t = Σ_{j<L} α^j·x_{t−j} / Σ_{j<L over available} α^j (the
+  * adjust=True normalization restricted to the window), α = 1 − 2/(span
+  * +1). With span-sized half-life the dropped tail weight is α^L —
+  * negligible for L ≳ 3·span — and truncation is what makes the
+  * operator a PURE PROJECTION after one per-ticker sort: each term is a
+  * `lag` over the shared window spec (no recursive state, no UDAF), the
+  * weighted sum is an explicit left-associated chain of double
+  * literals, so the result is bit-identical on any engine evaluating
+  * the same chain — the DuckDB oracle mirrors it lag-for-lag. Early
+  * rows (fewer than `lookback` lags available) normalize over the
+  * weights of the lags that exist, matching pandas' expanding head.
+  * No reference counterpart (time_series.py stops at the flat moving
+  * average); greenfield SURVEY.md §7.6 scope. */
+case class EwmaTransformer(
+    featureCols: Seq[String],
+    span: Double,
+    lookback: Int,
+    tickerCol: String,
+    orderCols: Seq[String]) extends GraftTransformer {
+  require(span > 1 && lookback >= 1, s"ewma: span=$span lookback=$lookback")
+  private val alpha = 1.0 - 2.0 / (span + 1.0)
+  def outputNames: Seq[String] = featureCols.map(f => s"${f}_ewma")
+  def transform(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(tickerCol).orderBy(orderCols.map(col): _*)
+    val outs = featureCols.map { f =>
+      val terms = (0 until lookback).map { j =>
+        val x = if (j == 0) col(f) else lag(col(f), j).over(w)
+        (when(x.isNotNull, lit(math.pow(alpha, j))).otherwise(lit(0.0)),
+          when(x.isNotNull, x * lit(math.pow(alpha, j))).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._2).reduceLeft(_ + _)
+      val den = terms.map(_._1).reduceLeft(_ + _)
+      (num / when(den > 0, den)).as(s"${f}_ewma")
+    }
+    df.select(df.columns.map(col) ++ outs: _*)
+  }
+}
+
 /** Per-row statistics across feature groups (horizontal aggregation).
   * Reference: GroupStatsTransformer, stats.py:20-146 — output
   * `{group}_groupstats_{stat}`, with NaN thresholds (std needs >= 2 cols,

@@ -350,6 +350,23 @@ class TransformerSpec extends AnyFunSuite {
     assert(math.abs(g(6, "x_y_cov3").get) < 1e-12)
   }
 
+  test("ewma: hand-computed pandas ewm(adjust=True) values, expanding " +
+    "head normalization, per-ticker isolation") {
+    import graft.operators.EwmaTransformer
+    // span=3 -> alpha=0.5; x = 1,2,4:
+    // t0: 1; t1: (2+0.5*1)/1.5 = 5/3; t2: (4+0.5*2+0.25*1)/1.75 = 3
+    val df = Seq(("t", 1, 1.0), ("t", 2, 2.0), ("t", 3, 4.0),
+      ("u", 1, 100.0)).toDF("tk", "i", "x")
+    val out = EwmaTransformer(Seq("x"), span = 3.0, lookback = 3,
+      "tk", Seq("i")).transform(df)
+      .orderBy("tk", "i").collect()
+      .map(_.getAs[Double]("x_ewma"))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 5.0 / 3) < 1e-12)
+    assert(math.abs(out(2) - 3.0) < 1e-12)
+    assert(out(3) == 100.0, "other ticker's history must not leak")
+  }
+
   test("resample: daily grid per key, gap days forward-filled and " +
     "flagged, same-day observations averaged") {
     import graft.operators.Resample
