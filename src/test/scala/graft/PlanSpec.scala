@@ -251,6 +251,42 @@ class PlanSpec extends AnyFunSuite {
     assert(guarded.collect().map(_.toSeq).toSet ==
       direct.collect().map(_.toSeq).toSet)
   }
+
+  test("zorder layout plan: ONE range exchange on z, key arithmetic " +
+    "stays a projection over a broadcast scalar join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = planOf(ZOrder.layout(li,
+      Seq("l_extendedprice", "l_quantity"), bits = 8, numPartitions = 8))
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly one range exchange:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"min/max scalars must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("ewma is a pure projection after the shared ticker sort: one " +
+    "exchange, no extra sort per lag term") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    val plan = planOf(EwmaTransformer(Seq("l_extendedprice"), 5.0, 10,
+      "l_suppkey", ord).transform(li))
+    assert(exchanges(plan) == 1, s"expected one exchange:\n$plan")
+    assert("Sort \\[".r.findAllIn(plan).length == 1,
+      s"expected one sort:\n$plan")
+  }
+
+  test("resample plan: spine join is an equi-join (no cartesian), the " +
+    "observation side pre-aggregates map-side") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = planOf(Resample.dailyFfill(li, "l_returnflag",
+      "l_shipdate", "l_extendedprice"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial avg") ||
+      "HashAggregate.*avg".r.findFirstIn(plan).isDefined,
+      s"no map-side combine:\n$plan")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
