@@ -119,7 +119,7 @@ object Bench {
     // ONLY that query (warmup + two-pass minimum). The number of record
     // becomes min(chunk, solo); the artifact reports both and their ratio.
     val chunkSum = queries.values.sum
-    val spotN = sys.env.getOrElse(Spot, "10").toInt
+    val spotN = sys.env.getOrElse(Spot, "15").toInt
     val spotQs = queries.toSeq.sortBy(-_._2).take(spotN).map(_._1)
     var spot = Vector.empty[(String, Double)]
     for (q <- spotQs) {

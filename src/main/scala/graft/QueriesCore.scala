@@ -205,6 +205,20 @@ object QueriesCore {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
 
+    // Deequ-style data-quality gate: declarative constraints evaluated
+    // in ONE aggregation pass, emitted as (check, observed, bounds,
+    // pass) rows — the circuit-breaker ahead of any downstream write.
+    "q_quality_gate" -> ((s, dir) => {
+      import graft.operators.QualityGate._
+      evaluate(li(s, dir),
+        Seq(minRows(1000), maxNullFrac("l_returnflag", 0.01)) ++
+          valueRange("l_quantity", 1.0, 50.0) ++
+          valueRange("l_discount", 0.0, 0.1) :+
+          maxDistinct("l_returnflag", 3))
+        .select(col("check"), round(col("observed"), 6).as("observed"),
+          col("lo"), col("hi"), col("pass"))
+    }),
+
     // Z-order layout keys (the OPTIMIZE ZORDER BY shape): 8-bit
     // quantization of two clustering columns, Morton interleave, and
     // the 16-way layout bucket (z >> 12) the range exchange targets —
@@ -472,6 +486,37 @@ object QueriesCore {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_quality_gate" -> {
+      def d(v: String) = s"CAST($v AS DOUBLE)"
+      val rows = Seq(
+        ("min_rows", "m0", d("1000.0"), d("NULL")),
+        ("null_frac_l_returnflag", "m1", d("NULL"), d("0.01")),
+        ("min_l_quantity", "m2", d("1.0"), d("NULL")),
+        ("max_l_quantity", "m3", d("NULL"), d("50.0")),
+        ("min_l_discount", "m4", d("0.0"), d("NULL")),
+        ("max_l_discount", "m5", d("NULL"), d("0.1")),
+        ("distinct_l_returnflag", "m6", d("NULL"), d("3.0"))
+      ).map { case (n, m, lo, hi) => s"('$n', $m, $lo, $hi)" }
+        .mkString(",\n  ")
+      s"""WITH m AS (SELECT
+         |  CAST(count(*) AS DOUBLE) AS m0,
+         |  CAST(count(*) - count(l_returnflag) AS DOUBLE) / count(*) AS m1,
+         |  CAST(min(l_quantity) AS DOUBLE) AS m2,
+         |  CAST(max(l_quantity) AS DOUBLE) AS m3,
+         |  CAST(min(l_discount) AS DOUBLE) AS m4,
+         |  CAST(max(l_discount) AS DOUBLE) AS m5,
+         |  CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS m6
+         | FROM lineitem)
+         |SELECT c.chk AS "check", round(c.observed, 6) AS observed,
+         | c.lo, c.hi,
+         | (c.observed IS NOT NULL
+         |   AND (c.lo IS NULL OR c.observed >= c.lo)
+         |   AND (c.hi IS NULL OR c.observed <= c.hi)) AS pass
+         |FROM m, LATERAL (VALUES
+         |  $rows)
+         |  AS c(chk, observed, lo, hi)""".stripMargin
+    },
 
     "q_zorder" -> {
       // 8-bit linear quantization + Morton interleave, same operation

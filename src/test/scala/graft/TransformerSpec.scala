@@ -350,6 +350,30 @@ class TransformerSpec extends AnyFunSuite {
     assert(math.abs(g(6, "x_y_cov3").get) < 1e-12)
   }
 
+  test("quality gate: bounds logic, null-metric failure, one row per " +
+    "check from one pass") {
+    import graft.operators.QualityGate, QualityGate._
+    val df = Seq[(java.lang.Double, String)](
+      (1.0, "x"), (5.0, "y"), (null, "x")).toDF("v", "s")
+    val out = QualityGate.evaluate(df,
+      Seq(minRows(2), maxNullFrac("v", 0.5)) ++
+        valueRange("v", 0.0, 4.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getBoolean(4))).toMap
+    assert(out("min_rows") == ((3.0, true)))
+    assert(math.abs(out("null_frac_v")._1 - 1.0 / 3) < 1e-9 &&
+      out("null_frac_v")._2, "1/3 nulls is under the 0.5 ceiling")
+    assert(out("min_v") == ((1.0, true)))
+    assert(out("max_v") == ((5.0, false)), "5.0 breaches hi=4.0")
+    // a null observed value fails any bounded check
+    assert(!out.keys.isEmpty && {
+      val row = QualityGate.evaluate(df, Seq(Check("all_null",
+        min(when(lit(false), col("v"))).cast("double"), lo = Some(0.0))))
+        .head()
+      row.isNullAt(1) && !row.getBoolean(4)
+    })
+  }
+
   test("ewma: hand-computed pandas ewm(adjust=True) values, expanding " +
     "head normalization, per-ticker isolation") {
     import graft.operators.EwmaTransformer
