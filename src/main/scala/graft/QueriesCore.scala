@@ -205,6 +205,17 @@ object QueriesCore {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     }),
 
+    // Purged walk-forward k-fold CV splits (Lopez de Prado ch. 7):
+    // contiguous era test blocks, embargoed neighbors purged from
+    // train — computed entirely on the tiny era spine.
+    "q_purged_cv" -> ((s, dir) => {
+      val eras = li(s, dir).select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("era_m"))
+      graft.operators.PurgedKFold.eraRoles(eras, "era_m",
+        k = 5, embargo = 2)
+        .select(col("era"), col("fold"), col("role"))
+    }),
+
     // Deequ-style data-quality gate: declarative constraints evaluated
     // in ONE aggregation pass, emitted as (check, observed, bounds,
     // pass) rows — the circuit-breaker ahead of any downstream write.
@@ -486,6 +497,22 @@ object QueriesCore {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_purged_cv" ->
+      """WITH eras AS (SELECT DISTINCT strftime(l_shipdate, '%Y-%m')
+        |  AS era FROM lineitem),
+        |idx AS (SELECT era, row_number() OVER (ORDER BY era) - 1 AS i
+        |  FROM eras),
+        |n AS (SELECT count(*) AS e FROM idx),
+        |f AS (SELECT era, i, CAST(floor(i * 5 / e) AS INT) AS fo
+        |  FROM idx, n),
+        |ext AS (SELECT fo AS fold, min(i) AS lo, max(i) AS hi FROM f
+        |  GROUP BY fo)
+        |SELECT f.era, ext.fold,
+        | CASE WHEN f.fo = ext.fold THEN 'test'
+        |  WHEN f.i >= ext.lo - 2 AND f.i <= ext.hi + 2 THEN 'purged'
+        |  ELSE 'train' END AS role
+        |FROM f CROSS JOIN ext""".stripMargin,
 
     "q_quality_gate" -> {
       def d(v: String) = s"CAST($v AS DOUBLE)"

@@ -350,6 +350,30 @@ class TransformerSpec extends AnyFunSuite {
     assert(math.abs(g(6, "x_y_cov3").get) < 1e-12)
   }
 
+  test("purged k-fold: contiguous test blocks, embargoed neighbors " +
+    "purged, everything else trains") {
+    import graft.operators.PurgedKFold
+    // 10 eras, k=3 -> blocks i0-3 / i4-6 / i7-9; embargo=1
+    val eras = ('a' to 'j').map(c => Tuple1(c.toString)).toDF("era")
+    val roles = PurgedKFold.eraRoles(eras, "era", k = 3, embargo = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    assert(roles.size == 30, "every era x fold pair")
+    assert(roles(("a", 0)) == "test" && roles(("d", 0)) == "test")
+    assert(roles(("e", 0)) == "purged", "i4 is within 1 of block 0's end")
+    assert(roles(("f", 0)) == "train" && roles(("j", 0)) == "train")
+    assert(roles(("d", 1)) == "purged" && roles(("h", 1)) == "purged")
+    assert(roles(("e", 1)) == "test" && roles(("a", 1)) == "train")
+    assert(roles(("g", 2)) == "purged" && roles(("j", 2)) == "test")
+    // per fold: test+purged+train partition the eras
+    (0 until 3).foreach { f =>
+      val counts = ('a' to 'j')
+        .groupBy(c => roles((c.toString, f))).view.mapValues(_.size).toMap
+      assert(counts.values.sum == 10)
+      assert(counts("test") >= 3 && counts("train") >= 3)
+    }
+  }
+
   test("quality gate: bounds logic, null-metric failure, one row per " +
     "check from one pass") {
     import graft.operators.QualityGate, QualityGate._
