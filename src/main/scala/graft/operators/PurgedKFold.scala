@@ -52,9 +52,15 @@ object PurgedKFold {
   }
 
   /** Fact rows exploded per fold with their era's role attached —
-    * `roles` broadcasts (E·k rows). */
+    * `roles` broadcasts (E·k rows). The roles frame's era key is
+    * renamed to a reserved name before the join so a caller whose
+    * `eraCol` is itself named "era" gets an unambiguous condition and
+    * keeps their own column. */
   def assignRows(df: DataFrame, eraCol: String, k: Int,
-      embargo: Int): DataFrame =
-    df.join(broadcast(eraRoles(df, eraCol, k, embargo)),
-      df(eraCol) === col("era")).drop("era")
+      embargo: Int): DataFrame = {
+    val roles = eraRoles(df, eraCol, k, embargo)
+      .withColumnRenamed("era", "__pk_era")
+    df.join(broadcast(roles), df(eraCol) === col("__pk_era"))
+      .drop("__pk_era")
+  }
 }

@@ -154,7 +154,10 @@ case class RollingCorrTransformer(
     val outs = windows.flatMap { k =>
       val frame = w.rowsBetween(-(k - 1), Window.currentRow)
       val x = col(xCol); val y = col(yCol)
-      val full = count(x).over(frame) === k
+      // both columns must fill the frame: a null y inside a full-x window
+      // would otherwise drop rows from Σy/Σxy but not Σx — silently wrong
+      // corr/beta/cov instead of the documented null degradation
+      val full = count(x).over(frame) === k && count(y).over(frame) === k
       val n = lit(k)
       val dxy = (n * sum(x * y).over(frame)
         - sum(x).over(frame) * sum(y).over(frame)).cast("double")
