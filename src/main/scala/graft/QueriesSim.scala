@@ -111,16 +111,23 @@ object QueriesSim {
     // IVF-PQ (Jégou et al. 2011 §V / the FAISS IVFPQ structure): coarse
     // cells prune the scan, residual PQ codes bound the bytes per
     // candidate, exact re-rank touches only the shortlist — the full
-    // web-scale ANN index under one oracle.
+    // web-scale ANN index under one oracle. Runs through the DATA-form
+    // path (centroids/codebooks broadcast as frames, plan size
+    // independent of nlist·m·nk — the production shape); the literal
+    // path is pinned equal in SimSpec.
     "q_ivfpq_topk" -> ((s, dir) => {
       val corpus = emb(s, dir)
-      val coarse = IvfCosine.pinnedCentroids(16, DIM)
-      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
-      val codes = IvfPq.encode(corpus, "vec_id", "embedding", coarse, books)
+      val coarse = IvfCosine.centroidsDf(s,
+        IvfCosine.pinnedCentroids(16, DIM))
+      val books = PqCosine.codebooksDf(s,
+        PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16))
+      val codes = IvfPq.encodeDf(corpus, "vec_id", "embedding", coarse,
+        books, m = 8)
       val probes = corpus.where(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      IvfPq.search(codes, corpus, probes, "vec_id", "embedding",
-        "qid", "qvec", coarse, books, k = 5, nprobe = 4, shortlist = 20)
+      IvfPq.searchDf(codes, corpus, probes, "vec_id", "embedding",
+        "qid", "qvec", coarse, books, k = 5, nprobe = 4, shortlist = 20,
+        m = 8, nk = 16)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
     }),
@@ -128,10 +135,14 @@ object QueriesSim {
     // SemDeDup (arXiv:2303.09540): pinned-centroid clustering + within-
     // cell cosine pruning, keep-lowest-centroid-sim priority. The full
     // semantic-dedup decision — assignment, priority, prune — under a
-    // bit-for-bit oracle.
+    // bit-for-bit oracle, through the DATA-form centroid path
+    // (broadcast-joined (cell, cvec) frame — the shape that survives
+    // the paper's 50k-cluster nlist); literal path pinned equal in
+    // SemDedupSpec.
     "q_semdedup" -> ((s, dir) => {
       SemDedup.dedup(emb(s, dir), "vec_id", "embedding",
-        IvfCosine.pinnedCentroids(16, DIM), threshold = thr)
+        IvfCosine.centroidsDf(s, IvfCosine.pinnedCentroids(16, DIM)),
+        threshold = thr, maxCellSize = 10000)
         .select(col("vec_id"), col("cell"),
           round(col("centroid_sim"), 6).as("centroid_sim"), col("keep"))
     }),

@@ -124,6 +124,47 @@ object IvfCosine {
     Index(centroids, assigned)
   }
 
+  /** The pinned/trained centroid grid as DATA — (cell int, cvec
+    * array<double>) — for the data-form assignment path. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "cvec")
+  }
+
+  /** Data-form cell assignment: the centroid grid arrives as a
+    * DataFrame (cell, cvec) and is BROADCAST-joined instead of being
+    * interpolated into the plan as literals — the plan size is
+    * independent of nlist, which is what survives SemDeDup's 50k
+    * clusters / production IVF nlist (the literal path's Catalyst tree
+    * grows O(nlist) and hits janino/analyzer limits first). The shape
+    * stays one pass: broadcast nested-loop join fans each row out to
+    * nlist candidates INSIDE its partition, and the per-id argmin
+    * collapses them right back map-side (partial min before the one
+    * id-keyed exchange). Values are bit-identical to
+    * [[assignByCentroids]] — same d² = v·v − 2·v·c + c·c with the
+    * VecDot kernel (the driver-side `Σx²` of the literal path is the
+    * same index-ascending fold), same lexicographic (d², cell) argmin.
+    *
+    * Output: (idCol, vecCol, cell, __cvec — the winning centroid's
+    * vector, for callers that need centroid similarity). */
+  def assignByCentroidsDf(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = broadcast(centroids.select(col("cell").as("__cell"),
+      col("cvec").as("__cvec")))
+    val d2 = Similarity.dot(col(vecCol), col(vecCol)) -
+      lit(2.0) * Similarity.dot(col(vecCol), col("__cvec")) +
+      Similarity.dot(col("__cvec"), col("__cvec"))
+    corpus.crossJoin(cents)
+      .groupBy(col(idCol))
+      .agg(min(struct(d2.as("d2"), col("__cell").as("cell"),
+          col("__cvec").as("cvec"))).as("__best"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("__best.cell").as("cell"),
+        col("__best.cvec").as("__cvec"))
+  }
+
   /** Top-k cosine neighbors per probe, scanning only the nprobe closest
     * cells of each probe. Probes carry (qidCol, qvecCol). */
   def search(index: Index, probes: DataFrame, idCol: String, vecCol: String,

@@ -21,13 +21,30 @@ import graft.dedup.Similarity
   * are fetched only for the shortlist. All three stages are the same
   * join/projection shapes as [[IvfCosine]] and [[PqCosine]].
   *
+  * Two parameter-delivery paths share the ADC/shortlist/re-rank core:
+  * the LITERAL path interpolates the centroid grid and codebooks into
+  * the plan as `typedlit` tables (right for small pinned grids — pure
+  * codegen, zero joins), and the DATA path takes them as DataFrames
+  * (`coarse` = (cell, cvec), `codebooks` = (m, k, bv)) and
+  * broadcast-joins assignment, encoding, LUT construction and probe
+  * routing — the plan size is then INDEPENDENT of nlist·m·nk, which is
+  * what survives production nlist (the literal encoder's O(nlist·m·nk)
+  * correction table would otherwise hit janino method limits and ship a
+  * multi-MB plan with every task). Encoding in the data path stays one
+  * pass: the broadcast fan-out to m·nk candidates per row collapses
+  * back map-side through per-subspace partial min aggregates before the
+  * single id-keyed exchange.
+  *
   * Numeric contract for the oracle: residual dot products are computed
   * as the DIFFERENCE OF TWO DOTS, `s·c − c_cell_s·c` (never materializing
   * the residual vector), and the ADC sum is the explicit left-associated
   * chain `qc + t₀ + … + t₇` — the DuckDB SQL mirrors both forms, so the
   * full index — assignment, residual encoding, probe routing, ADC,
   * re-rank — verifies bit-for-bit against pinned centroid/codebook
-  * grids. North-star extension beyond the reference (SURVEY.md §7.6).
+  * grids, through EITHER path (the data path is value-identical by
+  * construction: same VecDot kernels, same argmin and ranking orders —
+  * pinned by literal≡data equality tests).
+  * North-star extension beyond the reference (SURVEY.md §7.6).
   */
 object IvfPq {
 
@@ -63,6 +80,39 @@ object IvfPq {
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"))
   }
 
+  /** Data-form residual-PQ encoding: `coarse` = (cell, cvec) and
+    * `codebooks` = (m, k, bv) arrive as DataFrames and broadcast-join;
+    * only `m` (the subspace count — a structural constant like a column
+    * list, never a scale axis) shapes the plan. One broadcast fan-out,
+    * m partial-min aggregates, one id-keyed exchange. Values identical
+    * to the literal encoder. */
+  def encodeDf(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val assigned = IvfCosine
+      .assignByCentroidsDf(corpus, idCol, vecCol, coarse)
+      .withColumn("nrm",
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))))
+    val cb = broadcast(codebooks.select(col("m").as("__m"),
+      col("k").as("__k"), col("bv").as("__bv")))
+    val subDim = size(col("__bv"))
+    val start = col("__m") * subDim + 1
+    val rDot = Similarity.dot(slice(col(vecCol), start, subDim),
+        col("__bv")) -
+      Similarity.dot(slice(col("__cvec"), start, subDim), col("__bv"))
+    val d = Similarity.dot(col("__bv"), col("__bv")) - lit(2.0) * rDot
+    val aggs = (0 until m).map(mi =>
+      min(when(col("__m") === mi,
+        struct(d.as("d"), col("__k").as("code")))).as(s"__best$mi"))
+    assigned.crossJoin(cb)
+      .groupBy(col(idCol))
+      .agg(first(col("cell")).as("cell"), (first(col("nrm")).as("nrm")
+        +: aggs): _*)
+      .select(col(idCol), col("cell"),
+        array((0 until m).map(mi => col(s"__best$mi.code")): _*)
+          .as("codes"),
+        col("nrm"))
+  }
+
   /** Probe the `nprobe` cells closest by centroid cosine (same routing
     * as [[IvfCosine.search]]), ADC-score in-cell candidates, keep the
     * `shortlist` best per probe, exact-re-rank to the top `k`. */
@@ -95,6 +145,55 @@ object IvfPq {
       .where(col("__crank") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("__qn"), col("__lut"),
         col("__qc"), col("__c0").as("cell"))
+    adcRerank(probeCells, codes, corpus, idCol, vecCol, qidCol, qvecCol,
+      m, nk, k, shortlist)
+  }
+
+  /** Data-form search: LUT construction and probe routing run as
+    * broadcast joins against the (m, k, bv) / (cell, cvec) frames —
+    * plan size independent of nlist and nk — then the same ADC core. */
+  def searchDf(codes: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      coarse: DataFrame, codebooks: DataFrame, k: Int, nprobe: Int,
+      shortlist: Int, m: Int, nk: Int): DataFrame = {
+    val cb = broadcast(codebooks.select(col("m").as("__m"),
+      col("k").as("__k"), col("bv").as("__bv")))
+    val subDim = size(col("__bv"))
+    // flat LUT per probe, position mi·nk + ki: collected as (m, k, v)
+    // structs and sorted — (m, k) is unique, so the order matches the
+    // literal path's comprehension order exactly
+    val lutVal = Similarity.dot(
+      slice(col(qvecCol), col("__m") * subDim + 1, subDim), col("__bv"))
+    val withLut = probes.crossJoin(cb)
+      .groupBy(col(qidCol))
+      .agg(first(col(qvecCol)).as(qvecCol),
+        array_sort(collect_list(struct(col("__m"), col("__k"),
+          lutVal.as("v")))).as("__l0"))
+      .select(col(qidCol), col(qvecCol),
+        sqrt(Similarity.dot(col(qvecCol), col(qvecCol))).as("__qn"),
+        transform(col("__l0"), x => x.getField("v")).as("__lut"))
+    val cents = broadcast(coarse.select(col("cell").as("__c0"),
+      col("cvec").as("__cv")))
+    val probeCells = withLut.crossJoin(cents)
+      .withColumn("__qc", Similarity.dot(col(qvecCol), col("__cv")))
+      .withColumn("__csim", col("__qc")
+        / (col("__qn") * sqrt(Similarity.dot(col("__cv"), col("__cv")))))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("__csim").desc, col("__c0"))))
+      .where(col("__crank") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("__qn"), col("__lut"),
+        col("__qc"), col("__c0").as("cell"))
+    adcRerank(probeCells, codes, corpus, idCol, vecCol, qidCol, qvecCol,
+      m, nk, k, shortlist)
+  }
+
+  /** Shared ADC + shortlist + exact-re-rank core over a probeCells
+    * frame (qidCol, qvecCol, __qn, __lut, __qc, cell). */
+  private def adcRerank(probeCells: DataFrame, codes: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, qidCol: String,
+      qvecCol: String, m: Int, nk: Int, k: Int,
+      shortlist: Int): DataFrame = {
     val adc = (0 until m).map(mi =>
       element_at(col("__lut"),
         element_at(col("codes"), mi + 1) + lit(mi * nk) + 1))

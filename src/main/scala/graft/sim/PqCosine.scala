@@ -43,6 +43,17 @@ object PqCosine {
       (((h(0) & 0xff) * 256 + (h(1) & 0xff)).toDouble / 65535.0) - 0.5
     }
 
+  /** Codebooks as DATA — one row per (subspace, code): (m int, k int,
+    * bv array<double>) — for the data-form IVF-PQ paths
+    * ([[IvfPq.encodeDf]] / [[IvfPq.searchDf]]). */
+  def codebooksDf(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      mi <- codebooks.indices; ki <- codebooks(mi).indices
+    } yield (mi, ki, codebooks(mi)(ki))).toDF("m", "k", "bv")
+  }
+
   /** Per-subspace argmin code against fixed codebooks. The squared
     * distance's `s·s` term is constant within a subspace's argmin, so
     * the comparator is `cc − 2·s·c` (ties to the lowest code) — the

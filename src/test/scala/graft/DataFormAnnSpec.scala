@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.{IvfCosine, IvfPq, PqCosine, SemDedup}
+
+/** Round-8 closure of the one `weak` on the round-7 board: the
+  * data-form centroid/codebook paths for SemDeDup and IVF-PQ must be
+  * value-identical to the literal-table paths (which back the DuckDB
+  * oracles), and their plan size must be INDEPENDENT of nlist — the
+  * literal plans grow O(nlist) and die at production cluster counts. */
+class DataFormAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+  // spark.range-based, NOT a local Seq: ConvertToLocalRelation folds
+  // projections over LocalRelation at optimize time, which would both
+  // fake the plan-size measurements and bypass the operators entirely
+  private def corpus(n: Int) = spark.range(n).select(
+    col("id").as("vec_id"),
+    array((0 until dim).map(d => sin((col("id") + 1) * lit(d + 1))): _*)
+      .as("embedding"))
+
+  private def semRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getAs[Int]("cell"),
+      r.getAs[Double]("centroid_sim"), r.getAs[Boolean]("keep"))).toSet
+
+  test("semdedup data-form path is bit-identical to the literal path " +
+    "at nlist = 1024 (the scale where literal grids stop being viable)") {
+    val grid = IvfCosine.pinnedCentroids(1024, dim)
+    val emb = corpus(150)
+    val lit = SemDedup.dedup(emb, "vec_id", "embedding", grid,
+      threshold = 0.8)
+    val data = SemDedup.dedup(emb, "vec_id", "embedding",
+      IvfCosine.centroidsDf(spark, grid), threshold = 0.8,
+      maxCellSize = 10000)
+    val (l, d) = (semRows(lit), semRows(data))
+    assert(l == d, "literal and data assignments/priorities must agree " +
+      "on every row, bit for bit")
+    assert(l.nonEmpty)
+  }
+
+  // total Catalyst expression-node count of the optimized plan —
+  // immune to toString truncation, which is exactly what a growing
+  // literal plan triggers
+  private def exprNodes(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect { case _ => 1L }.sum).sum
+    }.sum
+
+  test("semdedup data-form plan size is independent of nlist; the " +
+    "literal plan grows with it") {
+    val emb = corpus(20)
+    def dataPlan(nlist: Int): Long = exprNodes(
+      SemDedup.dedup(emb, "vec_id", "embedding",
+        IvfCosine.centroidsDf(spark, IvfCosine.pinnedCentroids(nlist, dim)),
+        threshold = 0.8, maxCellSize = 10000))
+    def litPlan(nlist: Int): Long = exprNodes(
+      SemDedup.dedup(emb, "vec_id", "embedding",
+        IvfCosine.pinnedCentroids(nlist, dim), threshold = 0.8))
+    val (d16, d1024) = (dataPlan(16), dataPlan(1024))
+    assert(d1024 <= d16 * 11 / 10,
+      s"data-form plan must not grow with nlist: $d16 -> $d1024")
+    assert(litPlan(256) > litPlan(16) * 5,
+      "sanity: the literal plan DOES grow with nlist — that asymmetry " +
+        "is the reason the data path exists")
+  }
+
+  test("ivf-pq data-form encode + search are bit-identical to the " +
+    "literal path") {
+    val emb = corpus(80)
+    val coarse = IvfCosine.pinnedCentroids(8, dim)
+    val books = PqCosine.pinnedCodebooks(m = 4, subDim = 2, k = 8)
+    val coarseDf = IvfCosine.centroidsDf(spark, coarse)
+    val booksDf = PqCosine.codebooksDf(spark, books)
+    val encLit = IvfPq.encode(emb, "vec_id", "embedding", coarse, books)
+    val encData = IvfPq.encodeDf(emb, "vec_id", "embedding", coarseDf,
+      booksDf, m = 4)
+    def encRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Int]("cell"),
+        r.getSeq[Int](2).toList, r.getAs[Double]("nrm"))).toSet
+    assert(encRows(encLit) == encRows(encData))
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def searchRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cosine"), r.getAs[Double]("approx_cos"),
+        r.getAs[Int]("rank"))).toSet
+    val sLit = IvfPq.search(encLit, emb, probes, "vec_id", "embedding",
+      "qid", "qvec", coarse, books, k = 3, nprobe = 3, shortlist = 10)
+    val sData = IvfPq.searchDf(encData, emb, probes, "vec_id",
+      "embedding", "qid", "qvec", coarseDf, booksDf, k = 3, nprobe = 3,
+      shortlist = 10, m = 4, nk = 8)
+    val (a, b) = (searchRows(sLit), searchRows(sData))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("ivf-pq data-form search plan size is independent of nlist and nk") {
+    val emb = corpus(20)
+    val probes = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def planLen(nlist: Int, nk: Int): Long = {
+      val coarseDf = IvfCosine.centroidsDf(spark,
+        IvfCosine.pinnedCentroids(nlist, dim))
+      val booksDf = PqCosine.codebooksDf(spark,
+        PqCosine.pinnedCodebooks(m = 4, subDim = 2, k = nk))
+      val enc = IvfPq.encodeDf(emb, "vec_id", "embedding", coarseDf,
+        booksDf, m = 4)
+      exprNodes(IvfPq.searchDf(enc, emb, probes, "vec_id", "embedding",
+        "qid", "qvec", coarseDf, booksDf, k = 3, nprobe = 3,
+        shortlist = 10, m = 4, nk = nk))
+    }
+    val small = planLen(8, 8)
+    val big = planLen(1024, 64)
+    assert(big <= small * 11 / 10,
+      s"data-form ivf-pq plan must not grow with nlist/nk: $small -> $big")
+  }
+}
