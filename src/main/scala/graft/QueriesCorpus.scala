@@ -81,6 +81,14 @@ object QueriesCorpus {
           round(col("dup_frac"), 6).as("dup_frac"))
     }),
 
+    // merged duplicated-token intervals per doc (Lee et al.'s excision
+    // artifact): island detection over the duplicated k-gram positions
+    "q_dup_span_ranges" -> ((s, dir) => {
+      DupSpans.spanRanges(docs(s, dir), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("span_tokens"))
+    }),
+
     "q_hash_split" -> ((s, dir) => {
       val d = docs(s, dir)
       d.select(col("source"), CorpusSplit.hashSplit(col("doc_id")).as("split"),
@@ -313,6 +321,29 @@ object QueriesCorpus {
          |          / (len(w.l) - 7), 6)
          |  ELSE 0.0 END AS dup_frac
          |FROM w LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    "q_dup_span_ranges" ->
+      s"""WITH w AS ($wCte),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    md5(array_to_string(list_slice(l, pos, pos + 7), ' ')) AS fp
+         |  FROM (SELECT doc_id, l,
+         |        unnest(range(1, greatest(len(l) - 6, 1))) AS pos FROM w)),
+         |counts AS (SELECT fp, count(*) AS c FROM g GROUP BY fp),
+         |dup AS (SELECT doc_id, pos FROM g JOIN counts USING (fp)
+         |        WHERE c > 1),
+         |i AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |      ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+         |  FROM dup),
+         |s AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM i)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+         |  max(pos) + 7 - min(pos) + 1 AS span_tokens
+         |FROM s GROUP BY doc_id, isl""".stripMargin,
 
     "q_hash_split" -> {
       // hex16(md5[1..4]) via per-digit polynomial (exact in doubles)

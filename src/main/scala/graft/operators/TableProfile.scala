@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   * The only heavyweight piece is the exact `count(DISTINCT c)` per
   * column (Catalyst plans multi-distinct aggregates through one Expand —
   * one pass over the scan, a shuffle keyed by the distinct values); at
-  * 100 TB swap it for `approx_count_distinct` (HLL++, shuffle-free
-  * partials) — kept exact here so the profile verifies bit-for-bit
-  * against the DuckDB oracle.
+  * 100 TB set `approxDistinct = true` to swap in
+  * `approx_count_distinct` (HLL++: mergeable fixed-size sketches,
+  * shuffle-free map-side partials, NO Expand — the plan collapses to
+  * one ordinary single-row aggregate). Kept exact by default so the
+  * profile verifies bit-for-bit against the DuckDB oracle; the approx
+  * plan shape and sketch tolerance are pinned in PlanSpec.
   */
 object TableProfile {
 
@@ -29,15 +32,19 @@ object TableProfile {
     * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value,
     * avg_value). Numeric statistics are computed over `cast(c as
     * double)` and rounded to 6 decimals (the repo's oracle convention
-    * for libm-adjacent values). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * for libm-adjacent values). `approxDistinct` swaps the exact
+    * multi-distinct for HLL++ at `rsd` relative standard deviation. */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
     def s(name: String, c: String) = s"__${name}_$c"
     val aggs: Seq[Column] = cols.flatMap { c =>
       val d = col(c).cast("double")
+      val nd = if (approxDistinct) approx_count_distinct(col(c), rsd)
+        else countDistinct(col(c))
       Seq(
         count(lit(1)).as(s("n", c)),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s("nn", c)),
-        countDistinct(col(c)).as(s("nd", c)),
+        nd.as(s("nd", c)),
         round(min(d), 6).as(s("mn", c)),
         round(max(d), 6).as(s("mx", c)),
         round(avg(d), 6).as(s("av", c)))

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document duplicated-span detection — the position-level exact
@@ -38,10 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object DupSpans {
 
-  /** One row per input document:
-    * (idCol, n_tokens, n_spans, n_dup_spans, n_dup_tokens, dup_frac). */
-  def spanStats(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+  /** (base = (idCol, __w), dup = (idCol, pos)): every duplicated span
+    * position, shared by the stats and the range-extraction outputs. */
+  private def dupPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol),
       CorpusOps.words(col(textCol)).as("__w"))
     // 1-based span positions, fingerprinted; docs shorter than k emit no
@@ -55,7 +56,14 @@ object DupSpans {
     val dupFps = grams.groupBy(col("__fp"))
       .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
       .select(col("__fp"))
-    val dup = grams.join(dupFps, Seq("__fp"))
+    (base, grams.join(dupFps, Seq("__fp")))
+  }
+
+  /** One row per input document:
+    * (idCol, n_tokens, n_spans, n_dup_spans, n_dup_tokens, dup_frac). */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val (base, dup) = dupPositions(docs, idCol, textCol, k)
     val cov = dup
       .select(col(idCol), col("pos"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__t"))
@@ -75,5 +83,36 @@ object DupSpans {
           coalesce(col("n_dup_spans"), lit(0L)).cast("double")
             / col("n_spans"))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Lee et al.'s actionable artifact: the MERGED duplicated intervals
+    * per document — `(idCol, span_start, span_end, span_tokens)`,
+    * 1-based inclusive token indices — ready for excision. Each
+    * duplicated k-gram position covers `[pos, pos+k−1]`; runs whose
+    * positions are within `k` of each other cover overlapping OR
+    * back-to-back token ranges, so they merge into one interval (a new
+    * interval starts only when `pos − prev_pos > k`, i.e. a genuine
+    * coverage gap).
+    *
+    * Shape: the classic island-detection window — one `lag` + running
+    * sum over a PER-DOCUMENT window (partitioned by the doc id: bounded
+    * by document length, never corpus-sized), then a map-side-combined
+    * groupBy over (doc, island). Everything upstream is
+    * [[spanStats]]'s fingerprint-keyed machinery unchanged. */
+  def spanRanges(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val (_, dup) = dupPositions(docs, idCol, textCol, k)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val brk = when(col("pos") - lag(col("pos"), 1).over(w) > k, 1)
+      .otherwise(0) // first row: lag is null → comparison null → 0
+    dup.select(col(idCol), col("pos"))
+      .withColumn("__isl", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("__lo"), max(col("pos")).as("__hi"))
+      .select(col(idCol), col("__lo").cast("long").as("span_start"),
+        (col("__hi") + lit(k - 1)).cast("long").as("span_end"),
+        (col("__hi") + lit(k - 1) - col("__lo") + 1).cast("long")
+          .as("span_tokens"))
   }
 }

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * comparison and the whole plan shuffles only for the LM joins the
   * score already needs. Documents too short to score (no bigrams) land
   * in `tail` by definition. At 100 TB the cut-point aggregate is the
-  * one piece that buffers all n scores on a reducer — swap it for
-  * `approx_percentile` there (bucket boundaries tolerate approximation;
-  * same guidance as [[graft.operators.Percentiles]]).
+  * one piece that buffers all n scores on a reducer — set
+  * `approxCuts = true` to swap it for `approx_percentile` (mergeable
+  * bounded sketch, map-side partials, no full-score reducer buffer;
+  * bucket boundaries tolerate approximation — same guidance as
+  * [[graft.operators.Percentiles]]). Exact by default so the buckets
+  * verify bit-for-bit against the DuckDB oracle; the approx plan shape
+  * and cut tolerance are pinned in PlanSpec.
   */
 object LmBuckets {
 
@@ -27,8 +31,8 @@ object LmBuckets {
     graft.operators.GraftTransformer.newCacheQueue()
 
   /** (idCol, n_bigrams, avg_logprob, bucket) for every document. */
-  def headMiddleTail(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  def headMiddleTail(docs: DataFrame, idCol: String, textCol: String,
+      approxCuts: Boolean = false, accuracy: Int = 10000): DataFrame = {
     liveCaches.release()
     // the LM scoring joins run ONCE: the scored frame is persisted and
     // read by both the cut-point aggregate and the labeling pass
@@ -37,9 +41,14 @@ object LmBuckets {
         .withColumn("avg_logprob",
           graft.functions.FastRound(col("avg_logprob"), 6))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qAgg =
+      if (approxCuts)
+        expr(s"approx_percentile(avg_logprob, array(${1.0 / 3}, " +
+          s"${2.0 / 3}), $accuracy)")
+      else graft.functions.ExactPercentiles(
+        col("avg_logprob"), Seq(1.0 / 3, 2.0 / 3))
     val cuts = scored.where(col("avg_logprob").isNotNull)
-      .agg(graft.functions.ExactPercentiles(
-        col("avg_logprob"), Seq(1.0 / 3, 2.0 / 3)).as("__q"))
+      .agg(qAgg.as("__q"))
       .select(
         graft.functions.FastRound(element_at(col("__q"), 1), 6).as("__c1"),
         graft.functions.FastRound(element_at(col("__q"), 2), 6).as("__c2"))

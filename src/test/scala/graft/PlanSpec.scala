@@ -287,6 +287,59 @@ class PlanSpec extends AnyFunSuite {
       "HashAggregate.*avg".r.findFirstIn(plan).isDefined,
       s"no map-side combine:\n$plan")
   }
+
+  test("table profile approxDistinct: HLL++ replaces the multi-distinct " +
+    "Expand, every other statistic stays bit-identical, distinct counts " +
+    "land within the sketch band") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cols = Seq("l_partkey", "l_quantity", "l_extendedprice")
+    val exact = TableProfile.profile(li, cols)
+    val approx = TableProfile.profile(li, cols, approxDistinct = true,
+      rsd = 0.02)
+    val exactPlan = planOf(exact)
+    val approxPlan = planOf(approx)
+    assert(exactPlan.contains("Expand"),
+      "sanity: the exact multi-distinct plans through Expand")
+    assert(!approxPlan.contains("Expand"),
+      s"approx profile must not Expand:\n$approxPlan")
+    assert(approxPlan.contains("approx_count_distinct"), approxPlan)
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val (e, a) = (byCol(exact), byCol(approx))
+    for (c <- cols) {
+      for (f <- Seq("n_rows", "n_nulls", "min_value", "max_value",
+        "avg_value"))
+        assert(e(c).getAs[Any](f) == a(c).getAs[Any](f),
+          s"$c.$f must be identical")
+      val (ed, ad) = (e(c).getAs[Long]("n_distinct"),
+        a(c).getAs[Long]("n_distinct"))
+      assert(math.abs(ad - ed) <= math.max(2.0, 0.1 * ed),
+        s"$c n_distinct: exact $ed approx $ad outside the sketch band")
+    }
+  }
+
+  test("lm buckets approxCuts: the cut aggregate becomes mergeable " +
+    "approx_percentile (no full-score reducer buffer) and bucket labels " +
+    "track the exact terciles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = graft.text.LmBuckets.headMiddleTail(docs, "doc_id", "text")
+    val exactRows = exact.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val approx = graft.text.LmBuckets.headMiddleTail(docs, "doc_id",
+      "text", approxCuts = true)
+    val approxPlan = planOf(approx)
+    assert(approxPlan.contains("approx_percentile"), approxPlan)
+    assert(!approxPlan.toLowerCase.contains("exactpercentiles"),
+      s"exact buffer still present:\n$approxPlan")
+    val approxRows = approx.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(approxRows.keySet == exactRows.keySet)
+    // at default accuracy the sketch cuts are the exact terciles on this
+    // cardinality, so labels agree except possibly AT a cut boundary
+    val diff = approxRows.count { case (id, b) => exactRows(id) != b }
+    assert(diff <= math.max(2, exactRows.size / 100),
+      s"$diff of ${exactRows.size} labels moved — cuts off the terciles")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count

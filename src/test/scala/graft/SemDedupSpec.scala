@@ -72,6 +72,24 @@ class SemDedupSpec extends AnyFunSuite {
     assert(row(3) == (6L, 4L, 4L, 6L, 1.0))
   }
 
+  test("dup span ranges: overlapping spans merge, back-to-back spans " +
+    "merge, a genuine gap splits, bounds are 1-based inclusive") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // dup grams at pos 1,2 → one span (1,4)
+      (2L, "z a b c d"),        // dup grams at pos 2,3 → one span (2,5)
+      (4L, "p q r s t u"),      // dup at 1 and 4: diff = k → back-to-back
+      (6L, "p q r x s t u")     // dup at 1 and 5: diff > k → two spans
+    ).toDF("doc_id", "text")
+    val out = DupSpans.spanRanges(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 4L, 4L),  // [a b c][b c d] overlap → tokens 1-4
+      (2L, 2L, 5L, 4L),
+      (4L, 1L, 6L, 6L),  // [1,3] and [4,6] are contiguous → one interval
+      (6L, 1L, 3L, 3L), (6L, 5L, 7L, 3L)))
+  }
+
   test("hash bitset: distributed build, codegen probe, 24-bit aliasing") {
     val bs = Seq(1L, 100L).toDF("h")
       .agg(HashBitset.agg(col("h"))).head.getAs[Array[Byte]](0)
