@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Bm25, CorpusOps, CorpusSplit, Decontaminate, DupSpans,
-  HeavyHitters, NgramLm, QualityFilterTransformer, RepetitionTransformer}
+import graft.text.{Bm25, Bpe, CorpusOps, CorpusSplit, Decontaminate,
+  DupSpans, HeavyHitters, NgramLm, QualityFilterTransformer,
+  RepetitionTransformer}
 import graft.dedup.{Dedup, DupClusters}
 
 /** Corpus-curation queries over the `documents` table: quality
@@ -79,6 +80,15 @@ object QueriesCorpus {
         .select(col("doc_id"), col("n_tokens"), col("n_spans"),
           col("n_dup_spans"), col("n_dup_tokens"),
           round(col("dup_frac"), 6).as("dup_frac"))
+    }),
+
+    // true merges-table BPE token counting (vs the regex approximation
+    // in q_token_count): the packing/mixture gate count, as a pure
+    // chain of codegen'd regex merges against the pinned merges table
+    "q_token_bpe" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        size(CorpusOps.words(col("text"))).cast("long").as("n_words"),
+        Bpe.tokenCount(col("text"), Bpe.pinnedMerges).as("n_tokens_bpe"))
     }),
 
     // merged duplicated-token intervals per doc (Lee et al.'s excision
@@ -321,6 +331,12 @@ object QueriesCorpus {
          |          / (len(w.l) - 7), 6)
          |  ELSE 0.0 END AS dup_frac
          |FROM w LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    "q_token_bpe" ->
+      s"""WITH w AS ($wCte)
+         |SELECT doc_id, len(l) AS n_words,
+         |  ${Bpe.tokenCountSql("l", Bpe.pinnedMerges)} AS n_tokens_bpe
+         |FROM w""".stripMargin,
 
     "q_dup_span_ranges" ->
       s"""WITH w AS ($wCte),
