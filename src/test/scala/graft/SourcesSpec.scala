@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
 
 /** §2.1 source/sink completeness: the engine round-trips CSV and JSON
   * (schema-applied reads — never schema inference on a 100 TB ingest) and
@@ -43,6 +44,55 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed.toSet == batchKeys)
     assert(streamed.length == batchKeys.size, "exactly one row per key")
+  }
+
+  test("streaming ingest-time near-dup screening: per-batch results " +
+    "equal the incremental batch composition, the corpus accumulates " +
+    "across micro-batches, and streaming state is zero rows") {
+    import graft.streaming.IngestDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val (src, corpus, results) =
+      (s"$root/src", s"$root/corpus", s"$root/results")
+    // seed the at-rest corpus with the already-ingested doc 100
+    val initial = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    IngestDedup.hashes(initial, "doc_id", "text")
+      .write.parquet(corpus)
+    // two source files = two micro-batches (maxFilesPerTrigger = 1);
+    // file A must be strictly older so batch order is deterministic
+    val batchA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // dup of seeded 100
+      (2L, "completely different text here now")   // clean
+    ).toDF("doc_id", "text")
+    val batchB = Seq(
+      (3L, "completely different text here now"),  // dup of batch-A doc 2
+      (4L, "unique snowflake content entirely")    // clean
+    ).toDF("doc_id", "text")
+    batchA.coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct mtime second → stable file order
+    batchB.coalesce(1).write.mode("append").parquet(src)
+    val q = IngestDedup.screenStream(spark, src, corpus, results,
+      "doc_id", "text")
+    q.processAllAvailable()
+    val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    q.stop()
+    val streamed = spark.read.parquet(results)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch composition of the SAME incremental semantics: A screens
+    // against the seed, B against seed ∪ A
+    val hA = IngestDedup.hashes(batchA, "doc_id", "text")
+    val hSeed = IngestDedup.hashes(initial, "doc_id", "text")
+    val expect = (
+      Dedup.simHashScreen(hA, hSeed, "doc_id").collect() ++
+      Dedup.simHashScreen(IngestDedup.hashes(batchB, "doc_id", "text"),
+        hSeed.union(hA), "doc_id").collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expect)
+    // doc 3 only matches because the corpus GREW with batch A
+    assert(streamed == Set((1L, 0L, 100L), (3L, 0L, 2L)))
+    // foreachBatch against data-at-rest: the stream itself holds no state
+    assert(state.forall(_.numRowsTotal == 0),
+      s"expected zero streaming state rows, got $state")
   }
 
   test("streaming corpus curation: the quality filter runs unchanged " +
