@@ -34,6 +34,17 @@ object Bench {
   private val Passes = "SPARK_GRAFT_BENCH_PASSES"
   private val Chunk  = "SPARK_GRAFT_BENCH_CHUNK"
   private val Spot   = "SPARK_GRAFT_BENCH_SPOT"
+  private val Solo   = "SPARK_GRAFT_BENCH_SOLO"
+
+  /** Queries that run in their OWN single-query fork, never mixed into
+    * a chunk: the driver-side solver family is the one measured outlier
+    * under shared-JVM codegen-cache/old-gen pressure (round-7 artifact:
+    * q_neutralize_1f chunk/solo ratio 8.65 where every other query sat
+    * under 1.9) — isolating it makes the raw chunk numbers honest
+    * instead of relying on the min(chunk, solo) rule to absorb an 8x
+    * artifact. Override with SPARK_GRAFT_BENCH_SOLO (comma-separated). */
+  private val soloDefault = Seq("q_neutralize", "q_neutralize_1f",
+    "q_penalize", "q_penalize_fixed", "q_combined_loss")
 
   def main(args: Array[String]): Unit = {
     val unknown = args.filterNot(SparkEntry.queries.contains)
@@ -103,11 +114,18 @@ object Bench {
 
   private def runForked(names: Seq[String], forks: Int): Unit = {
     val rnd = new scala.util.Random(20260812L)
-    val shuffled = rnd.shuffle(names)
-    // round-robin so every chunk mixes cheap and expensive queries
-    val chunks = (0 until forks).map(i => shuffled.zipWithIndex.collect {
-      case (n, j) if j % forks == i => n
-    }).filter(_.nonEmpty)
+    val solo = sys.env.get(Solo)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(soloDefault)
+      .filter(names.contains)
+    val pooled = names.filterNot(solo.contains)
+    val shuffled = rnd.shuffle(pooled)
+    // solo family first (fresh JVMs, nothing to inflate), then
+    // round-robin chunks so every chunk mixes cheap and expensive
+    val chunks = solo.map(Seq(_)) ++
+      (0 until forks).map(i => shuffled.zipWithIndex.collect {
+        case (n, j) if j % forks == i => n
+      }).filter(_.nonEmpty)
     var queries = Map.empty[String, Double]
     var errors = Map.empty[String, String]
     for (chunk <- chunks) {

@@ -288,6 +288,47 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side combine:\n$plan")
   }
 
+  test("AQE skew split is the recorded runtime scale path for the batch " +
+    "interval join: a celebrity key's partition splits across tasks " +
+    "(skew=true in the final adaptive plan)") {
+    // session-wide knobs — forced low so the tiny fixture trips the
+    // skew detector, restored afterwards
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "2048",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048")
+    val saved = keys.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      // celebrity user 0 owns 80% of both sides; the rest spread thin
+      val ev = spark.range(6000).select(
+        col("id").as("event_id"),
+        when(col("id") % 10 < 8, 0L).otherwise(col("id") % 100)
+          .as("user_id"),
+        when(col("id") % 2 === 0, "view").otherwise("click")
+          .as("event_type"),
+        (col("id") % 97).cast("double").as("value"),
+        timestamp_seconds(lit(1600000000L) + col("id") * 60).as("ts"))
+      val joined = graft.streaming.EventStream
+        .intervalJoin(ev, "view", "click", "2 hours")
+      // execute THIS QueryExecution (a write/count would plan a fresh
+      // one and leave this adaptive plan unfinalized)
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not run:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the celebrity partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("table profile approxDistinct: HLL++ replaces the multi-distinct " +
     "Expand, every other statistic stays bit-identical, distinct counts " +
     "land within the sketch band") {
