@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.text.{Bm25, Bpe, CorpusOps, CorpusSplit, Decontaminate,
-  DupSpans, HeavyHitters, NgramLm, QualityFilterTransformer,
-  RepetitionTransformer}
+import graft.text.{Blocklist, Bm25, Bpe, CorpusOps, CorpusSplit,
+  Decontaminate, DupSpans, HeavyHitters, NgramLm,
+  QualityFilterTransformer, RepetitionTransformer, SegmentDedup}
 import graft.dedup.{Dedup, DupClusters}
 
 /** Corpus-curation queries over the `documents` table: quality
@@ -80,6 +80,24 @@ object QueriesCorpus {
         .select(col("doc_id"), col("n_tokens"), col("n_spans"),
           col("n_dup_spans"), col("n_dup_tokens"),
           round(col("dup_frac"), 6).as("dup_frac"))
+    }),
+
+    // corpus-wide repeated-segment excision (CCNet paragraph dedup /
+    // RefinedWeb line-wise corrections): any 5-word segment whose exact
+    // fingerprint recurs corpus-wide is cut from every doc
+    "q_seg_dedup" -> ((s, dir) => {
+      SegmentDedup.dedup(docs(s, dir), "doc_id", "text",
+        segWords = 5, maxOccurrences = 1)
+        .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+          col("clean_text"))
+    }),
+
+    // C4-style blocklist screen (literal path): occurrence counts of
+    // pinned blocked terms + the keep flag, one scan-speed projection
+    "q_blocklist" -> ((s, dir) => {
+      Blocklist.screen(docs(s, dir), "doc_id", "text",
+        Seq("slow", "dup", "lorem"))
+        .select(col("doc_id"), col("n_flagged"), col("keep"))
     }),
 
     // true merges-table BPE token counting (vs the regex approximation
@@ -331,6 +349,41 @@ object QueriesCorpus {
          |          / (len(w.l) - 7), 6)
          |  ELSE 0.0 END AS dup_frac
          |FROM w LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    "q_seg_dedup" ->
+      s"""WITH w AS ($wCte),
+         |segs AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |    array_to_string(list_slice(l,
+         |      CAST(i AS INT) * 5 + 1, CAST(i AS INT) * 5 + 5), ' ') AS seg
+         |  FROM (SELECT doc_id, l,
+         |        unnest(range(0, CAST(ceil(len(l) / 5.0) AS BIGINT))) AS i
+         |        FROM w)),
+         |counts AS (SELECT md5(seg) AS fp, count(*) AS c
+         |           FROM segs GROUP BY 1),
+         |j AS (SELECT s.doc_id, s.i, s.seg, c.c
+         |      FROM segs s JOIN counts c ON md5(s.seg) = c.fp),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    string_agg(CASE WHEN c <= 1 THEN seg END, ' ' ORDER BY i)
+         |      AS clean_text
+         |  FROM j GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(a.n_segments, 0) AS n_segments,
+         |  coalesce(a.n_dropped, 0) AS n_dropped,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "q_blocklist" ->
+      s"""WITH w AS ($wCte)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(l,
+         |    x -> list_contains(['slow', 'dup', 'lorem'], x))) AS BIGINT)
+         |    AS n_flagged,
+         |  len(list_filter(l,
+         |    x -> list_contains(['slow', 'dup', 'lorem'], x))) = 0 AS keep
+         |FROM w""".stripMargin,
 
     "q_token_bpe" ->
       s"""WITH w AS ($wCte)

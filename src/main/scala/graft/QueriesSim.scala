@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine, SemDedup, SqCosine}
+import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine, RandomProjection,
+  SemDedup, SqCosine}
 import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -145,6 +146,16 @@ object QueriesSim {
         threshold = thr, maxCellSize = 10000)
         .select(col("vec_id"), col("cell"),
           round(col("centroid_sim"), 6).as("centroid_sim"), col("keep"))
+    }),
+
+    // Johnson–Lindenstrauss ±1/√k projection (Achlioptas 2003): dim
+    // 64 → 16 ahead of ANN/clustering — md5-derived matrix, pure
+    // codegen projection, zero shuffle, bit-exact oracle
+    "q_jl_project" -> ((s, dir) => {
+      val proj = RandomProjection.project(emb(s, dir), "vec_id",
+        "embedding", outDim = 16, inDim = DIM)
+      proj.select(col("vec_id") +: (0 until 16).map(r =>
+        round(element_at(col("projected"), r + 1), 6).as(s"d$r")): _*)
     }),
 
     // scale path: multi-band sign-random-projection buckets (md5-derived
@@ -420,6 +431,17 @@ object QueriesSim {
          |SELECT p.vec_id, p.cell, round(p.csim, 6) AS centroid_sim,
          |  (d.vec_id IS NULL) AS keep
          |FROM pr p LEFT JOIN dups d ON p.vec_id = d.vec_id""".stripMargin
+    },
+
+    "q_jl_project" -> {
+      val coords = (0 until 16).map(r =>
+        s"round(${RandomProjection.projectSql("e", 16, DIM, r)}, 6) AS d$r")
+        .mkString(",\n  ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT vec_id,
+         |  $coords
+         |FROM v""".stripMargin
     },
 
     "q_embed_neardup" -> {
