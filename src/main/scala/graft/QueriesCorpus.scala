@@ -82,6 +82,32 @@ object QueriesCorpus {
           round(col("dup_frac"), 6).as("dup_frac"))
     }),
 
+    // per-source unigram KL vs the corpus blend — the domain-shift
+    // report before/after mixture reweighting
+    "q_source_kl" -> ((s, dir) => {
+      graft.text.SourceKl.unigramKl(docs(s, dir), "source", "text")
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          round(col("kl"), 6).as("kl"))
+    }),
+
+    // stratified rate sampling (the step that APPLIES a quality/source
+    // stratification): keep iff the doc's md5-uniform draw falls under
+    // its stratum's rate — deterministic, growth-stable, pure scan
+    "q_rate_sample" -> ((s, dir) => {
+      CorpusSplit.sampleByRate(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // deterministic global shuffle + sharding for training order:
+    // shard = md5 bucket, position = md5 rank within the shard — the
+    // interleave step producing the streamable shuffled dataset
+    "q_interleave" -> ((s, dir) => {
+      CorpusSplit.interleave(docs(s, dir), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("position"))
+    }),
+
     // corpus-wide repeated-segment excision (CCNet paragraph dedup /
     // RefinedWeb line-wise corrections): any 5-word segment whose exact
     // fingerprint recurs corpus-wide is cut from every doc
@@ -349,6 +375,53 @@ object QueriesCorpus {
          |          / (len(w.l) - 7), 6)
          |  ELSE 0.0 END AS dup_frac
          |FROM w LEFT JOIN cov c USING (doc_id)""".stripMargin,
+
+    "q_source_kl" ->
+      s"""WITH w AS ($wCte),
+         |tok AS (SELECT source, unnest(l) AS t FROM w),
+         |st AS (SELECT source, t, count(*) AS cst FROM tok GROUP BY 1, 2),
+         |s AS (SELECT source, CAST(sum(cst) AS DOUBLE) AS ns
+         |      FROM st GROUP BY 1),
+         |tt AS (SELECT t, CAST(sum(cst) AS DOUBLE) AS ct
+         |       FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tt),
+         |terms AS (
+         |  SELECT st.source, st.t, st.cst,
+         |    (CAST(st.cst AS DOUBLE) / s.ns)
+         |      * ln((CAST(st.cst AS DOUBLE) / s.ns) / (tt.ct / tot.n))
+         |      AS term
+         |  FROM st JOIN s USING (source) JOIN tt USING (t) CROSS JOIN tot)
+         |SELECT source, CAST(sum(cst) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  round(list_reduce(list(term ORDER BY t), (a, b) -> a + b), 6)
+         |    AS kl
+         |FROM terms GROUP BY source""".stripMargin,
+
+    "q_rate_sample" -> {
+      // u = first 13 md5 hex digits / 16^13 (52 bits — double-exact on
+      // both engines); 16^13 = 2^52, written as its exact decimal repr
+      val u = s"(CAST(${Dedup.md5ChunkSql("m", 1, 13)} AS DOUBLE) " +
+        s"/ ${math.pow(16.0, 13)})"
+      s"""WITH h AS (
+         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents)
+         |SELECT doc_id, source FROM h
+         |WHERE $u < CASE source WHEN 'src0' THEN 1.0
+         |  WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+         |  ELSE 0.1 END""".stripMargin
+    },
+
+    "q_interleave" -> {
+      val chunk = Dedup.md5ChunkSql("m", 1, 13)
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m
+         |  FROM documents),
+         |s AS (SELECT doc_id, $chunk % 8 AS shard, m FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id)
+         |    AS BIGINT) AS position
+         |FROM s""".stripMargin
+    },
 
     "q_seg_dedup" ->
       s"""WITH w AS ($wCte),

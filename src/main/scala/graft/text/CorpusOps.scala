@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 import graft.operators.GraftTransformer
 
 /** Corpus-curation operators for large-scale pretraining pipelines:
@@ -298,6 +299,58 @@ object CorpusSplit {
       .select(col(idCol), col("chunk_idx"),
         size(col("__c")).cast("long").as("n_chunk_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** md5-uniform in [0, 1): the first 13 hex digits (52 bits — exact
+    * in a double on BOTH engines; see [[Dedup.md5ChunkSql]]'s bound)
+    * scaled by 16^-13. The deterministic substitute for random() in
+    * every sampling decision: reproducible, growth-stable, and
+    * oracle-checkable bit for bit. */
+  def hashUniform(id: Column): Column =
+    Dedup.md5Chunk(id.cast("string"), 1, 13).cast("double") /
+      lit(math.pow(16.0, 13))
+
+  /** Per-stratum rate sampling — the curation step that APPLIES a
+    * quality stratification (CCNet keeps head/middle and downsamples
+    * tail; mixture tuning downsamples over-represented sources): keep a
+    * document iff its md5-uniform draw falls under its stratum's rate.
+    * A pure scan-speed projection (the rates table rides the plan as a
+    * literal map — strata are a handful of labels, never a scale
+    * axis); deterministic, so reruns and backfills keep the SAME
+    * documents, and adding corpus keeps prior decisions — the property
+    * `rand() < r` sampling lacks. `defaultRate` covers unlisted
+    * strata. */
+  def sampleByRate(docs: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val u = hashUniform(col(idCol))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.where(u < rate)
+  }
+
+  /** Deterministic global shuffle + sharding for training order
+    * (the "interleave" step that turns a curated corpus into the
+    * globally-shuffled sharded dataset trainers stream): shard =
+    * md5-bucket of the id, position = rank of md5(id) WITHIN the
+    * shard. Output (idCol, shard, position) is a total order that is
+    * uniform-random with respect to any corpus ordering (crawl date,
+    * domain) yet fully reproducible. The per-shard window is the
+    * honest scale shape: a shard IS the output unit (one file /
+    * training stream), so `nShards` is chosen to bound shard size —
+    * the window partition is bounded by design, exactly like
+    * [[pack]]'s per-shard layout. */
+  def interleave(docs: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val shard = pmod(Dedup.md5Chunk(col(idCol).cast("string"), 1, 13),
+      lit(nShards.toLong))
+    val win = Window.partitionBy(col("shard")).orderBy(col("__h"),
+      col(idCol))
+    docs.select(col(idCol), shard.as("shard"), h.as("__h"))
+      .withColumn("position",
+        row_number().over(win).cast("long"))
+      .drop("__h")
   }
 
   /** Temperature-scaled source mixture weights (the multilingual /

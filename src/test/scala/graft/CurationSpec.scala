@@ -58,6 +58,67 @@ class CurationSpec extends AnyFunSuite {
       Set((1L, 2L, false), (2L, 0L, true), (3L, 0L, true)))
   }
 
+  test("rate sampling: rate 1 keeps all, rate 0 drops all, lower rates " +
+    "keep SUBSETS of higher ones (same deterministic draw), unlisted " +
+    "strata take the default") {
+    import graft.text.CorpusSplit
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "src")
+    def kept(rates: Map[String, Double], dflt: Double = 1.0) =
+      CorpusSplit.sampleByRate(docs, "doc_id", "src", rates, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(Map("a" -> 1.0, "b" -> 1.0)).size == 200)
+    assert(kept(Map("a" -> 0.0, "b" -> 0.0)).isEmpty)
+    val half = kept(Map("a" -> 0.5, "b" -> 0.5))
+    val quarter = kept(Map("a" -> 0.25, "b" -> 0.25))
+    assert(quarter.subsetOf(half),
+      "same md5 draw: lower rate must nest inside higher rate")
+    assert(half.size > 60 && half.size < 140, s"~uniform: ${half.size}")
+    // unlisted stratum 'b' takes defaultRate
+    assert(kept(Map("a" -> 1.0), dflt = 0.0) ==
+      (0L until 200L by 2).toSet)
+    // determinism
+    assert(kept(Map("a" -> 0.3, "b" -> 0.7)) ==
+      kept(Map("a" -> 0.3, "b" -> 0.7)))
+  }
+
+  test("interleave: per-shard positions are contiguous from 1, every " +
+    "doc appears exactly once, order is md5-derived not id order") {
+    import graft.text.CorpusSplit
+    val docs = (0L until 100L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = CorpusSplit.interleave(docs, "doc_id", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == (0L until 100L).toSet)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "positions must be 1..n within each shard")
+    }
+    // a uniform hash order essentially never equals id order
+    val shard0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted, "interleave must actually shuffle")
+  }
+
+  test("source KL: hand-computed two-source divergence; identical " +
+    "distributions give zero") {
+    import graft.text.SourceKl
+    val docs = Seq((1L, "a", "x x y"), (2L, "b", "x y"))
+      .toDF("doc_id", "source", "text")
+    val out = SourceKl.unigramKl(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def t(p: Double, q: Double) = p * math.log(p / q)
+    val klA = t(2.0 / 3, 3.0 / 5) + t(1.0 / 3, 2.0 / 5)
+    val klB = t(1.0 / 2, 3.0 / 5) + t(1.0 / 2, 2.0 / 5)
+    assert(out("a")._1 == 3L && out("a")._2 == 2L)
+    assert(math.abs(out("a")._3 - klA) < 1e-12)
+    assert(math.abs(out("b")._3 - klB) < 1e-12)
+    val same = Seq((1L, "a", "x y z"), (2L, "b", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val zero = SourceKl.unigramKl(same, "source", "text")
+      .collect().map(_.getDouble(3))
+    assert(zero.forall(v => math.abs(v) < 1e-15))
+  }
+
   test("jl projection: basis vectors read the matrix exactly; pairwise " +
     "squared distances are preserved within the JL band at k = 16") {
     val dim = 64; val k = 16
