@@ -43,6 +43,9 @@ object ZOrder {
     * sum IS the bitwise OR. */
   def interleave(qs: Seq[Column], bits: Int): Column = {
     val d = qs.size
+    require(bits * d <= 63,
+      s"bits*dims = ${bits * d} exceeds 63: the Morton key would " +
+        "overflow into the long sign bit and corrupt the sort order")
     val terms = for {
       b <- 0 until bits
       (q, di) <- qs.zipWithIndex

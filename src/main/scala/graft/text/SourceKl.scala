@@ -25,14 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object SourceKl {
 
+  private val liveCaches =
+    graft.operators.GraftTransformer.newCacheQueue()
+
   /** One row per source: (sourceCol, n_tokens, n_distinct, kl). */
   def unigramKl(docs: DataFrame, sourceCol: String,
       textCol: String): DataFrame = {
-    val st = docs
+    liveCaches.release()
+    // the ONE corpus-sized pass (tokenize + (source, token) counts) is
+    // persisted: source totals, corpus token counts and the final join
+    // all derive from this vocabulary-sized frame instead of
+    // re-scanning the corpus per consumer
+    val st = liveCaches.keep(docs
       .select(col(sourceCol), explode(CorpusOps.words(col(textCol)))
         .as("__t"))
       .groupBy(col(sourceCol), col("__t"))
       .agg(count(lit(1)).as("__cst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val perSource = st.groupBy(col(sourceCol))
       .agg(sum(col("__cst")).cast("double").as("__ns"))
     val perToken = st.groupBy(col("__t"))

@@ -458,6 +458,11 @@ class TransformerSpec extends AnyFunSuite {
     assert(q(0.0) == spread(0L))
     assert(q(10.0) == spread(255L))
     assert(q(5.0) == spread(127L)) // floor(0.5*255) = 127
+    // bits*dims > 63 would overflow into the sign bit: rejected up front
+    val cols8 = (0 until 8).map(i => col("x") + lit(i))
+    intercept[IllegalArgumentException] {
+      ZOrder.interleave(cols8, 8) // 64 bits
+    }
   }
 
   test("zorder layout: rows in one bucket are close in EVERY clustered " +
