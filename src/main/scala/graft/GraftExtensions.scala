@@ -104,6 +104,21 @@ object GraftFunctions {
         MedianMadAgg(org.apache.spark.sql.catalyst.expressions.Cast(
           args.head, org.apache.spark.sql.types.DoubleType))
       }),
+    (FunctionIdentifier("topk_by"),
+      info("topk_by",
+        "topk_by(score, id, k) - k best (score DESC, id ASC) pairs as " +
+          "array<struct<score,id>>, partial-aggregated map-side"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 && args(2).foldable &&
+          args(2).dataType == org.apache.spark.sql.types.IntegerType,
+          "topk_by expects (double, bigint, int literal)")
+        graft.functions.TopKByAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(0), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.LongType),
+          args(2).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("minhash_sigs"),
       info("minhash_sigs",
         "minhash_sigs(h1, h2, n) - n minhash values min_j(h1[j] + i*h2[j])"),

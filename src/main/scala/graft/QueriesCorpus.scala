@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.{Blocklist, Bm25, Bpe, CorpusOps, CorpusSplit,
-  Decontaminate, DupSpans, HeavyHitters, NgramLm,
+  Decontaminate, DomainCap, DupSpans, HeavyHitters, NgramLm,
   QualityFilterTransformer, RepetitionTransformer, SegmentDedup}
 import graft.dedup.{Dedup, DupClusters}
 
@@ -261,6 +261,17 @@ object QueriesCorpus {
       graft.text.LmBuckets.headMiddleTail(docs(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"),
           col("bucket"))
+    }),
+
+    // per-domain cap (RefinedWeb §3.1): keep each source's 10 longest
+    // docs via ONE bounded partial top-k aggregate — the exchange
+    // carries ≤ k rows per (task, source), never the corpus; the
+    // oracle's row_number window is the shape this operator replaces
+    "q_domain_cap" -> ((s, dir) => {
+      DomainCap.cap(docs(s, dir), "source", col("n_chars"), col("doc_id"),
+        k = 10)
+        .select(col("source"), col("id").as("doc_id"),
+          col("score").cast("long").as("n_chars"), col("rk"))
     })
   )
 
@@ -645,7 +656,14 @@ object QueriesCorpus {
          |   FROM j) WHERE rn = 1)
          |SELECT j.doc_id, j.cluster, j.n_chars,
          | (j.doc_id = ch.champ) AS is_canonical
-         |FROM j JOIN ch USING (cluster)""".stripMargin
+         |FROM j JOIN ch USING (cluster)""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin
   )
 
   /** Oracle mirror of [[graft.text.NgramLm.scoreStupidBackoff]]:

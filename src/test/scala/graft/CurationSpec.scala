@@ -151,4 +151,44 @@ class CurationSpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.75 && mean < 1.25, s"mean distortion $mean")
   }
+
+  test("domain cap: topk_by keeps the k best (score DESC, id ASC) per " +
+    "group, agrees with the window mirror, and merges across partitions") {
+    import graft.text.DomainCap
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (i.toLong, s"g${i % 5}", rnd.nextInt(40).toLong))
+    // 8 partitions so partial buffers genuinely merge; scores collide
+    // heavily (40 distinct values per ~100-row group) so the id ASC
+    // tiebreak is doing real work
+    val df = spark.createDataFrame(rows).toDF("id", "g", "s")
+      .repartition(8)
+    val got = DomainCap.cap(df, "g", col("s"), col("id"), k = 7)
+      .collect().map(r => (r.getString(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // window mirror on the driver
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy { case (id, _, s) => (-s, id) }.take(7).zipWithIndex
+        .map { case ((id, _, s), i) => (g, i + 1) -> (id, s.toDouble) }
+    }
+    assert(got.size == 35)
+    assert(got == want)
+    // SQL surface
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("capfix")
+    val viaSql = spark.sql(
+      "SELECT g, topk_by(CAST(s AS DOUBLE), id, 3) AS t FROM capfix GROUP BY g")
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getDouble(0), e.getLong(1)))).toMap
+    for ((g, ps) <- viaSql)
+      assert(ps == want.collect { case ((`g`, rk), (id, s)) if rk <= 3 =>
+        (rk, (s, id)) }.toSeq.sortBy(_._1).map(_._2),
+        s"sql path differs for $g")
+    // fewer rows than k: the whole group comes back, ordered
+    val tiny = Seq((1L, "a", 5L), (2L, "a", 9L)).toDF("id", "g", "s")
+    val t = DomainCap.cap(tiny, "g", col("s"), col("id"), 10)
+      .orderBy(col("rk")).collect()
+    assert(t.map(_.getLong(1)).toSeq == Seq(2L, 1L))
+  }
 }
