@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.{Blocklist, Bm25, Bpe, CorpusOps, CorpusSplit,
-  Decontaminate, DomainCap, DupSpans, HeavyHitters, NgramLm,
+  Decontaminate, DomainCap, Dsir, DupSpans, HeavyHitters, NgramLm,
   QualityFilterTransformer, RepetitionTransformer, SegmentDedup}
 import graft.dedup.{Dedup, DupClusters}
 
@@ -272,6 +272,17 @@ object QueriesCorpus {
         k = 10)
         .select(col("source"), col("id").as("doc_id"),
           col("score").cast("long").as("n_chars"), col("rk"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram +
+    // bigram bag models (256 buckets, add-1), target = src0, keep the
+    // Gumbel-top-25% by log importance weight — the principled "make
+    // the crawl look like the quality domain" selection step
+    "q_dsir" -> ((s, dir) => {
+      Dsir.resample(docs(s, dir), "doc_id", "text",
+        col("source") === "src0", keepFrac = 0.25)
+        .select(col("doc_id"), col("n_feats"),
+          round(col("log_w"), 6).as("log_w"), col("key"), col("keep"))
     })
   )
 
@@ -663,7 +674,40 @@ object QueriesCorpus {
         |  SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rk
-        |  FROM documents) WHERE rk <= 10""".stripMargin
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
+
+    "q_dsir" -> {
+      val b = "(" + Dedup.md5ChunkSql("md5(t)", 1, 13) + ") % 256"
+      val uDoc = s"(CAST(${Dedup.md5ChunkSql(
+        "md5(CAST(doc_id AS VARCHAR))", 1, 13)} AS DOUBLE) " +
+        s"/ ${math.pow(16.0, 13)})"
+      s"""WITH w AS ($wCte),
+         |f AS (SELECT doc_id, (source = 'src0') AS tgt,
+         |  list_concat(l, ${ngramSql(2)}) AS f FROM w),
+         |pos AS (SELECT doc_id, tgt, i AS pos, f[i] AS t
+         |  FROM f, unnest(range(1, len(f) + 1)) AS r(i)),
+         |pb AS (SELECT doc_id, tgt, pos, $b AS b FROM pos),
+         |cnt AS (SELECT b, count(*) AS cr,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+         |  FROM pb GROUP BY b),
+         |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
+         |    CAST(sum(ct) AS DOUBLE) AS tt FROM cnt),
+         |lam AS (SELECT b,
+         |    ln(((ct + 1.0) / (tt + 256.0)) / ((cr + 1.0) / (tr + 256.0)))
+         |      AS lam FROM cnt, tot),
+         |doc AS (SELECT pb.doc_id, count(*) AS n_feats,
+         |    list_reduce(list(lam ORDER BY pos), (a, x) -> a + x) AS s
+         |  FROM pb JOIN lam USING (b) GROUP BY pb.doc_id),
+         |k AS (SELECT w.doc_id,
+         |    CAST(coalesce(d.n_feats, 0) AS BIGINT) AS n_feats, d.s,
+         |    round(d.s - ln(-ln($uDoc)), 6) AS key
+         |  FROM w LEFT JOIN doc d USING (doc_id)),
+         |cut AS (SELECT round(quantile_cont(key, 0.75), 6) AS c
+         |  FROM k WHERE key IS NOT NULL)
+         |SELECT doc_id, n_feats, round(s, 6) AS log_w, key,
+         |  (key IS NOT NULL AND key >= c) AS keep
+         |FROM k, cut""".stripMargin
+    }
   )
 
   /** Oracle mirror of [[graft.text.NgramLm.scoreStupidBackoff]]:

@@ -191,4 +191,44 @@ class CurationSpec extends AnyFunSuite {
       .orderBy(col("rk")).collect()
     assert(t.map(_.getLong(1)).toSeq == Seq(2L, 1L))
   }
+
+  test("dsir: target-everything gives zero log-weights, target-affine " +
+    "docs outrank off-target ones, n_feats counts unigrams + bigrams") {
+    import graft.text.Dsir
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", "good"),
+      (2L, "alpha beta gamma alpha beta", "good"),
+      (3L, "zeta eta theta zeta eta", "bad"),
+      (4L, "zeta eta theta theta zeta", "bad"),
+      (5L, "alpha beta alpha zeta eta", "mixed")
+    ).toDF("doc_id", "text", "src")
+    // degenerate fit: target == raw → every smoothed ratio is exactly 1
+    val zero = Dsir.importanceWeights(docs, "doc_id", "text", lit(true))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // "alpha beta ..." 5 words → 5 unigrams + 4 bigrams
+    assert(zero.values.forall(_._1 == 9L))
+    assert(zero.values.forall(_._2 == 0.0))
+    // real fit: docs made of target tokens score above the mixed doc,
+    // which scores above the off-target docs
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+        col("src") === "good")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(5L) && w(2L) > w(5L), s"target docs must outrank: $w")
+    assert(w(5L) > w(3L) && w(5L) > w(4L), s"mixed must outrank bad: $w")
+    // resample: keep is (key >= cut) for a cut at the right quantile —
+    // with 5 docs and keepFrac 0.4, at most 2-3 survive (ties at the
+    // rounded cut can add one) and reruns are bit-identical
+    val r1 = Dsir.resample(docs, "doc_id", "text",
+        col("src") === "good", keepFrac = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val kept = r1.count(_._2._2)
+    assert(kept >= 1 && kept <= 3, s"kept $kept of 5 at frac 0.4")
+    val r2 = Dsir.resample(docs, "doc_id", "text",
+        col("src") === "good", keepFrac = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(r1 == r2)
+  }
 }
