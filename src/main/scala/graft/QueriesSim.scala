@@ -166,6 +166,17 @@ object QueriesSim {
         dim = DIM, bands = bands, planesPerBand = planes, threshold = thr,
         maxBucketSize = cap)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // distributed full-corpus Lloyd's (2 rounds from the pinned grid,
+    // data-form centroids throughout): the whole-corpus trainer behind
+    // the IVF/SemDeDup quantizers — fixed iters + pinned init make the
+    // fit oracle-checkable, unlike seeded-sample k-means
+    "q_kmeans" -> ((s, dir) => {
+      graft.sim.KMeans.fitAssign(emb(s, dir), "vec_id", "embedding",
+        IvfCosine.centroidsDf(s, IvfCosine.pinnedCentroids(8, DIM)),
+        iters = 2)
+        .select(col("vec_id"), col("cell"))
     })
   )
 
@@ -464,6 +475,41 @@ object QueriesSim {
          |  FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id)
          |SELECT DISTINCT id_a, id_b, round(cosine, 6) AS cosine
          |FROM pairs WHERE cosine >= $thr""".stripMargin
+    },
+
+    "q_kmeans" -> {
+      // two unrolled Lloyd rounds: assignment argmin + elementwise mean,
+      // empty cells keep the previous centroid (LEFT JOIN coalesce)
+      val cents = IvfCosine.pinnedCentroids(8, DIM)
+      val values = cents.zipWithIndex.map { case (c, j) =>
+        s"($j, [${c.mkString(", ")}])"
+      }.mkString(",\n    ")
+      def assignCte(name: String, cSrc: String) =
+        s"""$name AS (
+           |  SELECT vec_id, e, j AS cell FROM v CROSS JOIN $cSrc
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+           |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv))
+           |      + list_inner_product(cv, cv), j) = 1)""".stripMargin
+      def meanCte(m: String, n: String, a: String, cPrev: String,
+          cNew: String) =
+        s"""$m AS (
+           |  SELECT cell, i, avg(e[i]) AS mu
+           |  FROM $a, unnest(range(1, ${DIM + 1})) AS r(i)
+           |  GROUP BY cell, i),
+           |$n AS (SELECT cell AS j, list(mu ORDER BY i) AS cv
+           |  FROM $m GROUP BY cell),
+           |$cNew AS (SELECT $cPrev.j, coalesce($n.cv, $cPrev.cv) AS cv
+           |  FROM $cPrev LEFT JOIN $n USING (j))""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c0(j, cv) AS (SELECT * FROM (VALUES
+         |    $values)),
+         |${assignCte("a1", "c0")},
+         |${meanCte("m1", "n1", "a1", "c0", "c1")},
+         |${assignCte("a2", "c1")},
+         |${meanCte("m2", "n2", "a2", "c1", "c2")},
+         |${assignCte("a3", "c2")}
+         |SELECT vec_id, cell FROM a3""".stripMargin
     }
   )
 }

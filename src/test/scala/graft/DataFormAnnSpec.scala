@@ -117,4 +117,34 @@ class DataFormAnnSpec extends AnyFunSuite {
     assert(big <= small * 11 / 10,
       s"data-form ivf-pq plan must not grow with nlist/nk: $small -> $big")
   }
+
+  test("kmeans: distributed Lloyd separates two obvious clusters, an " +
+    "empty cell keeps its init centroid, fitAssign matches a driver run") {
+    import graft.sim.KMeans
+    // two tight blobs around +1 and -1 on every coordinate, plus a
+    // third init centroid far away that never wins a member
+    val pts = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, (0 until dim).map(d =>
+        c + 0.01 * math.sin(i * 31 + d)).toArray)
+    }
+    val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+      .repartition(5)
+    val init = Seq(
+      (0, (0 until dim).map(_ => 0.9).toArray),
+      (1, (0 until dim).map(_ => -0.9).toArray),
+      (2, (0 until dim).map(_ => 100.0).toArray)
+    ).toDF("cell", "cvec")
+    val cents = KMeans.lloyd(df, "vec_id", "embedding", init, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // cells 0/1 move to the blob means; cell 2 never assigned → pinned
+    assert(cents(2).forall(_ == 100.0), "empty cell must keep its init")
+    assert(cents(0).forall(x => math.abs(x - 1.0) < 0.02), s"${cents(0)}")
+    assert(cents(1).forall(x => math.abs(x + 1.0) < 0.02), s"${cents(1)}")
+    val got = KMeans.fitAssign(df, "vec_id", "embedding", init, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 40)
+    assert((0 until 40).forall(i =>
+      got(i.toLong) == (if (i % 2 == 0) 0 else 1)))
+  }
 }
