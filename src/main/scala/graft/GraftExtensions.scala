@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{ExactPercentilesAgg, FastRoundExpr,
-  InverseNormalCdfExpr, MedianMadAgg, MinHashSigsExpr,
+  InverseNormalCdfExpr, MedianMadAgg, MinHashSigsExpr, NfcNormalizeExpr,
   SortedIntersectSizeExpr, VecDotExpr}
 
 /** SQL-surface registration of the engine's native Catalyst expressions
@@ -103,6 +103,14 @@ object GraftFunctions {
         require(args.length == 1, "median_mad expects 1 argument")
         MedianMadAgg(org.apache.spark.sql.catalyst.expressions.Cast(
           args.head, org.apache.spark.sql.types.DoubleType))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC normalization (UAX #15), " +
+          "same transform as DuckDB's nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize expects 1 argument")
+        NfcNormalizeExpr(args.head)
       }),
     (FunctionIdentifier("topk_by"),
       info("topk_by",

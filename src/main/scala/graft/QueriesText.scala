@@ -102,8 +102,37 @@ object QueriesText {
         docs(s, dir).withColumn("text", piiText), "text")
         .select(col("doc_id"), col("n_email"), col("n_ipv4"),
           col("n_phone"), col("n_pii"), col("redacted"))
+    }),
+
+    // ingest canonicalization (NFC + control strip + whitespace
+    // collapse): the clean corpus carries no mess, so a deterministic
+    // third of docs get a DECOMPOSED é + VT/tab runs and a third a
+    // precomposed é (identically mirrored in the oracle) — the NFC
+    // kernel, the control pass and the collapse all verify bit-for-bit
+    "q_normalize" -> ((s, dir) => {
+      graft.text.TextNormalize(
+        docs(s, dir).withColumn("text", messyText), "text")
+        .select(col("doc_id"), col("clean_text"),
+          col("clean_text_n_chars"))
     })
   )
+
+  /** doc_id-seeded messy text ([[messyTextSql]] is the oracle mirror):
+    * a third of docs get a decomposed e+COMBINING ACUTE plus control/
+    * whitespace runs, a third the precomposed form, a third stay
+    * clean. */
+  private def messyText: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit("  cafe\u0301\u000Bdu\tmonde ")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" caf\u00e9 bar  ")))
+      .otherwise(col("text"))
+
+  private val messyTextSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || '  cafe' || chr(769) || " +
+      "chr(11) || 'du' || chr(9) || 'monde ' " +
+      "WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233) || ' bar  ' " +
+      "ELSE text END"
 
   /** doc_id-seeded PII-bearing text (Spark side; [[piiTextSql]] is the
     * oracle mirror): a third of docs get an email, a third an IP + an
@@ -341,6 +370,16 @@ object QueriesText {
          |   + len(regexp_extract_all(t, '$ph')) AS n_pii,
          | $red AS redacted
          |FROM p""".stripMargin
-    }
+    },
+
+    "q_normalize" ->
+      s"""WITH m AS (SELECT doc_id, $messyTextSql AS t FROM documents),
+         |c AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(t),
+         |    '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text
+         |  FROM m)
+         |SELECT doc_id, clean_text,
+         |  CAST(length(clean_text) AS BIGINT) AS clean_text_n_chars
+         |FROM c""".stripMargin
   )
 }

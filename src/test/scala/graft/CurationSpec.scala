@@ -231,4 +231,37 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(r1 == r2)
   }
+
+  test("text normalize: decomposed and precomposed forms clean to the " +
+    "same bytes, NFC leaves compatibility variants alone, control and " +
+    "whitespace runs collapse, and the result is idempotent") {
+    import graft.text.TextNormalize
+    val docs = Seq(
+      (1L, "caf\u00e9 du monde"),            // precomposed U+00E9
+      (2L, "cafe\u0301 du\u000B monde"),     // decomposed e + U+0301, VT
+      (3L, "  \tcaf\u00e9   du \u0007monde "), // runs, BEL, edges
+      (4L, "\ufb01ne \uff21 day"),           // ﬁ ligature + fullwidth A
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextNormalize(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "caf\u00e9 du monde")
+    assert(out(2L) == out(1L), "NFC must unify the two encodings")
+    assert(out(3L) == out(1L), "control/runs/edges must collapse away")
+    // NFC != NFKC: compatibility characters survive
+    assert(out(4L) == "\ufb01ne \uff21 day")
+    assert(out(5L) == "")
+    // idempotence: cleaning the cleaned column is the identity
+    val twice = TextNormalize(
+      TextNormalize(docs, "text").select(col("doc_id"),
+        col("clean_text").as("text")), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(twice == out)
+    // the downstream effect that motivates the operator: exact dedup
+    // unifies the three surface forms once text is canonicalized
+    val fps = TextNormalize(docs, "text")
+      .where(col("doc_id") <= 3)
+      .select(md5(col("clean_text"))).distinct().count()
+    assert(fps == 1L)
+  }
 }
