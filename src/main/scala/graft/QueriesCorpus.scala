@@ -283,6 +283,16 @@ object QueriesCorpus {
         col("source") === "src0", keepFrac = 0.25)
         .select(col("doc_id"), col("n_feats"),
           round(col("log_w"), 6).as("log_w"), col("key"), col("keep"))
+    }),
+
+    // PMI collocation mining (phrase detection before vocab building):
+    // two count tables + candidate-side joins, top-k via the
+    // LimitPushDownThroughWindow TakeOrdered shape
+    "q_collocations" -> ((s, dir) => {
+      graft.text.Collocations.topPmi(docs(s, dir), "text",
+        minCount = 20, k = 50)
+        .select(col("rank"), col("bigram"), col("c12"), col("c1"),
+          col("c2"), round(col("pmi"), 6).as("pmi"))
     })
   )
 
@@ -707,7 +717,26 @@ object QueriesCorpus {
          |SELECT doc_id, n_feats, round(s, 6) AS log_w, key,
          |  (key IS NOT NULL AND key >= c) AS keep
          |FROM k, cut""".stripMargin
-    }
+    },
+
+    "q_collocations" ->
+      s"""WITH w AS ($wCte),
+         |uni AS (SELECT t, count(*) AS c FROM
+         |  (SELECT unnest(l) AS t FROM w) GROUP BY t),
+         |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+         |bi AS (SELECT bg, count(*) AS c12 FROM
+         |  (SELECT unnest(${ngramSql(2)}) AS bg FROM w) GROUP BY bg
+         |  HAVING count(*) >= 20),
+         |sc AS (
+         |  SELECT bi.bg AS bigram, bi.c12, u1.c AS c1, u2.c AS c2,
+         |    ln(bi.c12 * n.n / (u1.c * u2.c)) AS pmi
+         |  FROM bi
+         |  JOIN uni u1 ON u1.t = split_part(bi.bg, ' ', 1)
+         |  JOIN uni u2 ON u2.t = split_part(bi.bg, ' ', 2), n)
+         |SELECT CAST(rank AS INT) AS rank, bigram, c12, c1, c2,
+         |  round(pmi, 6) AS pmi
+         |FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram)
+         |  AS rank FROM sc) WHERE rank <= 50""".stripMargin
   )
 
   /** Oracle mirror of [[graft.text.NgramLm.scoreStupidBackoff]]:

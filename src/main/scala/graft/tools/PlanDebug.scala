@@ -44,6 +44,10 @@ object PlanDebug {
     println("WholeStageCodegen spans: " +
       "WholeStageCodegen".r.findAllIn(plan).size)
     println("Project nodes: " + "Project".r.findAllIn(plan).size)
+    println("TakeOrderedAndProject nodes: " +
+      "TakeOrderedAndProject".r.findAllIn(plan).size)
+    println("Window nodes: " + "\\bWindow\\b".r.findAllIn(plan).size)
+    println("Exchange nodes: " + "Exchange".r.findAllIn(plan).size)
     spark.stop()
   }
 }

@@ -264,4 +264,33 @@ class CurationSpec extends AnyFunSuite {
       .select(md5(col("clean_text"))).distinct().count()
     assert(fps == 1L)
   }
+
+  test("collocations: hand-computed PMI on a fixed corpus, minCount " +
+    "suppresses rare pairs, rank is (pmi DESC, bigram)") {
+    import graft.text.Collocations
+    // corpus: "new york" always adjacent (3×), "of the" frequent but
+    // independent-ish, "rare pair" once
+    val docs = Seq(
+      (1L, "new york is big"),
+      (2L, "new york of the north"),
+      (3L, "the best of new york"),
+      (4L, "rare pair of the day")
+    ).toDF("doc_id", "text")
+    val out = Collocations.topPmi(docs, "text", minCount = 2, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getInt(5))).toMap
+    // N = 19 tokens; c(new)=3, c(york)=3, c12(new york)=3
+    val n = 19.0
+    assert(out.contains("new york"))
+    val (c12, c1, c2, pmi, rank) = out("new york")
+    assert((c12, c1, c2) == (3L, 3L, 3L))
+    assert(math.abs(pmi - math.log(3 * n / 9.0)) < 1e-12)
+    assert(rank == 1, "the always-adjacent pair must top the ranking")
+    // "rare pair" occurs once: below minCount, excluded
+    assert(!out.contains("rare pair"))
+    // every surviving bigram respects minCount, ranks are 1..size
+    assert(out.values.forall(_._1 >= 2))
+    assert(out.values.map(_._5).toSeq.sorted == (1 to out.size).toSeq)
+  }
 }
