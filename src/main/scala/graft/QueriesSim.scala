@@ -177,6 +177,17 @@ object QueriesSim {
         IvfCosine.centroidsDf(s, IvfCosine.pinnedCentroids(8, DIM)),
         iters = 2)
         .select(col("vec_id"), col("cell"))
+    }),
+
+    // prototypicality pruning (Sorscher et al. 2022): drop each cell's
+    // most-centroid-similar half — per-cell exact-percentile cuts
+    // broadcast back, keep-hard-examples companion of q_semdedup
+    "q_proto_prune" -> ((s, dir) => {
+      graft.sim.ProtoPrune.prune(emb(s, dir), "vec_id", "embedding",
+        IvfCosine.centroidsDf(s, IvfCosine.pinnedCentroids(8, DIM)),
+        keepFrac = 0.5)
+        .select(col("vec_id"), col("cell"), col("centroid_sim"),
+          col("keep"))
     })
   )
 
@@ -510,6 +521,32 @@ object QueriesSim {
          |${meanCte("m2", "n2", "a2", "c1", "c2")},
          |${assignCte("a3", "c2")}
          |SELECT vec_id, cell FROM a3""".stripMargin
+    },
+
+    "q_proto_prune" -> {
+      val cents = IvfCosine.pinnedCentroids(8, DIM)
+      val values = cents.zipWithIndex.map { case (c, j) =>
+        s"($j, [${c.mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c0(j, cv) AS (SELECT * FROM (VALUES
+         |    $values)),
+         |a AS (
+         |  SELECT vec_id, e, j AS cell, cv FROM v CROSS JOIN c0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+         |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv))
+         |      + list_inner_product(cv, cv), j) = 1),
+         |s AS (
+         |  SELECT vec_id, cell,
+         |    round(list_inner_product(e, cv)
+         |      / (sqrt(list_inner_product(e, e))
+         |         * sqrt(list_inner_product(cv, cv))), 6) AS centroid_sim
+         |  FROM a),
+         |cut AS (SELECT cell, round(quantile_cont(centroid_sim, 0.5), 6)
+         |    AS c FROM s GROUP BY cell)
+         |SELECT vec_id, cell, centroid_sim, (centroid_sim <= c) AS keep
+         |FROM s JOIN cut USING (cell)""".stripMargin
     }
   )
 }

@@ -147,4 +147,35 @@ class DataFormAnnSpec extends AnyFunSuite {
     assert((0 until 40).forall(i =>
       got(i.toLong) == (if (i % 2 == 0) 0 else 1)))
   }
+
+  test("proto prune: per cell, exactly the least-prototypical rows at " +
+    "or below the keepFrac quantile survive; every row is labeled") {
+    import graft.sim.ProtoPrune
+    val df = corpus(200)
+    val cents = IvfCosine.centroidsDf(spark,
+      IvfCosine.pinnedCentroids(4, dim))
+    val out = ProtoPrune.prune(df, "vec_id", "embedding", cents,
+        keepFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.length == 200, "every row labeled")
+    out.groupBy(_._2).foreach { case (cell, rows) =>
+      val sims = rows.map(_._3).sorted
+      // driver mirror of the interpolated median over rounded sims
+      val q = {
+        val h = 0.5 * (sims.length - 1)
+        val lo = sims(h.toInt)
+        val hi = sims(math.ceil(h).toInt)
+        BigDecimal(lo + (h - h.toInt) * (hi - lo))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      rows.foreach { case (id, _, sim, keep) =>
+        assert(keep == (sim <= q),
+          s"cell $cell id $id sim $sim cut $q keep $keep")
+      }
+      val kept = rows.count(_._4)
+      assert(kept >= rows.length / 2 - 1 && kept <= rows.length / 2 + 2,
+        s"cell $cell kept $kept of ${rows.length}")
+    }
+  }
 }
