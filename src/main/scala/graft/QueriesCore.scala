@@ -270,6 +270,15 @@ object QueriesCore {
       Winsorizer(Seq("l_extendedprice"), "l_returnflag").transform(li(s, dir))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice_wins"), 6).as("price_wins"))
+    }),
+
+    // equal-frequency discretization: price quartile per return flag —
+    // one cuts aggregate broadcast back, bin index a scan-speed fold
+    "q_qbin" -> ((s, dir) => {
+      QuantileBinner("l_extendedprice", k = 4, Seq("l_returnflag"))
+        .transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("bin"))
     })
   )
 
@@ -587,6 +596,20 @@ object QueriesCore {
         |   ELSE (l_extendedprice - mn) / (mx - mn) END, 6) AS price_scaled
         |FROM lineitem,
         | (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
-        |  FROM lineitem)""".stripMargin
+        |  FROM lineitem)""".stripMargin,
+
+    "q_qbin" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    round(CAST(l_extendedprice AS DOUBLE), 6) AS x
+        |  FROM lineitem),
+        |cuts AS (SELECT l_returnflag,
+        |    [round(quantile_cont(x, 0.25), 6),
+        |     round(quantile_cont(x, 0.5), 6),
+        |     round(quantile_cont(x, 0.75), 6)] AS qs
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN x IS NULL THEN NULL
+        |    ELSE 1 + len(list_filter(qs, q -> x > q)) END AS bin
+        |FROM v JOIN cuts USING (l_returnflag)""".stripMargin
   )
 }

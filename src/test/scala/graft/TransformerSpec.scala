@@ -492,4 +492,28 @@ class TransformerSpec extends AnyFunSuite {
       }.collect()
     assert(parts.forall(identity))
   }
+
+  test("quantile binner: equal-frequency quartiles per group, right-" +
+    "closed bins, nulls bin null, constant group collapses to bin 1") {
+    import org.apache.spark.sql.types._
+    val rows = (1 to 8).map(i => (i.toLong, "a", Some(i.toDouble))) ++
+      Seq((9L, "a", None), (10L, "c", Some(7.0)), (11L, "c", Some(7.0)),
+        (12L, "c", Some(7.0)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, g, v) =>
+        org.apache.spark.sql.Row(id, g, v.orNull) }),
+      StructType(Seq(StructField("id", LongType), StructField("g", StringType),
+        StructField("x", DoubleType))))
+    val out = QuantileBinner("x", k = 4, Seq("g"))
+      .transform(df)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    // group a: values 1..8; interpolated quartile cuts 2.75 / 4.5 / 6.25
+    // → bins (1,2)=1, (3,4)=2, (5,6)=3, (7,8)=4; bin i covers (q_{i-1}, q_i]
+    assert((1 to 8).forall(i => out(i.toLong) == (i + 1) / 2),
+      s"$out")
+    assert(out(9L) == -1, "null value must bin null")
+    // constant group: every cut equals the value; strict > puts all in 1
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 1))
+  }
 }
