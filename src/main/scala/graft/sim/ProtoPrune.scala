@@ -36,9 +36,13 @@ object ProtoPrune {
 
   /** (idCol, cell, centroid_sim, keep): keep = the `keepFrac` LEAST
     * prototypical rows of each cell (sim at or below the cell's
-    * keepFrac quantile; boundary ties keep). */
+    * keepFrac quantile; boundary ties keep). `approxCuts` swaps the
+    * exact per-cell percentile for the mergeable `approx_percentile`
+    * sketch (map-side partials, no per-cell value buffer) — the 100 TB
+    * form; exact by default so the keep set oracles bit-for-bit. */
   def prune(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, keepFrac: Double): DataFrame = {
+      centroids: DataFrame, keepFrac: Double,
+      approxCuts: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(keepFrac > 0 && keepFrac < 1, s"keepFrac out of (0,1): $keepFrac")
     liveCaches.release()
     val assigned = IvfCosine.assignByCentroidsDf(
@@ -51,12 +55,15 @@ object ProtoPrune {
               sqrt(Similarity.dot(col("__cvec"), col("__cvec")))), 6)
           .as("centroid_sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qAgg =
+      if (approxCuts)
+        expr(s"approx_percentile(centroid_sim, $keepFrac, $accuracy)")
+      else element_at(graft.functions.ExactPercentiles(
+        col("centroid_sim"), Seq(keepFrac)), 1)
     val cuts = scored.groupBy(col("cell"))
-      .agg(graft.functions.ExactPercentiles(
-        col("centroid_sim"), Seq(keepFrac)).as("__q"))
+      .agg(qAgg.as("__q"))
       .select(col("cell"),
-        graft.functions.FastRound(element_at(col("__q"), 1), 6)
-          .as("__cut"))
+        graft.functions.FastRound(col("__q"), 6).as("__cut"))
     scored.join(broadcast(cuts), Seq("cell"))
       .select(col(idCol), col("cell"), col("centroid_sim"),
         (col("centroid_sim") <= col("__cut")).as("keep"))

@@ -107,10 +107,14 @@ object Dsir {
   /** importanceWeights + the Gumbel-top-fraction keep decision:
     * (idCol, n_feats, log_w, key, keep). Keys and the cut are rounded
     * to 6 decimals before comparing so the boundary is engine-stable;
-    * featureless documents (null key) are never kept. */
+    * featureless documents (null key) are never kept. `approxCut`
+    * swaps the exact quantile for the mergeable `approx_percentile`
+    * sketch (no full-key reducer buffer) — the 100 TB form; exact by
+    * default so the keep set oracles bit-for-bit. */
   def resample(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, keepFrac: Double, buckets: Int = 256,
-      alpha: Double = 1.0): DataFrame = {
+      alpha: Double = 1.0, approxCut: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(keepFrac > 0 && keepFrac < 1, s"keepFrac out of (0,1): $keepFrac")
     val u = CorpusSplit.hashUniform(col(idCol))
     // scored once, read twice (cut-point aggregate + keep labeling)
@@ -119,11 +123,14 @@ object Dsir {
         .withColumn("key", graft.functions.FastRound(
           col("log_w") - log(-log(u)), 6))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val qAgg =
+      if (approxCut)
+        expr(s"approx_percentile(key, ${1.0 - keepFrac}, $accuracy)")
+      else element_at(graft.functions.ExactPercentiles(
+        col("key"), Seq(1.0 - keepFrac)), 1)
     val cut = weighted.where(col("key").isNotNull)
-      .agg(graft.functions.ExactPercentiles(
-        col("key"), Seq(1.0 - keepFrac)).as("__q"))
-      .select(graft.functions.FastRound(element_at(col("__q"), 1), 6)
-        .as("__cut"))
+      .agg(qAgg.as("__q"))
+      .select(graft.functions.FastRound(col("__q"), 6).as("__cut"))
     weighted.crossJoin(broadcast(cut))
       .withColumn("keep",
         col("key").isNotNull && col("key") >= col("__cut"))

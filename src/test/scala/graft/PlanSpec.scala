@@ -381,6 +381,42 @@ class PlanSpec extends AnyFunSuite {
     assert(diff <= math.max(2, exactRows.size / 100),
       s"$diff of ${exactRows.size} labels moved — cuts off the terciles")
   }
+
+  test("dsir approxCut + proto-prune approxCuts: the quantile cut " +
+    "becomes mergeable approx_percentile and keep labels track exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val isTgt = org.apache.spark.sql.functions.col("source") === "src0"
+    val exactD = graft.text.Dsir.resample(docs, "doc_id", "text",
+        isTgt, keepFrac = 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val approxDf = graft.text.Dsir.resample(docs, "doc_id", "text",
+      isTgt, keepFrac = 0.25, approxCut = true)
+    val dPlan = planOf(approxDf)
+    assert(dPlan.contains("approx_percentile"), dPlan)
+    assert(!dPlan.toLowerCase.contains("exactpercentiles"), dPlan)
+    val approxD = approxDf.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(approxD.keySet == exactD.keySet)
+    val dDiff = approxD.count { case (id, k) => exactD(id) != k }
+    assert(dDiff <= math.max(2, exactD.size / 100), s"$dDiff moved")
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.sim.IvfCosine.centroidsDf(spark,
+      graft.sim.IvfCosine.pinnedCentroids(8, 64))
+    val exactP = graft.sim.ProtoPrune.prune(emb, "vec_id", "embedding",
+        cents, keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val approxPf = graft.sim.ProtoPrune.prune(emb, "vec_id", "embedding",
+      cents, keepFrac = 0.5, approxCuts = true)
+    val pPlan = planOf(approxPf)
+    assert(pPlan.contains("approx_percentile"), pPlan)
+    assert(!pPlan.toLowerCase.contains("exactpercentiles"), pPlan)
+    val approxP = approxPf.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(approxP.keySet == exactP.keySet)
+    val pDiff = approxP.count { case (id, k) => exactP(id) != k }
+    assert(pDiff <= math.max(2, exactP.size / 50), s"$pDiff moved")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
