@@ -222,6 +222,44 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE b_qty")
     }
   }
+
+  test("hive-partitioned corpus layout: a language filter becomes a " +
+    "PartitionFilter — pruned directories, no data read from other " +
+    "languages") {
+    import org.apache.spark.sql.functions._
+    // the routing step after language-ID: write the corpus partitioned
+    // by lang so per-language pipelines scan only their directory
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toFile
+    try {
+      docs.write.partitionBy("lang").mode("overwrite")
+        .parquet(tmp.getAbsolutePath)
+      val back = spark.read.parquet(tmp.getAbsolutePath)
+      val one = back.where(col("lang") === "en")
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+        s"language filter must prune partitions:\n$plan")
+      // the pruned scan reads exactly the en partition's rows, and the
+      // planner selects only that partition's directory
+      val want = docs.where(col("lang") === "en").count()
+      assert(one.count() == want && want > 0)
+      val scans = one.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      val selected = scans.head.selectedPartitions.toPartitionArray
+        .map(_.urlEncodedPath).toSeq
+      assert(selected.nonEmpty &&
+        selected.forall(_.contains("lang=en")),
+        s"non-en files selected: ${selected.filterNot(_.contains("lang=en"))}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
 
 /** flatMapGroupsWithState sessionization: closed sessions emit when a
