@@ -104,6 +104,16 @@ object QueriesText {
           col("n_phone"), col("n_pii"), col("redacted"))
     }),
 
+    // feature-hashing vectorizer (Weinberger et al. 2009): stateless
+    // md5 bucket+sign bag-of-words — the no-model text embedding that
+    // feeds SemDeDup/ProtoPrune/ANN; one scan-speed projection
+    "q_hash_embed" -> ((s, dir) => {
+      graft.text.HashingVectorizer.vectorize(docs(s, dir), "text",
+        dim = 16)
+        .select(col("doc_id") +: (0 until 16).map(b =>
+          element_at(col("hvec"), b + 1).as(s"d$b")): _*)
+    }),
+
     // ingest canonicalization (NFC + control strip + whitespace
     // collapse): the clean corpus carries no mess, so a deterministic
     // third of docs get a DECOMPOSED é + VT/tab runs and a third a
@@ -370,6 +380,21 @@ object QueriesText {
          |   + len(regexp_extract_all(t, '$ph')) AS n_pii,
          | $red AS redacted
          |FROM p""".stripMargin
+    },
+
+    "q_hash_embed" -> {
+      val b = "(" + Dedup.md5ChunkSql("md5(t)", 1, 13) + ") % 16"
+      val s14 = "((" + Dedup.md5ChunkSql("md5(t)", 14, 1) + ") % 2) * 2 - 1"
+      val dims = (0 until 16).map(d =>
+        s"coalesce(list_sum(list_transform(l, t -> CASE WHEN $b = $d " +
+          s"THEN CAST($s14 AS DOUBLE) ELSE 0.0 END)), 0.0) AS d$d")
+        .mkString(",\n  ")
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')
+         |    AS l FROM documents)
+         |SELECT doc_id,
+         |  $dims
+         |FROM w""".stripMargin
     },
 
     "q_normalize" ->

@@ -293,4 +293,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out.values.forall(_._1 >= 2))
     assert(out.values.map(_._5).toSeq.sorted == (1 to out.size).toSeq)
   }
+
+  test("hashing vectorizer: signed bucket sums match a driver md5 " +
+    "mirror, repeats accumulate, empty docs are zero, l2 normalizes") {
+    import graft.text.HashingVectorizer
+    val dim = 8
+    def h(t: String): (Int, Double) = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = (java.lang.Long.parseLong(m.substring(0, 13), 16) % dim).toInt
+      val s = (java.lang.Long.parseLong(m.substring(13, 14), 16) % 2) * 2 - 1
+      (b, s.toDouble)
+    }
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val out = HashingVectorizer.vectorize(docs, "text", dim, l2 = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](2), r.getSeq[Double](3))).toMap
+    val want = Array.fill(dim)(0.0)
+    Seq("alpha", "beta", "alpha").foreach { t =>
+      val (b, s) = h(t); want(b) += s
+    }
+    assert(out(1L)._1 == want.toSeq, s"${out(1L)._1} vs ${want.toSeq}")
+    assert(out(2L)._1 == Seq.fill(dim)(0.0))
+    assert(out(2L)._2 == Seq.fill(dim)(0.0), "zero vector stays zero")
+    val nrm = math.sqrt(want.map(x => x * x).sum)
+    out(1L)._2.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w / nrm) < 1e-15)
+    }
+    // the compose this operator exists for: hashed vectors feed the
+    // data-form ANN path end to end
+    val vecs = HashingVectorizer.vectorize(
+      Seq((1L, "spark join query"), (2L, "spark join table"),
+        (3L, "entirely different words here")).toDF("doc_id", "text"),
+      "text", 16, l2 = true)
+      .select(col("doc_id").as("vec_id"), col("hvec_l2").as("embedding"))
+    val cents = graft.sim.IvfCosine.centroidsDf(spark,
+      graft.sim.IvfCosine.pinnedCentroids(2, 16))
+    val pruned = graft.sim.ProtoPrune.prune(vecs, "vec_id", "embedding",
+      cents, keepFrac = 0.5).collect()
+    assert(pruned.length == 3)
+  }
 }
