@@ -285,6 +285,15 @@ object QueriesCorpus {
           round(col("log_w"), 6).as("log_w"), col("key"), col("keep"))
     }),
 
+    // the Lee et al. excision applied: tokens under any merged
+    // duplicated interval cut, remainder reassembled — one scan-speed
+    // filter after the spanRanges machinery, no second corpus shuffle
+    "q_dup_excise" -> ((s, dir) => {
+      DupSpans.excise(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("clean_text"))
+    }),
+
     // PMI collocation mining (phrase detection before vocab building):
     // two count tables + candidate-side joins, top-k via the
     // LimitPushDownThroughWindow TakeOrdered shape
@@ -518,6 +527,41 @@ object QueriesCorpus {
          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
          |  max(pos) + 7 - min(pos) + 1 AS span_tokens
          |FROM s GROUP BY doc_id, isl""".stripMargin,
+
+    "q_dup_excise" ->
+      s"""WITH w AS ($wCte),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    md5(array_to_string(list_slice(l, pos, pos + 7), ' ')) AS fp
+         |  FROM (SELECT doc_id, l,
+         |        unnest(range(1, greatest(len(l) - 6, 1))) AS pos FROM w)),
+         |counts AS (SELECT fp, count(*) AS c FROM g GROUP BY fp),
+         |dup AS (SELECT doc_id, pos FROM g JOIN counts USING (fp)
+         |        WHERE c > 1),
+         |i AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+         |      ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+         |  FROM dup),
+         |s AS (
+         |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM i),
+         |r AS (SELECT doc_id, min(pos) AS lo, max(pos) + 7 AS hi
+         |  FROM s GROUP BY doc_id, isl),
+         |rl AS (SELECT doc_id, list([lo, hi]) AS rs FROM r GROUP BY doc_id),
+         |kview AS (SELECT w.doc_id, w.l,
+         |    coalesce(rl.rs, []) AS rs
+         |  FROM w LEFT JOIN rl USING (doc_id)),
+         |o AS (SELECT doc_id, l,
+         |    list_transform(list_filter(range(1, len(l) + 1),
+         |      i -> len(list_filter(rs,
+         |        p -> i >= p[1] AND i <= p[2])) = 0), i -> l[i]) AS kept
+         |  FROM kview)
+         |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+         |FROM o""".stripMargin,
 
     "q_hash_split" -> {
       // hex16(md5[1..4]) via per-digit polynomial (exact in doubles)

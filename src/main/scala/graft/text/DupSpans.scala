@@ -115,4 +115,37 @@ object DupSpans {
         (col("__hi") + lit(k - 1) - col("__lo") + 1).cast("long")
           .as("span_tokens"))
   }
+
+  /** The excision step itself: drop every token under a merged
+    * duplicated interval and reassemble the remainder —
+    * `(idCol, n_tokens, n_removed, clean_text)`. Lee et al. cut ONE
+    * copy and keep another; cutting every covered token (this
+    * operator) is the conservative boilerplate-removal form, the same
+    * policy [[SegmentDedup]] applies at segment granularity.
+    *
+    * Shape: [[spanRanges]] unchanged, its per-doc intervals gathered by
+    * a map-side-combined `collect_list` (bounded by doc length / k),
+    * one LEFT join back to the corpus, and the cut a scan-speed filter
+    * over (position, intervals) — O(tokens · intervals) per row, no
+    * second corpus shuffle. */
+  def excise(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val ranges = spanRanges(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__rs"))
+    docs.select(col(idCol), CorpusOps.words(col(textCol)).as("__w"))
+      .join(ranges, Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        coalesce(col("__rs"), array().cast(
+          "array<struct<span_start:bigint,span_end:bigint>>")).as("__rs"))
+      .withColumn("__keep", filter(col("__w"), (_, i) =>
+        !exists(col("__rs"), r =>
+          (i + 1).cast("long") >= r.getField("span_start") &&
+            (i + 1).cast("long") <= r.getField("span_end"))))
+      .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__keep"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__keep"), " ").as("clean_text"))
+  }
 }

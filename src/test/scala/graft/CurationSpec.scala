@@ -333,4 +333,23 @@ class CurationSpec extends AnyFunSuite {
       cents, keepFrac = 0.5).collect()
     assert(pruned.length == 3)
   }
+
+  test("dup-span excision: covered tokens cut and remainder reassembled, " +
+    "unique docs untouched, fully-covered docs empty, short docs safe") {
+    import graft.text.DupSpans
+    // k = 3: 'a b c' is the shared 3-gram; doc 1 has a unique tail
+    val docs = Seq(
+      (1L, "a b c x y z w"),   // spans at pos 1 dup → cut [1,3]
+      (2L, "a b c"),           // whole doc is the dup gram → empties
+      (3L, "p q r s t u v"),   // no dup grams → untouched
+      (4L, "x y")              // shorter than k → no spans
+    ).toDF("doc_id", "text")
+    val out = DupSpans.excise(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (7L, 3L, "x y z w"))
+    assert(out(2L) == (3L, 3L, ""))
+    assert(out(3L) == (7L, 0L, "p q r s t u v"))
+    assert(out(4L) == (2L, 0L, "x y"))
+  }
 }
