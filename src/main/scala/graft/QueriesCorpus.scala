@@ -294,6 +294,26 @@ object QueriesCorpus {
           col("clean_text"))
     }),
 
+    // the END-TO-END curation chain in ONE engine query — canonicalize
+    // → blocklist screen → per-source rate downsampling → global
+    // shuffle + sharding: four already-oracled operators COMPOSED, the
+    // shape a real ingest job runs; the only shuffle in the whole plan
+    // is interleave's shard exchange (everything upstream is
+    // scan-speed), and the oracle chains the same four mirrors
+    "q_pipeline" -> ((s, dir) => {
+      val clean = graft.text.TextNormalize(docs(s, dir), "text")
+        .select(col("doc_id"), col("source"), col("clean_text"))
+      val kept = clean.join(
+        Blocklist.screen(clean, "doc_id", "clean_text",
+          Seq("slow", "dup", "lorem"))
+          .where(col("keep")).select("doc_id"),
+        Seq("doc_id"))
+      val sampled = CorpusSplit.sampleByRate(kept, "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.75)
+      CorpusSplit.interleave(sampled, "doc_id", nShards = 4)
+        .select(col("doc_id"), col("shard"), col("position"))
+    }),
+
     // PMI collocation mining (phrase detection before vocab building):
     // two count tables + candidate-side joins, top-k via the
     // LimitPushDownThroughWindow TakeOrdered shape
@@ -761,6 +781,30 @@ object QueriesCorpus {
          |SELECT doc_id, n_feats, round(s, 6) AS log_w, key,
          |  (key IS NOT NULL AND key >= c) AS keep
          |FROM k, cut""".stripMargin
+    },
+
+    "q_pipeline" -> {
+      val u = s"(CAST(${Dedup.md5ChunkSql("m", 1, 13)} AS DOUBLE) " +
+        s"/ ${math.pow(16.0, 13)})"
+      val chunk = Dedup.md5ChunkSql("m", 1, 13)
+      s"""WITH c AS (SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |      '[[:cntrl:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS ct
+         |  FROM documents),
+         |k AS (SELECT doc_id, source FROM c
+         |  WHERE len(list_filter(
+         |    regexp_extract_all(lower(ct), '[a-z0-9_]+'),
+         |    w -> list_contains(['slow', 'dup', 'lorem'], w))) = 0),
+         |h AS (SELECT doc_id, source,
+         |    md5(CAST(doc_id AS VARCHAR)) AS m FROM k),
+         |samp AS (SELECT doc_id, m FROM h
+         |  WHERE $u < CASE source WHEN 'src0' THEN 1.0
+         |    WHEN 'src1' THEN 0.5 ELSE 0.75 END),
+         |sh AS (SELECT doc_id, $chunk % 4 AS shard, m FROM samp)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY m, doc_id) AS BIGINT) AS position
+         |FROM sh""".stripMargin
     },
 
     "q_collocations" ->

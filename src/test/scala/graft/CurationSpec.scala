@@ -334,6 +334,34 @@ class CurationSpec extends AnyFunSuite {
     assert(pruned.length == 3)
   }
 
+  test("curation pipeline compose: each stage only narrows the corpus, " +
+    "survivors are exactly the blocklist-clean sampled docs, shards " +
+    "partition the survivors") {
+    import graft.text.{Blocklist, CorpusSplit, TextNormalize}
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}",
+      if (i % 5 == 0) s"slow doc $i body" else s"clean doc $i body"))
+      .toDF("doc_id", "source", "text")
+    val clean = TextNormalize(docs, "text")
+      .select(col("doc_id"), col("source"), col("clean_text"))
+    val kept = clean.join(
+      Blocklist.screen(clean, "doc_id", "clean_text", Seq("slow"))
+        .where(col("keep")).select("doc_id"), Seq("doc_id"))
+    val sampled = CorpusSplit.sampleByRate(kept, "doc_id", "source",
+      Map("src0" -> 1.0), defaultRate = 0.5)
+    val out = CorpusSplit.interleave(sampled, "doc_id", nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampledIds = sampled.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // funnel: blocked docs gone, sampling narrows, shards partition
+    assert(keptIds == (0L until 60L).filterNot(_ % 5 == 0).toSet)
+    assert(sampledIds.subsetOf(keptIds) && sampledIds.size < keptIds.size)
+    assert(out.map(_._1).toSet == sampledIds)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("dup-span excision: covered tokens cut and remainder reassembled, " +
     "unique docs untouched, fully-covered docs empty, short docs safe") {
     import graft.text.DupSpans
