@@ -362,6 +362,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir edge: an empty target set still yields finite weights " +
+    "(pure smoothing), and topk_by handles k = 1 and negative scores") {
+    import graft.text.{DomainCap, Dsir}
+    val docs = Seq((1L, "x", "a b"), (2L, "y", "c d")).toDF(
+      "doc_id", "src", "text")
+    val w = Dsir.importanceWeights(docs, "doc_id", "text", lit(false))
+      .collect().map(r => r.getDouble(2))
+    assert(w.forall(v => !v.isNaN && !v.isInfinite),
+      s"empty-target weights must stay finite: ${w.toSeq}")
+    val capped = DomainCap.cap(
+      Seq((1L, "g", -5L), (2L, "g", -1L), (3L, "g", -9L))
+        .toDF("id", "g", "s"),
+      "g", col("s"), col("id"), k = 1).collect()
+    assert(capped.length == 1 && capped.head.getLong(1) == 2L,
+      "k=1 must keep the single best (least negative) row")
+  }
+
   test("dup-span excision: covered tokens cut and remainder reassembled, " +
     "unique docs untouched, fully-covered docs empty, short docs safe") {
     import graft.text.DupSpans
