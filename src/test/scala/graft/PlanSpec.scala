@@ -417,6 +417,23 @@ class PlanSpec extends AnyFunSuite {
     val pDiff = approxP.count { case (id, k) => exactP(id) != k }
     assert(pDiff <= math.max(2, exactP.size / 50), s"$pDiff moved")
   }
+
+  test("round-8 curation plan shapes: the domain cap has no window and " +
+    "no sort (partial top-k only), the hashing vectorizer is a pure " +
+    "projection with zero exchanges") {
+    val cap = graft.SparkEntry.queries("q_domain_cap")(spark, sf)
+    val capPlan = planOf(cap)
+    assert(!capPlan.contains("Window"),
+      s"cap must not plan a window:\n$capPlan")
+    assert(!"\\bSort\\b".r.findFirstIn(capPlan).isDefined,
+      s"cap must not sort the corpus:\n$capPlan")
+    assert(capPlan.contains("topk_by"), capPlan)
+    val hv = graft.text.HashingVectorizer.vectorize(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", 16)
+    val hvPlan = planOf(hv)
+    assert(!hvPlan.contains("Exchange"),
+      s"vectorizer must be shuffle-free:\n$hvPlan")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
