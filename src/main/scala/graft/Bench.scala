@@ -48,7 +48,12 @@ object Bench {
     // iterative multi-job fits are the other chunk-sensitive family:
     // per-round scheduling overlaps whatever shares the JVM (round-8
     // artifact: q_kmeans chunk/solo 2.28 where the suite sat under 2)
-    "q_kmeans")
+    "q_kmeans",
+    // most chunk-sensitive queries of the round-8 driver rerun
+    // (q_heavy_hitters chunk/solo 6.85, q_dup_span_ranges among the
+    // spotcheck outliers): co-tenant load lands on their multi-stage
+    // corpus joins — isolate so the raw numbers stay honest
+    "q_heavy_hitters", "q_dup_span_ranges")
 
   def main(args: Array[String]): Unit = {
     val unknown = args.filterNot(SparkEntry.queries.contains)

@@ -135,6 +135,23 @@ object QueriesCorpus {
         Bpe.tokenCount(col("text"), Bpe.pinnedMerges).as("n_tokens_bpe"))
     }),
 
+    // END-TO-END BPE trainer under the driver gate: learn 24 merges on
+    // the corpus with the distributed trainer (deterministic — integer
+    // pair counts, lexicographic tie-breaks, no floats anywhere), then
+    // tokenize the whole corpus with the learned table. The oracle
+    // RECOMPUTES all 24 training rounds unrolled in SQL, so trainer AND
+    // tokenizer verify cross-engine (q_token_bpe covers the pinned-table
+    // tokenizer; this closes the trainer↔tokenizer loop).
+    "q_bpe_train" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.learnMerges(d, "doc_id", "text", 24)
+      val mdf = s.createDataFrame(
+        merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) })
+        .toDF("merge_idx", "a", "b")
+      mdf.crossJoin(d.agg(
+        sum(Bpe.tokenCount(col("text"), merges)).as("corpus_tokens")))
+    }),
+
     // merged duplicated-token intervals per doc (Lee et al.'s excision
     // artifact): island detection over the duplicated k-gram positions
     "q_dup_span_ranges" -> ((s, dir) => {
@@ -330,6 +347,57 @@ object QueriesCorpus {
     "SELECT doc_id, source, regexp_extract_all(lower(text), " +
       "'[a-z0-9_]+') AS l FROM documents"
 
+  /** q_bpe_train oracle: the ENTIRE trainer loop unrolled — per round, a
+    * pair-count aggregate over the evolving (spelled word, count)
+    * vocabulary, the (cnt DESC, a, b) argmax with the ≥2 support floor,
+    * and the winning merge applied (one anchored regex replace) to both
+    * the vocabulary and the corpus; finally the merges table
+    * cross-joined with the corpus-wide BPE token total under the learned
+    * table. All counts are integers and the tie-break is lexicographic,
+    * so the trainer trajectory is exactly reproducible cross-engine
+    * (mirror of [[graft.text.Bpe.learnMerges]] round for round; an empty
+    * m-round leaves every later round unchanged = the early-stop). */
+  private def bpeTrainSql(rounds: Int): String = {
+    val iterCtes = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT t[i] AS a, t[i + 1] AS b, sum(n) AS cnt FROM (
+         |    SELECT n, t, unnest(range(1, len(t))) AS i
+         |    FROM (SELECT n, list_filter(string_split(s, ' '),
+         |      x -> x <> '') AS t FROM v$r) WHERE len(t) >= 2)
+         |  GROUP BY 1, 2 HAVING sum(n) >= 2),
+         |m$r AS MATERIALIZED (SELECT ${r + 1} AS merge_idx, a, b FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN m.a IS NULL THEN v.s ELSE
+         |    regexp_replace(v.s, ' ' || m.a || ' ' || m.b,
+         |      ' ' || m.a || m.b, 'g') END AS s, v.n AS n
+         |  FROM v$r v LEFT JOIN m$r m ON true),
+         |c${r + 1} AS MATERIALIZED (
+         |  SELECT c.doc_id, CASE WHEN m.a IS NULL THEN c.s ELSE
+         |    regexp_replace(c.s, ' ' || m.a || ' ' || m.b,
+         |      ' ' || m.a || m.b, 'g') END AS s
+         |  FROM c$r c LEFT JOIN m$r m ON true)""".stripMargin
+    }.mkString(",\n")
+    val mergesUnion = (0 until rounds).map(r => s"SELECT * FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS ($wCte),
+       |v0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', ' \\1', 'g') AS s,
+       |    count(*) AS n
+       |  FROM (SELECT unnest(l) AS w FROM w) GROUP BY w),
+       |c0 AS MATERIALIZED (
+       |  SELECT doc_id, coalesce(array_to_string(list_transform(l,
+       |    x -> regexp_replace(x, '(.)', ' \\1', 'g')), '|'), '') AS s
+       |  FROM w),
+       |$iterCtes,
+       |mg AS ($mergesUnion),
+       |tot AS (
+       |  SELECT CAST(sum(length(s) - length(replace(s, ' ', '')))
+       |    AS BIGINT) AS corpus_tokens FROM c$rounds)
+       |SELECT mg.merge_idx, mg.a, mg.b, tot.corpus_tokens
+       |FROM mg, tot""".stripMargin
+  }
+
   /** DuckDB n-gram list (mirror of CorpusOps.wordNgrams — 1-based,
     * empty below g words; range() is exclusive-end). */
   private def ngramSql(g: Int): String = {
@@ -524,6 +592,8 @@ object QueriesCorpus {
          |SELECT doc_id, len(l) AS n_words,
          |  ${Bpe.tokenCountSql("l", Bpe.pinnedMerges)} AS n_tokens_bpe
          |FROM w""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainSql(24),
 
     "q_dup_span_ranges" ->
       s"""WITH w AS ($wCte),
@@ -823,8 +893,8 @@ object QueriesCorpus {
          |  JOIN uni u2 ON u2.t = split_part(bi.bg, ' ', 2), n)
          |SELECT CAST(rank AS INT) AS rank, bigram, c12, c1, c2,
          |  round(pmi, 6) AS pmi
-         |FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, bigram)
-         |  AS rank FROM sc) WHERE rank <= 50""".stripMargin
+         |FROM (SELECT *, row_number() OVER (ORDER BY round(pmi, 6) DESC,
+         |  bigram) AS rank FROM sc) WHERE rank <= 50""".stripMargin
   )
 
   /** Oracle mirror of [[graft.text.NgramLm.scoreStupidBackoff]]:

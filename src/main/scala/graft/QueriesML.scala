@@ -38,6 +38,9 @@ object QueriesML {
     b2 = 0.05)
   private val mlpFeats = Seq("l_quantity", "l_discount", "l_tax")
 
+  private val pcaFeats = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
+
   /** Pinned multi-output head sharing `pinned`'s hidden layer (3 → 4 → 2,
     * prediction_{i} naming contract). */
   val pinnedMulti: MLPMultiWeights = MLPMultiWeights(
@@ -337,14 +340,21 @@ object QueriesML {
       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // PCA latent codes (exact covariance PCA; sign of components is
-    // implementation-defined → rows-only check + MLSpec variance test)
+    // PCA latent codes under a FULL DYNAMIC oracle: the fit (Jacobi
+    // eigensolve, sign-canonicalized) is stored in DynamicOracles; the
+    // oracle embeds the fitted means/loadings as literals, VERIFIES them
+    // against DuckDB's independently computed covariance (eigen-equation
+    // residuals, descending order, top-2-ness via the trace/det
+    // complement spectrum), and projects rows with the same literals —
+    // bit-identical per-row arithmetic, genuinely cross-checked fit.
     "q_pca" -> ((s, dir) => {
-      DimReducer(Seq("l_quantity", "l_extendedprice", "l_discount",
-        "l_tax"), 2)
-        .fitTransform(li(s, dir))
-        .select(col("l_orderkey"), col("l_linenumber"), col("dim_0"),
-          col("dim_1"))
+      val red = DimReducer(pcaFeats, 2)
+      val (means, loadings) = red.fit(li(s, dir))
+      DynamicOracles.pca.set((means, loadings))
+      red.project(li(s, dir), means, loadings)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("dim_0"), 6).as("dim_0"),
+          round(col("dim_1"), 6).as("dim_1"))
     }),
 
     // closed-form 2-feature PCA: fit + transform under a FULL oracle
@@ -733,7 +743,88 @@ object QueriesML {
     s"round($out, 6)"
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** q_pca dynamic oracle: the fitted (means, loadings) arrive as
+    * literals; a check CTE recomputes the covariance from the data and
+    * verifies (a) the stored means, (b) the eigen-equation ‖C·v − λv‖ ≤
+    * tol per component (λ recovered as vᵀCv), (c) descending order, and
+    * (d) top-2-ness — the two REMAINING eigenvalues are recovered from
+    * trace/det (μ₁+μ₂ = tr − λ₀ − λ₁, μ₁μ₂ = det/(λ₀λ₁)) and the larger
+    * must not exceed λ₁. Any failure NULLs every output → hash mismatch.
+    * The projection itself uses the literals on both engines, so the
+    * per-row doubles are bit-identical (no aggregate noise in values).
+    */
+  private def pcaOracleSql(means: Array[Double],
+      loadings: Array[Array[Double]]): String = {
+    val k = pcaFeats.size
+    def cv(i: Int, j: Int) = s"c${math.min(i, j)}${math.max(i, j)}"
+    val sums = pcaFeats.zipWithIndex.map { case (c, i) =>
+      s"sum(CAST($c AS DOUBLE)) AS s$i" }
+    val cross = for (i <- 0 until k; j <- i until k) yield
+      s"sum(CAST(${pcaFeats(i)} AS DOUBLE) * CAST(${pcaFeats(j)} AS DOUBLE)) AS ss${i}_$j"
+    val covDefs = for (i <- 0 until k; j <- i until k) yield
+      s"ss${i}_$j / n - (s$i / n) * (s$j / n) AS c$i$j"
+    // λ_d = vᵀCv and the residual ‖C·v − λ·v‖² for each stored component
+    def lam(d: Int) = (for (i <- 0 until k; j <- 0 until k) yield
+      s"${loadings(d)(i)} * ${cv(i, j)} * ${loadings(d)(j)}")
+      .mkString(" + ")
+    def resid(d: Int) = (0 until k).map { i =>
+      val cvi = (0 until k).map(j => s"${cv(i, j)} * ${loadings(d)(j)}")
+        .mkString(" + ")
+      s"pow(($cvi) - lam$d * ${loadings(d)(i)}, 2)"
+    }.mkString(" + ")
+    // det(C) by cofactor expansion over the symmetric cov columns
+    def detExpr(rows: Seq[Int], cols: Seq[Int]): String =
+      if (rows.size == 1) cv(rows.head, cols.head)
+      else cols.zipWithIndex.map { case (cj, idx) =>
+        val minor = detExpr(rows.tail, cols.filterNot(_ == cj))
+        val term = s"${cv(rows.head, cj)} * ($minor)"
+        if (idx % 2 == 0) s"+ $term" else s"- $term"
+      }.mkString("(", " ", ")")
+    val meanOk = (0 until k).map(i =>
+      s"abs(s$i / n - ${means(i)}) <= 1e-6 * (abs(${means(i)}) + 1.0)")
+      .mkString(" AND ")
+    def proj(d: Int) = (0 until k).map(i =>
+      s"(CAST(${pcaFeats(i)} AS DOUBLE) - ${means(i)}) * ${loadings(d)(i)}")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    ${sums.mkString(",\n    ")},
+       |    ${cross.mkString(",\n    ")}
+       |  FROM lineitem),
+       |cov AS (
+       |  SELECT n, ${(0 until k).map(i => s"s$i").mkString(", ")},
+       |    ${covDefs.mkString(",\n    ")}
+       |  FROM st),
+       |lams AS (
+       |  SELECT *, ${lam(0)} AS lam0, ${lam(1)} AS lam1 FROM cov),
+       |comp AS (
+       |  SELECT *,
+       |    ${cv(0, 0)} + ${cv(1, 1)} + ${cv(2, 2)} + ${cv(3, 3)}
+       |      - lam0 - lam1 AS musum,
+       |    ${detExpr(0 until k, 0 until k)} / (lam0 * lam1) AS muprod
+       |  FROM lams),
+       |chk AS (
+       |  SELECT
+       |    ($meanOk)
+       |    AND (${resid(0)}) <= pow(1e-9 * lam0 + 1e-7 * lam0, 2)
+       |    AND (${resid(1)}) <= pow(1e-9 * lam0 + 1e-7 * lam1, 2)
+       |    AND lam0 >= lam1
+       |    AND lam1 >= (musum + sqrt(greatest(musum * musum
+       |        - 4.0 * muprod, 0.0))) / 2.0 - 1e-7 * lam0
+       |    AS ok
+       |  FROM comp)
+       |SELECT l_orderkey, l_linenumber,
+       |  CASE WHEN ok THEN round(${proj(0)}, 6) END AS dim_0,
+       |  CASE WHEN ok THEN round(${proj(1)}, 6) END AS dim_1
+       |FROM lineitem CROSS JOIN chk""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    Option(DynamicOracles.pca.get).map { case (m, l) =>
+      "q_pca" -> pcaOracleSql(m, l)
+    }
+
+  private val staticOracleSql: Map[String, String] = Map(
     // mirror of ClosedFormPCA.pca2 (same raw-moment covariance, same
     // atan2 angle, same projection op order; libm behind round(6))
     "q_pca2" ->

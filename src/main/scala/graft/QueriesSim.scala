@@ -11,8 +11,10 @@ import graft.dedup.{Dedup, Similarity}
   * q_cosine_topk (brute-force baseline) and q_embed_neardup (multi-band
   * SRP LSH) carry full DuckDB oracles: the cosine and the ±1 hyperplane
   * sums are written with the identical left-associated operation order on
-  * both sides (same literal weights, same IEEE results). The IVF variant
-  * depends on seeded k-means → rows-only + SimSpec recall test.
+  * both sides (same literal weights, same IEEE results). The trained IVF
+  * variant verifies through a DYNAMIC oracle: training is deterministic
+  * given the data, so the fitted centroids are captured at query time and
+  * embedded in the same search-path SQL as the pinned variant.
   */
 object QueriesSim {
 
@@ -49,12 +51,16 @@ object QueriesSim {
 
     // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
     // cells — the equi-join scale path when probes don't broadcast.
-    // k-means is iterative/seed-dependent → rows-only; SimSpec pins
-    // recall == 1.0 at nprobe = nlist vs the brute-force baseline.
+    // Training is a DETERMINISTIC pure function of the data (md5-ordered
+    // bounded sample, seeded init, fixed driver Lloyd loop), so the
+    // fitted centroids go to DynamicOracles and the FULL search path —
+    // cell assignment, nprobe pruning, in-cell ranking — verifies under
+    // the trained quantizer (same SQL as q_ivf_pinned, trained literals).
     "q_ivf_topk" -> ((s, dir) => {
       val corpus = emb(s, dir)
       val idx = IvfCosine.buildIndex(corpus, "vec_id", "embedding",
         nlist = 16)
+      DynamicOracles.ivfCentroids.set(idx.centroids)
       val probes = corpus.where(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
@@ -188,10 +194,124 @@ object QueriesSim {
         keepFrac = 0.5)
         .select(col("vec_id"), col("cell"), col("centroid_sim"),
           col("keep"))
+    }),
+
+    // UMAP-analog 2-D embedding (LargeVis/UMAP family, deterministic
+    // batch form — graft.ml.UmapAnalog): JL init, kNN attraction,
+    // stride negatives, 3 epochs, all under ONE unrolled oracle (the
+    // DimReducer method="umap" analog; closes SURVEY §2.7's last row)
+    "q_umap_analog" -> ((s, dir) => {
+      graft.ml.UmapAnalog.fitTransform(emb(s, dir), "vec_id",
+        "embedding", dim = DIM)
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** The IVF search-path oracle for a given centroid grid — shared by
+    * q_ivf_pinned (pinned literals) and the DYNAMIC q_ivf_topk entry
+    * (trained literals captured at query time; training is deterministic
+    * given the data, and the search given centroids is exact SQL). */
+  private def ivfSearchSql(cents: Array[Array[Double]], nprobe: Int,
+      k: Int): String = {
+    val values = cents.zipWithIndex.map { case (c, j) =>
+      val cc = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}], $cc)"
+    }.mkString(",\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c(j, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |    $values)),
+       |assigned AS (
+       |  SELECT vec_id, e, j AS cell FROM v CROSS JOIN c
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
+       |    j) = 1),
+       |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id < 50),
+       |pc AS (
+       |  SELECT qid, q, j AS cell FROM p CROSS JOIN c
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+       |    list_inner_product(q, cv)
+       |      / (sqrt(list_inner_product(q, q))
+       |         * sqrt(list_inner_product(cv, cv))) DESC, j) <= $nprobe),
+       |sims AS (
+       |  SELECT pc.qid, a.vec_id AS nid,
+       |    list_inner_product(pc.q, a.e)
+       |      / (sqrt(list_inner_product(pc.q, pc.q))
+       |         * sqrt(list_inner_product(a.e, a.e))) AS cosine
+       |  FROM pc JOIN assigned a ON a.cell = pc.cell
+       |  WHERE a.vec_id <> pc.qid),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, nid) AS rank
+       |  FROM sims)
+       |SELECT qid, nid, round(cosine, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** q_umap_analog oracle: the whole fit unrolled — JL init (round-6),
+    * the kNN edge build, stride negatives, and `iters` epochs of the
+    * batch gradient with the identical per-edge IEEE expression order
+    * and round-6 position snap after every epoch (so float-sum order
+    * noise never compounds across engines). */
+  private def umapAnalogSql(k: Int, negOffsets: Seq[Long], iters: Int,
+      lr: Double, gamma: Double, eps: Double): String = {
+    val proj0 = RandomProjection.projectSql("e", 2, DIM, 0)
+    val proj1 = RandomProjection.projectSql("e", 2, DIM, 1)
+    val negSel = negOffsets.map(o =>
+      s"""SELECT vec_id AS src,
+         |    (vec_id + $o) % (SELECT count(*) FROM v) AS dst,
+         |    false AS attract FROM v""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    def gsum(d: String) =
+      s"""sum(CASE WHEN attract THEN (-2.0 * $d) / (1.0 + d2)
+         |      ELSE (($gamma * 2.0) * $d) / (($eps + d2) * (1.0 + d2))
+         |      END)""".stripMargin
+    val iterCtes = (0 until iters).map { t =>
+      s"""g$t AS (
+         |  SELECT src, ${gsum("dx")} AS g1,
+         |    ${gsum("dy")} AS g2
+         |  FROM (
+         |    SELECT e.src, e.attract, a.y1 - b.y1 AS dx, a.y2 - b.y2 AS dy,
+         |      (a.y1 - b.y1) * (a.y1 - b.y1)
+         |        + (a.y2 - b.y2) * (a.y2 - b.y2) AS d2
+         |    FROM e JOIN p$t a ON a.id = e.src JOIN p$t b ON b.id = e.dst)
+         |  GROUP BY src),
+         |p${t + 1} AS (
+         |  SELECT p.id, round(p.y1 + ($lr * coalesce(g.g1, 0.0)), 6) AS y1,
+         |    round(p.y2 + ($lr * coalesce(g.g2, 0.0)), 6) AS y2
+         |  FROM p$t p LEFT JOIN g$t g ON g.src = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p0 AS (
+       |  SELECT vec_id AS id, round($proj0, 6) AS y1,
+       |    round($proj1, 6) AS y2 FROM v),
+       |knn AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, true AS attract
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |    list_inner_product(a.e, b.e)
+       |      / (sqrt(list_inner_product(a.e, a.e))
+       |         * sqrt(list_inner_product(b.e, b.e))) DESC,
+       |    b.vec_id) <= $k),
+       |e AS (SELECT * FROM knn
+       |  UNION ALL $negSel),
+       |$iterCtes
+       |SELECT id AS vec_id, y1 AS dim_0, y2 AS dim_1 FROM p$iters"""
+      .stripMargin
+  }
+
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    Option(DynamicOracles.ivfCentroids.get).map(cents =>
+      "q_ivf_topk" -> ivfSearchSql(cents, nprobe = 4, k = 5))
+
+  private val staticOracleSql: Map[String, String] = Map(
+    "q_ivf_pinned" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
+      nprobe = 4, k = 5),
+
+    "q_umap_analog" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
+      iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3),
     "q_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -209,45 +329,6 @@ object QueriesSim {
         |  FROM sims)
         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
-
-    "q_ivf_pinned" -> {
-      val cents = IvfCosine.pinnedCentroids(16, DIM)
-      val values = cents.zipWithIndex.map { case (c, j) =>
-        val cc = c.map(x => x * x).sum
-        s"($j, [${c.mkString(", ")}], $cc)"
-      }.mkString(",\n    ")
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |c(j, cv, cc) AS (
-         |  SELECT * FROM (VALUES
-         |    $values)),
-         |assigned AS (
-         |  SELECT vec_id, e, j AS cell FROM v CROSS JOIN c
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
-         |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
-         |    j) = 1),
-         |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id < 50),
-         |pc AS (
-         |  SELECT qid, q, j AS cell FROM p CROSS JOIN c
-         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-         |    list_inner_product(q, cv)
-         |      / (sqrt(list_inner_product(q, q))
-         |         * sqrt(list_inner_product(cv, cv))) DESC, j) <= 4),
-         |sims AS (
-         |  SELECT pc.qid, a.vec_id AS nid,
-         |    list_inner_product(pc.q, a.e)
-         |      / (sqrt(list_inner_product(pc.q, pc.q))
-         |         * sqrt(list_inner_product(a.e, a.e))) AS cosine
-         |  FROM pc JOIN assigned a ON a.cell = pc.cell
-         |  WHERE a.vec_id <> pc.qid),
-         |ranked AS (
-         |  SELECT qid, nid, cosine,
-         |    row_number() OVER (PARTITION BY qid
-         |      ORDER BY cosine DESC, nid) AS rank
-         |  FROM sims)
-         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
-         |FROM ranked WHERE rank <= 5""".stripMargin
-    },
 
     "q_ivfpq_topk" -> {
       val coarse = IvfCosine.pinnedCentroids(16, DIM)

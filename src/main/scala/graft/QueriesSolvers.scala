@@ -16,7 +16,10 @@ import graft.solvers.{FeatureNeutralizer, FeaturePenalizer}
   * are pinned by SolverSpec property tests instead (the reference's own
   * correctness bar: exposure reduction / cap, output in [0,1];
   * tests/test_neutralization.py:83-205,
-  * tests/test_penalizer_comparison.py:250-298).
+  * tests/test_penalizer_comparison.py:250-298). The converged penalizer
+  * additionally verifies under the driver gate through its per-era
+  * convergence CERTIFICATE query (the same reference bar emitted as
+  * boolean output columns — see q_penalize).
   */
 object QueriesSolvers {
 
@@ -82,13 +85,22 @@ object QueriesSolvers {
           round(col("`l_extendedprice_neutralized_1.0`"), 6).as("neut_full"))
     }),
 
+    // converged mode under a STRUCTURAL full oracle: the per-era
+    // convergence certificate (reference equivalence bar — final max
+    // exposure ≤ cap + 0.01, improved loss, unit-interval outputs) plus
+    // the genuinely recomputed (era, n); a non-converging run emits
+    // false and fails the hash. Per-row values of the same optimizer are
+    // value-checked by q_penalize_fixed's unrolled oracle.
     "q_penalize" -> ((s, dir) => {
+      // reference-default iteration budget (penalization.py max_iters =
+      // 100000): the Gram-domain loop is O(k²) per iteration, so even
+      // slow small-era trajectories (~35k iters observed) cost nothing
       FeaturePenalizer(Seq("l_extendedprice"),
         Seq("l_quantity", "l_discount", "l_tax"), Seq(0.1), "era", "rid",
-        maxIters = 10000)
-        .outputsOnly(li(s, dir))
-        .select(col("rid"),
-          round(col("`l_extendedprice_penalized_0.1`"), 6).as("price_pen"))
+        maxIters = 100000)
+        .certificate(li(s, dir))
+        .select(col("era"), col("n"), col("exposure_ok"),
+          col("loss_improved"), col("in_unit"))
     }),
 
     // tol = 0 ⇒ EXACTLY `maxIters` Adamax updates, no early exit: the
@@ -352,6 +364,12 @@ object QueriesSolvers {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // structural twin of the certificate: era partition + row count are
+    // recomputed from the data; the convergence booleans must be true
+    "q_penalize" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS era, count(*) AS n,
+        |  true AS exposure_ok, true AS loss_improved, true AS in_unit
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_neutralize" -> neutralize3fSql,
     "q_penalize_fixed" -> penalizeFixedSql(10, 0.1),
     "q_gaussianize" ->

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * ids are distinct), so the result is a pure function of the input
   * multiset — any partial-aggregation order yields the same array,
   * which is what lets the window-based DuckDB oracle match bit for bit.
-  * Null scores and null ids do not compete (skipped on update).
+  * Null scores, NaN scores and null ids do not compete (skipped on
+  * update — NaN has no place in a total (score, id) order).
   *
   * No reference analog (centimators has no corpus layer); greenfield
   * SURVEY.md §7.6 scope.
@@ -84,7 +85,12 @@ case class TopKByAgg(
     if (buf.size < k) buf.enqueue((s, i))
     else {
       val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
+      // total-order comparison (java.lang.Double.compare) so eviction
+      // agrees with the queue's Ordering[Double] — an IEEE `s > ws` is
+      // false against a NaN head, which would make a NaN entry the
+      // permanent head rejecting every later (better) score
+      val cmp = java.lang.Double.compare(s, ws)
+      if (cmp > 0 || (cmp == 0 && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
     }
   }
 
@@ -92,7 +98,10 @@ case class TopKByAgg(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val sv = score.eval(input)
     val iv = id.eval(input)
-    if (sv != null && iv != null)
+    // NaN scores do not compete, same contract as nulls: topk_by is a
+    // registered SQL function over doubles, so NaN (0.0/0.0 in a score
+    // expression) is reachable even though current call sites cast longs
+    if (sv != null && iv != null && !sv.asInstanceOf[Double].isNaN)
       offer(buf, sv.asInstanceOf[Double], iv.asInstanceOf[Long])
     buf
   }

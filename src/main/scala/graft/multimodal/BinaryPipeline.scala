@@ -67,19 +67,27 @@ object BinaryPipeline {
         Array[Byte](0)))
 
   /** Batched "decode + feature extract" over the binary column: emits a
-    * fixed-`dim` float vector per row (zero vector for null payloads).
-    * Swap `decode` for a real codec in production. */
+    * fixed-`dim` float vector per row (zero vector for null or
+    * undecodable payloads). The decoder is PLUGGABLE — the default
+    * [[DeterministicDecoder]] keeps the path oracle-checkable in this
+    * codec-less container; [[ImageIoDecoder]] is a real pure-JDK image
+    * codec (PNG/BMP/GIF/JPEG via javax.imageio) that slots into the SAME
+    * batched mapPartitions plumbing, pinned by MediaStagesSpec against a
+    * driver-side decode of the same bytes. */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int = 8,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64,
+      decoder: MediaDecoder = DeterministicDecoder): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(s"${binCol}_features", ArrayType(FloatType), true))
     val idx = df.schema.fieldIndex(binCol)
-    val (bs, d) = (batchSize, dim)
+    val (bs, d, dec) = (batchSize, dim, decoder)
     val out = df.rdd.mapPartitions { it =>
       it.grouped(bs).flatMap { batch =>
         batch.map { r =>
-          val vec = if (r.isNullAt(idx)) Array.fill(d)(0.0f)
-            else DeterministicDecoder.decode(r.getAs[Array[Byte]](idx), d)
+          val vec =
+            if (r.isNullAt(idx)) Array.fill(d)(0.0f)
+            else Option(dec.decode(r.getAs[Array[Byte]](idx), d))
+              .getOrElse(Array.fill(d)(0.0f))
           Row.fromSeq(r.toSeq :+ vec.toSeq)
         }
       }
@@ -88,12 +96,19 @@ object BinaryPipeline {
   }
 }
 
+/** A media decoder: bytes → fixed-`dim` feature vector, or null when the
+  * payload does not decode (the pipeline maps that to a zero vector).
+  * Implementations ship inside task closures — keep them stateless. */
+trait MediaDecoder extends Serializable {
+  def decode(bytes: Array[Byte], dim: Int): Array[Float]
+}
+
 /** STUB decoder: a real implementation would decode image/audio bytes;
   * this derives deterministic pseudo-features (byte histogram moments) so
   * the pipeline is testable in this codec-less container. Accumulation is
   * in Double, in byte order, cast to Float once at the end — the exact
   * sequence of IEEE operations the DuckDB oracle mirrors. */
-object DeterministicDecoder {
+object DeterministicDecoder extends MediaDecoder {
   def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Double](dim)
     var i = 0
@@ -105,5 +120,41 @@ object DeterministicDecoder {
     i = 0
     while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
     out
+  }
+}
+
+/** REAL image decode on the pure JDK — javax.imageio reads PNG, BMP, GIF
+  * and JPEG with no native/container codec. Features: the image is cut
+  * into `dim` horizontal strips and each emits its mean Rec.601 luma in
+  * [0,1] — a genuine decode → pixels → feature-extract pass exercising
+  * the same batched plumbing as the stub. Returns null (→ zero vector)
+  * for bytes no registered reader accepts, so a corrupt payload can
+  * never kill a 100-TB decode stage. */
+object ImageIoDecoder extends MediaDecoder {
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) return null
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        val strip = (y.toLong * dim / h).toInt
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          acc(strip) += (((rgb >> 16) & 0xff) * 0.299 +
+            ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+          cnt(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (cnt(i) > 0) (acc(i) / cnt(i)).toFloat else 0.0f)
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 }

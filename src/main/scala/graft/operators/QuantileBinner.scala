@@ -44,9 +44,20 @@ case class QuantileBinner(valueCol: String, k: Int,
        else df.groupBy(groupCols.map(col): _*).agg(cutsAgg))
         .select((groupCols.map(col) :+
           transform_(col("__qs"))): _*)
+    // null-SAFE equi-join (<=>): groupBy puts null keys in their own
+    // group, so a null-keyed row must meet its own group's cuts row —
+    // a plain equi-join would silently drop those rows from the output
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(cuts))
-      else df.join(broadcast(cuts), groupCols)
+      else {
+        val renamed = cuts.select(groupCols.zipWithIndex.map {
+          case (g, i) => col(g).as(s"__g$i")
+        } :+ col("__cuts"): _*)
+        val cond = groupCols.zipWithIndex.map {
+          case (g, i) => col(g) <=> col(s"__g$i")
+        }.reduce(_ && _)
+        df.join(broadcast(renamed), cond, "left")
+      }
     val bin = when(col(valueCol).isNotNull,
       aggregate(col("__cuts"), lit(1),
         (acc, c) => acc + when(v > c, 1).otherwise(0)))

@@ -69,25 +69,70 @@ object KMeans {
     var cents = init.select(col("cell"), col("cvec"))
     var i = 0
     while (i < iters) {
-      val assigned = IvfCosine.assignByCentroidsDf(
-        corpus, idCol, vecCol, cents)
-      val means = assigned
-        .select(col("cell"),
-          posexplode(col(vecCol).cast("array<double>"))
-            .as(Seq("__i", "__x")))
-        .groupBy(col("cell"), col("__i"))
-        .agg(avg(col("__x")).as("__mu"))
-        .groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__i"), col("__mu")))),
-          e => e.getField("__mu")).as("__new"))
-      cents = cents.join(means, Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("__new"), col("cvec")).as("cvec"))
-        .localCheckpoint()
+      cents = oneRound(corpus, idCol, vecCol, cents)
       i += 1
     }
     cents
+  }
+
+  /** One Lloyd round: assignment + per-(cell, coordinate) mean;
+    * localCheckpoint bounds lineage to one round. */
+  private def oneRound(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val assigned = IvfCosine.assignByCentroidsDf(
+      corpus, idCol, vecCol, cents)
+    val means = assigned
+      .select(col("cell"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__i", "__x")))
+      .groupBy(col("cell"), col("__i"))
+      .agg(avg(col("__x")).as("__mu"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), col("__mu")))),
+        e => e.getField("__mu")).as("__new"))
+    cents.join(means, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("__new"), col("cvec")).as("cvec"))
+      .localCheckpoint()
+  }
+
+  /** Max L2 centroid movement between two (cell, cvec) frames — an
+    * nlist-row action, negligible next to the round's corpus passes. */
+  private def maxMovement(prev: DataFrame, next: DataFrame): Double =
+    prev.select(col("cell"), col("cvec").as("__a"))
+      .join(next.select(col("cell"), col("cvec").as("__b")), Seq("cell"))
+      .agg(max(sqrt(aggregate(
+        zip_with(col("__a"), col("__b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v))).as("__m"))
+      .head().getDouble(0)
+
+  /** CONVERGENCE-mode Lloyd's — the standard stopping contract: iterate
+    * until the max centroid movement drops below `tol`, hard-capped at
+    * `maxIters` rounds (a cap, not a target — separated data stops in a
+    * handful of rounds). Returns (centroids, rounds run). Each round
+    * adds one nlist-row movement action on top of [[lloyd]]'s two
+    * corpus passes; lineage stays bounded via the same per-round
+    * localCheckpoint. Convergence-mode fits are NOT oracle-checkable
+    * (the round count depends on float sums), so the driver-gate query
+    * (q_kmeans) stays on the fixed-iteration form; this is the
+    * production trainer contract, pinned by SimSpec's separated-blobs
+    * early-stop test. */
+  def lloydConverged(vecs: DataFrame, idCol: String, vecCol: String,
+      init: DataFrame, maxIters: Int, tol: Double): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be positive: $maxIters")
+    liveCaches.release()
+    val corpus = keepCorpus(vecs, idCol, vecCol)
+    var cents = init.select(col("cell"), col("cvec")).localCheckpoint()
+    var i = 0
+    var moved = Double.MaxValue
+    while (i < maxIters && moved >= tol) {
+      val next = oneRound(corpus, idCol, vecCol, cents)
+      moved = maxMovement(cents, next)
+      cents = next
+      i += 1
+    }
+    (cents, i)
   }
 
   /** Fit + final assignment: (idCol, cell) for every row, under the

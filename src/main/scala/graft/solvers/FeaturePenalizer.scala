@@ -92,7 +92,106 @@ case class FeaturePenalizer(
 
     EraSolver.scaleGlobal(solved, idCol, outputNames)
   }
+
+  /** Per-era convergence CERTIFICATE for the converged (tol > 0) mode —
+    * the reference's own equivalence bar
+    * (tests/test_penalizer_comparison.py:296-318) emitted as query
+    * output columns: `(era, n, exposure_ok, loss_improved, in_unit)`.
+    *
+    *  - `n` — era row count (genuinely recomputed by the DuckDB oracle);
+    *  - `exposure_ok` — final max |exposure| ≤ max(maxExposures) + 0.01
+    *    across every pred × cap combination;
+    *  - `loss_improved` — best loss ≤ initial (w = 0) loss;
+    *  - `in_unit` — all globally min-max-scaled outputs finite in [0,1].
+    *
+    * The oracle asserts the booleans are literally `true` per era, so a
+    * non-converging solver run fails the hash compare — the structural
+    * verification the iterative float loop admits where a value-level
+    * SQL unroll does not (that path is covered by the fixed-iteration
+    * sibling query's full oracle). */
+  def certificate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nOut = outputNames.size
+    val exps = maxExposures.toArray
+    val (lr0, iters0, tol0) = (lr, maxIters, tol)
+    val eraName = if (eraCol.isEmpty) "era" else eraCol
+    val eraExpr = if (eraCol.isEmpty) lit("__all__")
+      else col(eraCol).cast("string")
+    val predIdx = predCols.indices
+    val packed = df.select(
+      col(idCol).cast("long"),
+      eraExpr,
+      array(predCols.map(c => col(c).cast("double")): _*),
+      array(featureCols.map(c => col(c).cast("double")): _*)
+    ).as[(Long, String, Array[Double], Array[Double])]
+    val solved = packed
+      .groupByKey(_._2)
+      .flatMapGroups { (era, it) =>
+        val (ids, preds, x0) = EraSolver.collectEra(it)
+        val m = ids.length
+        val feats = x0 - 0.5
+        val outs = Array.ofDim[Double](m, nOut)
+        var maxExpAll = 0.0
+        var lossOk = true
+        var o = 0
+        for (pi <- predIdx) {
+          val gauss = EraSolver.gaussianize(
+            Array.tabulate(m)(i => preds(i)(pi)), ids)
+          val pred = DenseVector(gauss)
+          for (maxExp <- exps) {
+            val (pen, cert) = Penalize.reduceExposureCert(pred, feats,
+              maxExp, lr0, iters0, tol0)
+            maxExpAll = math.max(maxExpAll, cert.maxAbsExposure)
+            lossOk &&= cert.bestLoss <= cert.initLoss + 1e-12
+            val std = EraSolver.popStd(pen)
+            var i = 0
+            while (i < m) { outs(i)(o) = pen(i) / std; i += 1 }
+            o += 1
+          }
+        }
+        Iterator.range(0, m).map(i =>
+          (ids(i), era, outs(i), maxExpAll, lossOk))
+      }
+      .toDF(idCol, "__era", "__outs", "__maxexp", "__lossok")
+    def q(n: String) = col(s"`$n`")
+    FeaturePenalizer.liveCaches.release()
+    val unpacked = FeaturePenalizer.liveCaches.keep(solved.select(
+      Seq(col("__era"), col("__maxexp"), col("__lossok")) ++
+        outputNames.zipWithIndex.map { case (n, i) =>
+          element_at(col("__outs"), i + 1).as(n)
+        }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val aggs = outputNames.flatMap(n =>
+      Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
+    val scalars = unpacked.agg(aggs.head, aggs.tail: _*)
+    val scaled = unpacked.crossJoin(broadcast(scalars)).select(
+      Seq(col("__era"), col("__maxexp"), col("__lossok")) ++
+        outputNames.map(n => graft.functions.minMaxScale(
+          q(n), q(s"__mn_$n"), q(s"__mx_$n")).as(n)): _*)
+    val inUnit = outputNames.map(n =>
+      q(n).isNotNull && !isnan(q(n)) && q(n) >= 0.0 && q(n) <= 1.0)
+      .reduceLeft(_ && _)
+    scaled.groupBy(col("__era"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("__maxexp")) <= lit(exps.max + 0.01)).as("exposure_ok"),
+        bool_and(col("__lossok")).as("loss_improved"),
+        bool_and(inUnit).as("in_unit"))
+      .withColumnRenamed("__era", eraName)
+  }
 }
+
+object FeaturePenalizer {
+  private[solvers] val liveCaches =
+    graft.operators.GraftTransformer.newCacheQueue()
+}
+
+/** Convergence evidence from one [[Penalize.reduceExposureCert]] run:
+  * the final max |exposure| (the reference's equivalence bar is
+  * ≤ maxExposure + 0.01, tests/test_penalizer_comparison.py:296-318),
+  * the loss at w = 0 and the best loss reached. */
+case class PenalizeCert(maxAbsExposure: Double, initLoss: Double,
+    bestLoss: Double)
 
 private[solvers] object Penalize {
 
@@ -124,7 +223,20 @@ private[solvers] object Penalize {
       maxExp: Double,
       lr: Double,
       maxIters: Int,
-      tol: Double): DenseVector[Double] = {
+      tol: Double): DenseVector[Double] =
+    reduceExposureCert(pred, feats, maxExp, lr, maxIters, tol)._1
+
+  /** [[reduceExposure]] plus the [[PenalizeCert]] convergence evidence —
+    * exposures/loss are recomputed at the EXIT w (the loop's last
+    * recorded loss predates the final update when it exits on the
+    * iteration cap). */
+  def reduceExposureCert(
+      pred: DenseVector[Double],
+      feats: DenseMatrix[Double],
+      maxExp: Double,
+      lr: Double,
+      maxIters: Int,
+      tol: Double): (DenseVector[Double], PenalizeCert) = {
     val k = feats.cols
     val m = feats.rows
 
@@ -201,6 +313,7 @@ private[solvers] object Penalize {
     var beta1PowT = 1.0                       // β₁^t, updated incrementally
     var t = 0
     var loss = Double.PositiveInfinity
+    var initLoss = -1.0                       // first computed loss (w = 0)
     // plateau stop: the relu-excess loss floor may sit above tol when the
     // cap is unreachable exactly; `patience` iterations without
     // improvement means the optimizer is at its achievable floor
@@ -236,6 +349,7 @@ private[solvers] object Penalize {
         jj += 1
       }
       loss = l
+      if (initLoss < 0) initLoss = loss
       if (loss < best - 1e-12) { best = loss; sinceImprove = 0 }
       else sinceImprove += 1
       if (loss >= tol && sinceImprove < patience) {
@@ -270,6 +384,29 @@ private[solvers] object Penalize {
       out(i) = pred(i) - s
       i += 1
     }
-    out
+    // certificate: exposures and loss at the exit w
+    var bwF = 0.0; var wgwF = 0.0
+    var jf = 0
+    while (jf < k) {
+      var gwj = 0.0; var j2 = 0
+      val gj = g0(jf)
+      while (j2 < k) { gwj += gj(j2) * w(j2); j2 += 1 }
+      r(jf) = b(jf) - gwj
+      bwF += b(jf) * w(jf); wgwF += w(jf) * gwj
+      jf += 1
+    }
+    val cn2F = ppc - 2.0 * bwF + wgwF
+    val cnF = if (cn2F > 0) math.sqrt(cn2F) else 0.0
+    var maxAbsE = 0.0
+    var finalLoss = 0.0
+    jf = 0
+    while (jf < k) {
+      val e = if (cnF > 0) dinv(jf) * r(jf) / cnF else 0.0
+      maxAbsE = math.max(maxAbsE, math.abs(e))
+      finalLoss += relu(relu(e) - reluT(jf)) + relu(relu(-e) - reluNegT(jf))
+      jf += 1
+    }
+    if (initLoss < 0) initLoss = finalLoss    // loop never entered
+    (out, PenalizeCert(maxAbsE, initLoss, math.min(best, finalLoss)))
   }
 }

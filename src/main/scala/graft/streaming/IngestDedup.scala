@@ -43,31 +43,50 @@ object IngestDedup {
 
   /** Start the screening stream over a parquet document source.
     * Matches land in `resultsDir` as (idCol, hamming, matched_id);
-    * every batch's hashes append to `corpusDir` after screening. */
+    * every batch's hashes land in `corpusDir` after screening.
+    *
+    * RESTART / REPLAY SEMANTICS: both per-batch writes are IDEMPOTENT —
+    * each goes to a `batch-{batchId}` subdirectory in OVERWRITE mode, so
+    * a micro-batch retried after a mid-batch crash (foreachBatch is
+    * at-least-once) rewrites its own outputs instead of appending
+    * duplicate hashes that would make every doc exact-match its earlier
+    * copy. Pass `checkpointDir` in any production run: without a
+    * checkpoint a restarted query replays EVERY source file from
+    * scratch (batch ids restart at 0 — idempotence then only saves you
+    * if the file-to-batch assignment is reproduced, e.g. the
+    * single-file-per-trigger layout below). Read both directories with
+    * `recursiveFileLookup` (see [[readAll]]). */
   def screenStream(spark: SparkSession, sourceDir: String,
       corpusDir: String, resultsDir: String, idCol: String,
       textCol: String, maxHamming: Int = 3, maxBucketSize: Int = 1000,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      checkpointDir: Option[String] = None): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
-    val step = (batch: Dataset[Row], _: Long) => {
+    val step = (batch: Dataset[Row], batchId: Long) => {
       val s = batch.sparkSession
       val delta = hashes(batch.toDF(), idCol, textCol)
         .persist() // read twice: the screen and the corpus append
       try {
-        val existing = s.read.parquet(corpusDir)
+        val existing = readAll(s, corpusDir)
         Dedup.simHashScreen(delta, existing, idCol, "simhash",
           maxHamming, maxBucketSize)
-          .write.mode("append").parquet(resultsDir)
-        delta.write.mode("append").parquet(corpusDir)
+          .write.mode("overwrite").parquet(s"$resultsDir/batch-$batchId")
+        delta.write.mode("overwrite").parquet(s"$corpusDir/batch-$batchId")
       } finally delta.unpersist()
       ()
     }
-    spark.readStream.schema(schema)
+    val writer = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch(step)
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** Read an accumulated corpus/results directory — seed files at the
+    * root plus the per-batch subdirectories. */
+  def readAll(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
 }

@@ -23,12 +23,15 @@ object Blocklist {
 
   /** Literal path: (idCol, n_flagged, keep) — n_flagged counts every
     * OCCURRENCE of a blocked token (not distinct tokens); keep iff
-    * none. One projection over the shared tokenization. */
+    * none. One projection over the shared tokenization. Null text
+    * tokenizes to nothing → n_flagged = 0 / keep = true (the coalesce
+    * keeps this path result-identical to [[screenDf]], whose
+    * explode_outer + left join yields 0/true for null docs). */
   def screen(docs: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     val listed: Column = typedlit(blocklist.toArray)
-    val flagged = size(filter(CorpusOps.words(col(textCol)),
-      w => array_contains(listed, w)))
+    val flagged = coalesce(size(filter(CorpusOps.words(col(textCol)),
+      w => array_contains(listed, w))), lit(0))
     docs.select(col(idCol), flagged.cast("long").as("n_flagged"),
       (flagged === 0).as("keep"))
   }

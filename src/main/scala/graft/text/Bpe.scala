@@ -89,12 +89,17 @@ object Bpe {
     * applies it as one regex replace. Stops early when no pair repeats. */
   def learnMerges(docs: DataFrame, idCol: String, textCol: String,
       numMerges: Int): Seq[(String, String)] = {
+    // localCheckpoint (not persist) per round: a cached frame keeps its
+    // FULL logical plan, so 24 rounds of chained replaces made every
+    // round's pair-count query re-render a plan that grew round over
+    // round (AQE's explainString OOMed the driver on the sf corpus);
+    // checkpointing cuts lineage to the materialized blocks — the same
+    // bounded-iteration pattern as [[graft.sim.KMeans]]/DupClusters.
     var vocab = docs
       .select(explode(CorpusOps.words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(spell(array(col("w"))).as("s"), col("n"))
-      .persist()
-    vocab.count()
+      .localCheckpoint()
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var done = false
     var i = 0
@@ -114,17 +119,13 @@ object Bpe {
       else {
         val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
         merges += ((a, b))
-        val next = vocab
+        vocab = vocab
           .select(regexp_replace(col("s"), s" $a $b", s" $a$b").as("s"),
             col("n"))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+          .localCheckpoint()
       }
       i += 1
     }
-    vocab.unpersist()
     merges.toSeq
   }
 }

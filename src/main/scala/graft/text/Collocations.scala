@@ -57,10 +57,15 @@ object Collocations {
         .withColumnRenamed("c", "c2"), Seq("__w2"))
       .select(col("bigram"), col("c12"), col("c1"), col("c2"),
         log(col("c12") * lit(n) / (col("c1") * col("c2"))).as("pmi"))
+    // rank on the ROUND-6 pmi (the repo's FastRound-before-compare
+    // convention, as in Dsir/ProtoPrune/QuantileBinner): the unrounded
+    // double depends on each engine's libm ln, so a last-ulp difference
+    // at the rank-k boundary would flip ranks k/k+1 cross-engine
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .orderBy(col("pmi").desc, col("bigram"))))
+          .orderBy(graft.functions.FastRound(col("pmi"), 6).desc,
+            col("bigram"))))
       .where(col("rank") <= k)
   }
 }

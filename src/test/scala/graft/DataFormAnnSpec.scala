@@ -148,6 +148,34 @@ class DataFormAnnSpec extends AnyFunSuite {
       got(i.toLong) == (if (i % 2 == 0) 0 else 1)))
   }
 
+  test("kmeans convergence mode: separated blobs stop well before the " +
+    "round cap, centroids match the fixed-iteration fit") {
+    import graft.sim.KMeans
+    val pts = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, (0 until dim).map(d =>
+        c + 0.01 * math.sin(i * 31 + d)).toArray)
+    }
+    val df = spark.createDataFrame(pts).toDF("vec_id", "embedding")
+      .repartition(5)
+    val init = Seq(
+      (0, (0 until dim).map(_ => 0.9).toArray),
+      (1, (0 until dim).map(_ => -0.9).toArray)
+    ).toDF("cell", "cvec")
+    val (cents, rounds) = KMeans.lloydConverged(df, "vec_id", "embedding",
+      init, maxIters = 50, tol = 1e-9)
+    // round 1 moves init → blob means; round 2 moves nothing (the
+    // assignment is already stable) → movement 0 < tol stops at round 2
+    assert(rounds == 2, s"expected early stop at round 2, got $rounds")
+    val cm = cents.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cm(0).forall(x => math.abs(x - 1.0) < 0.02))
+    assert(cm(1).forall(x => math.abs(x + 1.0) < 0.02))
+    // identical fit to the fixed-iteration trainer at the same depth
+    val fixed = KMeans.lloyd(df, "vec_id", "embedding", init, iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cm == fixed)
+  }
+
   test("proto prune: per cell, exactly the least-prototypical rows at " +
     "or below the keepFrac quantile survive; every row is labeled") {
     import graft.sim.ProtoPrune

@@ -72,11 +72,13 @@ class SourcesSpec extends AnyFunSuite {
     Thread.sleep(1100) // distinct mtime second → stable file order
     batchB.coalesce(1).write.mode("append").parquet(src)
     val q = IngestDedup.screenStream(spark, src, corpus, results,
-      "doc_id", "text")
+      "doc_id", "text",
+      checkpointDir = Some(s"$root/ckpt"))
     q.processAllAvailable()
     val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
     q.stop()
-    val streamed = spark.read.parquet(results)
+    val streamed = IngestDedup.readAll(spark, results)
+      .select("doc_id", "hamming", "matched_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // batch composition of the SAME incremental semantics: A screens
     // against the seed, B against seed ∪ A
@@ -324,5 +326,38 @@ class MediaStagesSpec extends AnyFunSuite {
       BinaryPipeline.synthesizeMedia(Seq((1L, "ab")).toDF("id", "t"), "t"),
       "media", 8).select(length($"media_resized")).collect()(0).getInt(0)
     assert(padded == 8)
+  }
+
+  test("REAL codec through the same plumbing: javax.imageio decodes PNG " +
+    "and BMP fixture bytes inside the batched mapPartitions stage; " +
+    "driver-side decode matches, corrupt/null payloads yield zeros") {
+    import graft.multimodal.ImageIoDecoder
+    import java.awt.image.BufferedImage
+    // two 8x8 fixtures: a vertical-gradient PNG and a solid-red BMP
+    def encode(fmt: String, paint: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, paint(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encode("png", (_, y) => { val v = y * 32; (v << 16) | (v << 8) | v })
+    val bmp = encode("bmp", (_, _) => 0xff0000)
+    val rows = Seq(
+      (1L, png), (2L, bmp),
+      (3L, "not an image at all".getBytes("UTF-8")), // no reader accepts
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = spark.createDataFrame(rows).toDF("id", "media").repartition(2)
+    val got = BinaryPipeline.extractFeatures(df, "media", dim = 4,
+      batchSize = 2, decoder = ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // the distributed decode equals a driver-side decode of the same bytes
+    assert(got(1L) == ImageIoDecoder.decode(png, 4).toSeq)
+    assert(got(2L) == ImageIoDecoder.decode(bmp, 4).toSeq)
+    // gradient strips: luma strictly increases strip to strip; red BMP:
+    // every strip = Rec.601 red luma 0.299 — real pixels, not byte noise
+    assert(got(1L).sliding(2).forall(p => p(0) < p(1)), got(1L).toString)
+    assert(got(2L).forall(v => math.abs(v - 0.299f) < 1e-3), got(2L).toString)
+    assert(got(3L) == Seq.fill(4)(0.0f) && got(4L) == Seq.fill(4)(0.0f))
   }
 }
