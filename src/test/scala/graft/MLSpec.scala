@@ -778,6 +778,39 @@ class MLSpec extends AnyFunSuite {
     assert(r.getDouble(0) >= r.getDouble(1))
   }
 
+  test("pca fit invariants the q_pca dynamic oracle gates on: unit-norm " +
+    "orthogonal loadings, largest-|loading| coordinate positive, " +
+    "eigen-equation residual at solver precision, descending eigenvalues") {
+    val df = data.toDF()
+    val feats = Seq("f0", "f1", "f2")
+    val k = feats.size
+    val (means, loads) = DimReducer(feats, 2).fit(df)
+    // driver-side covariance from the raw rows
+    val rows = df.select(feats.map(c => col(c).cast("double")): _*)
+      .collect().map(r => Array.tabulate(k)(i => r.getDouble(i)))
+    val n = rows.length.toDouble
+    val mu = Array.tabulate(k)(j => rows.map(_(j)).sum / n)
+    means.zip(mu).foreach { case (m, m2) =>
+      assert(math.abs(m - m2) <= 1e-9 * (math.abs(m2) + 1)) }
+    val cov = Array.tabulate(k, k)((i, j) =>
+      rows.map(r => (r(i) - mu(i)) * (r(j) - mu(j))).sum / n)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val lams = loads.map { v =>
+      assert(math.abs(dot(v, v) - 1.0) <= 1e-9, "unit norm")
+      val mx = v.indices.maxBy(i => math.abs(v(i)))
+      assert(v(mx) > 0, "sign convention: largest-|loading| positive")
+      val cv = Array.tabulate(k)(i => dot(cov(i), v))
+      val lam = dot(v, cv)
+      val resid = math.sqrt(Array.tabulate(k)(i =>
+        math.pow(cv(i) - lam * v(i), 2)).sum)
+      assert(resid <= 1e-9 * (lam + 1), s"eigen residual $resid at λ=$lam")
+      lam
+    }
+    assert(math.abs(dot(loads(0), loads(1))) <= 1e-9, "orthogonal")
+    assert(lams(0) >= lams(1), "descending eigenvalues")
+  }
+
   test("embedding: nulls → zero vectors, template applied, dims from " +
     "embedder (test_feature_transformers.py:163-249)") {
     val df = Seq((1L, "ab"), (2L, null.asInstanceOf[String]), (3L, "xyz"))
