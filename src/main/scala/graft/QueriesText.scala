@@ -114,6 +114,18 @@ object QueriesText {
           element_at(col("hvec"), b + 1).as(s"d$b")): _*)
     }),
 
+    // TRAINED quality filter (CCNet arXiv:1911.00359 §4.4 / GPT-3
+    // App. A): logistic regression over hashed features, src0 as the
+    // trusted positive domain, 3 deterministic full-batch GD steps with
+    // round-6 weight snaps — the oracle RETRAINS the identical
+    // trajectory unrolled in SQL, then scores every doc with the same
+    // final weights (fit + scoring both under the hash gate)
+    "q_quality_clf" -> ((s, dir) => {
+      graft.text.QualityClassifier.fitScore(docs(s, dir), "text",
+        col("source") === "src0", dim = 16, iters = 3, lr = 1.0)
+        .select(col("doc_id"), col("y"), col("clf_score"), col("clf_keep"))
+    }),
+
     // ingest canonicalization (NFC + control strip + whitespace
     // collapse): the clean corpus carries no mess, so a deterministic
     // third of docs get a DECOMPOSED é + VT/tab runs and a third a
@@ -235,6 +247,54 @@ object QueriesText {
 
   private val wordsSql =
     "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+
+  /** q_quality_clf oracle: the full fixed-iteration logistic-GD
+    * trajectory unrolled — hashed features (the q_hash_embed mirror) +
+    * intercept, per-round margin in the VecDot index order, avg
+    * gradient, round-6 weight snap (engine-stable state, as the
+    * kmeans/umap/bpe-train oracles), then final scoring with the
+    * retrained weights. Iteration CTEs are MATERIALIZED (each is
+    * referenced twice; DuckDB inlines CTEs by default). */
+  private def qualityClfSql(dim: Int, iters: Int, lr: Double): String = {
+    val b = "(" + Dedup.md5ChunkSql("md5(t)", 1, 13) + s") % $dim"
+    val s14 = "((" + Dedup.md5ChunkSql("md5(t)", 14, 1) + ") % 2) * 2 - 1"
+    val dims = (0 until dim).map(d =>
+      s"coalesce(list_sum(list_transform(l, t -> CASE WHEN $b = $d " +
+        s"THEN CAST($s14 AS DOUBLE) ELSE 0.0 END)), 0.0) AS d$d")
+      .mkString(",\n    ")
+    val margin = ((0 until dim).map(j => s"d$j * w$j") :+
+      s"1.0 * w$dim").mkString(" + ")
+    val gs = ((0 until dim).map(j => s"avg(d$j * (p - y)) AS g$j") :+
+      s"avg(1.0 * (p - y)) AS g$dim").mkString(",\n    ")
+    val wUpd = (0 to dim).map(j => s"round(w$j - $lr * g$j, 6) AS w$j")
+      .mkString(",\n    ")
+    val w0 = (0 to dim).map(j => s"0.0 AS w$j").mkString(", ")
+    val iterCtes = (0 until iters).map { t =>
+      s"""m$t AS MATERIALIZED (
+         |  SELECT f.*, 1.0 / (1.0 + exp(-($margin))) AS p
+         |  FROM f, w$t),
+         |g$t AS MATERIALIZED (
+         |  SELECT $gs
+         |  FROM m$t),
+         |w${t + 1} AS MATERIALIZED (
+         |  SELECT $wUpd
+         |  FROM g$t, w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text),
+       |    '[a-z0-9_]+') AS l FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+       |    $dims
+       |  FROM w),
+       |w0 AS (SELECT $w0),
+       |$iterCtes
+       |SELECT f.doc_id, f.y,
+       |  round(1.0 / (1.0 + exp(-($margin))), 6) AS clf_score,
+       |  round(1.0 / (1.0 + exp(-($margin))), 6) >= 0.5 AS clf_keep
+       |FROM f, w$iters""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_text_stats" ->
@@ -381,6 +441,8 @@ object QueriesText {
          | $red AS redacted
          |FROM p""".stripMargin
     },
+
+    "q_quality_clf" -> qualityClfSql(dim = 16, iters = 3, lr = 1.0),
 
     "q_hash_embed" -> {
       val b = "(" + Dedup.md5ChunkSql("md5(t)", 1, 13) + ") % 16"

@@ -398,3 +398,46 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == (2L, 0L, "x y"))
   }
 }
+
+/** Round-9: the TRAINED quality classifier (CCNet-style logistic
+  * regression over hashed features, deterministic full-batch GD). */
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.text.QualityClassifier
+
+  // two separable vocabularies: "quality prose" vs "spam boilerplate"
+  private def fixture = (0 until 120).map { i =>
+    if (i % 2 == 0)
+      (i.toLong, s"thoughtful essay prose argument evidence v$i", 1.0)
+    else
+      (i.toLong, s"click buy cheap pills winner prize v$i", 0.0)
+  }.toSeq.toDF("doc_id", "text", "label")
+
+  test("fit separates two vocabularies: every positive outscores every " +
+    "negative after enough epochs; keep flags follow the threshold") {
+    val out = QualityClassifier.fitScore(fixture, "text",
+      col("label") === 1.0, dim = 32, iters = 60, lr = 2.0)
+      .select(col("y"), col("clf_score"), col("clf_keep"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    val pos = out.filter(_._1 == 1.0).map(_._2)
+    val neg = out.filter(_._1 == 0.0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.min > neg.max,
+      s"classes must separate: min-pos ${pos.min} vs max-neg ${neg.max}")
+    out.foreach { case (_, s, keep) => assert(keep == (s >= 0.5)) }
+  }
+
+  test("fit is deterministic: identical weights across two runs, " +
+    "round-6 snapped (the property the unrolled oracle rests on)") {
+    val feats = QualityClassifier.features(fixture, "text",
+      col("label") === 1.0, dim = 16).localCheckpoint()
+    val w1 = QualityClassifier.fit(feats, dim = 16, iters = 5, lr = 1.0)
+    val w2 = QualityClassifier.fit(
+      feats.repartition(7), dim = 16, iters = 5, lr = 1.0)
+    assert(w1.toSeq == w2.toSeq,
+      "weights must not depend on partitioning")
+    assert(w1.forall(w =>
+      w == graft.functions.FastRound.compute(w, 1e6, 6)))
+  }
+}

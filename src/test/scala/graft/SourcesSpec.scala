@@ -97,6 +97,44 @@ class SourcesSpec extends AnyFunSuite {
       s"expected zero streaming state rows, got $state")
   }
 
+  test("streaming ingest-time screening RESTART: with a checkpoint, a " +
+    "restarted query resumes after the committed batches — results and " +
+    "corpus hold no duplicates and new batches still screen correctly") {
+    import graft.streaming.IngestDedup
+    val root = java.nio.file.Files.createTempDirectory("graft-restart")
+    val (src, corpus, results, ckpt) =
+      (s"$root/src", s"$root/corpus", s"$root/results", s"$root/ckpt")
+    IngestDedup.hashes(
+      Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text").write.parquet(corpus)
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely different text here now")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = IngestDedup.screenStream(spark, src, corpus, results,
+      "doc_id", "text", checkpointDir = Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = IngestDedup.readAll(spark, corpus).count()
+    // restart with the SAME checkpoint; add one new file with a dup of
+    // doc 2 — the committed batch must NOT replay (corpus would double
+    // and doc 3 would then also exact-match doc 1's duplicate hash)
+    Thread.sleep(1100)
+    Seq((3L, "completely different text here now")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = IngestDedup.screenStream(spark, src, corpus, results,
+      "doc_id", "text", checkpointDir = Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+    val corpusIds = IngestDedup.readAll(spark, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(corpusIds.length == corpusIds.distinct.length,
+      s"restart must not re-append committed batches: $corpusIds")
+    assert(corpusIds.toSet == Set(100L, 1L, 2L, 3L))
+    assert(IngestDedup.readAll(spark, corpus).count() == afterFirst + 1)
+    val streamed = IngestDedup.readAll(spark, results)
+      .select("doc_id", "hamming", "matched_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 0L, 100L), (3L, 0L, 2L)), streamed.toString)
+  }
+
   test("streaming corpus curation: the quality filter runs unchanged " +
     "under readStream and matches the batch keep-set") {
     import graft.text.QualityFilterTransformer
