@@ -182,6 +182,23 @@ object QueriesCorpus {
           round(col("weight"), 6).as("weight"))
     }),
 
+    // UniMax budget allocation (Chung et al. 2023): cap 4 epochs per
+    // source, budget 3.7× the corpus (so the small-source prefix caps and
+    // the rest split the remainder uniformly — both regimes exercised).
+    // The corpus-total scalar is the one driver-side collect (a
+    // single-row aggregate); everything else is two window passes over
+    // the per-SOURCE frame.
+    "q_unimax" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = size(CorpusOps.words(col("text"))).cast("long")
+      val total = d.agg(sum(tok)).first().getLong(0)
+      CorpusSplit.unimaxAllocation(d, "source", tok,
+        budget = 3.7 * total, maxEpochs = 4.0)
+        .select(col("source"), col("n_tokens"),
+          round(col("alloc_tokens"), 2).as("alloc_tokens"),
+          round(col("epochs"), 6).as("epochs"), col("capped"))
+    }),
+
     "q_vocab" -> ((s, dir) => {
       CorpusSplit.topVocab(docs(s, dir), "doc_id", "text", k = 100)
         .select(col("rank"), col("token"), col("n_occurrences"),
@@ -677,6 +694,40 @@ object QueriesCorpus {
          |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
          |    1 PRECEDING), 0) / 512) AS BIGINT) AS bin
          |FROM w""".stripMargin,
+
+    "q_unimax" ->
+      s"""WITH w AS ($wCte),
+         |per AS (SELECT source, CAST(sum(len(l)) AS BIGINT) AS n_tokens
+         |  FROM w GROUP BY source),
+         |b AS (SELECT 3.7 * sum(n_tokens) AS bud FROM per),
+         |ord AS (SELECT source, n_tokens,
+         |  row_number() OVER (ORDER BY n_tokens, source) AS i,
+         |  count(*) OVER () AS m,
+         |  coalesce(sum(CAST(n_tokens AS DOUBLE) * 4.0)
+         |    OVER (ORDER BY n_tokens, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+         |    AS cum
+         |FROM per),
+         |flg AS (SELECT source, n_tokens, i, m, cum,
+         |  min(CASE WHEN CAST(n_tokens AS DOUBLE) * 4.0 * (m - i + 1)
+         |      <= bud - cum THEN 1 ELSE 0 END)
+         |    OVER (ORDER BY n_tokens, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         |    AS capped
+         |FROM ord, b),
+         |tot AS (SELECT
+         |  coalesce(max(CASE WHEN capped
+         |    THEN cum + CAST(n_tokens AS DOUBLE) * 4.0 END), 0.0)
+         |    AS cap_sum,
+         |  sum(CASE WHEN capped THEN 1 ELSE 0 END) AS p FROM flg)
+         |SELECT source, n_tokens,
+         |  round(CASE WHEN capped THEN CAST(n_tokens AS DOUBLE) * 4.0
+         |    ELSE (bud - cap_sum) / (m - p) END, 2) AS alloc_tokens,
+         |  round(CASE WHEN capped THEN 4.0
+         |    ELSE (bud - cap_sum) / (m - p) / CAST(n_tokens AS DOUBLE)
+         |    END, 6) AS epochs,
+         |  capped
+         |FROM flg, b, tot""".stripMargin,
 
     "q_mixture" ->
       s"""WITH w AS ($wCte),

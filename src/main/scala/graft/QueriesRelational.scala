@@ -63,6 +63,59 @@ object QueriesRelational {
           col("rk"))
     }),
 
+    // Bucketed-layout co-located join: pay the fact tables' shuffle at
+    // WRITE time (bucketBy the join key), then join and aggregate on the
+    // same key with ZERO exchanges in the plan — the daily-rescan shape a
+    // 100 TB pipeline wants, where the join key is stable and the data is
+    // read many more times than it is written. PlanSpec pins the
+    // no-Exchange sort-merge plan; the oracle only checks values (the
+    // layout is semantics-preserving by construction).
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.sources.BucketedLayout
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      BucketedLayout.writeBucketed(li, "l_orderkey", 8,
+        "graft_li_bkt", BucketedLayout.scratchDir("li_bkt"))
+      BucketedLayout.writeBucketed(ord, "o_orderkey", 8,
+        "graft_ord_bkt", BucketedLayout.scratchDir("ord_bkt"))
+      val lb = s.table("graft_li_bkt")
+      val ob = s.table("graft_ord_bkt")
+      // revenue in EXACT integer 1e-4 units (price cents × discount
+      // basis-point complement — both 2dp-valued): with 14k+ output
+      // groups a double sum's engine-specific accumulation order (and a
+      // terminal decimal round after division) flips a cent somewhere;
+      // integer sums are order-free and need no rounding at all (the
+      // q_rolling_corr convention)
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val bp = lit(100L) - round(col("l_discount") * 100, 0).cast("long")
+      lb.hint("merge").join(ob, lb("l_orderkey") === ob("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(cents * bp).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Hive-style partitioned write + partition-PRUNED read: the filter
+    // column becomes a directory level, so the predicate prunes whole
+    // directories at planning time (PartitionFilters — non-matching files
+    // are never listed into the scan; PlanSpec pins it). The write-side
+    // companion of the §2.2 PushedFilters pin.
+    "q_partitioned_prune" -> ((s, dir) => {
+      import graft.sources.BucketedLayout
+      val path = BucketedLayout.scratchDir("li_part")
+      BucketedLayout.writePartitioned(
+        t(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice"),
+        "l_returnflag", path)
+      s.read.parquet(path)
+        .where(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Spearman correlation per group: average-tie ranks of both sides,
     // then Pearson corr — the exact (non-soft) form of the reference's
     // SpearmanCorrelation loss (losses.py:22-122, SURVEY.md §2.8).
@@ -100,6 +153,21 @@ object QueriesRelational {
         |    row_number() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC, p_partkey) AS rk
         |  FROM part) WHERE rk <= 3""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |   AS BIGINT) AS revenue_e4,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
+    "q_partitioned_prune" ->
+      """SELECT l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | count(*) AS n_lines
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus""".stripMargin,
     "q_spearman" ->
       """WITH ranked AS (
         |  SELECT l_returnflag,

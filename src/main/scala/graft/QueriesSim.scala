@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine, IvfPq, PqCosine, RandomProjection,
+import graft.sim.{CosineTopK, IvfCosine, IvfPq, Mmr, PqCosine,
+  RandomProjection,
   SemDedup, SqCosine}
 import graft.dedup.{Dedup, Similarity}
 
@@ -47,6 +48,21 @@ object QueriesSim {
         "qid", "qvec", k = 5, dim = DIM)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
+    }),
+
+    // MMR-diversified retrieval (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over each probe's top-8
+    // shortlist, k=3, unrolled as bounded relational rounds (pair frame
+    // = probes × 64 rows; never corpus-sized). Scores round-6 snapped
+    // before every argmax so rank boundaries are engine-stable.
+    "q_mmr" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val probes = corpus.where(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Mmr.rerank(corpus, probes, "vec_id", "embedding", "qid", "qvec",
+        shortN = 8, k = 3, lambda = 0.7, dim = DIM)
+        .select(col("qid"), col("step"), col("nid"), col("rel"),
+          col("mmr"))
     }),
 
     // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
@@ -312,6 +328,65 @@ object QueriesSim {
 
     "q_umap_analog" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
       iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3),
+    "q_mmr" -> {
+      // λ and 1−λ embedded from the SAME Scala doubles the Spark side
+      // uses (1.0 − 0.7 ≠ decimal 0.3 at the last ulp)
+      val lam = 0.7
+      val oml = 1.0 - lam
+      s"""WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id < 30),
+        |sims AS (
+        |  SELECT p.qid, v.vec_id AS nid,
+        |    list_inner_product(p.q, v.e)
+        |      / (sqrt(list_inner_product(p.q, p.q))
+        |         * sqrt(list_inner_product(v.e, v.e))) AS cosine
+        |  FROM p, v WHERE v.vec_id <> p.qid),
+        |short AS (
+        |  SELECT qid, nid, round(cosine, 6) AS rel, rank FROM (
+        |    SELECT qid, nid, cosine, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, nid) AS rank FROM sims)
+        |  WHERE rank <= 8),
+        |sv AS (
+        |  SELECT s.qid, s.nid, s.rel, s.rank, v.e,
+        |    sqrt(list_inner_product(v.e, v.e)) AS n
+        |  FROM short s JOIN v ON v.vec_id = s.nid),
+        |pairs AS (
+        |  SELECT a.qid, a.rank AS a_rank, b.rank AS b_rank,
+        |    round(list_inner_product(a.e, b.e) / (a.n * b.n), 6) AS sim
+        |  FROM sv a JOIN sv b ON a.qid = b.qid AND a.rank <> b.rank),
+        |sel1 AS (SELECT qid, 1 AS step, nid, rel, rel AS mmr, rank
+        |  FROM sv WHERE rank = 1),
+        |sc2 AS (
+        |  SELECT c.qid, c.nid, c.rel, c.rank,
+        |    round($lam * c.rel - $oml * max(p.sim), 6) AS mmr
+        |  FROM sv c JOIN pairs p ON p.qid = c.qid AND p.a_rank = c.rank
+        |    AND p.b_rank = 1
+        |  WHERE c.rank <> 1 GROUP BY c.qid, c.nid, c.rel, c.rank),
+        |sel2 AS (SELECT qid, 2 AS step, nid, rel, mmr, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY mmr DESC, nid) AS rn FROM sc2) WHERE rn = 1),
+        |sc3 AS (
+        |  SELECT c.qid, c.nid, c.rel, c.rank,
+        |    round($lam * c.rel - $oml * max(p.sim), 6) AS mmr
+        |  FROM sv c
+        |  JOIN pairs p ON p.qid = c.qid AND p.a_rank = c.rank
+        |  JOIN (SELECT qid, rank FROM sel1
+        |        UNION ALL SELECT qid, rank FROM sel2) s
+        |    ON s.qid = c.qid AND p.b_rank = s.rank
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel1 e
+        |      WHERE e.qid = c.qid AND e.rank = c.rank)
+        |    AND NOT EXISTS (SELECT 1 FROM sel2 e
+        |      WHERE e.qid = c.qid AND e.rank = c.rank)
+        |  GROUP BY c.qid, c.nid, c.rel, c.rank),
+        |sel3 AS (SELECT qid, 3 AS step, nid, rel, mmr, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY mmr DESC, nid) AS rn FROM sc3) WHERE rn = 1)
+        |SELECT qid, step, nid, rel, mmr FROM sel1
+        |UNION ALL SELECT qid, step, nid, rel, mmr FROM sel2
+        |UNION ALL SELECT qid, step, nid, rel, mmr FROM sel3""".stripMargin
+    },
+
     "q_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

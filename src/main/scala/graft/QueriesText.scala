@@ -126,6 +126,20 @@ object QueriesText {
         .select(col("doc_id"), col("y"), col("clf_score"), col("clf_keep"))
     }),
 
+    // URL-level dedup (C4 keep-one-per-URL): the corpus carries no URLs,
+    // so the query demonstrates the operator on deterministically derived
+    // crawl URLs (content from doc_id % 50 — ~n/50 docs per canonical
+    // URL; presentation noise — scheme/host case, www., :443, utm_*
+    // params, fragments, trailing slashes — from doc_id, varying WITHIN
+    // each group), identically mirrored in the oracle. Canonicalization
+    // must unify raw strings exact dedup cannot.
+    "q_url_dedup" -> ((s, dir) => {
+      graft.text.UrlOps.dedupByUrl(
+        docs(s, dir).withColumn("url", crawlUrl), "url", "doc_id")
+        .select(col("doc_id"), col("url"), col("canon_url"), col("domain"),
+          col("keep"))
+    }),
+
     // ingest canonicalization (NFC + control strip + whitespace
     // collapse): the clean corpus carries no mess, so a deterministic
     // third of docs get a DECOMPOSED é + VT/tab runs and a third a
@@ -178,6 +192,58 @@ object QueriesText {
       "CAST(doc_id * 7 % 256 AS VARCHAR) || ' call +1555' || " +
       "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
       "ELSE text END"
+
+  /** doc_id-seeded crawl URL (Spark side; [[crawlUrlSql]] is the oracle
+    * mirror). Content — site number, subdomain, TLD, article path, id
+    * param — derives from k = doc_id % 50, so ~n/50 docs share each
+    * canonical URL; presentation noise derives from doc_id moduli that do
+    * NOT divide 50 (3, 4, 6, 7), so it VARIES within every content group
+    * and canonicalization has real work to do. */
+  private def crawlUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val k = id % 50
+    concat(
+      when(id % 6 === 0, "HTTPS://").otherwise("https://"),
+      when(id % 4 === 0, "www.").when(id % 4 === 1, "WWW.").otherwise(""),
+      when(k % 5 === 0, "news.").otherwise(""),
+      when(id % 3 === 0, "Site").otherwise("site"),
+      (k % 7).cast("string"),
+      when(k % 3 === 0, ".com").when(k % 3 === 1, ".co.uk")
+        .otherwise(".org"),
+      when(id % 7 === 0, ":443").otherwise(""),
+      lit("/Articles/"), (k % 11).cast("string"),
+      when(k % 3 === 2 && id % 3 === 0, "/").otherwise(""),
+      when(k % 3 === 0,
+        concat(when(id % 4 < 2, "?utm_source=feed&id=").otherwise("?id="),
+          (k % 13).cast("string")))
+        .when(k % 3 === 1,
+          concat(lit("?id="), (k % 13).cast("string"),
+            when(id % 4 === 0, "&utm_campaign=Spring").otherwise("")))
+        .otherwise(""),
+      when(id % 3 === 0, "#Section2").otherwise(""))
+  }
+
+  private val crawlUrlSql: String =
+    "CASE WHEN doc_id % 6 = 0 THEN 'HTTPS://' ELSE 'https://' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'www.' WHEN doc_id % 4 = 1 " +
+      "THEN 'WWW.' ELSE '' END || " +
+      "CASE WHEN (doc_id % 50) % 5 = 0 THEN 'news.' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END || " +
+      "CAST((doc_id % 50) % 7 AS VARCHAR) || " +
+      "CASE WHEN (doc_id % 50) % 3 = 0 THEN '.com' " +
+      "WHEN (doc_id % 50) % 3 = 1 THEN '.co.uk' ELSE '.org' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END || " +
+      "'/Articles/' || CAST((doc_id % 50) % 11 AS VARCHAR) || " +
+      "CASE WHEN (doc_id % 50) % 3 = 2 AND doc_id % 3 = 0 " +
+      "THEN '/' ELSE '' END || " +
+      "CASE WHEN (doc_id % 50) % 3 = 0 THEN " +
+      "(CASE WHEN doc_id % 4 < 2 THEN '?utm_source=feed&id=' " +
+      "ELSE '?id=' END) || CAST((doc_id % 50) % 13 AS VARCHAR) " +
+      "WHEN (doc_id % 50) % 3 = 1 THEN " +
+      "'?id=' || CAST((doc_id % 50) % 13 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '&utm_campaign=Spring' " +
+      "ELSE '' END) ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '#Section2' ELSE '' END"
 
   /** md5-digit simhash as a reusable oracle CTE (`sh(doc_id, simhash)`) —
     * mirror of Dedup.simHash. */
@@ -443,6 +509,31 @@ object QueriesText {
     },
 
     "q_quality_clf" -> qualityClfSql(dim = 16, iters = 3, lr = 1.0),
+
+    "q_url_dedup" -> {
+      // identical RE2-subset patterns as the Spark side, from the same
+      // constants (graft.text.UrlOps) — the two engines cannot drift
+      import graft.text.UrlOps._
+      val noFrag = s"regexp_replace(url, '$fragPat', '', 'g')"
+      val host = s"regexp_replace(regexp_replace(lower(regexp_extract(" +
+        s"url, '$hostPat', 1)), '$portPat', '', 'g'), '$wwwPat', '', 'g')"
+      val rest = s"regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace($noFrag, '$schemeHostPat', '', 'g'), " +
+        s"'$utmPat', '', 'g'), '$danglingPat', '', 'g'), " +
+        s"'$trailSlashPat', '', 'g')"
+      s"""WITH u AS (SELECT doc_id, $crawlUrlSql AS url FROM documents),
+         |c AS (SELECT doc_id, url,
+         |  lower(regexp_extract($noFrag, '$schemePat', 1)) || '://' ||
+         |    $host || $rest AS canon_url,
+         |  $host AS h
+         |FROM u)
+         |SELECT doc_id, url, canon_url,
+         |  CASE WHEN regexp_matches(h, '$secondLevelSuffixPat')
+         |    THEN regexp_extract(h, '$regDom3Pat', 1)
+         |    ELSE regexp_extract(h, '$regDom2Pat', 1) END AS domain,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+         |FROM c""".stripMargin
+    },
 
     "q_hash_embed" -> {
       val b = "(" + Dedup.md5ChunkSql("md5(t)", 1, 13) + ") % 16"

@@ -353,6 +353,68 @@ object CorpusSplit {
       .drop("__h")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): the
+    * principled successor of temperature sampling — given a total token
+    * budget and a per-source epoch cap, small sources are repeated up to
+    * the cap and the REMAINING budget is split uniformly across the
+    * sources large enough to absorb it. Waterfilling over sources sorted
+    * ascending by size: at each step the fair share is
+    * remaining/budget ÷ remaining-sources; a source takes
+    * min(cap·n_tokens, share). Because taking exactly the fair share
+    * leaves the share invariant, the capped sources form an ascending
+    * PREFIX — which turns the sequential loop into two window passes
+    * over the per-source frame (running capped-sum + running AND),
+    * engine-exact and oracle-checkable.
+    *
+    * Every window here runs on the per-SOURCE frame (one row per
+    * source — bounded by the catalog of corpora, never by the corpus),
+    * the same tiny-frame contract as [[mixtureWeights]]; the one corpus
+    * pass is the map-side-combined token-count groupBy.
+    *
+    * Output per source: `n_tokens`, `alloc_tokens` (budgeted tokens),
+    * `epochs` (= alloc/n, ≤ maxEpochs), `capped`.
+    */
+  def unimaxAllocation(docs: DataFrame, sourceCol: String,
+      tokenCount: Column, budget: Double, maxEpochs: Double): DataFrame = {
+    val asc = Window.orderBy(col("n_tokens"), col(sourceCol))
+    val per = docs.groupBy(col(sourceCol))
+      .agg(sum(tokenCount).as("n_tokens"))
+    val ord = per
+      .withColumn("_i", row_number().over(asc))
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("_cum", coalesce(
+        sum(col("n_tokens").cast("double") * maxEpochs)
+          .over(asc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+    // capped iff every source up to and including this one fit under its
+    // fair share at its turn (the running-AND of the prefix property)
+    val fits = col("n_tokens").cast("double") * maxEpochs *
+      (col("_m") - col("_i") + 1) <= lit(budget) - col("_cum")
+    val flagged = ord.withColumn("capped",
+      min(when(fits, 1).otherwise(0))
+        .over(asc.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+    // Σ of the capped prefix, ORDER-INDEPENDENTLY: the running `_cum` is
+    // already the ordered prefix sum, so the capped total is the max of
+    // (_cum + own) over capped rows — an unordered double SUM here would
+    // accumulate in engine-specific row order and drift at the last ulp.
+    val capSum = coalesce(
+      max(when(col("capped"),
+        col("_cum") + col("n_tokens").cast("double") * maxEpochs))
+        .over(Window.partitionBy()),
+      lit(0.0))
+    val share = (lit(budget) - capSum) /
+      (col("_m") - sum(when(col("capped"), 1).otherwise(0))
+        .over(Window.partitionBy()))
+    flagged
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("n_tokens").cast("double") * maxEpochs)
+          .otherwise(share))
+      .withColumn("epochs",
+        when(col("capped"), lit(maxEpochs))
+          .otherwise(share / col("n_tokens").cast("double")))
+      .drop("_i", "_m", "_cum")
+  }
+
   /** Temperature-scaled source mixture weights (the multilingual /
     * multi-source sampling scheme of Arivazhagan et al. 2019 §4.2 /
     * GPT-3 §2.2): weight_s ∝ (token share of source s)^alpha,

@@ -441,3 +441,59 @@ class QualityClassifierSpec extends AnyFunSuite {
       w == graft.functions.FastRound.compute(w, 1e6, 6)))
   }
 }
+
+/** UniMax budget allocation (text.CorpusSplit.unimaxAllocation): the
+  * waterfilling contract on hand-computed fixtures — ascending capped
+  * prefix, uniform leftover share, both degenerate regimes. */
+class UnimaxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.text.CorpusSplit
+
+  // one doc per source whose token count IS the source size
+  private def corpus(sizes: (String, Int)*) =
+    sizes.toSeq.toDF("source", "n")
+      .select(col("source"),
+        concat_ws(" ", transform(sequence(lit(1), col("n")),
+          _ => lit("w"))).as("text"))
+
+  private def alloc(df: org.apache.spark.sql.DataFrame, budget: Double,
+      cap: Double) =
+    CorpusSplit.unimaxAllocation(df, "source",
+      size(graft.text.CorpusOps.words(col("text"))).cast("long"),
+      budget, cap)
+      .select("source", "n_tokens", "alloc_tokens", "epochs", "capped")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+
+  test("hand-computed waterfilling: small sources cap at maxEpochs, the " +
+    "rest split the leftover uniformly") {
+    // sizes 10/100/1000, budget 2000, cap 4: share1 = 666.7 -> 10 caps
+    // (40); share2 = 980 -> 100 caps (400); 1000 takes the rest (1560)
+    val out = alloc(corpus("a" -> 10, "b" -> 100, "c" -> 1000), 2000.0, 4.0)
+    assert(out("a") == ((10L, 40.0, 4.0, true)))
+    assert(out("b") == ((100L, 400.0, 4.0, true)))
+    assert(out("c") == ((1000L, 1560.0, 1.56, false)))
+  }
+
+  test("budget exceeding cap * corpus: everything caps, no division " +
+    "blow-up on the empty uncapped set") {
+    val out = alloc(corpus("a" -> 10, "b" -> 20), 1000.0, 2.0)
+    assert(out("a") == ((10L, 20.0, 2.0, true)))
+    assert(out("b") == ((20L, 40.0, 2.0, true)))
+  }
+
+  test("budget too small for any cap: uniform split across all sources") {
+    val out = alloc(corpus("a" -> 100, "b" -> 100, "c" -> 100), 30.0, 4.0)
+    assert(out.values.forall(v => v._2 == 10.0 && v._3 == 0.1 && !v._4))
+  }
+
+  test("allocations sum to the budget when any source is share-limited") {
+    val out = alloc(
+      corpus("a" -> 10, "b" -> 100, "c" -> 1000, "d" -> 800), 3000.0, 4.0)
+    assert(math.abs(out.values.map(_._2).sum - 3000.0) < 1e-9)
+    assert(!out("c")._4 && out("a")._4)
+  }
+}

@@ -434,6 +434,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!hvPlan.contains("Exchange"),
       s"vectorizer must be shuffle-free:\n$hvPlan")
   }
+
+  test("bucketed layout: co-located join + same-key aggregate plan has " +
+    "ZERO exchanges (the write paid the shuffle once)") {
+    val df = QueriesRelational.queries("q_bucketed_join")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join/agg still exchanges:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n$plan")
+    // and the values are the plain join's values regardless of layout
+    val viaLayout = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val cents = graft.functions.FastRound(col("l_extendedprice") * 100, 0)
+      .cast("long")
+    val bp = lit(100L) -
+      graft.functions.FastRound(col("l_discount") * 100, 0).cast("long")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(cents * bp).as("revenue_e4"),
+        count(lit(1)).as("n_lines"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaLayout == plain)
+  }
+
+  test("partitioned layout: the predicate prunes directories at plan " +
+    "time (PartitionFilters), not just row groups") {
+    val df = QueriesRelational.queries("q_partitioned_prune")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).nonEmpty,
+      s"no partition pruning on l_returnflag:\n$plan")
+    // the partition column never reaches the data-filter side
+    assert(!plan.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"partition predicate leaked into data filters:\n$plan")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count
@@ -611,6 +650,7 @@ class ExtensionsRegistrationSpec extends AnyFunSuite {
     val se = new org.apache.spark.sql.SparkSessionExtensions
     ext(se)  // must not throw; injection is covered by register() above
   }
+
 }
 
 /** Fused shingle-minhash kernel equals the composed staged-HOF chain
