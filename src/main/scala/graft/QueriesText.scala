@@ -140,6 +140,50 @@ object QueriesText {
           col("keep"))
     }),
 
+    // snapshot CDC (daily ingest diff): classify every id across two
+    // snapshots as added/removed/changed/unchanged by fingerprint under
+    // a full outer equi-join. The "new" snapshot is derived
+    // deterministically (drops, edits, additions by doc_id moduli),
+    // identically mirrored in the oracle.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val kept = d.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = d.where(col("doc_id") % 19 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+      graft.sources.SnapshotDiff.diff(d, kept.unionByName(added),
+        "doc_id", md5(col("text")))
+        .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+    }),
+
+    // small-files compaction: 64 writer-task shards re-laid-out into
+    // range-partitioned, internally sorted files (rows/250 of them) —
+    // the daily maintenance job behind every streaming sink; content is
+    // layout-invariant (the oracle is the plain table), the file-count
+    // and sortedness contracts are spec-pinned.
+    "q_compact" -> ((s, dir) => {
+      import graft.sources.BucketedLayout
+      val small = BucketedLayout.scratchDir("docs_small")
+      val outP = BucketedLayout.scratchDir("docs_compact")
+      docs(s, dir).select("doc_id", "source", "n_chars")
+        .repartition(64).write.mode("overwrite").parquet(small)
+      BucketedLayout.compact(s.read.parquet(small), "doc_id", 250L, outP)
+    }),
+
+    // count-min sketch (Cormode & Muthukrishnan 2005) as a relational
+    // (depth × width) cell frame — bounded-space frequency estimates
+    // with the one-sided estimate ≥ exact guarantee, md5-derived rows
+    // so the whole sketch verifies bit-for-bit
+    "q_count_min" -> ((s, dir) => {
+      graft.text.CountMin.estimate(docs(s, dir), "text",
+        depth = 4, width = 64)
+        .select(col("token"), col("n_exact"), col("cms_est"),
+          col("cms_ge_exact"))
+    }),
+
     // ingest canonicalization (NFC + control strip + whitespace
     // collapse): the clean corpus carries no mess, so a deterministic
     // third of docs get a DECOMPOSED é + VT/tab runs and a third a
@@ -509,6 +553,49 @@ object QueriesText {
     },
 
     "q_quality_clf" -> qualityClfSql(dim = 16, iters = 3, lr = 1.0),
+
+    "q_snapshot_diff" ->
+      """WITH oldt AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        |newt AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 13 = 2
+        |    THEN text || ' v2' ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5('new doc ' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 19 = 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |       WHEN n.new_fp IS NULL THEN 'removed'
+        |       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_fp, n.new_fp
+        |FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id"""
+        .stripMargin,
+
+    "q_compact" ->
+      "SELECT doc_id, source, n_chars FROM documents",
+
+    "q_count_min" -> {
+      import graft.text.CountMin
+      val cells = (d: String) => (0 until 4).map(i =>
+        s"SELECT token, $i AS d, ${CountMin.bucketSql("token", i, 64)} " +
+          s"AS b FROM $d").mkString("\n  UNION ALL ")
+      s"""WITH w AS (SELECT regexp_extract_all(lower(text),
+         |    '[a-z0-9_]+') AS l FROM documents),
+         |toks AS (SELECT unnest(l) AS token FROM w),
+         |cells AS (${cells("toks")}),
+         |sk AS (SELECT d, b, count(*) AS cnt FROM cells GROUP BY d, b),
+         |exact AS (SELECT token, count(*) AS n_exact FROM toks
+         |  GROUP BY token),
+         |probes AS (${cells("exact")}),
+         |est AS (SELECT p.token, min(s.cnt) AS cms_est
+         |  FROM probes p JOIN sk s ON p.d = s.d AND p.b = s.b
+         |  GROUP BY p.token)
+         |SELECT e.token, e.n_exact, est.cms_est,
+         |  est.cms_est >= e.n_exact AS cms_ge_exact
+         |FROM exact e JOIN est ON e.token = est.token""".stripMargin
+    },
 
     "q_url_dedup" -> {
       // identical RE2-subset patterns as the Spark side, from the same

@@ -52,6 +52,32 @@ object BucketedLayout {
       .partitionBy(partCol)
       .parquet(path)
 
+  /** Compact a small-files table into `ceil(rows / targetRowsPerFile)`
+    * range-partitioned, internally sorted files at `outPath`, and return
+    * the compacted frame read back.
+    *
+    * The daily maintenance job every streaming/incremental sink needs:
+    * micro-batches and per-task writers leave thousands of KB-sized
+    * files, and at 100 TB the scan's task count (and the namenode's
+    * metadata) is governed by FILE count, not byte count. One range
+    * exchange on `sortCol` gives globally contiguous, sorted files —
+    * the layout min/max file statistics prune best (each key range maps
+    * to exactly one file). Row-count-based sizing keeps the demo
+    * deterministic; a byte-based production variant is the same plan
+    * with `spark.sql.files.maxRecordsPerFile` derived from sampled row
+    * width.
+    */
+  def compact(df: DataFrame, sortCol: String, targetRowsPerFile: Long,
+      outPath: String): DataFrame = {
+    val rows = df.count()
+    val files = math.max(1L, (rows + targetRowsPerFile - 1)
+      / targetRowsPerFile).toInt
+    df.repartitionByRange(files, df(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outPath)
+    df.sparkSession.read.parquet(outPath)
+  }
+
   /** A per-JVM scratch root for layout demos: stable within the process
     * (re-runs overwrite in place instead of leaking), distinct across
     * concurrent bench forks.

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot differencing (the daily CDC step of a corpus pipeline):
+  * given yesterday's and today's snapshot of an id-keyed table, classify
+  * every id as `added` / `removed` / `changed` / `unchanged` by comparing
+  * content fingerprints under a FULL OUTER equi-join on the id.
+  *
+  * At 100 TB this is the canonical shuffle-join-by-design: both sides
+  * partition by the id key (and when the snapshots live in
+  * [[BucketedLayout]] bucketed tables on that id, the join plans with no
+  * exchange at all — the two layouts compose). The fingerprint is
+  * computed scan-side on each snapshot BEFORE the join, so the join
+  * carries (id, fp) only, never the payload.
+  *
+  * Downstream consumers: `added ∪ changed` is exactly the delta batch
+  * the incremental dedup screen ([[graft.streaming.IngestDedup]]) and
+  * the ANN index updaters take; `removed` drives retention deletes.
+  *
+  * No counterpart in the reference (it has no storage/ingest surface);
+  * LLM-data-pipeline extension (SURVEY.md §7.6).
+  */
+object SnapshotDiff {
+
+  /** Classify every id across two snapshots.
+    * @param fp content fingerprint expression, evaluated against each
+    *           snapshot's columns (e.g. `md5(col("text"))`)
+    * @return (idCol, status, old_fp, new_fp) — one row per id present in
+    *         either snapshot
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      fp: Column): DataFrame = {
+    val o = oldSnap.select(col(idCol), fp.as("old_fp"))
+    val n = newSnap.select(col(idCol), fp.as("new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{BucketedLayout, SnapshotDiff}
+
+/** Round-9 ingest-maintenance operators: snapshot CDC classification,
+  * bucketed-layout composition (diff with zero exchanges), small-files
+  * compaction contracts, and the count-min sketch guarantee. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("snapshot diff classifies all four statuses on a pinned fixture") {
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = SnapshotDiff.diff(oldS, newS, "doc_id", md5(col("text")))
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("diff over BUCKETED snapshots plans with zero exchanges — the " +
+    "two layouts compose (the shuffle was paid at write time)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    BucketedLayout.writeBucketed(d, "doc_id", 8, "graft_snap_old",
+      BucketedLayout.scratchDir("snap_old"))
+    BucketedLayout.writeBucketed(d.where(col("doc_id") % 7 =!= 0),
+      "doc_id", 8, "graft_snap_new",
+      BucketedLayout.scratchDir("snap_new"))
+    val diff = SnapshotDiff.diff(spark.table("graft_snap_old"),
+      spark.table("graft_snap_new"), "doc_id", md5(col("text")))
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed diff shuffles:\n$plan")
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.getOrElse("removed", 0L) > 0
+      && byStatus.getOrElse("changed", 0L) == 0
+      && byStatus.getOrElse("added", 0L) == 0)
+  }
+
+  test("compaction: ceil(rows/target) range-partitioned files, disjoint " +
+    "key ranges, content layout-invariant") {
+    val src = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val small = BucketedLayout.scratchDir("spec_small")
+    val outP = BucketedLayout.scratchDir("spec_compact")
+    src.repartition(64).write.mode("overwrite").parquet(small)
+    assert(spark.read.parquet(small)
+      .select(input_file_name()).distinct().count() >= 32,
+      "small-files precondition lost")
+    val n = src.count()
+    val compacted = BucketedLayout.compact(
+      spark.read.parquet(small), "doc_id", 250L, outP)
+    val expectFiles = ((n + 249) / 250).toInt
+    val perFile = compacted
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(perFile.length == expectFiles,
+      s"expected $expectFiles files, got ${perFile.length}")
+    assert(perFile.map(_._3).sum == n)
+    // ranges disjoint and ordered (range partitioning on the sort key)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+    // content is exactly the source regardless of layout
+    assert(compacted.exceptAll(src).isEmpty && src.exceptAll(compacted).isEmpty)
+  }
+
+  test("count-min: estimate >= exact everywhere on the corpus; exact " +
+    "when the width comfortably exceeds the vocabulary") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = graft.text.CountMin.estimate(docs, "text",
+      depth = 4, width = 64).collect()
+    assert(est.nonEmpty)
+    assert(est.forall(_.getBoolean(3)), "CMS must never underestimate")
+    // wide sketch: few-token vocabulary, collisions vanish at min-depth
+    val wide = graft.text.CountMin.estimate(docs, "text",
+      depth = 4, width = 4096)
+    assert(wide.where(col("cms_est") =!= col("n_exact")).count() == 0,
+      "width 4096 over a tiny vocabulary should be collision-free at " +
+        "the min over 4 rows")
+    // the sketch frame itself is bounded by depth x width
+    assert(graft.text.CountMin.sketch(docs, "text", 4, 64).count() <=
+      4L * 64)
+  }
+}
