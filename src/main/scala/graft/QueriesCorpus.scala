@@ -174,6 +174,17 @@ object QueriesCorpus {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
     }),
 
+    // first-fit-decreasing packing (Johnson 1973): tighter bins than
+    // q_seq_pack's running-sum cut; the per-shard sequential fold is ONE
+    // aggregate() expression whose recurrence the oracle replays with
+    // DuckDB's list_reduce (first element seeds the accumulator on both
+    // engines, slice-surgery bin updates — no indexed lambdas)
+    "q_pack_ffd" -> ((s, dir) => {
+      CorpusSplit.packFfd(docs(s, dir), "doc_id", "source",
+        size(CorpusOps.words(col("text"))).cast("long"), ctxTokens = 128)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("bin"))
+    }),
+
     "q_mixture" -> ((s, dir) => {
       CorpusSplit.mixtureWeights(docs(s, dir), "source",
         size(CorpusOps.words(col("text"))).cast("long"), alpha = 0.5)
@@ -208,6 +219,16 @@ object QueriesCorpus {
     "q_sample" -> ((s, dir) => {
       CorpusSplit.sampleBySource(docs(s, dir), "doc_id", "source", n = 5)
         .select(col("doc_id"), col("source"))
+    }),
+
+    // Efraimidis–Spirakis weighted sampling: keep the 10 docs per source
+    // with the largest u^(1/n_chars) keys (longer docs more likely) —
+    // deterministic md5-uniform u, round-6 keys, bounded partial top-k
+    // aggregate (topk_by), never a per-source window over the corpus
+    "q_weighted_sample" -> ((s, dir) => {
+      CorpusSplit.weightedSample(docs(s, dir), "doc_id", "source",
+        col("n_chars").cast("double"), k = 10)
+        .select(col("source"), col("rank"), col("doc_id"), col("key"))
     }),
 
     "q_chunk" -> ((s, dir) => {
@@ -695,6 +716,49 @@ object QueriesCorpus {
          |    1 PRECEDING), 0) / 512) AS BIGINT) AS bin
          |FROM w""".stripMargin,
 
+    "q_pack_ffd" -> {
+      // flat-BIGINT-list fold state [b, fill_1..fill_b, (id, bin, t)*] —
+      // the exact recurrence the Spark aggregate() runs (DuckDB 1.0's
+      // list_reduce mangles struct accumulators; flat lists fold
+      // correctly). DuckDB list_position returns NULL on no-match where
+      // Spark's array_position returns 0 — coalesce. list_slice is
+      // end-INCLUSIVE where Spark's slice takes a length.
+      val b = "CAST(acc[1] AS INT)"
+      val fills = s"list_slice(acc, 2, $b + 1)"
+      val t = "e[2]"
+      val pos = s"coalesce(list_position(list_transform($fills, " +
+        s"f -> f + $t <= 128), true), 0)"
+      s"""WITH w AS ($wCte),
+         |d AS (SELECT source, doc_id AS id, CAST(len(l) AS BIGINT)
+         |  AS tokens FROM w),
+         |g AS (SELECT source, list_transform(
+         |    list_sort(list(struct_pack(negt := -tokens, id := id,
+         |      tokens := tokens))),
+         |    x -> [CAST(1 AS BIGINT), x.tokens, x.id, CAST(1 AS BIGINT),
+         |      x.tokens]) AS lst
+         |  FROM d GROUP BY source),
+         |f AS (SELECT source, list_reduce(lst, (acc, e) -> list_concat(
+         |    list_concat(list_concat(
+         |      [CASE WHEN $pos = 0 THEN acc[1] + 1 ELSE acc[1] END],
+         |      CASE WHEN $pos = 0
+         |        THEN list_concat($fills, [$t])
+         |        ELSE list_concat(list_concat(
+         |          list_slice($fills, 1, $pos - 1),
+         |          [$fills[$pos] + $t]),
+         |          list_slice($fills, $pos + 1, len($fills))) END),
+         |      list_slice(acc, $b + 2, len(acc))),
+         |    [e[3],
+         |     CASE WHEN $pos = 0 THEN acc[1] + 1 ELSE $pos END,
+         |     $t])) AS st FROM g),
+         |sel AS (SELECT source, st,
+         |  unnest(range(0, (len(st) - 1 - st[1]) // 3)) AS m FROM f)
+         |SELECT source,
+         |  st[CAST(st[1] + 2 + 3 * m AS INT)] AS doc_id,
+         |  st[CAST(st[1] + 4 + 3 * m AS INT)] AS n_tokens,
+         |  st[CAST(st[1] + 3 + 3 * m AS INT)] AS bin
+         |FROM sel""".stripMargin
+    },
+
     "q_unimax" ->
       s"""WITH w AS ($wCte),
          |per AS (SELECT source, CAST(sum(len(l)) AS BIGINT) AS n_tokens
@@ -753,6 +817,20 @@ object QueriesCorpus {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""".stripMargin,
+
+    "q_weighted_sample" -> {
+      val u = s"(CAST(${Dedup.md5ChunkSql("md5(CAST(doc_id AS VARCHAR))",
+        1, 13)} AS DOUBLE) / ${math.pow(16.0, 13)})"
+      s"""WITH keyed AS (
+         |  SELECT source, doc_id,
+         |    round(pow($u, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS key
+         |  FROM documents),
+         |sel AS (SELECT source, doc_id, key,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY key DESC, doc_id) AS INT) AS rank FROM keyed)
+         |SELECT source, rank, doc_id, key FROM sel WHERE rank <= 10"""
+        .stripMargin
+    },
 
     "q_chunk" ->
       s"""WITH w AS ($wCte),

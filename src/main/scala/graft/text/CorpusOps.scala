@@ -239,6 +239,83 @@ object CorpusSplit {
           / ctxTokens).cast("long"))
   }
 
+  /** First-fit-decreasing context packing (Johnson 1973 — the classic
+    * 11/9·OPT bin-packing heuristic): within each `sourceCol` shard,
+    * documents sorted by (tokens DESC, id ASC) are placed into the FIRST
+    * bin with room, new bins opened on demand — tighter bins than
+    * [[pack]]'s running-sum cut at the cost of a per-shard sequential
+    * fold. The fold is ONE `aggregate` higher-order expression over the
+    * shard's collected doc list (shards are the parallelism unit and are
+    * sized to bound this list — the pack() contract), state =
+    * (bin fills, assignments); items larger than `ctxTokens` get their
+    * own bin. The first list element seeds the accumulator and the fold
+    * runs over the tail — EXACTLY DuckDB's `list_reduce` semantics, so
+    * the oracle folds the identical recurrence.
+    *
+    * FFD invariant (spec-pinned): at most one bin per shard is ≤ half
+    * full, and no bin exceeds capacity unless it holds a single
+    * oversized item.
+    */
+  def packFfd(docs: DataFrame, idCol: String, sourceCol: String,
+      tokenCount: Column, ctxTokens: Int): DataFrame = {
+    val c = ctxTokens
+    // The fold state is ONE FLAT BIGINT list — [b, fill_1..fill_b,
+    // (id, bin, tokens)*] — because DuckDB 1.0's list_reduce mangles
+    // struct-typed accumulators (verified: struct concat folds collapse
+    // to the last element) while flat-list accumulators fold correctly;
+    // Spark mirrors the identical flat recurrence so the two engines run
+    // the same algebra step for step. A doc element is its own
+    // single-doc state [1, t, id, 1, t], which seeds the fold (DuckDB
+    // list_reduce semantics; Spark folds the tail onto element 1).
+    val b = "cast(element_at(acc, 1) as int)"
+    val fills = s"slice(acc, 2, $b)"
+    val t = "element_at(e, 2)"
+    // first-fit index (1-based, 0 = open a new bin)
+    val pos = s"array_position(transform($fills, f -> f + $t <= $c), true)"
+    val merge =
+      s"""(acc, e) -> concat(
+         |  array(if($pos = 0, element_at(acc, 1) + 1,
+         |    element_at(acc, 1))),
+         |  if($pos = 0,
+         |    concat($fills, array($t)),
+         |    concat(
+         |      slice($fills, 1, cast($pos as int) - 1),
+         |      array(element_at($fills, cast($pos as int)) + $t),
+         |      slice($fills, cast($pos as int) + 1,
+         |        size($fills) - cast($pos as int)))),
+         |  slice(acc, $b + 2, size(acc) - $b - 1),
+         |  array(element_at(e, 3),
+         |    if($pos = 0, element_at(acc, 1) + 1, $pos),
+         |    $t))""".stripMargin
+    val sb = "cast(element_at(__st, 1) as int)"
+    docs
+      .select(col(sourceCol), col(idCol).as("id"),
+        tokenCount.cast("long").as("tokens"))
+      .groupBy(col(sourceCol))
+      .agg(sort_array(collect_list(
+        struct((col("tokens") * -1).as("negt"), col("id"),
+          col("tokens")))).as("__sorted"))
+      .withColumn("__docs", expr(
+        "transform(__sorted, x -> array(1L, x.tokens, x.id, 1L, " +
+          "x.tokens))"))
+      .withColumn("__st", expr(
+        s"""aggregate(
+           |  slice(__docs, 2, greatest(size(__docs) - 1, 0)),
+           |  element_at(__docs, 1),
+           |  $merge)""".stripMargin))
+      .select(col(sourceCol), explode(expr(
+        s"""transform(
+           |  sequence(0, (size(__st) - 1 - $sb) div 3 - 1),
+           |  m -> named_struct(
+           |    'id', element_at(__st, $sb + 2 + 3 * cast(m as int)),
+           |    'bin', element_at(__st, $sb + 3 + 3 * cast(m as int)),
+           |    'tokens',
+           |      element_at(__st, $sb + 4 + 3 * cast(m as int))))"""
+          .stripMargin)).as("__a"))
+      .select(col(sourceCol), col("__a.id").as(idCol),
+        col("__a.tokens").as("n_tokens"), col("__a.bin").as("bin"))
+  }
+
   /** Vocabulary induction: the `k` most frequent tokens across the
     * corpus with document frequencies — the precursor to tokenizer /
     * vocab training. One explode + one pre-aggregated shuffle on the
@@ -351,6 +428,36 @@ object CorpusSplit {
       .withColumn("position",
         row_number().over(win).cast("long"))
       .drop("__h")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    * per stratum keep the k rows with the largest `u^(1/w)` keys, where
+    * u is the md5-uniform draw ([[hashUniform]]) and w the row's weight —
+    * exactly the reservoir-key construction, made DETERMINISTIC and
+    * rerun-stable by deriving u from the id instead of rand(). Keys are
+    * round-6 snapped before the comparison (libm pow may differ at the
+    * last ulp across engines; the FastRound-before-compare convention)
+    * with id tie-breaks.
+    *
+    * The selection itself rides [[graft.functions.TopKBy]]: a bounded
+    * partial top-k aggregate whose exchange carries ≤ k rows per
+    * (task, stratum) — never a per-stratum sort or window over the
+    * corpus. The weighted companion of [[sampleBySource]] (uniform) and
+    * [[Dsir]] (importance-weighted fraction).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, strataCol: String,
+      weight: Column, k: Int): DataFrame = {
+    val key = graft.functions.FastRound(
+      pow(hashUniform(col(idCol)), lit(1.0) / weight), 6)
+    docs
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopKBy.topkBy(key, col(idCol).cast("long"), k)
+        .as("__top"))
+      .select(col(strataCol),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(strataCol), col("__e.id").as(idCol),
+        col("__e.score").as("key"),
+        (col("__pos") + lit(1)).cast("int").as("rank"))
   }
 
   /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151): the

@@ -497,3 +497,118 @@ class UnimaxSpec extends AnyFunSuite {
     assert(!out("c")._4 && out("a")._4)
   }
 }
+
+/** Efraimidis–Spirakis weighted sampling (CorpusSplit.weightedSample):
+  * key construction, weight bias, and agreement with the window mirror
+  * across a shuffle. */
+class WeightedSampleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.text.CorpusSplit
+
+  test("exactly k per stratum, heavier rows dominate the selection") {
+    // 20 heavy (w=1000) + 20 light (w=1) docs in one stratum: the
+    // ES key u^(1/w) is ~1 for heavy rows, ~u for light ones
+    val df = (0 until 40).map(i =>
+      (i.toLong, "s", if (i < 20) 1000.0 else 1.0))
+      .toDF("doc_id", "source", "w")
+    val sel = CorpusSplit.weightedSample(df, "doc_id", "source",
+      col("w"), k = 10).collect()
+    assert(sel.length == 10)
+    assert(sel.map(_.getInt(3)).sorted.toSeq == (1 to 10))
+    val heavy = sel.count(_.getLong(1) < 20)
+    assert(heavy >= 8, s"expected heavy-weight dominance, got $heavy/10")
+  }
+
+  test("bounded-aggregate path equals the window mirror across an " +
+    "8-partition shuffle") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(8)
+    val viaAgg = CorpusSplit.weightedSample(docs, "doc_id", "source",
+      col("n_chars").cast("double"), k = 10)
+      .select("source", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val key = graft.functions.FastRound(
+      pow(CorpusSplit.hashUniform(col("doc_id")),
+        lit(1.0) / col("n_chars").cast("double")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("k").desc, col("doc_id"))
+    val viaWindow = docs.select(col("source"), col("doc_id"), key.as("k"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 10)
+      .select("source", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+}
+
+/** First-fit-decreasing packing (CorpusSplit.packFfd): the hand-traced
+  * FFD fixture, capacity/oversize invariants, the classic at-most-one-
+  * half-empty-bin property, and determinism across partitionings. */
+class FfdPackSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.text.CorpusSplit
+
+  private def pack(items: Seq[(Long, Long)], cap: Int) =
+    CorpusSplit.packFfd(
+      items.toDF("doc_id", "t").withColumn("source", lit("s")),
+      "doc_id", "source", col("t"), cap)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+
+  test("hand-traced FFD: 8,5,4,3,2 into capacity 10") {
+    // desc order: 8->bin1; 5->bin2; 4->bin2 (9); 3->bin3 (no fit);
+    // 2->bin1 (10)
+    val got = pack(Seq(1L -> 8L, 2L -> 5L, 3L -> 4L, 4L -> 3L, 5L -> 2L),
+      cap = 10)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
+  }
+
+  test("oversized items sit alone in their bin and never absorb others") {
+    val got = pack(Seq(1L -> 15L, 2L -> 9L, 3L -> 9L), cap = 10)
+    assert(got(1L) != got(2L) && got(1L) != got(3L) && got(2L) != got(3L))
+  }
+
+  test("corpus invariants: no bin over capacity (except singleton " +
+    "oversize), at most ONE bin at most half-full per source") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = CorpusSplit.packFfd(docs, "doc_id", "source",
+      size(graft.text.CorpusOps.words(col("text"))).cast("long"), 128)
+    val bins = out.groupBy("source", "bin")
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(bins.forall { case (_, fill, n) => fill <= 128 || n == 1 })
+    val halfEmpty = bins.groupBy(_._1).map { case (_, bs) =>
+      bs.count(_._2 <= 64)
+    }
+    assert(halfEmpty.forall(_ <= 1),
+      "FFD leaves at most one at-most-half-full bin")
+    // Johnson's bound: FFD <= 11/9·OPT + 1, with OPT >= ceil(total/cap).
+    // (The running-sum pack() is NOT a comparison point: it splits
+    // documents fractionally across bin boundaries, so its bin count is
+    // the fractional lower bound no integral packing can reach.)
+    val totals = out.groupBy("source")
+      .agg(sum(col("n_tokens")).as("tot"),
+        countDistinct(col("bin")).as("nb"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(totals.forall { case (_, tot, nb) =>
+      nb <= (11.0 / 9.0) * ((tot + 127) / 128) + 1
+    })
+  }
+
+  test("deterministic across partitionings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val tok = size(graft.text.CorpusOps.words(col("text"))).cast("long")
+    val a = CorpusSplit.packFfd(docs, "doc_id", "source", tok, 128)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    val b = CorpusSplit.packFfd(docs.repartition(13), "doc_id", "source",
+      tok, 128)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(a == b)
+  }
+}
