@@ -462,6 +462,33 @@ class PlanSpec extends AnyFunSuite {
     assert(viaLayout == plain)
   }
 
+  test("count-min sketch plan: cell counts partial-aggregate map-side " +
+    "(the exchange carries cells, not token occurrences) and the " +
+    "estimate joins the sketch by broadcast") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val skPlan = planOf(graft.text.CountMin.sketch(docs, "text", 4, 64))
+    assert(skPlan.contains("partial_count"),
+      s"sketch cells must combine map-side:\n$skPlan")
+    assert(exchanges(skPlan) == 1,
+      s"one cell exchange expected:\n$skPlan")
+    val estPlan = planOf(
+      graft.text.CountMin.estimate(docs, "text", 4, 64))
+    assert(estPlan.contains("BroadcastHashJoin"),
+      s"sketch must broadcast onto the probes:\n$estPlan")
+  }
+
+  test("FFD packing plan: ONE exchange (the per-source collect), the " +
+    "fold itself is a projection") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.text.CorpusSplit.packFfd(docs, "doc_id",
+      "source", size(graft.text.CorpusOps.words(col("text"))).cast("long"),
+      128))
+    assert(exchanges(plan) == 1,
+      s"only the source groupBy should exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the fold must not be a window:\n$plan")
+  }
+
   test("partitioned layout: the predicate prunes directories at plan " +
     "time (PartitionFilters), not just row groups") {
     val df = QueriesRelational.queries("q_partitioned_prune")(spark, sf)
