@@ -159,6 +159,32 @@ object QueriesText {
         .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
     }),
 
+    // merge-on-read CDC apply: base snapshot + append-only delta log
+    // resolved to the latest row per id at read time (upserts win by
+    // version, 'D' tombstones; v2 overrides v1; a v1 edit/delete
+    // collision on the same id resolves deterministically by the struct
+    // max) — parquet-without-upsert answered the data-lake way
+    "q_cdc_resolve" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val v1edit = d.where(col("doc_id") % 13 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+          lit(1L).as("version"), lit("U").as("op"))
+      val v1del = d.where(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), lit("").as("text"),
+          lit(1L).as("version"), lit("D").as("op"))
+      val v2edit = d.where(col("doc_id") % 26 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"),
+          lit(2L).as("version"), lit("U").as("op"))
+      val v1add = d.where(col("doc_id") % 19 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit(1L).as("version"), lit("U").as("op"))
+      graft.sources.SnapshotDiff.resolveLatest(d,
+        v1edit.unionByName(v1del).unionByName(v2edit).unionByName(v1add),
+        "doc_id", "version", "op")
+        .select(col("doc_id"), col("version"), col("text"))
+    }),
+
     // small-files compaction: 64 writer-task shards re-laid-out into
     // range-partitioned, internally sorted files (rows/250 of them) —
     // the daily maintenance job behind every streaming sink; content is
@@ -575,6 +601,26 @@ object QueriesText {
 
     "q_compact" ->
       "SELECT doc_id, source, n_chars FROM documents",
+
+    "q_cdc_resolve" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS version, 'U' AS op, text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'U', text || ' v2'
+        |    FROM documents WHERE doc_id % 13 = 2
+        |  UNION ALL SELECT doc_id, 1, 'D', ''
+        |    FROM documents WHERE doc_id % 17 = 3
+        |  UNION ALL SELECT doc_id, 2, 'U', text || ' v3'
+        |    FROM documents WHERE doc_id % 26 = 2
+        |  UNION ALL SELECT doc_id + 1000000, 1, 'U',
+        |    'new doc ' || CAST(doc_id AS VARCHAR)
+        |    FROM documents WHERE doc_id % 19 = 5),
+        |latest AS (
+        |  SELECT doc_id, version, op, text FROM all_rows
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC, op DESC, text DESC) = 1)
+        |SELECT doc_id, version, text FROM latest WHERE op <> 'D'"""
+        .stripMargin,
 
     "q_count_min" -> {
       import graft.text.CountMin

@@ -41,4 +41,45 @@ object SnapshotDiff {
           .when(col("old_fp") === col("new_fp"), "unchanged")
           .otherwise("changed"))
   }
+
+  /** Merge-on-read CDC apply (the Hudi/Iceberg MOR shape): resolve a
+    * base snapshot plus an append-only delta log to the LATEST row per
+    * id at read time — upserts win by version, `deleteOp` rows
+    * tombstone the id — without ever rewriting the base. Parquet has no
+    * upsert; at 100 TB the answer is exactly this: deltas append (cheap,
+    * idempotent), readers resolve with ONE map-side-combined groupBy
+    * (`max(struct(version, op, payload…))` — partials collapse each
+    * task's versions before the exchange, so the shuffle carries one
+    * candidate row per (task, id), and compaction via
+    * [[BucketedLayout.compact]] folds the log back into the base on
+    * whatever cadence the log-to-base ratio warrants.
+    *
+    * Determinism on version ties: the struct max compares
+    * (version, op, payload…) lexicographically, so ties resolve to the
+    * greatest op then payload — engine-exact and order-free (callers
+    * should still issue unique versions; the rule just makes collisions
+    * reproducible rather than undefined).
+    *
+    * Base rows enter as (version 0, upsert); delta payload columns must
+    * match the base's.
+    */
+  def resolveLatest(base: DataFrame, deltas: DataFrame, idCol: String,
+      versionCol: String, opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    val payload = base.columns.filter(_ != idCol).toSeq
+    require(deltas.columns.toSet ==
+      (base.columns.toSet + versionCol + opCol),
+      "delta schema must be base + version + op")
+    val all = base
+      .withColumn(versionCol, lit(0L))
+      .withColumn(opCol, lit("U"))
+      .unionByName(deltas)
+    val m = all.groupBy(col(idCol))
+      .agg(max(struct((versionCol +: opCol +: payload).map(col): _*))
+        .as("__m"))
+    m.select(col(idCol) +: (versionCol +: opCol +: payload)
+        .map(c => col(s"__m.$c").as(c)): _*)
+      .where(col(opCol) =!= deleteOp)
+      .drop(opCol)
+  }
 }

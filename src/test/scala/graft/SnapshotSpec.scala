@@ -94,3 +94,55 @@ class SnapshotSpec extends AnyFunSuite {
       4L * 64)
   }
 }
+
+/** Merge-on-read CDC resolve (SnapshotDiff.resolveLatest): version
+  * precedence, tombstones, deterministic tie resolution, and the
+  * map-side-combined plan shape. */
+class CdcResolveSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.sources.SnapshotDiff
+
+  private val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))
+    .toDF("doc_id", "text")
+
+  test("latest version wins, tombstones delete, additions appear, base " +
+    "rows without deltas survive at version 0") {
+    val deltas = Seq(
+      (2L, "b2", 1L, "U"), (2L, "b3", 2L, "U"),
+      (3L, "", 1L, "D"),
+      (4L, "d", 1L, "U")
+    ).toDF("doc_id", "text", "version", "op")
+    val out = SnapshotDiff.resolveLatest(base.where(col("doc_id") =!= 5),
+      deltas, "doc_id", "version", "op")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out == Map(1L -> ((0L, "a")), 2L -> ((2L, "b3")),
+      4L -> ((1L, "d"))))
+  }
+
+  test("same-version edit/delete collision resolves deterministically " +
+    "(op 'U' > 'D' in the struct max) — reproducible, not undefined") {
+    val deltas = Seq((5L, "e2", 1L, "U"), (5L, "", 1L, "D"))
+      .toDF("doc_id", "text", "version", "op")
+    val out = SnapshotDiff.resolveLatest(
+      base.where(col("doc_id") === 5), deltas, "doc_id", "version", "op")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out == Map(5L -> ((1L, "e2"))))
+  }
+
+  test("resolve is ONE map-side-combined aggregate: partial_max before " +
+    "the exchange, no window, one exchange") {
+    val deltas = Seq((2L, "b2", 1L, "U")).toDF("doc_id", "text",
+      "version", "op")
+    val df = SnapshotDiff.resolveLatest(base, deltas, "doc_id",
+      "version", "op")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"versions must collapse map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"one exchange expected:\n$plan")
+  }
+}
