@@ -185,6 +185,40 @@ object QueriesText {
         .select(col("doc_id"), col("version"), col("text"))
     }),
 
+    // the DAILY INCREMENTAL-INGEST pipeline composed end to end: CDC
+    // diff classifies today's snapshot against the corpus, only the
+    // added/changed delta is screened (C4 blocklist — blocked deltas
+    // never upsert, so the corpus keeps their last good version),
+    // removals tombstone, and the merge-on-read resolve applies it all
+    // without rewriting the base. Three round-9 operators + one
+    // round-8 screen under ONE chained oracle.
+    "q_ingest_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val kept = d.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val added = d.where(col("doc_id") % 19 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+      val newSnap = kept.unionByName(added)
+      val st = graft.sources.SnapshotDiff.diff(d, newSnap, "doc_id",
+        md5(col("text")))
+      val delta = st.where(col("status").isin("added", "changed"))
+        .select("doc_id").join(newSnap, "doc_id")
+      val screened = graft.text.Blocklist
+        .screen(delta, "doc_id", "text", Seq("slow", "dup", "lorem"))
+        .where(col("keep")).select("doc_id").join(delta, "doc_id")
+      val upserts = screened.select(col("doc_id"), col("text"),
+        lit(1L).as("version"), lit("U").as("op"))
+      val tombstones = st.where(col("status") === "removed")
+        .select(col("doc_id"), lit("").as("text"),
+          lit(1L).as("version"), lit("D").as("op"))
+      graft.sources.SnapshotDiff.resolveLatest(d,
+        upserts.unionByName(tombstones), "doc_id", "version", "op")
+        .select(col("doc_id"), col("version"), md5(col("text")).as("fp"))
+    }),
+
     // small-files compaction: 64 writer-task shards re-laid-out into
     // range-partitioned, internally sorted files (rows/250 of them) —
     // the daily maintenance job behind every streaming sink; content is
@@ -601,6 +635,42 @@ object QueriesText {
 
     "q_compact" ->
       "SELECT doc_id, source, n_chars FROM documents",
+
+    "q_ingest_pipeline" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |newt AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 2
+        |    THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 19 = 5),
+        |st AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    n.text AS new_text
+        |  FROM base o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id),
+        |delta AS (SELECT doc_id, new_text AS text FROM st
+        |  WHERE status IN ('added', 'changed')),
+        |screened AS (SELECT doc_id, text FROM delta
+        |  WHERE len(list_filter(regexp_extract_all(lower(text),
+        |    '[a-z0-9_]+'), x -> list_contains(['slow', 'dup', 'lorem'],
+        |    x))) = 0),
+        |all_rows AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS version, 'U' AS op, text
+        |  FROM base
+        |  UNION ALL SELECT doc_id, 1, 'U', text FROM screened
+        |  UNION ALL SELECT doc_id, 1, 'D', '' FROM st
+        |    WHERE status = 'removed'),
+        |latest AS (
+        |  SELECT doc_id, version, op, text FROM all_rows
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC, op DESC, text DESC) = 1)
+        |SELECT doc_id, version, md5(text) AS fp
+        |FROM latest WHERE op <> 'D'""".stripMargin,
 
     "q_cdc_resolve" ->
       """WITH all_rows AS (

@@ -146,3 +146,33 @@ class CdcResolveSpec extends AnyFunSuite {
       s"one exchange expected:\n$plan")
   }
 }
+
+/** The composed daily incremental-ingest pipeline (q_ingest_pipeline):
+  * CDC diff -> delta blocklist screen -> merge-on-read resolve. */
+class IngestPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("semantic milestones: removals tombstone, blocked changed docs " +
+    "keep their last good version, clean deltas upsert at v1") {
+    val sf = "/root/testdata/sf0.001"
+    val out = QueriesText.queries("q_ingest_pipeline")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every removed id (doc_id % 17 == 3, not re-added) is gone
+    assert(base.filter(id => id % 17 == 3).forall(!out.contains(_)))
+    // added ids appear at version 1
+    val addedIds = base.filter(_ % 19 == 5).map(_ + 1000000L)
+    // (added docs can themselves be blocklisted; those never appear)
+    assert(addedIds.filter(out.contains).forall(out(_) == 1L))
+    // changed ids are split: upserted ones at v1, blocked ones at v0 —
+    // and BOTH classes occur on this corpus (the screen has real work)
+    val changed = base.filter(id => id % 13 == 2 && id % 17 != 3)
+    val versions = changed.map(out(_)).toSet
+    assert(versions == Set(0L, 1L),
+      s"expected both blocked (v0) and clean (v1) changed docs: $versions")
+    // untouched docs stay at version 0
+    assert(base.filter(id =>
+      id % 13 != 2 && id % 17 != 3).forall(out(_) == 0L))
+  }
+}
