@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.FastRound
-import graft.sim.{CosineTopK, RandomProjection}
+import graft.sim.{CosineTopK, IvfCosine, RandomProjection}
 
 /** UMAP-analog 2-D embedding — the SGD-on-kNN-graph family (LargeVis:
   * Tang et al. 2016, arXiv:1602.00370; UMAP: McInnes et al. 2018,
@@ -32,9 +32,11 @@ import graft.sim.{CosineTopK, RandomProjection}
   *    epoch, so cross-engine float-sum order noise never compounds (the
   *    repo's FastRound-before-compare convention).
   *
-  * SCALE SHAPES: the kNN graph comes from the ANN family (brute-force
-  * here — probe side broadcast; swap [[graft.sim.IvfCosine]] in at
-  * corpus scale, same edge contract). Per epoch: edges(n·(k+negs)) join
+  * SCALE SHAPES: the kNN graph comes from the ANN family through the
+  * `knnEdges` seam — [[bruteKnnEdges]] (probe-side broadcast, test
+  * scale) or [[ivfKnnEdges]] (cell-partitioned equi-join, corpus
+  * scale), both honoring the same (src, dst) contract; UmapKnnSeamSpec
+  * pins IVF-at-full-probe ≡ brute. Per epoch: edges(n·(k+negs)) join
   * the 3-column position frame twice, one map-side-combined groupBy —
   * everything is edge-proportional, positions are 2 doubles per node,
   * and localCheckpoint bounds lineage per epoch (the [[graft.sim.KMeans]]
@@ -42,25 +44,69 @@ import graft.sim.{CosineTopK, RandomProjection}
   */
 object UmapAnalog {
 
+  /** Exact kNN edge frame via [[CosineTopK.bruteForce]] with the whole
+    * corpus as the probe side — correct at test scale, but the probe
+    * broadcast makes it n²-candidate work at corpus scale. Use
+    * [[ivfKnnEdges]] (or any producer honoring the (src, dst) contract)
+    * there. */
+  def bruteKnnEdges(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int): DataFrame = {
+    val probes = emb.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+    CosineTopK.bruteForce(emb, probes, idCol, vecCol,
+      "__qid", "__qvec", k, dim)
+      .select(col("qid").cast("long").as("src"),
+        col("nid").cast("long").as("dst"))
+  }
+
+  /** The SCALE path for the kNN graph: [[IvfCosine]] cell-partitioned
+    * search — corpus and probes shuffle once on the cell id instead of
+    * broadcasting the whole corpus as probes. Same (src, dst) edge
+    * contract as [[bruteKnnEdges]]; at nprobe == nlist the candidate set
+    * is the full corpus and the edges are IDENTICAL to brute force (the
+    * ranking key (cosine desc, nid) is shared), which is what
+    * UmapKnnSeamSpec pins. */
+  def ivfKnnEdges(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val index = IvfCosine.assignByCentroids(emb, idCol, vecCol,
+      IvfCosine.pinnedCentroids(nlist, dim))
+    val probes = emb.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+    IvfCosine.search(index, probes, idCol, vecCol,
+      "__qid", "__qvec", k, nprobe, dim)
+      .select(col("qid").cast("long").as("src"),
+        col("nid").cast("long").as("dst"))
+  }
+
   /** Fit + transform: (idCol, dim_0, dim_1) — the DimReducer output
     * contract. `emb` must carry a numeric id in [0, n) for the stride
     * negatives to land on real nodes (stray strides drop harmlessly in
-    * the edge join). */
+    * the edge join). The kNN graph is the brute-force build; at corpus
+    * scale call the `knnEdges` overload with [[ivfKnnEdges]] (or any
+    * (src, dst) producer) instead. */
   def fitTransform(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 5, negOffsets: Seq[Long] = Seq(17L, 131L, 313L),
       iters: Int = 3, lr: Double = 0.05, gamma: Double = 1.0,
-      eps: Double = 1e-3): DataFrame = {
+      eps: Double = 1e-3): DataFrame =
+    fitTransform(emb, bruteKnnEdges(emb, idCol, vecCol, dim, k),
+      idCol, vecCol, dim, negOffsets, iters, lr, gamma, eps)
+
+  /** Seam overload: the attraction graph arrives as a prebuilt
+    * `knnEdges` (src long, dst long) frame — from [[bruteKnnEdges]],
+    * [[ivfKnnEdges]], or any external ANN producer — so the n²
+    * brute-force build is never forced at scale. Everything downstream
+    * (stride negatives, per-epoch batch gradients) is unchanged. */
+  def fitTransform(emb: DataFrame, knnEdges: DataFrame, idCol: String,
+      vecCol: String, dim: Int, negOffsets: Seq[Long],
+      iters: Int, lr: Double, gamma: Double,
+      eps: Double): DataFrame = {
     val n = emb.count()
     var pos = RandomProjection.project(emb, idCol, vecCol, 2, dim)
       .select(col(idCol).cast("long").as("id"),
         FastRound(element_at(col("projected"), 1), 6).as("y1"),
         FastRound(element_at(col("projected"), 2), 6).as("y2"))
       .localCheckpoint()
-    val probes = emb.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
-    val knn = CosineTopK.bruteForce(emb, probes, idCol, vecCol,
-      "__qid", "__qvec", k, dim)
-      .select(col("qid").cast("long").as("src"),
-        col("nid").cast("long").as("dst"), lit(true).as("attract"))
+    val knn = knnEdges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), lit(true).as("attract"))
     val ids = emb.select(col(idCol).cast("long").as("src"))
     val negs = negOffsets.map(o => ids.select(col("src"),
         ((col("src") + lit(o)) % lit(n)).as("dst"),

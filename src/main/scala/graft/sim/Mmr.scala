@@ -28,7 +28,9 @@ import graft.functions.FastRound
   */
 object Mmr {
 
-  /** MMR-diversified top-`k` per probe.
+  /** MMR-diversified top-`k` per probe, over a brute-force shortlist.
+    * At scale, build the shortlist with [[IvfCosine]]/[[IvfPq]] and call
+    * the shortlist-frame overload instead.
     * @return (qid, step ∈ 1..k, nid, rel, mmr) — `mmr` is the greedy
     *         objective at selection time (= `rel` for step 1).
     */
@@ -36,8 +38,22 @@ object Mmr {
       vecCol: String, qidCol: String, qvecCol: String, shortN: Int,
       k: Int, lambda: Double, dim: Int): DataFrame = {
     require(k >= 1 && k <= shortN, s"k=$k must be in [1, shortN=$shortN]")
-    val short = CosineTopK.bruteForce(corpus, probes, idCol, vecCol,
-      qidCol, qvecCol, shortN, dim)
+    rerank(CosineTopK.bruteForce(corpus, probes, idCol, vecCol,
+      qidCol, qvecCol, shortN, dim), corpus, idCol, vecCol,
+      k, lambda, dim)
+  }
+
+  /** Seam overload: the relevance shortlist arrives as a prebuilt
+    * (qid, nid, cosine, rank) frame — the shared contract of
+    * [[CosineTopK.bruteForce]], [[IvfCosine.search]], and
+    * [[IvfPq.search]] — so the diversification head composes with any
+    * ANN producer without forcing the whole-corpus-broadcast brute
+    * build. MmrSpec pins full-probe-IVF-shortlist ≡ brute-shortlist
+    * rerank equality. */
+  def rerank(shortlist: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double, dim: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1 (and <= the shortlist depth)")
+    val short = shortlist
       .select(col("qid"), col("nid"),
         FastRound(col("cosine"), 6).as("rel"), col("rank"))
     // re-attach vectors once; probes × shortN rows — checkpoint so the
@@ -83,6 +99,9 @@ object Mmr {
           .where(col("__rn") === 1)
           .select(col("qid"), lit(step).as("step"), col("nid"),
             col("rel"), col("mmr"), col("rank")))
+      // bound the unionByName lineage at large k: selected is ≤
+      // probes × step rows, so a periodic materialization is cheap
+      if (step % 4 == 0 && step < k) selected = selected.localCheckpoint()
     }
     selected.drop("rank")
   }

@@ -54,4 +54,34 @@ class MmrSpec extends AnyFunSuite {
         shortN = 2, k = 3, lambda = 0.5, dim = 4)
     }
   }
+
+  test("shortlist-frame seam: rerank over a full-probe IVF shortlist " +
+    "is bit-identical to the brute-force default — any (qid, nid, " +
+    "cosine, rank) producer composes") {
+    val index = graft.sim.IvfCosine.assignByCentroids(corpus, "vec_id",
+      "embedding", graft.sim.IvfCosine.pinnedCentroids(2, 4))
+    val ivfShort = graft.sim.IvfCosine.search(index, probes, "vec_id",
+      "embedding", "qid", "qvec", k = 3, nprobe = 2, dim = 4)
+    val viaSeam = Mmr.rerank(ivfShort, corpus, "vec_id", "embedding",
+      k = 3, lambda = 0.5, dim = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(viaSeam.toSeq == run(0.5).toSeq,
+      "full-probe IVF shortlist must rerank identically to brute force")
+  }
+
+  test("large-k greedy loop (periodic checkpoint path): k = 12 over a " +
+    "12-deep shortlist selects every member exactly once in finite " +
+    "lineage") {
+    val big = (1 to 12).map(i =>
+      (i.toLong, Array(math.cos(i * 0.4).toFloat,
+        math.sin(i * 0.4).toFloat, 0f, 0f))).toDF("vec_id", "embedding")
+    val sel = Mmr.rerank(big, probes, "vec_id", "embedding", "qid",
+      "qvec", shortN = 12, k = 12, lambda = 0.5, dim = 4).collect()
+    assert(sel.length == 12)
+    assert(sel.map(_.getLong(2)).toSet == (1L to 12L).toSet,
+      "each shortlist member selected exactly once")
+    assert(sel.map(_.getInt(1)).toSet == (1 to 12).toSet)
+  }
 }
