@@ -222,9 +222,11 @@ object QueriesCorpus {
     }),
 
     // Efraimidis–Spirakis weighted sampling: keep the 10 docs per source
-    // with the largest u^(1/n_chars) keys (longer docs more likely) —
-    // deterministic md5-uniform u, round-6 keys, bounded partial top-k
-    // aggregate (topk_by), never a per-source window over the corpus
+    // with the largest ln(u)/n_chars keys — the order-equivalent log
+    // form of u^(1/n_chars) (longer docs more likely), resolution-stable
+    // at large weights — deterministic md5-uniform u, round-6 keys,
+    // bounded partial top-k aggregate (topk_by), never a per-source
+    // window over the corpus
     "q_weighted_sample" -> ((s, dir) => {
       CorpusSplit.weightedSample(docs(s, dir), "doc_id", "source",
         col("n_chars").cast("double"), k = 10)
@@ -823,7 +825,8 @@ object QueriesCorpus {
         1, 13)} AS DOUBLE) / ${math.pow(16.0, 13)})"
       s"""WITH keyed AS (
          |  SELECT source, doc_id,
-         |    round(pow($u, 1.0 / CAST(n_chars AS DOUBLE)), 6) AS key
+         |    round(ln(greatest($u, 1e-300)), 6)
+         |      / CAST(n_chars AS DOUBLE) AS key
          |  FROM documents),
          |sel AS (SELECT source, doc_id, key,
          |  CAST(row_number() OVER (PARTITION BY source

@@ -152,7 +152,7 @@ object QueriesText {
           when(col("doc_id") % 13 === 2, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       val added = d.where(col("doc_id") % 19 === 5)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
       graft.sources.SnapshotDiff.diff(d, kept.unionByName(added),
         "doc_id", md5(col("text")))
@@ -176,7 +176,7 @@ object QueriesText {
         .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"),
           lit(2L).as("version"), lit("U").as("op"))
       val v1add = d.where(col("doc_id") % 19 === 5)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
           lit(1L).as("version"), lit("U").as("op"))
       graft.sources.SnapshotDiff.resolveLatest(d,
@@ -199,7 +199,7 @@ object QueriesText {
           when(col("doc_id") % 13 === 2, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text"))
       val added = d.where(col("doc_id") % 19 === 5)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
       val newSnap = kept.unionByName(added)
       val st = graft.sources.SnapshotDiff.diff(d, newSnap, "doc_id",
@@ -621,7 +621,7 @@ object QueriesText {
         |    THEN text || ' v2' ELSE text END) AS new_fp
         |  FROM documents WHERE doc_id % 17 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT -doc_id - 1,
         |    md5('new doc ' || CAST(doc_id AS VARCHAR))
         |  FROM documents WHERE doc_id % 19 = 5)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -643,7 +643,7 @@ object QueriesText {
         |    THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 17 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  SELECT -doc_id - 1, 'new doc ' || CAST(doc_id AS VARCHAR)
         |  FROM documents WHERE doc_id % 19 = 5),
         |st AS (
         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -682,7 +682,7 @@ object QueriesText {
         |    FROM documents WHERE doc_id % 17 = 3
         |  UNION ALL SELECT doc_id, 2, 'U', text || ' v3'
         |    FROM documents WHERE doc_id % 26 = 2
-        |  UNION ALL SELECT doc_id + 1000000, 1, 'U',
+        |  UNION ALL SELECT -doc_id - 1, 1, 'U',
         |    'new doc ' || CAST(doc_id AS VARCHAR)
         |    FROM documents WHERE doc_id % 19 = 5),
         |latest AS (
@@ -726,8 +726,10 @@ object QueriesText {
         s"'$trailSlashPat', '', 'g')"
       s"""WITH u AS (SELECT doc_id, $crawlUrlSql AS url FROM documents),
          |c AS (SELECT doc_id, url,
-         |  lower(regexp_extract($noFrag, '$schemePat', 1)) || '://' ||
-         |    $host || $rest AS canon_url,
+         |  CASE WHEN regexp_matches(url, '$schemeHostPat')
+         |    THEN lower(regexp_extract($noFrag, '$schemePat', 1))
+         |      || '://' || $host || $rest
+         |    ELSE url END AS canon_url,
          |  $host AS h
          |FROM u)
          |SELECT doc_id, url, canon_url,

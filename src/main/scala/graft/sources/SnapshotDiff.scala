@@ -26,7 +26,12 @@ object SnapshotDiff {
 
   /** Classify every id across two snapshots.
     * @param fp content fingerprint expression, evaluated against each
-    *           snapshot's columns (e.g. `md5(col("text"))`)
+    *           snapshot's columns (e.g. `md5(col("text"))`). Must be
+    *           built from UNBOUND `col(...)` references — the same
+    *           expression resolves by name against BOTH snapshots, so a
+    *           DataFrame-bound column (e.g. `oldSnap("text")`) would
+    *           carry old-plan attribute ids and mis-resolve or fail
+    *           analysis on the new side.
     * @return (idCol, status, old_fp, new_fp) — one row per id present in
     *         either snapshot
     */
@@ -55,10 +60,15 @@ object SnapshotDiff {
     * whatever cadence the log-to-base ratio warrants.
     *
     * Determinism on version ties: the struct max compares
-    * (version, op, payload…) lexicographically, so ties resolve to the
-    * greatest op then payload — engine-exact and order-free (callers
-    * should still issue unique versions; the rule just makes collisions
-    * reproducible rather than undefined).
+    * (version, op-RANK, op, payload…) lexicographically, where the rank
+    * is `delete → 0, anything else → 1` — so an upsert always beats a
+    * same-version delete REGARDLESS of how the ops are spelled (with the
+    * raw op string in that slot, a deleteOp that happened to sort above
+    * its upsert op, e.g. "X" vs "U", would silently flip the
+    * precedence). Remaining ties resolve by op string then payload —
+    * engine-exact and order-free (callers should still issue unique
+    * versions; the rule just makes collisions reproducible rather than
+    * undefined).
     *
     * Base rows enter as (version 0, upsert); delta payload columns must
     * match the base's.
@@ -74,8 +84,11 @@ object SnapshotDiff {
       .withColumn(versionCol, lit(0L))
       .withColumn(opCol, lit("U"))
       .unionByName(deltas)
+    val opRank = when(col(opCol) === deleteOp, 0).otherwise(1)
+      .as("__oprank")
     val m = all.groupBy(col(idCol))
-      .agg(max(struct((versionCol +: opCol +: payload).map(col): _*))
+      .agg(max(struct(col(versionCol) +: opRank +:
+          (opCol +: payload).map(col): _*))
         .as("__m"))
     m.select(col(idCol) +: (versionCol +: opCol +: payload)
         .map(c => col(s"__m.$c").as(c)): _*)

@@ -434,10 +434,19 @@ object CorpusSplit {
     * per stratum keep the k rows with the largest `u^(1/w)` keys, where
     * u is the md5-uniform draw ([[hashUniform]]) and w the row's weight —
     * exactly the reservoir-key construction, made DETERMINISTIC and
-    * rerun-stable by deriving u from the id instead of rand(). Keys are
-    * round-6 snapped before the comparison (libm pow may differ at the
-    * last ulp across engines; the FastRound-before-compare convention)
-    * with id tie-breaks.
+    * rerun-stable by deriving u from the id instead of rand(). The key
+    * MATERIALIZED is the order-equivalent LOG form `round6(ln u) / w`
+    * (exp is monotone, so the top-k set is identical): the raw power
+    * compresses toward 1.0 as w grows (spread ~ |ln u|/w), so at large
+    * weights (1e5+ tokens) round-6 snapping the POWER would collide
+    * many keys and degrade selection to min-id tie-breaks. The snap
+    * lands on ln(u) — well-spread in (−30, 0) at every weight — BEFORE
+    * the division (libm log may differ at the last ulp across engines;
+    * the FastRound-before-compare convention); the division itself is
+    * one IEEE operation on identical inputs, bit-deterministic on both
+    * engines, so the key keeps full resolution with id tie-breaks. u is
+    * clamped away from 0 so ln never produces an engine-divergent
+    * -inf.
     *
     * The selection itself rides [[graft.functions.TopKBy]]: a bounded
     * partial top-k aggregate whose exchange carries ≤ k rows per
@@ -448,7 +457,7 @@ object CorpusSplit {
   def weightedSample(docs: DataFrame, idCol: String, strataCol: String,
       weight: Column, k: Int): DataFrame = {
     val key = graft.functions.FastRound(
-      pow(hashUniform(col(idCol)), lit(1.0) / weight), 6)
+      log(greatest(hashUniform(col(idCol)), lit(1e-300))), 6) / weight
     docs
       .groupBy(col(strataCol))
       .agg(graft.functions.TopKBy.topkBy(key, col(idCol).cast("long"), k)

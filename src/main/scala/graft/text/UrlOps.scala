@@ -57,7 +57,11 @@ object UrlOps {
         portPat, ""),
       wwwPat, "")
 
-  /** The full canonical URL (see class doc for the normalization). */
+  /** The full canonical URL (see class doc for the normalization).
+    * Scheme-less or otherwise malformed inputs (no `scheme://host`
+    * prefix) pass through UNCHANGED — extracting an empty scheme/host
+    * would emit a `'://'`-prefixed string and silently unify every
+    * malformed URL whose remainder coincides under [[dedupByUrl]]. */
   def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, fragPat, "")
     val scheme = lower(regexp_extract(noFrag, schemePat, 1))
@@ -68,7 +72,8 @@ object UrlOps {
           utmPat, ""),
         danglingPat, ""),
       trailSlashPat, "")
-    concat(scheme, lit("://"), host, rest)
+    when(url.rlike(schemeHostPat), concat(scheme, lit("://"), host, rest))
+      .otherwise(url)
   }
 
   /** Registered domain of a CANONICAL host: last two labels, or last

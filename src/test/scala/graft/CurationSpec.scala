@@ -520,6 +520,28 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(heavy >= 8, s"expected heavy-weight dominance, got $heavy/10")
   }
 
+  test("log-form key keeps resolution at 1e5+ weights, where round-6 " +
+    "of the raw power u^(1/w) would collapse keys onto a few levels") {
+    val df = (0 until 100).map(i => (i.toLong, "s", 200000.0))
+      .toDF("doc_id", "source", "w")
+    val sel = CorpusSplit.weightedSample(df, "doc_id", "source",
+      col("w"), k = 100).collect()
+    val keys = sel.map(_.getDouble(2)).distinct
+    assert(keys.length >= 95,
+      s"log key should stay distinct per u at w=2e5; got ${keys.length}" +
+        " distinct of 100")
+    // the power form at this weight spans (1-1.6e-4, 1): round-6 leaves
+    // at most ~160 representable levels and collides heavily on 100
+    // draws — the failure mode the log key removes
+    val powDistinct = df.select(graft.functions.FastRound(
+        pow(CorpusSplit.hashUniform(col("doc_id")),
+          lit(1.0) / col("w")), 6).as("k"))
+      .distinct().count()
+    assert(powDistinct < keys.length,
+      s"expected the power form to collide more ($powDistinct) than " +
+        s"the log form (${keys.length})")
+  }
+
   test("bounded-aggregate path equals the window mirror across an " +
     "8-partition shuffle") {
     val docs = spark.read
@@ -530,8 +552,8 @@ class WeightedSampleSpec extends AnyFunSuite {
       .select("source", "rank", "doc_id").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     val key = graft.functions.FastRound(
-      pow(CorpusSplit.hashUniform(col("doc_id")),
-        lit(1.0) / col("n_chars").cast("double")), 6)
+      log(greatest(CorpusSplit.hashUniform(col("doc_id")), lit(1e-300))),
+      6) / col("n_chars").cast("double")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("k").desc, col("doc_id"))
     val viaWindow = docs.select(col("source"), col("doc_id"), key.as("k"))

@@ -132,6 +132,27 @@ class CdcResolveSpec extends AnyFunSuite {
     assert(out == Map(5L -> ((1L, "e2"))))
   }
 
+  test("delete-vs-upsert tie precedence is independent of op spelling: " +
+    "a deleteOp sorting ABOVE the upsert op ('X' > 'U') still loses " +
+    "the same-version collision to the upsert") {
+    val deltas = Seq((5L, "e2", 1L, "U"), (5L, "", 1L, "X"))
+      .toDF("doc_id", "text", "version", "op")
+    val out = SnapshotDiff.resolveLatest(
+      base.where(col("doc_id") === 5), deltas, "doc_id", "version", "op",
+      deleteOp = "X")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out == Map(5L -> ((1L, "e2"))),
+      "upsert must win the tie regardless of the delete op's sort order")
+    // and a LATER delete still tombstones, spelling notwithstanding
+    val out2 = SnapshotDiff.resolveLatest(
+      base.where(col("doc_id") === 5),
+      Seq((5L, "e2", 1L, "U"), (5L, "", 2L, "X"))
+        .toDF("doc_id", "text", "version", "op"),
+      "doc_id", "version", "op", deleteOp = "X")
+    assert(out2.count() == 0, "higher-version delete tombstones the id")
+  }
+
   test("resolve is ONE map-side-combined aggregate: partial_max before " +
     "the exchange, no window, one exchange") {
     val deltas = Seq((2L, "b2", 1L, "U")).toDF("doc_id", "text",

@@ -33,6 +33,19 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://site9.com"))
   }
 
+  test("malformed / scheme-less inputs pass through unchanged — never " +
+    "unified under a '://'-prefixed empty scheme") {
+    val weird = Seq("site0.com/a", "not a url", "", "//no-scheme/x",
+      "ftp:/missing-slash")
+    assert(canon(weird: _*) == weird)
+    // two distinct malformed strings must stay distinct canonical keys
+    val df = Seq((1L, "site0.com/x"), (2L, "other.org/x"))
+      .toDF("doc_id", "url")
+    val keeps = UrlOps.dedupByUrl(df, "url", "doc_id")
+      .where(col("keep")).count()
+    assert(keeps == 2, "malformed URLs must not collapse together")
+  }
+
   test("canonicalize is idempotent on its own output") {
     val raw = Seq(
       "HTTPS://WWW.Site3.co.uk:443/Articles/7/?utm_source=feed&id=2#x",
