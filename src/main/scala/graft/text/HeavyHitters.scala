@@ -50,7 +50,13 @@ object HeavyHitters {
     if (cand.isEmpty || n == 0L)
       return toks.select(col("token"), lit(0L).as("n_occurrences"),
         lit(0d).as("frac")).limit(0)
-    toks.where(col("token").isInCollection(cand))
+    // confirm pass: the candidate membership probe runs INSIDE the token
+    // array, before the explode — the generate only ever materializes
+    // candidate occurrences, never a row per non-candidate token
+    // (Catalyst does not rewrite filter-after-explode into
+    // explode-of-filtered-array on its own)
+    docs.select(explode(filter(tokens,
+        t => t.isInCollection(cand))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
       .where(col("n_occurrences") >= lit(theta) * lit(n.toDouble))
       .withColumn("frac", col("n_occurrences") / lit(n.toDouble))
