@@ -707,6 +707,39 @@ object QueriesML {
         .select(col("doc_id"), col("summary"), col("sentiment"))
     }),
 
+    // KerasCortex think-loop (keras_cortex.py:99-146) under a FULL value
+    // oracle: a deterministic proposal schedule over the closed ridge
+    // spec DSL, per-era closed-form fits (so every trial's fit, score,
+    // acceptance decision, and the break-on-malformed-spec exit unroll
+    // exactly into SQL). The baseline is over-regularized (λ=10⁴) so
+    // trial 1 genuinely improves; trials 2-3 are worse features /
+    // crushing regularization (rejected); trial 4's proposal doesn't
+    // parse — the reference's exec-failure break, so the log ends at 4
+    // rows despite nIterations=5. The MLP-backed interpreter (the
+    // reference's default base estimator) runs under CortexThinkSpec.
+    "q_cortex" -> ((s, dir) => {
+      val base = li(s, dir)
+        .withColumn("era", date_format(col("l_shipdate"), "yyyy-MM"))
+      val train = base.where(col("l_orderkey") % 5 =!= 0)
+      val valid = base.where(col("l_orderkey") % 5 === 0)
+      val schedule = Map(
+        1 -> "ridge feature=l_quantity lambda=0.0",
+        2 -> "ridge feature=l_discount lambda=0.0",
+        3 -> "ridge feature=l_tax lambda=100000.0",
+        4 -> "def build_model(self): attention!!") // exec-failure analog
+      var step = 0
+      val proposer: CortexThink.Proposer =
+        (_, _, _) => { step += 1; schedule(step) }
+      val res = CortexThink.thinkLoop(train, valid,
+        "ridge feature=l_quantity lambda=10000.0",
+        new RidgeEraSpecInterpreter("l_extendedprice", "era"),
+        proposer, nIterations = 5)
+      import s.implicits._
+      res.log.toDF()
+        .select(col("iter"), col("spec"),
+          round(col("metric"), 4).as("val_r2"), col("accepted"))
+    }),
+
     // multimodal frame sampling: evenly-spaced byte-window "keyframes"
     "q_media_frames" -> ((s, dir) => {
       val media = BinaryPipeline.synthesizeMedia(docs(s, dir), "text")
@@ -858,6 +891,53 @@ object QueriesML {
         | CASE length(text) % 3 WHEN 0 THEN 'neg' WHEN 1 THEN 'neu'
         |   ELSE 'pos' END AS sentiment
         |FROM documents""".stripMargin,
+    // the think-loop unrolled: per-era ridge sufficient statistics over
+    // the train split, R² on the valid split via Σ(y−ȳ)² = Σy² − (Σy)²/n
+    // (the identical algebra the interpreter computes), acceptance =
+    // strict running-max improvement; trial 4 never scores (parse break)
+    "q_cortex" ->
+      """WITH li AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS era, l_orderkey,
+        |    CAST(l_quantity AS DOUBLE) AS xq,
+        |    CAST(l_discount AS DOUBLE) AS xd,
+        |    CAST(l_tax AS DOUBLE) AS xt,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |tr AS (SELECT * FROM li WHERE l_orderkey % 5 <> 0),
+        |va AS (SELECT * FROM li WHERE l_orderkey % 5 = 0),
+        |specs(iter, spec, feat, lam) AS (VALUES
+        |  (0, 'ridge feature=l_quantity lambda=10000.0', 'q', 10000.0),
+        |  (1, 'ridge feature=l_quantity lambda=0.0',     'q', 0.0),
+        |  (2, 'ridge feature=l_discount lambda=0.0',     'd', 0.0),
+        |  (3, 'ridge feature=l_tax lambda=100000.0',     't', 100000.0)),
+        |beta AS (
+        |  SELECT s.iter, s.spec, s.feat, t.era,
+        |    sum(CASE s.feat WHEN 'q' THEN t.xq WHEN 'd' THEN t.xd
+        |          ELSE t.xt END * t.y)
+        |      / (sum(CASE s.feat WHEN 'q' THEN t.xq WHEN 'd' THEN t.xd
+        |               ELSE t.xt END
+        |             * CASE s.feat WHEN 'q' THEN t.xq WHEN 'd' THEN t.xd
+        |               ELSE t.xt END)
+        |         + s.lam * count(*)) AS b
+        |  FROM specs s CROSS JOIN tr t
+        |  GROUP BY s.iter, s.spec, s.feat, s.lam, t.era),
+        |scored AS (
+        |  SELECT b.iter, b.spec,
+        |    1.0 - sum((v.y - b.b * CASE b.feat WHEN 'q' THEN v.xq
+        |                 WHEN 'd' THEN v.xd ELSE v.xt END)
+        |              * (v.y - b.b * CASE b.feat WHEN 'q' THEN v.xq
+        |                 WHEN 'd' THEN v.xd ELSE v.xt END))
+        |          / (sum(v.y * v.y) - sum(v.y) * sum(v.y) / count(*))
+        |      AS r2
+        |  FROM beta b JOIN va v ON b.era = v.era
+        |  GROUP BY b.iter, b.spec)
+        |SELECT CAST(iter AS INTEGER) AS iter, spec,
+        |  round(r2, 4) AS val_r2,
+        |  CASE WHEN iter = 0 THEN true
+        |       ELSE r2 > max(r2) OVER (ORDER BY iter
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |  END AS accepted
+        |FROM scored""".stripMargin,
     "q_mlp_score" ->
       s"""SELECT l_orderkey, l_linenumber, $mlpSql AS score
          |FROM lineitem""".stripMargin,

@@ -100,7 +100,7 @@ object QueriesSolvers {
         maxIters = 100000)
         .certificate(li(s, dir))
         .select(col("era"), col("n"), col("exposure_ok"),
-          col("loss_improved"), col("in_unit"))
+          col("loss_improved"), col("in_unit"), col("corr_ok"))
     }),
 
     // tol = 0 ⇒ EXACTLY `maxIters` Adamax updates, no early exit: the
@@ -368,7 +368,8 @@ object QueriesSolvers {
     // recomputed from the data; the convergence booleans must be true
     "q_penalize" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS era, count(*) AS n,
-        |  true AS exposure_ok, true AS loss_improved, true AS in_unit
+        |  true AS exposure_ok, true AS loss_improved, true AS in_unit,
+        |  true AS corr_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_neutralize" -> neutralize3fSql,
     "q_penalize_fixed" -> penalizeFixedSql(10, 0.1),

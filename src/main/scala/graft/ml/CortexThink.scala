@@ -1,0 +1,197 @@
+package graft.ml
+
+import scala.util.control.NonFatal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The self-improving think-loop of the reference's KerasCortex
+  * (keras_cortex.py:99-146) with the LLM's "propose a new `build_model`
+  * source" step re-expressed as a pluggable PROPOSAL TRANSPORT over a
+  * constrained model-spec DSL.
+  *
+  * The reference loop: fit a baseline, score it on validation, then for
+  * n iterations ask an LLM (dspy ChainOfThought over the
+  * KerasCodeRefinements signature, keras_cortex.py:44-77) for a modified
+  * `build_model` body, `exec` it, refit, rescore, append (code, metric)
+  * to the performance log, and keep the best model by strict metric
+  * improvement; ANY failure in an iteration breaks the loop and keeps
+  * the best so far (keras_cortex.py:115-143).
+  *
+  * Arbitrary code-gen + `exec` is a Python-ecosystem feature with no
+  * JVM analog that isn't a security hole, so the suggestion language
+  * here is a closed spec grammar (`"mlp hidden=64 lr=0.05 epochs=100"`,
+  * `"ridge feature=l_tax lambda=100.0"`) interpreted by a
+  * [[SpecInterpreter]] — the same expressive surface the reference's
+  * prompt constrains its LLM to ("modified build_model method body", a
+  * Keras layer stack), minus string-level syntax. A spec that fails to
+  * parse plays the role of code that fails to `exec`: the loop breaks.
+  *
+  * The proposer is the SAME seam shape as the reference's `Think`
+  * module: (current spec, performance log, optimization goal) → new
+  * spec. Tests use deterministic schedules; [[CortexThink.httpProposer]]
+  * is the production client (an LLM endpoint behind a JSON POST),
+  * sharing [[HttpTransport.JsonPoster]]'s retry/backoff policy.
+  *
+  * Scale shape: the loop itself is driver-side orchestration — each
+  * trial is a distributed fit plus a distributed scalar validation
+  * metric (2 jobs); nothing corpus-sized ever reaches the driver. The
+  * proposer is called once per iteration (driver-side, n ≤ ~10), never
+  * per row.
+  */
+object CortexThink {
+
+  /** (current spec, performance log [(spec, metric)…], goal) → new spec —
+    * the `Think.forward` signature (keras_cortex.py:60-77). */
+  type Proposer = (String, Seq[(String, Double)], String) => String
+
+  /** Pluggable "compile + fit + score" backend for one spec grammar.
+    * `fit` returning None is the analog of `exec` raising: the spec does
+    * not compile, and the think-loop breaks keeping the best so far. */
+  trait SpecInterpreter[M] {
+    def fit(train: DataFrame, spec: String): Option[M]
+
+    /** Validation metric, HIGHER is better (the reference scores R²). */
+    def score(model: M, valid: DataFrame): Double
+  }
+
+  /** One trial's record: 0-based iteration (0 = the baseline fit),
+    * the spec that ran, its validation metric, and whether the loop's
+    * best-so-far pointer moved to it (strict `>`, first-wins on ties —
+    * keras_cortex.py:131-135). */
+  case class Trial(iter: Int, spec: String, metric: Double,
+      accepted: Boolean)
+
+  case class Result[M](best: M, bestSpec: String, bestMetric: Double,
+      log: Seq[Trial])
+
+  /** Run the think-loop: baseline fit + score, then up to `nIterations`
+    * propose → fit → score rounds, keeping the best model by strict
+    * validation improvement. Mirrors the reference's control flow
+    * exactly: the log records every trial that SCORED (a failed
+    * iteration appends nothing and ends the loop). */
+  def thinkLoop[M](train: DataFrame, valid: DataFrame, baseSpec: String,
+      interp: SpecInterpreter[M], propose: Proposer, nIterations: Int = 5,
+      goal: String = "improve validation metrics (R2)"): Result[M] = {
+    val baseline = interp.fit(train, baseSpec).getOrElse(
+      throw new IllegalArgumentException(
+        s"base spec does not compile: $baseSpec"))
+    var bestMetric = interp.score(baseline, valid)
+    var best = baseline
+    var bestSpec = baseSpec
+    var suggestion = baseSpec
+    val log = scala.collection.mutable.ArrayBuffer(
+      Trial(0, baseSpec, bestMetric, accepted = true))
+    var i = 0
+    var broken = false
+    while (i < nIterations && !broken) {
+      try {
+        suggestion = propose(suggestion,
+          log.toSeq.map(t => (t.spec, t.metric)), goal)
+        interp.fit(train, suggestion) match {
+          case None => broken = true // "exec" failed → break, keep best
+          case Some(m) =>
+            val metric = interp.score(m, valid)
+            val improved = metric > bestMetric
+            log += Trial(i + 1, suggestion, metric, improved)
+            if (improved) {
+              bestMetric = metric; best = m; bestSpec = suggestion
+            }
+        }
+      } catch { case NonFatal(_) => broken = true }
+      i += 1
+    }
+    Result(best, bestSpec, bestMetric, log.toSeq)
+  }
+
+  /** Production proposer: JSON POST to an LLM endpoint, mirroring the
+    * KerasCodeRefinements field contract (keras_cortex.py:44-56):
+    *   POST {"current_code": s, "performance_log": [[spec, metric]…],
+    *         "goal": s}                     → {"suggestion": s}
+    * Retry/backoff/4xx-fail-fast policy is [[HttpTransport.JsonPoster]]'s. */
+  def httpProposer(endpoint: String, timeoutMs: Long = 30000,
+      maxRetries: Int = 3, backoffMs: Long = 50): Proposer = {
+    val poster = new HttpTransport.JsonPoster(endpoint, timeoutMs,
+      maxRetries, backoffMs)
+    (current: String, perfLog: Seq[(String, Double)], goal: String) => {
+      val root = poster.obj()
+      root.put("current_code", current)
+      val arr = root.putArray("performance_log")
+      perfLog.foreach { case (s, m) =>
+        val e = arr.addArray(); e.add(s); e.add(m)
+      }
+      root.put("goal", goal)
+      val sug = poster.post(root.toString).get("suggestion")
+      require(sug != null && sug.isTextual,
+        "proposer endpoint returned no 'suggestion' string")
+      sug.asText()
+    }
+  }
+}
+
+/** `"mlp hidden=<int> lr=<double> epochs=<int>"` → a distributed
+  * [[MLPRegressor]] fit scored by validation R² — the reference's
+  * default base estimator (keras_cortex.py:92-94: MLPRegressor, scored
+  * by `.score` = R²). */
+class MlpSpecInterpreter(featureCols: Seq[String], targetCol: String)
+    extends CortexThink.SpecInterpreter[MLPRegressor] with Serializable {
+  private val pat =
+    """^mlp hidden=(\d+) lr=(\d+(?:\.\d+)?) epochs=(\d+)$""".r
+
+  def fit(train: DataFrame, spec: String): Option[MLPRegressor] =
+    spec match {
+      case pat(h, lr, ep) => Some(new MLPRegressor(featureCols, targetCol,
+        hidden = h.toInt, lr = lr.toDouble, epochs = ep.toInt).fit(train))
+      case _ => None
+    }
+
+  def score(model: MLPRegressor, valid: DataFrame): Double =
+    Metrics.r2(model.predict(valid), "prediction", targetCol, Seq.empty)
+      .collect()(0).getDouble(0)
+}
+
+/** `"ridge feature=<col> lambda=<double>"` → per-era single-feature
+  * no-intercept ridge, fit and scored RELATIONALLY:
+  *
+  *   β_era = Σ x·y / (Σ x² + λ·n)   over the train split, per era;
+  *   R²    = 1 − Σ(y − β_era·x)² / Σ(y − ȳ)²   over the valid split.
+  *
+  * The fit is ONE map-side-combined groupBy producing ≤ |eras| rows
+  * (sufficient statistics, never the rows); scoring broadcasts the era
+  * betas back and reduces to a single scalar. Closed-form per-era
+  * solving is the same shape FeatureNeutralizer's lstsq already uses —
+  * and, unlike an iterative NN fit, every trial is exactly
+  * SQL-expressible, which is what lets the think-loop run under a FULL
+  * value oracle (q_cortex). */
+class RidgeEraSpecInterpreter(targetCol: String, eraCol: String)
+    extends CortexThink.SpecInterpreter[DataFrame] with Serializable {
+  private val pat =
+    """^ridge feature=([A-Za-z0-9_]+) lambda=(\d+(?:\.\d+)?)$""".r
+
+  /** The fitted "model": a ≤|eras|-row frame (era, feature, beta). */
+  def fit(train: DataFrame, spec: String): Option[DataFrame] = spec match {
+    case pat(feature, lam) =>
+      val x = col(feature).cast("double")
+      val y = col(targetCol).cast("double")
+      Some(train.groupBy(col(eraCol))
+        .agg((sum(x * y) /
+          (sum(x * x) + lit(lam.toDouble) * count(lit(1)))).as("__beta"))
+        .withColumn("__feature", lit(feature)))
+    case _ => None
+  }
+
+  def score(model: DataFrame, valid: DataFrame): Double = {
+    val feature = model.select("__feature").first().getString(0)
+    val joined = valid.join(broadcast(model.select(col(eraCol),
+      col("__beta"))), Seq(eraCol))
+    val y = col(targetCol).cast("double")
+    val pred = col("__beta") * col(feature).cast("double")
+    // Σ(y−ȳ)² = Σy² − (Σy)²/n keeps the metric ONE scalar aggregate —
+    // the identical algebra the SQL oracle reproduces term for term
+    val r = joined.agg(
+      sum((y - pred) * (y - pred)).as("ss_res"),
+      sum(y * y).as("syy"), sum(y).as("sy"),
+      count(lit(1)).cast("double").as("n")).first()
+    1.0 - r.getDouble(0) /
+      (r.getDouble(1) - r.getDouble(2) * r.getDouble(2) / r.getDouble(3))
+  }
+}

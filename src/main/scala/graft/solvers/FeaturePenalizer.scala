@@ -102,14 +102,23 @@ case class FeaturePenalizer(
     *  - `exposure_ok` — final max |exposure| ≤ max(maxExposures) + 0.01
     *    across every pred × cap combination;
     *  - `loss_improved` — best loss ≤ initial (w = 0) loss;
-    *  - `in_unit` — all globally min-max-scaled outputs finite in [0,1].
+    *  - `in_unit` — all globally min-max-scaled outputs finite in [0,1];
+    *  - `corr_ok` — per-era Pearson correlation > 0.95 between the
+    *    converged output and the `fixedIters`-budget sibling trajectory
+    *    (the exact configuration q_penalize_fixed value-oracles), the
+    *    reference's cross-implementation equivalence bar
+    *    (test_penalizer_comparison.py:301-318). Pearson correlation is
+    *    affine-invariant, so comparing the raw penalized vectors per era
+    *    equals comparing the reference's standardized + globally
+    *    min-max-scaled outputs.
     *
     * The oracle asserts the booleans are literally `true` per era, so a
     * non-converging solver run fails the hash compare — the structural
     * verification the iterative float loop admits where a value-level
     * SQL unroll does not (that path is covered by the fixed-iteration
-    * sibling query's full oracle). */
-  def certificate(df: DataFrame): DataFrame = {
+    * sibling query's full oracle; `corr_ok` property-binds this run's
+    * VALUES to that value-oracled path). */
+  def certificate(df: DataFrame, fixedIters: Int = 10): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nOut = outputNames.size
@@ -134,6 +143,7 @@ case class FeaturePenalizer(
         val outs = Array.ofDim[Double](m, nOut)
         var maxExpAll = 0.0
         var lossOk = true
+        var corrMin = 1.0
         var o = 0
         for (pi <- predIdx) {
           val gauss = EraSolver.gaussianize(
@@ -144,6 +154,11 @@ case class FeaturePenalizer(
               maxExp, lr0, iters0, tol0)
             maxExpAll = math.max(maxExpAll, cert.maxAbsExposure)
             lossOk &&= cert.bestLoss <= cert.initLoss + 1e-12
+            // equivalence bar vs the value-oracled fixed-budget sibling
+            val penFixed = Penalize.reduceExposure(pred, feats, maxExp,
+              lr0, fixedIters, 0.0)
+            corrMin = math.min(corrMin,
+              FeaturePenalizer.pearson(pen.data, penFixed.data))
             val std = EraSolver.popStd(pen)
             var i = 0
             while (i < m) { outs(i)(o) = pen(i) / std; i += 1 }
@@ -151,13 +166,14 @@ case class FeaturePenalizer(
           }
         }
         Iterator.range(0, m).map(i =>
-          (ids(i), era, outs(i), maxExpAll, lossOk))
+          (ids(i), era, outs(i), maxExpAll, lossOk, corrMin > 0.95))
       }
-      .toDF(idCol, "__era", "__outs", "__maxexp", "__lossok")
+      .toDF(idCol, "__era", "__outs", "__maxexp", "__lossok", "__corrok")
     def q(n: String) = col(s"`$n`")
     FeaturePenalizer.liveCaches.release()
     val unpacked = FeaturePenalizer.liveCaches.keep(solved.select(
-      Seq(col("__era"), col("__maxexp"), col("__lossok")) ++
+      Seq(col("__era"), col("__maxexp"), col("__lossok"),
+        col("__corrok")) ++
         outputNames.zipWithIndex.map { case (n, i) =>
           element_at(col("__outs"), i + 1).as(n)
         }: _*)
@@ -166,7 +182,8 @@ case class FeaturePenalizer(
       Seq(min(q(n)).as(s"__mn_$n"), max(q(n)).as(s"__mx_$n")))
     val scalars = unpacked.agg(aggs.head, aggs.tail: _*)
     val scaled = unpacked.crossJoin(broadcast(scalars)).select(
-      Seq(col("__era"), col("__maxexp"), col("__lossok")) ++
+      Seq(col("__era"), col("__maxexp"), col("__lossok"),
+        col("__corrok")) ++
         outputNames.map(n => graft.functions.minMaxScale(
           q(n), q(s"__mn_$n"), q(s"__mx_$n")).as(n)): _*)
     val inUnit = outputNames.map(n =>
@@ -176,7 +193,8 @@ case class FeaturePenalizer(
       .agg(count(lit(1)).as("n"),
         (max(col("__maxexp")) <= lit(exps.max + 0.01)).as("exposure_ok"),
         bool_and(col("__lossok")).as("loss_improved"),
-        bool_and(inUnit).as("in_unit"))
+        bool_and(inUnit).as("in_unit"),
+        bool_and(col("__corrok")).as("corr_ok"))
       .withColumnRenamed("__era", eraName)
   }
 }
@@ -184,6 +202,26 @@ case class FeaturePenalizer(
 object FeaturePenalizer {
   private[solvers] val liveCaches =
     graft.operators.GraftTransformer.newCacheQueue()
+
+  /** Pearson correlation of two equal-length vectors; degenerate
+    * (zero-variance) inputs compare by equality — identical constants
+    * correlate perfectly, anything else fails the bar. */
+  private[solvers] def pearson(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length
+    var sa = 0.0; var sb = 0.0; var i = 0
+    while (i < n) { sa += a(i); sb += b(i); i += 1 }
+    val (ma, mb) = (sa / n, sb / n)
+    var vab = 0.0; var va = 0.0; var vb = 0.0
+    i = 0
+    while (i < n) {
+      val (da, db) = (a(i) - ma, b(i) - mb)
+      vab += da * db; va += da * da; vb += db * db
+      i += 1
+    }
+    if (va == 0.0 || vb == 0.0) {
+      if (java.util.Arrays.equals(a, b)) 1.0 else 0.0
+    } else vab / math.sqrt(va * vb)
+  }
 }
 
 /** Convergence evidence from one [[Penalize.reduceExposureCert]] run:

@@ -1,0 +1,173 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ml.{CortexThink, MlpSpecInterpreter, RidgeEraSpecInterpreter}
+
+/** The KerasCortex think-loop analog (keras_cortex.py:99-146): reference
+  * control-flow semantics on a pinned fixture (strict-improvement best
+  * tracking, log-every-scored-trial, break-and-keep-best on a spec that
+  * fails to "compile" or a proposer that raises), the MLP-backed
+  * interpreter (the reference's default base estimator), and the HTTP
+  * proposer end-to-end against an in-JVM loopback LLM stand-in —
+  * including the 5xx retry path — reproducing the local run exactly. */
+class CortexThinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+
+  // y = 3x exactly within era A, y = -2x within era B: per-era ridge at
+  // λ=0 is exact (valid R² = 1); λ shrinks β and degrades R² strictly
+  private def fixture = {
+    import spark.implicits._
+    (1 to 40).map { i =>
+      val era = if (i % 2 == 0) "A" else "B"
+      val x = (i % 7 + 1).toDouble
+      val y = if (era == "A") 3.0 * x else -2.0 * x
+      (i.toLong, era, x, y)
+    }.toDF("id", "era", "x", "y")
+  }
+  private def train = fixture.where(col("id") % 5 =!= 0)
+  private def valid = fixture.where(col("id") % 5 === 0)
+  private val interp = new RidgeEraSpecInterpreter("y", "era")
+
+  private val schedule = Map(
+    1 -> "ridge feature=x lambda=0.0",   // exact fit → improves
+    2 -> "ridge feature=x lambda=0.0",   // tie with best → NOT accepted
+    3 -> "ridge feature=x lambda=50.0",  // worse → not accepted
+    4 -> "def build_model(self): ???",   // unparseable → break
+    5 -> "ridge feature=x lambda=0.0")   // never reached
+  private def scheduled: CortexThink.Proposer = {
+    val step = new AtomicInteger(0)
+    (_, _, _) => schedule(step.incrementAndGet())
+  }
+
+  test("reference loop semantics: baseline logged first, strict-> " +
+    "acceptance (a tie is rejected), malformed spec breaks keeping " +
+    "best, later iterations never run") {
+    val res = CortexThink.thinkLoop(train, valid,
+      "ridge feature=x lambda=100.0", interp, scheduled,
+      nIterations = 10)
+    assert(res.log.map(_.iter) == Seq(0, 1, 2, 3),
+      "break must end the loop after the malformed trial-4 proposal")
+    assert(res.log.map(_.accepted) == Seq(true, true, false, false),
+      "tie (trial 2) and regression (trial 3) must not move best")
+    assert(res.bestSpec == "ridge feature=x lambda=0.0")
+    assert(math.abs(res.bestMetric - 1.0) < 1e-9,
+      s"λ=0 on a noise-free linear fixture is exact, got ${res.bestMetric}")
+    assert(res.log(0).metric < res.log(1).metric,
+      "the over-regularized baseline must genuinely lose")
+    assert(res.log(1).metric == res.log(2).metric,
+      "identical specs must score identically (deterministic fit)")
+  }
+
+  test("a proposer that raises breaks the loop and keeps the best so " +
+    "far (the reference's catch-all, keras_cortex.py:139-141)") {
+    val throwing: CortexThink.Proposer = {
+      val step = new AtomicInteger(0)
+      (_, _, _) => {
+        if (step.incrementAndGet() == 2) sys.error("LLM unavailable")
+        "ridge feature=x lambda=0.0"
+      }
+    }
+    val res = CortexThink.thinkLoop(train, valid,
+      "ridge feature=x lambda=100.0", interp, throwing, nIterations = 10)
+    assert(res.log.map(_.iter) == Seq(0, 1))
+    assert(math.abs(res.bestMetric - 1.0) < 1e-9)
+  }
+
+  test("the performance log carries every scored trial in order — the " +
+    "proposer sees it grow (the reference feeds the log back into the " +
+    "next prompt)") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val proposer: CortexThink.Proposer = {
+      val step = new AtomicInteger(0)
+      (_, log, _) => { seen += log.size; schedule(step.incrementAndGet()) }
+    }
+    CortexThink.thinkLoop(train, valid, "ridge feature=x lambda=100.0",
+      interp, proposer, nIterations = 10)
+    assert(seen.toSeq == Seq(1, 2, 3, 4),
+      "each proposal must see one more logged trial than the last")
+  }
+
+  test("MLP interpreter: the reference's default base estimator — spec " +
+    "grammar is closed (malformed → None), and the loop keeps the " +
+    "best-by-validation architecture") {
+    val mi = new MlpSpecInterpreter(Seq("x"), "y")
+    assert(mi.fit(train, "mlp hidden=4 lr=0.05 epochs=1").isDefined)
+    assert(mi.fit(train, "mlp hidden=4; import os").isEmpty)
+    assert(mi.fit(train, "mlp hidden=-4 lr=0.05 epochs=1").isEmpty)
+    val proposer: CortexThink.Proposer = {
+      val step = new AtomicInteger(0)
+      (_, _, _) => step.incrementAndGet() match {
+        case 1 => "mlp hidden=8 lr=0.05 epochs=60"
+        case _ => "not a model"
+      }
+    }
+    val res = CortexThink.thinkLoop(train, valid,
+      "mlp hidden=2 lr=0.0 epochs=1", mi, proposer, nIterations = 5)
+    assert(res.log.size == 2)
+    assert(res.bestMetric == res.log.map(_.metric).max,
+      "best must be the max logged validation metric")
+    assert(res.log(1).metric > res.log(0).metric,
+      "a trained MLP must beat the lr=0 frozen baseline on R²")
+  }
+
+  // ---- HTTP proposer against a loopback LLM stand-in ----
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private val hits = new AtomicInteger(0)
+  private val logSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.createContext("/think", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val n = hits.incrementAndGet()
+      if (n == 1) { // transient outage: the client must retry through it
+        val b = "warming up".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(503, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      } else {
+        val req = mapper.readTree(body)
+        logSizes.synchronized { logSizes += req.get("performance_log").size }
+        val root = mapper.createObjectNode()
+        // the proposal schedule keyed on how many trials the log holds —
+        // a deterministic LLM stand-in that actually READS the request
+        root.put("suggestion", schedule(req.get("performance_log").size))
+        val b = root.toString.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("HTTP proposer end-to-end: loopback LLM (with a 503 retry) " +
+    "reproduces the local scheduled run exactly") {
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/think"
+    val res = CortexThink.thinkLoop(train, valid,
+      "ridge feature=x lambda=100.0", interp,
+      CortexThink.httpProposer(url, maxRetries = 3, backoffMs = 1),
+      nIterations = 10)
+    val local = CortexThink.thinkLoop(train, valid,
+      "ridge feature=x lambda=100.0", interp, scheduled,
+      nIterations = 10)
+    assert(res.log == local.log,
+      "the HTTP-proposed trajectory must equal the local one")
+    assert(res.bestSpec == local.bestSpec)
+    assert(logSizes.toSeq == Seq(1, 2, 3, 4),
+      "the wire log must grow one trial per proposal")
+    assert(hits.get() == 5, "4 proposals + 1 retried 503")
+  }
+}

@@ -197,3 +197,60 @@ class IngestPipelineSpec extends AnyFunSuite {
       id % 13 != 2 && id % 17 != 3).forall(out(_) == 0L))
   }
 }
+
+/** The MOR companions' composed contract (SnapshotDiff.resolveLatest +
+  * BucketedLayout.compact): compaction FOLDS the delta log — resolving,
+  * compacting, and re-reading yields the same table as resolving before
+  * compaction; the post-compaction read plans as a bare scan (no
+  * delta-log union); and a folded base continues the log correctly. */
+class MorCompactionFoldSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+
+  private val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    .toDF("doc_id", "text")
+  private val deltas = Seq(
+    (2L, "b2", 1L, "U"), (2L, "b3", 2L, "U"),
+    (3L, "", 1L, "D"),
+    (5L, "e", 1L, "U")
+  ).toDF("doc_id", "text", "version", "op")
+
+  private def rows(df: DataFrame): Set[(Long, String)] =
+    df.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("resolve -> compact -> re-read == resolve-before-compact; the " +
+    "compacted read has no delta-log union in its plan") {
+    val resolved = SnapshotDiff.resolveLatest(base, deltas,
+      "doc_id", "version", "op")
+    // precondition: the merge-on-read plan genuinely carries the union
+    assert(resolved.queryExecution.executedPlan.toString.contains("Union"),
+      "MOR resolve should union base + log — else the fold is vacuous")
+    val before = rows(resolved)
+    val compacted = BucketedLayout.compact(
+      resolved.select("doc_id", "text"), "doc_id", 2L,
+      BucketedLayout.scratchDir("mor_fold"))
+    assert(rows(compacted) == before, "compaction changed the table")
+    val plan = compacted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"),
+      s"post-compaction read must be a bare scan, no log union:\n$plan")
+  }
+
+  test("a folded base continues the log: resolve(compactedBase, " +
+    "laterDeltas) == resolve(base, deltas ++ laterDeltas)") {
+    val later = Seq((1L, "a9", 3L, "U"), (5L, "", 3L, "D"))
+      .toDF("doc_id", "text", "version", "op")
+    val folded = BucketedLayout.compact(
+      SnapshotDiff.resolveLatest(base, deltas, "doc_id", "version", "op")
+        .select("doc_id", "text"),
+      "doc_id", 2L, BucketedLayout.scratchDir("mor_fold2"))
+    val viaFold = SnapshotDiff.resolveLatest(folded, later,
+      "doc_id", "version", "op")
+    val viaLog = SnapshotDiff.resolveLatest(base,
+      deltas.unionByName(later), "doc_id", "version", "op")
+    assert(rows(viaFold) == rows(viaLog),
+      "folding the log must not change the resolved table")
+    assert(rows(viaFold) == Set((1L, "a9"), (2L, "b3"), (4L, "d")))
+  }
+}
