@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, IvfCosine, IvfPq, Mmr, PqCosine,
-  RandomProjection,
-  SemDedup, SqCosine}
+import graft.sim.{CosineTopK, HardNegatives, IvfCosine, IvfPq, Mmr,
+  PqCosine, RandomProjection,
+  SemDedup, SemDecontam, SqCosine}
 import graft.dedup.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table (SURVEY.md §7.6).
@@ -63,6 +63,34 @@ object QueriesSim {
         shortN = 8, k = 3, lambda = 0.7, dim = DIM)
         .select(col("qid"), col("step"), col("nid"), col("rel"),
           col("mmr"))
+    }),
+
+    // DPR-style hard-negative mining: per anchor, top-3 most-similar
+    // DIFFERENT-label items under the false-negative band (cosine ≤
+    // 0.40 — the band genuinely binds on this data: max cross-label
+    // cosine ≈ 0.49). Filters run before the per-anchor rank window.
+    "q_hard_negatives" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val anchors = corpus.where(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      HardNegatives.mine(corpus, anchors, "vec_id", "embedding", "label",
+        "qid", "qvec", "qlabel", k = 3, dim = DIM, maxCos = 0.40)
+        .select(col("qid"), col("nid"), col("nlabel"), col("cosine"),
+          col("rank"))
+    }),
+
+    // embedding-space decontamination: corpus (vec_id % 23 ≠ 1) scored
+    // against the broadcast eval split (% 23 = 1); one map-side-combined
+    // struct-max per corpus id, threshold τ = 0.35
+    "q_sem_decontam" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val evalSet = all.where(col("vec_id") % 23 === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SemDecontam.flag(all.where(col("vec_id") % 23 =!= 1), evalSet,
+        "vec_id", "embedding", "qid", "qvec", tau = 0.35, dim = DIM)
+        .select(col("vec_id"), col("eval_id"), col("max_eval_cos"),
+          col("contaminated"))
     }),
 
     // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
@@ -404,6 +432,49 @@ object QueriesSim {
         |  FROM sims)
         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // round BEFORE the band filter and the rank (the operator's
+    // FastRound-before-compare convention), ties by ascending nid
+    "q_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, e AS q, label AS ql
+        |  FROM v WHERE vec_id < 40),
+        |sims AS (
+        |  SELECT p.qid, p.ql, v.vec_id AS nid, v.label AS nlabel,
+        |    round(list_inner_product(p.q, v.e)
+        |      / (sqrt(list_inner_product(p.q, p.q))
+        |         * sqrt(list_inner_product(v.e, v.e))), 6) AS cosine
+        |  FROM p, v WHERE v.vec_id <> p.qid),
+        |ranked AS (
+        |  SELECT qid, nid, nlabel, cosine,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, nid) AS rank
+        |  FROM sims WHERE nlabel <> ql AND cosine <= 0.40)
+        |SELECT qid, nid, nlabel, cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_sem_decontam" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id % 23 = 1),
+        |co AS (SELECT vec_id, e FROM v WHERE vec_id % 23 <> 1),
+        |sims AS (
+        |  SELECT co.vec_id, ev.qid,
+        |    round(list_inner_product(ev.q, co.e)
+        |      / (sqrt(list_inner_product(ev.q, ev.q))
+        |         * sqrt(list_inner_product(co.e, co.e))), 6) AS c
+        |  FROM co, ev),
+        |best AS (
+        |  SELECT vec_id, qid, c,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY c DESC, qid) AS rn
+        |  FROM sims)
+        |SELECT vec_id, qid AS eval_id, c AS max_eval_cos,
+        |  c >= 0.35 AS contaminated
+        |FROM best WHERE rn = 1""".stripMargin,
 
     "q_ivfpq_topk" -> {
       val coarse = IvfCosine.pinnedCentroids(16, DIM)
