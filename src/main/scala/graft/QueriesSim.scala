@@ -247,6 +247,22 @@ object QueriesSim {
     "q_umap_analog" -> ((s, dir) => {
       graft.ml.UmapAnalog.fitTransform(emb(s, dir), "vec_id",
         "embedding", dim = DIM)
+    }),
+
+    // the SAME fit over the SCALE-path edge build: IVF (pinned 16-cell
+    // quantizer, nprobe 4) kNN edges through the seam overload — the
+    // cell-partitioned equi-join graph a 100 TB corpus uses instead of
+    // the whole-corpus probe broadcast, as a first-class ORACLED query
+    // (genuinely approximate edges, nprobe < nlist — not brute in
+    // disguise; the full-probe ≡ brute equality is UmapKnnSeamSpec's)
+    "q_umap_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ml.UmapAnalog.fitTransform(e,
+        graft.ml.UmapAnalog.ivfKnnEdges(e, "vec_id", "embedding",
+          dim = DIM, k = 5, nlist = 16, nprobe = 4),
+        "vec_id", "embedding", dim = DIM,
+        negOffsets = Seq(17L, 131L, 313L), iters = 3, lr = 0.05,
+        gamma = 1.0, eps = 1e-3)
     })
   )
 
@@ -254,15 +270,17 @@ object QueriesSim {
     * q_ivf_pinned (pinned literals) and the DYNAMIC q_ivf_topk entry
     * (trained literals captured at query time; training is deterministic
     * given the data, and the search given centroids is exact SQL). */
-  private def ivfSearchSql(cents: Array[Array[Double]], nprobe: Int,
-      k: Int): String = {
+  /** The IVF search CTE chain (everything after `v`) for a given
+    * centroid grid and probe predicate — shared by the search-path
+    * oracles and the q_umap_ivf edge build. Ends in `ranked(qid, nid,
+    * cosine, rank)`. */
+  private def ivfCtes(cents: Array[Array[Double]], nprobe: Int,
+      probePred: String): String = {
     val values = cents.zipWithIndex.map { case (c, j) =>
       val cc = c.map(x => x * x).sum
       s"($j, [${c.mkString(", ")}], $cc)"
     }.mkString(",\n    ")
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |c(j, cv, cc) AS (
+    s"""c(j, cv, cc) AS (
        |  SELECT * FROM (VALUES
        |    $values)),
        |assigned AS (
@@ -270,7 +288,7 @@ object QueriesSim {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
        |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
        |    j) = 1),
-       |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id < 50),
+       |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE $probePred),
        |pc AS (
        |  SELECT qid, q, j AS cell FROM p CROSS JOIN c
        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
@@ -288,10 +306,16 @@ object QueriesSim {
        |  SELECT qid, nid, cosine,
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY cosine DESC, nid) AS rank
-       |  FROM sims)
+       |  FROM sims)""".stripMargin
+  }
+
+  private def ivfSearchSql(cents: Array[Array[Double]], nprobe: Int,
+      k: Int): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${ivfCtes(cents, nprobe, "vec_id < 50")}
        |SELECT qid, nid, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
-  }
 
   /** q_umap_analog oracle: the whole fit unrolled — JL init (round-6),
     * the kNN edge build, stride negatives, and `iters` epochs of the
@@ -299,7 +323,8 @@ object QueriesSim {
     * and round-6 position snap after every epoch (so float-sum order
     * noise never compounds across engines). */
   private def umapAnalogSql(k: Int, negOffsets: Seq[Long], iters: Int,
-      lr: Double, gamma: Double, eps: Double): String = {
+      lr: Double, gamma: Double, eps: Double,
+      knnCte: Option[String] = None): String = {
     val proj0 = RandomProjection.projectSql("e", 2, DIM, 0)
     val proj1 = RandomProjection.projectSql("e", 2, DIM, 1)
     val negSel = negOffsets.map(o =>
@@ -326,19 +351,21 @@ object QueriesSim {
          |    round(p.y2 + ($lr * coalesce(g.g2, 0.0)), 6) AS y2
          |  FROM p$t p LEFT JOIN g$t g ON g.src = p.id)""".stripMargin
     }.mkString(",\n")
+    val knnBlock = knnCte.getOrElse(
+      s"""knn AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, true AS attract
+         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |    list_inner_product(a.e, b.e)
+         |      / (sqrt(list_inner_product(a.e, a.e))
+         |         * sqrt(list_inner_product(b.e, b.e))) DESC,
+         |    b.vec_id) <= $k)""".stripMargin)
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |p0 AS (
        |  SELECT vec_id AS id, round($proj0, 6) AS y1,
        |    round($proj1, 6) AS y2 FROM v),
-       |knn AS (
-       |  SELECT a.vec_id AS src, b.vec_id AS dst, true AS attract
-       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id
-       |  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |    list_inner_product(a.e, b.e)
-       |      / (sqrt(list_inner_product(a.e, a.e))
-       |         * sqrt(list_inner_product(b.e, b.e))) DESC,
-       |    b.vec_id) <= $k),
+       |$knnBlock,
        |e AS (SELECT * FROM knn
        |  UNION ALL $negSel),
        |$iterCtes
@@ -356,6 +383,16 @@ object QueriesSim {
 
     "q_umap_analog" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
       iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3),
+
+    // the IVF edge build spliced in as the knn CTE (top-5 of each
+    // probe's nprobe=4 cells under the pinned 16-cell quantizer)
+    "q_umap_ivf" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
+      iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3,
+      knnCte = Some(
+        s"""${ivfCtes(IvfCosine.pinnedCentroids(16, DIM), nprobe = 4,
+             probePred = "true")},
+           |knn AS (SELECT qid AS src, nid AS dst, true AS attract
+           |  FROM ranked WHERE rank <= 5)""".stripMargin)),
     "q_mmr" -> {
       // λ and 1−λ embedded from the SAME Scala doubles the Spark side
       // uses (1.0 − 0.7 ≠ decimal 0.3 at the last ulp)
