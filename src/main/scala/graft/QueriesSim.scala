@@ -93,6 +93,28 @@ object QueriesSim {
           col("contaminated"))
     }),
 
+    // the composed contrastive-data pipeline (the q_pipeline /
+    // q_ingest_pipeline pattern for the similarity family): eval-set
+    // decontamination feeds hard-negative mining — negatives are mined
+    // from the CLEANED corpus only, under one chained oracle. Anchors
+    // are cleaned-corpus members too (a contaminated anchor must not
+    // emit training pairs at all).
+    "q_contrastive_pipeline" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val evalSet = all.where(col("vec_id") % 23 === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val clean = SemDecontam.clean(all.where(col("vec_id") % 23 =!= 1),
+        evalSet, "vec_id", "embedding", "qid", "qvec", tau = 0.35,
+        dim = DIM)
+      val anchors = clean.where(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      HardNegatives.mine(clean, anchors, "vec_id", "embedding", "label",
+        "qid", "qvec", "qlabel", k = 3, dim = DIM, maxCos = 0.40)
+        .select(col("qid"), col("nid"), col("nlabel"), col("cosine"),
+          col("rank"))
+    }),
+
     // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
     // cells — the equi-join scale path when probes don't broadcast.
     // Training is a DETERMINISTIC pure function of the data (md5-ordered
@@ -484,6 +506,39 @@ object QueriesSim {
         |      / (sqrt(list_inner_product(p.q, p.q))
         |         * sqrt(list_inner_product(v.e, v.e))), 6) AS cosine
         |  FROM p, v WHERE v.vec_id <> p.qid),
+        |ranked AS (
+        |  SELECT qid, nid, nlabel, cosine,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, nid) AS rank
+        |  FROM sims WHERE nlabel <> ql AND cosine <= 0.40)
+        |SELECT qid, nid, nlabel, cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the chained oracle: decontam max-cosine screen -> surviving
+    // corpus -> label-filtered banded top-k mining, one CTE chain
+    "q_contrastive_pipeline" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+        |  FROM embeddings),
+        |ev AS (SELECT vec_id AS qid, e AS q FROM v WHERE vec_id % 23 = 1),
+        |co AS (SELECT * FROM v WHERE vec_id % 23 <> 1),
+        |contaminated AS (
+        |  SELECT co.vec_id FROM co, ev
+        |  GROUP BY co.vec_id
+        |  HAVING max(round(list_inner_product(ev.q, co.e)
+        |      / (sqrt(list_inner_product(ev.q, ev.q))
+        |         * sqrt(list_inner_product(co.e, co.e))), 6)) >= 0.35),
+        |clean AS (
+        |  SELECT * FROM co
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)),
+        |p AS (SELECT vec_id AS qid, e AS q, label AS ql
+        |  FROM clean WHERE vec_id < 40),
+        |sims AS (
+        |  SELECT p.qid, p.ql, c.vec_id AS nid, c.label AS nlabel,
+        |    round(list_inner_product(p.q, c.e)
+        |      / (sqrt(list_inner_product(p.q, p.q))
+        |         * sqrt(list_inner_product(c.e, c.e))), 6) AS cosine
+        |  FROM p, clean c WHERE c.vec_id <> p.qid),
         |ranked AS (
         |  SELECT qid, nid, nlabel, cosine,
         |    row_number() OVER (PARTITION BY qid
