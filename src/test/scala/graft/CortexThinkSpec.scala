@@ -171,3 +171,34 @@ class CortexThinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.get() == 5, "4 proposals + 1 retried 503")
   }
 }
+
+/** Scale-shape pins for the cortex trial backend: each ridge trial is
+  * one map-side-combined sufficient-statistics aggregate (≤ |eras| rows
+  * on the exchange, never the corpus) and one broadcast-scored scalar
+  * metric — so a think-loop of n trials is 2n bounded jobs. */
+class CortexPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  test("ridge fit plans as ONE map-side-combined groupBy; score joins " +
+    "the beta frame by BROADCAST and reduces to one scalar aggregate") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("era", date_format(col("l_shipdate"), "yyyy-MM"))
+    val interp = new graft.ml.RidgeEraSpecInterpreter("l_extendedprice",
+      "era")
+    val model = interp.fit(li, "ridge feature=l_quantity lambda=1.0").get
+    val fitPlan = model.queryExecution.executedPlan.toString
+    assert(fitPlan.contains("partial_sum"),
+      s"sufficient statistics must combine map-side:\n$fitPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(fitPlan).length == 1,
+      s"one era-keyed exchange expected:\n$fitPlan")
+    assert(!fitPlan.contains("Window"), s"no window expected:\n$fitPlan")
+
+    val joined = li.join(broadcast(model.select(col("era"),
+      col("__beta"))), Seq("era"))
+    val scorePlan = joined.queryExecution.executedPlan.toString
+    assert(scorePlan.contains("BroadcastHashJoin"),
+      s"the ≤|eras|-row beta frame must broadcast:\n$scorePlan")
+  }
+}
