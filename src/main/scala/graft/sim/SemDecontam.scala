@@ -68,4 +68,27 @@ object SemDecontam {
       .where(col("contaminated")).select(col(idCol))
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** STATELESS screening form — survivors only, no max/argmax
+    * attribution: one LEFT ANTI θ-join against the broadcast eval set
+    * (`round6(cosine) ≥ tau` as the join condition). No aggregation and
+    * no state means it runs UNCHANGED over a streaming delta frame —
+    * the ingest-time companion of [[clean]] for the daily CDC batch
+    * (the [[graft.streaming.IngestDedup]] role for semantic leakage);
+    * SemDecontamStreamSpec pins stream ≡ batch ≡ clean() and zero
+    * streaming state rows. Work per row is |eval| dot products, same
+    * as [[flag]]. */
+  def screen(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, qvecCol: String, tau: Double,
+      dim: Int): DataFrame = {
+    val e = evalSet.select(col(qvecCol).as("__qvec"),
+      sqrt(Similarity.dotExpr(col(qvecCol), col(qvecCol), dim))
+        .as("__qn"))
+    val withNorm = corpus.withColumn("__cn",
+      sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)))
+    val hit = FastRound(
+      Similarity.dotExpr(col("__qvec"), col(vecCol), dim)
+        / (col("__qn") * col("__cn")), 6) >= lit(tau)
+    withNorm.join(broadcast(e), hit, "left_anti").drop("__cn")
+  }
 }

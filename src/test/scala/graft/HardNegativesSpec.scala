@@ -122,3 +122,57 @@ class HardNegativesSpec extends AnyFunSuite {
       s"exactly one id-keyed exchange expected:\n$plan")
   }
 }
+
+/** The stateless decontamination screen: batch-equal to clean(), and
+  * streaming-compatible (zero state operators) — the ingest-time
+  * semantic-leakage companion of IngestDedup. */
+class SemDecontamStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val DIM = 64
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val evals = emb.where(col("vec_id") % 23 === 1)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val corpus = emb.where(col("vec_id") % 23 =!= 1)
+
+  test("screen() == clean(): the stateless anti-join keeps exactly the " +
+    "survivors of the aggregating form") {
+    val a = SemDecontam.screen(corpus, evals, "vec_id", "embedding",
+      "qid", "qvec", tau = 0.35, dim = DIM).select("vec_id")
+    val b = SemDecontam.clean(corpus, evals, "vec_id", "embedding",
+      "qid", "qvec", tau = 0.35, dim = DIM).select("vec_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the screen genuinely drops something at this tau
+    assert(a.count() < corpus.count())
+  }
+
+  test("streaming: two micro-batches screened == batch screen; ZERO " +
+    "streaming state rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-semdec")
+    val (srcDir, outDir) = (s"$root/src", s"$root/out")
+    corpus.where(col("vec_id") < 250).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    Thread.sleep(1100)
+    corpus.where(col("vec_id") >= 250).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(corpus.schema).parquet(srcDir)
+    val screened = SemDecontam.screen(stream, evals, "vec_id",
+      "embedding", "qid", "qvec", tau = 0.35, dim = DIM)
+    val q = screened.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    val state = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    q.stop()
+    assert(state.forall(_.numRowsTotal == 0),
+      s"the screen must be stateless, got state: ${state.toList}")
+    val streamed = spark.read.parquet(outDir).select("vec_id")
+    val batch = SemDecontam.screen(corpus, evals, "vec_id", "embedding",
+      "qid", "qvec", tau = 0.35, dim = DIM).select("vec_id")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "stream and batch screens must keep identical survivors")
+  }
+}
