@@ -163,28 +163,29 @@ class MlpSpecInterpreter(featureCols: Seq[String], targetCol: String)
   * SQL-expressible, which is what lets the think-loop run under a FULL
   * value oracle (q_cortex). */
 class RidgeEraSpecInterpreter(targetCol: String, eraCol: String)
-    extends CortexThink.SpecInterpreter[DataFrame] with Serializable {
+    extends CortexThink.SpecInterpreter[RidgeEraModel] with Serializable {
   private val pat =
     """^ridge feature=([A-Za-z0-9_]+) lambda=(\d+(?:\.\d+)?)$""".r
 
-  /** The fitted "model": a ≤|eras|-row frame (era, feature, beta). */
-  def fit(train: DataFrame, spec: String): Option[DataFrame] = spec match {
-    case pat(feature, lam) =>
-      val x = col(feature).cast("double")
-      val y = col(targetCol).cast("double")
-      Some(train.groupBy(col(eraCol))
-        .agg((sum(x * y) /
-          (sum(x * x) + lit(lam.toDouble) * count(lit(1)))).as("__beta"))
-        .withColumn("__feature", lit(feature)))
-    case _ => None
-  }
+  /** The fitted "model": the feature name plus a ≤|eras|-row
+    * (era, __beta) frame — the frame stays lazy, so fit+score together
+    * cost exactly one aggregate job and one metric job per trial. */
+  def fit(train: DataFrame, spec: String): Option[RidgeEraModel] =
+    spec match {
+      case pat(feature, lam) =>
+        val x = col(feature).cast("double")
+        val y = col(targetCol).cast("double")
+        Some(RidgeEraModel(feature, train.groupBy(col(eraCol))
+          .agg((sum(x * y) /
+            (sum(x * x) + lit(lam.toDouble) * count(lit(1))))
+            .as("__beta"))))
+      case _ => None
+    }
 
-  def score(model: DataFrame, valid: DataFrame): Double = {
-    val feature = model.select("__feature").first().getString(0)
-    val joined = valid.join(broadcast(model.select(col(eraCol),
-      col("__beta"))), Seq(eraCol))
+  def score(model: RidgeEraModel, valid: DataFrame): Double = {
+    val joined = valid.join(broadcast(model.betas), Seq(eraCol))
     val y = col(targetCol).cast("double")
-    val pred = col("__beta") * col(feature).cast("double")
+    val pred = col("__beta") * col(model.feature).cast("double")
     // Σ(y−ȳ)² = Σy² − (Σy)²/n keeps the metric ONE scalar aggregate —
     // the identical algebra the SQL oracle reproduces term for term
     val r = joined.agg(
@@ -195,3 +196,6 @@ class RidgeEraSpecInterpreter(targetCol: String, eraCol: String)
       (r.getDouble(1) - r.getDouble(2) * r.getDouble(2) / r.getDouble(3))
   }
 }
+
+/** Per-era ridge fit: the spec'd feature and its per-era betas. */
+case class RidgeEraModel(feature: String, betas: DataFrame)

@@ -188,15 +188,14 @@ class CortexPlanSpec extends AnyFunSuite {
     val interp = new graft.ml.RidgeEraSpecInterpreter("l_extendedprice",
       "era")
     val model = interp.fit(li, "ridge feature=l_quantity lambda=1.0").get
-    val fitPlan = model.queryExecution.executedPlan.toString
+    val fitPlan = model.betas.queryExecution.executedPlan.toString
     assert(fitPlan.contains("partial_sum"),
       s"sufficient statistics must combine map-side:\n$fitPlan")
     assert("Exchange hashpartitioning".r.findAllIn(fitPlan).length == 1,
       s"one era-keyed exchange expected:\n$fitPlan")
     assert(!fitPlan.contains("Window"), s"no window expected:\n$fitPlan")
 
-    val joined = li.join(broadcast(model.select(col("era"),
-      col("__beta"))), Seq("era"))
+    val joined = li.join(broadcast(model.betas), Seq("era"))
     val scorePlan = joined.queryExecution.executedPlan.toString
     assert(scorePlan.contains("BroadcastHashJoin"),
       s"the ≤|eras|-row beta frame must broadcast:\n$scorePlan")
