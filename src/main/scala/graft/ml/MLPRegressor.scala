@@ -28,6 +28,21 @@ object MLPRegressor {
     if (out == 1) Seq("prediction")
     else (0 until out).map(i => s"prediction_$i")
 
+  /** Rehydrate a `save`d estimator: schema, target scaling, and
+    * weights restored bit-exactly — `predict` on the loaded instance
+    * equals `predict` on the fitted one byte for byte (WeightsIOSpec). */
+  def load(path: String): MLPRegressor = {
+    val (meta, sections) = WeightsIO.load(path)
+    require(meta.get("family").contains("mlp"),
+      s"$path holds family ${meta.get("family")}, expected mlp")
+    val m = new MLPRegressor(
+      meta("features").split(",").toSeq, meta("target"))
+    m.weights = WeightsIO.unpackMlp(sections)
+    m.yMean = meta("yMean").toDouble
+    m.yStd = meta("yStd").toDouble
+    m
+  }
+
   /** Named scoring columns for a multi-output head: the shared ReLU
     * hidden layer feeds every output (same codegen'd unroll as the
     * single-output predictColumn). */
@@ -291,6 +306,19 @@ class MLPRegressor(
       predictColumn(weights, featureCols.map(c => col(c).cast("double")),
         yMean, yStd))
   }
+
+  /** Persist the FITTED estimator (weights + target scaling + schema)
+    * — the sklearn-pickle role (WeightsIO; exact-double JSON, so
+    * [[MLPRegressor.load]] scores bit-identically). */
+  def save(path: String): Unit = {
+    require(weights != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "mlp",
+      "features" -> featureCols.mkString(","),
+      "target" -> targetCol,
+      "yMean" -> yMean.toString, "yStd" -> yStd.toString),
+      WeightsIO.packMlp(weights))
+  }
 }
 
 /** Joint multi-output MLP fit (the reference's `output_units > 1`,
@@ -495,5 +523,32 @@ class MLPMultiRegressor(
     cols.zipWithIndex.foldLeft(df) { case (acc, ((name, c), o)) =>
       acc.withColumn(name, c * lit(yStd(o)) + lit(yMean(o)))
     }
+  }
+
+  /** Persist the FITTED estimator — see [[MLPRegressor.load]]'s
+    * single-output sibling; [[MLPMultiRegressor.load]] restores it. */
+  def save(path: String): Unit = {
+    require(weights != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "mlp_multi",
+      "features" -> featureCols.mkString(","),
+      "targets" -> targetCols.mkString(",")),
+      WeightsIO.packMlpMulti(weights) ++
+        Seq("yMean" -> yMean, "yStd" -> yStd))
+  }
+}
+
+object MLPMultiRegressor {
+  /** Rehydrate a `save`d multi-output estimator, bit-exactly. */
+  def load(path: String): MLPMultiRegressor = {
+    val (meta, sections) = WeightsIO.load(path)
+    require(meta.get("family").contains("mlp_multi"),
+      s"$path holds family ${meta.get("family")}, expected mlp_multi")
+    val m = new MLPMultiRegressor(
+      meta("features").split(",").toSeq, meta("targets").split(",").toSeq)
+    m.weights = WeightsIO.unpackMlpMulti(sections)
+    m.yMean = sections("yMean")
+    m.yStd = sections("yStd")
+    m
   }
 }

@@ -1,0 +1,89 @@
+package graft.ml
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Model persistence for the trained estimator families — the surface
+  * sklearn gives the reference for free (a pickled estimator travels
+  * from the training job to every scoring job; keras_estimators carry
+  * their fitted weights inside the sklearn wrapper). JSON with EXACT
+  * doubles: `Double.toString` emits the shortest decimal that parses
+  * back to the same IEEE bits, so a save → load round-trip is
+  * bit-identical and a loaded model scores byte-for-byte like the
+  * fitted one (WeightsIOSpec pins both).
+  *
+  * Format: `{"meta": {k: v…}, "sections": {name: [d…]…}}` — named flat
+  * double arrays, the common denominator of every kernel in `graft.ml`
+  * (the deep-MLP / AE / attention trainers already keep flat layouts,
+  * so any of them serializes as one section). Driver-side file I/O by
+  * design: model artifacts are kilobytes, and the artifact store is
+  * whatever the caller mounts at `path` — weights then reach executors
+  * the same way fitted ones do, as broadcast plan literals.
+  */
+object WeightsIO {
+
+  def save(path: String, meta: Map[String, String],
+      sections: Seq[(String, Array[Double])]): Unit = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val mn = root.putObject("meta")
+    meta.foreach { case (k, v) => mn.put(k, v) }
+    val sn = root.putObject("sections")
+    sections.foreach { case (name, arr) =>
+      require(arr.forall(d => !d.isNaN && !d.isInfinite),
+        s"section $name holds a non-finite weight — refusing to save")
+      val a = sn.putArray(name)
+      arr.foreach(a.add)
+    }
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, root.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def load(path: String)
+      : (Map[String, String], Map[String, Array[Double]]) = {
+    val root = new ObjectMapper().readTree(
+      new String(Files.readAllBytes(Paths.get(path)),
+        StandardCharsets.UTF_8))
+    val meta = {
+      val it = root.get("meta").properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+    val sections = {
+      val it = root.get("sections").properties().iterator()
+      val b = Map.newBuilder[String, Array[Double]]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> Array.tabulate(e.getValue.size)(i =>
+          e.getValue.get(i).doubleValue())
+      }
+      b.result()
+    }
+    (meta, sections)
+  }
+
+  // ---- MLP family codecs (row-major flattening) ----
+
+  def packMlp(w: MLPWeights): Seq[(String, Array[Double])] = Seq(
+    "w1" -> w.w1.flatten.toArray, "b1" -> w.b1,
+    "w2" -> w.w2, "b2" -> Array(w.b2))
+
+  def unpackMlp(s: Map[String, Array[Double]]): MLPWeights = {
+    val (b1, w2) = (s("b1"), s("w2"))
+    val h = b1.length
+    MLPWeights(s("w1").grouped(h).toArray, b1, w2, s("b2")(0))
+  }
+
+  def packMlpMulti(w: MLPMultiWeights): Seq[(String, Array[Double])] = Seq(
+    "w1" -> w.w1.flatten.toArray, "b1" -> w.b1,
+    "w2" -> w.w2.flatten.toArray, "b2" -> w.b2)
+
+  def unpackMlpMulti(s: Map[String, Array[Double]]): MLPMultiWeights = {
+    val (b1, b2) = (s("b1"), s("b2"))
+    MLPMultiWeights(s("w1").grouped(b1.length).toArray, b1,
+      s("w2").grouped(b2.length).toArray, b2)
+  }
+}
