@@ -82,3 +82,39 @@ class WeightsIOSpec extends AnyFunSuite {
     assert(a == b, "loaded multi-head predictions must be identical")
   }
 }
+
+/** The flat-kernel persistence path: any Array[Double]-layout trainer
+  * serializes as one WeightsIO section — pinned here with the deep-MLP
+  * kernel: a saved+loaded parameter vector stages byte-identical
+  * scoring columns. */
+class FlatKernelIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("deep-MLP flat kernel: save -> load -> staged scoring is " +
+    "byte-identical on real data") {
+    val dims = Seq(3, 4, 3)
+    val p = QueriesML.pinnedDeep
+    val path = java.nio.file.Files.createTempDirectory("graft-wio")
+      .resolve("deep.json").toString
+    WeightsIO.save(path,
+      Map("family" -> "deep_mlp", "dims" -> dims.mkString(",")),
+      Seq("flat" -> p))
+    val (meta, sections) = WeightsIO.load(path)
+    assert(meta("dims").split(",").map(_.toInt).toSeq == dims)
+    val back = sections("flat")
+    assert(back.length == p.length && p.indices.forall(i =>
+      java.lang.Double.doubleToRawLongBits(back(i)) ==
+        java.lang.Double.doubleToRawLongBits(p(i))))
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(200)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+      .map(c => col(c).cast("double"))
+    def score(w: Array[Double]) = graft.ml.DeepMlpScore
+      .stage(li, feats, w, dims, 2, swish = false,
+        Array(0.0, 0.0), Array(1.0, 1.0))
+      .select("prediction_0", "prediction_1")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(score(p) == score(back),
+      "loaded kernel must stage identical scoring columns")
+  }
+}
