@@ -103,9 +103,11 @@ object QueriesSim {
       val all = emb(s, dir)
       val evalSet = all.where(col("vec_id") % 23 === 1)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // localCheckpoint: clean feeds BOTH sides of mine (corpus scan +
+      // anchor broadcast) — materialize the screen once, not twice
       val clean = SemDecontam.clean(all.where(col("vec_id") % 23 =!= 1),
         evalSet, "vec_id", "embedding", "qid", "qvec", tau = 0.35,
-        dim = DIM)
+        dim = DIM).localCheckpoint()
       val anchors = clean.where(col("vec_id") < 40)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("label").as("qlabel"))

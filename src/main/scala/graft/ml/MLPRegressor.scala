@@ -36,7 +36,12 @@ object MLPRegressor {
     require(meta.get("family").contains("mlp"),
       s"$path holds family ${meta.get("family")}, expected mlp")
     val m = new MLPRegressor(
-      meta("features").split(",").toSeq, meta("target"))
+      meta("features").split(",").toSeq, meta("target"),
+      hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      loss = meta("loss"), optimizer = meta("optimizer"))
     m.weights = WeightsIO.unpackMlp(sections)
     m.yMean = meta("yMean").toDouble
     m.yStd = meta("yStd").toDouble
@@ -316,6 +321,14 @@ class MLPRegressor(
       "family" -> "mlp",
       "features" -> featureCols.mkString(","),
       "target" -> targetCol,
+      // the fit hyperparameters travel too: re-fitting a LOADED
+      // estimator must train the saved architecture/recipe, not the
+      // constructor defaults
+      "hidden" -> hidden.toString, "lr" -> lr.toString,
+      "epochs" -> epochs.toString, "seed" -> seed.toString,
+      "scaleTarget" -> scaleTarget.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "optimizer" -> optimizer,
       "yMean" -> yMean.toString, "yStd" -> yStd.toString),
       WeightsIO.packMlp(weights))
   }
@@ -532,20 +545,31 @@ class MLPMultiRegressor(
     WeightsIO.save(path, Map(
       "family" -> "mlp_multi",
       "features" -> featureCols.mkString(","),
-      "targets" -> targetCols.mkString(",")),
+      "targets" -> targetCols.mkString(","),
+      "hidden" -> hidden.toString, "lr" -> lr.toString,
+      "epochs" -> epochs.toString, "seed" -> seed.toString,
+      "scaleTarget" -> scaleTarget.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "optimizer" -> optimizer),
       WeightsIO.packMlpMulti(weights) ++
         Seq("yMean" -> yMean, "yStd" -> yStd))
   }
 }
 
 object MLPMultiRegressor {
-  /** Rehydrate a `save`d multi-output estimator, bit-exactly. */
+  /** Rehydrate a `save`d multi-output estimator, bit-exactly (fit
+    * hyperparameters included — re-fitting trains the saved recipe). */
   def load(path: String): MLPMultiRegressor = {
     val (meta, sections) = WeightsIO.load(path)
     require(meta.get("family").contains("mlp_multi"),
       s"$path holds family ${meta.get("family")}, expected mlp_multi")
     val m = new MLPMultiRegressor(
-      meta("features").split(",").toSeq, meta("targets").split(",").toSeq)
+      meta("features").split(",").toSeq, meta("targets").split(",").toSeq,
+      hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      loss = meta("loss"), optimizer = meta("optimizer"))
     m.weights = WeightsIO.unpackMlpMulti(sections)
     m.yMean = sections("yMean")
     m.yStd = sections("yStd")

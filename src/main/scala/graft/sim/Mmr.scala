@@ -49,7 +49,15 @@ object Mmr {
     * [[IvfPq.search]] — so the diversification head composes with any
     * ANN producer without forcing the whole-corpus-broadcast brute
     * build. MmrSpec pins full-probe-IVF-shortlist ≡ brute-shortlist
-    * rerank equality. */
+    * rerank equality.
+    *
+    * Depth contract: unlike the brute entry point (which knows shortN
+    * and REQUIRES k ≤ shortN), a prebuilt shortlist's depth is not
+    * observable without an extra aggregate, so selection is
+    * BEST-EFFORT — a probe whose shortlist holds fewer than k
+    * candidates yields fewer than k steps (its rounds simply find no
+    * survivors), never an error. Callers needing exactly k rows per
+    * probe must build shortlists at least k deep. */
   def rerank(shortlist: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, lambda: Double, dim: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1 (and <= the shortlist depth)")

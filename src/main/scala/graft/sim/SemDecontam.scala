@@ -57,17 +57,17 @@ object SemDecontam {
         (col("__best.c") >= lit(tau)).as("contaminated"))
   }
 
-  /** The pipeline stage: corpus rows that SURVIVE decontamination
-    * (payload preserved via an id semi-join — the scoring frame never
-    * carries the payload columns). */
+  /** The pipeline stage: corpus rows that SURVIVE decontamination.
+    * Delegates to [[screen]] — "exists an eval neighbor at ≥ tau" and
+    * "max eval cosine ≥ tau" keep identical survivors, and the
+    * stateless anti-θ-join form does it with zero aggregation and zero
+    * exchange where flag-then-anti-join would pay the corpus-wide
+    * struct-max shuffle just to discard the attribution it computed.
+    * Use [[flag]] when the max/argmax attribution itself is wanted. */
   def clean(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       vecCol: String, qidCol: String, qvecCol: String, tau: Double,
-      dim: Int): DataFrame = {
-    val contaminated = flag(corpus, evalSet, idCol, vecCol, qidCol,
-      qvecCol, tau, dim)
-      .where(col("contaminated")).select(col(idCol))
-    corpus.join(contaminated, Seq(idCol), "left_anti")
-  }
+      dim: Int): DataFrame =
+    screen(corpus, evalSet, idCol, vecCol, qidCol, qvecCol, tau, dim)
 
   /** STATELESS screening form — survivors only, no max/argmax
     * attribution: one LEFT ANTI θ-join against the broadcast eval set

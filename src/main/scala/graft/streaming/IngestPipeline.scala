@@ -36,13 +36,19 @@ import graft.sources.{BucketedLayout, SnapshotDiff}
 object IngestPipeline {
 
   /** Start the screening/appending stream over a parquet CDC-delta
-    * source. Delta schema: (idCol, textCol, versionCol, opCol). */
+    * source. Delta schema: (idCol, textCol, versionCol, opCol) — pass
+    * it via `deltaSchema` to start the query on an EMPTY landing
+    * directory (the normal deployment order: start the stream, then
+    * let the producer write); when absent it is inferred from files
+    * already present, which requires at least one. */
   def start(spark: SparkSession, sourceDir: String, logDir: String,
       idCol: String, textCol: String, versionCol: String, opCol: String,
       blocklist: Seq[String], deleteOp: String = "D",
       maxFilesPerTrigger: Int = 1,
-      checkpointDir: Option[String] = None): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+      checkpointDir: Option[String] = None,
+      deltaSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    val schema = deltaSchema.getOrElse(spark.read.parquet(sourceDir).schema)
     val step = (batch: Dataset[Row], batchId: Long) => {
       screenBatch(batch.toDF(), idCol, textCol, opCol, blocklist, deleteOp)
         .write.mode("overwrite").parquet(s"$logDir/batch-$batchId")
@@ -60,17 +66,18 @@ object IngestPipeline {
 
   /** One delta batch screened: blocked upserts drop, tombstones pass.
     * Shared by the stream and the batch twin so the two paths cannot
-    * drift. */
+    * drift.
+    *
+    * The screen is a per-ROW filter ([[graft.text.Blocklist.keepCol]]),
+    * never a keep-set joined back by id: a batch may carry several
+    * VERSIONS of one id, and an id-keyed join would both resurrect a
+    * blocked v2 whenever a clean v1 shares the batch and duplicate the
+    * rows of multi-version clean ids (IngestPipelineSpec pins both). */
   def screenBatch(delta: DataFrame, idCol: String, textCol: String,
       opCol: String, blocklist: Seq[String],
-      deleteOp: String): DataFrame = {
-    val upserts = delta.where(col(opCol) =!= deleteOp)
-    val clean = graft.text.Blocklist
-      .screen(upserts, idCol, textCol, blocklist)
-      .where(col("keep")).select(idCol)
-    upserts.join(clean, Seq(idCol))
-      .unionByName(delta.where(col(opCol) === deleteOp))
-  }
+      deleteOp: String): DataFrame =
+    delta.where(col(opCol) === deleteOp ||
+      graft.text.Blocklist.keepCol(col(textCol), blocklist))
 
   /** Resolve the current table state: base + accumulated log →
     * latest row per id ([[SnapshotDiff.resolveLatest]] semantics). */

@@ -21,6 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Blocklist {
 
+  /** Blocked-occurrence count for one text column — the literal-path
+    * kernel, exposed so row-level callers (e.g. a CDC batch screen that
+    * must decide per VERSION, not per id) can filter in place without a
+    * join back by id. Null text → 0. */
+  def flaggedCol(text: Column, blocklist: Seq[String]): Column = {
+    val listed: Column = typedlit(blocklist.toArray)
+    coalesce(size(filter(CorpusOps.words(text),
+      w => array_contains(listed, w))), lit(0))
+  }
+
+  /** Per-row keep flag: true iff no blocked token occurs in `text`. */
+  def keepCol(text: Column, blocklist: Seq[String]): Column =
+    flaggedCol(text, blocklist) === 0
+
   /** Literal path: (idCol, n_flagged, keep) — n_flagged counts every
     * OCCURRENCE of a blocked token (not distinct tokens); keep iff
     * none. One projection over the shared tokenization. Null text
@@ -29,9 +43,7 @@ object Blocklist {
     * explode_outer + left join yields 0/true for null docs). */
   def screen(docs: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
-    val listed: Column = typedlit(blocklist.toArray)
-    val flagged = coalesce(size(filter(CorpusOps.words(col(textCol)),
-      w => array_contains(listed, w))), lit(0))
+    val flagged = flaggedCol(col(textCol), blocklist)
     docs.select(col(idCol), flagged.cast("long").as("n_flagged"),
       (flagged === 0).as("keep"))
   }

@@ -142,3 +142,63 @@ class IngestPipelineStreamSpec extends AnyFunSuite {
     assert(!ids.contains(10L) && ids.contains(12L) && ids.contains(1L))
   }
 }
+
+/** screenBatch is per-ROW (per version), never a keep-set joined back
+  * by id: a clean v1 must not resurrect a blocked v2 of the same id in
+  * the same batch, and multi-version clean ids must not duplicate. The
+  * deployment-order contract of start() is pinned too: with an explicit
+  * deltaSchema the stream starts on an EMPTY landing directory. */
+class ScreenBatchRowLevelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val blocklist = Seq("lorem")
+
+  test("same-batch clean v1 + blocked v2 of one id: only v1 survives; " +
+    "multi-version clean ids keep one row per version") {
+    val batch = Seq(
+      (7L, "clean seven v1", 1L, "U"),
+      (7L, "seven with lorem inside", 2L, "U"), // blocked — must drop
+      (8L, "clean eight v1", 1L, "U"),
+      (8L, "clean eight v2", 2L, "U"),          // both survive, ONCE
+      (9L, "", 1L, "D")                          // tombstone passes
+    ).toDF("doc_id", "text", "version", "op")
+    val out = IngestPipeline.screenBatch(batch, "doc_id", "text", "op",
+      blocklist, "D")
+      .select("doc_id", "version", "op").collect().map(_.toSeq).toSeq
+    assert(out.length == out.distinct.length, s"duplicated rows: $out")
+    assert(out.toSet == Set(Seq(7L, 1L, "U"), Seq(8L, 1L, "U"),
+      Seq(8L, 2L, "U"), Seq(9L, 1L, "D")),
+      s"blocked v2 must drop while clean v1 survives: $out")
+    // and the resolve consequence: id 7 lands at its clean v1
+    val resolved = graft.sources.SnapshotDiff.resolveLatest(
+      Seq((7L, "base seven")).toDF("doc_id", "text"),
+      IngestPipeline.screenBatch(batch, "doc_id", "text", "op",
+        blocklist, "D").where(col("doc_id") === 7),
+      "doc_id", "version", "op")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(resolved.toSeq == Seq((7L, 1L, "clean seven v1")))
+  }
+
+  test("start() on an empty landing directory with an explicit schema: " +
+    "files written AFTER the stream starts are screened and logged") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingempty")
+    val (src, log) = (s"$root/src", s"$root/log")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val schema = Seq((0L, "", 0L, ""))
+      .toDF("doc_id", "text", "version", "op").schema
+    val q = IngestPipeline.start(spark, src, log, "doc_id", "text",
+      "version", "op", blocklist, checkpointDir = Some(s"$root/ckpt"),
+      deltaSchema = Some(schema))
+    Seq((1L, "first ever delta", 1L, "U"),
+      (2L, "has lorem so blocked", 1L, "U"))
+      .toDF("doc_id", "text", "version", "op")
+      .coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val logged = IngestDedup.readAll(spark, log)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(logged == Set(1L),
+      "the post-start delta must be screened and logged")
+  }
+}
