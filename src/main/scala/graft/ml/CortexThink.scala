@@ -61,8 +61,15 @@ object CortexThink {
   case class Trial(iter: Int, spec: String, metric: Double,
       accepted: Boolean)
 
+  /** `completedIterations` counts propose→fit→score rounds that ran to
+    * completion (the baseline fit is not an iteration); when the loop
+    * broke early, `failureReason` says why — so a broken loop is
+    * distinguishable from a completed one (the reference at least
+    * prints the exception, keras_cortex.py:139-141) without inferring
+    * it from `log.size`. */
   case class Result[M](best: M, bestSpec: String, bestMetric: Double,
-      log: Seq[Trial])
+      log: Seq[Trial], completedIterations: Int = 0,
+      failureReason: Option[String] = None)
 
   /** Run the think-loop: baseline fit + score, then up to `nIterations`
     * propose → fit → score rounds, keeping the best model by strict
@@ -82,13 +89,16 @@ object CortexThink {
     val log = scala.collection.mutable.ArrayBuffer(
       Trial(0, baseSpec, bestMetric, accepted = true))
     var i = 0
-    var broken = false
-    while (i < nIterations && !broken) {
+    var completed = 0
+    var failure: Option[String] = None
+    while (i < nIterations && failure.isEmpty) {
       try {
         suggestion = propose(suggestion,
           log.toSeq.map(t => (t.spec, t.metric)), goal)
         interp.fit(train, suggestion) match {
-          case None => broken = true // "exec" failed → break, keep best
+          case None => // "exec" failed → break, keep best
+            failure = Some(s"iteration ${i + 1}: spec does not " +
+              s"compile: $suggestion")
           case Some(m) =>
             val metric = interp.score(m, valid)
             val improved = metric > bestMetric
@@ -96,11 +106,15 @@ object CortexThink {
             if (improved) {
               bestMetric = metric; best = m; bestSpec = suggestion
             }
+            completed += 1
         }
-      } catch { case NonFatal(_) => broken = true }
+      } catch {
+        case NonFatal(e) => failure = Some(s"iteration ${i + 1}: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       i += 1
     }
-    Result(best, bestSpec, bestMetric, log.toSeq)
+    Result(best, bestSpec, bestMetric, log.toSeq, completed, failure)
   }
 
   /** Production proposer: JSON POST to an LLM endpoint, mirroring the

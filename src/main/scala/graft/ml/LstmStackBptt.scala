@@ -504,8 +504,11 @@ object LstmStackBptt {
     * `use_batch_norm`'s statistics couple the rows of a batch, so the BN
     * layer, the Dense head, and their gradients live at BATCH level, and
     * each row's dL/d(state) is injected back through this session's
-    * BPTT. LayerNorm is excluded (one normalizer per site; the
-    * both-flags-set Keras stacking is out of scope). */
+    * BPTT. This SESSION carries no LN of its own — in the both-flags
+    * Keras stacking (use_layer_norm + use_batch_norm,
+    * sequence.py:141-144) [[LSTMBnTrainer]] owns the per-site LN and
+    * applies it between the session's state and the batch-level BN
+    * (LstmBnSpec pins the both-flags gradient and fit). */
   final class StateSession(w: Array[Double], c: Cfg,
       x: Array[Array[Double]], drop: LstmBptt.Drop = null) {
     require(!c.layerNorm, "BatchNorm session excludes layerNorm")

@@ -36,7 +36,7 @@ object MLPRegressor {
     require(meta.get("family").contains("mlp"),
       s"$path holds family ${meta.get("family")}, expected mlp")
     val m = new MLPRegressor(
-      meta("features").split(",").toSeq, meta("target"),
+      WeightsIO.namesFromMeta(meta("features")), meta("target"),
       hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
       epochs = meta("epochs").toInt, seed = meta("seed").toLong,
       scaleTarget = meta("scaleTarget").toBoolean,
@@ -319,7 +319,7 @@ class MLPRegressor(
     require(weights != null, "fit first")
     WeightsIO.save(path, Map(
       "family" -> "mlp",
-      "features" -> featureCols.mkString(","),
+      "features" -> WeightsIO.namesToMeta(featureCols),
       "target" -> targetCol,
       // the fit hyperparameters travel too: re-fitting a LOADED
       // estimator must train the saved architecture/recipe, not the
@@ -544,8 +544,8 @@ class MLPMultiRegressor(
     require(weights != null, "fit first")
     WeightsIO.save(path, Map(
       "family" -> "mlp_multi",
-      "features" -> featureCols.mkString(","),
-      "targets" -> targetCols.mkString(","),
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "targets" -> WeightsIO.namesToMeta(targetCols),
       "hidden" -> hidden.toString, "lr" -> lr.toString,
       "epochs" -> epochs.toString, "seed" -> seed.toString,
       "scaleTarget" -> scaleTarget.toString,
@@ -564,7 +564,8 @@ object MLPMultiRegressor {
     require(meta.get("family").contains("mlp_multi"),
       s"$path holds family ${meta.get("family")}, expected mlp_multi")
     val m = new MLPMultiRegressor(
-      meta("features").split(",").toSeq, meta("targets").split(",").toSeq,
+      WeightsIO.namesFromMeta(meta("features")),
+      WeightsIO.namesFromMeta(meta("targets")),
       hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
       epochs = meta("epochs").toInt, seed = meta("seed").toLong,
       scaleTarget = meta("scaleTarget").toBoolean,

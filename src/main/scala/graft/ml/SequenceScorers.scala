@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * (LSTMRegressor, keras_estimators/sequence.py:101-153; the
   * TransformerRegressor encoder block, transformer.py:108-245).
   *
-  * The one-layer LSTM now TRAINS cluster-side too ([[LSTMTrainer]] —
-  * treeAggregate BPTT, same gradient-aggregation shape as MLPRegressor);
-  * transformer training stays out of scope (SURVEY.md §7.5). What is
-  * oracle-checkable either way is the distributed forward pass:
+  * Both families also TRAIN cluster-side: the LSTM through
+  * [[LSTMTrainer]] (treeAggregate BPTT, the MLPRegressor
+  * gradient-aggregation shape, stacked/bidirectional/LayerNorm via
+  * [[LstmStackBptt]]) and the transformer through [[AttnTrainer]] /
+  * [[AttnBpttFull]] (pre-norm blocks, multi-head, attention pooling —
+  * oracled by q_stacked_blocks, q_multihead, q_keras_default et al.).
+  * What is oracle-checkable either way is the distributed forward pass:
   * broadcast weights unrolled into pure column arithmetic over the
   * lag-major sequence layout of [[graft.operators.SequenceReshape]]
   * (sequence.py:26-40), one projection stage per timestep, no UDF, no

@@ -65,6 +65,24 @@ object WeightsIO {
     (meta, sections)
   }
 
+  /** Encode a column-name list as ONE meta value — a JSON array, so a
+    * name containing a comma survives the round-trip (a comma-joined
+    * string would silently corrupt the schema on load). */
+  def namesToMeta(names: Seq[String]): String = {
+    val m = new ObjectMapper()
+    val a = m.createArrayNode()
+    names.foreach(a.add)
+    a.toString
+  }
+
+  /** Inverse of [[namesToMeta]]; a legacy comma-joined value (no `[`
+    * prefix) still parses for artifacts saved before the JSON form. */
+  def namesFromMeta(v: String): Seq[String] =
+    if (v.startsWith("[")) {
+      val n = new ObjectMapper().readTree(v)
+      (0 until n.size).map(i => n.get(i).asText())
+    } else v.split(",").toSeq
+
   // ---- MLP family codecs (row-major flattening) ----
 
   def packMlp(w: MLPWeights): Seq[(String, Array[Double])] = Seq(

@@ -60,7 +60,7 @@ object Mmr {
     * probe must build shortlists at least k deep. */
   def rerank(shortlist: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, lambda: Double, dim: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1 (and <= the shortlist depth)")
+    require(k >= 1, s"k=$k must be >= 1")
     val short = shortlist
       .select(col("qid"), col("nid"),
         FastRound(col("cosine"), 6).as("rel"), col("rank"))
