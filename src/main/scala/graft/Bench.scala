@@ -53,7 +53,17 @@ object Bench {
     // (q_heavy_hitters chunk/solo 6.85, q_dup_span_ranges among the
     // spotcheck outliers): co-tenant load lands on their multi-stage
     // corpus joins — isolate so the raw numbers stay honest
-    "q_heavy_hitters", "q_dup_span_ranges")
+    "q_heavy_hitters", "q_dup_span_ranges",
+    // round-10 driver artifact: q_dup_excise sat at chunk/solo 1.95
+    // (closest to the 2.0 spotcheck line) and q_dup_spans/q_lm_buckets
+    // read >2x their r9 numbers under co-tenant load while an
+    // identical-code solo rerun showed r9-level times (SCALE_r10.md:52,
+    // 81) — same multi-stage-corpus-join sensitivity as the row above;
+    // q_cc_components/q_canonical drifted ~+2s the same way
+    // (iteration-count-dominated fixpoints, per-round scheduling
+    // overlaps whatever shares the JVM). Isolate all five.
+    "q_dup_excise", "q_dup_spans", "q_lm_buckets", "q_cc_components",
+    "q_canonical")
 
   def main(args: Array[String]): Unit = {
     val unknown = args.filterNot(SparkEntry.queries.contains)
