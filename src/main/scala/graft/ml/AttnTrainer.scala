@@ -622,6 +622,7 @@ class AttnTrainer(
 
   private var weights: AttnWeights = _
   private var blockWeights: Seq[AttnWeights] = Nil
+  private var flatKernel: Array[Double] = _
   private var yMean = 0.0
   private var yStd = 1.0
 
@@ -676,8 +677,7 @@ class AttnTrainer(
       val w = AttnBpttFull.init(cfg, seed)
       adamEpochs(data, sz = cfg.size, w, f, t,
         (bw, x, y, acc, ms) => AttnBpttFull.run(bw, cfg, x, y, acc, ms))
-      blockWeights = AttnBpttFull.toBlockWeights(w, cfg)
-      weights = blockWeights.head
+      materialize(w)
     } else {
       val sz = AttnBptt.size(f, t, h, ff, useNorm, crossMode)
       val rng = new scala.util.Random(seed)
@@ -710,10 +710,73 @@ class AttnTrainer(
       adamEpochs(data, sz, w, f, t,
         (bw, x, y, acc, _) =>
           AttnBptt.run(bw, f, h, ff, x, y, acc, useNorm, crossMode))
-      weights = AttnBptt.toWeights(w, f, t, h, ff, useNorm, crossMode)
+      materialize(w)
     }
     data.unpersist()
     this
+  }
+
+  /** Kernel dims (f, t) — swapped in feature mode. */
+  private def kernelDims: (Int, Int) =
+    if (attentionType == "feature") (seqLen, nFeat) else (nFeat, seqLen)
+
+  private def fullCfg: AttnBpttFull.Cfg = {
+    val (f, t) = kernelDims
+    val heads = math.max(numHeads, 1)
+    AttnBpttFull.Cfg(f, t, dModel, ffDim, heads,
+      math.max(1, dModel / heads), attnPool, mlpUnits, preNorm,
+      blocks = numBlocks, drop = dropoutRate)
+  }
+
+  /** Decode a final flat kernel into scorer weights — shared by the fit
+    * tail and [[AttnTrainer.load]], so a loaded estimator scores
+    * through EXACTLY the conversion the fitted one used. */
+  private def materialize(w: Array[Double]): Unit = {
+    flatKernel = w
+    val (f, t) = kernelDims
+    if (useFull) {
+      blockWeights = AttnBpttFull.toBlockWeights(w, fullCfg)
+      weights = blockWeights.head
+    } else {
+      weights = AttnBptt.toWeights(w, f, t, dModel, ffDim, preNorm,
+        attentionType == "cross")
+    }
+  }
+
+  /** Kernel length the configured architecture expects — the loader's
+    * shape validation. */
+  private def kernelSize: Int =
+    if (useFull) fullCfg.size
+    else {
+      val (f, t) = kernelDims
+      AttnBptt.size(f, t, dModel, ffDim, preNorm,
+        attentionType == "cross")
+    }
+
+  /** Persist the FITTED estimator (flat kernel + target scaling +
+    * schema + fit recipe) — the sklearn-pickle role (the reference's
+    * wrapper pickles the fitted Keras transformer, base.py). JSON exact
+    * doubles, so [[AttnTrainer.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    require(flatKernel != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "attn",
+      "lagCols" -> WeightsIO.namesToMeta(lagCols),
+      "seqLen" -> seqLen.toString, "target" -> targetCol,
+      "dModel" -> dModel.toString, "ffDim" -> ffDim.toString,
+      "preNorm" -> preNorm.toString,
+      "numHeads" -> numHeads.toString, "attnPool" -> attnPool.toString,
+      "mlpUnits" -> mlpUnits.mkString(","),
+      "numBlocks" -> numBlocks.toString,
+      "dropoutRate" -> dropoutRate.toString,
+      "attentionType" -> attentionType,
+      "scaleTarget" -> scaleTarget.toString,
+      "yMean" -> yMean.toString, "yStd" -> yStd.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "optimizer" -> optimizer),
+      Seq("flat" -> flatKernel))
   }
 
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
@@ -738,6 +801,41 @@ class AttnTrainer(
       scored.withColumn("prediction",
         col("prediction") * lit(yStd) + lit(yMean))
     else scored
+  }
+}
+
+object AttnTrainer {
+  /** Rehydrate a `save`d estimator: architecture, target scaling, and
+    * the flat kernel restored bit-exactly, then decoded through the
+    * SAME materialization as fit. */
+  def load(path: String): AttnTrainer = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "attn", path)
+    val mlpUnits = meta("mlpUnits") match {
+      case "" => Nil
+      case s => s.split(",").map(_.toInt).toSeq
+    }
+    val m = new AttnTrainer(
+      WeightsIO.namesFromMeta(meta("lagCols")),
+      meta("seqLen").toInt, meta("target"),
+      dModel = meta("dModel").toInt, ffDim = meta("ffDim").toInt,
+      preNorm = meta("preNorm").toBoolean, lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      numHeads = meta("numHeads").toInt,
+      attnPool = meta("attnPool").toBoolean,
+      mlpUnits = mlpUnits, loss = meta("loss"),
+      numBlocks = meta("numBlocks").toInt,
+      dropoutRate = meta("dropoutRate").toDouble,
+      attentionType = meta("attentionType"),
+      optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.kernelSize)
+    m.yMean = meta("yMean").toDouble
+    m.yStd = meta("yStd").toDouble
+    m.materialize(flat)
+    m
   }
 }
 

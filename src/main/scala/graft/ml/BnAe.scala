@@ -54,6 +54,15 @@ object BnAeKernel {
     BnAeWeights(core, gamma, beta)
   }
 
+  /** Inverse of [[toWeights]] — re-flatten fitted weights into the
+    * kernel layout (the persistence path: one WeightsIO section). */
+  def fromWeights(w: BnAeWeights): Array[Double] = {
+    val b = Array.newBuilder[Double]
+    b ++= JointAeKernel.fromWeights(w.core)
+    for (s <- 0 until 5) { b ++= w.gamma(s); b ++= w.beta(s) }
+    b.result()
+  }
+
   /** One batch's loss; if `acc` != null also accumulates dLoss/dparams
     * (flat layout = [[toWeights]] order, one batch = one gradient unit).
     *
@@ -417,6 +426,51 @@ case class BnAeModel(
     staged.withColumn("prediction",
       col("prediction") * lit(yStds(0)) + lit(yMeans(0)))
       .drop(featureCols.indices.map(f => s"recon_$f"): _*)
+  }
+
+  /** Persist the FITTED model: BnAe-kernel-layout flat weights, the
+    * folded inference affines (input site + the four staged sites), and
+    * target stats — exact-double JSON, [[BnAeModel.load]] scores
+    * bit-identically. */
+  def save(path: String): Unit = {
+    val affSecs = (aff0 +: aff).zipWithIndex.flatMap { case ((s, c), i) =>
+      Seq(s"aff${i}_s" -> s, s"aff${i}_c" -> c)
+    }
+    WeightsIO.save(path, Map(
+      "family" -> "bn_ae",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "hE" -> weights.core.hE.toString,
+      "latent" -> weights.core.latent.toString,
+      "hA" -> weights.core.hA.toString,
+      "nOut" -> weights.core.nOut.toString,
+      "nAffines" -> (aff.size + 1).toString),
+      Seq("flat" -> BnAeKernel.fromWeights(weights),
+        "yMeans" -> yMeans, "yStds" -> yStds) ++ affSecs)
+  }
+}
+
+object BnAeModel {
+  /** Rehydrate a `save`d model (shape-validated). */
+  def load(path: String): BnAeModel = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "bn_ae", path)
+    val featureCols = WeightsIO.namesFromMeta(meta("features"))
+    val k = featureCols.size
+    val (hE, l, hA, nOut) = (meta("hE").toInt, meta("latent").toInt,
+      meta("hA").toInt, meta("nOut").toInt)
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, BnAeKernel.size(k, hE, l, hA, nOut))
+    val nAff = meta("nAffines").toInt
+    require(nAff >= 1, s"$path holds no BN affines")
+    val affs = (0 until nAff).map { i =>
+      (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
+    }
+    WeightsIO.requireLen("aff0_s", affs.head._1, k)
+    WeightsIO.requireLen("yMeans", sections("yMeans"), nOut)
+    WeightsIO.requireLen("yStds", sections("yStds"), nOut)
+    BnAeModel(BnAeKernel.toWeights(flat, k, hE, l, hA, nOut),
+      affs.head, affs.tail, sections("yMeans"), sections("yStds"),
+      featureCols)
   }
 }
 

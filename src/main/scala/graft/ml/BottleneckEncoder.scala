@@ -125,6 +125,35 @@ case class BottleneckModel(weights: BottleneckWeights,
     withZ.withColumn("prediction",
       BottleneckEncoder.headCol(weights, z))
   }
+
+  /** Persist the FITTED model (means, loadings, head) — exact-double
+    * JSON, [[BottleneckModel.load]] scores bit-identically. */
+  def save(path: String): Unit =
+    WeightsIO.save(path, Map(
+      "family" -> "bottleneck",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "latentDim" -> weights.latentDim.toString),
+      Seq("means" -> weights.means,
+        "loadings" -> WeightsIO.fromMat(weights.loadings),
+        "head" -> weights.head,
+        "headBias" -> Array(weights.headBias)))
+}
+
+object BottleneckModel {
+  /** Rehydrate a `save`d model (shape-validated). */
+  def load(path: String): BottleneckModel = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "bottleneck", path)
+    val featureCols = WeightsIO.namesFromMeta(meta("features"))
+    val k = featureCols.size
+    val latent = meta("latentDim").toInt
+    WeightsIO.requireLen("means", sections("means"), k)
+    WeightsIO.requireLen("loadings", sections("loadings"), k * latent)
+    WeightsIO.requireLen("head", sections("head"), latent)
+    BottleneckModel(BottleneckWeights(sections("means"),
+      WeightsIO.toMat(sections("loadings"), k),
+      sections("head"), sections("headBias")(0)), featureCols)
+  }
 }
 
 object BottleneckEncoder {

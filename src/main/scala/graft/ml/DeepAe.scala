@@ -413,4 +413,73 @@ class DeepJointAutoencoder(
     }
     scored.drop(featureCols.indices.map(f => s"recon_$f"): _*)
   }
+
+  /** Persist the FITTED estimator (flat kernel + standardization stats
+    * + architecture) — the sklearn-pickle role; exact-double JSON, so
+    * [[DeepJointAutoencoder.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    require(weights != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "deep_ae",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "targets" -> WeightsIO.namesToMeta(targetCols),
+      "encoderUnits" -> encoderUnits.mkString(","),
+      "latentDim" -> latentDim.toString,
+      "headUnits" -> headUnits.mkString(","),
+      "encoderDropout" -> encoderDropout.mkString(","),
+      "latentDropout" -> latentDropout.toString,
+      "headDropout" -> headDropout.mkString(","),
+      "reconWeight" -> reconWeight.toString,
+      "targetWeight" -> targetWeight.toString,
+      "gaussianNoise" -> gaussianNoise.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString,
+      "optimizer" -> optimizer),
+      Seq("flat" -> weights, "fMean" -> fMean, "fStd" -> fStd,
+        "yMeans" -> yMeans, "yStds" -> yStds))
+  }
+}
+
+object DeepJointAutoencoder {
+  private[ml] def ints(s: String): Seq[Int] =
+    if (s.isEmpty) Nil else s.split(",").map(_.toInt).toSeq
+  private[ml] def doubles(s: String): Seq[Double] =
+    if (s.isEmpty) Nil else s.split(",").map(_.toDouble).toSeq
+
+  /** Rehydrate a `save`d estimator (architecture + stats + kernel,
+    * shape-validated) — `predict` on the loaded instance equals
+    * `predict` on the fitted one byte for byte. */
+  def load(path: String): DeepJointAutoencoder = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "deep_ae", path)
+    val targets = WeightsIO.namesFromMeta(meta("targets"))
+    val m = new DeepJointAutoencoder(
+      WeightsIO.namesFromMeta(meta("features")), targets.head,
+      extraTargetCols = targets.tail,
+      encoderUnits = ints(meta("encoderUnits")),
+      latentDim = meta("latentDim").toInt,
+      headUnits = ints(meta("headUnits")),
+      encoderDropout = doubles(meta("encoderDropout")),
+      latentDropout = meta("latentDropout").toDouble,
+      headDropout = doubles(meta("headDropout")),
+      reconWeight = meta("reconWeight").toDouble,
+      targetWeight = meta("targetWeight").toDouble,
+      gaussianNoise = meta("gaussianNoise").toDouble,
+      lr = meta("lr").toDouble, epochs = meta("epochs").toInt,
+      seed = meta("seed").toLong,
+      batchFraction = meta("batchFraction").toDouble,
+      optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.kernelCfg.size)
+    val k = m.featureCols.size
+    WeightsIO.requireLen("fMean", sections("fMean"), k)
+    WeightsIO.requireLen("fStd", sections("fStd"), k)
+    WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
+    WeightsIO.requireLen("yStds", sections("yStds"), targets.size)
+    m.weights = flat
+    m.fMean = sections("fMean"); m.fStd = sections("fStd")
+    m.yMeans = sections("yMeans"); m.yStds = sections("yStds")
+    m
+  }
 }

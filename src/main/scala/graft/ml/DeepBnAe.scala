@@ -525,4 +525,80 @@ class DeepBnAutoencoder(
         col(s"prediction_$o") * lit(yStds(o)) + lit(yMeans(o)))
     scored
   }
+
+  /** Persist the FITTED estimator: flat kernel, the folded per-site BN
+    * inference affines, target stats, and the architecture — the
+    * sklearn-pickle role; exact-double JSON so
+    * [[DeepBnAutoencoder.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    require(w != null, "fit first")
+    val affSecs = affs.zipWithIndex.flatMap { case ((s, c), i) =>
+      Seq(s"aff${i}_s" -> s, s"aff${i}_c" -> c)
+    }
+    WeightsIO.save(path, Map(
+      "family" -> "deep_bn_ae",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "targets" -> WeightsIO.namesToMeta(targetCols),
+      "encoderUnits" -> encoderUnits.mkString(","),
+      "latentDim" -> latentDim.toString,
+      "headUnits" -> headUnits.mkString(","),
+      "encoderDropout" -> encoderDropout.mkString(","),
+      "latentDropout" -> latentDropout.toString,
+      "headDropout" -> headDropout.mkString(","),
+      "gaussianNoise" -> gaussianNoise.toString,
+      "reconWeight" -> reconWeight.toString,
+      "targetWeight" -> targetWeight.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString,
+      "batchSize" -> batchSize.toString,
+      "optimizer" -> optimizer, "bnInference" -> bnInference,
+      "bnMomentum" -> bnMomentum.toString,
+      "nAffines" -> affs.size.toString),
+      Seq("flat" -> w, "yMeans" -> yMeans, "yStds" -> yStds) ++ affSecs)
+  }
+}
+
+object DeepBnAutoencoder {
+  import DeepJointAutoencoder.{ints, doubles}
+
+  /** Rehydrate a `save`d estimator (shape-validated). */
+  def load(path: String): DeepBnAutoencoder = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "deep_bn_ae", path)
+    val targets = WeightsIO.namesFromMeta(meta("targets"))
+    val m = new DeepBnAutoencoder(
+      WeightsIO.namesFromMeta(meta("features")), targets.head,
+      extraTargetCols = targets.tail,
+      encoderUnits = ints(meta("encoderUnits")),
+      latentDim = meta("latentDim").toInt,
+      headUnits = ints(meta("headUnits")),
+      encoderDropout = doubles(meta("encoderDropout")),
+      latentDropout = meta("latentDropout").toDouble,
+      headDropout = doubles(meta("headDropout")),
+      gaussianNoise = meta("gaussianNoise").toDouble,
+      reconWeight = meta("reconWeight").toDouble,
+      targetWeight = meta("targetWeight").toDouble,
+      lr = meta("lr").toDouble, epochs = meta("epochs").toInt,
+      seed = meta("seed").toLong,
+      batchFraction = meta("batchFraction").toDouble,
+      batchSize = meta("batchSize").toInt,
+      optimizer = meta("optimizer"),
+      bnInference = meta("bnInference"),
+      bnMomentum = meta("bnMomentum").toDouble)
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.size)
+    val nAff = meta("nAffines").toInt
+    val affs = (0 until nAff).map { i =>
+      (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
+    }
+    require(affs.nonEmpty, s"$path holds no BN affines")
+    WeightsIO.requireLen("aff0_s", affs.head._1, m.featureCols.size)
+    WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
+    WeightsIO.requireLen("yStds", sections("yStds"), targets.size)
+    m.w = flat
+    m.affs = affs
+    m.yMeans = sections("yMeans"); m.yStds = sections("yStds")
+    m
+  }
 }

@@ -67,6 +67,21 @@ object JointAeKernel {
       if (out == 1) null else wpM, if (out == 1) null else bpM)
   }
 
+  /** Inverse of [[toWeights]] — re-flatten fitted weights into the
+    * kernel layout (the persistence path: one WeightsIO section). */
+  def fromWeights(w: JointAeWeights): Array[Double] = {
+    val b = Array.newBuilder[Double]
+    def mat(m: Array[Array[Double]]): Unit = m.foreach(b ++= _)
+    mat(w.we); b ++= w.be
+    mat(w.wz); b ++= w.bz
+    mat(w.wd); b ++= w.bd
+    mat(w.wr); b ++= w.br
+    mat(w.wh); b ++= w.bh
+    if (w.wpM == null) { b ++= w.wp; b += w.bp }
+    else { w.wpM.foreach(b ++= _); b ++= w.bpM }
+    b.result()
+  }
+
   /** Driver-local forward over a standardized row: (latent, recon, pred). */
   def forward(w: JointAeWeights, x: Array[Double])
       : (Array[Double], Array[Double], Double) = {
@@ -298,6 +313,42 @@ case class JointAeModel(
     staged.withColumn("prediction",
       col("prediction") * lit(yStd) + lit(yMean))
       .drop(featureCols.indices.map(f => s"recon_$f"): _*)
+  }
+
+  /** Persist the FITTED model: kernel-layout flat weights +
+    * standardization scalars — exact-double JSON, so
+    * [[JointAeModel.load]] transforms/predicts bit-identically. */
+  def save(path: String): Unit =
+    WeightsIO.save(path, Map(
+      "family" -> "joint_ae",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "hE" -> weights.hE.toString, "latent" -> weights.latent.toString,
+      "hA" -> weights.hA.toString, "nOut" -> weights.nOut.toString,
+      "yMean" -> yMean.toString, "yStd" -> yStd.toString),
+      Seq("flat" -> JointAeKernel.fromWeights(weights),
+        "featMeans" -> featMeans, "featStds" -> featStds) ++
+        (if (yMeans == null) Nil
+         else Seq("yMeans" -> yMeans, "yStds" -> yStds)))
+}
+
+object JointAeModel {
+  /** Rehydrate a `save`d model (shape-validated). */
+  def load(path: String): JointAeModel = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "joint_ae", path)
+    val featureCols = WeightsIO.namesFromMeta(meta("features"))
+    val k = featureCols.size
+    val (hE, l, hA, nOut) = (meta("hE").toInt, meta("latent").toInt,
+      meta("hA").toInt, meta("nOut").toInt)
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat,
+      JointAeKernel.size(k, hE, l, hA, nOut))
+    WeightsIO.requireLen("featMeans", sections("featMeans"), k)
+    WeightsIO.requireLen("featStds", sections("featStds"), k)
+    JointAeModel(JointAeKernel.toWeights(flat, k, hE, l, hA, nOut),
+      sections("featMeans"), sections("featStds"),
+      meta("yMean").toDouble, meta("yStd").toDouble, featureCols,
+      sections.get("yMeans").orNull, sections.get("yStds").orNull)
   }
 }
 

@@ -326,6 +326,7 @@ class LSTMTrainer(
   private var stackedNorms: Seq[LstmNorm] = Nil
   private var bidi: (LstmWeights, LstmWeights, Array[Double], Double) = _
   private var bidiLn: LstmNorm = _
+  private var flatKernel: Array[Double] = _
   private var yMean = 0.0
   private var yStd = 1.0
 
@@ -360,13 +361,7 @@ class LSTMTrainer(
               LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms,
                 if (effDropouts.size > 1) effDropouts else null)
             else null))
-        if (cfg.bidi) {
-          bidi = LstmStackBptt.toBidi(w, cfg)
-          if (layerNorm) bidiLn = LstmStackBptt.bidiNorm(w, cfg)
-        } else {
-          stacked = LstmStackBptt.toStacked(w, cfg)
-          if (layerNorm) stackedNorms = LstmStackBptt.stackNorms(w, cfg)
-        }
+        materialize(w)
       case None =>
         val sz = LstmBptt.size(f, h)
         val rng = new scala.util.Random(seed)
@@ -394,10 +389,69 @@ class LSTMTrainer(
             if (anyDropout)
               LstmBptt.Drop(effDropouts.head._1, effDropouts.head._2, ms)
             else null))
-        weights = LstmBptt.toWeights(w, f, h)
+        materialize(w)
     }
     data.unpersist()
     this
+  }
+
+  /** Effective one-layer unit count (a one-element `layers` list IS the
+    * one-layer fast path — lstm_units=[n], sequence.py:120). */
+  private def effH: Int =
+    if (!bidirectional && layers.size == 1) layers.head else hidden
+
+  /** Decode a final flat kernel into the scorer-side weight containers —
+    * shared by the fit tail and [[LSTMTrainer.load]], so a loaded
+    * estimator scores through EXACTLY the conversion the fitted one
+    * used. */
+  private def materialize(w: Array[Double]): Unit = {
+    flatKernel = w
+    stackCfg match {
+      case Some(cfg) =>
+        if (cfg.bidi) {
+          bidi = LstmStackBptt.toBidi(w, cfg)
+          if (layerNorm) bidiLn = LstmStackBptt.bidiNorm(w, cfg)
+        } else {
+          stacked = LstmStackBptt.toStacked(w, cfg)
+          if (layerNorm) stackedNorms = LstmStackBptt.stackNorms(w, cfg)
+        }
+      case None =>
+        weights = LstmBptt.toWeights(w, nFeat, effH)
+    }
+  }
+
+  /** Kernel length the configured architecture expects — the loader's
+    * shape validation. */
+  private def kernelSize: Int = stackCfg match {
+    case Some(cfg) => cfg.size
+    case None => LstmBptt.size(nFeat, effH)
+  }
+
+  /** Persist the FITTED estimator (flat kernel + target scaling +
+    * schema + fit recipe) — the sklearn-pickle role the reference gets
+    * free from its wrapper (keras_estimators/base.py holds the fitted
+    * Keras model inside the sklearn estimator). JSON exact doubles, so
+    * [[LSTMTrainer.load]] scores bit-identically (WeightsIOSpec
+    * pattern). */
+  def save(path: String): Unit = {
+    require(flatKernel != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "lstm",
+      "lagCols" -> WeightsIO.namesToMeta(lagCols),
+      "seqLen" -> seqLen.toString, "target" -> targetCol,
+      "hidden" -> hidden.toString,
+      "layers" -> layers.mkString(","),
+      "bidirectional" -> bidirectional.toString,
+      "layerNorm" -> layerNorm.toString,
+      "scaleTarget" -> scaleTarget.toString,
+      "yMean" -> yMean.toString, "yStd" -> yStd.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "dropout" -> dropout.toString,
+      "recurrentDropout" -> recurrentDropout.toString,
+      "optimizer" -> optimizer),
+      Seq("flat" -> flatKernel))
   }
 
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
@@ -427,6 +481,41 @@ class LSTMTrainer(
       scored.withColumn("prediction",
         col("prediction") * lit(yStd) + lit(yMean))
     else scored
+  }
+}
+
+object LSTMTrainer {
+  /** Rehydrate a `save`d estimator: architecture, target scaling, and
+    * the flat kernel restored bit-exactly, then decoded through the
+    * SAME materialization as fit — `predict` on the loaded instance
+    * equals `predict` on the fitted one byte for byte. */
+  def load(path: String): LSTMTrainer = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "lstm", path)
+    val layers = meta("layers") match {
+      case "" => Nil
+      case s => s.split(",").map(_.toInt).toSeq
+    }
+    val m = new LSTMTrainer(
+      WeightsIO.namesFromMeta(meta("lagCols")),
+      meta("seqLen").toInt, meta("target"),
+      hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      layers = layers,
+      bidirectional = meta("bidirectional").toBoolean,
+      loss = meta("loss"),
+      dropout = meta("dropout").toDouble,
+      recurrentDropout = meta("recurrentDropout").toDouble,
+      layerNorm = meta("layerNorm").toBoolean,
+      optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.kernelSize)
+    m.yMean = meta("yMean").toDouble
+    m.yStd = meta("yStd").toDouble
+    m.materialize(flat)
+    m
   }
 }
 

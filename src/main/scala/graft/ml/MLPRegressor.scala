@@ -28,6 +28,18 @@ object MLPRegressor {
     if (out == 1) Seq("prediction")
     else (0 until out).map(i => s"prediction_$i")
 
+  /** Glorot-uniform init in EXACTLY the order fit consumes the seeded
+    * RNG (w1 column-major via DenseMatrix.fill, then w2; biases zero) —
+    * exposed so the q_cortex_mlp trajectory oracle can embed the same
+    * data-independent literals the fit starts from. */
+  private[graft] def glorotInit(k: Int, hidden: Int, seed: Long)
+      : (DenseMatrix[Double], DenseVector[Double]) = {
+    val rng = new scala.util.Random(seed)
+    val limit = math.sqrt(6.0 / (k + hidden))
+    (DenseMatrix.fill(k, hidden)((rng.nextDouble() * 2 - 1) * limit),
+      DenseVector.fill(hidden)((rng.nextDouble() * 2 - 1) * limit))
+  }
+
   /** Rehydrate a `save`d estimator: schema, target scaling, and
     * weights restored bit-exactly — `predict` on the loaded instance
     * equals `predict` on the fitted one byte for byte (WeightsIOSpec). */
@@ -148,11 +160,8 @@ class MLPRegressor(
         .collect()(0)
       yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
     }
-    val rng = new scala.util.Random(seed)
-    val limit = math.sqrt(6.0 / (k + hidden)) // Glorot uniform
-    var w1 = DenseMatrix.fill(k, hidden)((rng.nextDouble() * 2 - 1) * limit)
-    var b1 = DenseVector.zeros[Double](hidden)
-    var w2 = DenseVector.fill(hidden)((rng.nextDouble() * 2 - 1) * limit)
+    val (w1, w2) = MLPRegressor.glorotInit(k, hidden, seed)
+    val b1 = DenseVector.zeros[Double](hidden)
     var b2 = 0.0
     // Adam state
     val sz = k * hidden + hidden + hidden + 1

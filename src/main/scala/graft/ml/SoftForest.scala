@@ -234,6 +234,74 @@ case class SoftForestModel(
         if (z > 0) z else 0.0
       }
     }
+
+  /** Persist the FITTED forest: per-tree routing/leaf sections, trunk
+    * layers, and the standardization scalars — exact-double JSON, so
+    * [[SoftForestModel.load]] scores bit-identically (bagged featIdx
+    * values are small ints, exact in a double). */
+  def save(path: String): Unit = {
+    val treeSecs = trees.zipWithIndex.flatMap { case (t, i) =>
+      Seq(s"t${i}_featIdx" -> t.featIdx.map(_.toDouble),
+        s"t${i}_wDec" -> WeightsIO.fromMat(t.wDec),
+        s"t${i}_bDec" -> t.bDec, s"t${i}_pi" -> t.pi) ++
+        (if (t.piM == null) Nil
+         else Seq(s"t${i}_piM" -> WeightsIO.fromMat(t.piM)))
+    }
+    val trunkSecs = trunk.zipWithIndex.flatMap { case ((w, b), l) =>
+      Seq(s"trunk${l}_w" -> WeightsIO.fromMat(w), s"trunk${l}_b" -> b)
+    }
+    WeightsIO.save(path, Map(
+      "family" -> "soft_forest",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "numTrees" -> trees.size.toString,
+      "numTrunk" -> trunk.size.toString,
+      "nOut" -> trees.head.nOut.toString,
+      "temperature" -> temperature.toString,
+      "yMean" -> yMean.toString, "yStd" -> yStd.toString),
+      Seq("featMeans" -> featMeans, "featStds" -> featStds) ++
+        (if (yMeans == null) Nil
+         else Seq("yMeans" -> yMeans, "yStds" -> yStds)) ++
+        treeSecs ++ trunkSecs)
+  }
+}
+
+object SoftForestModel {
+  /** Rehydrate a `save`d forest (shape-validated per section). */
+  def load(path: String): SoftForestModel = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "soft_forest", path)
+    val featureCols = WeightsIO.namesFromMeta(meta("features"))
+    val k = featureCols.size
+    val nOut = meta("nOut").toInt
+    val trees = (0 until meta("numTrees").toInt).map { i =>
+      val featIdx = sections(s"t${i}_featIdx").map(_.toInt)
+      val bDec = sections(s"t${i}_bDec")
+      val wDec = WeightsIO.toMat(sections(s"t${i}_wDec"), featIdx.length)
+      require(wDec.head.length == bDec.length,
+        s"tree $i: wDec cols ${wDec.head.length} != nNodes ${bDec.length}")
+      val pi = sections(s"t${i}_pi")
+      require(pi.length == bDec.length + 1,
+        s"tree $i: ${pi.length} leaves do not match ${bDec.length} nodes")
+      SoftTreeWeights(featIdx, wDec, bDec, pi,
+        if (nOut == 1) null
+        else WeightsIO.toMat(sections(s"t${i}_piM"), nOut))
+    }
+    var inDim = k
+    val trunk = (0 until meta("numTrunk").toInt).map { l =>
+      val b = sections(s"trunk${l}_b")
+      val w = WeightsIO.toMat(sections(s"trunk${l}_w"), inDim)
+      require(w.head.length == b.length,
+        s"trunk $l: weight cols ${w.head.length} != bias ${b.length}")
+      inDim = b.length
+      (w, b)
+    }
+    WeightsIO.requireLen("featMeans", sections("featMeans"), k)
+    WeightsIO.requireLen("featStds", sections("featStds"), k)
+    SoftForestModel(trees, trunk, sections("featMeans"),
+      sections("featStds"), meta("temperature").toDouble,
+      meta("yMean").toDouble, meta("yStd").toDouble, featureCols,
+      sections.get("yMeans").orNull, sections.get("yStds").orNull)
+  }
 }
 
 /** Differentiable Neural-Decision-Forest regressor

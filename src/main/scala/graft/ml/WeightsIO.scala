@@ -83,6 +83,33 @@ object WeightsIO {
       (0 until n.size).map(i => n.get(i).asText())
     } else v.split(",").toSeq
 
+  // ---- shared structural helpers (per-family codecs build on these) ----
+
+  /** Row-major flatten; inverse of [[toMat]]. */
+  def fromMat(m: Array[Array[Double]]): Array[Double] = m.flatten
+
+  /** Row-major unflatten into `rows` rows (length must divide evenly —
+    * the loader-side shape validation every family codec inherits). */
+  def toMat(a: Array[Double], rows: Int): Array[Array[Double]] = {
+    require(rows > 0 && a.length % rows == 0,
+      s"section of ${a.length} doubles does not reshape into $rows rows")
+    a.grouped(a.length / rows).toArray
+  }
+
+  /** Loader-side family guard — the wrong-artifact error every `load`
+    * raises instead of mis-decoding another estimator's sections. */
+  def requireFamily(meta: Map[String, String], expected: String,
+      path: String): Unit =
+    require(meta.get("family").contains(expected),
+      s"$path holds family ${meta.getOrElse("family", "<none>")}, " +
+        s"expected $expected")
+
+  /** Loader-side length guard for a flat-kernel section. */
+  def requireLen(name: String, a: Array[Double], expected: Int): Unit =
+    require(a.length == expected,
+      s"section $name holds ${a.length} doubles, expected $expected " +
+        "(architecture meta does not match the stored kernel)")
+
   // ---- MLP family codecs (row-major flattening) ----
 
   def packMlp(w: MLPWeights): Seq[(String, Array[Double])] = Seq(

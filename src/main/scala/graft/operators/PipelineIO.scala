@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.ml.WeightsIO
+
+/** Pipeline persistence — the sklearn analog persists the whole fitted
+  * `make_pipeline(...)` object, not one estimator (reference
+  * README.md:117-162), so a composed feature chain travels from the
+  * job that defined it to every scoring job as one artifact.
+  *
+  * The feature-transformer stages are configuration-complete (their
+  * statistics — window frames, per-era ranks, global min/max — are
+  * recomputed inside `transform`, the narwhals fit-on-transform
+  * semantics the reference's transformers share), so the artifact is
+  * the stage list with every constructor parameter, stored in the SAME
+  * exact-double JSON container as the estimator families (WeightsIO;
+  * one meta namespace per stage). `load` rebuilds the identical case
+  * classes — `transform` on the loaded pipeline is the identical
+  * Catalyst plan, hence bit-identical output (PipelineIOSpec).
+  *
+  * Nested [[Pipeline]] stages are flattened on save: sequential
+  * composition is associative (`Pipeline(a, Pipeline(b, c))` folds the
+  * same frame chain as `Pipeline(a, b, c)`), so flattening preserves
+  * both `transform` and `outputNames`.
+  *
+  * Estimator stages (fitted weights) persist through their own family
+  * codecs (`MLPRegressor.save`, `LSTMTrainer.save`, … — WeightsIOSpec /
+  * ModelPersistenceSpec); a GraftTransformer wrapper around one of
+  * those belongs in that artifact, not here — `save` rejects stage
+  * kinds it has no codec for rather than silently dropping them. */
+object PipelineIO {
+
+  def save(path: String, pipeline: Pipeline): Unit = {
+    val flat = flatten(pipeline.stages)
+    val meta = Map.newBuilder[String, String]
+    meta += "family" -> "pipeline"
+    meta += "n" -> flat.size.toString
+    flat.zipWithIndex.foreach { case (s, i) => encode(s, s"s$i.", meta) }
+    WeightsIO.save(path, meta.result(), Seq.empty)
+  }
+
+  def load(path: String): Pipeline = {
+    val (meta, _) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "pipeline", path)
+    Pipeline((0 until meta("n").toInt).map(i => decode(meta, s"s$i.")))
+  }
+
+  private def flatten(stages: Seq[GraftTransformer]): Seq[GraftTransformer] =
+    stages.flatMap {
+      case Pipeline(inner) => flatten(inner)
+      case s => Seq(s)
+    }
+
+  private type MetaB = scala.collection.mutable.Builder[(String, String),
+    Map[String, String]]
+
+  private def encode(s: GraftTransformer, p: String, m: MetaB): Unit = {
+    def names(k: String, v: Seq[String]): Unit =
+      m += (p + k) -> WeightsIO.namesToMeta(v)
+    def ints(k: String, v: Seq[Int]): Unit =
+      m += (p + k) -> v.mkString(",")
+    def str(k: String, v: String): Unit = m += (p + k) -> v
+    s match {
+      case RankTransformer(f, d) =>
+        str("kind", "rank"); names("features", f); str("dateCol", d)
+      case LagTransformer(f, w, t, o) =>
+        str("kind", "lag"); names("features", f); ints("windows", w)
+        str("tickerCol", t); names("orderCols", o)
+      case MovingAverageTransformer(f, w, t, o) =>
+        str("kind", "ma"); names("features", f); ints("windows", w)
+        str("tickerCol", t); names("orderCols", o)
+      case RollingStatsTransformer(f, w, t, o, st) =>
+        str("kind", "rolling"); names("features", f); ints("windows", w)
+        str("tickerCol", t); names("orderCols", o); names("stats", st)
+      case LogReturnTransformer(f, t, o) =>
+        str("kind", "logreturn"); names("features", f)
+        str("tickerCol", t); names("orderCols", o)
+      case RollingCorrTransformer(x, y, w, t, o) =>
+        str("kind", "rollcorr"); str("xCol", x); str("yCol", y)
+        ints("windows", w); str("tickerCol", t); names("orderCols", o)
+      case EwmaTransformer(f, sp, lb, t, o) =>
+        str("kind", "ewma"); names("features", f)
+        str("span", sp.toString); str("lookback", lb.toString)
+        str("tickerCol", t); names("orderCols", o)
+      case GroupStatsTransformer(mapping, stats) =>
+        str("kind", "groupstats"); names("stats", stats)
+        val keys = mapping.keys.toSeq.sorted
+        names("groups", keys)
+        keys.zipWithIndex.foreach { case (k, i) =>
+          names(s"group$i", mapping(k))
+        }
+      case MinMaxScaler(f, sfx) =>
+        str("kind", "minmax"); names("features", f); str("suffix", sfx)
+      case StandardScaler(f, sfx) =>
+        str("kind", "standardize"); names("features", f)
+        str("suffix", sfx)
+      case Gaussianizer(f, era, tie, sfx) =>
+        str("kind", "gaussianize"); names("features", f)
+        str("eraCol", era); names("tiebreakCols", tie); str("suffix", sfx)
+      case other => throw new IllegalArgumentException(
+        s"no pipeline codec for stage ${other.getClass.getName} — " +
+          "persist estimator stages through their family save()")
+    }
+  }
+
+  private def decode(meta: Map[String, String], p: String)
+      : GraftTransformer = {
+    def names(k: String): Seq[String] = WeightsIO.namesFromMeta(meta(p + k))
+    def ints(k: String): Seq[Int] = meta(p + k) match {
+      case "" => Nil
+      case s => s.split(",").map(_.toInt).toSeq
+    }
+    def str(k: String): String = meta(p + k)
+    str("kind") match {
+      case "rank" => RankTransformer(names("features"), str("dateCol"))
+      case "lag" => LagTransformer(names("features"), ints("windows"),
+        str("tickerCol"), names("orderCols"))
+      case "ma" => MovingAverageTransformer(names("features"),
+        ints("windows"), str("tickerCol"), names("orderCols"))
+      case "rolling" => RollingStatsTransformer(names("features"),
+        ints("windows"), str("tickerCol"), names("orderCols"),
+        names("stats"))
+      case "logreturn" => LogReturnTransformer(names("features"),
+        str("tickerCol"), names("orderCols"))
+      case "rollcorr" => RollingCorrTransformer(str("xCol"), str("yCol"),
+        ints("windows"), str("tickerCol"), names("orderCols"))
+      case "ewma" => EwmaTransformer(names("features"),
+        str("span").toDouble, str("lookback").toInt, str("tickerCol"),
+        names("orderCols"))
+      case "groupstats" =>
+        val keys = names("groups")
+        GroupStatsTransformer(keys.zipWithIndex.map { case (k, i) =>
+          k -> names(s"group$i")
+        }.toMap, names("stats"))
+      case "minmax" => MinMaxScaler(names("features"), str("suffix"))
+      case "standardize" => StandardScaler(names("features"),
+        str("suffix"))
+      case "gaussianize" => Gaussianizer(names("features"), str("eraCol"),
+        names("tiebreakCols"), str("suffix"))
+      case k => throw new IllegalArgumentException(
+        s"unknown pipeline stage kind: $k")
+    }
+  }
+}

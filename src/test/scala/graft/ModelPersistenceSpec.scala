@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+/** Per-family model persistence (VERDICT r10 item 2): every trained
+  * estimator family saves → loads → scores BIT-identically, with
+  * loader-side family and shape validation — the whole-estimator
+  * persistence the reference gets free from sklearn pickling (any
+  * fitted keras_estimators/base.py wrapper travels to scoring jobs).
+  * The MLP family is WeightsIOSpec's; this suite covers the rest:
+  * LSTM (all three layouts), the transformer (reduced + full kernels),
+  * the four autoencoder families, and the soft forest. */
+class ModelPersistenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(sub: String) =
+    java.nio.file.Files.createTempDirectory("graft-mio")
+      .resolve(sub).toString
+
+  /** Assert two scorings agree bit-for-bit on `cols`, keyed by id. */
+  private def assertBitEqual(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): Unit = {
+    def m(df: DataFrame) = df.select(("id" +: cols).map(col): _*)
+      .collect().map(r => r.getLong(0) ->
+        cols.indices.map(i => java.lang.Double.doubleToRawLongBits(
+          r.getDouble(i + 1)))).toMap
+    val (ma, mb) = (m(a), m(b))
+    assert(ma.keySet == mb.keySet, "row sets differ")
+    ma.foreach { case (k, v) =>
+      assert(v == mb(k), s"prediction bits drifted for id $k")
+    }
+  }
+
+  /** AR(2) lag panel — the sequence-trainer home fixture. */
+  private lazy val seqFrame: DataFrame = {
+    val r = new scala.util.Random(7)
+    val series = new Array[Double](340)
+    for (i <- 2 until series.length)
+      series(i) = 1.2 * series(i - 1) - 0.4 * series(i - 2) +
+        0.3 * r.nextGaussian()
+    (4 until 300).map(i => (i.toLong, series(i - 4), series(i - 3),
+      series(i - 2), series(i - 1), series(i)))
+      .toDF("id", "lag4", "lag3", "lag2", "lag1", "y")
+  }
+
+  /** Tabular features + target — the AE/forest fixture. */
+  private lazy val tabFrame: DataFrame = {
+    val r = new scala.util.Random(11)
+    (0 until 240).map { i =>
+      val (f0, f1, f2) = (r.nextGaussian(), r.nextGaussian(),
+        r.nextGaussian())
+      (i.toLong, f0, f1, f2, 2.0 * f0 - f1 + 0.3 * f2 +
+        0.1 * r.nextGaussian(), f0 + f1)
+    }.toDF("id", "f0", "f1", "f2", "y", "y2")
+  }
+
+  private val lags = Seq("lag4", "lag3", "lag2", "lag1")
+
+  test("lstm: single-layer save -> load -> predict is bit-identical") {
+    val m = new LSTMTrainer(Seq("lag2", "lag1"), seqLen = 2,
+      targetCol = "y", hidden = 3, lr = 0.02, epochs = 8).fit(seqFrame)
+    val p = tmp("lstm1.json")
+    m.save(p)
+    assertBitEqual(m.predict(seqFrame),
+      LSTMTrainer.load(p).predict(seqFrame), Seq("prediction"))
+    // wrong-family guard
+    intercept[IllegalArgumentException] { AttnTrainer.load(p) }
+  }
+
+  test("lstm: stacked + layerNorm save -> load is bit-identical, and a " +
+    "meta/kernel shape mismatch refuses to load") {
+    val m = new LSTMTrainer(lags, seqLen = 2, targetCol = "y",
+      layers = Seq(3, 2), layerNorm = true, lr = 0.02, epochs = 6)
+      .fit(seqFrame)
+    val p = tmp("lstm_stack.json")
+    m.save(p)
+    assertBitEqual(m.predict(seqFrame),
+      LSTMTrainer.load(p).predict(seqFrame), Seq("prediction"))
+    // tamper the architecture meta: the stored kernel no longer fits
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    val bad = p + ".bad"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      txt.replace("\"layers\":\"3,2\"", "\"layers\":\"4,2\"")
+        .getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { LSTMTrainer.load(bad) }
+  }
+
+  test("lstm: bidirectional + layerNorm save -> load is bit-identical") {
+    val m = new LSTMTrainer(lags, seqLen = 2, targetCol = "y",
+      hidden = 3, bidirectional = true, layerNorm = true, lr = 0.02,
+      epochs = 6).fit(seqFrame)
+    val p = tmp("lstm_bidi.json")
+    m.save(p)
+    assertBitEqual(m.predict(seqFrame),
+      LSTMTrainer.load(p).predict(seqFrame), Seq("prediction"))
+  }
+
+  test("attn: reduced kernel (pre-norm) save -> load is bit-identical") {
+    val m = new AttnTrainer(lags, seqLen = 4, targetCol = "y",
+      dModel = 4, ffDim = 8, preNorm = true, lr = 0.02, epochs = 6)
+      .fit(seqFrame)
+    val p = tmp("attn_red.json")
+    m.save(p)
+    assertBitEqual(m.predict(seqFrame),
+      AttnTrainer.load(p).predict(seqFrame), Seq("prediction"))
+    intercept[IllegalArgumentException] { LSTMTrainer.load(p) }
+  }
+
+  test("attn: full kernel (multi-head, pooling, MLP head, 2 blocks) " +
+    "save -> load is bit-identical") {
+    val m = new AttnTrainer(lags, seqLen = 4, targetCol = "y",
+      dModel = 4, ffDim = 8, preNorm = true, numHeads = 2,
+      attnPool = true, mlpUnits = Seq(4), numBlocks = 2, lr = 0.02,
+      epochs = 5).fit(seqFrame)
+    val p = tmp("attn_full.json")
+    m.save(p)
+    assertBitEqual(m.predict(seqFrame),
+      AttnTrainer.load(p).predict(seqFrame), Seq("prediction"))
+  }
+
+  test("joint ae: save -> load transforms AND predicts bit-identically") {
+    val model = new JointAutoencoder(Seq("f0", "f1", "f2"), "y",
+      latentDim = 2, encoderHidden = 3, headHidden = 2, lr = 0.02,
+      epochs = 10).fit(tabFrame)
+    val p = tmp("joint_ae.json")
+    model.save(p)
+    val loaded = JointAeModel.load(p)
+    assertBitEqual(model.predict(tabFrame), loaded.predict(tabFrame),
+      Seq("latent_0", "latent_1", "prediction"))
+    assertBitEqual(model.reconstruct(tabFrame),
+      loaded.reconstruct(tabFrame), Seq("recon_0", "recon_1", "recon_2"))
+  }
+
+  test("bn ae: save -> load (kernel + folded BN affines) is " +
+    "bit-identical") {
+    val model = new BnJointAutoencoder(Seq("f0", "f1", "f2"), "y",
+      latentDim = 2, encoderHidden = 3, headHidden = 2, lr = 0.02,
+      epochs = 6, batchSize = 16).fit(tabFrame)
+    val p = tmp("bn_ae.json")
+    model.save(p)
+    assertBitEqual(model.predict(tabFrame),
+      BnAeModel.load(p).predict(tabFrame),
+      Seq("latent_0", "latent_1", "prediction"))
+    intercept[IllegalArgumentException] { JointAeModel.load(p) }
+  }
+
+  test("deep ae: multi-output save -> load is bit-identical") {
+    val m = new DeepJointAutoencoder(Seq("f0", "f1", "f2"), "y",
+      extraTargetCols = Seq("y2"), encoderUnits = Seq(4), latentDim = 2,
+      headUnits = Seq(3), lr = 0.02, epochs = 8).fit(tabFrame)
+    val p = tmp("deep_ae.json")
+    m.save(p)
+    assertBitEqual(m.predict(tabFrame),
+      DeepJointAutoencoder.load(p).predict(tabFrame),
+      Seq("prediction_0", "prediction_1"))
+  }
+
+  test("deep bn ae: save -> load (kernel + per-site affines) is " +
+    "bit-identical") {
+    val m = new DeepBnAutoencoder(Seq("f0", "f1", "f2"), "y",
+      encoderUnits = Seq(4), latentDim = 2, headUnits = Seq(3),
+      lr = 0.02, epochs = 6, batchSize = 16).fit(tabFrame)
+    val p = tmp("deep_bn_ae.json")
+    m.save(p)
+    assertBitEqual(m.predict(tabFrame),
+      DeepBnAutoencoder.load(p).predict(tabFrame), Seq("prediction"))
+  }
+
+  test("bottleneck: save -> load transforms and predicts " +
+    "bit-identically") {
+    val model = BottleneckEncoder(Seq("f0", "f1", "f2"), latentDim = 2,
+      targetCol = Some("y")).fit(tabFrame)
+    val p = tmp("bottleneck.json")
+    model.save(p)
+    val loaded = BottleneckModel.load(p)
+    assertBitEqual(model.predict(tabFrame), loaded.predict(tabFrame),
+      Seq("latent_0", "latent_1", "prediction"))
+  }
+
+  test("soft forest: single-output save -> load is bit-identical") {
+    val model = new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y",
+      numTrees = 2, depth = 2, lr = 0.05, epochs = 10,
+      trunkUnits = Seq(3)).fit(tabFrame)
+    val p = tmp("forest.json")
+    model.save(p)
+    assertBitEqual(model.predict(tabFrame),
+      SoftForestModel.load(p).predict(tabFrame), Seq("prediction"))
+  }
+
+  test("soft forest: multi-output (piM) save -> load is bit-identical") {
+    val model = new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y",
+      extraTargetCols = Seq("y2"), numTrees = 2, depth = 2, lr = 0.05,
+      epochs = 8).fit(tabFrame)
+    val p = tmp("forest_multi.json")
+    model.save(p)
+    assertBitEqual(model.predict(tabFrame),
+      SoftForestModel.load(p).predict(tabFrame),
+      Seq("prediction_0", "prediction_1"))
+  }
+}
