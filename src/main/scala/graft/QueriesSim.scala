@@ -117,6 +117,42 @@ object QueriesSim {
           col("rank"))
     }),
 
+    // the contrastive pipeline's SCALE path (the q_umap_ivf treatment
+    // for mining): the shortlist comes from IvfCosine.search over the
+    // CLEANED corpus — cell-partitioned equi-join, nprobe=4 of 16 cells,
+    // genuinely approximate — and feeds HardNegatives.fromScored through
+    // the seam. At 100 TB the anchor set outgrows the brute broadcast;
+    // this is the plan that replaces it, as a first-class ORACLED query
+    // (full-probe ≡ brute equality stays HardNegativesSpec's).
+    "q_contrastive_ivf" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val evalSet = all.where(col("vec_id") % 23 === 1)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val clean = SemDecontam.clean(all.where(col("vec_id") % 23 =!= 1),
+        evalSet, "vec_id", "embedding", "qid", "qvec", tau = 0.35,
+        dim = DIM).localCheckpoint()
+      val idx = IvfCosine.assignByCentroids(clean, "vec_id", "embedding",
+        IvfCosine.pinnedCentroids(16, DIM))
+      val anchors = clean.where(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val short = IvfCosine.search(idx, anchors.select("qid", "qvec"),
+        "vec_id", "embedding", "qid", "qvec", k = 12, nprobe = 4,
+        dim = DIM)
+      // label lookup: ONE corpus scan with the (anchors × 12)-row
+      // shortlist broadcast into it — the corpus never shuffles
+      val withQ = short.join(broadcast(anchors.select("qid", "qlabel")),
+        Seq("qid"))
+      val scored = clean
+        .select(col("vec_id").as("nid"), col("label").as("nlabel"))
+        .join(broadcast(withQ), Seq("nid"))
+        .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+          round(col("cosine"), 6).as("cosine"))
+      HardNegatives.fromScored(scored, k = 3, maxCos = 0.40)
+        .select(col("qid"), col("nid"), col("nlabel"), col("cosine"),
+          col("rank"))
+    }),
+
     // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
     // cells — the equi-join scale path when probes don't broadcast.
     // Training is a DETERMINISTIC pure function of the data (md5-ordered
@@ -548,6 +584,43 @@ object QueriesSim {
         |  FROM sims WHERE nlabel <> ql AND cosine <= 0.40)
         |SELECT qid, nid, nlabel, cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the chained IVF oracle: decontam screen -> cleaned corpus AS the
+    // ivf CTE chain's `v` -> depth-12 shortlist under the pinned
+    // quantizer (raw-cosine rank, the search contract) -> label join,
+    // round-6 snap, band filter, re-rank <= 3 (the fromScored contract)
+    "q_contrastive_ivf" ->
+      s"""WITH raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+         |  FROM embeddings),
+         |ev AS (SELECT vec_id AS qid, e AS q FROM raw
+         |  WHERE vec_id % 23 = 1),
+         |co AS (SELECT * FROM raw WHERE vec_id % 23 <> 1),
+         |contaminated AS (
+         |  SELECT co.vec_id FROM co, ev
+         |  GROUP BY co.vec_id
+         |  HAVING max(round(list_inner_product(ev.q, co.e)
+         |      / (sqrt(list_inner_product(ev.q, ev.q))
+         |         * sqrt(list_inner_product(co.e, co.e))), 6)) >= 0.35),
+         |v AS (
+         |  SELECT * FROM co
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)),
+         |${ivfCtes(IvfCosine.pinnedCentroids(16, DIM), nprobe = 4,
+              probePred = "vec_id < 40")},
+         |short AS (SELECT qid, nid, cosine FROM ranked WHERE rank <= 12),
+         |lab AS (
+         |  SELECT s.qid, p.label AS ql, s.nid, n.label AS nlabel,
+         |    round(s.cosine, 6) AS cosine
+         |  FROM short s
+         |  JOIN v p ON p.vec_id = s.qid
+         |  JOIN v n ON n.vec_id = s.nid),
+         |final AS (
+         |  SELECT qid, nid, nlabel, cosine,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, nid) AS rank
+         |  FROM lab WHERE nlabel <> ql AND cosine <= 0.40)
+         |SELECT qid, nid, nlabel, cosine, rank
+         |FROM final WHERE rank <= 3""".stripMargin,
 
     "q_sem_decontam" ->
       """WITH v AS (
