@@ -47,8 +47,10 @@ object Bench {
     "q_penalize", "q_penalize_fixed", "q_combined_loss",
     // iterative multi-job fits are the other chunk-sensitive family:
     // per-round scheduling overlaps whatever shares the JVM (round-8
-    // artifact: q_kmeans chunk/solo 2.28 where the suite sat under 2)
-    "q_kmeans",
+    // artifact: q_kmeans chunk/solo 2.28 where the suite sat under 2);
+    // q_cortex_mlp (round 11) is 19 full-batch gradient jobs + 4 metric
+    // jobs — the same shape
+    "q_kmeans", "q_cortex_mlp",
     // most chunk-sensitive queries of the round-8 driver rerun
     // (q_heavy_hitters chunk/solo 6.85, q_dup_span_ranges among the
     // spotcheck outliers): co-tenant load lands on their multi-stage

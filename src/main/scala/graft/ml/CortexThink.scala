@@ -145,8 +145,16 @@ object CortexThink {
 /** `"mlp hidden=<int> lr=<double> epochs=<int>"` → a distributed
   * [[MLPRegressor]] fit scored by validation R² — the reference's
   * default base estimator (keras_cortex.py:92-94: MLPRegressor, scored
-  * by `.score` = R²). */
-class MlpSpecInterpreter(featureCols: Seq[String], targetCol: String)
+  * by `.score` = R²). The wiring the spec does NOT control
+  * (`batchFraction`, `optimizer`, …) is interpreter construction —
+  * exactly the role the reference's surrounding `build_model` plays
+  * around the LLM-controlled body. `batchFraction = 1.0` makes every
+  * trial a deterministic full-batch trajectory, which is what lets the
+  * MLP think-loop run under a FULL value oracle (q_cortex_mlp: the
+  * whole Adam trajectory of every trial unrolls into SQL). */
+class MlpSpecInterpreter(featureCols: Seq[String], targetCol: String,
+    batchFraction: Double = 0.2, optimizer: String = "adam",
+    scaleTarget: Boolean = true, seed: Long = 42L)
     extends CortexThink.SpecInterpreter[MLPRegressor] with Serializable {
   private val pat =
     """^mlp hidden=(\d+) lr=(\d+(?:\.\d+)?) epochs=(\d+)$""".r
@@ -154,7 +162,9 @@ class MlpSpecInterpreter(featureCols: Seq[String], targetCol: String)
   def fit(train: DataFrame, spec: String): Option[MLPRegressor] =
     spec match {
       case pat(h, lr, ep) => Some(new MLPRegressor(featureCols, targetCol,
-        hidden = h.toInt, lr = lr.toDouble, epochs = ep.toInt).fit(train))
+        hidden = h.toInt, lr = lr.toDouble, epochs = ep.toInt,
+        seed = seed, scaleTarget = scaleTarget,
+        batchFraction = batchFraction, optimizer = optimizer).fit(train))
       case _ => None
     }
 
