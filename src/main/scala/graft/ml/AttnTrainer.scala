@@ -894,6 +894,7 @@ class AttnMultiTrainer(
   private var blocks: Seq[AttnWeights] = Nil
   private var headW: Array[Array[Double]] = _
   private var headB: Array[Double] = _
+  private var flatKernel: Array[Double] = _
   private var yMean: Array[Double] = Array.fill(out)(0.0)
   private var yStd: Array[Double] = Array.fill(out)(1.0)
 
@@ -902,13 +903,53 @@ class AttnMultiTrainer(
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
+  private def kernelCfg: AttnBpttFull.Cfg = {
+    val (f, t) = if (attentionType == "feature") (seqLen, nFeat)
+      else (nFeat, seqLen)
+    val heads = math.max(numHeads, 1)
+    AttnBpttFull.Cfg(f, t, dModel, ffDim, heads,
+      math.max(1, dModel / heads), attnPool, mlpUnits, preNorm,
+      blocks = numBlocks, drop = dropoutRate, out = out)
+  }
+
+  /** Decode a final flat kernel — shared by the fit tail and
+    * [[AttnMultiTrainer.load]]. */
+  private def materialize(w: Array[Double]): Unit = {
+    flatKernel = w
+    val cfg = kernelCfg
+    blocks = AttnBpttFull.toBlockWeights(w, cfg)
+    val (hw, hb) = AttnBpttFull.headMulti(w, cfg)
+    headW = hw; headB = hb
+  }
+
+  /** Persist the FITTED estimator (flat kernel + per-output scaling +
+    * recipe) — [[AttnMultiTrainer.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    require(flatKernel != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "attn_multi",
+      "lagCols" -> WeightsIO.namesToMeta(lagCols),
+      "seqLen" -> seqLen.toString,
+      "targets" -> WeightsIO.namesToMeta(targetCols),
+      "dModel" -> dModel.toString, "ffDim" -> ffDim.toString,
+      "preNorm" -> preNorm.toString, "numHeads" -> numHeads.toString,
+      "attnPool" -> attnPool.toString,
+      "mlpUnits" -> mlpUnits.mkString(","),
+      "numBlocks" -> numBlocks.toString,
+      "dropoutRate" -> dropoutRate.toString,
+      "attentionType" -> attentionType,
+      "scaleTarget" -> scaleTarget.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "optimizer" -> optimizer),
+      Seq("flat" -> flatKernel, "yMeans" -> yMean, "yStds" -> yStd))
+  }
+
   def fit(df: DataFrame): this.type = {
     val featMode = attentionType == "feature"
     val (f, t) = if (featMode) (seqLen, nFeat) else (nFeat, seqLen)
-    val heads = math.max(numHeads, 1)
-    val cfg = AttnBpttFull.Cfg(f, t, dModel, ffDim, heads,
-      math.max(1, dModel / heads), attnPool, mlpUnits, preNorm,
-      blocks = numBlocks, drop = dropoutRate, out = out)
+    val cfg = kernelCfg
     val orderedLags = if (featMode) steps.transpose.flatten else lagCols
     val data = df.select((targetCols ++ orderedLags).map(c =>
       col(c).cast("double")): _*).na.drop()
@@ -928,9 +969,7 @@ class AttnMultiTrainer(
       (bw, x, ys, acc, ms, po) => AttnBpttFull.runMulti(bw, cfg, x, ys,
         acc, ms, po),
       loss, mseWeight, spearmanWeight, rankTau, rankBatch, optimizer)
-    blocks = AttnBpttFull.toBlockWeights(w, cfg)
-    val (hw, hb) = AttnBpttFull.headMulti(w, cfg)
-    headW = hw; headB = hb
+    materialize(w)
     data.unpersist()
     this
   }
@@ -948,5 +987,40 @@ class AttnMultiTrainer(
         scored = scored.withColumn(s"prediction_$o",
           col(s"prediction_$o") * lit(yStd(o)) + lit(yMean(o)))
     scored
+  }
+}
+
+object AttnMultiTrainer {
+  /** Rehydrate a `save`d estimator (shape-validated). */
+  def load(path: String): AttnMultiTrainer = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "attn_multi", path)
+    val targets = WeightsIO.namesFromMeta(meta("targets"))
+    val mlpUnits = meta("mlpUnits") match {
+      case "" => Nil
+      case s => s.split(",").map(_.toInt).toSeq
+    }
+    val m = new AttnMultiTrainer(
+      WeightsIO.namesFromMeta(meta("lagCols")),
+      meta("seqLen").toInt, targets,
+      dModel = meta("dModel").toInt, ffDim = meta("ffDim").toInt,
+      preNorm = meta("preNorm").toBoolean, lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      numHeads = meta("numHeads").toInt,
+      attnPool = meta("attnPool").toBoolean,
+      mlpUnits = mlpUnits, numBlocks = meta("numBlocks").toInt,
+      dropoutRate = meta("dropoutRate").toDouble,
+      attentionType = meta("attentionType"),
+      loss = meta("loss"), optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.kernelCfg.size)
+    WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
+    WeightsIO.requireLen("yStds", sections("yStds"), targets.size)
+    m.yMean = sections("yMeans")
+    m.yStd = sections("yStds")
+    m.materialize(flat)
+    m
   }
 }

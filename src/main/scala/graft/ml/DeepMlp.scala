@@ -304,6 +304,49 @@ class DeepMLPRegressor(
     DeepMlpScore.stage(df, featureCols.map(c => col(c).cast("double")),
       weights, dims, 1, swish, Array(yMean), Array(yStd))
   }
+
+  /** Persist the FITTED estimator (flat kernel + target scaling +
+    * recipe) — exact-double JSON; [[DeepMLPRegressor.load]] scores
+    * bit-identically. */
+  def save(path: String): Unit = {
+    require(weights != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "deep_mlp",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "target" -> targetCol, "layers" -> layers.mkString(","),
+      "activation" -> activation,
+      "scaleTarget" -> scaleTarget.toString,
+      "yMean" -> yMean.toString, "yStd" -> yStd.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "dropoutRate" -> dropoutRate.toString, "optimizer" -> optimizer),
+      Seq("flat" -> weights))
+  }
+}
+
+object DeepMLPRegressor {
+  /** Rehydrate a `save`d estimator (shape-validated). */
+  def load(path: String): DeepMLPRegressor = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "deep_mlp", path)
+    val m = new DeepMLPRegressor(
+      WeightsIO.namesFromMeta(meta("features")), meta("target"),
+      layers = meta("layers").split(",").map(_.toInt).toSeq,
+      activation = meta("activation"), lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      loss = meta("loss"),
+      dropoutRate = meta("dropoutRate").toDouble,
+      optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.sz)
+    m.weights = flat
+    m.yMean = meta("yMean").toDouble
+    m.yStd = meta("yStd").toDouble
+    m
+  }
 }
 
 /** Staged scoring shared by the flat deep-MLP layouts ([[DeepMlpKernel]]
@@ -558,5 +601,50 @@ class DeepMLPMultiRegressor(
     require(weights != null, "fit first")
     DeepMlpScore.stage(df, featureCols.map(c => col(c).cast("double")),
       weights, dims, out, swish, yMean, yStd)
+  }
+
+  /** Persist the FITTED estimator (flat kernel + per-output scaling) —
+    * exact-double JSON; [[DeepMLPMultiRegressor.load]] scores
+    * bit-identically. */
+  def save(path: String): Unit = {
+    require(weights != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "deep_mlp_multi",
+      "features" -> WeightsIO.namesToMeta(featureCols),
+      "targets" -> WeightsIO.namesToMeta(targetCols),
+      "layers" -> layers.mkString(","),
+      "activation" -> activation,
+      "scaleTarget" -> scaleTarget.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "dropoutRate" -> dropoutRate.toString, "optimizer" -> optimizer),
+      Seq("flat" -> weights, "yMeans" -> yMean, "yStds" -> yStd))
+  }
+}
+
+object DeepMLPMultiRegressor {
+  /** Rehydrate a `save`d estimator (shape-validated). */
+  def load(path: String): DeepMLPMultiRegressor = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "deep_mlp_multi", path)
+    val targets = WeightsIO.namesFromMeta(meta("targets"))
+    val m = new DeepMLPMultiRegressor(
+      WeightsIO.namesFromMeta(meta("features")), targets,
+      layers = meta("layers").split(",").map(_.toInt).toSeq,
+      activation = meta("activation"), lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      dropoutRate = meta("dropoutRate").toDouble,
+      loss = meta("loss"), optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.sz)
+    WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
+    WeightsIO.requireLen("yStds", sections("yStds"), targets.size)
+    m.weights = flat
+    m.yMean = sections("yMeans")
+    m.yStd = sections("yStds")
+    m
   }
 }

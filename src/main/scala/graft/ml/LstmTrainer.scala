@@ -575,6 +575,7 @@ class LSTMMultiTrainer(
   private var headW: Array[Array[Double]] = _
   private var headB: Array[Double] = _
   private var norms: Seq[LstmNorm] = Nil
+  private var flatKernel: Array[Double] = _
   private var yMean: Array[Double] = Array.fill(out)(0.0)
   private var yStd: Array[Double] = Array.fill(out)(1.0)
 
@@ -583,10 +584,44 @@ class LSTMMultiTrainer(
 
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
+  private def kernelCfg: LstmStackBptt.Cfg = LstmStackBptt.Cfg(nFeat,
+    if (layers.isEmpty) Seq(hidden) else layers, bidi = false,
+    layerNorm = layerNorm, out = out)
+
+  /** Decode a final flat kernel — shared by the fit tail and
+    * [[LSTMMultiTrainer.load]]. */
+  private def materialize(w: Array[Double]): Unit = {
+    flatKernel = w
+    val cfg = kernelCfg
+    cells = LstmStackBptt.stackCells(w, cfg)
+    val (hw, hb) = LstmStackBptt.headMulti(w, cfg)
+    headW = hw; headB = hb
+    if (layerNorm) norms = LstmStackBptt.stackNorms(w, cfg)
+  }
+
+  /** Persist the FITTED estimator (flat kernel + per-output scaling +
+    * recipe) — [[LSTMMultiTrainer.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    require(flatKernel != null, "fit first")
+    WeightsIO.save(path, Map(
+      "family" -> "lstm_multi",
+      "lagCols" -> WeightsIO.namesToMeta(lagCols),
+      "seqLen" -> seqLen.toString,
+      "targets" -> WeightsIO.namesToMeta(targetCols),
+      "hidden" -> hidden.toString, "layers" -> layers.mkString(","),
+      "layerNorm" -> layerNorm.toString,
+      "scaleTarget" -> scaleTarget.toString,
+      "lr" -> lr.toString, "epochs" -> epochs.toString,
+      "seed" -> seed.toString,
+      "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "dropout" -> dropout.toString,
+      "recurrentDropout" -> recurrentDropout.toString,
+      "optimizer" -> optimizer),
+      Seq("flat" -> flatKernel, "yMeans" -> yMean, "yStds" -> yStd))
+  }
+
   def fit(df: DataFrame): this.type = {
-    val cfg = LstmStackBptt.Cfg(nFeat,
-      if (layers.isEmpty) Seq(hidden) else layers, bidi = false,
-      layerNorm = layerNorm, out = out)
+    val cfg = kernelCfg
     val data = df.select((targetCols ++ lagCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
@@ -609,10 +644,7 @@ class LSTMMultiTrainer(
             if (effDropouts.size > 1) effDropouts else null)
         else null, po),
       loss, mseWeight, spearmanWeight, rankTau, rankBatch, optimizer)
-    cells = LstmStackBptt.stackCells(w, cfg)
-    val (hw, hb) = LstmStackBptt.headMulti(w, cfg)
-    headW = hw; headB = hb
-    if (layerNorm) norms = LstmStackBptt.stackNorms(w, cfg)
+    materialize(w)
     data.unpersist()
     this
   }
@@ -628,5 +660,37 @@ class LSTMMultiTrainer(
         scored = scored.withColumn(s"prediction_$o",
           col(s"prediction_$o") * lit(yStd(o)) + lit(yMean(o)))
     scored
+  }
+}
+
+object LSTMMultiTrainer {
+  /** Rehydrate a `save`d estimator (shape-validated). */
+  def load(path: String): LSTMMultiTrainer = {
+    val (meta, sections) = WeightsIO.load(path)
+    WeightsIO.requireFamily(meta, "lstm_multi", path)
+    val targets = WeightsIO.namesFromMeta(meta("targets"))
+    val layers = meta("layers") match {
+      case "" => Nil
+      case s => s.split(",").map(_.toInt).toSeq
+    }
+    val m = new LSTMMultiTrainer(
+      WeightsIO.namesFromMeta(meta("lagCols")),
+      meta("seqLen").toInt, targets,
+      hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
+      epochs = meta("epochs").toInt, seed = meta("seed").toLong,
+      scaleTarget = meta("scaleTarget").toBoolean,
+      batchFraction = meta("batchFraction").toDouble,
+      layers = layers, dropout = meta("dropout").toDouble,
+      recurrentDropout = meta("recurrentDropout").toDouble,
+      layerNorm = meta("layerNorm").toBoolean,
+      loss = meta("loss"), optimizer = meta("optimizer"))
+    val flat = sections("flat")
+    WeightsIO.requireLen("flat", flat, m.kernelCfg.size)
+    WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
+    WeightsIO.requireLen("yStds", sections("yStds"), targets.size)
+    m.yMean = sections("yMeans")
+    m.yStd = sections("yStds")
+    m.materialize(flat)
+    m
   }
 }

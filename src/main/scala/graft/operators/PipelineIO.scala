@@ -83,7 +83,11 @@ object PipelineIO {
         str("tickerCol", t); names("orderCols", o)
       case GroupStatsTransformer(mapping, stats) =>
         str("kind", "groupstats"); names("stats", stats)
-        val keys = mapping.keys.toSeq.sorted
+        // keys in the ORIGINAL map's iteration order: outputNames
+        // derives column order from mapping.toSeq, and a small rebuilt
+        // Map preserves insertion order — so the loaded transformer
+        // emits columns in the same order the saved one did
+        val keys = mapping.toSeq.map(_._1)
         names("groups", keys)
         keys.zipWithIndex.foreach { case (k, i) =>
           names(s"group$i", mapping(k))

@@ -26,6 +26,44 @@ object IvfCosine {
 
   case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** Persist a built index: the assigned corpus as parquet PARTITIONED
+    * BY cell (a probe batch reading `nprobe` of `nlist` cells scans
+    * only those directories — partition pruning is the read-side analog
+    * of the search's cell equi-join) and the quantizer centroids as a
+    * WeightsIO artifact next to it. Build once, reuse across every
+    * search job — at corpus scale the assignment pass dwarfs any single
+    * query, so an unreusable index is a rebuilt-per-query bottleneck. */
+  def saveIndex(path: String, index: Index, idCol: String,
+      vecCol: String): Unit = {
+    index.assigned.select(col(idCol), col(vecCol), col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/assigned")
+    graft.ml.WeightsIO.save(s"$path/centroids.json",
+      Map("family" -> "ivf_index",
+        "nlist" -> index.centroids.length.toString,
+        "dim" -> index.centroids.head.length.toString,
+        "idCol" -> idCol, "vecCol" -> vecCol),
+      index.centroids.zipWithIndex.map { case (c, i) => s"c$i" -> c })
+  }
+
+  /** Rehydrate a `saveIndex`ed index (shape-validated): centroids are
+    * bit-exact (WeightsIO exact-double JSON), the assignment is read
+    * back cell-partitioned — `search` over the loaded index plans the
+    * same cell equi-join and returns the identical neighbor lists. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Index = {
+    val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
+    graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
+      s"$path/centroids.json")
+    val (nlist, dim) = (meta("nlist").toInt, meta("dim").toInt)
+    val cents = Array.tabulate(nlist) { i =>
+      val c = sections(s"c$i")
+      graft.ml.WeightsIO.requireLen(s"c$i", c, dim)
+      c
+    }
+    Index(cents, spark.read.parquet(s"$path/assigned"))
+  }
+
   /** Fit the coarse quantizer and assign every corpus row to its cell.
     *
     * Training is Lloyd's k-means on the DRIVER over the bounded sample

@@ -192,6 +192,55 @@ class ModelPersistenceSpec extends AnyFunSuite {
       SoftForestModel.load(p).predict(tabFrame), Seq("prediction"))
   }
 
+  test("deep mlp: save -> load is bit-identical; wrong family refuses") {
+    val m = new DeepMLPRegressor(Seq("f0", "f1", "f2"), "y",
+      layers = Seq(4, 3), lr = 0.02, epochs = 10).fit(tabFrame)
+    val p = tmp("deep_mlp.json")
+    m.save(p)
+    assertBitEqual(m.predict(tabFrame),
+      DeepMLPRegressor.load(p).predict(tabFrame), Seq("prediction"))
+    intercept[IllegalArgumentException] { DeepMLPMultiRegressor.load(p) }
+  }
+
+  test("deep mlp multi: save -> load preserves every head") {
+    val m = new DeepMLPMultiRegressor(Seq("f0", "f1", "f2"),
+      Seq("y", "y2"), layers = Seq(4), lr = 0.02, epochs = 10)
+      .fit(tabFrame)
+    val p = tmp("deep_mlp_multi.json")
+    m.save(p)
+    assertBitEqual(m.predict(tabFrame),
+      DeepMLPMultiRegressor.load(p).predict(tabFrame),
+      Seq("prediction_0", "prediction_1"))
+  }
+
+  test("lstm multi: stacked 2-head save -> load is bit-identical") {
+    val multiFrame = seqFrame.withColumn("y2",
+      col("y") * lit(0.5) + col("lag1"))
+    val m = new LSTMMultiTrainer(lags, seqLen = 2,
+      targetCols = Seq("y", "y2"), layers = Seq(3, 2), lr = 0.02,
+      epochs = 6).fit(multiFrame)
+    val p = tmp("lstm_multi.json")
+    m.save(p)
+    assertBitEqual(m.predict(multiFrame),
+      LSTMMultiTrainer.load(p).predict(multiFrame),
+      Seq("prediction_0", "prediction_1"))
+    intercept[IllegalArgumentException] { LSTMTrainer.load(p) }
+  }
+
+  test("attn multi: full-kernel 2-head save -> load is bit-identical") {
+    val multiFrame = seqFrame.withColumn("y2",
+      col("y") * lit(0.5) + col("lag1"))
+    val m = new AttnMultiTrainer(lags, seqLen = 4,
+      targetCols = Seq("y", "y2"), dModel = 4, ffDim = 8,
+      preNorm = true, numHeads = 2, attnPool = true, lr = 0.02,
+      epochs = 5).fit(multiFrame)
+    val p = tmp("attn_multi.json")
+    m.save(p)
+    assertBitEqual(m.predict(multiFrame),
+      AttnMultiTrainer.load(p).predict(multiFrame),
+      Seq("prediction_0", "prediction_1"))
+  }
+
   test("soft forest: multi-output (piM) save -> load is bit-identical") {
     val model = new SoftNdfRegressor(Seq("f0", "f1", "f2"), "y",
       extraTargetCols = Seq("y2"), numTrees = 2, depth = 2, lr = 0.05,
@@ -201,5 +250,35 @@ class ModelPersistenceSpec extends AnyFunSuite {
     assertBitEqual(model.predict(tabFrame),
       SoftForestModel.load(p).predict(tabFrame),
       Seq("prediction_0", "prediction_1"))
+  }
+
+  test("ivf index: save (cell-partitioned parquet + exact-double " +
+    "centroids) -> load -> search returns identical neighbor lists") {
+    import graft.sim.IvfCosine
+    val r = new scala.util.Random(3)
+    val dim = 8
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = IvfCosine.assignByCentroids(corpus, "vec_id", "embedding",
+      IvfCosine.pinnedCentroids(4, dim))
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .resolve("idx").toString
+    IvfCosine.saveIndex(p, idx, "vec_id", "embedding")
+    val loaded = IvfCosine.loadIndex(spark, p)
+    assert(loaded.centroids.length == 4 &&
+      loaded.centroids.indices.forall(i =>
+        loaded.centroids(i).sameElements(idx.centroids(i))),
+      "centroids must round-trip bit-exactly")
+    val probes = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def results(ix: IvfCosine.Index) =
+      IvfCosine.search(ix, probes, "vec_id", "embedding", "qid", "qvec",
+        k = 3, nprobe = 2, dim = dim)
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          java.lang.Double.doubleToRawLongBits(row.getDouble(2)),
+          row.getInt(3))).toSet
+    assert(results(idx) == results(loaded),
+      "search over the loaded index must match the built one")
   }
 }
