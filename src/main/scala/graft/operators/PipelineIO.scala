@@ -100,6 +100,36 @@ object PipelineIO {
       case Gaussianizer(f, era, tie, sfx) =>
         str("kind", "gaussianize"); names("features", f)
         str("eraCol", era); names("tiebreakCols", tie); str("suffix", sfx)
+      case TargetEncoder(cats, tgt, smoothing, sfx) =>
+        str("kind", "target_encode"); names("cats", cats)
+        str("targetCol", tgt); str("smoothing", smoothing.toString)
+        str("suffix", sfx.getOrElse(""))
+        str("hasSuffix", sfx.isDefined.toString)
+      case RobustScaler(f, g, approx, acc) =>
+        str("kind", "robust"); names("features", f); str("groupCol", g)
+        str("approx", approx.toString); str("accuracy", acc.toString)
+      case Winsorizer(f, g, lo, hi, approx, acc) =>
+        str("kind", "winsorize"); names("features", f); str("groupCol", g)
+        str("lo", lo.toString); str("hi", hi.toString)
+        str("approx", approx.toString); str("accuracy", acc.toString)
+      case QuantileBinner(v, kk, g, o) =>
+        str("kind", "qbin"); str("valueCol", v); str("k", kk.toString)
+        names("groupCols", g); str("out", o)
+      case graft.solvers.FeatureNeutralizer(p, f, props, era, id, sfx) =>
+        str("kind", "neutralize"); names("preds", p); names("features", f)
+        str("proportions", props.mkString(","))
+        str("eraCol", era); str("idCol", id)
+        str("suffix", sfx.getOrElse(""))
+        str("hasSuffix", sfx.isDefined.toString)
+      case graft.solvers.FeaturePenalizer(p, f, exps, era, id, sfx, lr,
+          iters, tol) =>
+        str("kind", "penalize"); names("preds", p); names("features", f)
+        str("maxExposures", exps.mkString(","))
+        str("eraCol", era); str("idCol", id)
+        str("suffix", sfx.getOrElse(""))
+        str("hasSuffix", sfx.isDefined.toString)
+        str("lr", lr.toString); str("maxIters", iters.toString)
+        str("tol", tol.toString)
       case other => throw new IllegalArgumentException(
         s"no pipeline codec for stage ${other.getClass.getName} — " +
           "persist estimator stages through their family save()")
@@ -112,6 +142,10 @@ object PipelineIO {
     def ints(k: String): Seq[Int] = meta(p + k) match {
       case "" => Nil
       case s => s.split(",").map(_.toInt).toSeq
+    }
+    def doubles(k: String): Seq[Double] = meta(p + k) match {
+      case "" => Nil
+      case s => s.split(",").map(_.toDouble).toSeq
     }
     def str(k: String): String = meta(p + k)
     str("kind") match {
@@ -140,6 +174,25 @@ object PipelineIO {
         str("suffix"))
       case "gaussianize" => Gaussianizer(names("features"), str("eraCol"),
         names("tiebreakCols"), str("suffix"))
+      case "target_encode" => TargetEncoder(names("cats"),
+        str("targetCol"), str("smoothing").toDouble,
+        if (str("hasSuffix").toBoolean) Some(str("suffix")) else None)
+      case "robust" => RobustScaler(names("features"), str("groupCol"),
+        str("approx").toBoolean, str("accuracy").toInt)
+      case "winsorize" => Winsorizer(names("features"), str("groupCol"),
+        str("lo").toDouble, str("hi").toDouble,
+        str("approx").toBoolean, str("accuracy").toInt)
+      case "qbin" => QuantileBinner(str("valueCol"), str("k").toInt,
+        names("groupCols"), str("out"))
+      case "neutralize" => graft.solvers.FeatureNeutralizer(
+        names("preds"), names("features"),
+        doubles("proportions"), str("eraCol"), str("idCol"),
+        if (str("hasSuffix").toBoolean) Some(str("suffix")) else None)
+      case "penalize" => graft.solvers.FeaturePenalizer(
+        names("preds"), names("features"),
+        doubles("maxExposures"), str("eraCol"), str("idCol"),
+        if (str("hasSuffix").toBoolean) Some(str("suffix")) else None,
+        str("lr").toDouble, str("maxIters").toInt, str("tol").toDouble)
       case k => throw new IllegalArgumentException(
         s"unknown pipeline stage kind: $k")
     }

@@ -88,6 +88,34 @@ class PipelineIOSpec extends AnyFunSuite {
     assert(a == b, "loaded chain must transform bit-identically")
   }
 
+  test("encoder + solver stages round-trip: target encode, robust, " +
+    "winsorize, quantile bin, neutralize, penalize") {
+    val p = Pipeline(Seq(
+      TargetEncoder(Seq("l_returnflag"), "l_extendedprice",
+        smoothing = 10.0, suffix = Some("s")),
+      RobustScaler(Seq("l_quantity"), "l_returnflag"),
+      Winsorizer(Seq("l_tax"), "l_returnflag", lo = 0.1, hi = 0.9,
+        approx = true, accuracy = 5000),
+      QuantileBinner("l_extendedprice", 4, Seq("l_returnflag"), "px_bin"),
+      graft.solvers.FeatureNeutralizer(Seq("l_extendedprice"),
+        Seq("l_quantity", "l_tax"), Seq(0.5), "era", "rid"),
+      graft.solvers.FeaturePenalizer(Seq("l_extendedprice"),
+        Seq("l_quantity", "l_tax"), Seq(0.1), "era", "rid",
+        lr = 1e-3, maxIters = 10, tol = 0.0)))
+    val path = tmp("encoders.json")
+    PipelineIO.save(path, p)
+    val loaded = PipelineIO.load(path)
+    assert(loaded == p, "all six stages must decode structurally equal")
+    // transform equality over the cheap prefix (encode/scale/win/bin)
+    val prefix = Pipeline(p.stages.take(4))
+    val loadedPrefix = Pipeline(loaded.stages.take(4))
+    val outCols = Seq("l_returnflag_te_s", "l_quantity_robust",
+      "l_tax_wins")
+    val a = collectOut(prefix.transform(li), outCols)
+    val b = collectOut(loadedPrefix.transform(li), outCols)
+    assert(a == b, "loaded encoder chain must transform bit-identically")
+  }
+
   test("nested pipelines flatten on save (associative composition) and " +
     "transform identically") {
     val nested = Pipeline(Seq(
