@@ -775,6 +775,9 @@ class AttnTrainer(
       "lr" -> lr.toString, "epochs" -> epochs.toString,
       "seed" -> seed.toString,
       "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "mseWeight" -> mseWeight.toString,
+      "spearmanWeight" -> spearmanWeight.toString,
+      "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel))
   }
@@ -826,6 +829,10 @@ object AttnTrainer {
       numHeads = meta("numHeads").toInt,
       attnPool = meta("attnPool").toBoolean,
       mlpUnits = mlpUnits, loss = meta("loss"),
+      mseWeight = meta("mseWeight").toDouble,
+      spearmanWeight = meta("spearmanWeight").toDouble,
+      rankTau = meta("rankTau").toDouble,
+      rankBatch = meta("rankBatch").toInt,
       numBlocks = meta("numBlocks").toInt,
       dropoutRate = meta("dropoutRate").toDouble,
       attentionType = meta("attentionType"),
@@ -942,6 +949,9 @@ class AttnMultiTrainer(
       "lr" -> lr.toString, "epochs" -> epochs.toString,
       "seed" -> seed.toString,
       "batchFraction" -> batchFraction.toString, "loss" -> loss,
+      "mseWeight" -> mseWeight.toString,
+      "spearmanWeight" -> spearmanWeight.toString,
+      "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel, "yMeans" -> yMean, "yStds" -> yStd))
   }
@@ -1013,7 +1023,12 @@ object AttnMultiTrainer {
       mlpUnits = mlpUnits, numBlocks = meta("numBlocks").toInt,
       dropoutRate = meta("dropoutRate").toDouble,
       attentionType = meta("attentionType"),
-      loss = meta("loss"), optimizer = meta("optimizer"))
+      loss = meta("loss"),
+      mseWeight = meta("mseWeight").toDouble,
+      spearmanWeight = meta("spearmanWeight").toDouble,
+      rankTau = meta("rankTau").toDouble,
+      rankBatch = meta("rankBatch").toInt,
+      optimizer = meta("optimizer"))
     val flat = sections("flat")
     WeightsIO.requireLen("flat", flat, m.kernelCfg.size)
     WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)

@@ -450,6 +450,10 @@ class LSTMTrainer(
       "batchFraction" -> batchFraction.toString, "loss" -> loss,
       "dropout" -> dropout.toString,
       "recurrentDropout" -> recurrentDropout.toString,
+      "layerDropouts" -> WeightsIO.pairsToMeta(layerDropouts),
+      "mseWeight" -> mseWeight.toString,
+      "spearmanWeight" -> spearmanWeight.toString,
+      "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel))
   }
@@ -506,8 +510,13 @@ object LSTMTrainer {
       layers = layers,
       bidirectional = meta("bidirectional").toBoolean,
       loss = meta("loss"),
+      mseWeight = meta("mseWeight").toDouble,
+      spearmanWeight = meta("spearmanWeight").toDouble,
+      rankTau = meta("rankTau").toDouble,
+      rankBatch = meta("rankBatch").toInt,
       dropout = meta("dropout").toDouble,
       recurrentDropout = meta("recurrentDropout").toDouble,
+      layerDropouts = WeightsIO.pairsFromMeta(meta("layerDropouts")),
       layerNorm = meta("layerNorm").toBoolean,
       optimizer = meta("optimizer"))
     val flat = sections("flat")
@@ -616,6 +625,10 @@ class LSTMMultiTrainer(
       "batchFraction" -> batchFraction.toString, "loss" -> loss,
       "dropout" -> dropout.toString,
       "recurrentDropout" -> recurrentDropout.toString,
+      "layerDropouts" -> WeightsIO.pairsToMeta(layerDropouts),
+      "mseWeight" -> mseWeight.toString,
+      "spearmanWeight" -> spearmanWeight.toString,
+      "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel, "yMeans" -> yMean, "yStds" -> yStd))
   }
@@ -682,8 +695,14 @@ object LSTMMultiTrainer {
       batchFraction = meta("batchFraction").toDouble,
       layers = layers, dropout = meta("dropout").toDouble,
       recurrentDropout = meta("recurrentDropout").toDouble,
+      layerDropouts = WeightsIO.pairsFromMeta(meta("layerDropouts")),
       layerNorm = meta("layerNorm").toBoolean,
-      loss = meta("loss"), optimizer = meta("optimizer"))
+      loss = meta("loss"),
+      mseWeight = meta("mseWeight").toDouble,
+      spearmanWeight = meta("spearmanWeight").toDouble,
+      rankTau = meta("rankTau").toDouble,
+      rankBatch = meta("rankBatch").toInt,
+      optimizer = meta("optimizer"))
     val flat = sections("flat")
     WeightsIO.requireLen("flat", flat, m.kernelCfg.size)
     WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)

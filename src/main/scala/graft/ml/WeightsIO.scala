@@ -83,6 +83,19 @@ object WeightsIO {
       (0 until n.size).map(i => n.get(i).asText())
     } else v.split(",").toSeq
 
+  /** Encode a (Double, Double) pair list as ONE meta value (`d:r`
+    * pairs, comma-joined) — the per-layer dropout-tuple shape. */
+  def pairsToMeta(pairs: Seq[(Double, Double)]): String =
+    pairs.map { case (a, b) => s"$a:$b" }.mkString(",")
+
+  /** Inverse of [[pairsToMeta]]. */
+  def pairsFromMeta(v: String): Seq[(Double, Double)] =
+    if (v.isEmpty) Nil
+    else v.split(",").toSeq.map { s =>
+      val Array(a, b) = s.split(":")
+      (a.toDouble, b.toDouble)
+    }
+
   // ---- shared structural helpers (per-family codecs build on these) ----
 
   /** Row-major flatten; inverse of [[toMat]]. */

@@ -252,6 +252,35 @@ class ModelPersistenceSpec extends AnyFunSuite {
       Seq("prediction_0", "prediction_1"))
   }
 
+  test("fit once, score anywhere: a LOADED estimator scores a " +
+    "structured STREAM identically to the batch predict (pure " +
+    "projection — no state, no watermark)") {
+    val fitted = new MLPRegressor(Seq("f0", "f1", "f2"), "y", hidden = 4,
+      lr = 0.05, epochs = 20).fit(tabFrame)
+    val p = tmp("stream_mlp.json")
+    fitted.save(p)
+    val loaded = MLPRegressor.load(p) // the scoring job's side
+    val dir = java.nio.file.Files.createTempDirectory("graft-mio-stream")
+    val dataDir = dir.resolve("in").toString
+    tabFrame.write.parquet(dataDir)
+    val stream = spark.readStream.schema(tabFrame.schema).parquet(dataDir)
+    val q = loaded.predict(stream)
+      .select("id", "prediction")
+      .writeStream.format("memory").queryName("mio_scored")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("mio_scored").collect()
+      .map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    val batch = fitted.predict(tabFrame).select("id", "prediction")
+      .collect().map(r => r.getLong(0) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    assert(streamed == batch,
+      "stream-scored predictions must equal the fitted batch predict " +
+        "bit for bit")
+  }
+
   test("ivf index: save (cell-partitioned parquet + exact-double " +
     "centroids) -> load -> search returns identical neighbor lists") {
     import graft.sim.IvfCosine

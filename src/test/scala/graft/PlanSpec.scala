@@ -65,6 +65,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges(plan) <= 1, s"fact side must not shuffle for joins:\n$plan")
   }
 
+  test("contrastive IVF mining plan: the cell lookup and the label " +
+    "lookup are BROADCAST hash joins (the corpus never shuffles) and " +
+    "there is no cartesian corpus product") {
+    import graft.sim.{HardNegatives, IvfCosine, SemDecontam}
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val evalSet = all.where(col("vec_id") % 23 === 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val clean = SemDecontam.clean(all.where(col("vec_id") % 23 =!= 1),
+      evalSet, "vec_id", "embedding", "qid", "qvec", tau = 0.35,
+      dim = 64)
+    val idx = IvfCosine.assignByCentroids(clean, "vec_id", "embedding",
+      IvfCosine.pinnedCentroids(16, 64))
+    val anchors = clean.where(col("vec_id") < 40)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val short = IvfCosine.search(idx, anchors.select("qid", "qvec"),
+      "vec_id", "embedding", "qid", "qvec", k = 12, nprobe = 4, dim = 64)
+    val withQ = short.join(broadcast(anchors.select("qid", "qlabel")),
+      Seq("qid"))
+    val scored = clean
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"))
+      .join(broadcast(withQ), Seq("nid"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        graft.functions.FastRound(col("cosine"), 6).as("cosine"))
+    val plan = planOf(
+      HardNegatives.fromScored(scored, k = 3, maxCos = 0.40))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label/anchor lookups must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no corpus-sized cartesian product allowed:\n$plan")
+  }
+
   test("topVocab's global top-k is a TakeOrdered over aggregated token " +
     "counts — never a single-partition sort of the full vocabulary") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
