@@ -670,16 +670,13 @@ class AttnTrainer(
       yMean = r.getDouble(0); yStd = math.max(r.getDouble(1), 1e-12)
     }
     if (useFull) {
-      val heads = math.max(numHeads, 1)
-      val cfg = AttnBpttFull.Cfg(f, t, h, ff, heads,
-        math.max(1, h / heads), attnPool, mlpUnits, useNorm,
-        blocks = numBlocks, drop = dropoutRate)
+      val cfg = fullCfg // ONE architecture definition shared with load
       val w = AttnBpttFull.init(cfg, seed)
       adamEpochs(data, sz = cfg.size, w, f, t,
         (bw, x, y, acc, ms) => AttnBpttFull.run(bw, cfg, x, y, acc, ms))
       materialize(w)
     } else {
-      val sz = AttnBptt.size(f, t, h, ff, useNorm, crossMode)
+      val sz = kernelSize // shared with load's shape validation
       val rng = new scala.util.Random(seed)
       val w = new Array[Double](sz)
       // Glorot-uniform per matrix (the reference's Keras defaults, incl.
@@ -814,10 +811,7 @@ object AttnTrainer {
   def load(path: String): AttnTrainer = {
     val (meta, sections) = WeightsIO.load(path)
     WeightsIO.requireFamily(meta, "attn", path)
-    val mlpUnits = meta("mlpUnits") match {
-      case "" => Nil
-      case s => s.split(",").map(_.toInt).toSeq
-    }
+    val mlpUnits = WeightsIO.intsFromMeta(meta("mlpUnits"))
     val m = new AttnTrainer(
       WeightsIO.namesFromMeta(meta("lagCols")),
       meta("seqLen").toInt, meta("target"),
@@ -1006,10 +1000,7 @@ object AttnMultiTrainer {
     val (meta, sections) = WeightsIO.load(path)
     WeightsIO.requireFamily(meta, "attn_multi", path)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
-    val mlpUnits = meta("mlpUnits") match {
-      case "" => Nil
-      case s => s.split(",").map(_.toInt).toSeq
-    }
+    val mlpUnits = WeightsIO.intsFromMeta(meta("mlpUnits"))
     val m = new AttnMultiTrainer(
       WeightsIO.namesFromMeta(meta("lagCols")),
       meta("seqLen").toInt, targets,

@@ -465,7 +465,15 @@ object BnAeModel {
     val affs = (0 until nAff).map { i =>
       (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
     }
-    WeightsIO.requireLen("aff0_s", affs.head._1, k)
+    // the five BN sites' widths are fixed by the architecture:
+    // input(k), encoder(hE), latent(l), decoder(hE), head(hA)
+    val siteDims = Seq(k, hE, l, hE, hA)
+    require(nAff == siteDims.size,
+      s"$path holds $nAff affines, expected ${siteDims.size}")
+    affs.zip(siteDims).zipWithIndex.foreach { case (((sc, cc), d), i) =>
+      WeightsIO.requireLen(s"aff${i}_s", sc, d)
+      WeightsIO.requireLen(s"aff${i}_c", cc, d)
+    }
     WeightsIO.requireLen("yMeans", sections("yMeans"), nOut)
     WeightsIO.requireLen("yStds", sections("yStds"), nOut)
     BnAeModel(BnAeKernel.toWeights(flat, k, hE, l, hA, nOut),

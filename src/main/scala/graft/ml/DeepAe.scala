@@ -442,11 +442,6 @@ class DeepJointAutoencoder(
 }
 
 object DeepJointAutoencoder {
-  private[ml] def ints(s: String): Seq[Int] =
-    if (s.isEmpty) Nil else s.split(",").map(_.toInt).toSeq
-  private[ml] def doubles(s: String): Seq[Double] =
-    if (s.isEmpty) Nil else s.split(",").map(_.toDouble).toSeq
-
   /** Rehydrate a `save`d estimator (architecture + stats + kernel,
     * shape-validated) — `predict` on the loaded instance equals
     * `predict` on the fitted one byte for byte. */
@@ -457,12 +452,12 @@ object DeepJointAutoencoder {
     val m = new DeepJointAutoencoder(
       WeightsIO.namesFromMeta(meta("features")), targets.head,
       extraTargetCols = targets.tail,
-      encoderUnits = ints(meta("encoderUnits")),
+      encoderUnits = WeightsIO.intsFromMeta(meta("encoderUnits")),
       latentDim = meta("latentDim").toInt,
-      headUnits = ints(meta("headUnits")),
-      encoderDropout = doubles(meta("encoderDropout")),
+      headUnits = WeightsIO.intsFromMeta(meta("headUnits")),
+      encoderDropout = WeightsIO.doublesFromMeta(meta("encoderDropout")),
       latentDropout = meta("latentDropout").toDouble,
-      headDropout = doubles(meta("headDropout")),
+      headDropout = WeightsIO.doublesFromMeta(meta("headDropout")),
       reconWeight = meta("reconWeight").toDouble,
       targetWeight = meta("targetWeight").toDouble,
       gaussianNoise = meta("gaussianNoise").toDouble,

@@ -560,8 +560,6 @@ class DeepBnAutoencoder(
 }
 
 object DeepBnAutoencoder {
-  import DeepJointAutoencoder.{ints, doubles}
-
   /** Rehydrate a `save`d estimator (shape-validated). */
   def load(path: String): DeepBnAutoencoder = {
     val (meta, sections) = WeightsIO.load(path)
@@ -570,12 +568,12 @@ object DeepBnAutoencoder {
     val m = new DeepBnAutoencoder(
       WeightsIO.namesFromMeta(meta("features")), targets.head,
       extraTargetCols = targets.tail,
-      encoderUnits = ints(meta("encoderUnits")),
+      encoderUnits = WeightsIO.intsFromMeta(meta("encoderUnits")),
       latentDim = meta("latentDim").toInt,
-      headUnits = ints(meta("headUnits")),
-      encoderDropout = doubles(meta("encoderDropout")),
+      headUnits = WeightsIO.intsFromMeta(meta("headUnits")),
+      encoderDropout = WeightsIO.doublesFromMeta(meta("encoderDropout")),
       latentDropout = meta("latentDropout").toDouble,
-      headDropout = doubles(meta("headDropout")),
+      headDropout = WeightsIO.doublesFromMeta(meta("headDropout")),
       gaussianNoise = meta("gaussianNoise").toDouble,
       reconWeight = meta("reconWeight").toDouble,
       targetWeight = meta("targetWeight").toDouble,
@@ -594,6 +592,11 @@ object DeepBnAutoencoder {
     }
     require(affs.nonEmpty, s"$path holds no BN affines")
     WeightsIO.requireLen("aff0_s", affs.head._1, m.featureCols.size)
+    affs.zipWithIndex.foreach { case ((sc, cc), i) =>
+      require(sc.length == cc.length && sc.nonEmpty,
+        s"aff${i}: scale/shift lengths ${sc.length}/${cc.length} " +
+          "mismatch (truncated artifact)")
+    }
     WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
     WeightsIO.requireLen("yStds", sections("yStds"), targets.size)
     m.w = flat

@@ -345,6 +345,10 @@ object JointAeModel {
       JointAeKernel.size(k, hE, l, hA, nOut))
     WeightsIO.requireLen("featMeans", sections("featMeans"), k)
     WeightsIO.requireLen("featStds", sections("featStds"), k)
+    sections.get("yMeans").foreach(a =>
+      WeightsIO.requireLen("yMeans", a, nOut))
+    sections.get("yStds").foreach(a =>
+      WeightsIO.requireLen("yStds", a, nOut))
     JointAeModel(JointAeKernel.toWeights(flat, k, hE, l, hA, nOut),
       sections("featMeans"), sections("featStds"),
       meta("yMean").toDouble, meta("yStd").toDouble, featureCols,

@@ -338,10 +338,8 @@ class LSTMTrainer(
   def steps: Seq[Seq[String]] = lagCols.grouped(nFeat).toSeq
 
   def fit(df: DataFrame): this.type = {
-    // a one-element `layers` list IS the one-layer fast path — honor its
-    // unit count (lstm_units=[n], sequence.py:120) instead of `hidden`
     val f = nFeat
-    val h = if (!bidirectional && layers.size == 1) layers.head else hidden
+    val h = effH // one-element `layers` honored (lstm_units=[n])
     val data = df.select((targetCol +: lagCols).map(c =>
       col(c).cast("double")): _*).na.drop()
     data.cache()
@@ -496,10 +494,7 @@ object LSTMTrainer {
   def load(path: String): LSTMTrainer = {
     val (meta, sections) = WeightsIO.load(path)
     WeightsIO.requireFamily(meta, "lstm", path)
-    val layers = meta("layers") match {
-      case "" => Nil
-      case s => s.split(",").map(_.toInt).toSeq
-    }
+    val layers = WeightsIO.intsFromMeta(meta("layers"))
     val m = new LSTMTrainer(
       WeightsIO.namesFromMeta(meta("lagCols")),
       meta("seqLen").toInt, meta("target"),
@@ -682,10 +677,7 @@ object LSTMMultiTrainer {
     val (meta, sections) = WeightsIO.load(path)
     WeightsIO.requireFamily(meta, "lstm_multi", path)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
-    val layers = meta("layers") match {
-      case "" => Nil
-      case s => s.split(",").map(_.toInt).toSeq
-    }
+    val layers = WeightsIO.intsFromMeta(meta("layers"))
     val m = new LSTMMultiTrainer(
       WeightsIO.namesFromMeta(meta("lagCols")),
       meta("seqLen").toInt, targets,

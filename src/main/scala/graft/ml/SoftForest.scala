@@ -297,6 +297,10 @@ object SoftForestModel {
     }
     WeightsIO.requireLen("featMeans", sections("featMeans"), k)
     WeightsIO.requireLen("featStds", sections("featStds"), k)
+    sections.get("yMeans").foreach(a =>
+      WeightsIO.requireLen("yMeans", a, nOut))
+    sections.get("yStds").foreach(a =>
+      WeightsIO.requireLen("yStds", a, nOut))
     SoftForestModel(trees, trunk, sections("featMeans"),
       sections("featStds"), meta("temperature").toDouble,
       meta("yMean").toDouble, meta("yStd").toDouble, featureCols,

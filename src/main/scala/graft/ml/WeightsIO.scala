@@ -83,6 +83,15 @@ object WeightsIO {
       (0 until n.size).map(i => n.get(i).asText())
     } else v.split(",").toSeq
 
+  /** Comma-joined Int list from a meta value ("" = empty) — the shared
+    * convention every family loader uses for layer/unit lists. */
+  def intsFromMeta(v: String): Seq[Int] =
+    if (v.isEmpty) Nil else v.split(",").toSeq.map(_.toInt)
+
+  /** Comma-joined Double list from a meta value ("" = empty). */
+  def doublesFromMeta(v: String): Seq[Double] =
+    if (v.isEmpty) Nil else v.split(",").toSeq.map(_.toDouble)
+
   /** Encode a (Double, Double) pair list as ONE meta value (`d:r`
     * pairs, comma-joined) — the per-layer dropout-tuple shape. */
   def pairsToMeta(pairs: Seq[(Double, Double)]): String =

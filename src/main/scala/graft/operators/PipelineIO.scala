@@ -84,9 +84,9 @@ object PipelineIO {
       case GroupStatsTransformer(mapping, stats) =>
         str("kind", "groupstats"); names("stats", stats)
         // keys in the ORIGINAL map's iteration order: outputNames
-        // derives column order from mapping.toSeq, and a small rebuilt
-        // Map preserves insertion order — so the loaded transformer
-        // emits columns in the same order the saved one did
+        // derives column order from mapping.toSeq, and decode rebuilds
+        // a ListMap in this order — so the loaded transformer emits
+        // columns in the same order the saved one did, at any map size
         val keys = mapping.toSeq.map(_._1)
         names("groups", keys)
         keys.zipWithIndex.foreach { case (k, i) =>
@@ -166,9 +166,14 @@ object PipelineIO {
         names("orderCols"))
       case "groupstats" =>
         val keys = names("groups")
-        GroupStatsTransformer(keys.zipWithIndex.map { case (k, i) =>
-          k -> names(s"group$i")
-        }.toMap, names("stats"))
+        // ListMap preserves the saved key order at ANY size (a plain
+        // immutable Map only does so up to 4 entries) — outputNames and
+        // the emitted column order derive from mapping.toSeq
+        GroupStatsTransformer(
+          scala.collection.immutable.ListMap(
+            keys.zipWithIndex.map { case (k, i) =>
+              k -> names(s"group$i")
+            }: _*), names("stats"))
       case "minmax" => MinMaxScaler(names("features"), str("suffix"))
       case "standardize" => StandardScaler(names("features"),
         str("suffix"))

@@ -49,12 +49,20 @@ object IvfCosine {
   /** Rehydrate a `saveIndex`ed index (shape-validated): centroids are
     * bit-exact (WeightsIO exact-double JSON), the assignment is read
     * back cell-partitioned — `search` over the loaded index plans the
-    * same cell equi-join and returns the identical neighbor lists. */
+    * same cell equi-join and returns the identical neighbor lists.
+    * `idCol`/`vecCol`, when given, are validated against the names the
+    * index was built with — a mismatch fails HERE with the recorded
+    * names instead of as a downstream unresolved-column error. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Index = {
+      path: String, idCol: String = null, vecCol: String = null): Index = {
     val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
     graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
       s"$path/centroids.json")
+    require(idCol == null || idCol == meta("idCol"),
+      s"index at $path was built with idCol=${meta("idCol")}, not $idCol")
+    require(vecCol == null || vecCol == meta("vecCol"),
+      s"index at $path was built with vecCol=${meta("vecCol")}, " +
+        s"not $vecCol")
     val (nlist, dim) = (meta("nlist").toInt, meta("dim").toInt)
     val cents = Array.tabulate(nlist) { i =>
       val c = sections(s"c$i")

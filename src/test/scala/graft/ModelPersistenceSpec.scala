@@ -294,7 +294,10 @@ class ModelPersistenceSpec extends AnyFunSuite {
     val p = java.nio.file.Files.createTempDirectory("graft-ivf")
       .resolve("idx").toString
     IvfCosine.saveIndex(p, idx, "vec_id", "embedding")
-    val loaded = IvfCosine.loadIndex(spark, p)
+    val loaded = IvfCosine.loadIndex(spark, p, "vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      IvfCosine.loadIndex(spark, p, "vec_id", "vec")
+    }
     assert(loaded.centroids.length == 4 &&
       loaded.centroids.indices.forall(i =>
         loaded.centroids(i).sameElements(idx.centroids(i))),
