@@ -251,31 +251,64 @@ class MLPRegressor(
           }
           Iterator.single(acc)
         }.treeReduce(_ + _, depth = 2)
-      } else batch.rdd.treeAggregate(zero)(
-        seqOp = (acc, row) => {
-          val y = (row.getDouble(0) - ym) / ys
-          val wt = row.getDouble(k + 1) // __w (1.0 when no weightCol)
-          val x = DenseVector(featIdx.map(i => row.getDouble(i + 1)).toArray)
-          val z1 = bw1.t * x + bb1
-          val h = z1.map(z => if (z > 0) z else 0.0)
-          val pred = (bw2 dot h) + bb2
-          val d = wt * (pred - y)
-          // dL/dw2 = d*h ; dL/db2 = d ; back through relu
-          val dh = bw2 * d
-          val dz1 = DenseVector.tabulate(bb1.length)(j =>
-            if (z1(j) > 0) dh(j) else 0.0)
-          var off = 0
-          for (i <- 0 until x.length; j <- 0 until bb1.length) {
-            acc(off) += x(i) * dz1(j); off += 1
+      } else {
+        // primitive-loop kernel: the per-row work is a 3×h matvec —
+        // per-row breeze (DenseVector alloc + dgemv dispatch) costs
+        // more than the arithmetic at this size, and the full-batch
+        // trajectory queries (q_cortex_mlp) pay it rows × epochs ×
+        // trials times. Same accumulation order and the same
+        // left-associated per-row sums (Σᵢ xᵢ·w then + b — the order
+        // the trajectory oracle mirrors).
+        val (kk, hh) = (k, hidden)
+        val w1a = Array.tabulate(kk * hh)(r => bw1(r / hh, r % hh))
+        val b1a = bb1.toArray
+        val w2a = bw2.toArray
+        val b2v = bb2
+        batch.rdd.mapPartitions { it =>
+          val acc = DenseVector.zeros[Double](sz + 2)
+          val a = acc.data
+          val x = new Array[Double](kk)
+          val z = new Array[Double](hh)
+          while (it.hasNext) {
+            val row = it.next()
+            val y = (row.getDouble(0) - ym) / ys
+            val wt = row.getDouble(kk + 1) // __w (1.0 when no weightCol)
+            var i = 0
+            while (i < kk) { x(i) = row.getDouble(i + 1); i += 1 }
+            var hsum = 0.0
+            var j = 0
+            while (j < hh) {
+              var s = 0.0
+              var i2 = 0
+              while (i2 < kk) { s += x(i2) * w1a(i2 * hh + j); i2 += 1 }
+              s += b1a(j)
+              z(j) = s
+              hsum += w2a(j) * (if (s > 0) s else 0.0)
+              j += 1
+            }
+            val pred = hsum + b2v // (Σ w2·h) + b2, the original order
+            val d = wt * (pred - y)
+            // dL/dw2 = d*h ; dL/db2 = d ; back through relu
+            j = 0
+            while (j < hh) {
+              val dz1 = if (z(j) > 0) w2a(j) * d else 0.0
+              if (dz1 != 0.0) {
+                var i2 = 0
+                while (i2 < kk) {
+                  a(i2 * hh + j) += x(i2) * dz1; i2 += 1
+                }
+                a(kk * hh + j) += dz1
+              }
+              a(kk * hh + hh + j) += d * (if (z(j) > 0) z(j) else 0.0)
+              j += 1
+            }
+            a(kk * hh + 2 * hh) += d
+            a(sz) += 0.5 * wt * (pred - y) * (pred - y)
+            a(sz + 1) += wt
           }
-          for (j <- 0 until bb1.length) { acc(off) += dz1(j); off += 1 }
-          for (j <- 0 until bb1.length) { acc(off) += d * h(j); off += 1 }
-          acc(off) += d
-          acc(sz) += 0.5 * wt * (pred - y) * (pred - y)
-          acc(sz + 1) += wt
-          acc
-        },
-        combOp = _ + _, depth = 2)
+          Iterator.single(acc)
+        }.treeReduce(_ + _, depth = 2)
+      }
       // slot sz+1 is a weight sum (or batch count) — guard against an
       // empty batch only, NOT clamp to 1: fractional weight sums below 1
       // must still normalize exactly
