@@ -460,25 +460,25 @@ object BnAeModel {
       meta("hA").toInt, meta("nOut").toInt)
     val flat = sections("flat")
     WeightsIO.requireLen("flat", flat, BnAeKernel.size(k, hE, l, hA, nOut))
+    val weights = BnAeKernel.toWeights(flat, k, hE, l, hA, nOut)
+    // site count/widths from the ONE architecture invariant
+    // (BnAeWeights.siteDims), count validated BEFORE the section reads
+    // so an inflated nAffines fails with this message, not a missing-key
+    val siteDims = weights.siteDims
     val nAff = meta("nAffines").toInt
-    require(nAff >= 1, s"$path holds no BN affines")
+    require(nAff == siteDims.length,
+      s"$path holds $nAff affines, expected ${siteDims.length}")
     val affs = (0 until nAff).map { i =>
       (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
     }
-    // the five BN sites' widths are fixed by the architecture:
-    // input(k), encoder(hE), latent(l), decoder(hE), head(hA)
-    val siteDims = Seq(k, hE, l, hE, hA)
-    require(nAff == siteDims.size,
-      s"$path holds $nAff affines, expected ${siteDims.size}")
     affs.zip(siteDims).zipWithIndex.foreach { case (((sc, cc), d), i) =>
       WeightsIO.requireLen(s"aff${i}_s", sc, d)
       WeightsIO.requireLen(s"aff${i}_c", cc, d)
     }
     WeightsIO.requireLen("yMeans", sections("yMeans"), nOut)
     WeightsIO.requireLen("yStds", sections("yStds"), nOut)
-    BnAeModel(BnAeKernel.toWeights(flat, k, hE, l, hA, nOut),
-      affs.head, affs.tail, sections("yMeans"), sections("yStds"),
-      featureCols)
+    BnAeModel(weights, affs.head, affs.tail, sections("yMeans"),
+      sections("yStds"), featureCols)
   }
 }
 

@@ -586,16 +586,19 @@ object DeepBnAutoencoder {
       bnMomentum = meta("bnMomentum").toDouble)
     val flat = sections("flat")
     WeightsIO.requireLen("flat", flat, m.size)
+    // site count and widths from the kernel's ONE invariant (the same
+    // accessor fit's population re-estimation walks), count validated
+    // BEFORE the section reads
+    val siteDims = DeepBnKernel.bnWidths(m.cfg)
     val nAff = meta("nAffines").toInt
+    require(nAff == siteDims.size,
+      s"$path holds $nAff affines, expected ${siteDims.size}")
     val affs = (0 until nAff).map { i =>
       (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
     }
-    require(affs.nonEmpty, s"$path holds no BN affines")
-    WeightsIO.requireLen("aff0_s", affs.head._1, m.featureCols.size)
-    affs.zipWithIndex.foreach { case ((sc, cc), i) =>
-      require(sc.length == cc.length && sc.nonEmpty,
-        s"aff${i}: scale/shift lengths ${sc.length}/${cc.length} " +
-          "mismatch (truncated artifact)")
+    affs.zip(siteDims).zipWithIndex.foreach { case (((sc, cc), d), i) =>
+      WeightsIO.requireLen(s"aff${i}_s", sc, d)
+      WeightsIO.requireLen(s"aff${i}_c", cc, d)
     }
     WeightsIO.requireLen("yMeans", sections("yMeans"), targets.size)
     WeightsIO.requireLen("yStds", sections("yStds"), targets.size)

@@ -332,7 +332,7 @@ object DeepMLPRegressor {
     WeightsIO.requireFamily(meta, "deep_mlp", path)
     val m = new DeepMLPRegressor(
       WeightsIO.namesFromMeta(meta("features")), meta("target"),
-      layers = meta("layers").split(",").map(_.toInt).toSeq,
+      layers = WeightsIO.intsFromMeta(meta("layers")),
       activation = meta("activation"), lr = meta("lr").toDouble,
       epochs = meta("epochs").toInt, seed = meta("seed").toLong,
       scaleTarget = meta("scaleTarget").toBoolean,
@@ -631,7 +631,7 @@ object DeepMLPMultiRegressor {
     val targets = WeightsIO.namesFromMeta(meta("targets"))
     val m = new DeepMLPMultiRegressor(
       WeightsIO.namesFromMeta(meta("features")), targets,
-      layers = meta("layers").split(",").map(_.toInt).toSeq,
+      layers = WeightsIO.intsFromMeta(meta("layers")),
       activation = meta("activation"), lr = meta("lr").toDouble,
       epochs = meta("epochs").toInt, seed = meta("seed").toLong,
       scaleTarget = meta("scaleTarget").toBoolean,

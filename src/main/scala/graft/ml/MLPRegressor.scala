@@ -180,7 +180,6 @@ class MLPRegressor(
       // a 100 TB epoch touches a bounded sample instead of a full pass.
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
-      val zero = DenseVector.zeros[Double](sz + 2) // + loss, row count
       val grad = if (loss != "mse") {
         // rank-loss path (losses.py:22-189): the soft-Spearman gradient
         // is defined over a batch's pairwise soft ranks, so executors

@@ -139,14 +139,9 @@ object PipelineIO {
   private def decode(meta: Map[String, String], p: String)
       : GraftTransformer = {
     def names(k: String): Seq[String] = WeightsIO.namesFromMeta(meta(p + k))
-    def ints(k: String): Seq[Int] = meta(p + k) match {
-      case "" => Nil
-      case s => s.split(",").map(_.toInt).toSeq
-    }
-    def doubles(k: String): Seq[Double] = meta(p + k) match {
-      case "" => Nil
-      case s => s.split(",").map(_.toDouble).toSeq
-    }
+    def ints(k: String): Seq[Int] = WeightsIO.intsFromMeta(meta(p + k))
+    def doubles(k: String): Seq[Double] =
+      WeightsIO.doublesFromMeta(meta(p + k))
     def str(k: String): String = meta(p + k)
     str("kind") match {
       case "rank" => RankTransformer(names("features"), str("dateCol"))
