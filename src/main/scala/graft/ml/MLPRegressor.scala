@@ -447,7 +447,6 @@ class MLPMultiRegressor(
       val bw2 = w2.copy; val bb2 = b2.copy
       val batch = if (batchFraction >= 1.0) data
         else data.sample(withReplacement = false, batchFraction, seed + t)
-      val zero = DenseVector.zeros[Double](sz + 2)
       val grad = if (loss != "mse") {
         // rank-loss path with the reference's multi-output semantics:
         // (batch, out) flattens to ONE soft-ranked vector per batch
@@ -515,41 +514,81 @@ class MLPMultiRegressor(
           }
           Iterator.single(acc)
         }.treeReduce(_ + _, depth = 2)
-      } else batch.rdd.treeAggregate(zero)(
-        seqOp = (acc, row) => {
-          val y = Array.tabulate(out)(o =>
-            (row.getDouble(o) - ym(o)) / ys(o))
-          val x = DenseVector(
-            featIdx.map(i => row.getDouble(i + out)).toArray)
-          val z1 = bw1.t * x + bb1
-          val h = z1.map(z => if (z > 0) z else 0.0)
-          val d = Array.tabulate(out) { o =>
-            var p = bb2(o)
-            for (j <- 0 until h.length) p += h(j) * bw2(j, o)
-            p - y(o)
+      } else {
+        // primitive-loop kernel (the single-output fit's treatment):
+        // per-row breeze costs more than the k×h matvec at this size.
+        // Same accumulation layout and per-row sum order as the breeze
+        // path it replaces.
+        val (kk, hh, nO) = (k, hidden, out)
+        val w1a = Array.tabulate(kk * hh)(r => bw1(r / hh, r % hh))
+        val b1a = bb1.toArray
+        val w2a = Array.tabulate(hh * nO)(r => bw2(r / nO, r % nO))
+        val b2a = bb2.toArray
+        batch.rdd.mapPartitions { it =>
+          val acc = DenseVector.zeros[Double](sz + 2)
+          val a = acc.data
+          val x = new Array[Double](kk)
+          val z = new Array[Double](hh)
+          val hArr = new Array[Double](hh)
+          val d = new Array[Double](nO)
+          while (it.hasNext) {
+            val row = it.next()
+            var o = 0
+            while (o < nO) {
+              d(o) = row.getDouble(o); o += 1 // y, standardized below
+            }
+            var i = 0
+            while (i < kk) { x(i) = row.getDouble(i + nO); i += 1 }
+            var j = 0
+            while (j < hh) {
+              var s = 0.0
+              var i2 = 0
+              while (i2 < kk) { s += x(i2) * w1a(i2 * hh + j); i2 += 1 }
+              s += b1a(j)
+              z(j) = s
+              hArr(j) = if (s > 0) s else 0.0
+              j += 1
+            }
+            o = 0
+            while (o < nO) {
+              val y = (d(o) - ym(o)) / ys(o)
+              var p = b2a(o)
+              j = 0
+              while (j < hh) { p += hArr(j) * w2a(j * nO + o); j += 1 }
+              d(o) = p - y
+              o += 1
+            }
+            // shared hidden: dz1 sums every head's pull through w2
+            j = 0
+            while (j < hh) {
+              val dz1 = if (z(j) > 0) {
+                var s = 0.0
+                o = 0
+                while (o < nO) { s += w2a(j * nO + o) * d(o); o += 1 }
+                s
+              } else 0.0
+              var i2 = 0
+              while (i2 < kk) { a(i2 * hh + j) += x(i2) * dz1; i2 += 1 }
+              a(kk * hh + j) += dz1
+              o = 0
+              while (o < nO) {
+                a(kk * hh + hh + j * nO + o) += hArr(j) * d(o); o += 1
+              }
+              j += 1
+            }
+            var l = 0.0
+            o = 0
+            while (o < nO) {
+              a(kk * hh + hh + hh * nO + o) += d(o)
+              l += 0.5 * d(o) * d(o)
+              o += 1
+            }
+            a(sz) += l
+            a(sz + 1) += 1.0
           }
-          // shared hidden: dz1 sums every head's pull through w2
-          val dz1 = DenseVector.tabulate(h.length) { j =>
-            if (z1(j) > 0) {
-              var s = 0.0; for (o <- 0 until out) s += bw2(j, o) * d(o)
-              s
-            } else 0.0
-          }
-          var off = 0
-          for (i <- 0 until x.length; j <- 0 until h.length) {
-            acc(off) += x(i) * dz1(j); off += 1
-          }
-          for (j <- 0 until h.length) { acc(off) += dz1(j); off += 1 }
-          for (j <- 0 until h.length; o <- 0 until out) {
-            acc(off) += h(j) * d(o); off += 1
-          }
-          for (o <- 0 until out) { acc(off) += d(o); off += 1 }
-          var l = 0.0; for (o <- 0 until out) l += 0.5 * d(o) * d(o)
-          acc(sz) += l
-          acc(sz + 1) += 1.0
-          acc
-        },
-        combOp = _ + _, depth = 2)
+          Iterator.single(acc)
+        }.treeReduce(_ + _, depth = 2)
+      }
       val g = (grad(0 until sz) / math.max(grad(sz + 1), 1.0)).toArray
       val step = adam.step(g, t)
       var off = 0
