@@ -130,6 +130,23 @@ object PipelineIO {
         str("hasSuffix", sfx.isDefined.toString)
         str("lr", lr.toString); str("maxIters", iters.toString)
         str("tol", tol.toString)
+      case graft.text.TextStatsTransformer(t, pfx) =>
+        str("kind", "text_stats"); str("textCol", t); str("prefix", pfx)
+      case graft.text.LangIdTransformer(t, o) =>
+        str("kind", "lang_id"); str("textCol", t); str("out", o)
+      case graft.text.QualityFilterTransformer(t, pfx, minW, maxW, minL,
+          maxL, minTtr, maxTop) =>
+        str("kind", "quality_filter"); str("textCol", t)
+        str("prefix", pfx); str("minWords", minW.toString)
+        str("maxWords", maxW.toString)
+        str("minMeanWordLen", minL.toString)
+        str("maxMeanWordLen", maxL.toString)
+        str("minTypeTokenRatio", minTtr.toString)
+        str("maxTopWordFrac", maxTop.toString)
+      case graft.text.RepetitionTransformer(t, pfx) =>
+        str("kind", "repetition"); str("textCol", t); str("prefix", pfx)
+      case graft.ml.DimReducer(f, n) =>
+        str("kind", "pca"); names("features", f); str("n", n.toString)
       case other => throw new IllegalArgumentException(
         s"no pipeline codec for stage ${other.getClass.getName} — " +
           "persist estimator stages through their family save()")
@@ -193,6 +210,19 @@ object PipelineIO {
         doubles("maxExposures"), str("eraCol"), str("idCol"),
         if (str("hasSuffix").toBoolean) Some(str("suffix")) else None,
         str("lr").toDouble, str("maxIters").toInt, str("tol").toDouble)
+      case "text_stats" =>
+        graft.text.TextStatsTransformer(str("textCol"), str("prefix"))
+      case "lang_id" =>
+        graft.text.LangIdTransformer(str("textCol"), str("out"))
+      case "quality_filter" => graft.text.QualityFilterTransformer(
+        str("textCol"), str("prefix"), str("minWords").toInt,
+        str("maxWords").toInt, str("minMeanWordLen").toDouble,
+        str("maxMeanWordLen").toDouble,
+        str("minTypeTokenRatio").toDouble,
+        str("maxTopWordFrac").toDouble)
+      case "repetition" =>
+        graft.text.RepetitionTransformer(str("textCol"), str("prefix"))
+      case "pca" => graft.ml.DimReducer(names("features"), str("n").toInt)
       case k => throw new IllegalArgumentException(
         s"unknown pipeline stage kind: $k")
     }

@@ -116,6 +116,33 @@ class PipelineIOSpec extends AnyFunSuite {
     assert(a == b, "loaded encoder chain must transform bit-identically")
   }
 
+  test("text-analysis + PCA stages round-trip structurally and " +
+    "transform bit-identically on documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = Pipeline(Seq(
+      graft.text.TextStatsTransformer("text", "ts"),
+      graft.text.LangIdTransformer("text"),
+      graft.text.QualityFilterTransformer("text", "qf", minWords = 10,
+        maxWords = 200),
+      graft.text.RepetitionTransformer("text")))
+    val path = tmp("text.json")
+    PipelineIO.save(path, p)
+    val loaded = PipelineIO.load(path)
+    assert(loaded == p)
+    val a = p.transform(docs).select("doc_id", "ts_quality", "lang_pred",
+      "qf_keep", "rep_dup2_frac").collect().map(_.toSeq).toSet
+    val b = loaded.transform(docs).select("doc_id", "ts_quality",
+      "lang_pred", "qf_keep", "rep_dup2_frac").collect()
+      .map(_.toSeq).toSet
+    assert(a == b, "loaded text chain must transform identically")
+    // PCA: config-complete (fit-on-transform eigens), round-trips too
+    val pca = Pipeline(Seq(graft.ml.DimReducer(
+      Seq("l_quantity", "l_discount", "l_tax"), 2)))
+    val pcaPath = tmp("pca.json")
+    PipelineIO.save(pcaPath, pca)
+    assert(PipelineIO.load(pcaPath) == pca)
+  }
+
   test("nested pipelines flatten on save (associative composition) and " +
     "transform identically") {
     val nested = Pipeline(Seq(
