@@ -153,6 +153,44 @@ object QueriesSim {
           col("rank"))
     }),
 
+    // the RAG corpus build chained END TO END — the canonical retrieval
+    // data pipeline (chunk → embed → index → top-k) as ONE lazy plan:
+    // stride-24/size-32 token chunks, the stateless hashing-vectorizer
+    // embedding (no model at corpus scale), pinned-quantizer IVF cell
+    // assignment, and nprobe-3 top-5 retrieval for the probe documents.
+    // Every stage is an already-oracled operator (q_chunk, q_hash_embed,
+    // q_ivf_pinned); the composition verifies under one chained CTE
+    // oracle. Zero-norm chunks (sign-cancelled buckets) are filtered
+    // BEFORE indexing — a zero vector has no cosine direction.
+    "q_rag_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val chunks = graft.text.CorpusSplit.chunk(docs, "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      // the embedded corpus feeds BOTH sides of the search join (index
+      // + probes): prune to (cid, doc_id, hvec) and materialize ONCE —
+      // without this the chunk+embed chain re-evaluates per side
+      // (measured 20s -> ~7s at sf0.1)
+      val emb = graft.text.HashingVectorizer.vectorize(chunks,
+        "chunk_text", dim = 16)
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_idx"))
+        .where(Similarity.dot(col("hvec"), col("hvec")) > 0)
+        .select("cid", "doc_id", "hvec")
+        .localCheckpoint()
+      val idx = IvfCosine.assignByCentroids(emb, "cid", "hvec",
+        IvfCosine.pinnedCentroids(8, 16))
+      // FIXED probe set (the first shard's % 97 documents): a retrieval
+      // workload's query count does not grow with the corpus — the
+      // corpus side scales, the probe side stays bounded (the brute →
+      // IVF story q_ivf_pinned tells, composed end to end)
+      val probes = emb.where(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 500)
+        .select(col("cid").as("qid"), col("hvec").as("qvec"))
+      IvfCosine.search(idx, probes, "cid", "hvec", "qid", "qvec",
+        k = 5, nprobe = 3, dim = 16)
+        .select(col("qid"), col("nid"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }),
+
     // IVF ANN: k-means coarse quantizer, probes scan nprobe of nlist
     // cells — the equi-join scale path when probes don't broadcast.
     // Training is a DETERMINISTIC pure function of the data (md5-ordered
@@ -621,6 +659,35 @@ object QueriesSim {
          |  FROM lab WHERE nlabel <> ql AND cosine <= 0.40)
          |SELECT qid, nid, nlabel, cosine, rank
          |FROM final WHERE rank <= 3""".stripMargin,
+
+    // the chained RAG oracle: q_chunk's token-slice CTE, q_hash_embed's
+    // md5 bucket+sign dims built into ONE list per chunk, the zero-norm
+    // screen, then the ivfCtes search chain over the chunk corpus
+    "q_rag_pipeline" -> {
+      val b = "(" + Dedup.md5ChunkSql("md5(t)", 1, 13) + ") % 16"
+      val s14 = "((" + Dedup.md5ChunkSql("md5(t)", 14, 1) + ") % 2) * 2 - 1"
+      val dims = (0 until 16).map(d =>
+        s"coalesce(list_sum(list_transform(tk, t -> CASE WHEN $b = $d " +
+          s"THEN CAST($s14 AS DOUBLE) ELSE 0.0 END)), 0.0)")
+        .mkString(",\n         |    ").stripMargin
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')
+         |    AS l FROM documents),
+         |ck AS (SELECT doc_id, l, unnest(range(0,
+         |  CASE WHEN len(l) > 0
+         |    THEN CAST(floor((len(l) - 1) / 24) AS BIGINT) + 1
+         |    ELSE 0 END)) AS k FROM w),
+         |tks AS (SELECT doc_id, k, l[(k * 24 + 1):(k * 24 + 32)] AS tk
+         |  FROM ck),
+         |hv AS (SELECT doc_id, k, [
+         |    $dims] AS e FROM tks),
+         |v AS (SELECT doc_id * 1000 + k AS vec_id, doc_id, e FROM hv
+         |  WHERE list_inner_product(e, e) > 0),
+         |${ivfCtes(IvfCosine.pinnedCentroids(8, 16), nprobe = 3,
+              probePred = "doc_id % 97 = 0 AND doc_id < 500")}
+         |SELECT qid, nid, round(cosine, 6) AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
 
     "q_sem_decontam" ->
       """WITH v AS (

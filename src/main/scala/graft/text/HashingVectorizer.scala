@@ -21,12 +21,14 @@ import graft.dedup.Dedup
   * embeddings, and [[graft.sim.RandomProjection]] for further
   * compression.
   *
-  * Plan shape: ONE scan-speed projection — the token array is hashed
-  * once per token into a (bucket, sign) stream via `transform`, and
-  * each output coordinate is a fold over that stream; zero shuffles,
-  * zero joins, no explode. O(dim · tokens) work per row, the right
-  * trade at the dims this feeds (16-128) because it keeps the whole
-  * operator inside whole-stage codegen.
+  * Plan shape: ONE scan-speed projection — the native
+  * [[graft.functions.HashBow]] kernel scatters each token's md5
+  * (bucket, ±sign) into the dim-sized vector in a single compiled pass
+  * per row; zero shuffles, zero joins, no explode. (The earlier HOF
+  * composition — per-token `transform` + a per-DIM `aggregate` fold —
+  * ran interpreted and walked the token list dim times per row:
+  * measured ~8s for 5000 sf0.1 docs at dim 16 vs sub-second for the
+  * kernel, values bit-identical — PlanSpec pins the equivalence.)
   *
   * `l2` appends an L2-normalized copy (cosine-ready; zero vectors stay
   * zero). No reference analog in dataflow form — centimators delegates
@@ -39,17 +41,10 @@ object HashingVectorizer {
   def vectorize(docs: DataFrame, textCol: String, dim: Int,
       out: String = "hvec", l2: Boolean = false): DataFrame = {
     require(dim >= 2 && dim <= 4096, s"dim out of range: $dim")
-    // (bucket, sign) per token: bucket from md5 digits 1-13, sign from
-    // digit 14 parity — independent bits of the same digest
-    val hashed = transform(CorpusOps.words(col(textCol)), t => struct(
-      (Dedup.md5Chunk(t, 1, 13) % dim).as("b"),
-      (Dedup.md5Chunk(t, 14, 1) % 2 * 2 - 1).cast("double").as("s")))
-    val vec = transform(sequence(lit(0), lit(dim - 1)), b =>
-      aggregate(col("__hs"), lit(0.0d),
-        (acc, x) => acc + when(x.getField("b") === b.cast("long"),
-          x.getField("s")).otherwise(0.0d)))
-    val withV = docs.withColumn("__hs", hashed)
-      .withColumn(out, vec).drop("__hs")
+    // bucket from md5 digits 1-13, sign from digit 14 parity —
+    // independent bits of the same digest, scattered natively
+    val withV = docs.withColumn(out,
+      graft.functions.HashBow(CorpusOps.words(col(textCol)), dim))
     if (!l2) withV
     else {
       val nrm = sqrt(aggregate(col(out), lit(0.0d),

@@ -594,6 +594,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native hash_bow equals the HOF transform+aggregate composition " +
+    "bit-for-bit on real documents, and stays codegen'd") {
+    import graft.dedup.Dedup
+    import graft.text.CorpusOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (dim <- Seq(16, 33)) {
+      // the composition HashingVectorizer shipped before the kernel
+      val hashed = transform(CorpusOps.words(col("text")), t => struct(
+        (Dedup.md5Chunk(t, 1, 13) % dim).as("b"),
+        (Dedup.md5Chunk(t, 14, 1) % 2 * 2 - 1).cast("double").as("s")))
+      val hof = transform(sequence(lit(0), lit(dim - 1)), b =>
+        aggregate(col("__hs"), lit(0.0d),
+          (acc, x) => acc + when(x.getField("b") === b.cast("long"),
+            x.getField("s")).otherwise(0.0d)))
+      val both = docs.withColumn("__hs", hashed)
+        .select(col("doc_id"),
+          graft.functions.HashBow(CorpusOps.words(col("text")), dim)
+            .as("nv"),
+          hof.as("hv"))
+      val bad = both.where(col("nv") =!= col("hv")).count()
+      assert(bad == 0, s"hash_bow diverged from the fold on $bad rows " +
+        s"(dim=$dim)")
+    }
+    val plan = docs.select(
+      graft.functions.HashBow(CorpusOps.words(col("text")), 16).as("v"))
+      .queryExecution.executedPlan.toString
+    // executedPlan.toString marks whole-stage-codegen spans "*(n) ..."
+    assert(plan.contains("*(1) Project"),
+      s"hash_bow must stay inside whole-stage codegen:\n$plan")
+  }
+
   test("native sorted_intersect_size equals size(array_intersect) on " +
     "random sorted sets") {
     import graft.functions.SortedIntersectSize
