@@ -3,8 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
-
 /** Feature-hashing vectorizer (Weinberger et al. 2009, "Feature
   * Hashing for Large Scale Multitask Learning" — scikit-learn's
   * HashingVectorizer): every document becomes a fixed-`dim` vector
