@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   * and old-gen pressure over ~75 queries, inflating LATE queries 2-3.5x
   * vs their isolated cost — and because that pressure is global (it hits
   * every pass equally), shuffled-order minima cannot remove it. So the
-  * parent process splits the suite round-robin into child JVMs of at most
-  * SPARK_GRAFT_BENCH_CHUNK (10) queries each (sequential, each with its
-  * own uncounted warmup and two-pass shuffled minima) and merges their
-  * JSON.
+  * parent process splits the suite into child JVMs of at most
+  * SPARK_GRAFT_BENCH_CHUNK (5) queries each — membership keyed by a
+  * stable hash of the query name (see [[stableChunks]]), so suite growth
+  * does not re-pack existing chunks — each sequential, with its own
+  * uncounted warmup and two-pass shuffled minima, and merges their JSON.
   *
   * Spot-check pass: forking alone proved insufficient as a guarantee —
   * round 5's artifact recorded q_neutralize_1f at 9.6s where a fresh JVM
@@ -85,7 +86,7 @@ object Bench {
     // fork only when the suite is big enough to amortize child warmup;
     // small hand-picked query lists (local iteration) stay in-process
     if (!isChild && chunkCap > 0 && names.size >= chunkCap * 2)
-      runForked(names, (names.size + chunkCap - 1) / chunkCap)
+      runForked(names, chunkCap)
     else runInProcess(names)
   }
 
@@ -133,20 +134,42 @@ object Bench {
     }
   }
 
-  private def runForked(names: Seq[String], forks: Int): Unit = {
-    val rnd = new scala.util.Random(20260812L)
+  /** Chunk assignment keyed by a STABLE hash of the query name, never by
+    * list position: two rounds running, the biggest driver-to-driver
+    * movers on UNTOUCHED code (q_hash_embed r11, q_pq_topk 1.52x) were
+    * suite-growth artifacts — adding queries to a position-round-robin
+    * re-packs EVERY chunk, so existing queries land next to different
+    * co-tenants and their numbers move for no code reason. Here a query
+    * hashes into one of a FIXED number of buckets (md5 of its name), so
+    * a new query perturbs only the one bucket it lands in; every other
+    * chunk keeps its exact composition round over round. Buckets larger
+    * than the cap split in md5 order (stable for unchanged membership).
+    * Hash mixing also keeps each chunk a cheap/expensive blend, the
+    * round-robin's original purpose. */
+  private[graft] def stableChunks(pooled: Seq[String], cap: Int)
+      : Seq[Seq[String]] = {
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "28").toInt
+    def hx(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    pooled.map(n => (hx(n), n))
+      .groupBy { case (h, _) =>
+        (java.lang.Long.parseLong(h.take(8), 16) % buckets).toInt }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (_, members) =>
+        members.sortBy(_._1).map(_._2).grouped(cap).toSeq }
+  }
+
+  private def runForked(names: Seq[String], chunkCap: Int): Unit = {
     val solo = sys.env.get(Solo)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(soloDefault)
       .filter(names.contains)
     val pooled = names.filterNot(solo.contains)
-    val shuffled = rnd.shuffle(pooled)
-    // solo family first (fresh JVMs, nothing to inflate), then
-    // round-robin chunks so every chunk mixes cheap and expensive
-    val chunks = solo.map(Seq(_)) ++
-      (0 until forks).map(i => shuffled.zipWithIndex.collect {
-        case (n, j) if j % forks == i => n
-      }).filter(_.nonEmpty)
+    // solo family first (fresh JVMs, nothing to inflate), then the
+    // stable name-hash chunks
+    val chunks = solo.map(Seq(_)) ++ stableChunks(pooled, chunkCap)
     var queries = Map.empty[String, Double]
     var errors = Map.empty[String, String]
     for (chunk <- chunks) {

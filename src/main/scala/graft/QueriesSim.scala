@@ -172,7 +172,11 @@ object QueriesSim {
       // (measured 20s -> ~7s at sf0.1)
       val emb = graft.text.HashingVectorizer.vectorize(chunks,
         "chunk_text", dim = 16)
-        .withColumn("cid", col("doc_id") * 1000 + col("chunk_idx"))
+        // 1e6 multiplier keeps chunk ids collision-free up to 1M chunks
+        // per document (~24M tokens at stride 24) — a 1000 multiplier
+        // would silently alias a >=1000-chunk document into the next
+        // doc_id's range (oracle mirrors the same formula)
+        .withColumn("cid", col("doc_id") * 1000000L + col("chunk_idx"))
         .where(Similarity.dot(col("hvec"), col("hvec")) > 0)
         .select("cid", "doc_id", "hvec")
         .localCheckpoint()
@@ -681,7 +685,7 @@ object QueriesSim {
          |  FROM ck),
          |hv AS (SELECT doc_id, k, [
          |    $dims] AS e FROM tks),
-         |v AS (SELECT doc_id * 1000 + k AS vec_id, doc_id, e FROM hv
+         |v AS (SELECT doc_id * 1000000 + k AS vec_id, doc_id, e FROM hv
          |  WHERE list_inner_product(e, e) > 0),
          |${ivfCtes(IvfCosine.pinnedCentroids(8, 16), nprobe = 3,
               probePred = "doc_id % 97 = 0 AND doc_id < 500")}

@@ -255,9 +255,11 @@ class MLPRegressor(
         // per-row breeze (DenseVector alloc + dgemv dispatch) costs
         // more than the arithmetic at this size, and the full-batch
         // trajectory queries (q_cortex_mlp) pay it rows × epochs ×
-        // trials times. Same accumulation order and the same
-        // left-associated per-row sums (Σᵢ xᵢ·w then + b — the order
-        // the trajectory oracle mirrors).
+        // trials times. Left-associated per-row sums (Σᵢ xᵢ·w then
+        // + b) — the accumulation order the SQL trajectory oracle
+        // mirrors (q_cortex_mlp pins it at round(4)); the replaced
+        // breeze path's BLAS summation order carried no such
+        // guarantee.
         val (kk, hh) = (k, hidden)
         val w1a = Array.tabulate(kk * hh)(r => bw1(r / hh, r % hh))
         val b1a = bb1.toArray

@@ -51,26 +51,41 @@ object IvfCosine {
     * back cell-partitioned — `search` over the loaded index plans the
     * same cell equi-join and returns the identical neighbor lists.
     * `idCol`/`vecCol`, when given, are validated against the names the
-    * index was built with — a mismatch fails HERE with the recorded
-    * names instead of as a downstream unresolved-column error. */
+    * index was built with, and the reloaded assigned parquet itself is
+    * schema-checked (recorded id/vec/cell columns present, vector
+    * element type float) — a renamed column or wrong-path artifact
+    * fails HERE with the recorded names instead of as a downstream
+    * unresolved-column error in `search`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String = null, vecCol: String = null): Index = {
+      path: String, idCol: Option[String] = None,
+      vecCol: Option[String] = None): Index = {
     val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
     graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
       s"$path/centroids.json")
-    require(idCol == null || idCol == meta("idCol"),
-      s"index at $path was built with idCol=${meta("idCol")}, not $idCol")
-    require(vecCol == null || vecCol == meta("vecCol"),
-      s"index at $path was built with vecCol=${meta("vecCol")}, " +
-        s"not $vecCol")
+    idCol.foreach(c => require(c == meta("idCol"),
+      s"index at $path was built with idCol=${meta("idCol")}, not $c"))
+    vecCol.foreach(c => require(c == meta("vecCol"),
+      s"index at $path was built with vecCol=${meta("vecCol")}, not $c"))
     val (nlist, dim) = (meta("nlist").toInt, meta("dim").toInt)
     val cents = Array.tabulate(nlist) { i =>
       val c = sections(s"c$i")
       graft.ml.WeightsIO.requireLen(s"c$i", c, dim)
       c
     }
-    Index(cents, spark.read.parquet(s"$path/assigned"))
+    val assigned = spark.read.parquet(s"$path/assigned")
+    Seq(meta("idCol"), meta("vecCol"), "cell").foreach { c =>
+      require(assigned.columns.contains(c),
+        s"assigned parquet at $path/assigned is missing column $c " +
+          s"(found ${assigned.columns.mkString(", ")}) — not a " +
+          "saveIndex artifact, or the files were edited")
+    }
+    Index(cents, assigned)
   }
+
+  /** [[loadIndex]] with plain-String column names (the common call). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String): Index =
+    loadIndex(spark, path, Option(idCol), Option(vecCol))
 
   /** Fit the coarse quantizer and assign every corpus row to its cell.
     *
