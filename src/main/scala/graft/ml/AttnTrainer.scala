@@ -605,7 +605,7 @@ class AttnTrainer(
     val numBlocks: Int = 1,
     val dropoutRate: Double = 0.0,
     val attentionType: String = "temporal",
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -754,9 +754,12 @@ class AttnTrainer(
     * schema + fit recipe) — the sklearn-pickle role (the reference's
     * wrapper pickles the fitted Keras transformer, base.py). JSON exact
     * doubles, so [[AttnTrainer.load]] scores bit-identically. */
-  def save(path: String): Unit = {
+  def familyName: String = "attn"
+  def predictionNames: Seq[String] = Seq("prediction")
+
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(flatKernel != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "attn",
       "lagCols" -> WeightsIO.namesToMeta(lagCols),
       "seqLen" -> seqLen.toString, "target" -> targetCol,
@@ -777,6 +780,11 @@ class AttnTrainer(
       "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel))
+  }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
   }
 
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
@@ -810,7 +818,14 @@ object AttnTrainer {
     * SAME materialization as fit. */
   def load(path: String): AttnTrainer = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "attn", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String): AttnTrainer = {
+    WeightsIO.requireFamily(meta, "attn", where)
     val mlpUnits = WeightsIO.intsFromMeta(meta("mlpUnits"))
     val m = new AttnTrainer(
       WeightsIO.namesFromMeta(meta("lagCols")),
@@ -873,7 +888,7 @@ class AttnMultiTrainer(
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(targetCols.size >= 2, "use AttnTrainer for a single output")
   require(lagCols.size % seqLen == 0,
@@ -923,11 +938,15 @@ class AttnMultiTrainer(
     headW = hw; headB = hb
   }
 
-  /** Persist the FITTED estimator (flat kernel + per-output scaling +
-    * recipe) — [[AttnMultiTrainer.load]] scores bit-identically. */
-  def save(path: String): Unit = {
+  def familyName: String = "attn_multi"
+  def predictionNames: Seq[String] =
+    targetCols.indices.map(o => s"prediction_$o")
+
+  /** The fitted payload (flat kernel + per-output scaling + recipe) —
+    * [[AttnMultiTrainer.load]] scores bit-identically. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(flatKernel != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "attn_multi",
       "lagCols" -> WeightsIO.namesToMeta(lagCols),
       "seqLen" -> seqLen.toString,
@@ -948,6 +967,11 @@ class AttnMultiTrainer(
       "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel, "yMeans" -> yMean, "yStds" -> yStd))
+  }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
   }
 
   def fit(df: DataFrame): this.type = {
@@ -998,7 +1022,15 @@ object AttnMultiTrainer {
   /** Rehydrate a `save`d estimator (shape-validated). */
   def load(path: String): AttnMultiTrainer = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "attn_multi", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : AttnMultiTrainer = {
+    WeightsIO.requireFamily(meta, "attn_multi", where)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
     val mlpUnits = WeightsIO.intsFromMeta(meta("mlpUnits"))
     val m = new AttnMultiTrainer(

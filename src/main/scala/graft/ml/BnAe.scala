@@ -396,7 +396,13 @@ case class BnAeModel(
     aff0: (Array[Double], Array[Double]),
     aff: Seq[(Array[Double], Array[Double])],
     yMeans: Array[Double], yStds: Array[Double],
-    featureCols: Seq[String]) {
+    featureCols: Seq[String]) extends ModelEstimator {
+
+  def familyName: String = "bn_ae"
+  def predictionNames: Seq[String] =
+    if (weights.core.wpM != null)
+      weights.core.wpM.indices.map(o => s"prediction_$o")
+    else Seq("prediction")
 
   private def x0Cols: Seq[Column] = featureCols.zipWithIndex.map {
     case (c, i) =>
@@ -428,15 +434,15 @@ case class BnAeModel(
       .drop(featureCols.indices.map(f => s"recon_$f"): _*)
   }
 
-  /** Persist the FITTED model: BnAe-kernel-layout flat weights, the
-    * folded inference affines (input site + the four staged sites), and
+  /** The fitted payload: BnAe-kernel-layout flat weights, the folded
+    * inference affines (input site + the four staged sites), and
     * target stats — exact-double JSON, [[BnAeModel.load]] scores
     * bit-identically. */
-  def save(path: String): Unit = {
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     val affSecs = (aff0 +: aff).zipWithIndex.flatMap { case ((s, c), i) =>
       Seq(s"aff${i}_s" -> s, s"aff${i}_c" -> c)
     }
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "bn_ae",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "hE" -> weights.core.hE.toString,
@@ -447,13 +453,25 @@ case class BnAeModel(
       Seq("flat" -> BnAeKernel.fromWeights(weights),
         "yMeans" -> yMeans, "yStds" -> yStds) ++ affSecs)
   }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object BnAeModel {
   /** Rehydrate a `save`d model (shape-validated). */
   def load(path: String): BnAeModel = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "bn_ae", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String): BnAeModel = {
+    WeightsIO.requireFamily(meta, "bn_ae", where)
     val featureCols = WeightsIO.namesFromMeta(meta("features"))
     val k = featureCols.size
     val (hE, l, hA, nOut) = (meta("hE").toInt, meta("latent").toInt,
@@ -467,7 +485,7 @@ object BnAeModel {
     val siteDims = weights.siteDims
     val nAff = meta("nAffines").toInt
     require(nAff == siteDims.length,
-      s"$path holds $nAff affines, expected ${siteDims.length}")
+      s"$where holds $nAff affines, expected ${siteDims.length}")
     val affs = (0 until nAff).map { i =>
       (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
     }

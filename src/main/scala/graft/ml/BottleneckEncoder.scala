@@ -99,7 +99,10 @@ case class BottleneckEncoder(
 }
 
 case class BottleneckModel(weights: BottleneckWeights,
-    featureCols: Seq[String]) {
+    featureCols: Seq[String]) extends ModelEstimator {
+  def familyName: String = "bottleneck"
+  def predictionNames: Seq[String] = Seq("prediction")
+
   private def feats = featureCols.map(c => col(c).cast("double"))
 
   /** Appends `latent_{i}` (the reference encoder's output surface). */
@@ -126,10 +129,10 @@ case class BottleneckModel(weights: BottleneckWeights,
       BottleneckEncoder.headCol(weights, z))
   }
 
-  /** Persist the FITTED model (means, loadings, head) — exact-double
-    * JSON, [[BottleneckModel.load]] scores bit-identically. */
-  def save(path: String): Unit =
-    WeightsIO.save(path, Map(
+  /** The fitted payload (means, loadings, head) — exact-double JSON,
+    * [[BottleneckModel.load]] scores bit-identically. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) =
+    (Map(
       "family" -> "bottleneck",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "latentDim" -> weights.latentDim.toString),
@@ -137,13 +140,26 @@ case class BottleneckModel(weights: BottleneckWeights,
         "loadings" -> WeightsIO.fromMat(weights.loadings),
         "head" -> weights.head,
         "headBias" -> Array(weights.headBias)))
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object BottleneckModel {
   /** Rehydrate a `save`d model (shape-validated). */
   def load(path: String): BottleneckModel = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "bottleneck", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : BottleneckModel = {
+    WeightsIO.requireFamily(meta, "bottleneck", where)
     val featureCols = WeightsIO.namesFromMeta(meta("features"))
     val k = featureCols.size
     val latent = meta("latentDim").toInt

@@ -296,7 +296,7 @@ class DeepJointAutoencoder(
     val epochs: Int = 150,
     val seed: Long = 42L,
     val batchFraction: Double = 0.2,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
@@ -414,12 +414,17 @@ class DeepJointAutoencoder(
     scored.drop(featureCols.indices.map(f => s"recon_$f"): _*)
   }
 
-  /** Persist the FITTED estimator (flat kernel + standardization stats
-    * + architecture) — the sklearn-pickle role; exact-double JSON, so
+  def familyName: String = "deep_ae"
+  def predictionNames: Seq[String] =
+    if (nOut == 1) Seq("prediction")
+    else (0 until nOut).map(o => s"prediction_$o")
+
+  /** The fitted payload (flat kernel + standardization stats +
+    * architecture) — the sklearn-pickle role; exact-double JSON, so
     * [[DeepJointAutoencoder.load]] scores bit-identically. */
-  def save(path: String): Unit = {
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(weights != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "deep_ae",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "targets" -> WeightsIO.namesToMeta(targetCols),
@@ -439,6 +444,11 @@ class DeepJointAutoencoder(
       Seq("flat" -> weights, "fMean" -> fMean, "fStd" -> fStd,
         "yMeans" -> yMeans, "yStds" -> yStds))
   }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object DeepJointAutoencoder {
@@ -447,7 +457,15 @@ object DeepJointAutoencoder {
     * `predict` on the fitted one byte for byte. */
   def load(path: String): DeepJointAutoencoder = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "deep_ae", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : DeepJointAutoencoder = {
+    WeightsIO.requireFamily(meta, "deep_ae", where)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
     val m = new DeepJointAutoencoder(
       WeightsIO.namesFromMeta(meta("features")), targets.head,

@@ -289,7 +289,7 @@ class DeepBnAutoencoder(
     val batchSize: Int = 32,
     val optimizer: String = "adam",
     val bnInference: String = "population",
-    val bnMomentum: Double = 0.99) extends Serializable {
+    val bnMomentum: Double = 0.99) extends ModelEstimator {
 
   require(Set("population", "moving_average")(bnInference),
     s"bnInference must be population|moving_average, got $bnInference")
@@ -526,16 +526,21 @@ class DeepBnAutoencoder(
     scored
   }
 
-  /** Persist the FITTED estimator: flat kernel, the folded per-site BN
-    * inference affines, target stats, and the architecture — the
-    * sklearn-pickle role; exact-double JSON so
-    * [[DeepBnAutoencoder.load]] scores bit-identically. */
-  def save(path: String): Unit = {
+  def familyName: String = "deep_bn_ae"
+  def predictionNames: Seq[String] =
+    if (nOut == 1) Seq("prediction")
+    else (0 until nOut).map(o => s"prediction_$o")
+
+  /** The fitted payload: flat kernel, the folded per-site BN inference
+    * affines, target stats, and the architecture — the sklearn-pickle
+    * role; exact-double JSON so [[DeepBnAutoencoder.load]] scores
+    * bit-identically. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(w != null, "fit first")
     val affSecs = affs.zipWithIndex.flatMap { case ((s, c), i) =>
       Seq(s"aff${i}_s" -> s, s"aff${i}_c" -> c)
     }
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "deep_bn_ae",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "targets" -> WeightsIO.namesToMeta(targetCols),
@@ -557,13 +562,26 @@ class DeepBnAutoencoder(
       "nAffines" -> affs.size.toString),
       Seq("flat" -> w, "yMeans" -> yMeans, "yStds" -> yStds) ++ affSecs)
   }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object DeepBnAutoencoder {
   /** Rehydrate a `save`d estimator (shape-validated). */
   def load(path: String): DeepBnAutoencoder = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "deep_bn_ae", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : DeepBnAutoencoder = {
+    WeightsIO.requireFamily(meta, "deep_bn_ae", where)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
     val m = new DeepBnAutoencoder(
       WeightsIO.namesFromMeta(meta("features")), targets.head,
@@ -592,7 +610,7 @@ object DeepBnAutoencoder {
     val siteDims = DeepBnKernel.bnWidths(m.cfg)
     val nAff = meta("nAffines").toInt
     require(nAff == siteDims.size,
-      s"$path holds $nAff affines, expected ${siteDims.size}")
+      s"$where holds $nAff affines, expected ${siteDims.size}")
     val affs = (0 until nAff).map { i =>
       (sections(s"aff${i}_s"), sections(s"aff${i}_c"))
     }

@@ -173,7 +173,7 @@ class DeepMLPRegressor(
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
     val dropoutRate: Double = 0.0,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(layers.nonEmpty, "at least one hidden layer")
   require(Set("relu", "swish")(activation),
@@ -305,12 +305,14 @@ class DeepMLPRegressor(
       weights, dims, 1, swish, Array(yMean), Array(yStd))
   }
 
-  /** Persist the FITTED estimator (flat kernel + target scaling +
-    * recipe) — exact-double JSON; [[DeepMLPRegressor.load]] scores
-    * bit-identically. */
-  def save(path: String): Unit = {
+  def familyName: String = "deep_mlp"
+  def predictionNames: Seq[String] = Seq("prediction")
+
+  /** The fitted payload (flat kernel + target scaling + recipe) —
+    * written standalone by `save`, embedded by PipelineIO. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(weights != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "deep_mlp",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "target" -> targetCol, "layers" -> layers.mkString(","),
@@ -323,13 +325,28 @@ class DeepMLPRegressor(
       "dropoutRate" -> dropoutRate.toString, "optimizer" -> optimizer),
       Seq("flat" -> weights))
   }
+
+  /** Persist the FITTED estimator — exact-double JSON;
+    * [[DeepMLPRegressor.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object DeepMLPRegressor {
   /** Rehydrate a `save`d estimator (shape-validated). */
   def load(path: String): DeepMLPRegressor = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "deep_mlp", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : DeepMLPRegressor = {
+    WeightsIO.requireFamily(meta, "deep_mlp", where)
     val m = new DeepMLPRegressor(
       WeightsIO.namesFromMeta(meta("features")), meta("target"),
       layers = WeightsIO.intsFromMeta(meta("layers")),
@@ -456,7 +473,7 @@ class DeepMLPMultiRegressor(
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(targetCols.size >= 2, "use DeepMLPRegressor for a single output")
   require(layers.nonEmpty, "at least one hidden layer")
@@ -603,12 +620,15 @@ class DeepMLPMultiRegressor(
       weights, dims, out, swish, yMean, yStd)
   }
 
-  /** Persist the FITTED estimator (flat kernel + per-output scaling) —
-    * exact-double JSON; [[DeepMLPMultiRegressor.load]] scores
-    * bit-identically. */
-  def save(path: String): Unit = {
+  def familyName: String = "deep_mlp_multi"
+  def predictionNames: Seq[String] =
+    targetCols.indices.map(o => s"prediction_$o")
+
+  /** The fitted payload (flat kernel + per-output scaling) — written
+    * standalone by `save`, embedded by PipelineIO. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(weights != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "deep_mlp_multi",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "targets" -> WeightsIO.namesToMeta(targetCols),
@@ -621,13 +641,28 @@ class DeepMLPMultiRegressor(
       "dropoutRate" -> dropoutRate.toString, "optimizer" -> optimizer),
       Seq("flat" -> weights, "yMeans" -> yMean, "yStds" -> yStd))
   }
+
+  /** Persist the FITTED estimator — exact-double JSON;
+    * [[DeepMLPMultiRegressor.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object DeepMLPMultiRegressor {
   /** Rehydrate a `save`d estimator (shape-validated). */
   def load(path: String): DeepMLPMultiRegressor = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "deep_mlp_multi", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : DeepMLPMultiRegressor = {
+    WeightsIO.requireFamily(meta, "deep_mlp_multi", where)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
     val m = new DeepMLPMultiRegressor(
       WeightsIO.namesFromMeta(meta("features")), targets,

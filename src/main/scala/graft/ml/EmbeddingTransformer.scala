@@ -28,7 +28,11 @@ case class EmbeddingTransformer(
     embedder: Seq[String] => Seq[Array[Float]],
     batchSize: Int = 200,
     template: Option[String] = None,
-    dim: Int) extends GraftTransformer {
+    dim: Int,
+    // when the embedder came from the Transports registry, its NAME —
+    // the persistence seam: a pipeline artifact stores the name and
+    // re-wires the function at load (PipelineIO)
+    transportName: Option[String] = None) extends GraftTransformer {
 
   def outputNames: Seq[String] = Seq(s"${textCol}_embedding")
 
@@ -64,6 +68,17 @@ case class EmbeddingTransformer(
 }
 
 object EmbeddingTransformer {
+  /** Construct against a REGISTERED transport (Transports.
+    * registerEmbedder) — the persistable form: PipelineIO stores the
+    * transport name and re-binds the function at load, the JVM analog
+    * of the reference unpickling a transformer whose dspy client is
+    * re-imported by module path. */
+  def named(transportName: String, textCol: String, dim: Int,
+      batchSize: Int = 200, template: Option[String] = None)
+      : EmbeddingTransformer =
+    EmbeddingTransformer(textCol, Transports.embedder(transportName),
+      batchSize, template, dim, Some(transportName))
+
   /** Explode `{f}_embedding` into `{f}_embed_{i}` scalar columns — the
     * reference's sklearn-boundary output contract (embedding.py:167-196). */
   def explodeToColumns(df: DataFrame, feature: String, dim: Int): DataFrame =

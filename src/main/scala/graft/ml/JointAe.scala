@@ -278,7 +278,13 @@ case class JointAeModel(
     featMeans: Array[Double], featStds: Array[Double],
     yMean: Double, yStd: Double,
     featureCols: Seq[String],
-    yMeans: Array[Double] = null, yStds: Array[Double] = null) {
+    yMeans: Array[Double] = null, yStds: Array[Double] = null)
+    extends ModelEstimator {
+
+  def familyName: String = "joint_ae"
+  def predictionNames: Seq[String] =
+    if (weights.wpM != null) weights.wpM.indices.map(o => s"prediction_$o")
+    else Seq("prediction")
 
   private def stdFeats: Seq[Column] = featureCols.zipWithIndex.map {
     case (c, i) => (col(c).cast("double") - lit(featMeans(i))) /
@@ -315,11 +321,11 @@ case class JointAeModel(
       .drop(featureCols.indices.map(f => s"recon_$f"): _*)
   }
 
-  /** Persist the FITTED model: kernel-layout flat weights +
-    * standardization scalars — exact-double JSON, so
-    * [[JointAeModel.load]] transforms/predicts bit-identically. */
-  def save(path: String): Unit =
-    WeightsIO.save(path, Map(
+  /** The fitted payload: kernel-layout flat weights + standardization
+    * scalars — exact-double JSON, so [[JointAeModel.load]]
+    * transforms/predicts bit-identically. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) =
+    (Map(
       "family" -> "joint_ae",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "hE" -> weights.hE.toString, "latent" -> weights.latent.toString,
@@ -329,13 +335,25 @@ case class JointAeModel(
         "featMeans" -> featMeans, "featStds" -> featStds) ++
         (if (yMeans == null) Nil
          else Seq("yMeans" -> yMeans, "yStds" -> yStds)))
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object JointAeModel {
   /** Rehydrate a `save`d model (shape-validated). */
   def load(path: String): JointAeModel = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "joint_ae", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String): JointAeModel = {
+    WeightsIO.requireFamily(meta, "joint_ae", where)
     val featureCols = WeightsIO.namesFromMeta(meta("features"))
     val k = featureCols.size
     val (hE, l, hA, nOut) = (meta("hE").toInt, meta("latent").toInt,

@@ -268,7 +268,7 @@ class LSTMTrainer(
     val recurrentDropout: Double = 0.0,
     val layerDropouts: Seq[(Double, Double)] = Nil,
     val layerNorm: Boolean = false,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(lagCols.size % seqLen == 0,
     s"${lagCols.size} lag columns do not reshape into $seqLen steps")
@@ -431,9 +431,12 @@ class LSTMTrainer(
     * Keras model inside the sklearn estimator). JSON exact doubles, so
     * [[LSTMTrainer.load]] scores bit-identically (WeightsIOSpec
     * pattern). */
-  def save(path: String): Unit = {
+  def familyName: String = "lstm"
+  def predictionNames: Seq[String] = Seq("prediction")
+
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(flatKernel != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "lstm",
       "lagCols" -> WeightsIO.namesToMeta(lagCols),
       "seqLen" -> seqLen.toString, "target" -> targetCol,
@@ -454,6 +457,11 @@ class LSTMTrainer(
       "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel))
+  }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
   }
 
   /** Shared epoch loop — delegates to [[SeqAdam]] (also used by the
@@ -493,7 +501,14 @@ object LSTMTrainer {
     * equals `predict` on the fitted one byte for byte. */
   def load(path: String): LSTMTrainer = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "lstm", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String): LSTMTrainer = {
+    WeightsIO.requireFamily(meta, "lstm", where)
     val layers = WeightsIO.intsFromMeta(meta("layers"))
     val m = new LSTMTrainer(
       WeightsIO.namesFromMeta(meta("lagCols")),
@@ -554,7 +569,7 @@ class LSTMMultiTrainer(
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(targetCols.size >= 2, "use LSTMTrainer for a single output")
   require(Set("mse", "spearman", "combined")(loss),
@@ -603,11 +618,15 @@ class LSTMMultiTrainer(
     if (layerNorm) norms = LstmStackBptt.stackNorms(w, cfg)
   }
 
-  /** Persist the FITTED estimator (flat kernel + per-output scaling +
-    * recipe) — [[LSTMMultiTrainer.load]] scores bit-identically. */
-  def save(path: String): Unit = {
+  def familyName: String = "lstm_multi"
+  def predictionNames: Seq[String] =
+    targetCols.indices.map(o => s"prediction_$o")
+
+  /** The fitted payload (flat kernel + per-output scaling + recipe) —
+    * [[LSTMMultiTrainer.load]] scores bit-identically. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(flatKernel != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "lstm_multi",
       "lagCols" -> WeightsIO.namesToMeta(lagCols),
       "seqLen" -> seqLen.toString,
@@ -626,6 +645,11 @@ class LSTMMultiTrainer(
       "rankTau" -> rankTau.toString, "rankBatch" -> rankBatch.toString,
       "optimizer" -> optimizer),
       Seq("flat" -> flatKernel, "yMeans" -> yMean, "yStds" -> yStd))
+  }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
   }
 
   def fit(df: DataFrame): this.type = {
@@ -675,7 +699,15 @@ object LSTMMultiTrainer {
   /** Rehydrate a `save`d estimator (shape-validated). */
   def load(path: String): LSTMMultiTrainer = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "lstm_multi", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : LSTMMultiTrainer = {
+    WeightsIO.requireFamily(meta, "lstm_multi", where)
     val targets = WeightsIO.namesFromMeta(meta("targets"))
     val layers = WeightsIO.intsFromMeta(meta("layers"))
     val m = new LSTMMultiTrainer(

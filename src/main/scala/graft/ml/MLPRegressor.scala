@@ -45,8 +45,14 @@ object MLPRegressor {
     * equals `predict` on the fitted one byte for byte (WeightsIOSpec). */
   def load(path: String): MLPRegressor = {
     val (meta, sections) = WeightsIO.load(path)
-    require(meta.get("family").contains("mlp"),
-      s"$path holds family ${meta.get("family")}, expected mlp")
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload — the standalone-artifact
+    * and pipeline-embedded loads share this one decoder. */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String): MLPRegressor = {
+    WeightsIO.requireFamily(meta, "mlp", where)
     val m = new MLPRegressor(
       WeightsIO.namesFromMeta(meta("features")), meta("target"),
       hidden = meta("hidden").toInt, lr = meta("lr").toDouble,
@@ -122,7 +128,7 @@ class MLPRegressor(
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
     val weightCol: Option[String] = None,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(batchFraction > 0 && batchFraction <= 1.0,
     s"batchFraction must be in (0, 1], got $batchFraction")
@@ -355,12 +361,15 @@ class MLPRegressor(
         yMean, yStd))
   }
 
-  /** Persist the FITTED estimator (weights + target scaling + schema)
-    * — the sklearn-pickle role (WeightsIO; exact-double JSON, so
-    * [[MLPRegressor.load]] scores bit-identically). */
-  def save(path: String): Unit = {
+  def familyName: String = "mlp"
+  def predictionNames: Seq[String] = Seq("prediction")
+
+  /** The fitted payload (weights + target scaling + schema) — the
+    * sklearn-pickle role; `save` writes it standalone, PipelineIO
+    * embeds it inside a composed-chain artifact. */
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(weights != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "mlp",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "target" -> targetCol,
@@ -374,6 +383,13 @@ class MLPRegressor(
       "optimizer" -> optimizer,
       "yMean" -> yMean.toString, "yStd" -> yStd.toString),
       WeightsIO.packMlp(weights))
+  }
+
+  /** Persist the FITTED estimator (exact-double JSON, so
+    * [[MLPRegressor.load]] scores bit-identically). */
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
   }
 }
 
@@ -403,7 +419,7 @@ class MLPMultiRegressor(
     val spearmanWeight: Double = 1.0,
     val rankTau: Double = 1e-3,
     val rankBatch: Int = 64,
-    val optimizer: String = "adam") extends Serializable {
+    val optimizer: String = "adam") extends ModelEstimator {
 
   require(targetCols.size >= 2, "use MLPRegressor for a single output")
   require(batchFraction > 0 && batchFraction <= 1.0,
@@ -620,11 +636,14 @@ class MLPMultiRegressor(
     }
   }
 
-  /** Persist the FITTED estimator — see [[MLPRegressor.load]]'s
+  def familyName: String = "mlp_multi"
+  def predictionNames: Seq[String] = MLPRegressor.predictionNames(out)
+
+  /** The fitted payload — see [[MLPRegressor.saveParts]]'s
     * single-output sibling; [[MLPMultiRegressor.load]] restores it. */
-  def save(path: String): Unit = {
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     require(weights != null, "fit first")
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "mlp_multi",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "targets" -> WeightsIO.namesToMeta(targetCols),
@@ -636,6 +655,13 @@ class MLPMultiRegressor(
       WeightsIO.packMlpMulti(weights) ++
         Seq("yMean" -> yMean, "yStd" -> yStd))
   }
+
+  /** Persist the FITTED estimator — exact-double JSON;
+    * [[MLPMultiRegressor.load]] scores bit-identically. */
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object MLPMultiRegressor {
@@ -643,8 +669,15 @@ object MLPMultiRegressor {
     * hyperparameters included — re-fitting trains the saved recipe). */
   def load(path: String): MLPMultiRegressor = {
     val (meta, sections) = WeightsIO.load(path)
-    require(meta.get("family").contains("mlp_multi"),
-      s"$path holds family ${meta.get("family")}, expected mlp_multi")
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : MLPMultiRegressor = {
+    WeightsIO.requireFamily(meta, "mlp_multi", where)
     val m = new MLPMultiRegressor(
       WeightsIO.namesFromMeta(meta("features")),
       WeightsIO.namesFromMeta(meta("targets")),

@@ -28,7 +28,10 @@ case class RowPredictor(
     outputFields: Seq[String],
     predictFn: Map[String, String] => Map[String, String],
     batchSize: Int = 200,
-    concurrency: Int = 50) extends GraftTransformer {
+    concurrency: Int = 50,
+    // when predictFn came from the Transports registry, its NAME — the
+    // persistence seam (see EmbeddingTransformer.transportName)
+    transportName: Option[String] = None) extends GraftTransformer {
 
   def outputNames: Seq[String] = outputFields
 
@@ -71,6 +74,18 @@ case class RowPredictor(
     }
     spark.createDataFrame(rdd, outSchema)
   }
+}
+
+object RowPredictor {
+  /** Construct against a REGISTERED transport
+    * (Transports.registerPredictor) — the persistable form: PipelineIO
+    * stores the transport name and re-binds the function at load. */
+  def named(transportName: String, inputCols: Seq[String],
+      outputFields: Seq[String], batchSize: Int = 200,
+      concurrency: Int = 50): RowPredictor =
+    RowPredictor(inputCols, outputFields,
+      Transports.predictor(transportName), batchSize, concurrency,
+      Some(transportName))
 }
 
 /** Prompt-optimizer analog of DSPyMator.fit's optional compile step

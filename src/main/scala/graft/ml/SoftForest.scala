@@ -147,7 +147,14 @@ case class SoftForestModel(
     featMeans: Array[Double], featStds: Array[Double],
     temperature: Double, yMean: Double, yStd: Double,
     featureCols: Seq[String],
-    yMeans: Array[Double] = null, yStds: Array[Double] = null) {
+    yMeans: Array[Double] = null, yStds: Array[Double] = null)
+    extends ModelEstimator {
+
+  def familyName: String = "soft_forest"
+  def predictionNames: Seq[String] =
+    if (trees.head.piM != null)
+      (0 until trees.head.nOut).map(o => s"prediction_$o")
+    else Seq("prediction")
 
   /** Standardized features → staged trunk columns; returns the staged
     * frame, the final feature refs, and the staged column names. */
@@ -235,11 +242,11 @@ case class SoftForestModel(
       }
     }
 
-  /** Persist the FITTED forest: per-tree routing/leaf sections, trunk
-    * layers, and the standardization scalars — exact-double JSON, so
+  /** The fitted payload: per-tree routing/leaf sections, trunk layers,
+    * and the standardization scalars — exact-double JSON, so
     * [[SoftForestModel.load]] scores bit-identically (bagged featIdx
     * values are small ints, exact in a double). */
-  def save(path: String): Unit = {
+  def saveParts: (Map[String, String], Seq[(String, Array[Double])]) = {
     val treeSecs = trees.zipWithIndex.flatMap { case (t, i) =>
       Seq(s"t${i}_featIdx" -> t.featIdx.map(_.toDouble),
         s"t${i}_wDec" -> WeightsIO.fromMat(t.wDec),
@@ -250,7 +257,7 @@ case class SoftForestModel(
     val trunkSecs = trunk.zipWithIndex.flatMap { case ((w, b), l) =>
       Seq(s"trunk${l}_w" -> WeightsIO.fromMat(w), s"trunk${l}_b" -> b)
     }
-    WeightsIO.save(path, Map(
+    (Map(
       "family" -> "soft_forest",
       "features" -> WeightsIO.namesToMeta(featureCols),
       "numTrees" -> trees.size.toString,
@@ -263,13 +270,26 @@ case class SoftForestModel(
          else Seq("yMeans" -> yMeans, "yStds" -> yStds)) ++
         treeSecs ++ trunkSecs)
   }
+
+  def save(path: String): Unit = {
+    val (m, s) = saveParts
+    WeightsIO.save(path, m, s)
+  }
 }
 
 object SoftForestModel {
   /** Rehydrate a `save`d forest (shape-validated per section). */
   def load(path: String): SoftForestModel = {
     val (meta, sections) = WeightsIO.load(path)
-    WeightsIO.requireFamily(meta, "soft_forest", path)
+    fromParts(meta, sections, path)
+  }
+
+  /** Rebuild from an already-parsed payload (standalone or
+    * pipeline-embedded). */
+  def fromParts(meta: Map[String, String],
+      sections: Map[String, Array[Double]], where: String)
+      : SoftForestModel = {
+    WeightsIO.requireFamily(meta, "soft_forest", where)
     val featureCols = WeightsIO.namesFromMeta(meta("features"))
     val k = featureCols.size
     val nOut = meta("nOut").toInt

@@ -123,6 +123,60 @@ object DeterministicDecoder extends MediaDecoder {
   }
 }
 
+/** REAL audio decode on the pure JDK — javax.sound.sampled reads
+  * WAV/AIFF/AU containers with no native codec (VERDICT r11 item 4: a
+  * training-data pipeline ingests audio too). The payload decodes to
+  * PCM (non-PCM encodings like µ-law convert through the JDK's format
+  * conversion), channels mix down, and the clip is cut into `dim`
+  * equal TIME bands, each emitting its RMS amplitude in [0,1] — the
+  * audio analog of [[ImageIoDecoder]]'s luma strips, through the SAME
+  * batched mapPartitions plumbing. Returns null (→ zero vector) for
+  * bytes no audio reader accepts or clips with no frames, so a corrupt
+  * payload never kills a 100-TB decode stage.
+  * [[DeterministicDecoder]] stays the oracle path (q_media_features);
+  * this codec is pinned by MediaStagesSpec against a driver-side
+  * decode of the same bytes. */
+object WavPcmDecoder extends MediaDecoder {
+  import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val src = in.getFormat
+      // normalize to 16-bit signed little-endian PCM at the source rate
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val raw = pcm.readAllBytes()
+      val ch = pcmFmt.getChannels
+      val nSamples = raw.length / 2 / ch
+      if (nSamples <= 0) return null
+      val acc = new Array[Double](dim)
+      val cnt = new Array[Long](dim)
+      var s = 0
+      while (s < nSamples) {
+        val band = (s.toLong * dim / nSamples).toInt
+        var mix = 0.0
+        var c = 0
+        while (c < ch) {
+          val o = (s * ch + c) * 2
+          val v = ((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort
+          mix += v / 32768.0
+          c += 1
+        }
+        mix /= ch
+        acc(band) += mix * mix
+        cnt(band) += 1
+        s += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (cnt(i) > 0) math.sqrt(acc(i) / cnt(i)).toFloat else 0.0f)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+}
+
 /** REAL image decode on the pure JDK — javax.imageio reads PNG, BMP, GIF
   * and JPEG with no native/container codec. Features: the image is cut
   * into `dim` horizontal strips and each emits its mean Rec.601 luma in

@@ -22,27 +22,50 @@ import graft.ml.WeightsIO
   * same frame chain as `Pipeline(a, b, c)`), so flattening preserves
   * both `transform` and `outputNames`.
   *
-  * Estimator stages (fitted weights) persist through their own family
-  * codecs (`MLPRegressor.save`, `LSTMTrainer.save`, … — WeightsIOSpec /
-  * ModelPersistenceSpec); a GraftTransformer wrapper around one of
-  * those belongs in that artifact, not here — `save` rejects stage
-  * kinds it has no codec for rather than silently dropping them. */
+  * FITTED estimator stages ([[ModelStage]] around any
+  * `graft.ml.ModelEstimator`) embed their whole WeightsIO family
+  * payload inside this same artifact — meta keys under `s{i}.m.`,
+  * weight sections under `s{i}.` — so the reference's
+  * whole-fitted-pipeline pickle (transform chain + trained final
+  * regressor as ONE object, README.md:117-162,
+  * tests/test_model_estimators.py:545-576) is one file here too; load
+  * dispatches the payload through `graft.ml.ModelCodecs` and the
+  * rebuilt estimator scores bit-identically (PipelineIOSpec). The
+  * function-carrying transformers (EmbeddingTransformer, RowPredictor)
+  * persist by their registered transport NAME
+  * (`graft.ml.Transports`) and re-wire the function at load; instances
+  * built around a bare lambda are rejected at save with a pointer to
+  * the registry. Any other stage kind without a codec is rejected
+  * rather than silently dropped. */
 object PipelineIO {
 
   def save(path: String, pipeline: Pipeline): Unit = {
     val flat = flatten(pipeline.stages)
     val meta = Map.newBuilder[String, String]
+    val secs = Seq.newBuilder[(String, Array[Double])]
     meta += "family" -> "pipeline"
     meta += "n" -> flat.size.toString
-    flat.zipWithIndex.foreach { case (s, i) => encode(s, s"s$i.", meta) }
-    WeightsIO.save(path, meta.result(), Seq.empty)
+    flat.zipWithIndex.foreach { case (s, i) =>
+      encode(s, s"s$i.", meta, secs)
+    }
+    WeightsIO.save(path, meta.result(), secs.result())
   }
 
   def load(path: String): Pipeline = {
-    val (meta, _) = WeightsIO.load(path)
+    val (meta, sections) = WeightsIO.load(path)
     WeightsIO.requireFamily(meta, "pipeline", path)
-    Pipeline((0 until meta("n").toInt).map(i => decode(meta, s"s$i.")))
+    Pipeline((0 until metaReq(meta, "n", path).toInt).map(i =>
+      decode(meta, sections, s"s$i.", path)))
   }
+
+  /** Meta lookup with the loader-error convention: a truncated or
+    * hand-edited artifact fails with the artifact path and the missing
+    * key, not a bare NoSuchElementException. */
+  private def metaReq(meta: Map[String, String], key: String,
+      path: String): String =
+    meta.getOrElse(key, throw new IllegalArgumentException(
+      s"pipeline artifact at $path is missing meta key `$key` — " +
+        "truncated or hand-edited artifact?"))
 
   private def flatten(stages: Seq[GraftTransformer]): Seq[GraftTransformer] =
     stages.flatMap {
@@ -52,8 +75,11 @@ object PipelineIO {
 
   private type MetaB = scala.collection.mutable.Builder[(String, String),
     Map[String, String]]
+  private type SecB = scala.collection.mutable.Builder[
+    (String, Array[Double]), Seq[(String, Array[Double])]]
 
-  private def encode(s: GraftTransformer, p: String, m: MetaB): Unit = {
+  private def encode(s: GraftTransformer, p: String, m: MetaB,
+      secs: SecB): Unit = {
     def names(k: String, v: Seq[String]): Unit =
       m += (p + k) -> WeightsIO.namesToMeta(v)
     def ints(k: String, v: Seq[Int]): Unit =
@@ -147,19 +173,57 @@ object PipelineIO {
         str("kind", "repetition"); str("textCol", t); str("prefix", pfx)
       case graft.ml.DimReducer(f, n) =>
         str("kind", "pca"); names("features", f); str("n", n.toString)
+      case ModelStage(model) =>
+        // embed the family payload: meta under `{p}m.`, sections under
+        // `{p}` — the SAME (meta, sections) the standalone family
+        // artifact holds, so the two persistence surfaces stay one codec
+        str("kind", "model")
+        val (mm, ss) = model.saveParts
+        mm.foreach { case (k, v) => m += (p + "m." + k) -> v }
+        ss.foreach { case (n, a) => secs += (p + n) -> a }
+      case e: graft.ml.EmbeddingTransformer =>
+        e.transportName match {
+          case Some(tn) =>
+            str("kind", "embed"); str("transport", tn)
+            str("textCol", e.textCol)
+            str("batchSize", e.batchSize.toString)
+            str("dim", e.dim.toString)
+            str("template", e.template.getOrElse(""))
+            str("hasTemplate", e.template.isDefined.toString)
+          case None => throw new IllegalArgumentException(
+            "EmbeddingTransformer built around a bare function cannot " +
+              "persist — register the transport " +
+              "(graft.ml.Transports.registerEmbedder) and construct " +
+              "via EmbeddingTransformer.named so the artifact can " +
+              "carry its name")
+        }
+      case r: graft.ml.RowPredictor =>
+        r.transportName match {
+          case Some(tn) =>
+            str("kind", "row_predict"); str("transport", tn)
+            names("inputCols", r.inputCols)
+            names("outputFields", r.outputFields)
+            str("batchSize", r.batchSize.toString)
+            str("concurrency", r.concurrency.toString)
+          case None => throw new IllegalArgumentException(
+            "RowPredictor built around a bare function cannot persist " +
+              "— register the transport " +
+              "(graft.ml.Transports.registerPredictor) and construct " +
+              "via RowPredictor.named so the artifact can carry its " +
+              "name")
+        }
       case other => throw new IllegalArgumentException(
-        s"no pipeline codec for stage ${other.getClass.getName} — " +
-          "persist estimator stages through their family save()")
+        s"no pipeline codec for stage ${other.getClass.getName}")
     }
   }
 
-  private def decode(meta: Map[String, String], p: String)
+  private def decode(meta: Map[String, String],
+      sections: Map[String, Array[Double]], p: String, path: String)
       : GraftTransformer = {
-    def names(k: String): Seq[String] = WeightsIO.namesFromMeta(meta(p + k))
-    def ints(k: String): Seq[Int] = WeightsIO.intsFromMeta(meta(p + k))
-    def doubles(k: String): Seq[Double] =
-      WeightsIO.doublesFromMeta(meta(p + k))
-    def str(k: String): String = meta(p + k)
+    def str(k: String): String = metaReq(meta, p + k, path)
+    def names(k: String): Seq[String] = WeightsIO.namesFromMeta(str(k))
+    def ints(k: String): Seq[Int] = WeightsIO.intsFromMeta(str(k))
+    def doubles(k: String): Seq[Double] = WeightsIO.doublesFromMeta(str(k))
     str("kind") match {
       case "rank" => RankTransformer(names("features"), str("dateCol"))
       case "lag" => LagTransformer(names("features"), ints("windows"),
@@ -223,6 +287,29 @@ object PipelineIO {
       case "repetition" =>
         graft.text.RepetitionTransformer(str("textCol"), str("prefix"))
       case "pca" => graft.ml.DimReducer(names("features"), str("n").toInt)
+      case "model" =>
+        // slice the stage's embedded payload back out of the flat
+        // namespaces (`s12.` never prefix-collides with `s1.` — the
+        // dot terminates the stage index) and hand it to the family
+        // registry; errors name the artifact AND the stage
+        val mp = p + "m."
+        val sub = meta.collect {
+          case (k, v) if k.startsWith(mp) => k.substring(mp.length) -> v
+        }
+        val subSecs = sections.collect {
+          case (k, v) if k.startsWith(p) => k.substring(p.length) -> v
+        }
+        ModelStage(graft.ml.ModelCodecs.load(sub, subSecs,
+          s"$path (stage ${p.stripSuffix(".")})"))
+      case "embed" =>
+        graft.ml.EmbeddingTransformer.named(str("transport"),
+          str("textCol"), str("dim").toInt, str("batchSize").toInt,
+          if (str("hasTemplate").toBoolean) Some(str("template"))
+          else None)
+      case "row_predict" =>
+        graft.ml.RowPredictor.named(str("transport"), names("inputCols"),
+          names("outputFields"), str("batchSize").toInt,
+          str("concurrency").toInt)
       case k => throw new IllegalArgumentException(
         s"unknown pipeline stage kind: $k")
     }

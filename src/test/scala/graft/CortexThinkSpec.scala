@@ -118,6 +118,55 @@ class CortexThinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a trained MLP must beat the lr=0 frozen baseline on R²")
   }
 
+  test("widened grammar (NetSpecInterpreter): depth/dropout/loss knobs " +
+    "dispatch to the shallow/deep families; unknown or family-" +
+    "incompatible knobs do not compile") {
+    val ni = new graft.ml.NetSpecInterpreter(Seq("x"), "y")
+    // dispatch: hidden → shallow, layers → deep
+    assert(ni.fit(train, "mlp hidden=4 lr=0.05 epochs=1").get
+      .isInstanceOf[graft.ml.MLPRegressor])
+    assert(ni.fit(train,
+      "mlp layers=6,4 lr=0.05 epochs=1 dropout=0.2 activation=swish " +
+        "loss=combined").get.isInstanceOf[graft.ml.DeepMLPRegressor])
+    // knob order is free (the LLM proposal space is a set, not a tuple)
+    assert(ni.fit(train, "mlp epochs=1 hidden=4 lr=0.05").isDefined)
+    // non-compiling: unknown knob, dropout on the shallow family,
+    // hidden+layers together, missing lr, bad loss name
+    assert(ni.fit(train, "mlp hidden=4 lr=0.05 epochs=1 magic=7").isEmpty)
+    assert(ni.fit(train,
+      "mlp hidden=4 lr=0.05 epochs=1 dropout=0.5").isEmpty)
+    assert(ni.fit(train,
+      "mlp hidden=4 layers=4 lr=0.05 epochs=1").isEmpty)
+    assert(ni.fit(train, "mlp hidden=4 epochs=1").isEmpty)
+    assert(ni.fit(train,
+      "mlp hidden=4 lr=0.05 epochs=1 loss=hinge").isEmpty)
+  }
+
+  test("widened grammar think-loop: one run explores shallow AND deep " +
+    "architectures, keeps best-by-validation, breaks on a deep spec " +
+    "with a shallow-only knob") {
+    val ni = new graft.ml.NetSpecInterpreter(Seq("x"), "y",
+      batchFraction = 1.0)
+    val netSchedule = Map(
+      1 -> "mlp hidden=8 lr=0.05 epochs=60",
+      2 -> "mlp layers=8,4 lr=0.05 epochs=60",
+      3 -> "mlp hidden=8 lr=0.05 epochs=60 dropout=0.3", // → break
+      4 -> "mlp hidden=8 lr=0.05 epochs=60")             // never runs
+    val proposer: CortexThink.Proposer = {
+      val step = new AtomicInteger(0)
+      (_, _, _) => netSchedule(step.incrementAndGet())
+    }
+    val res = CortexThink.thinkLoop(train, valid,
+      "mlp hidden=2 lr=0.0 epochs=1", ni, proposer, nIterations = 10)
+    assert(res.log.map(_.iter) == Seq(0, 1, 2),
+      "the dropout-on-shallow spec must break the loop after trial 2")
+    assert(res.failureReason.exists(_.contains("does not compile")))
+    assert(res.completedIterations == 2)
+    assert(res.bestMetric == res.log.map(_.metric).max)
+    assert(res.log(1).metric > res.log(0).metric,
+      "a trained net must beat the frozen lr=0 baseline")
+  }
+
   // ---- HTTP proposer against a loopback LLM stand-in ----
 
   private val mapper = new ObjectMapper()

@@ -398,4 +398,48 @@ class MediaStagesSpec extends AnyFunSuite {
     assert(got(2L).forall(v => math.abs(v - 0.299f) < 1e-3), got(2L).toString)
     assert(got(3L) == Seq.fill(4)(0.0f) && got(4L) == Seq.fill(4)(0.0f))
   }
+
+  test("REAL audio codec through the same plumbing: javax.sound " +
+    "decodes WAV fixture bytes (mono ramp + stereo) inside the batched " +
+    "stage; driver decode matches, corrupt/null payloads yield zeros") {
+    import graft.multimodal.WavPcmDecoder
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short], channels: Int): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt,
+        samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // mono amplitude ramp: band RMS must strictly increase band to band
+    val ramp = wav(Array.tabulate(400)(i =>
+      (i * 70).toShort), channels = 1)
+    // stereo: L = +8000, R = -8000 → mixdown 0, every band RMS = 0
+    val stereo = wav(Array.tabulate(200)(i =>
+      if (i % 2 == 0) 8000.toShort else (-8000).toShort), channels = 2)
+    val rows = Seq(
+      (1L, ramp), (2L, stereo),
+      (3L, "not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = spark.createDataFrame(rows).toDF("id", "media").repartition(2)
+    val got = BinaryPipeline.extractFeatures(df, "media", dim = 4,
+      batchSize = 2, decoder = WavPcmDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // the distributed decode equals a driver-side decode of the same bytes
+    assert(got(1L) == WavPcmDecoder.decode(ramp, 4).toSeq)
+    assert(got(2L) == WavPcmDecoder.decode(stereo, 4).toSeq)
+    // ramp: real PCM amplitudes, monotone RMS across time bands
+    assert(got(1L).sliding(2).forall(p => p(0) < p(1)), got(1L).toString)
+    // stereo mixdown of an antiphase pair cancels exactly
+    assert(got(2L).forall(_ == 0.0f), got(2L).toString)
+    assert(got(3L) == Seq.fill(4)(0.0f) && got(4L) == Seq.fill(4)(0.0f))
+  }
 }
