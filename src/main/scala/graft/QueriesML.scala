@@ -386,6 +386,36 @@ object QueriesML {
           mlpFeats.map(c => col(c).cast("double"))), 6).as("score"))
     }),
 
+    // the one-artifact deploy path INSIDE the correctness gate: compose
+    // a feature chain + a pinned-weight MLP head (ModelStage), SAVE the
+    // whole fitted pipeline as ONE WeightsIO artifact, LOAD it back,
+    // and score with the LOADED object — the oracle verifies the
+    // round-tripped artifact, so any codec drift (dropped knob,
+    // reordered stage, corrupted section) breaks the hash, not just a
+    // unit test. Artifact I/O is driver-side kilobytes at query build.
+    "q_pipeline_artifact" -> ((s, dir) => {
+      val scaledFeats = mlpFeats.map(_ + "_mm")
+      val head = MLPRegressor.fromParts(
+        Map("family" -> "mlp",
+          "features" -> WeightsIO.namesToMeta(scaledFeats),
+          "target" -> "l_extendedprice", "hidden" -> "4",
+          "lr" -> "0.001", "epochs" -> "1", "seed" -> "42",
+          "scaleTarget" -> "false", "batchFraction" -> "1.0",
+          "loss" -> "mse", "optimizer" -> "adam",
+          "yMean" -> "0.0", "yStd" -> "1.0"),
+        WeightsIO.packMlp(pinned).toMap, "q_pipeline_artifact head")
+      val p = graft.operators.Pipeline(Seq(
+        graft.operators.MinMaxScaler(mlpFeats, "_mm"),
+        graft.operators.ModelStage(head)))
+      val path = java.nio.file.Files.createTempDirectory("graft-qpa")
+        .resolve("pipeline.json").toString
+      graft.operators.PipelineIO.save(path, p)
+      val loaded = graft.operators.PipelineIO.load(path)
+      loaded.transform(li(s, dir)).select(col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("prediction"), 6).as("prediction"))
+    }),
+
     // batched embedding harness with the reference's deterministic mock;
     // output through the {f}_embed_{i} explode contract
     "q_embed" -> ((s, dir) => {
@@ -1105,6 +1135,36 @@ object QueriesML {
     "q_mlp_score" ->
       s"""SELECT l_orderkey, l_linenumber, $mlpSql AS score
          |FROM lineitem""".stripMargin,
+    // the loaded-artifact pipeline: global min-max CTE (the scaler's
+    // exact 1e-10 degenerate branch), then the pinned MLP over the
+    // SCALED features — same left-associated term order as the Spark
+    // codegen'd columns
+    "q_pipeline_artifact" -> {
+      val mm = mlpFeats.zipWithIndex.map { case (c, i) =>
+        s"min($c) AS mn$i, max($c) AS mx$i"
+      }.mkString(", ")
+      val sc = mlpFeats.zipWithIndex.map { case (c, i) =>
+        s"CASE WHEN mx$i - mn$i < 1e-10 THEN 0.5 " +
+          s"ELSE ($c - mn$i) / (mx$i - mn$i) END AS f$i"
+      }.mkString(",\n        |  ")
+      val f = mlpFeats.indices.map(i => s"f$i")
+      val hidden = (0 until 4).map { j =>
+        val z = f.zipWithIndex.map { case (c, i) =>
+          s"$c * ${pinned.w1(i)(j)}"
+        }.mkString("(", " + ", s" + ${pinned.b1(j)})")
+        s"greatest($z, 0.0)"
+      }
+      val out = hidden.zipWithIndex.map { case (h, j) =>
+        s"$h * ${pinned.w2(j)}"
+      }.mkString("(", " + ", s" + ${pinned.b2})")
+      s"""WITH st AS (SELECT $mm FROM lineitem),
+        |sc AS (SELECT l_orderkey, l_linenumber,
+        |  $sc
+        |  FROM lineitem, st)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(($out) * 1.0 + 0.0, 6) AS prediction
+        |FROM sc""".stripMargin
+    },
     "q_embed" ->
       """SELECT doc_id,
         | CAST(CAST(length(text) AS FLOAT) AS DOUBLE) AS text_embed_0,

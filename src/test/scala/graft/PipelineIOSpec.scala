@@ -231,6 +231,29 @@ class PipelineIOSpec extends AnyFunSuite {
     assert(m(p) == m(loaded), "both heads must score bit-identically")
   }
 
+  test("a MID-chain estimator stage round-trips: model head feeding a " +
+    "downstream transformer (the stacking shape) saves/loads/scores " +
+    "bit-identically") {
+    val chain = entryPipeline
+    val feats = Seq("l_extendedprice_logreturn_rank_lag1",
+      "l_extendedprice_logreturn_rank_ma4")
+    val train = chain.transform(li).na.drop(feats :+ "l_quantity")
+    val head = new graft.ml.MLPRegressor(feats, "l_quantity", hidden = 3,
+      lr = 0.02, epochs = 5).fit(train)
+    // estimator in the MIDDLE: its prediction column feeds a rank stage
+    val full = Pipeline(chain.stages ++ Seq(ModelStage(head),
+      RankTransformer(Seq("prediction"), "l_shipdate")))
+    val path = tmp("mid_chain.json")
+    PipelineIO.save(path, full)
+    val loaded = PipelineIO.load(path)
+    assert(loaded.outputNames == full.outputNames)
+    val outCols = Seq("prediction", "prediction_rank")
+    val a = collectOut(full.transform(li), outCols)
+    val b = collectOut(loaded.transform(li), outCols)
+    assert(a == b, "mid-chain estimator output and the downstream " +
+      "rank must both round-trip bit-identically")
+  }
+
   test("function-carrying transformers persist by registered transport " +
     "NAME and re-wire at load; bare lambdas are rejected with a " +
     "registry pointer") {
