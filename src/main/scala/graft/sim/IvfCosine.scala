@@ -87,6 +87,36 @@ object IvfCosine {
       path: String, idCol: String, vecCol: String): Index =
     loadIndex(spark, path, Option(idCol), Option(vecCol))
 
+  /** Append a delta shard of NEW documents to a `saveIndex`ed index IN
+    * PLACE: the saved quantizer is reloaded (bit-exact), ONLY the delta
+    * is assigned (map-side, centroid literals — the corpus at rest is
+    * never re-scored or rewritten), and the new rows append into the
+    * same cell-partitioned parquet layout — the daily-shard ingest path
+    * that keeps a 100 TB index build-once. The delta's columns must
+    * match the names the index was built with (validated against meta,
+    * like loadIndex). Additions ONLY: re-embedded or deleted documents
+    * go through the SnapshotDiff merge-on-read path (resolveLatest,
+    * AnnMaintenanceSpec) and a compaction rewrite — an in-place append
+    * cannot retract rows. */
+  def appendToIndex(path: String, delta: DataFrame): Unit = {
+    val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
+    graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
+      s"$path/centroids.json")
+    val (idCol, vecCol) = (meta("idCol"), meta("vecCol"))
+    Seq(idCol, vecCol).foreach(c => require(delta.columns.contains(c),
+      s"delta is missing column $c (the index at $path was built " +
+        s"with idCol=$idCol, vecCol=$vecCol)"))
+    val (nlist, dim) = (meta("nlist").toInt, meta("dim").toInt)
+    val cents = Array.tabulate(nlist) { i =>
+      val c = sections(s"c$i")
+      graft.ml.WeightsIO.requireLen(s"c$i", c, dim)
+      c
+    }
+    assignByCentroids(delta, idCol, vecCol, cents).assigned
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$path/assigned")
+  }
+
   /** Fit the coarse quantizer and assign every corpus row to its cell.
     *
     * Training is Lloyd's k-means on the DRIVER over the bounded sample

@@ -313,4 +313,50 @@ class ModelPersistenceSpec extends AnyFunSuite {
     assert(results(idx) == results(loaded),
       "search over the loaded index must match the built one")
   }
+
+  test("ivf index: appendToIndex adds a delta shard in place — loaded " +
+    "index equals an index built over the union; corpus at rest is " +
+    "not rewritten") {
+    import graft.sim.IvfCosine
+    val r = new scala.util.Random(9)
+    val dim = 8
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = vecs(0 until 50).cache()
+    val delta = vecs(50 until 80).cache()
+    val cents = IvfCosine.pinnedCentroids(4, dim)
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfapp")
+      .resolve("idx").toString
+    IvfCosine.saveIndex(p,
+      IvfCosine.assignByCentroids(base, "vec_id", "embedding", cents),
+      "vec_id", "embedding")
+    val filesBefore = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$p/assigned"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    IvfCosine.appendToIndex(p, delta)
+    // append-only: the base shard's files are still there, untouched
+    val filesAfter = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$p/assigned"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    assert(filesAfter > filesBefore, "append must add files, not rewrite")
+    val loaded = IvfCosine.loadIndex(spark, p, "vec_id", "embedding")
+    val union = IvfCosine.assignByCentroids(base.unionByName(delta),
+      "vec_id", "embedding", cents)
+    val probes = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def results(ix: IvfCosine.Index) =
+      IvfCosine.search(ix, probes, "vec_id", "embedding", "qid", "qvec",
+        k = 3, nprobe = 2, dim = dim)
+        .collect().map(row => (row.getLong(0), row.getLong(1),
+          java.lang.Double.doubleToRawLongBits(row.getDouble(2)),
+          row.getInt(3))).toSet
+    assert(results(loaded) == results(union),
+      "search over the appended index must equal a union rebuild")
+    // a delta missing the recorded columns fails with the meta names
+    intercept[IllegalArgumentException] {
+      IvfCosine.appendToIndex(p,
+        delta.withColumnRenamed("embedding", "vec"))
+    }
+  }
 }

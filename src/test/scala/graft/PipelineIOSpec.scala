@@ -297,6 +297,37 @@ class PipelineIOSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("never-registered"))
   }
 
+  test("ModelCodecs registry covers every persisted family, and " +
+    "directly-constructed models (bottleneck, soft forest) embed too") {
+    assert(graft.ml.ModelCodecs.loaders.keySet == Set(
+      "mlp", "mlp_multi", "deep_mlp", "deep_mlp_multi", "lstm",
+      "lstm_multi", "attn", "attn_multi", "joint_ae", "bn_ae",
+      "deep_ae", "deep_bn_ae", "bottleneck", "soft_forest"),
+      "every family with a standalone load() must be loadable from a " +
+        "pipeline-embedded payload")
+    val bn = graft.ml.BottleneckModel(graft.ml.BottleneckWeights(
+      means = Array(10.0, 0.05),
+      loadings = Array(Array(0.8, -0.6), Array(0.6, 0.8)),
+      head = Array(0.5, -0.25), headBias = 0.125),
+      Seq("l_quantity", "l_discount"))
+    val sf = graft.ml.SoftForestModel(
+      trees = Seq(graft.ml.SoftTreeWeights(Array(0, 1),
+        Array(Array(0.5), Array(-0.25)), Array(0.125),
+        Array(1.0, -1.0), null)),
+      trunk = Nil, featMeans = Array(10.0, 0.05),
+      featStds = Array(5.0, 0.03), temperature = 1.0, yMean = 2.0,
+      yStd = 3.0, featureCols = Seq("l_quantity", "l_discount"))
+    for ((m, tag) <- Seq((bn, "bn"), (sf, "sf"))) {
+      val p = Pipeline(Seq(ModelStage(m)))
+      val path = tmp(s"direct_$tag.json")
+      PipelineIO.save(path, p)
+      val loaded = PipelineIO.load(path)
+      val a = collectOut(m.predict(li), Seq("prediction"))
+      val b = collectOut(loaded.transform(li), Seq("prediction"))
+      assert(a == b, s"$tag: embedded round-trip must score bit-identically")
+    }
+  }
+
   test("a truncated artifact fails with the path and the missing key, " +
     "not a bare NoSuchElementException") {
     val path = tmp("truncated.json")
