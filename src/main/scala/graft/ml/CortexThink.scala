@@ -254,6 +254,85 @@ class NetSpecInterpreter(featureCols: Seq[String], targetCol: String,
       .collect()(0).getDouble(0)
 }
 
+/** The SEQUENCE half of the widened proposal space: the reference's
+  * LLM rewrites `build_model` freely, so it can propose recurrent or
+  * attention stacks just as easily as dense ones
+  * (keras_cortex.py:96-143; the reference ships LSTMRegressor and
+  * TransformerRegressor as first-class estimators). Specs:
+  *
+  *   - `lstm hidden=<int> lr=<d> epochs=<int> [layers=<i,j,..>]
+  *      [dropout=<d>] [loss=..]`       → [[LSTMTrainer]]
+  *   - `attn dmodel=<int> ff=<int> lr=<d> epochs=<int> [heads=<int>]
+  *      [blocks=<int>] [pool] [loss=..]` → [[AttnTrainer]]
+  *
+  * One think-loop explores across FAMILIES — dense (NetSpec), recurrent
+  * and attention — over the common [[ModelEstimator]] surface. The lag
+  * panel contract (lagCols ordered lag-major, seqLen) is interpreter
+  * construction, like featureCols on the tabular side. Malformed or
+  * family-incompatible knobs → None (the exec-failure analog). */
+class SeqSpecInterpreter(lagCols: Seq[String], seqLen: Int,
+    targetCol: String, batchFraction: Double = 0.2,
+    optimizer: String = "adam", scaleTarget: Boolean = true,
+    seed: Long = 42L)
+    extends CortexThink.SpecInterpreter[ModelEstimator] with Serializable {
+
+  private val lstmKeys = Set("hidden", "layers", "lr", "epochs",
+    "dropout", "loss")
+  private val attnKeys = Set("dmodel", "ff", "heads", "blocks", "pool",
+    "lr", "epochs", "loss")
+
+  private def kv(toks: Seq[String], keys: Set[String])
+      : Option[Map[String, String]] = {
+    // bare flags (e.g. `pool`) read as key=true
+    val pairs = toks.map { t =>
+      val a = t.split("=", 2)
+      if (a.length == 2) a(0) -> a(1) else a(0) -> "true"
+    }
+    val m = pairs.toMap
+    if (m.size != pairs.size || !m.keySet.subsetOf(keys)) None
+    else if (!m.contains("lr") || !m.contains("epochs")) None
+    else Some(m)
+  }
+
+  def fit(train: DataFrame, spec: String): Option[ModelEstimator] = {
+    val toks = spec.trim.split("\\s+").toSeq
+    try {
+      toks.headOption match {
+        case Some("lstm") => kv(toks.tail, lstmKeys).flatMap { m =>
+          if (!m.contains("hidden")) None
+          else Some(new LSTMTrainer(lagCols, seqLen, targetCol,
+            hidden = m("hidden").toInt, lr = m("lr").toDouble,
+            epochs = m("epochs").toInt, seed = seed,
+            scaleTarget = scaleTarget, batchFraction = batchFraction,
+            layers = m.get("layers").map(_.split(",").toSeq.map(_.toInt))
+              .getOrElse(Nil),
+            dropout = m.getOrElse("dropout", "0.0").toDouble,
+            loss = m.getOrElse("loss", "mse"),
+            optimizer = optimizer).fit(train))
+        }
+        case Some("attn") => kv(toks.tail, attnKeys).flatMap { m =>
+          if (!m.contains("dmodel") || !m.contains("ff")) None
+          else Some(new AttnTrainer(lagCols, seqLen, targetCol,
+            dModel = m("dmodel").toInt, ffDim = m("ff").toInt,
+            lr = m("lr").toDouble, epochs = m("epochs").toInt,
+            seed = seed, scaleTarget = scaleTarget,
+            batchFraction = batchFraction,
+            numHeads = m.getOrElse("heads", "1").toInt,
+            numBlocks = m.getOrElse("blocks", "1").toInt,
+            attnPool = m.getOrElse("pool", "false").toBoolean,
+            loss = m.getOrElse("loss", "mse"),
+            optimizer = optimizer).fit(train))
+        }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def score(model: ModelEstimator, valid: DataFrame): Double =
+    Metrics.r2(model.predict(valid), "prediction", targetCol, Seq.empty)
+      .collect()(0).getDouble(0)
+}
+
 /** `"ridge feature=<col> lambda=<double>"` → per-era single-feature
   * no-intercept ridge, fit and scored RELATIONALLY:
   *

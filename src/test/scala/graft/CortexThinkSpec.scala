@@ -167,6 +167,48 @@ class CortexThinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a trained net must beat the frozen lr=0 baseline")
   }
 
+  test("sequence grammar (SeqSpecInterpreter): lstm/attn specs " +
+    "dispatch to the recurrent and attention trainers; one loop " +
+    "explores across families") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val series = new Array[Double](260)
+    for (i <- 2 until series.length)
+      series(i) = 1.1 * series(i - 1) - 0.3 * series(i - 2) +
+        0.2 * r.nextGaussian()
+    val panel = (3 until 240).map(i => (i.toLong, series(i - 3),
+      series(i - 2), series(i - 1), series(i)))
+      .toDF("id", "lag3", "lag2", "lag1", "y")
+    val sTrain = panel.where(col("id") % 5 =!= 0)
+    val sValid = panel.where(col("id") % 5 === 0)
+    val si = new graft.ml.SeqSpecInterpreter(
+      Seq("lag3", "lag2", "lag1"), seqLen = 3, "y")
+    assert(si.fit(sTrain, "lstm hidden=3 lr=0.05 epochs=2").get
+      .isInstanceOf[graft.ml.LSTMTrainer])
+    assert(si.fit(sTrain, "attn dmodel=4 ff=4 lr=0.05 epochs=2").get
+      .isInstanceOf[graft.ml.AttnTrainer])
+    // non-compiling: unknown knob, missing required, wrong family knob
+    assert(si.fit(sTrain, "lstm hidden=3 lr=0.05 epochs=2 magic=1").isEmpty)
+    assert(si.fit(sTrain, "attn ff=4 lr=0.05 epochs=2").isEmpty)
+    assert(si.fit(sTrain, "attn dmodel=4 ff=4 hidden=3 lr=0.05 " +
+      "epochs=2").isEmpty)
+    assert(si.fit(sTrain, "mlp hidden=3 lr=0.05 epochs=2").isEmpty)
+    val seqSchedule = Map(
+      1 -> "attn dmodel=4 ff=4 heads=2 lr=0.05 epochs=3",
+      2 -> "lstm hidden=4 lr=0.05 epochs=3",
+      3 -> "gru hidden=4 lr=0.05 epochs=3") // unknown family → break
+    val proposer: CortexThink.Proposer = {
+      val step = new AtomicInteger(0)
+      (_, _, _) => seqSchedule(step.incrementAndGet())
+    }
+    val res = CortexThink.thinkLoop(sTrain, sValid,
+      "lstm hidden=2 lr=0.0 epochs=1", si, proposer, nIterations = 10)
+    assert(res.log.map(_.iter) == Seq(0, 1, 2),
+      "the unknown-family trial must break the loop after trial 2")
+    assert(res.completedIterations == 2)
+    assert(res.bestMetric == res.log.map(_.metric).max)
+  }
+
   // ---- HTTP proposer against a loopback LLM stand-in ----
 
   private val mapper = new ObjectMapper()

@@ -60,6 +60,18 @@ class PipelineIOSpec extends AnyFunSuite {
     }
   }
 
+  test("the loaded pipeline compiles to the IDENTICAL Catalyst plan " +
+    "(canonicalized optimized-plan equality), which is WHY output is " +
+    "bit-identical") {
+    val p = entryPipeline
+    val path = tmp("plan.json")
+    PipelineIO.save(path, p)
+    val loaded = PipelineIO.load(path)
+    val a = p.transform(li).queryExecution.optimizedPlan.canonicalized
+    val b = loaded.transform(li).queryExecution.optimizedPlan.canonicalized
+    assert(a == b, "save -> load must not perturb the plan")
+  }
+
   test("scaling + horizontal stages round-trip (minmax, standardize, " +
     "gaussianize, groupstats, ewma, rolling corr)") {
     val p = Pipeline(Seq(
