@@ -231,6 +231,34 @@ object QueriesSim {
           col("rank"))
     }),
 
+    // the PERSISTED index lifecycle inside the gate: build over the
+    // base shard → saveIndex (cell-partitioned parquet + exact-double
+    // centroids) → appendToIndex the delta shard (only the delta is
+    // assigned; the base files are untouched) → loadIndex → search.
+    // Values are independent of the disk round-trip, so the oracle is
+    // the plain IVF search over the FULL corpus — any drift in the
+    // save/append/load codec path breaks the hash. Artifact I/O is
+    // corpus-shard-sized parquet at query build (driver-side temp dir).
+    "q_ivf_append" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val base = all.where(col("vec_id") % 3 =!= 0)
+      val delta = all.where(col("vec_id") % 3 === 0)
+      val path = java.nio.file.Files.createTempDirectory("graft-qia")
+        .resolve("idx").toString
+      IvfCosine.saveIndex(path,
+        IvfCosine.assignByCentroids(base, "vec_id", "embedding",
+          IvfCosine.pinnedCentroids(16, DIM)), "vec_id", "embedding")
+      IvfCosine.appendToIndex(path,
+        delta.select(col("vec_id"), col("embedding")))
+      val idx = IvfCosine.loadIndex(s, path, "vec_id", "embedding")
+      val probes = all.where(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nprobe = 4, dim = DIM)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
     // product quantization (Jégou et al. 2011): encode → ADC shortlist →
     // exact re-rank, all against pinned codebooks — the storage-bound
     // scale path (m bytes + a norm per vector) under a full oracle.
@@ -412,10 +440,10 @@ object QueriesSim {
   }
 
   private def ivfSearchSql(cents: Array[Array[Double]], nprobe: Int,
-      k: Int): String =
+      k: Int, probePred: String = "vec_id < 50"): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |${ivfCtes(cents, nprobe, "vec_id < 50")}
+       |${ivfCtes(cents, nprobe, probePred)}
        |SELECT qid, nid, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
@@ -482,6 +510,11 @@ object QueriesSim {
   private val staticOracleSql: Map[String, String] = Map(
     "q_ivf_pinned" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
       nprobe = 4, k = 5),
+
+    // save → append → load is value-transparent, so the oracle is the
+    // plain pinned-grid search over the full corpus
+    "q_ivf_append" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
+      nprobe = 4, k = 5, probePred = "vec_id % 29 = 0"),
 
     "q_umap_analog" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
       iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3),
