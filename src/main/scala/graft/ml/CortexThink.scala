@@ -176,23 +176,28 @@ class MlpSpecInterpreter(featureCols: Seq[String], targetCol: String,
 /** The WIDENED model-spec grammar (VERDICT r11 item 3) — closer to the
   * reference's proposal space, where the LLM rewrites an arbitrary
   * `build_model` body varying depth, units, dropout and loss
-  * (keras_cortex.py:96-143). Specs are `mlp` plus key=value knobs in
-  * any order, each mapping to an ALREADY-TRAINED surface:
+  * (keras_cortex.py:96-143). Specs are a family token plus key=value
+  * knobs in any order, each mapping to an ALREADY-TRAINED surface:
   *
-  *   - `hidden=<int>`              → shallow [[MLPRegressor]]
-  *   - `layers=<int,int,...>`      → [[DeepMLPRegressor]] (depth knob)
+  *   - `mlp hidden=<int>`          → shallow [[MLPRegressor]]
+  *   - `mlp layers=<i,j,..>`       → [[DeepMLPRegressor]] (depth knob;
+  *     optional `dropout=<d>` / `activation=relu|swish`)
+  *   - `forest trees=<int> depth=<int> [trunk=<i,j>]`
+  *                                 → [[SoftNdfRegressor]]
+  *   - `bottleneck latent=<int>`   → [[BottleneckEncoder]] (closed-form
+  *     PCA + lstsq head — the only family with no lr/epochs knobs)
   *   - `lr=<double> epochs=<int>`  → required optimizer knobs
-  *   - `loss=mse|spearman|combined`→ training objective (both depths)
-  *   - `dropout=<double>`          → deep path only
-  *   - `activation=relu|swish`     → deep path only
+  *     (iterative families)
+  *   - `loss=mse|spearman|combined`→ training objective
   *
   * Dispatch returns the common [[ModelEstimator]] surface, so one
-  * think-loop explores shallow and deep architectures in the same run —
-  * the reference's LLM freely moves between 1-layer and N-layer
-  * `build_model` bodies the same way. A malformed spec, an unknown
-  * knob, or a knob the dispatched family lacks (dropout on the shallow
-  * path) returns None — the `exec`-failure analog; the loop breaks and
-  * keeps the best (CortexThinkSpec pins accept/reject/dispatch).
+  * think-loop explores shallow, deep, forest and encoder architectures
+  * in the same run — the reference's LLM freely moves between
+  * `build_model` bodies the same way (its sequence siblings live in
+  * [[SeqSpecInterpreter]]). A malformed spec, an unknown knob, or a
+  * knob the dispatched family lacks (dropout on the shallow path)
+  * returns None — the `exec`-failure analog; the loop breaks and keeps
+  * the best (CortexThinkSpec pins accept/reject/dispatch).
   *
   * Oracle status: the shallow full-batch MSE subset of this grammar is
   * the exact surface q_cortex_mlp value-oracles (every trial's Adam
@@ -208,46 +213,73 @@ class NetSpecInterpreter(featureCols: Seq[String], targetCol: String,
     scaleTarget: Boolean = true, seed: Long = 42L)
     extends CortexThink.SpecInterpreter[ModelEstimator] with Serializable {
 
-  private val knownKeys = Set("hidden", "layers", "lr", "epochs", "loss",
+  private val mlpKeys = Set("hidden", "layers", "lr", "epochs", "loss",
     "dropout", "activation")
+  private val forestKeys = Set("trees", "depth", "trunk", "lr",
+    "epochs", "loss")
+  private val bottleneckKeys = Set("latent")
 
-  private def parse(spec: String): Option[Map[String, String]] = {
-    val toks = spec.trim.split("\\s+").toSeq
-    if (toks.isEmpty || toks.head != "mlp") return None
-    val kvs = toks.tail.map(_.split("=", 2))
+  private def kv(toks: Seq[String], keys: Set[String])
+      : Option[Map[String, String]] = {
+    val kvs = toks.map(_.split("=", 2))
     if (kvs.exists(_.length != 2)) return None
     val m = kvs.map(a => a(0) -> a(1)).toMap
-    // duplicate keys, unknown knobs, or hidden+layers together → the
-    // spec "does not compile"
-    if (m.size != kvs.size || !m.keySet.subsetOf(knownKeys)) None
-    else if (m.contains("hidden") == m.contains("layers")) None
-    else if (!m.contains("lr") || !m.contains("epochs")) None
-    else Some(m)
+    // duplicate keys or unknown knobs → the spec "does not compile"
+    if (m.size != kvs.size || !m.keySet.subsetOf(keys)) None else Some(m)
   }
 
-  def fit(train: DataFrame, spec: String): Option[ModelEstimator] =
-    parse(spec).flatMap { m =>
-      try {
-        val (lr, ep) = (m("lr").toDouble, m("epochs").toInt)
-        val loss = m.getOrElse("loss", "mse")
-        if (m.contains("hidden")) {
-          // shallow family has no dropout/activation knobs — proposing
-          // them is a non-compiling spec, not a silent ignore
-          if (m.contains("dropout") || m.contains("activation")) None
-          else Some(new MLPRegressor(featureCols, targetCol,
-            hidden = m("hidden").toInt, lr = lr, epochs = ep,
-            seed = seed, scaleTarget = scaleTarget,
-            batchFraction = batchFraction, loss = loss,
-            optimizer = optimizer).fit(train))
-        } else Some(new DeepMLPRegressor(featureCols, targetCol,
-          layers = m("layers").split(",").toSeq.map(_.toInt),
-          activation = m.getOrElse("activation", "relu"), lr = lr,
-          epochs = ep, seed = seed, scaleTarget = scaleTarget,
-          batchFraction = batchFraction, loss = loss,
-          dropoutRate = m.getOrElse("dropout", "0.0").toDouble,
-          optimizer = optimizer).fit(train))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
+  def fit(train: DataFrame, spec: String): Option[ModelEstimator] = {
+    val toks = spec.trim.split("\\s+").toSeq
+    try {
+      toks.headOption match {
+        case Some("mlp") => kv(toks.tail, mlpKeys).flatMap { m =>
+          // hidden XOR layers, lr + epochs required
+          if (m.contains("hidden") == m.contains("layers") ||
+            !m.contains("lr") || !m.contains("epochs")) None
+          else {
+            val (lr, ep) = (m("lr").toDouble, m("epochs").toInt)
+            val loss = m.getOrElse("loss", "mse")
+            if (m.contains("hidden")) {
+              // shallow family has no dropout/activation knobs —
+              // proposing them is a non-compiling spec, not a silent
+              // ignore
+              if (m.contains("dropout") || m.contains("activation")) None
+              else Some(new MLPRegressor(featureCols, targetCol,
+                hidden = m("hidden").toInt, lr = lr, epochs = ep,
+                seed = seed, scaleTarget = scaleTarget,
+                batchFraction = batchFraction, loss = loss,
+                optimizer = optimizer).fit(train))
+            } else Some(new DeepMLPRegressor(featureCols, targetCol,
+              layers = m("layers").split(",").toSeq.map(_.toInt),
+              activation = m.getOrElse("activation", "relu"), lr = lr,
+              epochs = ep, seed = seed, scaleTarget = scaleTarget,
+              batchFraction = batchFraction, loss = loss,
+              dropoutRate = m.getOrElse("dropout", "0.0").toDouble,
+              optimizer = optimizer).fit(train))
+          }
+        }
+        case Some("forest") => kv(toks.tail, forestKeys).flatMap { m =>
+          if (!Seq("trees", "depth", "lr", "epochs").forall(m.contains))
+            None
+          else Some(new SoftNdfRegressor(featureCols, targetCol,
+            numTrees = m("trees").toInt, depth = m("depth").toInt,
+            lr = m("lr").toDouble, epochs = m("epochs").toInt,
+            seed = seed, batchFraction = batchFraction,
+            trunkUnits = m.get("trunk")
+              .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Nil),
+            loss = m.getOrElse("loss", "mse")).fit(train))
+        }
+        case Some("bottleneck") =>
+          kv(toks.tail, bottleneckKeys).flatMap { m =>
+            // closed-form PCA + lstsq head — no lr/epochs knobs exist
+            if (!m.contains("latent")) None
+            else Some(BottleneckEncoder(featureCols, m("latent").toInt,
+              Some(targetCol)).fit(train))
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   def score(model: ModelEstimator, valid: DataFrame): Double =
     Metrics.r2(model.predict(valid), "prediction", targetCol, Seq.empty)

@@ -130,6 +130,14 @@ class CortexThinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         "loss=combined").get.isInstanceOf[graft.ml.DeepMLPRegressor])
     // knob order is free (the LLM proposal space is a set, not a tuple)
     assert(ni.fit(train, "mlp epochs=1 hidden=4 lr=0.05").isDefined)
+    // forest and bottleneck families dispatch too (the full tabular
+    // estimator surface under one grammar)
+    assert(ni.fit(train, "forest trees=2 depth=2 lr=0.05 epochs=1").get
+      .isInstanceOf[graft.ml.SoftForestModel])
+    assert(ni.fit(train, "bottleneck latent=1").get
+      .isInstanceOf[graft.ml.BottleneckModel])
+    assert(ni.fit(train, "forest trees=2 lr=0.05 epochs=1").isEmpty)
+    assert(ni.fit(train, "bottleneck latent=1 lr=0.05").isEmpty)
     // non-compiling: unknown knob, dropout on the shallow family,
     // hidden+layers together, missing lr, bad loss name
     assert(ni.fit(train, "mlp hidden=4 lr=0.05 epochs=1 magic=7").isEmpty)
