@@ -314,6 +314,54 @@ class ModelPersistenceSpec extends AnyFunSuite {
       "search over the loaded index must match the built one")
   }
 
+  test("serve a probe STREAM against the persisted index: per-batch " +
+    "search over loadIndex equals the batch search (the RAG " +
+    "query-serving shape — index built once, queries arrive forever)") {
+    import graft.sim.IvfCosine
+    val r = new scala.util.Random(21)
+    val dim = 8
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfserve")
+      .resolve("idx").toString
+    IvfCosine.saveIndex(p,
+      IvfCosine.assignByCentroids(corpus, "vec_id", "embedding",
+        IvfCosine.pinnedCentroids(4, dim)), "vec_id", "embedding")
+    val loaded = IvfCosine.loadIndex(spark, p, "vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def search(ps: org.apache.spark.sql.DataFrame) =
+      IvfCosine.search(loaded, ps, "vec_id", "embedding", "qid", "qvec",
+        k = 3, nprobe = 2, dim = dim)
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve")
+    val inDir = dir.resolve("in").toString
+    probes.write.parquet(inDir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Int)]()
+    val q = spark.readStream.schema(probes.schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per micro-batch: the SAME cell-pruned equi-join search plan,
+        // probes = just this batch (rank is per-qid, so batch-local
+        // windows equal the global ones)
+        search(batch).collect().foreach(row => got.add((row.getLong(0),
+          row.getLong(1),
+          java.lang.Double.doubleToRawLongBits(row.getDouble(2)),
+          row.getInt(3))))
+      }
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batchResults = search(probes).collect().map(row =>
+      (row.getLong(0), row.getLong(1),
+        java.lang.Double.doubleToRawLongBits(row.getDouble(2)),
+        row.getInt(3))).toSet
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(
+      got.iterator).asScala.toSet == batchResults,
+      "streamed per-batch search must equal the batch search bit-for-bit")
+  }
+
   test("ivf index: appendToIndex adds a delta shard in place — loaded " +
     "index equals an index built over the union; corpus at rest is " +
     "not rewritten") {
