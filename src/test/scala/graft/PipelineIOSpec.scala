@@ -198,10 +198,11 @@ class PipelineIOSpec extends AnyFunSuite {
     val feats = Seq("l_extendedprice_logreturn_rank_lag1",
       "l_extendedprice_logreturn_rank_lag2",
       "l_extendedprice_logreturn_rank_ma4")
-    val train = chain.transform(li).na.drop(feats :+ "l_quantity")
-    val head = new graft.ml.DeepMLPRegressor(feats, "l_quantity",
-      layers = Seq(4, 3), lr = 0.02, epochs = 5).fit(train)
-    val full = Pipeline(chain.stages :+ ModelStage(head))
+    // the reference's one-call make_pipeline(...).fit(X, y) shape
+    val full = FitPipeline.fit(chain.stages, li, d =>
+      new graft.ml.DeepMLPRegressor(feats, "l_quantity",
+        layers = Seq(4, 3), lr = 0.02, epochs = 5)
+        .fit(d.na.drop(feats :+ "l_quantity")))
     val path = tmp("full_with_head.json")
     PipelineIO.save(path, full)
     assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path)),
