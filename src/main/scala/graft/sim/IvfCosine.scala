@@ -28,11 +28,14 @@ object IvfCosine {
 
   /** Persist a built index: the assigned corpus as parquet PARTITIONED
     * BY cell (a probe batch reading `nprobe` of `nlist` cells scans
-    * only those directories — partition pruning is the read-side analog
-    * of the search's cell equi-join) and the quantizer centroids as a
-    * WeightsIO artifact next to it. Build once, reuse across every
-    * search job — at corpus scale the assignment pass dwarfs any single
-    * query, so an unreusable index is a rebuilt-per-query bottleneck. */
+    * only those directories — Spark's DYNAMIC partition pruning fires
+    * on the `search` join's cell key, so the file source skips every
+    * unprobed cell directory; PlanSpec pins the
+    * dynamicpruningexpression on the assigned scan) and the quantizer
+    * centroids as a WeightsIO artifact next to it. Build once, reuse
+    * across every search job — at corpus scale the assignment pass
+    * dwarfs any single query, so an unreusable index is a
+    * rebuilt-per-query bottleneck. */
   def saveIndex(path: String, index: Index, idCol: String,
       vecCol: String): Unit = {
     index.assigned.select(col(idCol), col(vecCol), col("cell"))

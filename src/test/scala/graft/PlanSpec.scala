@@ -237,6 +237,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("search over a LOADED cell-partitioned index triggers DYNAMIC " +
+    "PARTITION PRUNING: only the probed cell directories are scanned " +
+    "(the file-level nprobe/nlist read reduction at 100 TB)") {
+    import graft.sim.IvfCosine
+    import spark.implicits._
+    val r = new scala.util.Random(17)
+    val dim = 8
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft-dpp")
+      .resolve("idx").toString
+    IvfCosine.saveIndex(p,
+      IvfCosine.assignByCentroids(corpus, "vec_id", "embedding",
+        IvfCosine.pinnedCentroids(8, dim)), "vec_id", "embedding")
+    val loaded = IvfCosine.loadIndex(spark, p, "vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = planOf(IvfCosine.search(loaded, probes, "vec_id",
+      "embedding", "qid", "qvec", k = 3, nprobe = 2, dim = dim))
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"no DPP on the assigned scan — a probe batch would read all " +
+        s"nlist cell directories instead of its nprobe:\n$plan")
+  }
+
   test("trained-model scoring queries (soft forest, joint autoencoder) " +
     "are shuffle-free projection chains — map-side at scan speed") {
     for (q <- Seq("q_soft_forest", "q_ae_score", "q_ae_bn", "q_deep_bn")) {
