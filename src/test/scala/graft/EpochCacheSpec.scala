@@ -28,12 +28,24 @@ class EpochCacheSpec extends AnyFunSuite {
     org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
       .filter(_.getScheme == "file").map(_.getBytesRead).sum
 
-  private def fitBytes(epochs: Int, path: String): Long = {
+  private def fitBytes(epochs: Int, path: String,
+      fit: (org.apache.spark.sql.DataFrame, Int) => Unit): Long = {
     val df = spark.read.parquet(path)
     val before = localFileBytesRead()
-    new graft.ml.MLPRegressor(Seq("f0", "f1", "f2"), "y", hidden = 4,
-      lr = 0.02, epochs = epochs, batchFraction = 1.0).fit(df)
+    fit(df, epochs)
     localFileBytesRead() - before
+  }
+
+  private val mlpFit = (df: org.apache.spark.sql.DataFrame, ep: Int) => {
+    new graft.ml.MLPRegressor(Seq("f0", "f1", "f2"), "y", hidden = 4,
+      lr = 0.02, epochs = ep, batchFraction = 1.0).fit(df); ()
+  }
+  // a second family through the same pin: the deep trainer shares the
+  // cache-before-loop discipline, not just the shallow kernel
+  private val deepFit = (df: org.apache.spark.sql.DataFrame, ep: Int) => {
+    new graft.ml.DeepMLPRegressor(Seq("f0", "f1", "f2"), "y",
+      layers = Seq(4), lr = 0.02, epochs = ep,
+      batchFraction = 1.0).fit(df); ()
   }
 
   test("epoch 2..N trigger no parquet re-read: file bytes read by a " +
@@ -49,14 +61,17 @@ class EpochCacheSpec extends AnyFunSuite {
     }.toDF("id", "f0", "f1", "f2", "y")
       .repartition(4).write.parquet(dir)
 
-    val d1 = fitBytes(1, dir)
-    assert(d1 > 0, "statistics mechanism must observe the initial scan")
-    val d13 = fitBytes(13, dir)
-    // 12 extra epochs add ZERO file reads when the loop runs over the
-    // cache; a re-scanning loop would read ~13x. Allow 1.5x for footer
-    // re-reads and listing noise — far below the 13x failure mode.
-    assert(d13 < d1 * 1.5,
-      s"13-epoch fit read $d13 file bytes vs $d1 for 1 epoch — the " +
-        "epoch loop is re-scanning its input instead of caching it")
+    for ((fit, fam) <- Seq((mlpFit, "mlp"), (deepFit, "deep_mlp"))) {
+      val d1 = fitBytes(1, dir, fit)
+      assert(d1 > 0,
+        s"$fam: statistics mechanism must observe the initial scan")
+      val d13 = fitBytes(13, dir, fit)
+      // 12 extra epochs add ZERO file reads when the loop runs over the
+      // cache; a re-scanning loop would read ~13x. Allow 1.5x for footer
+      // re-reads and listing noise — far below the 13x failure mode.
+      assert(d13 < d1 * 1.5,
+        s"$fam: 13-epoch fit read $d13 file bytes vs $d1 for 1 epoch — " +
+          "the epoch loop is re-scanning its input instead of caching it")
+    }
   }
 }
