@@ -148,7 +148,16 @@ object Bench {
     * round-robin's original purpose. */
   private[graft] def stableChunks(pooled: Seq[String], cap: Int)
       : Seq[Seq[String]] = {
+    // 28 buckets × cap 5 over ~140 pooled queries means about half the
+    // buckets spill a 1-2 query remainder chunk — ~10 extra forks per
+    // full run. Accepted: each fork's warmup is UNTIMED (per-query
+    // numbers are unaffected, only suite wall grows by minutes), and
+    // re-packing remainders across buckets would break the
+    // bucket-confined stability this exists for.
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUCKETS", "28").toInt
+    require(buckets > 0,
+      s"SPARK_GRAFT_BENCH_BUCKETS must be positive, got $buckets " +
+        "(to disable forking entirely set SPARK_GRAFT_BENCH_CHUNK=0)")
     def hx(s: String): String = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -37,6 +37,8 @@ object QueriesML {
     w2 = Array.tabulate(4)(j => ((j * 5) % 7 - 3) / 10.0),
     b2 = 0.05)
   private val mlpFeats = Seq("l_quantity", "l_discount", "l_tax")
+  // q_pipeline_artifact's per-invocation artifact dir (one live tree)
+  private val qpaSite = new TempArtifacts.Site("graft-qpa")
 
   /** q_cortex_mlp trial schedule — (spec, hidden, lr, epochs), iter
     * order; head = baseline. Query and oracle generate from this ONE
@@ -407,8 +409,7 @@ object QueriesML {
       val p = graft.operators.Pipeline(Seq(
         graft.operators.MinMaxScaler(mlpFeats, "_mm"),
         graft.operators.ModelStage(head)))
-      val path = java.nio.file.Files.createTempDirectory("graft-qpa")
-        .resolve("pipeline.json").toString
+      val path = qpaSite.fresh().resolve("pipeline.json").toString
       graft.operators.PipelineIO.save(path, p)
       val loaded = graft.operators.PipelineIO.load(path)
       loaded.transform(li(s, dir)).select(col("l_orderkey"),

@@ -28,6 +28,8 @@ object QueriesSim {
 
 
   private val DIM = 64
+  // q_ivf_append's per-invocation index dir (at most one live tree)
+  private val qiaSite = new TempArtifacts.Site("graft-qia")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -243,8 +245,7 @@ object QueriesSim {
       val all = emb(s, dir)
       val base = all.where(col("vec_id") % 3 =!= 0)
       val delta = all.where(col("vec_id") % 3 === 0)
-      val path = java.nio.file.Files.createTempDirectory("graft-qia")
-        .resolve("idx").toString
+      val path = qiaSite.fresh().resolve("idx").toString
       IvfCosine.saveIndex(path,
         IvfCosine.assignByCentroids(base, "vec_id", "embedding",
           IvfCosine.pinnedCentroids(16, DIM)), "vec_id", "embedding")

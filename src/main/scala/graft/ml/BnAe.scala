@@ -399,10 +399,12 @@ case class BnAeModel(
     featureCols: Seq[String]) extends ModelEstimator {
 
   def familyName: String = "bn_ae"
+  // predict appends latent_{i} (recon is dropped) plus the head(s)
   def predictionNames: Seq[String] =
-    if (weights.core.wpM != null)
-      weights.core.wpM.indices.map(o => s"prediction_$o")
-    else Seq("prediction")
+    (0 until weights.core.latent).map(i => s"latent_$i") ++
+      (if (weights.core.wpM != null)
+        weights.core.wpM.indices.map(o => s"prediction_$o")
+      else Seq("prediction"))
 
   private def x0Cols: Seq[Column] = featureCols.zipWithIndex.map {
     case (c, i) =>

@@ -101,7 +101,9 @@ case class BottleneckEncoder(
 case class BottleneckModel(weights: BottleneckWeights,
     featureCols: Seq[String]) extends ModelEstimator {
   def familyName: String = "bottleneck"
-  def predictionNames: Seq[String] = Seq("prediction")
+  // predict leaves the latent surface in the frame (transform + head)
+  def predictionNames: Seq[String] =
+    (0 until weights.latentDim).map(i => s"latent_$i") :+ "prediction"
 
   private def feats = featureCols.map(c => col(c).cast("double"))
 

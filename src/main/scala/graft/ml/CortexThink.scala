@@ -267,7 +267,8 @@ class NetSpecInterpreter(featureCols: Seq[String], targetCol: String,
             seed = seed, batchFraction = batchFraction,
             trunkUnits = m.get("trunk")
               .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Nil),
-            loss = m.getOrElse("loss", "mse")).fit(train))
+            loss = m.getOrElse("loss", "mse"),
+            optimizer = optimizer).fit(train))
         }
         case Some("bottleneck") =>
           kv(toks.tail, bottleneckKeys).flatMap { m =>

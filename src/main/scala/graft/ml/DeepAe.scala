@@ -415,9 +415,11 @@ class DeepJointAutoencoder(
   }
 
   def familyName: String = "deep_ae"
+  // predict appends latent_{i} (recon is dropped) plus the head(s)
   def predictionNames: Seq[String] =
-    if (nOut == 1) Seq("prediction")
-    else (0 until nOut).map(o => s"prediction_$o")
+    (0 until latentDim).map(i => s"latent_$i") ++
+      (if (nOut == 1) Seq("prediction")
+      else (0 until nOut).map(o => s"prediction_$o"))
 
   /** The fitted payload (flat kernel + standardization stats +
     * architecture) — the sklearn-pickle role; exact-double JSON, so

@@ -527,9 +527,13 @@ class DeepBnAutoencoder(
   }
 
   def familyName: String = "deep_bn_ae"
+  // predict keeps latent_{i} AND raw-space recon_{f} (the BN path
+  // trains reconstruction in raw units) plus the head(s)
   def predictionNames: Seq[String] =
-    if (nOut == 1) Seq("prediction")
-    else (0 until nOut).map(o => s"prediction_$o")
+    (0 until latentDim).map(i => s"latent_$i") ++
+      featureCols.indices.map(f => s"recon_$f") ++
+      (if (nOut == 1) Seq("prediction")
+      else (0 until nOut).map(o => s"prediction_$o"))
 
   /** The fitted payload: flat kernel, the folded per-site BN inference
     * affines, target stats, and the architecture — the sklearn-pickle

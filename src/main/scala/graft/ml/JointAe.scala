@@ -282,9 +282,12 @@ case class JointAeModel(
     extends ModelEstimator {
 
   def familyName: String = "joint_ae"
+  // predict appends latent_{i} (recon is dropped) plus the head(s)
   def predictionNames: Seq[String] =
-    if (weights.wpM != null) weights.wpM.indices.map(o => s"prediction_$o")
-    else Seq("prediction")
+    (0 until weights.latent).map(i => s"latent_$i") ++
+      (if (weights.wpM != null)
+        weights.wpM.indices.map(o => s"prediction_$o")
+      else Seq("prediction"))
 
   private def stdFeats: Seq[Column] = featureCols.zipWithIndex.map {
     case (c, i) => (col(c).cast("double") - lit(featMeans(i))) /

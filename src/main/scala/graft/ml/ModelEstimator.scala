@@ -29,8 +29,12 @@ trait ModelEstimator extends Serializable {
   /** Appends the prediction column(s) to `df`. */
   def predict(df: DataFrame): DataFrame
 
-  /** The appended prediction column name(s): `prediction` for a
-    * single-output head, `prediction_{i}` for a multi-output one. */
+  /** EVERY column `predict` appends, in order — the prediction head
+    * (`prediction` / `prediction_{i}`) plus any intermediate surface
+    * the family leaves in the frame (the AE families keep `latent_{i}`,
+    * the BN deep AE also raw-space `recon_{f}`). This is ModelStage's
+    * outputNames, so downstream stages and persistence checks reason
+    * about the REAL post-stage schema, not just the head. */
   def predictionNames: Seq[String]
 }
 

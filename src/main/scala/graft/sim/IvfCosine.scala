@@ -55,10 +55,11 @@ object IvfCosine {
     * same cell equi-join and returns the identical neighbor lists.
     * `idCol`/`vecCol`, when given, are validated against the names the
     * index was built with, and the reloaded assigned parquet itself is
-    * schema-checked (recorded id/vec/cell columns present, vector
-    * element type float) — a renamed column or wrong-path artifact
-    * fails HERE with the recorded names instead of as a downstream
-    * unresolved-column error in `search`. */
+    * schema-checked (recorded id/vec/cell columns present, vecCol an
+    * array type, one probed row's vector length == the recorded dim) —
+    * a renamed column or wrong-path artifact fails HERE with the
+    * recorded names instead of as a downstream unresolved-column or
+    * vec_dot error in `search`. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: Option[String] = None,
       vecCol: Option[String] = None): Index = {
@@ -82,7 +83,24 @@ object IvfCosine {
           s"(found ${assigned.columns.mkString(", ")}) — not a " +
           "saveIndex artifact, or the files were edited")
     }
+    requireVecDim(assigned, meta("vecCol"), dim, s"$path/assigned")
     Index(cents, assigned)
+  }
+
+  /** Shared load/append-side vector validation: the column must be an
+    * array type and one probed row's length must match the recorded
+    * `dim` — a rewritten or wrong-shard artifact fails HERE with the
+    * artifact path instead of as a mid-job vec_dot length error. */
+  private def requireVecDim(df: DataFrame, vecCol: String, dim: Int,
+      where: String): Unit = {
+    require(df.schema(vecCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType],
+      s"$where: column $vecCol is ${df.schema(vecCol).dataType.sql}, " +
+        "expected an array vector column")
+    df.select(size(col(vecCol))).head(1).foreach(r =>
+      require(r.getInt(0) == dim,
+        s"$where holds dim-${r.getInt(0)} vectors in $vecCol, but the " +
+          s"index quantizer is dim-$dim"))
   }
 
   /** [[loadIndex]] with plain-String column names (the common call). */
@@ -115,6 +133,10 @@ object IvfCosine {
       graft.ml.WeightsIO.requireLen(s"c$i", c, dim)
       c
     }
+    // fail fast BEFORE any write: an append cannot retract rows, so a
+    // wrong-dim shard must be rejected here, not discovered as a
+    // vec_dot error after a partial commit corrupts the index
+    requireVecDim(delta, vecCol, dim, "appendToIndex delta")
     assignByCentroids(delta, idCol, vecCol, cents).assigned
       .write.partitionBy("cell").mode("append")
       .parquet(s"$path/assigned")
