@@ -535,8 +535,11 @@ class MLPMultiRegressor(
       } else {
         // primitive-loop kernel (the single-output fit's treatment):
         // per-row breeze costs more than the k×h matvec at this size.
-        // Same accumulation layout and per-row sum order as the breeze
-        // path it replaces.
+        // Left-associated per-row sums (Σᵢ xᵢ·w then + b) — the
+        // accumulation order the SQL trajectory oracles mirror
+        // (q_mlp_multi / q_deep_multi pin it at round(4)); the
+        // replaced breeze path's BLAS summation order carried no such
+        // guarantee.
         val (kk, hh, nO) = (k, hidden, out)
         val w1a = Array.tabulate(kk * hh)(r => bw1(r / hh, r % hh))
         val b1a = bb1.toArray

@@ -149,7 +149,10 @@ object WavPcmDecoder extends MediaDecoder {
         src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
         src.getSampleRate, false)
       val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
-      val raw = pcm.readAllBytes()
+      // close both streams eagerly: the sources are in-memory, but a
+      // hot mapPartitions decode stage must not leave per-row stream
+      // objects (and any converter buffers) to GC pressure
+      val raw = try pcm.readAllBytes() finally { pcm.close(); in.close() }
       val ch = pcmFmt.getChannels
       val nSamples = raw.length / 2 / ch
       if (nSamples <= 0) return null

@@ -41,10 +41,19 @@ object IvfCosine {
     index.assigned.select(col(idCol), col(vecCol), col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/assigned")
+    // commit marker: the EXPECTED row count, read back from the files
+    // just written (a parquet count() is footer-metadata-only — no data
+    // pages are scanned). loadIndex re-counts and compares, so a
+    // partially committed write (crash mid-commit leaves a subset of
+    // part files) is DETECTED at load instead of silently serving a
+    // truncated corpus.
+    val rows = index.assigned.sparkSession.read
+      .parquet(s"$path/assigned").count()
     graft.ml.WeightsIO.save(s"$path/centroids.json",
       Map("family" -> "ivf_index",
         "nlist" -> index.centroids.length.toString,
         "dim" -> index.centroids.head.length.toString,
+        "rows" -> rows.toString,
         "idCol" -> idCol, "vecCol" -> vecCol),
       index.centroids.zipWithIndex.map { case (c, i) => s"c$i" -> c })
   }
@@ -59,10 +68,18 @@ object IvfCosine {
     * array type, one probed row's vector length == the recorded dim) —
     * a renamed column or wrong-path artifact fails HERE with the
     * recorded names instead of as a downstream unresolved-column or
-    * vec_dot error in `search`. */
+    * vec_dot error in `search`.
+    *
+    * Commit integrity: unless `verifyRows = false`, the loaded tree's
+    * actual row count (footer-metadata-only — no data pages scanned)
+    * must equal the count recorded in `centroids.json` by the last
+    * successful saveIndex/appendToIndex — a crash mid-append (partial
+    * part-file commit, or parquet committed but meta not yet updated)
+    * fails HERE with both counts instead of silently serving a
+    * truncated or half-appended corpus. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: Option[String] = None,
-      vecCol: Option[String] = None): Index = {
+      vecCol: Option[String] = None, verifyRows: Boolean = true): Index = {
     val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
     graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
       s"$path/centroids.json")
@@ -84,23 +101,45 @@ object IvfCosine {
           "saveIndex artifact, or the files were edited")
     }
     requireVecDim(assigned, meta("vecCol"), dim, s"$path/assigned")
+    if (verifyRows) meta.get("rows").map(_.toLong).foreach { expected =>
+      val actual = assigned.count()
+      require(actual == expected,
+        s"index at $path records $expected rows in centroids.json but " +
+          s"the assigned parquet holds $actual — a previous " +
+          "saveIndex/appendToIndex did not commit completely; rebuild " +
+          "the index or re-run the append")
+    }
     Index(cents, assigned)
   }
 
   /** Shared load/append-side vector validation: the column must be an
-    * array type and one probed row's length must match the recorded
+    * array type and a probed row's length must match the recorded
     * `dim` — a rewritten or wrong-shard artifact fails HERE with the
-    * artifact path instead of as a mid-job vec_dot length error. */
-  private def requireVecDim(df: DataFrame, vecCol: String, dim: Int,
-      where: String): Unit = {
+    * artifact path instead of as a mid-job vec_dot length error.
+    * DEFAULT mode probes ONE row (constant-time; a frame that mixes
+    * dimensions can still pass and die later as a vec_dot error);
+    * `strict = true` aggregates min/max(size(vecCol)) over the whole
+    * frame — one extra scan, the right trade for a one-time index
+    * build or a suspect shard. */
+  private[sim] def requireVecDim(df: DataFrame, vecCol: String, dim: Int,
+      where: String, strict: Boolean = false): Unit = {
     require(df.schema(vecCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.ArrayType],
       s"$where: column $vecCol is ${df.schema(vecCol).dataType.sql}, " +
         "expected an array vector column")
-    df.select(size(col(vecCol))).head(1).foreach(r =>
-      require(r.getInt(0) == dim,
-        s"$where holds dim-${r.getInt(0)} vectors in $vecCol, but the " +
-          s"index quantizer is dim-$dim"))
+    if (strict)
+      df.agg(min(size(col(vecCol))).as("lo"),
+        max(size(col(vecCol))).as("hi")).head(1).foreach { r =>
+        if (!r.isNullAt(0))
+          require(r.getInt(0) == dim && r.getInt(1) == dim,
+            s"$where holds vectors of dim ${r.getInt(0)}..${r.getInt(1)}" +
+              s" in $vecCol, but the index quantizer is dim-$dim")
+      }
+    else
+      df.select(size(col(vecCol))).head(1).foreach(r =>
+        require(r.getInt(0) == dim,
+          s"$where holds dim-${r.getInt(0)} vectors in $vecCol, but the " +
+            s"index quantizer is dim-$dim"))
   }
 
   /** [[loadIndex]] with plain-String column names (the common call). */
@@ -118,8 +157,19 @@ object IvfCosine {
     * like loadIndex). Additions ONLY: re-embedded or deleted documents
     * go through the SnapshotDiff merge-on-read path (resolveLatest,
     * AnnMaintenanceSpec) and a compaction rewrite — an in-place append
-    * cannot retract rows. */
-  def appendToIndex(path: String, delta: DataFrame): Unit = {
+    * cannot retract rows.
+    *
+    * Commit protocol (ADVICE r12): the delta count is taken BEFORE the
+    * write, the parquet append commits, and only then does
+    * `centroids.json` republish `rows = old + delta`. A crash at any
+    * point leaves a DETECTABLE state — partial part files (actual <
+    * recorded + delta) or committed parquet with stale meta (actual >
+    * recorded) — and loadIndex's row-count verification refuses both
+    * instead of silently serving a half-appended index.
+    * `strict = true` additionally validates EVERY delta row's vector
+    * dimension (one extra scan of the delta) instead of one probe row. */
+  def appendToIndex(path: String, delta: DataFrame,
+      strict: Boolean = false): Unit = {
     val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
     graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
       s"$path/centroids.json")
@@ -136,10 +186,21 @@ object IvfCosine {
     // fail fast BEFORE any write: an append cannot retract rows, so a
     // wrong-dim shard must be rejected here, not discovered as a
     // vec_dot error after a partial commit corrupts the index
-    requireVecDim(delta, vecCol, dim, "appendToIndex delta")
-    assignByCentroids(delta, idCol, vecCol, cents).assigned
-      .write.partitionBy("cell").mode("append")
-      .parquet(s"$path/assigned")
+    requireVecDim(delta, vecCol, dim, "appendToIndex delta", strict)
+    val assigned = assignByCentroids(delta, idCol, vecCol, cents).assigned
+    // cache so the pre-write count and the written rows are the same
+    // materialization (the delta is shard-sized by definition)
+    assigned.cache()
+    val deltaRows =
+      try {
+        val n = assigned.count()
+        assigned.write.partitionBy("cell").mode("append")
+          .parquet(s"$path/assigned")
+        n
+      } finally assigned.unpersist()
+    val rows = meta.get("rows").map(_.toLong).getOrElse(0L) + deltaRows
+    graft.ml.WeightsIO.save(s"$path/centroids.json",
+      meta + ("rows" -> rows.toString), sections.toSeq)
   }
 
   /** Fit the coarse quantizer and assign every corpus row to its cell.
@@ -302,7 +363,46 @@ object IvfCosine {
       .where(col("__crank") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("__qn"),
         col("__c0").as("cell"))
-    val corpus = index.assigned.select(col(idCol), col(vecCol), col("cell"),
+    searchCore(probeCells, index.assigned, idCol, vecCol, qidCol, qvecCol,
+      k, dim)
+  }
+
+  /** Data-form search: the centroid grid arrives as a (cell, cvec)
+    * DataFrame and probe routing runs as a broadcast join + per-probe
+    * rank — the plan size is INDEPENDENT of nlist (the literal path's
+    * Catalyst tree grows O(nlist), which a corpus-scaled cell count
+    * outgrows — same rationale as [[assignByCentroidsDf]]). Values are
+    * identical to [[search]]: same cosine routing, same (desc, cell)
+    * tie order, same cell equi-join core (SimSpec pins literal ≡ data). */
+  def searchDf(assigned: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, qvecCol: String,
+      centroids: DataFrame, k: Int, nprobe: Int, dim: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cell").as("__c0"),
+      col("cvec").as("__cv")))
+    val qn = sqrt(Similarity.dotExpr(col(qvecCol), col(qvecCol), dim))
+    val probeCells = probes
+      .select(col(qidCol), col(qvecCol), qn.as("__qn"))
+      .crossJoin(cents)
+      .withColumn("__csim",
+        Similarity.dot(col(qvecCol), col("__cv"))
+          / (col("__qn") * sqrt(Similarity.dot(col("__cv"), col("__cv")))))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("__csim").desc, col("__c0"))))
+      .where(col("__crank") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("__qn"),
+        col("__c0").as("cell"))
+    searchCore(probeCells, assigned, idCol, vecCol, qidCol, qvecCol,
+      k, dim)
+  }
+
+  /** Shared in-cell scan + exact ranking behind both routing paths:
+    * probeCells (qid, qvec, __qn, cell) equi-join the assigned corpus
+    * on the cell id, cosine, top-k per probe. */
+  private def searchCore(probeCells: DataFrame, assigned: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, dim: Int): DataFrame = {
+    val corpus = assigned.select(col(idCol), col(vecCol), col("cell"),
       sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)).as("__cn"))
     probeCells.join(corpus, Seq("cell"))
       .where(col(qidCol) =!= col(idCol))

@@ -118,6 +118,40 @@ class DataFormAnnSpec extends AnyFunSuite {
       s"data-form ivf-pq plan must not grow with nlist/nk: $small -> $big")
   }
 
+  test("ivf searchDf (data-form routing) is bit-identical to the " +
+    "literal search, and its plan size is independent of nlist") {
+    val emb = corpus(120)
+    val probes = emb.where(col("vec_id") < 12)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        r.getInt(3))).toSet
+    val grid = IvfCosine.pinnedCentroids(16, dim)
+    val idx = IvfCosine.assignByCentroids(emb, "vec_id", "embedding", grid)
+    val lit = IvfCosine.search(idx, probes, "vec_id", "embedding",
+      "qid", "qvec", k = 3, nprobe = 4, dim = dim)
+    val data = IvfCosine.searchDf(idx.assigned, probes, "vec_id",
+      "embedding", "qid", "qvec", IvfCosine.centroidsDf(spark, grid),
+      k = 3, nprobe = 4, dim = dim)
+    val (a, b) = (rows(lit), rows(data))
+    assert(a == b, "literal and data-form search must agree bit for bit")
+    assert(a.nonEmpty)
+    // plan-size independence: the reason searchDf exists (a corpus-
+    // scaled nlist outgrows the literal centroid array in the plan)
+    def planLen(nlist: Int): Long = {
+      val g = IvfCosine.pinnedCentroids(nlist, dim)
+      val ix = IvfCosine.assignByCentroidsDf(emb, "vec_id", "embedding",
+        IvfCosine.centroidsDf(spark, g))
+      exprNodes(IvfCosine.searchDf(ix, probes, "vec_id", "embedding",
+        "qid", "qvec", IvfCosine.centroidsDf(spark, g), k = 3,
+        nprobe = 4, dim = dim))
+    }
+    val (p16, p1024) = (planLen(16), planLen(1024))
+    assert(p1024 <= p16 * 11 / 10,
+      s"data-form search plan must not grow with nlist: $p16 -> $p1024")
+  }
+
   test("kmeans: distributed Lloyd separates two obvious clusters, an " +
     "empty cell keeps its init centroid, fitAssign matches a driver run") {
     import graft.sim.KMeans

@@ -20,7 +20,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * bytesRead (Hadoop FileSystem statistics, which count the executor
   * reads too under local mode's single JVM) must not grow with the
   * epoch count. A per-epoch re-scan would multiply file bytes read by
-  * ~N; a cached loop reads the parquet once regardless of N. */
+  * ~N; a cached loop reads the parquet once regardless of N.
+  *
+  * ISOLATION CAVEAT: the 'file'-scheme statistics are process-global —
+  * this pin is only valid while no OTHER suite reads local files
+  * concurrently. This build runs suites SEQUENTIALLY in the forked test
+  * JVM (`Test / fork := true` with sbt's default
+  * `testForkedParallel := false`), which is what makes the counter
+  * windows exclusive; if parallel suite execution is ever enabled, tag
+  * this suite serial or switch the measurement to a dedicated
+  * FileSystem instance. */
 class EpochCacheSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 

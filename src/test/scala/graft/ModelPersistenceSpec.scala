@@ -407,4 +407,50 @@ class ModelPersistenceSpec extends AnyFunSuite {
         delta.withColumnRenamed("embedding", "vec"))
     }
   }
+
+  test("ivf index: loadIndex detects a partially committed tree (row " +
+    "count vs the centroids.json record) and strict append rejects a " +
+    "mixed-dimension delta before any write") {
+    import graft.sim.IvfCosine
+    val r = new scala.util.Random(17)
+    val dim = 8
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfcommit")
+      .resolve("idx").toString
+    IvfCosine.saveIndex(p,
+      IvfCosine.assignByCentroids(vecs(0 until 60), "vec_id",
+        "embedding", IvfCosine.pinnedCentroids(4, dim)),
+      "vec_id", "embedding")
+    IvfCosine.appendToIndex(p, vecs(60 until 90))
+    // a completed save + append loads clean
+    IvfCosine.loadIndex(spark, p, "vec_id", "embedding")
+
+    // simulate a crash mid-commit: delete one committed part file —
+    // the exact state ADVICE r12 flagged as silently corrupting a
+    // build-once index
+    val victim = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$p/assigned"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.delete(victim)
+    val e = intercept[IllegalArgumentException] {
+      IvfCosine.loadIndex(spark, p, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("did not commit completely"),
+      s"load must name the commit failure, got: ${e.getMessage}")
+    // escape hatch for forensic reads stays available
+    IvfCosine.loadIndex(spark, p, Some("vec_id"), Some("embedding"),
+      verifyRows = false)
+
+    // strict delta validation: one good probe row would pass the
+    // default single-row check; strict scans min/max(size) and refuses
+    val mixed = vecs(100 until 104).unionByName(
+      Seq((104L, Array.fill(dim + 2)(0.1f))).toDF("vec_id", "embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfCosine.appendToIndex(p, mixed, strict = true)
+    }
+    assert(e2.getMessage.contains("dim"),
+      s"strict append must name the dimension range, got: ${e2.getMessage}")
+  }
 }
