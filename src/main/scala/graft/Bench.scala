@@ -68,6 +68,19 @@ object Bench {
     "q_dup_excise", "q_dup_spans", "q_lm_buckets", "q_cc_components",
     "q_canonical")
 
+  // run-level load markers (VERDICT r12 item 1): system 1-min loadavg
+  // sampled at process start and at artifact write, plus the host CPU
+  // count — so a judge (or a later round) can mechanically discount a
+  // run recorded under co-tenant load (the r11/r12 artifacts moved ±23%
+  // on untouched code purely from ambient machine pressure).
+  private val loadAtStart: Double = systemLoad()
+
+  private def systemLoad(): Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(l * 100.0) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
     val unknown = args.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
@@ -248,8 +261,10 @@ object Bench {
     val extra = chunkSum.map(c =>
       s""","value_chunk_sum":$c,"number_of_record":"value = sum of per-query min(chunk, solo)"""")
       .getOrElse("")
+    val load = s""","loadavg_start":$loadAtStart,"loadavg_end":${
+      systemLoad()},"host_cpus":${Runtime.getRuntime.availableProcessors}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec"$extra,"queries":$qs,"spotcheck":$sp,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$extra$load,"queries":$qs,"spotcheck":$sp,"errors":$es,"sf":"$sfDir"}"""
     println(json)
     // The round-6 artifact lost its headline number to the driver's
     // stdout tail capture ("parsed": null) — ALSO write the full JSON to

@@ -28,8 +28,13 @@ object QueriesSim {
 
 
   private val DIM = 64
-  // q_ivf_append's per-invocation index dir (at most one live tree)
+  // q_ivf_append's per-invocation index dir (at most two live trees —
+  // deletion deferred one generation, see TempArtifacts)
   private val qiaSite = new TempArtifacts.Site("graft-qia")
+  // q_ivfpq_append's per-invocation index dir
+  private val qpqSite = new TempArtifacts.Site("graft-qpq")
+  // q_index_maint's per-invocation index dir
+  private val qimSite = new TempArtifacts.Site("graft-qim")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -260,6 +265,49 @@ object QueriesSim {
           col("rank"))
     }),
 
+    // index MAINTENANCE end-to-end (VERDICT r12 item 8 — the
+    // daily-serving analog of q_ingest_pipeline): yesterday's corpus is
+    // a saved index; today's snapshot retires some documents (% 13),
+    // re-embeds others (% 11, vectors halved — float halving is exact,
+    // so the oracle's double halve matches bit-for-bit) and adds new
+    // ones (% 5). SnapshotDiff classifies the day's CDC on a vector
+    // fingerprint; adds flow through appendToIndex (delta-only, base
+    // files untouched), changes + deletes through applyChanges (only
+    // the AFFECTED cell partitions rewrite); the maintained index then
+    // loads and serves. Maintenance is value-transparent, so the
+    // oracle is the plain pinned-grid search over today's corpus — any
+    // stale row, missed delete, or wrong-cell rewrite breaks the hash.
+    "q_index_maint" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val oldSnap = all.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val newSnap = all.where(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 11 === 0,
+            transform(col("embedding"), x => x * lit(0.5f)))
+            .otherwise(col("embedding")).as("embedding"))
+      val path = qimSite.fresh().resolve("idx").toString
+      IvfCosine.saveIndex(path,
+        IvfCosine.assignByCentroids(oldSnap, "vec_id", "embedding",
+          IvfCosine.pinnedCentroids(16, DIM)), "vec_id", "embedding")
+      val d = graft.sources.SnapshotDiff.diff(oldSnap, newSnap, "vec_id",
+        md5(to_json(struct(col("embedding"))))).localCheckpoint()
+      val added = newSnap.join(d.where(col("status") === "added")
+        .select("vec_id"), Seq("vec_id"))
+      val changed = newSnap.join(d.where(col("status") === "changed")
+        .select("vec_id"), Seq("vec_id"))
+      val removed = d.where(col("status") === "removed").select("vec_id")
+      IvfCosine.appendToIndex(path, added)
+      IvfCosine.applyChanges(s, path, changed, removed)
+      val idx = IvfCosine.loadIndex(s, path, "vec_id", "embedding")
+      val probes = newSnap.where(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nprobe = 4, dim = DIM)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
     // product quantization (Jégou et al. 2011): encode → ADC shortlist →
     // exact re-rank, all against pinned codebooks — the storage-bound
     // scale path (m bytes + a norm per vector) under a full oracle.
@@ -308,6 +356,39 @@ object QueriesSim {
       val probes = corpus.where(col("vec_id") < 50)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       IvfPq.searchDf(codes, corpus, probes, "vec_id", "embedding",
+        "qid", "qvec", coarse, books, k = 5, nprobe = 4, shortlist = 20,
+        m = 8, nk = 16)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
+    }),
+
+    // the PERSISTED IVF-PQ lifecycle inside the gate (the q_ivf_append
+    // pattern for the compressed index): encode the base shard ->
+    // AnnIndexIO.saveIvfPq (cell-partitioned code parquet + exact-double
+    // quantizer params + row-count commit marker) -> appendIvfPq the
+    // delta (only the delta is encoded, through the loaded params) ->
+    // loadIvfPq -> searchDf. Values are independent of the disk
+    // round-trip, so the oracle is the plain IVF-PQ search over the
+    // FULL corpus — drift anywhere in the save/append/load codec path
+    // breaks the hash.
+    "q_ivfpq_append" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val base = all.where(col("vec_id") % 3 =!= 0)
+      val delta = all.where(col("vec_id") % 3 === 0)
+      val coarseArr = IvfCosine.pinnedCentroids(16, DIM)
+      val booksArr = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+      val coarse = IvfCosine.centroidsDf(s, coarseArr)
+      val books = PqCosine.codebooksDf(s, booksArr)
+      val path = qpqSite.fresh().resolve("idx").toString
+      graft.sim.AnnIndexIO.saveIvfPq(path, coarseArr, booksArr,
+        IvfPq.encodeDf(base, "vec_id", "embedding", coarse, books, m = 8),
+        "vec_id")
+      graft.sim.AnnIndexIO.appendIvfPq(path,
+        delta.select(col("vec_id"), col("embedding")), "embedding")
+      val idx = graft.sim.AnnIndexIO.loadIvfPq(s, path)
+      val probes = all.where(col("vec_id") % 29 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IvfPq.searchDf(idx.codes, all, probes, "vec_id", "embedding",
         "qid", "qvec", coarse, books, k = 5, nprobe = 4, shortlist = 20,
         m = 8, nk = 16)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
@@ -380,17 +461,27 @@ object QueriesSim {
         "embedding", dim = DIM)
     }),
 
-    // the SAME fit over the SCALE-path edge build: IVF (pinned 16-cell
-    // quantizer, nprobe 4) kNN edges through the seam overload — the
-    // cell-partitioned equi-join graph a 100 TB corpus uses instead of
-    // the whole-corpus probe broadcast, as a first-class ORACLED query
-    // (genuinely approximate edges, nprobe < nlist — not brute in
-    // disguise; the full-probe ≡ brute equality is UmapKnnSeamSpec's)
+    // the SAME fit over the SCALE-path edge build: IVF kNN edges
+    // through the seam overload — the cell-partitioned equi-join graph
+    // a 100 TB corpus uses instead of the whole-corpus probe broadcast,
+    // as a first-class ORACLED query (genuinely approximate edges,
+    // nprobe < nlist — not brute in disguise; the full-probe ≡ brute
+    // equality is UmapKnnSeamSpec's). BOUNDED CELLS (VERDICT r12
+    // item 2): nlist scales with the corpus (max(16, ceil(N/125)) — the
+    // md5 grid is enumerable at any size, so the oracle derives the
+    // same grid from count(*) in SQL), keeping the self-kNN probe join
+    // N·cell instead of N²/const; the centroid frame goes through the
+    // DATA-form assignment/search paths so the PLAN is also
+    // nlist-independent. 16 cells at the gate scales (500/2000 rows),
+    // 160 at the sf1 checkpoint — cells stay ~125 rows at every scale.
     "q_umap_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
+      val nlist = math.max(16, math.ceil(e.count() / 125.0).toInt)
+      val cents = IvfCosine.centroidsDf(s,
+        IvfCosine.pinnedCentroids(nlist, DIM))
       graft.ml.UmapAnalog.fitTransform(e,
-        graft.ml.UmapAnalog.ivfKnnEdges(e, "vec_id", "embedding",
-          dim = DIM, k = 5, nlist = 16, nprobe = 4),
+        graft.ml.UmapAnalog.ivfKnnEdgesDf(e, "vec_id", "embedding",
+          dim = DIM, k = 5, cents, nprobe = 4),
         "vec_id", "embedding", dim = DIM,
         negOffsets = Seq(17L, 131L, 313L), iters = 3, lr = 0.05,
         gamma = 1.0, eps = 1e-3)
@@ -414,7 +505,50 @@ object QueriesSim {
     s"""c(j, cv, cc) AS (
        |  SELECT * FROM (VALUES
        |    $values)),
-       |assigned AS (
+       |${ivfChainCtes(nprobe, probePred)}""".stripMargin
+  }
+
+  /** [[ivfCtes]] with the centroid grid DERIVED IN SQL instead of
+    * enumerated as literals: nlist = max($minNlist, ceil(count(v) /
+    * $cellRows)) and each grid value reproduces
+    * [[IvfCosine.pinnedCentroids]]'s md5 derivation character for
+    * character (first 4 hex chars of md5("ivf:j:d") as an int,
+    * /65535.0, −0.5 — the same two IEEE double ops). This is what lets
+    * a GATED query scale its cell count with the corpus and still
+    * verify: the oracle enumerates however many cells the data implies
+    * (16 at the 500/2000-row gate scales, 160 at the sf1 checkpoint).
+    * The cc self-dot comes from list_inner_product(cv, cv) — the same
+    * ascending-index left fold as the Scala literal and the VecDot
+    * kernel. */
+  private def ivfCtesDynamic(nprobe: Int, probePred: String,
+      cellRows: Int = 125, minNlist: Int = 16): String = {
+    val hx = (pos: Int) =>
+      s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+    s"""nl AS (SELECT greatest($minNlist,
+       |  CAST(ceil(count(*) / $cellRows.0) AS INT)) AS nlist FROM v),
+       |cg AS (
+       |  SELECT j, cv, list_inner_product(cv, cv) AS cc FROM (
+       |    SELECT j, list(cval ORDER BY d) AS cv FROM (
+       |      SELECT j, d,
+       |        (CAST(${hx(1)} * 4096 + ${hx(2)} * 256
+       |              + ${hx(3)} * 16 + ${hx(4)} AS DOUBLE)
+       |         / 65535.0) - 0.5 AS cval
+       |      FROM (
+       |        SELECT jj.range AS j, dd.range AS d,
+       |          md5('ivf:' || CAST(jj.range AS VARCHAR) ||
+       |              ':' || CAST(dd.range AS VARCHAR)) AS h
+       |        FROM range(65536) jj, range($DIM) dd
+       |        WHERE jj.range < (SELECT nlist FROM nl)))
+       |    GROUP BY j)),
+       |c AS (SELECT j, cv, cc FROM cg),
+       |${ivfChainCtes(nprobe, probePred)}""".stripMargin
+  }
+
+  /** The shared IVF search chain over a `c(j, cv, cc)` centroid CTE
+    * (assignment, probe routing, in-cell cosine, ranking) — ends in
+    * `ranked(qid, nid, cosine, rank)`. */
+  private def ivfChainCtes(nprobe: Int, probePred: String): String =
+    s"""assigned AS (
        |  SELECT vec_id, e, j AS cell FROM v CROSS JOIN c
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
        |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
@@ -438,12 +572,13 @@ object QueriesSim {
        |    row_number() OVER (PARTITION BY qid
        |      ORDER BY cosine DESC, nid) AS rank
        |  FROM sims)""".stripMargin
-  }
 
   private def ivfSearchSql(cents: Array[Array[Double]], nprobe: Int,
-      k: Int, probePred: String = "vec_id < 50"): String =
+      k: Int, probePred: String = "vec_id < 50",
+      vBody: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings"): String =
     s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |  $vBody),
        |${ivfCtes(cents, nprobe, probePred)}
        |SELECT qid, nid, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
@@ -508,6 +643,92 @@ object QueriesSim {
     Option(DynamicOracles.ivfCentroids.get).map(cents =>
       "q_ivf_topk" -> ivfSearchSql(cents, nprobe = 4, k = 5))
 
+  /** The full IVF-PQ oracle (assignment, residual encoding, probe
+    * routing, ADC, exact re-rank) against the pinned 16-cell grid and
+    * 8x16 codebooks, parameterized by the probe predicate — shared by
+    * q_ivfpq_topk and the persisted-lifecycle q_ivfpq_append (whose
+    * save -> append -> load round-trip is value-transparent). */
+  private def ivfPqSql(probePred: String): String = {
+    val coarse = IvfCosine.pinnedCentroids(16, DIM)
+    val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
+    val coarseVals = coarse.zipWithIndex.map { case (c, j) =>
+      val cc = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}], $cc)"
+    }.mkString(",\n    ")
+    val bookVals = (for {
+      mi <- books.indices; ki <- books(mi).indices
+    } yield {
+      val c = books(mi)(ki)
+      val bb = c.map(x => x * x).sum
+      s"($mi, $ki, [${c.mkString(", ")}], $bb)"
+    }).mkString(",\n    ")
+    // ADC = qc + 8 LUT lookups, explicit left-associated chain
+    val adcSum = "pc.qc + " + (0 until 8).map(mi =>
+      s"l.l[${mi * 16} + cd.cl[${mi + 1}] + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c(j, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |    $coarseVals)),
+       |cb(m, k, bv, bb) AS (
+       |  SELECT * FROM (VALUES
+       |    $bookVals)),
+       |assigned AS (
+       |  SELECT vec_id, e, j AS cell, cv AS ccv FROM v CROSS JOIN c
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
+       |    j) = 1),
+       |enc AS (
+       |  SELECT vec_id, m, k AS code FROM assigned CROSS JOIN cb
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
+       |    bb - 2 * (list_inner_product(
+       |                list_slice(e, m * 8 + 1, m * 8 + 8), bv)
+       |              - list_inner_product(
+       |                list_slice(ccv, m * 8 + 1, m * 8 + 8), bv)),
+       |    k) = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS cl FROM enc
+       |  GROUP BY vec_id),
+       |meta AS (
+       |  SELECT vec_id, cell, sqrt(list_inner_product(e, e)) AS nrm
+       |  FROM assigned),
+       |p AS (SELECT vec_id AS qid, e AS q,
+       |      sqrt(list_inner_product(e, e)) AS qn FROM v
+       |      WHERE $probePred),
+       |lut AS (
+       |  SELECT qid, list(val ORDER BY m, k) AS l FROM (
+       |    SELECT p.qid, cb.m, cb.k,
+       |      list_inner_product(
+       |        list_slice(p.q, cb.m * 8 + 1, cb.m * 8 + 8), cb.bv) AS val
+       |    FROM p CROSS JOIN cb) GROUP BY qid),
+       |pc AS (
+       |  SELECT qid, qn, j AS cell, list_inner_product(q, cv) AS qc
+       |  FROM p CROSS JOIN c
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+       |    list_inner_product(q, cv)
+       |      / (qn * sqrt(list_inner_product(cv, cv))) DESC, j) <= 4),
+       |short AS (
+       |  SELECT pc.qid, mt.vec_id AS nid,
+       |    ($adcSum) / (pc.qn * mt.nrm) AS approx_cos
+       |  FROM pc JOIN meta mt ON mt.cell = pc.cell
+       |  JOIN codes cd ON cd.vec_id = mt.vec_id
+       |  JOIN lut l ON l.qid = pc.qid
+       |  WHERE mt.vec_id <> pc.qid
+       |  QUALIFY row_number() OVER (PARTITION BY pc.qid
+       |    ORDER BY approx_cos DESC, nid) <= 20),
+       |rer AS (
+       |  SELECT s.qid, s.nid,
+       |    list_inner_product(p.q, v.e)
+       |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
+       |    s.approx_cos
+       |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
+       |SELECT qid, nid, round(cosine, 6) AS cosine,
+       |  round(approx_cos, 6) AS approx_cos,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid) AS rank
+       |FROM rer QUALIFY rank <= 5""".stripMargin
+  }
+
   private val staticOracleSql: Map[String, String] = Map(
     "q_ivf_pinned" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
       nprobe = 4, k = 5),
@@ -517,16 +738,28 @@ object QueriesSim {
     "q_ivf_append" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
       nprobe = 4, k = 5, probePred = "vec_id % 29 = 0"),
 
+    // maintenance (diff -> append adds -> affected-cell rewrite for
+    // changes/deletes -> load -> serve) is value-transparent: the
+    // oracle is the plain pinned-grid search over TODAY'S corpus —
+    // % 13 retired, % 11 re-embedded (halved), % 5 added
+    "q_index_maint" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
+      nprobe = 4, k = 5, probePred = "vec_id % 29 = 0",
+      vBody = "SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN " +
+        "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) " +
+        "ELSE CAST(embedding AS DOUBLE[]) END AS e FROM embeddings " +
+        "WHERE vec_id % 13 <> 0"),
+
     "q_umap_analog" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
       iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3),
 
-    // the IVF edge build spliced in as the knn CTE (top-5 of each
-    // probe's nprobe=4 cells under the pinned 16-cell quantizer)
+    // the IVF edge build spliced in as the knn CTE: nprobe=4 of a
+    // CORPUS-SCALED grid — nlist = max(16, ceil(count/125)) derived in
+    // SQL, the md5 grid enumerated dynamically (ivfCtesDynamic), so the
+    // oracle follows the bounded-cell configuration at any data size
     "q_umap_ivf" -> umapAnalogSql(k = 5, Seq(17L, 131L, 313L),
       iters = 3, lr = 0.05, gamma = 1.0, eps = 1e-3,
       knnCte = Some(
-        s"""${ivfCtes(IvfCosine.pinnedCentroids(16, DIM), nprobe = 4,
-             probePred = "true")},
+        s"""${ivfCtesDynamic(nprobe = 4, probePred = "true")},
            |knn AS (SELECT qid AS src, nid AS dst, true AS attract
            |  FROM ranked WHERE rank <= 5)""".stripMargin)),
     "q_mmr" -> {
@@ -748,85 +981,13 @@ object QueriesSim {
         |  c >= 0.35 AS contaminated
         |FROM best WHERE rn = 1""".stripMargin,
 
-    "q_ivfpq_topk" -> {
-      val coarse = IvfCosine.pinnedCentroids(16, DIM)
-      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
-      val coarseVals = coarse.zipWithIndex.map { case (c, j) =>
-        val cc = c.map(x => x * x).sum
-        s"($j, [${c.mkString(", ")}], $cc)"
-      }.mkString(",\n    ")
-      val bookVals = (for {
-        mi <- books.indices; ki <- books(mi).indices
-      } yield {
-        val c = books(mi)(ki)
-        val bb = c.map(x => x * x).sum
-        s"($mi, $ki, [${c.mkString(", ")}], $bb)"
-      }).mkString(",\n    ")
-      // ADC = qc + 8 LUT lookups, explicit left-associated chain
-      val adcSum = "pc.qc + " + (0 until 8).map(mi =>
-        s"l.l[${mi * 16} + cd.cl[${mi + 1}] + 1]").mkString(" + ")
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |c(j, cv, cc) AS (
-         |  SELECT * FROM (VALUES
-         |    $coarseVals)),
-         |cb(m, k, bv, bb) AS (
-         |  SELECT * FROM (VALUES
-         |    $bookVals)),
-         |assigned AS (
-         |  SELECT vec_id, e, j AS cell, cv AS ccv FROM v CROSS JOIN c
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
-         |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
-         |    j) = 1),
-         |enc AS (
-         |  SELECT vec_id, m, k AS code FROM assigned CROSS JOIN cb
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
-         |    bb - 2 * (list_inner_product(
-         |                list_slice(e, m * 8 + 1, m * 8 + 8), bv)
-         |              - list_inner_product(
-         |                list_slice(ccv, m * 8 + 1, m * 8 + 8), bv)),
-         |    k) = 1),
-         |codes AS (
-         |  SELECT vec_id, list(code ORDER BY m) AS cl FROM enc
-         |  GROUP BY vec_id),
-         |meta AS (
-         |  SELECT vec_id, cell, sqrt(list_inner_product(e, e)) AS nrm
-         |  FROM assigned),
-         |p AS (SELECT vec_id AS qid, e AS q,
-         |      sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 50),
-         |lut AS (
-         |  SELECT qid, list(val ORDER BY m, k) AS l FROM (
-         |    SELECT p.qid, cb.m, cb.k,
-         |      list_inner_product(
-         |        list_slice(p.q, cb.m * 8 + 1, cb.m * 8 + 8), cb.bv) AS val
-         |    FROM p CROSS JOIN cb) GROUP BY qid),
-         |pc AS (
-         |  SELECT qid, qn, j AS cell, list_inner_product(q, cv) AS qc
-         |  FROM p CROSS JOIN c
-         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-         |    list_inner_product(q, cv)
-         |      / (qn * sqrt(list_inner_product(cv, cv))) DESC, j) <= 4),
-         |short AS (
-         |  SELECT pc.qid, mt.vec_id AS nid,
-         |    ($adcSum) / (pc.qn * mt.nrm) AS approx_cos
-         |  FROM pc JOIN meta mt ON mt.cell = pc.cell
-         |  JOIN codes cd ON cd.vec_id = mt.vec_id
-         |  JOIN lut l ON l.qid = pc.qid
-         |  WHERE mt.vec_id <> pc.qid
-         |  QUALIFY row_number() OVER (PARTITION BY pc.qid
-         |    ORDER BY approx_cos DESC, nid) <= 20),
-         |rer AS (
-         |  SELECT s.qid, s.nid,
-         |    list_inner_product(p.q, v.e)
-         |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
-         |    s.approx_cos
-         |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
-         |SELECT qid, nid, round(cosine, 6) AS cosine,
-         |  round(approx_cos, 6) AS approx_cos,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, nid) AS rank
-         |FROM rer QUALIFY rank <= 5""".stripMargin
-    },
+    "q_ivfpq_topk" -> ivfPqSql(probePred = "vec_id < 50"),
+
+    // save -> append -> load is value-transparent (the quantizer
+    // parameters round-trip bit-exactly and the appended codes equal a
+    // union rebuild), so the oracle is the plain pinned-grid IVF-PQ
+    // search over the full corpus
+    "q_ivfpq_append" -> ivfPqSql(probePred = "vec_id % 29 = 0"),
 
     "q_pq_topk" -> {
       val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)

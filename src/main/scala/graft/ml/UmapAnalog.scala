@@ -76,6 +76,25 @@ object UmapAnalog {
         col("nid").cast("long").as("dst"))
   }
 
+  /** [[ivfKnnEdges]] through the DATA-form centroid paths
+    * ([[IvfCosine.assignByCentroidsDf]] + [[IvfCosine.searchDf]]): the
+    * centroid grid arrives as a (cell, cvec) frame, so the plan size is
+    * independent of nlist — the shape that survives a CORPUS-SCALED
+    * cell count (nlist ∝ N keeps cells bounded; the literal plan grows
+    * O(nlist) and is the wrong vehicle for exactly the configuration
+    * that needs many cells). Values are bit-identical to the literal
+    * build (DataFormAnnSpec pins both halves). */
+  def ivfKnnEdgesDf(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = IvfCosine
+      .assignByCentroidsDf(emb, idCol, vecCol, centroids)
+    val probes = emb.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"))
+    IvfCosine.searchDf(assigned, probes, idCol, vecCol,
+      "__qid", "__qvec", centroids, k, nprobe, dim)
+      .select(col("qid").cast("long").as("src"),
+        col("nid").cast("long").as("dst"))
+  }
+
   /** Fit + transform: (idCol, dim_0, dim_1) — the DimReducer output
     * contract. `emb` must carry a numeric id in [0, n) for the stride
     * negatives to land on real nodes (stray strides drop harmlessly in

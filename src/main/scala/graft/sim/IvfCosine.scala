@@ -203,6 +203,93 @@ object IvfCosine {
       meta + ("rows" -> rows.toString), sections.toSeq)
   }
 
+  /** Apply a day's CHANGES to a saved index in place: `upserts`
+    * (re-embedded documents, NEW vectors) and `deleteIds` (retired
+    * documents) rewrite ONLY their AFFECTED CELL PARTITIONS — an
+    * in-place append cannot retract the stale rows, and a full rebuild
+    * re-scores the whole corpus to change a day-sized fraction of it.
+    * The daily-serving companion of [[appendToIndex]] (which stays the
+    * right tool for pure additions — it writes the delta without
+    * touching any existing file).
+    *
+    * Mechanics: affected ids broadcast (they are delta-sized) against
+    * the live index to find their OLD cells; the upserts assign
+    * map-side against the reloaded quantizer to find their NEW cells
+    * (a re-embedded vector may move cells — both sides are affected);
+    * the union of those cell ids — bounded by nlist, collected as a
+    * scalar list — selects the partitions to rewrite. The replacement
+    * content (surviving rows of affected cells + re-assigned upserts)
+    * is written with DYNAMIC partition overwrite, so parquet replaces
+    * exactly the affected `cell=` directories; a cell emptied by
+    * deletion (dynamic overwrite only touches partitions present in
+    * the output) is removed explicitly. Reads are partition-pruned to
+    * the affected cells; every other cell's files are untouched.
+    * Finally the row-count commit marker republishes (same detection
+    * contract as append: a crash leaves a count mismatch, not a
+    * silently wrong index). */
+  def applyChanges(spark: org.apache.spark.sql.SparkSession, path: String,
+      upserts: DataFrame, deleteIds: DataFrame): Unit = {
+    val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
+    graft.ml.WeightsIO.requireFamily(meta, "ivf_index",
+      s"$path/centroids.json")
+    val (idCol, vecCol) = (meta("idCol"), meta("vecCol"))
+    Seq(idCol, vecCol).foreach(c => require(upserts.columns.contains(c),
+      s"upserts are missing column $c (the index at $path was built " +
+        s"with idCol=$idCol, vecCol=$vecCol)"))
+    require(deleteIds.columns.contains(idCol),
+      s"deleteIds is missing column $idCol")
+    val (nlist, dim) = (meta("nlist").toInt, meta("dim").toInt)
+    val cents = Array.tabulate(nlist) { i =>
+      val c = sections(s"c$i")
+      graft.ml.WeightsIO.requireLen(s"c$i", c, dim)
+      c
+    }
+    requireVecDim(upserts, vecCol, dim, "applyChanges upserts")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val affectedIds = upserts.select(col(idCol))
+      .unionByName(deleteIds.select(col(idCol))).distinct()
+    val newAssigned =
+      assignByCentroids(upserts, idCol, vecCol, cents).assigned
+        .localCheckpoint() // 2 consumers (cell list + rewrite): assign once
+    // old cells: one pruned-to-nothing? no — an id filter cannot prune,
+    // so this is one scan of the index's (id, cell) columns with the
+    // delta-sized id set broadcast into it; at 100 TB an id->cell map
+    // sidecar would replace it, same contract
+    val oldCells = assigned.join(broadcast(affectedIds), Seq(idCol))
+      .select(col("cell"))
+    val cells = oldCells
+      .unionByName(newAssigned.select(col("cell")))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
+    if (cells.nonEmpty) {
+      val survivors = assigned
+        .where(col("cell").isin(cells: _*)) // static partition pruning
+        .join(broadcast(affectedIds), Seq(idCol), "left_anti")
+        .select(col(idCol), col(vecCol), col("cell"))
+      val replacement = survivors
+        .unionByName(newAssigned.select(col(idCol), col(vecCol),
+          col("cell")))
+        .localCheckpoint() // sever self-read-overwrite lineage
+      replacement
+        .write.partitionBy("cell").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$path/assigned")
+      // dynamic overwrite replaces only partitions PRESENT in the
+      // output — a cell emptied by deletion keeps its stale files
+      // unless removed explicitly
+      val present = replacement.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val hconf = spark.sparkContext.hadoopConfiguration
+      cells.filterNot(present).foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c")
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    val rows = spark.read.parquet(s"$path/assigned").count()
+    graft.ml.WeightsIO.save(s"$path/centroids.json",
+      meta + ("rows" -> rows.toString), sections.toSeq)
+  }
+
   /** Fit the coarse quantizer and assign every corpus row to its cell.
     *
     * Training is Lloyd's k-means on the DRIVER over the bounded sample

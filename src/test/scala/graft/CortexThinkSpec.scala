@@ -217,6 +217,74 @@ class CortexThinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.bestMetric == res.log.map(_.metric).max)
   }
 
+  test("lstm think-loop TRAJECTORY pin (VERDICT r12 item 6): a " +
+    "full-batch fixed-seed lstm trial sequence is bit-for-bit " +
+    "reproducible — every trial's validation metric and the acceptance " +
+    "bookkeeping are identical across independent loop runs") {
+    // ORACLE BOUNDARY (the committed rationale): each full-batch LSTM
+    // trial is seeded-DETERMINISTIC (batchFraction = 1.0 removes the
+    // only sampling; init is seed-derived), but not tractably
+    // SQL-expressible — the metric of epoch E depends on BPTT through a
+    // RECURRENT hidden state: unrolling one gradient evaluation is
+    // seqLen timesteps x 4 gates x (h x h + h x in) weight terms, each
+    // wrapped in sigmoid/tanh OF THE PREVIOUS TIMESTEP'S result, and
+    // the weight update feeds the next epoch — a CTE chain of depth
+    // epochs x seqLen with thousands of nested transcendental terms per
+    // level (the q_cortex_mlp unroll stays feasible precisely because
+    // the shallow MLP has no recurrence: one hidden layer, depth-1
+    // algebra per epoch). Same documented boundary as the trainers' own
+    // fit tests (ml/CortexThink.scala NetSpecInterpreter scaladoc).
+    // The pin: determinism + strict-improvement bookkeeping, which is
+    // the part of the trajectory the reference loop CONTRACTS
+    // (keras_cortex.py:131-135); per-epoch loss values of the
+    // underlying trainers are value-pinned in their own suites.
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val series = new Array[Double](260)
+    for (i <- 2 until series.length)
+      series(i) = 1.1 * series(i - 1) - 0.3 * series(i - 2) +
+        0.2 * r.nextGaussian()
+    val panel = (3 until 240).map(i => (i.toLong, series(i - 3),
+      series(i - 2), series(i - 1), series(i)))
+      .toDF("id", "lag3", "lag2", "lag1", "y")
+    val sTrain = panel.where(col("id") % 5 =!= 0).cache()
+    val sValid = panel.where(col("id") % 5 === 0).cache()
+    val lstmSchedule = Map(
+      1 -> "lstm hidden=3 lr=0.05 epochs=3",
+      2 -> "lstm hidden=4 lr=0.05 epochs=3",
+      3 -> "lstm hidden=4 lr=0.02 epochs=2")
+    def run(): CortexThink.Result[graft.ml.ModelEstimator] = {
+      val step = new AtomicInteger(0)
+      val si = new graft.ml.SeqSpecInterpreter(
+        Seq("lag3", "lag2", "lag1"), seqLen = 3, "y",
+        batchFraction = 1.0, seed = 42L)
+      CortexThink.thinkLoop(sTrain, sValid,
+        "lstm hidden=2 lr=0.05 epochs=2", si,
+        (_, _, _) => lstmSchedule(step.incrementAndGet()),
+        nIterations = 3)
+    }
+    val (a, b) = (run(), run())
+    def bits(res: CortexThink.Result[_]) = res.log.map(t =>
+      (t.iter, t.spec, java.lang.Double.doubleToRawLongBits(t.metric),
+        t.accepted))
+    assert(a.log.size == 4, "baseline + 3 completed lstm trials")
+    assert(bits(a) == bits(b),
+      "two independent full-batch fixed-seed loop runs must produce " +
+        "bit-identical trial metrics and acceptance decisions")
+    assert(a.bestMetric == a.log.filter(_.accepted).map(_.metric).max,
+      "best-so-far must equal the max accepted metric")
+    // strict-improvement bookkeeping: every accepted trial beats every
+    // earlier trial; every rejected one does not beat the best before it
+    a.log.zipWithIndex.foreach { case (t, i) =>
+      val bestBefore = a.log.take(i).map(_.metric).maxOption
+      bestBefore.foreach { bb =>
+        assert(t.accepted == (t.metric > bb),
+          s"trial ${t.iter}: accepted=${t.accepted} but metric " +
+            s"${t.metric} vs best-before $bb")
+      }
+    }
+  }
+
   // ---- HTTP proposer against a loopback LLM stand-in ----
 
   private val mapper = new ObjectMapper()

@@ -557,6 +557,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(l_returnflag)"),
       s"partition predicate leaked into data filters:\n$plan")
   }
+
+  test("heavy hitters confirm pass (VERDICT r12 item 4): the candidate " +
+    "membership probe runs INSIDE the token array (the generate emits " +
+    "candidate occurrences only), the exact count partial-aggregates " +
+    "map-side, and the plan's single exchange carries the <= k " +
+    "candidate keys — every per-occurrence cost is linear in corpus " +
+    "token volume, nothing is corpus-sized after the partial") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.text.HeavyHitters.exact(docs,
+      graft.text.CorpusOps.wordNgrams(
+        graft.text.CorpusOps.words(org.apache.spark.sql.functions
+          .col("text")), 2), theta = 0.001)
+    val plan = planOf(df)
+    // exactly one exchange: the token-keyed confirm aggregation; its
+    // input is the PARTIAL per-task aggregate (<= k candidate rows per
+    // task, never the occurrence stream)
+    assert(exchanges(plan) == 1,
+      s"confirm pass must shuffle once, on the candidate keys:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"confirm count must partial-aggregate before the exchange:\n$plan")
+    // the candidate probe is applied to the ARRAY, before explode —
+    // Catalyst does not rewrite filter-after-explode on its own, so the
+    // generate's input expression must be filter(tokens, ...)
+    assert(plan.contains("Generate explode(filter("),
+      s"candidate filter must run inside the array, pre-explode:\n$plan")
+  }
 }
 
 /** Randomized property tests (SURVEY.md §5.4): rank bounds, null-count

@@ -442,4 +442,66 @@ class MediaStagesSpec extends AnyFunSuite {
     assert(got(2L).forall(_ == 0.0f), got(2L).toString)
     assert(got(3L) == Seq.fill(4)(0.0f) && got(4L) == Seq.fill(4)(0.0f))
   }
+
+  test("REAL video codec through the same plumbing (VERDICT r12 " +
+    "item 7): MJPEG-in-AVI frames decode inside the batched stage — " +
+    "RIFF walk finds the movi frames past a dummy hdrl, each JPEG " +
+    "decodes to real pixels; driver decode matches, corrupt / " +
+    "frameless / null payloads yield zeros") {
+    import graft.multimodal.MjpegAviDecoder
+    import java.awt.image.BufferedImage
+    def jpegGray(level: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    // minimal RIFF/AVI writer: chunk = id + le-u32 size + body (+ pad)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(id.getBytes("US-ASCII"))
+      val sz = body.length
+      bos.write(Array[Byte](sz.toByte, (sz >> 8).toByte, (sz >> 16).toByte,
+        (sz >> 24).toByte))
+      bos.write(body)
+      if ((sz & 1) == 1) bos.write(0) // even padding
+      bos.toByteArray
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+      val movi = list("movi",
+        frames.map(f => chunk("00dc", f)).foldLeft(Array.empty[Byte])(_ ++ _))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++
+        chunk("idx1", new Array[Byte](16))
+      chunk("RIFF", body)
+    }
+    // 4 frames of strictly increasing gray — time-band luma must climb
+    val levels = Seq(40, 90, 140, 190)
+    val video = avi(levels.map(jpegGray))
+    val frameless = avi(Nil)
+    val rows = Seq(
+      (1L, video), (2L, frameless),
+      (3L, "definitely not RIFF".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val df = spark.createDataFrame(rows).toDF("id", "media").repartition(2)
+    val got = BinaryPipeline.extractFeatures(df, "media", dim = 4,
+      batchSize = 2, decoder = MjpegAviDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    // the distributed decode equals a driver-side decode of the same bytes
+    assert(got(1L) == MjpegAviDecoder.decode(video, 4).toSeq)
+    // 4 frames into 4 time bands: one frame each, luma strictly climbs
+    // (JPEG is lossy but monotone gray survives quantization), and each
+    // band sits near its source gray level — real pixels, not byte noise
+    assert(got(1L).sliding(2).forall(p => p(0) < p(1)), got(1L).toString)
+    levels.zipWithIndex.foreach { case (lv, i) =>
+      assert(math.abs(got(1L)(i) - lv / 255.0f) < 0.05f,
+        s"band $i: ${got(1L)(i)} vs gray $lv")
+    }
+    assert(got(2L) == Seq.fill(4)(0.0f), "frameless AVI must yield zeros")
+    assert(got(3L) == Seq.fill(4)(0.0f) && got(4L) == Seq.fill(4)(0.0f))
+  }
 }
