@@ -29,4 +29,7 @@ object DynamicOracles {
 
   /** q_ivf_topk: the trained coarse-quantizer centroids. */
   val ivfCentroids = new AtomicReference[Array[Array[Double]]]()
+
+  /** q_pq_trained: the trained per-subspace PQ codebooks. */
+  val pqCodebooks = new AtomicReference[Array[Array[Array[Double]]]]()
 }

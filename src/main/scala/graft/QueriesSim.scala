@@ -323,6 +323,26 @@ object QueriesSim {
           round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
     }),
 
+    // PQ with TRAINED codebooks (the FAISS ProductQuantizer.train
+    // role): per-subspace Lloyd over the bounded md5-ordered sample —
+    // a DETERMINISTIC pure function of the data, so the fitted
+    // codebooks go to DynamicOracles and the FULL encode + ADC +
+    // re-rank path verifies under the trained quantizer (same SQL as
+    // q_pq_topk, trained literals — the q_ivf_topk treatment).
+    "q_pq_trained" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val books = PqCosine.trainCodebooks(corpus, "vec_id", "embedding",
+        m = 8, nk = 16)
+      DynamicOracles.pqCodebooks.set(books)
+      val codes = PqCosine.encode(corpus, "vec_id", "embedding", books)
+      val probes = corpus.where(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      PqCosine.search(codes, corpus, probes, "vec_id", "embedding",
+        "qid", "qvec", books, k = 5, shortlist = 20)
+        .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
+          round(col("approx_cos"), 6).as("approx_cos"), col("rank"))
+    }),
+
     // scalar int8 quantization (FAISS SQ8): per-vector linear codes +
     // asymmetric float-query scoring — the codebook-free middle rung of
     // the compression ladder (float32 → SQ8 → PQ → IVF-PQ), fully
@@ -641,7 +661,9 @@ object QueriesSim {
 
   def oracleSql: Map[String, String] = staticOracleSql ++
     Option(DynamicOracles.ivfCentroids.get).map(cents =>
-      "q_ivf_topk" -> ivfSearchSql(cents, nprobe = 4, k = 5))
+      "q_ivf_topk" -> ivfSearchSql(cents, nprobe = 4, k = 5)) ++
+    Option(DynamicOracles.pqCodebooks.get).map(books =>
+      "q_pq_trained" -> pqSql(books, probePred = "vec_id % 17 = 0"))
 
   /** The full IVF-PQ oracle (assignment, residual encoding, probe
     * routing, ADC, exact re-rank) against the pinned 16-cell grid and
@@ -715,6 +737,73 @@ object QueriesSim {
        |  JOIN lut l ON l.qid = pc.qid
        |  WHERE mt.vec_id <> pc.qid
        |  QUALIFY row_number() OVER (PARTITION BY pc.qid
+       |    ORDER BY approx_cos DESC, nid) <= 20),
+       |rer AS (
+       |  SELECT s.qid, s.nid,
+       |    list_inner_product(p.q, v.e)
+       |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
+       |    s.approx_cos
+       |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
+       |SELECT qid, nid, round(cosine, 6) AS cosine,
+       |  round(approx_cos, 6) AS approx_cos,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid) AS rank
+       |FROM rer QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** The full PQ oracle (per-subspace encode, flat-LUT ADC, exact
+    * re-rank) for a given codebook tensor — shared by q_pq_topk
+    * (pinned grid) and the DYNAMIC q_pq_trained entry (trained
+    * codebooks captured at query time; training is deterministic given
+    * the data, and encode/search given codebooks is exact SQL). */
+  private def pqSql(books: Array[Array[Array[Double]]],
+      probePred: String = "vec_id < 50"): String = {
+    val m = books.length
+    val nk = books.head.length
+    val subDim = books.head.head.length
+    val values = (for {
+      mi <- books.indices; ki <- books(mi).indices
+    } yield {
+      val c = books(mi)(ki)
+      val cc = c.map(x => x * x).sum
+      s"($mi, $ki, [${c.mkString(", ")}], $cc)"
+    }).mkString(",\n    ")
+    // flat LUT index = m·nk + code + 1 (1-based); the m-term ADC sum is
+    // written explicitly so the addition order matches the Spark side
+    val adcSum = (0 until m).map(mi =>
+      s"l.l[${mi * nk} + c.c[${mi + 1}] + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cb(m, k, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |    $values)),
+       |enc AS (
+       |  SELECT vec_id, m, k AS code FROM v CROSS JOIN cb
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
+       |    cc - 2 * list_inner_product(
+       |      list_slice(e, m * $subDim + 1, m * $subDim + $subDim), cv),
+       |    k) = 1),
+       |codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS c FROM enc
+       |  GROUP BY vec_id),
+       |nr AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+       |p AS (SELECT vec_id AS qid, e AS q,
+       |      sqrt(list_inner_product(e, e)) AS qn FROM v
+       |      WHERE $probePred),
+       |lut AS (
+       |  SELECT qid, list(val ORDER BY m, k) AS l FROM (
+       |    SELECT p.qid, cb.m, cb.k,
+       |      list_inner_product(
+       |        list_slice(p.q, cb.m * $subDim + 1,
+       |                   cb.m * $subDim + $subDim), cb.cv) AS val
+       |    FROM p CROSS JOIN cb) GROUP BY qid),
+       |short AS (
+       |  SELECT l.qid, c.vec_id AS nid,
+       |    ($adcSum) / (p.qn * n.nrm) AS approx_cos
+       |  FROM lut l JOIN p ON p.qid = l.qid
+       |  CROSS JOIN codes c JOIN nr n ON n.vec_id = c.vec_id
+       |  WHERE c.vec_id <> l.qid
+       |  QUALIFY row_number() OVER (PARTITION BY l.qid
        |    ORDER BY approx_cos DESC, nid) <= 20),
        |rer AS (
        |  SELECT s.qid, s.nid,
@@ -989,61 +1078,8 @@ object QueriesSim {
     // search over the full corpus
     "q_ivfpq_append" -> ivfPqSql(probePred = "vec_id % 29 = 0"),
 
-    "q_pq_topk" -> {
-      val books = PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)
-      val values = (for {
-        mi <- books.indices; ki <- books(mi).indices
-      } yield {
-        val c = books(mi)(ki)
-        val cc = c.map(x => x * x).sum
-        s"($mi, $ki, [${c.mkString(", ")}], $cc)"
-      }).mkString(",\n    ")
-      // flat LUT index = m·16 + code + 1 (1-based); the 8-term ADC sum is
-      // written explicitly so the addition order matches the Spark side
-      val adcSum = (0 until 8).map(mi =>
-        s"l.l[${mi * 16} + c.c[${mi + 1}] + 1]").mkString(" + ")
-      s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |cb(m, k, cv, cc) AS (
-         |  SELECT * FROM (VALUES
-         |    $values)),
-         |enc AS (
-         |  SELECT vec_id, m, k AS code FROM v CROSS JOIN cb
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY
-         |    cc - 2 * list_inner_product(
-         |      list_slice(e, m * 8 + 1, m * 8 + 8), cv), k) = 1),
-         |codes AS (
-         |  SELECT vec_id, list(code ORDER BY m) AS c FROM enc
-         |  GROUP BY vec_id),
-         |nr AS (SELECT vec_id, sqrt(list_inner_product(e, e)) AS nrm FROM v),
-         |p AS (SELECT vec_id AS qid, e AS q,
-         |      sqrt(list_inner_product(e, e)) AS qn FROM v WHERE vec_id < 50),
-         |lut AS (
-         |  SELECT qid, list(val ORDER BY m, k) AS l FROM (
-         |    SELECT p.qid, cb.m, cb.k,
-         |      list_inner_product(
-         |        list_slice(p.q, cb.m * 8 + 1, cb.m * 8 + 8), cb.cv) AS val
-         |    FROM p CROSS JOIN cb) GROUP BY qid),
-         |short AS (
-         |  SELECT l.qid, c.vec_id AS nid,
-         |    ($adcSum) / (p.qn * n.nrm) AS approx_cos
-         |  FROM lut l JOIN p ON p.qid = l.qid
-         |  CROSS JOIN codes c JOIN nr n ON n.vec_id = c.vec_id
-         |  WHERE c.vec_id <> l.qid
-         |  QUALIFY row_number() OVER (PARTITION BY l.qid
-         |    ORDER BY approx_cos DESC, nid) <= 20),
-         |rer AS (
-         |  SELECT s.qid, s.nid,
-         |    list_inner_product(p.q, v.e)
-         |      / (p.qn * sqrt(list_inner_product(v.e, v.e))) AS cosine,
-         |    s.approx_cos
-         |  FROM short s JOIN p ON p.qid = s.qid JOIN v ON v.vec_id = s.nid)
-         |SELECT qid, nid, round(cosine, 6) AS cosine,
-         |  round(approx_cos, 6) AS approx_cos,
-         |  row_number() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, nid) AS rank
-         |FROM rer QUALIFY rank <= 5""".stripMargin
-    },
+    "q_pq_topk" -> pqSql(
+      PqCosine.pinnedCodebooks(m = 8, subDim = 8, k = 16)),
 
     "q_sq8_topk" ->
       // encode mirror: abs/max/÷/round are single non-accumulating ops

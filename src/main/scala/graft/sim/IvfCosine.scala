@@ -302,23 +302,41 @@ object IvfCosine {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxTrainRows: Int = 100000,
       iters: Int = 10): Index = {
-    // UNIFORM bounded sample: the md5-ordered prefix is a deterministic
-    // pseudo-random draw that is invariant to corpus row order — a plain
-    // limit() takes the first N source rows, which on a source-ordered
-    // corpus (by crawl date, by domain) would bias the quantizer.
-    // orderBy+limit compiles to TakeOrderedAndProject: each task keeps a
-    // bounded top-N heap, no global sort shuffle.
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol), md5(col(idCol).cast("string")).as("__ord"))
-      .orderBy(col("__ord"))
-      .limit(maxTrainRows)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = boundedSample(corpus, idCol, vecCol, maxTrainRows)
     require(sample.nonEmpty, "ivf quantizer: empty training sample")
+    assignByCentroids(corpus, idCol, vecCol,
+      lloydDriver(sample, nlist, seed, iters))
+  }
+
+  /** UNIFORM bounded sample: the md5-ordered prefix is a deterministic
+    * pseudo-random draw that is invariant to corpus row order — a plain
+    * limit() takes the first N source rows, which on a source-ordered
+    * corpus (by crawl date, by domain) would bias the quantizer.
+    * orderBy+limit compiles to TakeOrderedAndProject: each task keeps a
+    * bounded top-N heap, no global sort shuffle. Shared by every
+    * bounded-sample trainer (IVF quantizer, PQ codebooks, IVF-PQ
+    * residual codebooks). */
+  private[sim] def boundedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, maxTrainRows: Int): Array[Array[Double]] = corpus
+    .select(col(vecCol), md5(col(idCol).cast("string")).as("__ord"))
+    .orderBy(col("__ord"))
+    .limit(maxTrainRows)
+    .select(col(vecCol))
+    .collect()
+    .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  /** Driver-side Lloyd's k-means over a bounded sample — a coarse
+    * quantizer needs roughly-balanced cells, not converged clusters,
+    * and running `iters` Lloyd rounds as distributed jobs is pure
+    * scheduling overhead when the sample is bounded anyway. Seeded
+    * init (sample draws), fixed iterations, empty cells keep their
+    * previous centroid — a DETERMINISTIC pure function of the sample,
+    * which is what lets trained quantizers publish to DynamicOracles. */
+  private[sim] def lloydDriver(sample: Array[Array[Double]], k: Int,
+      seed: Long, iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
     val rng = new scala.util.Random(seed)
-    val cents = Array.tabulate(nlist)(_ =>
+    val cents = Array.tabulate(k)(_ =>
       sample(rng.nextInt(sample.length)).clone())
     val assign = new Array[Int](sample.length)
     var it = 0
@@ -327,7 +345,7 @@ object IvfCosine {
       while (p < sample.length) {
         val v = sample(p); var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nlist) {
+        while (c < k) {
           var d = 0.0; var i = 0
           while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -335,8 +353,8 @@ object IvfCosine {
         }
         assign(p) = best; p += 1
       }
-      val sums = Array.ofDim[Double](nlist, dim)
-      val counts = new Array[Int](nlist)
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
       var q = 0
       while (q < sample.length) {
         val v = sample(q); val c = assign(q); counts(c) += 1
@@ -345,7 +363,7 @@ object IvfCosine {
         q += 1
       }
       var c = 0
-      while (c < nlist) {
+      while (c < k) {
         // empty cell: keep the previous centroid
         if (counts(c) > 0) {
           var i = 0
@@ -355,7 +373,7 @@ object IvfCosine {
       }
       it += 1
     }
-    assignByCentroids(corpus, idCol, vecCol, cents)
+    cents
   }
 
   /** Deterministic pseudo-random centroid grid derived from md5 —

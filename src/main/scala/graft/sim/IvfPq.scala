@@ -48,6 +48,41 @@ import graft.dedup.Similarity
   */
 object IvfPq {
 
+  /** TRAIN residual codebooks — the FAISS `IndexIVFPQ.train` role
+    * (Jégou et al. 2011 §V.A: product-quantize the residual
+    * `x − q_coarse(x)`): the bounded sample assigns to its nearest
+    * coarse centroid DRIVER-side (the sample is bounded; the corpus
+    * assignment stays the distributed paths), residuals slice into
+    * `m` subvectors, one Lloyd run per subspace. Same determinism
+    * contract as [[PqCosine.trainCodebooks]]. */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Double]], m: Int, nk: Int, seed: Long = 42L,
+      maxTrainRows: Int = 100000,
+      iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = IvfCosine.boundedSample(corpus, idCol, vecCol,
+      maxTrainRows)
+    require(sample.nonEmpty, "ivf-pq codebooks: empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"ivf-pq codebooks: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - coarse(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      Array.tabulate(dim)(i => v(i) - coarse(best)(i))
+    }
+    Array.tabulate(m) { mi =>
+      val sub = residuals.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+      IvfCosine.lloydDriver(sub, nk, seed + mi, iters)
+    }
+  }
+
   /** Residual-PQ encoding against fixed coarse centroids + codebooks.
     * Output: (idCol, cell, codes array<int>, nrm). The per-subspace
     * comparator drops the constant `r·r` term: argmin_k of

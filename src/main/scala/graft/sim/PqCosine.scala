@@ -43,6 +43,30 @@ object PqCosine {
       (((h(0) & 0xff) * 256 + (h(1) & 0xff)).toDouble / 65535.0) - 0.5
     }
 
+  /** TRAIN per-subspace codebooks — the FAISS `ProductQuantizer.train`
+    * role (Jégou et al. 2011 §II.C: independent k-means per subspace):
+    * one bounded md5-ordered sample ([[IvfCosine.boundedSample]] — the
+    * same draw every bounded trainer uses), sliced into `m` subvectors,
+    * one driver Lloyd run per subspace ([[IvfCosine.lloydDriver]],
+    * seed offset by the subspace index). Deterministic pure function of
+    * the data — trained codebooks can publish to DynamicOracles and the
+    * whole encode/ADC/re-rank path verifies under them (q_pq_trained),
+    * exactly the q_ivf_topk treatment. */
+  def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, nk: Int, seed: Long = 42L, maxTrainRows: Int = 100000,
+      iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = IvfCosine.boundedSample(corpus, idCol, vecCol,
+      maxTrainRows)
+    require(sample.nonEmpty, "pq codebooks: empty training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pq codebooks: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    Array.tabulate(m) { mi =>
+      val sub = sample.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+      IvfCosine.lloydDriver(sub, nk, seed + mi, iters)
+    }
+  }
+
   /** Codebooks as DATA — one row per (subspace, code): (m int, k int,
     * bv array<double>) — for the data-form IVF-PQ paths
     * ([[IvfPq.encodeDf]] / [[IvfPq.searchDf]]). */

@@ -125,6 +125,54 @@ class AnnIndexIOSpec extends AnyFunSuite {
     AnnIndexIO.loadSq(spark, p, verifyRows = false) // forensic escape
   }
 
+  test("serve a probe STREAM against the persisted IVF-PQ index: " +
+    "per-batch searchDf over loadIvfPq equals the batch search (the " +
+    "compressed-index query-serving shape — code table built once, " +
+    "queries arrive forever)") {
+    val coarse = IvfCosine.pinnedCentroids(4, dim)
+    val books = PqCosine.pinnedCodebooks(m = 4, subDim = 2, k = 8)
+    val (coarseDf, booksDf) = (IvfCosine.centroidsDf(spark, coarse),
+      PqCosine.codebooksDf(spark, books))
+    val corpus = vecs(0 until 90, 71).cache()
+    val p = tmp("ivfpq-serve")
+    AnnIndexIO.saveIvfPq(p, coarse, books,
+      IvfPq.encodeDf(corpus, "vec_id", "embedding", coarseDf, booksDf,
+        m = 4), "vec_id")
+    val loaded = AnnIndexIO.loadIvfPq(spark, p)
+    val probes = corpus.where(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def search(ps: DataFrame) =
+      IvfPq.searchDf(loaded.codes, corpus, ps, "vec_id", "embedding",
+        "qid", "qvec", coarseDf, booksDf, k = 3, nprobe = 3,
+        shortlist = 10, m = 4, nk = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqserve")
+    val inDir = dir.resolve("in").toString
+    probes.write.parquet(inDir)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long, Int)]()
+    val q = spark.readStream.schema(probes.schema).parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per micro-batch: the SAME cell-pruned ADC plan, probes =
+        // just this batch (ranks are per-qid, so batch-local windows
+        // equal the global ones)
+        search(batch).collect().foreach(r => got.add((r.getLong(0),
+          r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3)),
+          r.getInt(4))))
+      }
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batchResults = bits(search(probes))
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(
+      got.iterator).asScala.toSet == batchResults,
+      "streamed per-batch PQ search must equal the batch search " +
+        "bit-for-bit")
+    assert(batchResults.nonEmpty)
+  }
+
   test("ivf-pq artifact refuses a family mismatch and a tampered " +
     "codes schema with path-bearing errors") {
     val coarse = IvfCosine.pinnedCentroids(4, dim)

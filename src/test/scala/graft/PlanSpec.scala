@@ -262,6 +262,34 @@ class PlanSpec extends AnyFunSuite {
         s"nlist cell directories instead of its nprobe:\n$plan")
   }
 
+  test("search over a LOADED IVF-PQ code table triggers the same " +
+    "dynamic partition pruning on the cell-partitioned codes — the " +
+    "compressed index keeps the file-level read reduction") {
+    import graft.sim.{AnnIndexIO, IvfCosine, IvfPq, PqCosine}
+    import spark.implicits._
+    val r = new scala.util.Random(19)
+    val dim = 8
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(r.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val coarse = IvfCosine.pinnedCentroids(8, dim)
+    val books = PqCosine.pinnedCodebooks(m = 4, subDim = 2, k = 8)
+    val p = java.nio.file.Files.createTempDirectory("graft-dpp-pq")
+      .resolve("idx").toString
+    AnnIndexIO.saveIvfPq(p, coarse, books,
+      IvfPq.encode(corpus, "vec_id", "embedding", coarse, books),
+      "vec_id")
+    val loaded = AnnIndexIO.loadIvfPq(spark, p)
+    val probes = corpus.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = planOf(IvfPq.search(loaded.codes, corpus, probes,
+      "vec_id", "embedding", "qid", "qvec", loaded.coarse,
+      loaded.codebooks, k = 3, nprobe = 2, shortlist = 10))
+    assert(plan.contains("dynamicpruningexpression(cell"),
+      s"no DPP on the loaded codes scan — a probe batch would read " +
+        s"all nlist cell directories instead of its nprobe:\n$plan")
+  }
+
   test("trained-model scoring queries (soft forest, joint autoencoder) " +
     "are shuffle-free projection chains — map-side at scan speed") {
     for (q <- Seq("q_soft_forest", "q_ae_score", "q_ae_bn", "q_deep_bn")) {
