@@ -60,7 +60,7 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
 
   require(k >= 1 && k <= 1000000, s"mg_candidates k out of range: $k")
 
@@ -73,17 +73,25 @@ case class MisraGriesAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"mg_candidates requires a string input, got ${child.dataType}")
 
-  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 
-  override def update(buf: mutable.HashMap[String, Long],
-      input: InternalRow): mutable.HashMap[String, Long] = {
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      // UTF8String keys, NOT java Strings: the hot path (an occurrence
+      // of an already-tracked token — the overwhelming majority, since
+      // tracked tokens are the frequent ones) then does a hash probe on
+      // the raw bytes with ZERO allocation; the per-occurrence
+      // UTF-8 decode + String alloc of the previous version was the
+      // kernel's top cost at corpus scale. eval()'s result may alias a
+      // reused row buffer, so the key is CLONED exactly once, at first
+      // insert — never per occurrence.
+      val s = v.asInstanceOf[UTF8String]
       buf.get(s) match {
         case Some(c) => buf.update(s, c + 1)
-        case None if buf.size < k => buf.update(s, 1L)
+        case None if buf.size < k => buf.update(s.clone(), 1L)
         case None =>
           // all k slots taken by others: decrement everyone, drop zeros.
           // Each pass retires k+1 units of arrived count, so total work
@@ -95,8 +103,8 @@ case class MisraGriesAgg(
     buf
   }
 
-  override def merge(b1: mutable.HashMap[String, Long],
-      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+  override def merge(b1: mutable.HashMap[UTF8String, Long],
+      b2: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
     b2.foreach { case (s, c) =>
       b1.update(s, b1.getOrElse(s, 0L) + c)
     }
@@ -111,32 +119,33 @@ case class MisraGriesAgg(
     b1
   }
 
-  override def eval(buf: mutable.HashMap[String, Long]): Any =
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+    // sort as java Strings (<= k of them — cold path) so the emitted
+    // order is byte-for-byte what the String-keyed version produced
     new GenericArrayData(
-      buf.keysIterator.toArray.sorted[String]
+      buf.keysIterator.map(_.toString).toArray.sorted[String]
         .map(UTF8String.fromString(_)): Array[Any])
 
-  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (s, c) =>
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = s.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[String, Long]
+    val buf = mutable.HashMap.empty[UTF8String, Long]
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
-        in.readLong())
+      buf.update(UTF8String.fromBytes(b), in.readLong())
       i += 1
     }
     buf

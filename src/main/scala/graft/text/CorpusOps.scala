@@ -25,9 +25,13 @@ import graft.operators.GraftTransformer
 object CorpusOps {
 
   /** Lowercased word-token array — the tokenization every corpus
-    * operator shares (same regex as Dedup.simHash / minhash shingles). */
-  def words(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9_]+"), lit(0))
+    * operator shares (same token class as Dedup.simHash / minhash
+    * shingles). Runs as the native [[graft.functions.WordTokens]]
+    * kernel — value-identical to
+    * `regexp_extract_all(lower(text), "[a-z0-9_]+", 0)` (the form the
+    * DuckDB oracles keep; WordKernelSpec pins kernel ≡ regex) with no
+    * per-row regex-engine cost. */
+  def words(text: Column): Column = graft.functions.WordTokens(text)
 
   /** Per-word occurrence counts within one document: for each distinct
     * word, how many times it appears. O(distinct·n) per row — cheap for
@@ -36,9 +40,21 @@ object CorpusOps {
     transform(array_distinct(w), d => size(filter(w, x => x === d)))
 
   /** Overlapping word n-grams joined with single spaces (positions
-    * 1..n-g+1; empty array when the document is shorter than g — the
-    * when-guard matters: sequence(1, 0) would infer step -1). */
-  def wordNgrams(w: Column, g: Int): Column = {
+    * 1..n-g+1; empty array when the document is shorter than g, and —
+    * via the coalesce — when the word ARRAY itself is null, matching
+    * the staged when-guard form's null semantics). Runs as the native
+    * [[graft.functions.WordNgrams]] kernel — one codegen'd pass instead
+    * of the interpreted transform/element_at/concat_ws chain
+    * (higher-order functions are CodegenFallback); WordKernelSpec pins
+    * kernel ≡ staged form. */
+  def wordNgrams(w: Column, g: Int): Column =
+    coalesce(graft.functions.WordNgrams(w, g),
+      typedlit(Array.empty[String]))
+
+  /** The staged-HOF n-gram form the native kernel replaced — kept as
+    * the equivalence REFERENCE (WordKernelSpec pins kernel ≡ this on
+    * randomized inputs; the DuckDB oracles mirror this form). */
+  private[graft] def wordNgramsStaged(w: Column, g: Int): Column = {
     val n = size(w) - (g - 1)
     when(n > 0,
       transform(sequence(lit(1), greatest(n, lit(1))),

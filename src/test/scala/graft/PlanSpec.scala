@@ -223,17 +223,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quality/repetition stats are pure projections: zero exchanges, " +
-    "and the token-array regex is staged ONCE as its own column") {
+    "and the tokenization kernel is staged ONCE as its own column") {
     import graft.text.{QualityFilterTransformer, RepetitionTransformer}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     for (out <- Seq(QualityFilterTransformer("text").transform(docs),
         RepetitionTransformer("text").transform(docs))) {
       val plan = planOf(out)
       assert(exchanges(plan) == 0, s"per-doc stats must not shuffle:\n$plan")
-      // regexp_extract_all inlined into HOF lambdas re-runs per element
+      // a tokenizer inlined into HOF lambdas re-runs per element
       // (lambdas are outside CSE) — it must appear exactly once
-      val n = "regexp_extract_all".r.findAllIn(plan).length
-      assert(n == 1, s"token regex must be staged once, found $n:\n$plan")
+      val n = "word_tokens".r.findAllIn(plan).length
+      assert(n == 1, s"tokenizer must be staged once, found $n:\n$plan")
     }
   }
 
