@@ -219,8 +219,11 @@ object MjpegAviDecoder extends MediaDecoder {
           val body = p + 8
           if (sz > end - body) return
           val szI = sz.toInt
-          if (id == "LIST") {
-            if (szI >= 4) walk(body + 4, body + szI) // skip list type
+          if (id == "LIST" || id == "RIFF") {
+            // LIST nodes hold the movi frames; a sibling RIFF is the
+            // AVIX extension block large (>1 GiB) AVIs append — same
+            // 4-byte form type + children layout, recurse identically
+            if (szI >= 4) walk(body + 4, body + szI)
           } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
             id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && szI > 0) {
             frames += java.util.Arrays.copyOfRange(bytes, body, body + szI)

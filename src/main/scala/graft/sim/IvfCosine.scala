@@ -76,7 +76,9 @@ object IvfCosine {
     * successful saveIndex/appendToIndex — a crash mid-append (partial
     * part-file commit, or parquet committed but meta not yet updated)
     * fails HERE with both counts instead of silently serving a
-    * truncated or half-appended corpus. */
+    * truncated or half-appended corpus. (An artifact whose meta
+    * carries no `rows` entry — written before the commit protocol
+    * existed — loads without the check; re-saving republishes it.) */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: Option[String] = None,
       vecCol: Option[String] = None, verifyRows: Boolean = true): Index = {
