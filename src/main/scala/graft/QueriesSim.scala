@@ -497,6 +497,14 @@ object QueriesSim {
     "q_umap_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val nlist = math.max(16, math.ceil(e.count() / 125.0).toInt)
+      // the dynamic oracle enumerates the md5 grid from range(65536)
+      // (DuckDB table-function args can't be subqueries) — fail HERE,
+      // where the grid size is chosen, if the corpus ever implies more
+      // cells than the oracle can enumerate, instead of as a confusing
+      // hash mismatch (ADVICE r13)
+      require(nlist <= 65536,
+        s"q_umap_ivf nlist=$nlist exceeds the oracle's 65536-cell " +
+          "enumeration cap — raise cellRows or the oracle's range bound")
       val cents = IvfCosine.centroidsDf(s,
         IvfCosine.pinnedCentroids(nlist, DIM))
       graft.ml.UmapAnalog.fitTransform(e,
@@ -537,6 +545,9 @@ object QueriesSim {
     * a GATED query scale its cell count with the corpus and still
     * verify: the oracle enumerates however many cells the data implies
     * (16 at the 500/2000-row gate scales, 160 at the sf1 checkpoint).
+    * The enumeration is bounded at 65536 cells (range() args can't be
+    * subqueries in DuckDB); the Scala side asserts nlist <= 65536 at
+    * grid-choice time so the cap can never silently diverge the grids.
     * The cc self-dot comes from list_inner_product(cv, cv) — the same
     * ascending-index left fold as the Scala literal and the VecDot
     * kernel. */

@@ -60,7 +60,7 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Array[Long]]] {
 
   require(k >= 1 && k <= 1000000, s"mg_candidates k out of range: $k")
 
@@ -73,11 +73,11 @@ case class MisraGriesAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"mg_candidates requires a string input, got ${child.dataType}")
 
-  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Array[Long]] =
     mutable.HashMap.empty
 
-  override def update(buf: mutable.HashMap[UTF8String, Long],
-      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+  override def update(buf: mutable.HashMap[UTF8String, Array[Long]],
+      input: InternalRow): mutable.HashMap[UTF8String, Array[Long]] = {
     val v = child.eval(input)
     if (v != null) {
       // UTF8String keys, NOT java Strings: the hot path (an occurrence
@@ -87,65 +87,76 @@ case class MisraGriesAgg(
       // UTF-8 decode + String alloc of the previous version was the
       // kernel's top cost at corpus scale. eval()'s result may alias a
       // reused row buffer, so the key is CLONED exactly once, at first
-      // insert — never per occurrence.
+      // insert — and counts live in MUTABLE one-element cells, so the
+      // hot path increments in place and the possibly-aliased key is
+      // NEVER handed back to the map (a map that replaced the stored
+      // key on overwrite would otherwise corrupt the sketch).
       val s = v.asInstanceOf[UTF8String]
       buf.get(s) match {
-        case Some(c) => buf.update(s, c + 1)
-        case None if buf.size < k => buf.update(s.clone(), 1L)
+        case Some(cell) => cell(0) += 1
+        case None if buf.size < k => buf.update(s.clone(), Array(1L))
         case None =>
           // all k slots taken by others: decrement everyone, drop zeros.
           // Each pass retires k+1 units of arrived count, so total work
           // across a partition is O(N) amortized.
-          buf.filterInPlace((_, c) => c > 1)
-          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c(0) > 1)
+          buf.valuesIterator.foreach(c => c(0) -= 1)
       }
     }
     buf
   }
 
-  override def merge(b1: mutable.HashMap[UTF8String, Long],
-      b2: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
+  override def merge(b1: mutable.HashMap[UTF8String, Array[Long]],
+      b2: mutable.HashMap[UTF8String, Array[Long]])
+      : mutable.HashMap[UTF8String, Array[Long]] = {
+    // b2's keys come from deserialize (freshly allocated, never aliased),
+    // so adopting its cell on first sight is safe
     b2.foreach { case (s, c) =>
-      b1.update(s, b1.getOrElse(s, 0L) + c)
+      b1.get(s) match {
+        case Some(cell) => cell(0) += c(0)
+        case None => b1.update(s, c)
+      }
     }
     if (b1.size > k) {
       // subtract the (k+1)-largest count from all; <= k survive
-      val counts = b1.values.toArray
+      val counts = b1.valuesIterator.map(_(0)).toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - (k + 1))
-      b1.filterInPlace((_, c) => c > cut)
-      b1.mapValuesInPlace((_, c) => c - cut)
+      b1.filterInPlace((_, c) => c(0) > cut)
+      b1.valuesIterator.foreach(c => c(0) -= cut)
     }
     b1
   }
 
-  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any =
+  override def eval(buf: mutable.HashMap[UTF8String, Array[Long]]): Any =
     // sort as java Strings (<= k of them — cold path) so the emitted
     // order is byte-for-byte what the String-keyed version produced
     new GenericArrayData(
       buf.keysIterator.map(_.toString).toArray.sorted[String]
         .map(UTF8String.fromString(_)): Array[Any])
 
-  override def serialize(buf: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
+  override def serialize(
+      buf: mutable.HashMap[UTF8String, Array[Long]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (s, c) =>
       val b = s.getBytes
-      out.writeInt(b.length); out.write(b); out.writeLong(c)
+      out.writeInt(b.length); out.write(b); out.writeLong(c(0))
     }
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[UTF8String, Long] = {
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[UTF8String, Array[Long]] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[UTF8String, Long]
+    val buf = mutable.HashMap.empty[UTF8String, Array[Long]]
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      buf.update(UTF8String.fromBytes(b), in.readLong())
+      buf.update(UTF8String.fromBytes(b), Array(in.readLong()))
       i += 1
     }
     buf

@@ -159,12 +159,18 @@ object AnnIndexIO {
       .write.mode("overwrite").parquet(s"$path/codes")
     val rows = codes.sparkSession.read.parquet(s"$path/codes").count()
     // SQ8 has no quantizer, but the code WIDTH is still index state —
-    // record it so a wrong-dimension delta is refused at append
-    val dim = codes.select(size(col("codes"))).head(1)
-      .map(_.getInt(0)).headOption.getOrElse(0)
+    // record it so a wrong-dimension delta is refused at append. The
+    // width is taken by a min/max(size) AGGREGATE over the whole frame
+    // (the requireVecDim strict pattern), not one arbitrary row: a
+    // mixed-width frame must be refused HERE, before it becomes an
+    // artifact that accepts matching-but-wrong deltas. An EMPTY save
+    // records no dim; the first appendSq then adopts its delta's
+    // (strictly validated) width — see there.
+    val dim = uniformCodeWidth(codes, s"saveSq to $path")
     graft.ml.WeightsIO.save(s"$path/params.json",
       Map("family" -> "sq8_index", "rows" -> rows.toString,
-        "dim" -> dim.toString, "idCol" -> idCol), Nil)
+        "idCol" -> idCol) ++
+        dim.map(d => "dim" -> d.toString), Nil)
   }
 
   def loadSq(spark: SparkSession, path: String,
@@ -182,10 +188,26 @@ object AnnIndexIO {
     graft.ml.WeightsIO.requireFamily(meta, "sq8_index", s"$path/params.json")
     val idCol = meta("idCol")
     requireCols(delta, Seq(idCol, vecCol), "appendSq delta")
-    meta.get("dim").map(_.toInt).filter(_ > 0).foreach(dim =>
-      IvfCosine.requireVecDim(delta, vecCol, dim, "appendSq delta"))
+    // width check is never skipped: a recorded dim validates the delta
+    // against it; an index saved EMPTY (no dim recorded) ADOPTS the
+    // delta's width — strictly validated uniform across the whole delta
+    // — and republishes it, so the artifact leaves this call with the
+    // invariant (all rows one width) either way.
+    val adopted = meta.get("dim").map(_.toInt).filter(_ > 0) match {
+      case Some(dim) =>
+        IvfCosine.requireVecDim(delta, vecCol, dim, "appendSq delta",
+          strict = true)
+        None
+      case None =>
+        val d = uniformCodeWidth(delta, "appendSq delta", vecCol)
+        require(d.nonEmpty,
+          s"appendSq to $path: the index records no vector dim and the " +
+            "delta is empty — cannot establish the code width")
+        d
+    }
     val enc = SqCosine.encode(delta, idCol, vecCol)
-    commitAppend(path, meta, sections,
+    commitAppend(path,
+      meta ++ adopted.map(d => "dim" -> d.toString), sections,
       enc.select(col(idCol), col("codes"), col("scale"), col("nrm")), Nil)
   }
 
@@ -219,6 +241,23 @@ object AnnIndexIO {
       b
     }
   }
+
+  /** The uniform element width of an array column, validated by ONE
+    * min/max(size) aggregate over the whole frame (the requireVecDim
+    * strict pattern): None for an empty frame, the width when uniform,
+    * refusal when mixed — a single arbitrary row (the old head(1))
+    * could bless a mixed-width frame whose artifact then accepts
+    * matching-but-wrong deltas. */
+  private def uniformCodeWidth(df: DataFrame, where: String,
+      colName: String = "codes"): Option[Int] =
+    df.agg(min(size(col(colName))).as("lo"),
+        max(size(col(colName))).as("hi")).head(1).toSeq.headOption
+      .filter(!_.isNullAt(0)).map { r =>
+        require(r.getInt(0) == r.getInt(1),
+          s"$where holds $colName widths ${r.getInt(0)}..${r.getInt(1)}" +
+            " — a mixed-width frame cannot define the index dimension")
+        r.getInt(0)
+      }
 
   private def requireCols(df: DataFrame, cols: Seq[String],
       where: String): Unit =

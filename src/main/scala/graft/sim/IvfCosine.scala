@@ -35,25 +35,61 @@ object IvfCosine {
     * centroids as a WeightsIO artifact next to it. Build once, reuse
     * across every search job — at corpus scale the assignment pass
     * dwarfs any single query, so an unreusable index is a
-    * rebuilt-per-query bottleneck. */
+    * rebuilt-per-query bottleneck.
+    *
+    * Two maintenance structures are written alongside (both invisible
+    * to the search path):
+    *
+    *   - `$path/idmap` — the id→cell SIDECAR, (id, cell) partitioned by
+    *     `bucket = pmod(xxhash64(id), buckets)`. [[applyChanges]]'s
+    *     old-cell lookup for a day-sized change set then reads only the
+    *     delta's bucket directories (static partition pruning) instead
+    *     of scanning the whole index's (id, cell) columns — the lookup
+    *     cost is delta-proportional, which is what survives daily
+    *     maintenance of a 100 TB index. `buckets` sizes the pruning
+    *     granularity (≈ corpus rows / buckets ids per directory).
+    *   - per-cell `_epoch_<e>` COMMIT MARKERS + a `cellEpochs` map in
+    *     the meta: every live cell directory carries a marker naming
+    *     the epoch that last rewrote it, and the meta records the
+    *     expected epoch per cell. A dynamic partition overwrite
+    *     REPLACES the cell directory (destroying its marker), so a
+    *     crash mid-[[applyChanges]] — even one that is row-count
+    *     NEUTRAL, e.g. pure re-embeds that keep their cells — leaves
+    *     at least one cell whose marker no longer matches the recorded
+    *     epoch, and [[loadIndex]] refuses it (ADVICE r13: the global
+    *     row count alone cannot see that case). */
   def saveIndex(path: String, index: Index, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"saveIndex: buckets=$buckets")
+    val spark = index.assigned.sparkSession
     index.assigned.select(col(idCol), col(vecCol), col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/assigned")
+    // the sidecar derives from the files JUST WRITTEN, not from
+    // index.assigned — re-planning the assigned frame would re-run the
+    // full-corpus assignment, while this is a 2-narrow-column
+    // (column-pruned) read of parquet already on disk
+    spark.read.parquet(s"$path/assigned")
+      .select(col(idCol), col("cell"), bucketOf(idCol, buckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/idmap")
     // commit marker: the EXPECTED row count, read back from the files
     // just written (a parquet count() is footer-metadata-only — no data
     // pages are scanned). loadIndex re-counts and compares, so a
     // partially committed write (crash mid-commit leaves a subset of
     // part files) is DETECTED at load instead of silently serving a
     // truncated corpus.
-    val rows = index.assigned.sparkSession.read
-      .parquet(s"$path/assigned").count()
+    val rows = spark.read.parquet(s"$path/assigned").count()
+    val cells = listCellDirs(spark, path).keySet
+    cells.foreach(c => writeEpochMarker(spark, path, c, 1L))
     graft.ml.WeightsIO.save(s"$path/centroids.json",
       Map("family" -> "ivf_index",
         "nlist" -> index.centroids.length.toString,
         "dim" -> index.centroids.head.length.toString,
         "rows" -> rows.toString,
+        "epoch" -> "1",
+        "cellEpochs" -> fmtCellEpochs(cells.map(_ -> 1L).toMap),
+        "buckets" -> buckets.toString,
         "idCol" -> idCol, "vecCol" -> vecCol),
       index.centroids.zipWithIndex.map { case (c, i) => s"c$i" -> c })
   }
@@ -70,15 +106,21 @@ object IvfCosine {
     * recorded names instead of as a downstream unresolved-column or
     * vec_dot error in `search`.
     *
-    * Commit integrity: unless `verifyRows = false`, the loaded tree's
-    * actual row count (footer-metadata-only — no data pages scanned)
-    * must equal the count recorded in `centroids.json` by the last
-    * successful saveIndex/appendToIndex — a crash mid-append (partial
-    * part-file commit, or parquet committed but meta not yet updated)
-    * fails HERE with both counts instead of silently serving a
-    * truncated or half-appended corpus. (An artifact whose meta
-    * carries no `rows` entry — written before the commit protocol
-    * existed — loads without the check; re-saving republishes it.) */
+    * Commit integrity: unless `verifyRows = false`, three checks run —
+    * (1) the loaded tree's actual row count (footer-metadata-only — no
+    * data pages scanned) must equal the count recorded in
+    * `centroids.json` by the last successful
+    * saveIndex/appendToIndex/applyChanges, catching partial part-file
+    * commits and half-appends; (2) when the meta records `cellEpochs`,
+    * the live cell directories must be exactly the recorded set and
+    * each must carry its recorded `_epoch_<e>` marker — a crash
+    * mid-applyChanges destroys at least one marker even when the
+    * change set is row-count NEUTRAL (pure re-embeds), so a
+    * half-applied rewrite fails HERE instead of silently serving stale
+    * cells; (3) when the meta records `buckets`, the id→cell sidecar
+    * must hold exactly `rows` rows too. (An artifact written before a
+    * given check existed simply lacks the meta key and loads without
+    * that check; re-saving republishes everything.) */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: Option[String] = None,
       vecCol: Option[String] = None, verifyRows: Boolean = true): Index = {
@@ -103,13 +145,39 @@ object IvfCosine {
           "saveIndex artifact, or the files were edited")
     }
     requireVecDim(assigned, meta("vecCol"), dim, s"$path/assigned")
-    if (verifyRows) meta.get("rows").map(_.toLong).foreach { expected =>
-      val actual = assigned.count()
-      require(actual == expected,
-        s"index at $path records $expected rows in centroids.json but " +
-          s"the assigned parquet holds $actual — a previous " +
-          "saveIndex/appendToIndex did not commit completely; rebuild " +
-          "the index or re-run the append")
+    if (verifyRows) {
+      meta.get("rows").map(_.toLong).foreach { expected =>
+        val actual = assigned.count()
+        require(actual == expected,
+          s"index at $path records $expected rows in centroids.json but " +
+            s"the assigned parquet holds $actual — a previous " +
+            "saveIndex/appendToIndex did not commit completely; rebuild " +
+            "the index or re-run the append")
+        if (meta.contains("buckets")) {
+          val side = spark.read.parquet(s"$path/idmap").count()
+          require(side == expected,
+            s"index at $path records $expected rows but the id->cell " +
+              s"sidecar holds $side — a maintenance run did not commit " +
+              "completely; rebuild the index")
+        }
+      }
+      parseCellEpochs(meta).foreach { recorded =>
+        val live = listCellDirs(spark, path)
+        val missing = recorded.keySet.diff(live.keySet)
+        val extra = live.keySet.diff(recorded.keySet)
+        require(missing.isEmpty && extra.isEmpty,
+          s"index at $path records cells ${recorded.keySet.toSeq.sorted
+            .mkString("{", ",", "}")} but the assigned tree holds " +
+            s"${live.keySet.toSeq.sorted.mkString("{", ",", "}")} — a " +
+            "maintenance run did not commit completely; rebuild the index")
+        recorded.foreach { case (cell, epoch) =>
+          require(hasEpochMarker(spark, path, cell, epoch),
+            s"index at $path: cell=$cell does not carry its recorded " +
+              s"commit marker _epoch_$epoch — an applyChanges rewrite " +
+              "did not commit completely and the cell may serve stale " +
+              "vectors; rebuild the index or re-run the maintenance")
+        }
+      }
     }
     Index(cents, assigned)
   }
@@ -189,20 +257,41 @@ object IvfCosine {
     // wrong-dim shard must be rejected here, not discovered as a
     // vec_dot error after a partial commit corrupts the index
     requireVecDim(delta, vecCol, dim, "appendToIndex delta", strict)
+    val spark = delta.sparkSession
     val assigned = assignByCentroids(delta, idCol, vecCol, cents).assigned
-    // cache so the pre-write count and the written rows are the same
-    // materialization (the delta is shard-sized by definition)
+    // cache so the pre-write count, the written rows, the sidecar rows
+    // and the new-cell list are the same materialization (the delta is
+    // shard-sized by definition)
     assigned.cache()
-    val deltaRows =
+    val (deltaRows, deltaCells) =
       try {
         val n = assigned.count()
         assigned.write.partitionBy("cell").mode("append")
           .parquet(s"$path/assigned")
-        n
+        // sidecar append: the same delta-sized rows, bucketed by id —
+        // the corpus-at-rest sidecar files are never touched
+        meta.get("buckets").map(_.toInt).foreach { b =>
+          assigned.select(col(idCol), col("cell"), bucketOf(idCol, b))
+            .write.partitionBy("bucket").mode("append")
+            .parquet(s"$path/idmap")
+        }
+        (n, assigned.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet) // bounded by nlist
       } finally assigned.unpersist()
+    // cells CREATED by this append get a marker at the new epoch;
+    // cells merely appended into keep theirs (append never destroys a
+    // marker — partial-append detection is the row count's job)
+    val epochMeta = parseCellEpochs(meta).map { known =>
+      val epoch = meta.get("epoch").map(_.toLong).getOrElse(1L) + 1
+      val newCells = deltaCells.diff(known.keySet)
+      newCells.foreach(c => writeEpochMarker(spark, path, c, epoch))
+      Map("epoch" -> epoch.toString,
+        "cellEpochs" -> fmtCellEpochs(
+          known ++ newCells.map(_ -> epoch)))
+    }.getOrElse(Map.empty)
     val rows = meta.get("rows").map(_.toLong).getOrElse(0L) + deltaRows
     graft.ml.WeightsIO.save(s"$path/centroids.json",
-      meta + ("rows" -> rows.toString), sections.toSeq)
+      meta ++ epochMeta + ("rows" -> rows.toString), sections.toSeq)
   }
 
   /** Apply a day's CHANGES to a saved index in place: `upserts`
@@ -214,21 +303,34 @@ object IvfCosine {
     * right tool for pure additions — it writes the delta without
     * touching any existing file).
     *
-    * Mechanics: affected ids broadcast (they are delta-sized) against
-    * the live index to find their OLD cells; the upserts assign
-    * map-side against the reloaded quantizer to find their NEW cells
-    * (a re-embedded vector may move cells — both sides are affected);
-    * the union of those cell ids — bounded by nlist, collected as a
-    * scalar list — selects the partitions to rewrite. The replacement
-    * content (surviving rows of affected cells + re-assigned upserts)
-    * is written with DYNAMIC partition overwrite, so parquet replaces
-    * exactly the affected `cell=` directories; a cell emptied by
-    * deletion (dynamic overwrite only touches partitions present in
-    * the output) is removed explicitly. Reads are partition-pruned to
-    * the affected cells; every other cell's files are untouched.
-    * Finally the row-count commit marker republishes (same detection
-    * contract as append: a crash leaves a count mismatch, not a
-    * silently wrong index). */
+    * Mechanics: the affected ids' OLD cells come from the id→cell
+    * SIDECAR (`$path/idmap`, bucketed by id hash) — the lookup reads
+    * only the delta's bucket directories (static partition pruning),
+    * so it is DELTA-proportional, not index-proportional (an index
+    * saved before the sidecar existed falls back to one column-pruned
+    * (id, cell) scan of the assigned tree with the delta broadcast).
+    * The upserts assign map-side against the reloaded quantizer to
+    * find their NEW cells (a re-embedded vector may move cells — both
+    * sides are affected); the union of those cell ids — bounded by
+    * nlist, collected as a scalar list — selects the partitions to
+    * rewrite. The replacement content (surviving rows of affected
+    * cells + re-assigned upserts) is written with DYNAMIC partition
+    * overwrite, so parquet replaces exactly the affected `cell=`
+    * directories; a cell emptied by deletion (dynamic overwrite only
+    * touches partitions present in the output) is removed explicitly.
+    * Reads are partition-pruned to the affected cells; every other
+    * cell's files are untouched. The sidecar's affected BUCKET
+    * partitions rewrite the same way (survivors + new assignments,
+    * dynamic overwrite — also delta-proportional).
+    *
+    * Commit detection: each rewritten cell directory gets a fresh
+    * `_epoch_<e>` marker and the meta republishes the per-cell epoch
+    * map LAST — a crash at any point leaves at least one cell whose
+    * marker (destroyed by the overwrite, or newer than recorded)
+    * disagrees with the recorded epoch, so loadIndex refuses a
+    * half-applied rewrite EVEN when the change set is row-count
+    * neutral (pure re-embeds that keep their cells — the case the
+    * global row count cannot see; ADVICE r13). */
   def applyChanges(spark: org.apache.spark.sql.SparkSession, path: String,
       upserts: DataFrame, deleteIds: DataFrame): Unit = {
     val (meta, sections) = graft.ml.WeightsIO.load(s"$path/centroids.json")
@@ -248,20 +350,28 @@ object IvfCosine {
     }
     requireVecDim(upserts, vecCol, dim, "applyChanges upserts")
     val assigned = spark.read.parquet(s"$path/assigned")
+    val buckets = meta.get("buckets").map(_.toInt)
     val affectedIds = upserts.select(col(idCol))
       .unionByName(deleteIds.select(col(idCol))).distinct()
+      .localCheckpoint() // consumed by lookup, anti-joins, bucket list
     val newAssigned =
       assignByCentroids(upserts, idCol, vecCol, cents).assigned
         .localCheckpoint() // 2 consumers (cell list + rewrite): assign once
-    // old cells: one pruned-to-nothing? no — an id filter cannot prune,
-    // so this is one scan of the index's (id, cell) columns with the
-    // delta-sized id set broadcast into it; at 100 TB an id->cell map
-    // sidecar would replace it, same contract
-    val oldCells = assigned.join(broadcast(affectedIds), Seq(idCol))
-      .select(col("cell"))
+    // old cells: bucket-pruned sidecar lookup (delta-proportional);
+    // legacy artifacts without a sidecar fall back to one column-pruned
+    // (id, cell) scan of the assigned tree with the delta broadcast
+    val oldCells = buckets match {
+      case Some(b) =>
+        sidecarOldCells(spark, path, affectedIds, idCol, b)
+          .select(col("cell"))
+      case None =>
+        assigned.join(broadcast(affectedIds), Seq(idCol))
+          .select(col("cell"))
+    }
     val cells = oldCells
       .unionByName(newAssigned.select(col("cell")))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
+    var presentCells = Set.empty[Int]
     if (cells.nonEmpty) {
       val survivors = assigned
         .where(col("cell").isin(cells: _*)) // static partition pruning
@@ -278,18 +388,140 @@ object IvfCosine {
       // dynamic overwrite replaces only partitions PRESENT in the
       // output — a cell emptied by deletion keeps its stale files
       // unless removed explicitly
-      val present = replacement.select(col("cell")).distinct()
+      presentCells = replacement.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
       val hconf = spark.sparkContext.hadoopConfiguration
-      cells.filterNot(present).foreach { c =>
+      cells.filterNot(presentCells).foreach { c =>
         val p = new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c")
         val fs = p.getFileSystem(hconf)
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
+    // commit markers BEFORE the sidecar and meta: any later crash then
+    // leaves marker/meta disagreement on at least one rewritten cell
+    val epoch = meta.get("epoch").map(_.toLong).getOrElse(1L) + 1
+    val epochMeta = parseCellEpochs(meta).map { known =>
+      // presentCells ⊆ cells by construction (the replacement only
+      // holds affected cells' content); emptied cells leave the map
+      presentCells.foreach(c => writeEpochMarker(spark, path, c, epoch))
+      Map("epoch" -> epoch.toString,
+        "cellEpochs" -> fmtCellEpochs(
+          known -- cells ++ presentCells.map(_ -> epoch)))
+    }.getOrElse(Map.empty)
+    // sidecar maintenance: rewrite ONLY the delta's bucket partitions
+    // (survivors of affected buckets + the new assignments), mirroring
+    // the cell rewrite — also delta-proportional
+    buckets.foreach { b =>
+      val side = spark.read.parquet(s"$path/idmap")
+      val affectedBuckets = affectedIds.select(bucketOf(idCol, b))
+        .distinct().collect().map(_.getInt(0)).toSeq // bounded by b
+      if (affectedBuckets.nonEmpty) {
+        val sideSurvivors = side
+          .where(col("bucket").isin(affectedBuckets: _*))
+          .join(broadcast(affectedIds), Seq(idCol), "left_anti")
+          .select(col(idCol), col("cell"), col("bucket"))
+        val sideReplacement = sideSurvivors
+          .unionByName(newAssigned.select(col(idCol), col("cell"),
+            bucketOf(idCol, b)))
+          .localCheckpoint() // sever self-read-overwrite lineage
+        sideReplacement
+          .write.partitionBy("bucket").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$path/idmap")
+        val presentBuckets = sideReplacement.select(col("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val hconf = spark.sparkContext.hadoopConfiguration
+        affectedBuckets.filterNot(presentBuckets).foreach { bk =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/idmap/bucket=$bk")
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+    }
     val rows = spark.read.parquet(s"$path/assigned").count()
+    buckets.foreach { _ =>
+      val side = spark.read.parquet(s"$path/idmap").count()
+      require(side == rows,
+        s"applyChanges at $path: assigned holds $rows rows but the " +
+          s"id->cell sidecar holds $side after maintenance — sidecar " +
+          "bookkeeping bug; rebuild the index")
+    }
     graft.ml.WeightsIO.save(s"$path/centroids.json",
-      meta + ("rows" -> rows.toString), sections.toSeq)
+      meta ++ epochMeta + ("rows" -> rows.toString), sections.toSeq)
+  }
+
+  /** The delta-proportional old-cell lookup over the id→cell sidecar:
+    * the affected ids' buckets (a delta-sized distinct, bounded by the
+    * bucket count) statically prune the sidecar scan to the delta's
+    * bucket directories, and the delta broadcasts into the equi-join —
+    * no index-proportional work anywhere (PlanSpec pins the
+    * PartitionFilters on the idmap scan). Returns (idCol, cell). */
+  private[graft] def sidecarOldCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      affectedIds: DataFrame, idCol: String, buckets: Int): DataFrame = {
+    val bks = affectedIds.select(bucketOf(idCol, buckets))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$path/idmap")
+      .where(col("bucket").isin(bks: _*)) // static partition pruning
+      .join(broadcast(affectedIds), Seq(idCol))
+      .select(col(idCol), col("cell"))
+  }
+
+  // ------------------------------------------------ commit-epoch helpers
+
+  /** `bucket = pmod(xxhash64(id as string), buckets)` — the sidecar's
+    * partition key. Cast-to-string first so the mapping is stable
+    * across delta frames that carry the id at a different integral
+    * width than the corpus did. */
+  private def bucketOf(idCol: String, buckets: Int) =
+    pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong))
+      .cast("int").as("bucket")
+
+  private def fmtCellEpochs(m: Map[Int, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (c, e) => s"$c:$e" }.mkString(",")
+
+  private def parseCellEpochs(
+      meta: Map[String, String]): Option[Map[Int, Long]] =
+    meta.get("cellEpochs").map { s =>
+      if (s.isEmpty) Map.empty[Int, Long]
+      else s.split(",").map { kv =>
+        val Array(c, e) = kv.split(":")
+        c.toInt -> e.toLong
+      }.toMap
+    }
+
+  /** Live `cell=` directories of the assigned tree (driver FS listing,
+    * bounded by nlist). */
+  private def listCellDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[Int, org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/assigned")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => st.getPath.getName.stripPrefix("cell=").toInt -> st.getPath)
+      .toMap
+  }
+
+  /** Replace a cell directory's `_epoch_*` marker with `_epoch_<epoch>`
+    * (underscore-prefixed files are invisible to parquet readers). */
+  private def writeEpochMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, cell: Int, epoch: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$cell")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.startsWith("_epoch_"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.create(new org.apache.hadoop.fs.Path(dir, s"_epoch_$epoch"))
+        .close()
+    }
+  }
+
+  private def hasEpochMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, cell: Int, epoch: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/assigned/cell=$cell/_epoch_$epoch")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Fit the coarse quantizer and assign every corpus row to its cell.

@@ -125,6 +125,39 @@ class AnnIndexIOSpec extends AnyFunSuite {
     AnnIndexIO.loadSq(spark, p, verifyRows = false) // forensic escape
   }
 
+  test("sq8 width protocol (ADVICE r13): a MIXED-width frame is " +
+    "refused at save (min/max aggregate, not one arbitrary row); an " +
+    "index saved EMPTY adopts the first delta's strictly-validated " +
+    "width and then refuses mismatches") {
+    // mixed widths must be refused at save, not blessed by head(1)
+    val mixed = Seq((1L, Array.fill(dim)(0.1f)),
+      (2L, Array.fill(dim + 4)(0.2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      AnnIndexIO.saveSq(tmp("sq8-mixed"),
+        SqCosine.encode(mixed, "vec_id", "embedding"), "vec_id")
+    }
+    // empty save records no dim; first append ADOPTS its width...
+    val p = tmp("sq8-empty")
+    AnnIndexIO.saveSq(p,
+      SqCosine.encode(vecs(0 until 0, 1), "vec_id", "embedding"),
+      "vec_id")
+    AnnIndexIO.appendSq(p, vecs(0 until 10, 53), "embedding")
+    // ...and from then on the adopted width is enforced
+    intercept[IllegalArgumentException] {
+      AnnIndexIO.appendSq(p, Seq((99L, Array.fill(dim + 2)(0.1f)))
+        .toDF("vec_id", "embedding"), "embedding")
+    }
+    // an all-empty lineage still refuses an empty adopt
+    val p2 = tmp("sq8-empty2")
+    AnnIndexIO.saveSq(p2,
+      SqCosine.encode(vecs(0 until 0, 1), "vec_id", "embedding"),
+      "vec_id")
+    intercept[IllegalArgumentException] {
+      AnnIndexIO.appendSq(p2, vecs(0 until 0, 1), "embedding")
+    }
+    assert(AnnIndexIO.loadSq(spark, p).codes.count() == 10)
+  }
+
   test("serve a probe STREAM against the persisted IVF-PQ index: " +
     "per-batch searchDf over loadIvfPq equals the batch search (the " +
     "compressed-index query-serving shape — code table built once, " +
