@@ -815,6 +815,50 @@ object QueriesML {
           round(col("metric"), 4).as("val_r2"), col("accepted"))
     }),
 
+    // leakage-safe hyperparameter search (VERDICT r13 item 4 — the
+    // GridSearchCV role the reference inherits from sklearn) under a
+    // FULL value oracle: a 4-candidate grid of closed-form GLOBAL
+    // single-feature no-intercept ridge heads (β = Σxy/(Σx²+λn) on the
+    // fold's purged-train eras — a global head, not the per-era one,
+    // because purged CV scores on DISJOINT eras that per-era betas
+    // never saw), scored by R² on the fold's test eras, winner = best
+    // mean across the k=3 folds (first-best tie order), then refit on
+    // the full frame. Every trial's fit and score is exact SQL, so the
+    // whole sweep — fold roles, betas, scores, the argmax — unrolls
+    // into the oracle (the q_cortex treatment applied to model
+    // selection).
+    "q_grid_search" -> ((s, dir) => {
+      val base = li(s, dir)
+        .withColumn("era", date_format(col("l_shipdate"), "yyyy-MM"))
+      val y = col("l_extendedprice").cast("double")
+      val grid = Seq(("l_quantity", 0.0), ("l_quantity", 100000.0),
+        ("l_discount", 0.0), ("l_tax", 1000.0))
+      def fit(c: (String, Double), train: DataFrame): ((String, Double), Double) = {
+        val x = col(c._1).cast("double")
+        (c, train.agg((sum(x * y) /
+          (sum(x * x) + lit(c._2) * count(lit(1)))).as("b"))
+          .first().getDouble(0))
+      }
+      def score(m: ((String, Double), Double), test: DataFrame): Double = {
+        val x = col(m._1._1).cast("double")
+        val pred = lit(m._2) * x
+        val r = test.agg(sum((y - pred) * (y - pred)).as("ssres"),
+          sum(y * y).as("syy"), sum(y).as("sy"),
+          count(lit(1)).cast("double").as("n")).first()
+        1.0 - r.getDouble(0) /
+          (r.getDouble(1) - r.getDouble(2) * r.getDouble(2) / r.getDouble(3))
+      }
+      val res = GridSearch.search(base, "era", k = 3, embargo = 1,
+        grid, fit, score)
+      import s.implicits._
+      res.trials
+        .map(t => (s"${t.param._1}:${t.param._2}", t.fold, t.score,
+          t.param == res.best))
+        .toDF("cand", "fold", "score", "is_best")
+        .select(col("cand"), col("fold"),
+          round(col("score"), 4).as("val_r2"), col("is_best"))
+    }),
+
     // multimodal frame sampling: evenly-spaced byte-window "keyframes"
     "q_media_frames" -> ((s, dir) => {
       val media = BinaryPipeline.synthesizeMedia(docs(s, dir), "text")
@@ -1133,6 +1177,73 @@ object QueriesML {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |  END AS accepted
         |FROM scored""".stripMargin,
+    // the full purged-CV grid sweep unrolled set-based: fold roles on
+    // the era spine (the q_purged_cv CTEs at k=3, embargo=1), per
+    // (candidate × fold) global ridge betas over train eras, R² over
+    // test eras, candidate means, first-best argmax — all one SQL
+    "q_grid_search" ->
+      """WITH li AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS era,
+        |    CAST(l_quantity AS DOUBLE) AS xq,
+        |    CAST(l_discount AS DOUBLE) AS xd,
+        |    CAST(l_tax AS DOUBLE) AS xt,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem),
+        |eras AS (SELECT DISTINCT era FROM li),
+        |idx AS (SELECT era, row_number() OVER (ORDER BY era) - 1 AS i
+        |  FROM eras),
+        |nn AS (SELECT count(*) AS e FROM idx),
+        |fo AS (SELECT era, i, CAST(floor(i * 3 / e) AS INT) AS fo
+        |  FROM idx, nn),
+        |ext AS (SELECT fo AS fold, min(i) AS lo, max(i) AS hi FROM fo
+        |  GROUP BY fo),
+        |roles AS (
+        |  SELECT f.era, ext.fold,
+        |    CASE WHEN f.fo = ext.fold THEN 'test'
+        |      WHEN f.i >= ext.lo - 1 AND f.i <= ext.hi + 1 THEN 'purged'
+        |      ELSE 'train' END AS role
+        |  FROM fo f CROSS JOIN ext),
+        |cands(cand, pos, feat, lam) AS (VALUES
+        |  ('l_quantity:0.0',      0, 'q', 0.0),
+        |  ('l_quantity:100000.0', 1, 'q', 100000.0),
+        |  ('l_discount:0.0',      2, 'd', 0.0),
+        |  ('l_tax:1000.0',        3, 't', 1000.0)),
+        |beta AS (
+        |  SELECT c.cand, c.pos, r.fold,
+        |    sum(CASE c.feat WHEN 'q' THEN t.xq WHEN 'd' THEN t.xd
+        |          ELSE t.xt END * t.y)
+        |      / (sum(CASE c.feat WHEN 'q' THEN t.xq WHEN 'd' THEN t.xd
+        |               ELSE t.xt END
+        |             * CASE c.feat WHEN 'q' THEN t.xq WHEN 'd' THEN t.xd
+        |               ELSE t.xt END)
+        |         + c.lam * count(*)) AS b
+        |  FROM cands c CROSS JOIN roles r JOIN li t ON t.era = r.era
+        |  WHERE r.role = 'train'
+        |  GROUP BY c.cand, c.pos, c.feat, c.lam, r.fold),
+        |scored AS (
+        |  SELECT b.cand, b.pos, b.fold,
+        |    1.0 - sum((v.y - b.b * CASE b.cand
+        |                 WHEN 'l_discount:0.0' THEN v.xd
+        |                 WHEN 'l_tax:1000.0' THEN v.xt ELSE v.xq END)
+        |              * (v.y - b.b * CASE b.cand
+        |                 WHEN 'l_discount:0.0' THEN v.xd
+        |                 WHEN 'l_tax:1000.0' THEN v.xt ELSE v.xq END))
+        |          / (sum(v.y * v.y) - sum(v.y) * sum(v.y) / count(*))
+        |      AS r2
+        |  FROM beta b
+        |  JOIN roles r ON r.fold = b.fold AND r.role = 'test'
+        |  JOIN li v ON v.era = r.era
+        |  GROUP BY b.cand, b.pos, b.fold, b.b),
+        |best AS (
+        |  SELECT cand FROM (
+        |    SELECT cand, avg(r2) AS m, pos FROM scored
+        |    GROUP BY cand, pos)
+        |  QUALIFY row_number() OVER (ORDER BY m DESC, pos) = 1)
+        |SELECT s.cand, CAST(s.fold AS INTEGER) AS fold,
+        |  round(s.r2, 4) AS val_r2,
+        |  s.cand = (SELECT cand FROM best) AS is_best
+        |FROM scored s""".stripMargin,
+
     "q_mlp_score" ->
       s"""SELECT l_orderkey, l_linenumber, $mlpSql AS score
          |FROM lineitem""".stripMargin,

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sim.{CosineTopK, HardNegatives, IvfCosine, IvfPq, Mmr,
-  PqCosine, RandomProjection,
+import graft.sim.{AnnEval, CosineTopK, HardNegatives, IvfCosine, IvfPq,
+  Mmr, PqCosine, RandomProjection,
   SemDedup, SemDecontam, SqCosine}
 import graft.dedup.{Dedup, Similarity}
 
@@ -46,6 +46,25 @@ object QueriesSim {
   private val (bands, planes, thr, cap) = (4, 6, 0.3, 1000)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ANN recall observability (VERDICT r13 item 5): the IVF operating
+    // curve — recall@5 at nprobe ∈ {2, 4} against the brute baseline
+    // over a bounded probe sample, as DATA (family, k, nprobe,
+    // n_probes, recall). Both searches are exact SQL given the pinned
+    // grid, so the whole curve carries a full value oracle; the same
+    // operator pointed at a trained/loaded index is how production
+    // picks the cheapest nprobe above its recall floor.
+    "q_ann_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+      val idx = IvfCosine.assignByCentroids(corpus, "vec_id",
+        "embedding", IvfCosine.pinnedCentroids(16, DIM))
+      val probes = corpus.where(col("vec_id") % 17 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnEval.ivfRecallSweep(idx, probes, "vec_id", "embedding",
+        "qid", "qvec", k = 5, nprobes = Seq(2, 4), dim = DIM)
+        .select(col("family"), col("k"), col("nprobe"), col("n_probes"),
+          round(col("recall"), 6).as("recall"))
+    }),
+
     // exact top-5 cosine neighbors for the 50-vector probe set
     "q_cosine_topk" -> ((s, dir) => {
       val corpus = emb(s, dir)
@@ -829,7 +848,75 @@ object QueriesSim {
        |FROM rer QUALIFY rank <= 5""".stripMargin
   }
 
+  /** q_ann_recall oracle: one shared brute-force ranking + the
+    * pinned-grid IVF chain PER nprobe (CTE names suffixed so the sweep
+    * points coexist in one WITH), then micro recall = matched true
+    * neighbors / available true neighbors. Both rankings are the
+    * engine-stability-proven chains of q_cosine_topk / q_ivf_pinned;
+    * the recall division is integer-valued on both engines, so the
+    * round-6 snap is exact. */
+  private def annRecallSql(cents: Array[Array[Double]], k: Int,
+      nprobes: Seq[Int], probePred: String): String = {
+    val values = cents.zipWithIndex.map { case (c, j) =>
+      val cc = c.map(x => x * x).sum
+      s"($j, [${c.mkString(", ")}], $cc)"
+    }.mkString(",\n    ")
+    val perNp = nprobes.map { np =>
+      s"""pc_$np AS (
+         |  SELECT qid, q, j AS cell FROM p CROSS JOIN c
+         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+         |    list_inner_product(q, cv)
+         |      / (sqrt(list_inner_product(q, q))
+         |         * sqrt(list_inner_product(cv, cv))) DESC, j) <= $np),
+         |ranked_$np AS (
+         |  SELECT pc.qid, a.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY pc.qid ORDER BY
+         |      list_inner_product(pc.q, a.e)
+         |        / (sqrt(list_inner_product(pc.q, pc.q))
+         |           * sqrt(list_inner_product(a.e, a.e))) DESC,
+         |      a.vec_id) AS rank
+         |  FROM pc_$np pc JOIN assigned a ON a.cell = pc.cell
+         |  WHERE a.vec_id <> pc.qid),
+         |h_$np AS (
+         |  SELECT count(*) AS h FROM ranked_$np a JOIN br b
+         |  ON a.qid = b.qid AND a.nid = b.nid
+         |  WHERE a.rank <= $k AND b.rank <= $k)""".stripMargin
+    }.mkString(",\n")
+    val finals = nprobes.map(np =>
+      s"""SELECT 'ivf' AS family, $k AS k, $np AS nprobe,
+         |  den.nq AS n_probes,
+         |  round(CAST(h_$np.h AS DOUBLE) / den.d, 6) AS recall
+         |FROM h_$np, den""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c(j, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |    $values)),
+       |assigned AS (
+       |  SELECT vec_id, e, j AS cell FROM v CROSS JOIN c
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY
+       |    (list_inner_product(e, e) - 2 * list_inner_product(e, cv)) + cc,
+       |    j) = 1),
+       |p AS (SELECT vec_id AS qid, e AS q FROM v WHERE $probePred),
+       |br AS (
+       |  SELECT p.qid, v.vec_id AS nid,
+       |    row_number() OVER (PARTITION BY p.qid ORDER BY
+       |      list_inner_product(p.q, v.e)
+       |        / (sqrt(list_inner_product(p.q, p.q))
+       |           * sqrt(list_inner_product(v.e, v.e))) DESC,
+       |      v.vec_id) AS rank
+       |  FROM p, v WHERE v.vec_id <> p.qid),
+       |den AS (SELECT count(*) AS d, count(DISTINCT qid) AS nq
+       |  FROM br WHERE rank <= $k),
+       |$perNp
+       |$finals""".stripMargin
+  }
+
   private val staticOracleSql: Map[String, String] = Map(
+    "q_ann_recall" -> annRecallSql(IvfCosine.pinnedCentroids(16, DIM),
+      k = 5, nprobes = Seq(2, 4), probePred = "vec_id % 17 = 0"),
+
     "q_ivf_pinned" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
       nprobe = 4, k = 5),
 

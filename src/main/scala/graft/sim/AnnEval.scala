@@ -1,0 +1,69 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN recall observability (VERDICT r13 item 5 — the FAISS-bench
+  * role): recall@k of an approximate index against brute force,
+  * emitted as DATA so nprobe/nlist tuning decisions come from a
+  * measured operating curve, not lore. Recall floors in fixed tests
+  * (PqTrainSpec, IvfSpec) pin the FAMILY's health; this operator is
+  * what a production index runs against a bounded probe sample after
+  * every build/maintenance cycle.
+  *
+  * Scale shape: the probe set is a BOUNDED sample by contract (use
+  * [[IvfCosine.boundedSample]]'s md5-ordered draw to pick it) — both
+  * result frames are |probes|·k rows, the hit join is an equi-join on
+  * (qid, nid), and the reduction is one tiny aggregate. The expensive
+  * side is producing the brute-force baseline, which is exactly the
+  * cost the sample bound caps; the approximate side rides the index's
+  * own (cell-pruned) search path. Nothing here scans the corpus
+  * beyond what the two searches themselves do.
+  */
+object AnnEval {
+
+  /** Micro-averaged recall@k (the FAISS convention: total true
+    * neighbors found / total true neighbors available — equal to
+    * mean per-probe recall when every probe has k true neighbors):
+    * `approx` and `exact` are top-k result frames carrying (qidCol,
+    * nidCol, rank); rows beyond rank k on either side are ignored.
+    * Probes with NO approximate hits still count in the denominator
+    * (left join, not inner). One row out: (n_probes, recall). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+      nidCol: String, k: Int): DataFrame = {
+    val a = approx.where(col("rank") <= k)
+      .select(col(qidCol), col(nidCol))
+    val e = exact.where(col("rank") <= k)
+      .select(col(qidCol), col(nidCol))
+    val hits = a.join(e, Seq(qidCol, nidCol))
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("__hits"))
+    val avail = e.groupBy(col(qidCol)).agg(count(lit(1)).as("__navail"))
+    avail.join(hits, Seq(qidCol), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        (sum(coalesce(col("__hits"), lit(0L))) / sum(col("__navail")))
+          .as("recall"))
+  }
+
+  /** The IVF operating curve: recall@k at each `nprobes` setting
+    * against one shared brute-force baseline, as (family, k, nprobe,
+    * n_probes, recall) rows — the frame an index owner reads to pick
+    * the cheapest nprobe that clears their recall floor. The brute
+    * baseline is computed ONCE; each sweep point reuses the index's
+    * cell-pruned search. */
+  def ivfRecallSweep(index: IvfCosine.Index, probes: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, nprobes: Seq[Int], dim: Int): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallSweep: empty nprobe list")
+    val brute = CosineTopK.bruteForce(
+      index.assigned.select(col(idCol), col(vecCol)), probes,
+      idCol, vecCol, qidCol, qvecCol, k, dim)
+    nprobes.map { np =>
+      recallAtK(
+        IvfCosine.search(index, probes, idCol, vecCol, qidCol, qvecCol,
+          k, np, dim),
+        brute, "qid", "nid", k)
+        .select(lit("ivf").as("family"), lit(k).as("k"),
+          lit(np).as("nprobe"), col("n_probes"), col("recall"))
+    }.reduce(_.unionByName(_))
+  }
+}
