@@ -28,7 +28,13 @@ import org.apache.spark.sql.SparkSession
   * carries the evidence: a flat "spotcheck" object with per-query
   * `<q>_chunk`, `<q>_solo` and `<q>_ratio` (chunk/solo) entries, so the
   * round artifact itself shows how far suite numbers sit from isolated
-  * cost. */
+  * cost.
+  *
+  * NUMBER-OF-RECORD RULE (VERDICT r13 item 3): a run is only accepted
+  * as the committed number of record when its own load markers show a
+  * quiet host — `loadavg_start` well under 1 on this 32-core box. A
+  * hot-start artifact (the r13 driver run began at loadavg 9.49) is
+  * evidence, not a record: keep it, but re-measure before citing it. */
 object Bench {
 
   private val Child  = "SPARK_GRAFT_BENCH_CHILD"

@@ -265,20 +265,35 @@ object QueriesSim {
     // the plain IVF search over the FULL corpus — any drift in the
     // save/append/load codec path breaks the hash. Artifact I/O is
     // corpus-shard-sized parquet at query build (driver-side temp dir).
+    // BOUNDED CELLS (round 14 — the q_umap_ivf treatment applied to
+    // the lifecycle family): nlist scales with the corpus
+    // (max(16, ceil(N/125)) from the FULL embeddings count, same at
+    // gate scales where it stays 16), assignment/search ride the
+    // data-form paths (plan size nlist-independent), and the oracle
+    // derives the identical md5 grid from count(*) in SQL — without
+    // this the fixed 16-cell grid makes the gated SEARCH quadratic in
+    // corpus size (12.5k-row cells at sf10 → a 345M-row rank shuffle).
     "q_ivf_append" -> ((s, dir) => {
       val all = emb(s, dir)
+      val nlist = math.max(16, math.ceil(all.count() / 125.0).toInt)
+      require(nlist <= 65536, s"q_ivf_append nlist=$nlist exceeds the " +
+        "oracle's 65536-cell enumeration cap")
+      val grid = IvfCosine.pinnedCentroids(nlist, DIM)
+      val cents = IvfCosine.centroidsDf(s, grid)
       val base = all.where(col("vec_id") % 3 =!= 0)
       val delta = all.where(col("vec_id") % 3 === 0)
       val path = qiaSite.fresh().resolve("idx").toString
-      IvfCosine.saveIndex(path,
-        IvfCosine.assignByCentroids(base, "vec_id", "embedding",
-          IvfCosine.pinnedCentroids(16, DIM)), "vec_id", "embedding")
+      IvfCosine.saveIndex(path, IvfCosine.Index(grid,
+        IvfCosine.assignByCentroidsDf(base, "vec_id", "embedding", cents)
+          .select(col("vec_id"), col("embedding"), col("cell"))),
+        "vec_id", "embedding")
       IvfCosine.appendToIndex(path,
         delta.select(col("vec_id"), col("embedding")))
       val idx = IvfCosine.loadIndex(s, path, "vec_id", "embedding")
       val probes = all.where(col("vec_id") % 29 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
+      IvfCosine.searchDf(idx.assigned, probes, "vec_id", "embedding",
+        "qid", "qvec", IvfCosine.centroidsDf(s, idx.centroids),
         k = 5, nprobe = 4, dim = DIM)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
@@ -294,10 +309,18 @@ object QueriesSim {
     // files untouched), changes + deletes through applyChanges (only
     // the AFFECTED cell partitions rewrite); the maintained index then
     // loads and serves. Maintenance is value-transparent, so the
-    // oracle is the plain pinned-grid search over today's corpus — any
+    // oracle is the plain same-grid search over today's corpus — any
     // stale row, missed delete, or wrong-cell rewrite breaks the hash.
+    // BOUNDED CELLS (round 14): grid sized from the FULL embeddings
+    // count — the same derivation (and at gate scales the same 16-cell
+    // grid) as q_ivf_append above; data-form assignment/search.
     "q_index_maint" -> ((s, dir) => {
       val all = emb(s, dir)
+      val nlist = math.max(16, math.ceil(all.count() / 125.0).toInt)
+      require(nlist <= 65536, s"q_index_maint nlist=$nlist exceeds " +
+        "the oracle's 65536-cell enumeration cap")
+      val grid = IvfCosine.pinnedCentroids(nlist, DIM)
+      val cents = IvfCosine.centroidsDf(s, grid)
       val oldSnap = all.where(col("vec_id") % 5 =!= 0)
         .select(col("vec_id"), col("embedding"))
       val newSnap = all.where(col("vec_id") % 13 =!= 0)
@@ -306,9 +329,10 @@ object QueriesSim {
             transform(col("embedding"), x => x * lit(0.5f)))
             .otherwise(col("embedding")).as("embedding"))
       val path = qimSite.fresh().resolve("idx").toString
-      IvfCosine.saveIndex(path,
-        IvfCosine.assignByCentroids(oldSnap, "vec_id", "embedding",
-          IvfCosine.pinnedCentroids(16, DIM)), "vec_id", "embedding")
+      IvfCosine.saveIndex(path, IvfCosine.Index(grid,
+        IvfCosine.assignByCentroidsDf(oldSnap, "vec_id", "embedding",
+          cents).select(col("vec_id"), col("embedding"), col("cell"))),
+        "vec_id", "embedding")
       val d = graft.sources.SnapshotDiff.diff(oldSnap, newSnap, "vec_id",
         md5(to_json(struct(col("embedding"))))).localCheckpoint()
       val added = newSnap.join(d.where(col("status") === "added")
@@ -321,7 +345,8 @@ object QueriesSim {
       val idx = IvfCosine.loadIndex(s, path, "vec_id", "embedding")
       val probes = newSnap.where(col("vec_id") % 29 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      IvfCosine.search(idx, probes, "vec_id", "embedding", "qid", "qvec",
+      IvfCosine.searchDf(idx.assigned, probes, "vec_id", "embedding",
+        "qid", "qvec", IvfCosine.centroidsDf(s, idx.centroids),
         k = 5, nprobe = 4, dim = DIM)
         .select(col("qid"), col("nid"), round(col("cosine"), 6).as("cosine"),
           col("rank"))
@@ -574,8 +599,13 @@ object QueriesSim {
       cellRows: Int = 125, minNlist: Int = 16): String = {
     val hx = (pos: Int) =>
       s"(strpos('0123456789abcdef', substr(h, $pos, 1)) - 1)"
+    // nlist derives from the FULL embeddings table, NOT the v CTE: the
+    // lifecycle queries' v is a filtered snapshot (today's corpus), but
+    // their grid was sized at INDEX BUILD time from the full corpus
+    // count — and for q_umap_ivf the two counts coincide (v = all rows)
     s"""nl AS (SELECT greatest($minNlist,
-       |  CAST(ceil(count(*) / $cellRows.0) AS INT)) AS nlist FROM v),
+       |  CAST(ceil(count(*) / $cellRows.0) AS INT)) AS nlist
+       |  FROM embeddings),
        |cg AS (
        |  SELECT j, cv, list_inner_product(cv, cv) AS cc FROM (
        |    SELECT j, list(cval ORDER BY d) AS cv FROM (
@@ -630,6 +660,19 @@ object QueriesSim {
     s"""WITH v AS (
        |  $vBody),
        |${ivfCtes(cents, nprobe, probePred)}
+       |SELECT qid, nid, round(cosine, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** [[ivfSearchSql]] over the CORPUS-SCALED dynamic grid
+    * ([[ivfCtesDynamic]]) — the oracle form of the bounded-cell
+    * lifecycle queries (round 14). */
+  private def ivfSearchSqlDynamic(nprobe: Int, k: Int,
+      probePred: String,
+      vBody: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings"): String =
+    s"""WITH v AS (
+       |  $vBody),
+       |${ivfCtesDynamic(nprobe, probePred)}
        |SELECT qid, nid, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
 
@@ -921,16 +964,18 @@ object QueriesSim {
       nprobe = 4, k = 5),
 
     // save → append → load is value-transparent, so the oracle is the
-    // plain pinned-grid search over the full corpus
-    "q_ivf_append" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
-      nprobe = 4, k = 5, probePred = "vec_id % 29 = 0"),
+    // plain search over the full corpus — DYNAMIC grid (round 14):
+    // the same md5 centroid derivation at nlist = max(16, ceil(N/125))
+    "q_ivf_append" -> ivfSearchSqlDynamic(nprobe = 4, k = 5,
+      probePred = "vec_id % 29 = 0"),
 
     // maintenance (diff -> append adds -> affected-cell rewrite for
     // changes/deletes -> load -> serve) is value-transparent: the
-    // oracle is the plain pinned-grid search over TODAY'S corpus —
-    // % 13 retired, % 11 re-embedded (halved), % 5 added
-    "q_index_maint" -> ivfSearchSql(IvfCosine.pinnedCentroids(16, DIM),
-      nprobe = 4, k = 5, probePred = "vec_id % 29 = 0",
+    // oracle is the plain dynamic-grid search over TODAY'S corpus —
+    // % 13 retired, % 11 re-embedded (halved), % 5 added (the grid
+    // still derives from the FULL count — sized at index build time)
+    "q_index_maint" -> ivfSearchSqlDynamic(nprobe = 4, k = 5,
+      probePred = "vec_id % 29 = 0",
       vBody = "SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN " +
         "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) " +
         "ELSE CAST(embedding AS DOUBLE[]) END AS e FROM embeddings " +

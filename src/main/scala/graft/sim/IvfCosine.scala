@@ -62,15 +62,28 @@ object IvfCosine {
       vecCol: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"saveIndex: buckets=$buckets")
     val spark = index.assigned.sparkSession
+    // repartition ON the cell key before the partitioned write: without
+    // it every task writes into every cell directory (tasks × nlist
+    // tiny files — at a corpus-scaled nlist this measured as the
+    // dominant fixed cost of the whole lifecycle); with it each cell's
+    // rows land in one task → one file per cell. At real corpus sizes
+    // where a cell spans many HDFS blocks, follow with maxRecordsPerFile
+    // (the BucketedLayout.compact discipline) rather than removing this.
     index.assigned.select(col(idCol), col(vecCol), col("cell"))
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/assigned")
     // the sidecar derives from the files JUST WRITTEN, not from
     // index.assigned — re-planning the assigned frame would re-run the
     // full-corpus assignment, while this is a 2-narrow-column
-    // (column-pruned) read of parquet already on disk
+    // (column-pruned) read of parquet already on disk. Repartitioned
+    // ON the bucket key first: without it every write task touches
+    // every bucket directory (tasks × buckets tiny files — measured as
+    // real fixed overhead per maintenance job); with it each bucket's
+    // rows land in exactly one task → one file per bucket
     spark.read.parquet(s"$path/assigned")
       .select(col(idCol), col("cell"), bucketOf(idCol, buckets))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/idmap")
     // commit marker: the EXPECTED row count, read back from the files
@@ -258,7 +271,14 @@ object IvfCosine {
     // vec_dot error after a partial commit corrupts the index
     requireVecDim(delta, vecCol, dim, "appendToIndex delta", strict)
     val spark = delta.sparkSession
-    val assigned = assignByCentroids(delta, idCol, vecCol, cents).assigned
+    // DATA-form assignment (centroids broadcast as a frame, plan size
+    // independent of nlist — bit-identical to the literal path per
+    // DataFormAnnSpec): a corpus-scaled grid (bounded-cell indexes,
+    // ~125 rows/cell) would blow the literal path's O(nlist) Catalyst
+    // tree out of codegen exactly where appends run daily
+    val assigned = assignByCentroidsDf(delta, idCol, vecCol,
+      centroidsDf(spark, cents))
+      .select(col(idCol), col(vecCol), col("cell"))
     // cache so the pre-write count, the written rows, the sidecar rows
     // and the new-cell list are the same materialization (the delta is
     // shard-sized by definition)
@@ -266,12 +286,15 @@ object IvfCosine {
     val (deltaRows, deltaCells) =
       try {
         val n = assigned.count()
-        assigned.write.partitionBy("cell").mode("append")
+        assigned.repartition(col("cell")) // one new file per touched cell
+          .write.partitionBy("cell").mode("append")
           .parquet(s"$path/assigned")
         // sidecar append: the same delta-sized rows, bucketed by id —
         // the corpus-at-rest sidecar files are never touched
+        // (repartition on bucket: one new file per touched bucket)
         meta.get("buckets").map(_.toInt).foreach { b =>
           assigned.select(col(idCol), col("cell"), bucketOf(idCol, b))
+            .repartition(col("bucket"))
             .write.partitionBy("bucket").mode("append")
             .parquet(s"$path/idmap")
         }
@@ -353,18 +376,26 @@ object IvfCosine {
     val buckets = meta.get("buckets").map(_.toInt)
     val affectedIds = upserts.select(col(idCol))
       .unionByName(deleteIds.select(col(idCol))).distinct()
-      .localCheckpoint() // consumed by lookup, anti-joins, bucket list
+    // the delta's bucket list (bounded by the bucket count) is shared
+    // by the old-cell lookup and the sidecar rewrite — computed ONCE
+    val affectedBuckets = buckets.map(b =>
+      affectedIds.select(bucketOf(idCol, b))
+        .distinct().collect().map(_.getInt(0)).toSeq)
     val newAssigned =
-      assignByCentroids(upserts, idCol, vecCol, cents).assigned
+      assignByCentroidsDf(upserts, idCol, vecCol, // data form: see append
+        centroidsDf(spark, cents))
+        .select(col(idCol), col(vecCol), col("cell"))
         .localCheckpoint() // 2 consumers (cell list + rewrite): assign once
     // old cells: bucket-pruned sidecar lookup (delta-proportional);
     // legacy artifacts without a sidecar fall back to one column-pruned
     // (id, cell) scan of the assigned tree with the delta broadcast
-    val oldCells = buckets match {
-      case Some(b) =>
-        sidecarOldCells(spark, path, affectedIds, idCol, b)
+    val oldCells = (buckets, affectedBuckets) match {
+      case (Some(_), Some(bks)) =>
+        spark.read.parquet(s"$path/idmap")
+          .where(col("bucket").isin(bks: _*)) // static partition pruning
+          .join(broadcast(affectedIds), Seq(idCol))
           .select(col("cell"))
-      case None =>
+      case _ =>
         assigned.join(broadcast(affectedIds), Seq(idCol))
           .select(col("cell"))
     }
@@ -382,6 +413,7 @@ object IvfCosine {
           col("cell")))
         .localCheckpoint() // sever self-read-overwrite lineage
       replacement
+        .repartition(col("cell")) // one file per rewritten cell
         .write.partitionBy("cell").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$path/assigned")
@@ -413,11 +445,10 @@ object IvfCosine {
     // the cell rewrite — also delta-proportional
     buckets.foreach { b =>
       val side = spark.read.parquet(s"$path/idmap")
-      val affectedBuckets = affectedIds.select(bucketOf(idCol, b))
-        .distinct().collect().map(_.getInt(0)).toSeq // bounded by b
-      if (affectedBuckets.nonEmpty) {
+      val affBks = affectedBuckets.getOrElse(Nil)
+      if (affBks.nonEmpty) {
         val sideSurvivors = side
-          .where(col("bucket").isin(affectedBuckets: _*))
+          .where(col("bucket").isin(affBks: _*))
           .join(broadcast(affectedIds), Seq(idCol), "left_anti")
           .select(col(idCol), col("cell"), col("bucket"))
         val sideReplacement = sideSurvivors
@@ -425,13 +456,14 @@ object IvfCosine {
             bucketOf(idCol, b)))
           .localCheckpoint() // sever self-read-overwrite lineage
         sideReplacement
+          .repartition(col("bucket")) // one file per rewritten bucket
           .write.partitionBy("bucket").mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$path/idmap")
         val presentBuckets = sideReplacement.select(col("bucket"))
           .distinct().collect().map(_.getInt(0)).toSet
         val hconf = spark.sparkContext.hadoopConfiguration
-        affectedBuckets.filterNot(presentBuckets).foreach { bk =>
+        affBks.filterNot(presentBuckets).foreach { bk =>
           val p = new org.apache.hadoop.fs.Path(s"$path/idmap/bucket=$bk")
           val fs = p.getFileSystem(hconf)
           if (fs.exists(p)) fs.delete(p, true)
@@ -667,18 +699,47 @@ object IvfCosine {
     * vector, for callers that need centroid similarity). */
   def assignByCentroidsDf(corpus: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame): DataFrame = {
+    // per-SIDE terms precomputed BEFORE the fan-out: v·v once per row
+    // (a projection below the join — the join boundary stops
+    // CollapseProject from inlining it back into the per-pair
+    // expression) and c·c once per centroid inside the broadcast —
+    // without this the per-pair d² evaluates THREE dim-length dots
+    // instead of one (measured 3× the assignment cost at nlist=160).
+    // Same IEEE ops as the literal path (VecDot's ascending fold; the
+    // literal path's driver-side Σx² is the same fold), so values stay
+    // bit-identical (DataFormAnnSpec pins it).
     val cents = broadcast(centroids.select(col("cell").as("__cell"),
-      col("cvec").as("__cvec")))
-    val d2 = Similarity.dot(col(vecCol), col(vecCol)) -
+      col("cvec").as("__cvec"),
+      Similarity.dot(col("cvec"), col("cvec")).as("__cc")))
+    val pre0 = corpus.select(col(idCol), col(vecCol),
+      Similarity.dot(col(vecCol), col(vecCol)).as("__vv"))
+    // the broadcast fan-out multiplies each input partition nlist× —
+    // a corpus that arrives in fewer partitions than cores (one small
+    // parquet file) would run the whole nlist·N join+argmin on ONE
+    // core. Spread it first in that case (measured 7× on the lifecycle
+    // gate); a corpus at scale already exceeds core count and skips
+    // the extra exchange.
+    val sc = corpus.sparkSession.sparkContext
+    val pre =
+      if (pre0.rdd.getNumPartitions < sc.defaultParallelism)
+        pre0.repartition(sc.defaultParallelism)
+      else pre0
+    val d2 = col("__vv") -
       lit(2.0) * Similarity.dot(col(vecCol), col("__cvec")) +
-      Similarity.dot(col("__cvec"), col("__cvec"))
-    corpus.crossJoin(cents)
+      col("__cc")
+    // the argmin struct carries only (d², cell) — 12 bytes, not the
+    // dim-length centroid array (which made every partial-aggregation
+    // update copy ~0.5 KB); the winning centroid's vector re-attaches
+    // by one broadcast equi-join on the cell id afterwards. Tie order
+    // unchanged: (d², cell) is decisive on its own (cell ids unique).
+    pre.crossJoin(cents)
       .groupBy(col(idCol))
-      .agg(min(struct(d2.as("d2"), col("__cell").as("cell"),
-          col("__cvec").as("cvec"))).as("__best"),
+      .agg(min(struct(d2.as("d2"), col("__cell").as("cell"))).as("__best"),
         first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col(vecCol), col("__best.cell").as("cell"),
-        col("__best.cvec").as("__cvec"))
+      .select(col(idCol), col(vecCol), col("__best.cell").as("cell"))
+      .join(broadcast(centroids.select(col("cell"),
+        col("cvec").as("__cvec"))), Seq("cell"))
+      .select(col(idCol), col(vecCol), col("cell"), col("__cvec"))
   }
 
   /** Top-k cosine neighbors per probe, scanning only the nprobe closest
@@ -716,15 +777,19 @@ object IvfCosine {
   def searchDf(assigned: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, qidCol: String, qvecCol: String,
       centroids: DataFrame, k: Int, nprobe: Int, dim: Int): DataFrame = {
+    // centroid self-norms precomputed once per centroid inside the
+    // broadcast (same IEEE value as the per-pair form — one sqrt of
+    // the same fold), mirroring assignByCentroidsDf's per-side terms
     val cents = broadcast(centroids.select(col("cell").as("__c0"),
-      col("cvec").as("__cv")))
+      col("cvec").as("__cv"),
+      sqrt(Similarity.dot(col("cvec"), col("cvec"))).as("__cn0")))
     val qn = sqrt(Similarity.dotExpr(col(qvecCol), col(qvecCol), dim))
     val probeCells = probes
       .select(col(qidCol), col(qvecCol), qn.as("__qn"))
       .crossJoin(cents)
       .withColumn("__csim",
         Similarity.dot(col(qvecCol), col("__cv"))
-          / (col("__qn") * sqrt(Similarity.dot(col("__cv"), col("__cv")))))
+          / (col("__qn") * col("__cn0")))
       .withColumn("__crank", row_number().over(
         Window.partitionBy(col(qidCol))
           .orderBy(col("__csim").desc, col("__c0"))))
