@@ -318,6 +318,17 @@ object Bench {
       // falls back to per-operator codegen, which JITs fine.
       .config("spark.sql.codegen.hugeMethodLimit",
         sys.env.getOrElse("SPARK_GRAFT_HUGE_LIMIT", "8000"))
+      // AQE's coalescing floor (default 1 MB) is a BYTE target; this
+      // engine's hot reduce stages are CPU-dense per byte (64-float
+      // vectors, long text, unrolled NN forward passes), so a 1 MB
+      // floor coalesces a 14 MB / 5-CPU-second scoring stage onto 11
+      // of 32 cores (measured on q_stacked_blocks). 128 KB keeps
+      // parallelismFirst's own defaultParallelism target decisive for
+      // CPU-bound stages while still coalescing KB-sized shuffles.
+      // Parameterized: at larger scale per-partition bytes exceed any
+      // floor and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "131072"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = names.map(n => n -> SparkEntry.queries(n)).toMap

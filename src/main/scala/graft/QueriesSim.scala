@@ -36,8 +36,15 @@ object QueriesSim {
   // q_index_maint's per-invocation index dir
   private val qimSite = new TempArtifacts.Site("graft-qim")
 
+  // vector-heavy kernels (brute kNN, PQ/SQ encodes, per-pair cosines):
+  // same parallelism floor as QueriesText.docs — the sf embeddings
+  // table is ONE parquet row group, so without the spread every
+  // corpus×probe fan-out runs on a single core (measured 5.8s of the
+  // 7.8s q_umap_analog total in one task; guard is a no-op at real
+  // scale where inputs arrive as many row groups)
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.ParallelInput.cpuBound(
+      s.read.parquet(s"$dir/embeddings.parquet"))
 
   // demo LSH parameters: the synthetic embeddings have no true near-dups
   // (max pairwise cosine ≈ 0.48), so the demo threshold is 0.3 and the

@@ -22,6 +22,10 @@ object Verify {
       // on the deep transformer projection chains); at this limit Spark
       // falls back to per-operator codegen, which JITs fine.
       .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      // CPU-dense shuffles keep parallelism under AQE coalescing —
+      // same rationale and env knob as Bench
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "131072"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -59,11 +59,35 @@ object GridSearch {
     }
     def slice(eras: Seq[Any]) =
       df.where(col(eraCol).isin(eras: _*)) // pushed-down IN filter
-    val trials = for {
+    // The (candidate × fold) trials are independent, and each one is a
+    // couple of SMALL jobs (an aggregate over a pushed-down era slice);
+    // run sequentially the sweep is a chain of sub-second jobs that
+    // each leave most of the cluster idle (measured: q_grid_search =
+    // ~25 back-to-back ~250ms 3-task jobs). Submit them from a bounded
+    // thread pool so concurrent trials back-fill each other's task
+    // tails — guide §2.6 "overlap independent jobs". Execution order
+    // does not touch any trial's plan or float arithmetic (each trial
+    // aggregates its own slice), so results are bit-identical to the
+    // sequential sweep; the trials list keeps deterministic
+    // (grid-order × fold-order) sequence because futures are awaited
+    // in construction order.
+    val work = for {
       p <- grid
       (f, trainEras, testEras) <- byFold
       if trainEras.nonEmpty && testEras.nonEmpty
-    } yield Trial(p, f, score(fit(p, slice(trainEras)), slice(testEras)))
+    } yield (p, f, trainEras, testEras)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, work.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val trials = try {
+      val fs = work.map { case (p, f, trainEras, testEras) =>
+        scala.concurrent.Future(
+          Trial(p, f, score(fit(p, slice(trainEras)), slice(testEras))))
+      }
+      fs.map(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     require(trials.nonEmpty,
       "grid search: every fold had an empty train or test era set — " +
         s"k=$k embargo=$embargo leaves no usable split")
