@@ -127,10 +127,18 @@ object UmapAnalog {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), lit(true).as("attract"))
     val ids = emb.select(col(idCol).cast("long").as("src"))
-    val negs = negOffsets.map(o => ids.select(col("src"),
-        ((col("src") + lit(o)) % lit(n)).as("dst"),
-        lit(false).as("attract")))
-      .reduce(_ unionByName _)
+    // the stride negatives in ONE pass: explode the offset array per id
+    // instead of unioning one full id-scan per offset — the union form
+    // multiplied the edge frame's partition count by |negOffsets|
+    // (measured: a 97-partition edges checkpoint whose tiny tasks
+    // dominated every gradient iteration after the input spread)
+    val negs = ids.select(col("src"),
+      explode(array(negOffsets.map(o =>
+        (col("src") + lit(o)) % lit(n)): _*)).as("dst"),
+      lit(false).as("attract"))
+    // NOT coalesced below the checkpoint: coalesce would fuse into the
+    // kNN search lineage and collapse the join+rank's own parallelism
+    // while materializing (measured +1s on the gated IVF config)
     val edges = knn.unionByName(negs).localCheckpoint()
     var it = 0
     while (it < iters) {

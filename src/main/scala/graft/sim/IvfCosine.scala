@@ -47,7 +47,17 @@ object IvfCosine {
     *     of scanning the whole index's (id, cell) columns — the lookup
     *     cost is delta-proportional, which is what survives daily
     *     maintenance of a 100 TB index. `buckets` sizes the pruning
-    *     granularity (≈ corpus rows / buckets ids per directory).
+    *     granularity (≈ corpus rows / buckets ids per directory);
+    *     `buckets <= 0` (the default) derives it from the corpus size
+    *     (rows/2000 clamped to [4, 4096] — ≈2k ids per directory at
+    *     the small end, ≈250k at 1e9 rows). A FIXED default is wrong
+    *     at both ends: 64 directories for a 2k-row index makes every
+    *     sidecar write/list pay 64 file commits (and pushes the path
+    *     count over Spark's 32-path parallelPartitionDiscovery
+    *     threshold, turning each idmap read's listing into a
+    *     distributed JOB — measured 4×~100ms per maintenance run),
+    *     while 64 for 1e9 rows leaves 16M ids per directory and no
+    *     useful pruning.
     *   - per-cell `_epoch_<e>` COMMIT MARKERS + a `cellEpochs` map in
     *     the meta: every live cell directory carries a marker naming
     *     the epoch that last rewrote it, and the meta records the
@@ -59,8 +69,7 @@ object IvfCosine {
     *     epoch, and [[loadIndex]] refuses it (ADVICE r13: the global
     *     row count alone cannot see that case). */
   def saveIndex(path: String, index: Index, idCol: String,
-      vecCol: String, buckets: Int = 64): Unit = {
-    require(buckets >= 1, s"saveIndex: buckets=$buckets")
+      vecCol: String, buckets: Int = 0): Unit = {
     val spark = index.assigned.sparkSession
     // repartition ON the cell key before the partitioned write: without
     // it every task writes into every cell directory (tasks × nlist
@@ -73,6 +82,16 @@ object IvfCosine {
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/assigned")
+    // commit marker: the EXPECTED row count, read back from the files
+    // just written (a parquet count() is footer-metadata-only — no data
+    // pages are scanned). loadIndex re-counts and compares, so a
+    // partially committed write (crash mid-commit leaves a subset of
+    // part files) is DETECTED at load instead of silently serving a
+    // truncated corpus. Counted BEFORE the sidecar write so the
+    // adaptive bucket rule below can size from it.
+    val rows = spark.read.parquet(s"$path/assigned").count()
+    val nBuckets = if (buckets >= 1) buckets
+      else math.min(4096L, math.max(4L, rows / 2000L)).toInt
     // the sidecar derives from the files JUST WRITTEN, not from
     // index.assigned — re-planning the assigned frame would re-run the
     // full-corpus assignment, while this is a 2-narrow-column
@@ -82,17 +101,10 @@ object IvfCosine {
     // real fixed overhead per maintenance job); with it each bucket's
     // rows land in exactly one task → one file per bucket
     spark.read.parquet(s"$path/assigned")
-      .select(col(idCol), col("cell"), bucketOf(idCol, buckets))
+      .select(col(idCol), col("cell"), bucketOf(idCol, nBuckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/idmap")
-    // commit marker: the EXPECTED row count, read back from the files
-    // just written (a parquet count() is footer-metadata-only — no data
-    // pages are scanned). loadIndex re-counts and compares, so a
-    // partially committed write (crash mid-commit leaves a subset of
-    // part files) is DETECTED at load instead of silently serving a
-    // truncated corpus.
-    val rows = spark.read.parquet(s"$path/assigned").count()
     val cells = listCellDirs(spark, path).keySet
     cells.foreach(c => writeEpochMarker(spark, path, c, 1L))
     graft.ml.WeightsIO.save(s"$path/centroids.json",
@@ -102,7 +114,7 @@ object IvfCosine {
         "rows" -> rows.toString,
         "epoch" -> "1",
         "cellEpochs" -> fmtCellEpochs(cells.map(_ -> 1L).toMap),
-        "buckets" -> buckets.toString,
+        "buckets" -> nBuckets.toString,
         "idCol" -> idCol, "vecCol" -> vecCol),
       index.centroids.zipWithIndex.map { case (c, i) => s"c$i" -> c })
   }
@@ -285,7 +297,13 @@ object IvfCosine {
     assigned.cache()
     val (deltaRows, deltaCells) =
       try {
-        val n = assigned.count()
+        // ONE aggregate job yields both the pre-write commit count and
+        // the touched-cell set (bounded by nlist) — count() plus a
+        // separate distinct-collect was two scheduler round-trips over
+        // the same cached delta for no extra information
+        val perCell = assigned.groupBy(col("cell")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+        val n = perCell.map(_._2).sum
         assigned.repartition(col("cell")) // one new file per touched cell
           .write.partitionBy("cell").mode("append")
           .parquet(s"$path/assigned")
@@ -298,8 +316,7 @@ object IvfCosine {
             .write.partitionBy("bucket").mode("append")
             .parquet(s"$path/idmap")
         }
-        (n, assigned.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSet) // bounded by nlist
+        (n, perCell.map(_._1).toSet)
       } finally assigned.unpersist()
     // cells CREATED by this append get a marker at the new epoch;
     // cells merely appended into keep theirs (append never destroys a
@@ -374,8 +391,13 @@ object IvfCosine {
     requireVecDim(upserts, vecCol, dim, "applyChanges upserts")
     val assigned = spark.read.parquet(s"$path/assigned")
     val buckets = meta.get("buckets").map(_.toInt)
+    // delta-sized and consumed FOUR times (bucket list + three
+    // broadcast joins): localCheckpoint so each consumer reads the
+    // materialized rows instead of re-planning and re-running the
+    // union+distinct shuffle per broadcast build
     val affectedIds = upserts.select(col(idCol))
       .unionByName(deleteIds.select(col(idCol))).distinct()
+      .localCheckpoint()
     // the delta's bucket list (bounded by the bucket count) is shared
     // by the old-cell lookup and the sidecar rewrite — computed ONCE
     val affectedBuckets = buckets.map(b =>

@@ -130,8 +130,12 @@ class CommitEpochSpec extends AnyFunSuite {
     val (p, base) = freshIndex(100, 19)
     val affected = base.where(col("vec_id") % 9 === 0)
       .select(col("vec_id")).localCheckpoint()
+    // bucket count as recorded at save time (adaptive default) — the
+    // lookup must use the artifact's own bucketing, like applyChanges
+    val recordedBuckets =
+      graft.ml.WeightsIO.load(s"$p/centroids.json")._1("buckets").toInt
     val viaSidecar = IvfCosine.sidecarOldCells(spark, p, affected,
-      "vec_id", buckets = 64)
+      "vec_id", buckets = recordedBuckets)
     val viaScan = spark.read.parquet(s"$p/assigned")
       .join(broadcast(affected), Seq("vec_id"))
       .select(col("vec_id"), col("cell"))
