@@ -272,18 +272,24 @@ object Dedup {
       acc + base + (if (i < extra) 1 else 0))
     val keys = (0 until chunks).map { ci =>
       val width = offsets(ci + 1) - offsets(ci)
-      val chunk = shiftright(col(hashCol), offsets(ci))
+      val chunk = shiftright(col("h"), offsets(ci))
         .bitwiseAND((1L << width) - 1)
       struct(lit(ci).as("ci"), chunk.as("cv"))
     }
-    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("h"),
+    // materialize (id, hash) ONCE — 16 bytes/doc: its lineage (scan +
+    // per-doc simhash kernel) has THREE consumers (capBuckets' bucket
+    // census + both self-join sides), and exchange reuse across them is
+    // plan-shape-fragile (measured NOT firing — the scan and simhash
+    // kernel ran twice, the dominant cost of the whole pair build); the
+    // downstream band explode is a trivial ×(maxHamming+1) projection
+    // that can re-run per consumer
+    val hs = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .localCheckpoint()
+    val banded = hs.select(col("id"), col("h"),
       explode(array(keys: _*)).as("k"))
       .select(col("id"), col("h"), col("k.ci").as("ci"), col("k.cv").as("cv"))
     val capped = capBuckets(banded, Seq("ci", "cv"), maxBucketSize)
-    // Self-join both sides from the SAME plan (aliases, not a re-projected
-    // copy): the canonically-identical subtrees let Spark reuse one
-    // exchange — the 60-aggregate simhash build above runs once, not once
-    // per side.
+    // Self-join both sides from the SAME checkpointed leaf:
     val diff = col("a.h").bitwiseXOR(col("b.h"))
     // First-matching-chunk rule instead of a distinct() over the candidate
     // set: a pair within the radius can agree on several chunks, so keep

@@ -740,10 +740,27 @@ object IvfCosine {
     // parquet file) would run the whole nlist·N join+argmin on ONE
     // core. Spread it first in that case (measured 7× on the lifecycle
     // gate); a corpus at scale already exceeds core count and skips
-    // the extra exchange.
+    // the extra exchange. The .rdd partition probe is only free on an
+    // exchange-free plan — under AQE it materializes every upstream
+    // query stage as real jobs (measured +0.5s per call on inputs that
+    // arrive through an explicit spread), so a plan that already
+    // carries a user repartition skips the probe outright: its
+    // partition count is pinned by that repartition (AQE does not
+    // coalesce user-specified counts) and is >= the parallelism target
+    // in every spread-input shape.
     val sc = corpus.sparkSession.sparkContext
+    val alreadySpread = pre0.queryExecution.analyzed.exists {
+      // only count-pinned repartitions: AQE may coalesce a keyed
+      // repartition with no explicit count back below the target
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.shuffle => true
+      case r: org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression if r.optNumPartitions.isDefined => true
+      case _ => false
+    }
     val pre =
-      if (pre0.rdd.getNumPartitions < sc.defaultParallelism)
+      if (alreadySpread) pre0
+      else if (pre0.rdd.getNumPartitions < sc.defaultParallelism)
         pre0.repartition(sc.defaultParallelism)
       else pre0
     val d2 = col("__vv") -

@@ -34,13 +34,19 @@ object LmBuckets {
   def headMiddleTail(docs: DataFrame, idCol: String, textCol: String,
       approxCuts: Boolean = false, accuracy: Int = 10000): DataFrame = {
     liveCaches.release()
-    // the LM scoring joins run ONCE: the scored frame is persisted and
-    // read by both the cut-point aggregate and the labeling pass
+    // the LM scoring joins run ONCE: the scored frame materializes
+    // EAGERLY (localCheckpoint, same MEMORY_AND_DISK storage class)
+    // before either consumer is submitted. A lazy persist() is not
+    // enough here: the cut-point aggregate is the BROADCAST side of
+    // the labeling crossJoin, so AQE submits both consumers
+    // concurrently and they race the cold cache — the whole LM
+    // scoring ran twice (measured as two ~2-3s CPU stages over the
+    // same exchange).
     val scored = liveCaches.keep(
       NgramLm.scoreStupidBackoff(docs, idCol, textCol)
         .withColumn("avg_logprob",
           graft.functions.FastRound(col("avg_logprob"), 6))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .localCheckpoint(eager = true))
     val qAgg =
       if (approxCuts)
         expr(s"approx_percentile(avg_logprob, array(${1.0 / 3}, " +

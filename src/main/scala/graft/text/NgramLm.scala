@@ -49,11 +49,26 @@ object NgramLm {
       .where(CorpusSplit.hashSplit(col(idCol)) === "train")
       .select(w.as("__w"))
 
-    val uni = train.select(explode(col("__w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c1"))
-    val bi = train.select(
-        explode(CorpusOps.wordNgrams(col("__w"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    // BOTH count tables from ONE tokenize pass and ONE shuffle: the
+    // unigram and bigram streams explode together tagged by kind, and
+    // the combined vocabulary-sized table localCheckpoints — its five
+    // consumers (totals scalar, bigram join, two unigram joins, and
+    // the eager head below) would otherwise each re-run the train
+    // tokenization and count shuffle (measured: the LM build was the
+    // corpus family's dominant repeated stage). Counts are integers,
+    // so the split-back tables are exactly the two-aggregation form.
+    val counts = train.select(explode(concat(
+        transform(col("__w"),
+          t => struct(lit(0).as("k"), t.as("key"))),
+        transform(CorpusOps.wordNgrams(col("__w"), 2),
+          g => struct(lit(1).as("k"), g.as("key"))))).as("e"))
+      .groupBy(col("e.k").as("__k"), col("e.key").as("__key"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val uni = counts.where(col("__k") === 0)
+      .select(col("__key").as("t"), col("__c").as("c1"))
+    val bi = counts.where(col("__k") === 1)
+      .select(col("__key").as("bg"), col("__c").as("c12"))
     // N (train tokens) + U (train vocabulary): one bounded scalar row
     val totals = uni.agg(sum("c1").cast("double").as("n"),
       count(lit(1)).cast("double").as("u")).head()
