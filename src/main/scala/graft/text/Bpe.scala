@@ -119,10 +119,15 @@ object Bpe {
       else {
         val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
         merges += ((a, b))
+        // checkpoint every 4th round, not every round: a materialize
+        // job per merge was ~1/3 of the loop's scheduler round-trips,
+        // while a ≤4-replace chain keeps the plan depth bounded (the
+        // OOM this guards against came from UNBOUNDED chaining); the
+        // chained replaces compose to the identical vocabulary text
         vocab = vocab
           .select(regexp_replace(col("s"), s" $a $b", s" $a$b").as("s"),
             col("n"))
-          .localCheckpoint()
+        if ((i + 1) % 4 == 0) vocab = vocab.localCheckpoint()
       }
       i += 1
     }
