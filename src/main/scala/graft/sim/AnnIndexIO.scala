@@ -56,7 +56,14 @@ object AnnIndexIO {
   def saveIvfPq(path: String, coarse: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], codes: DataFrame,
       idCol: String): Unit = {
-    codes.select(col(idCol), col("codes"), col("nrm"), col("cell"))
+    // cluster on the partition key before the partitioned write (the
+    // saveIndex discipline): without it every task commits a file into
+    // every cell directory — tasks × nlist tiny files — and the count
+    // is PINNED so AQE cannot coalesce the KB-sized shuffle to one
+    // task that writes all directories sequentially
+    IvfCosine.repartForWrite(
+      codes.select(col(idCol), col("codes"), col("nrm"), col("cell")),
+      "cell", coarse.length)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     val rows = codes.sparkSession.read.parquet(s"$path/codes").count()
     graft.ml.WeightsIO.save(s"$path/params.json",
@@ -284,7 +291,14 @@ object AnnIndexIO {
     val deltaRows =
       try {
         val n = enc.count()
-        val w = enc.write.mode("append")
+        // cluster cell-partitioned deltas on the key first (one new
+        // file per touched cell, commits in parallel — see saveIvfPq)
+        val out = partitionCols match {
+          case Seq(k) => IvfCosine.repartForWrite(enc, k,
+            meta.get("nlist").map(_.toInt).getOrElse(Int.MaxValue))
+          case _ => enc
+        }
+        val w = out.write.mode("append")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
          else w).parquet(s"$path/codes")
         n

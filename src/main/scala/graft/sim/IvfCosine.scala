@@ -68,6 +68,25 @@ object IvfCosine {
     *     at least one cell whose marker no longer matches the recorded
     *     epoch, and [[loadIndex]] refuses it (ADVICE r13: the global
     *     row count alone cannot see that case). */
+  /** Keyed repartition with a PINNED partition count for the
+    * partitioned maintenance writes: `repartition(col(key))` alone
+    * lets AQE coalesce the KB-sized maintenance shuffles to ONE task,
+    * which then commits every `key=` directory's file sequentially
+    * (measured as the lifecycle's ~900ms single-task write jobs —
+    * ~55ms per file commit). Pinning the count (AQE respects
+    * user-specified counts) spreads the per-directory file commits
+    * across tasks; `keys` bounds it (one task per key value is the
+    * most that helps — each key's rows still land in exactly one task,
+    * so the one-file-per-directory layout is unchanged), and 4× the
+    * session parallelism caps it so a corpus-scaled nlist doesn't
+    * schedule hundreds of thousands of reduce tasks. */
+  private[sim] def repartForWrite(df: DataFrame, key: String,
+      keys: Int): DataFrame = {
+    val cap = math.max(1, math.min(keys,
+      df.sparkSession.sparkContext.defaultParallelism * 4))
+    df.repartition(cap, col(key))
+  }
+
   def saveIndex(path: String, index: Index, idCol: String,
       vecCol: String, buckets: Int = 0): Unit = {
     val spark = index.assigned.sparkSession
@@ -78,8 +97,9 @@ object IvfCosine {
     // rows land in one task → one file per cell. At real corpus sizes
     // where a cell spans many HDFS blocks, follow with maxRecordsPerFile
     // (the BucketedLayout.compact discipline) rather than removing this.
-    index.assigned.select(col(idCol), col(vecCol), col("cell"))
-      .repartition(col("cell"))
+    repartForWrite(
+      index.assigned.select(col(idCol), col(vecCol), col("cell")),
+      "cell", index.centroids.length)
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/assigned")
     // commit marker: the EXPECTED row count, read back from the files
@@ -100,9 +120,9 @@ object IvfCosine {
     // every bucket directory (tasks × buckets tiny files — measured as
     // real fixed overhead per maintenance job); with it each bucket's
     // rows land in exactly one task → one file per bucket
-    spark.read.parquet(s"$path/assigned")
-      .select(col(idCol), col("cell"), bucketOf(idCol, nBuckets))
-      .repartition(col("bucket"))
+    repartForWrite(spark.read.parquet(s"$path/assigned")
+      .select(col(idCol), col("cell"), bucketOf(idCol, nBuckets)),
+      "bucket", nBuckets)
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/idmap")
     val cells = listCellDirs(spark, path).keySet
@@ -304,15 +324,16 @@ object IvfCosine {
         val perCell = assigned.groupBy(col("cell")).count().collect()
           .map(r => r.getInt(0) -> r.getLong(1))
         val n = perCell.map(_._2).sum
-        assigned.repartition(col("cell")) // one new file per touched cell
+        repartForWrite(assigned, "cell", nlist) // one new file per cell
           .write.partitionBy("cell").mode("append")
           .parquet(s"$path/assigned")
         // sidecar append: the same delta-sized rows, bucketed by id —
         // the corpus-at-rest sidecar files are never touched
         // (repartition on bucket: one new file per touched bucket)
         meta.get("buckets").map(_.toInt).foreach { b =>
-          assigned.select(col(idCol), col("cell"), bucketOf(idCol, b))
-            .repartition(col("bucket"))
+          repartForWrite(
+            assigned.select(col(idCol), col("cell"), bucketOf(idCol, b)),
+            "bucket", b)
             .write.partitionBy("bucket").mode("append")
             .parquet(s"$path/idmap")
         }
@@ -434,8 +455,7 @@ object IvfCosine {
         .unionByName(newAssigned.select(col(idCol), col(vecCol),
           col("cell")))
         .localCheckpoint() // sever self-read-overwrite lineage
-      replacement
-        .repartition(col("cell")) // one file per rewritten cell
+      repartForWrite(replacement, "cell", cells.size) // 1 file/cell
         .write.partitionBy("cell").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$path/assigned")
@@ -477,8 +497,7 @@ object IvfCosine {
           .unionByName(newAssigned.select(col(idCol), col("cell"),
             bucketOf(idCol, b)))
           .localCheckpoint() // sever self-read-overwrite lineage
-        sideReplacement
-          .repartition(col("bucket")) // one file per rewritten bucket
+        repartForWrite(sideReplacement, "bucket", affBks.size)
           .write.partitionBy("bucket").mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(s"$path/idmap")
