@@ -109,10 +109,16 @@ object DupClusters {
         .toDF("u", "v")
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("__nmin"))
         .select(col("u"), least(col("u"), col("__nmin")).as("m"))
+      // NOT distinct'd: sym.where(v > u) is exactly e (one row per
+      // canonical edge) joined 1:1 to mins, so large-star output has
+      // |e| rows before dedup; duplicates from different u mapping to
+      // the same (m, v) are collapsed by e2's distinct below either
+      // way, and dropping the intermediate exchange removes one full
+      // shuffle from EVERY contraction round
       val ls = sym.where(col("v") > col("u"))
         .join(mins, "u")
         .select(col("m").as("lo"), col("v").as("hi"))
-        .where(col("lo") =!= col("hi")).distinct()
+        .where(col("lo") =!= col("hi"))
       // small-star on the downward orientation (hi -> lo): every
       // smaller neighbor (and u itself) re-hangs onto min N_down(u).
       // mv <= v for each down-neighbor v, so pairs stay canonical.
