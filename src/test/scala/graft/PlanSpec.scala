@@ -424,8 +424,16 @@ class PlanSpec extends AnyFunSuite {
       rsd = 0.02)
     val exactPlan = planOf(exact)
     val approxPlan = planOf(approx)
-    assert(exactPlan.contains("Expand"),
-      "sanity: the exact multi-distinct plans through Expand")
+    // the exact path must NOT ride Catalyst's multi-distinct Expand
+    // (7-wide nullable grouping key, distinct hash build pinned at scan
+    // parallelism): the distinct subtree is the narrow (cid, value)
+    // explode spread by a count-pinned repartition on exactly that key
+    assert(!exactPlan.contains("Expand"),
+      s"exact profile must use the narrow-key distinct subtree, not " +
+        s"the multi-distinct Expand:\n$exactPlan")
+    assert(exactPlan.contains("hashpartitioning(cid"),
+      s"exact distinct subtree must spread on the (cid, value) key:\n" +
+        exactPlan)
     assert(!approxPlan.contains("Expand"),
       s"approx profile must not Expand:\n$approxPlan")
     assert(approxPlan.contains("approx_count_distinct"), approxPlan)
