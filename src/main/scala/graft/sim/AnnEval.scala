@@ -35,6 +35,10 @@ object AnnEval {
       .select(col(qidCol), col(nidCol))
     val e = exact.where(col("rank") <= k)
       .select(col(qidCol), col(nidCol))
+    // both sides are |probes|·k bounded, so join strategy is immaterial
+    // at any scale — no broadcast hints (explicit broadcasts of tiny
+    // frames were tried and REVERTED: each adds a driver build
+    // round-trip that costs more than the tiny AQE-handled shuffle)
     val hits = a.join(e, Seq(qidCol, nidCol))
       .groupBy(col(qidCol)).agg(count(lit(1)).as("__hits"))
     val avail = e.groupBy(col(qidCol)).agg(count(lit(1)).as("__navail"))
@@ -54,6 +58,11 @@ object AnnEval {
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, nprobes: Seq[Int], dim: Int): DataFrame = {
     require(nprobes.nonEmpty, "ivfRecallSweep: empty nprobe list")
+    // the brute baseline feeds every sweep branch twice (hit join +
+    // denominator), but AQE's runtime exchange reuse already dedups the
+    // shared subtree across the union branches — an explicit
+    // localCheckpoint was tried and REVERTED (+0.3s measured: it only
+    // added a serial materialization barrier before the sweep)
     val brute = CosineTopK.bruteForce(
       index.assigned.select(col(idCol), col(vecCol)), probes,
       idCol, vecCol, qidCol, qvecCol, k, dim)

@@ -68,7 +68,10 @@ object Mmr {
     // k−1 greedy rounds don't re-run the corpus scan
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__v"),
       sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)).as("__n"))
-    val shortV = short.join(c, "nid")
+    // the shortlist is the probes × shortN BOUNDED side; the corpus is
+    // not — broadcast the shortlist so the vector re-attach never
+    // shuffles the corpus by nid
+    val shortV = broadcast(short).join(c, "nid")
       .select(col("qid"), col("nid"), col("rel"), col("rank"),
         col("__v"), col("__n"))
       .localCheckpoint()
@@ -90,6 +93,11 @@ object Mmr {
       .select(col("qid"), lit(1).as("step"), col("nid"), col("rel"),
         col("rel").as("mmr"), col("rank"))
     for (step <- 2 to k) {
+      // every frame in a round is probes × shortN bounded, so the
+      // bounded×bounded round joins keep the planner's choice (explicit
+      // broadcasts were tried and REVERTED: each tiny-frame broadcast
+      // adds a driver build round-trip that costs more than the
+      // AQE-handled few-hundred-row shuffle it replaces)
       val selRanks = selected.select(col("qid"), col("rank").as("b_rank"))
       val survivors = cands.join(selRanks.select(col("qid"),
         col("b_rank").as("rank")), Seq("qid", "rank"), "left_anti")
