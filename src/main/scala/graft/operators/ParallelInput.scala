@@ -27,4 +27,25 @@ object ParallelInput {
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }
+
+  /** Run independent Spark actions concurrently from a bounded pool
+    * (guide §2.6 "overlap independent jobs"): a maintenance protocol
+    * that issues its writes/counts sequentially leaves the cluster idle
+    * through each job's scheduling tail. Callers must guarantee the
+    * thunks touch DISJOINT outputs and share no uncached lineage whose
+    * double execution would be wrong. Exceptions propagate (first
+    * failing thunk, after all complete or fail). */
+  private[graft] def overlap(thunks: Seq[() => Unit]): Unit =
+    if (thunks.size <= 1) thunks.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, thunks.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = thunks.map(t => scala.concurrent.Future(t()))
+        fs.foreach(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
 }

@@ -192,17 +192,23 @@ object IvfCosine {
     requireVecDim(assigned, meta("vecCol"), dim, s"$path/assigned")
     if (verifyRows) {
       meta.get("rows").map(_.toLong).foreach { expected =>
-        val actual = assigned.count()
+        // the two verification counts are footer-metadata-only jobs
+        // over disjoint trees — overlap them (guide §2.6)
+        @volatile var actual = 0L
+        @volatile var side = Option.empty[Long]
+        graft.operators.ParallelInput.overlap(Seq(
+          () => actual = assigned.count(),
+          () => side = if (meta.contains("buckets"))
+            Some(spark.read.parquet(s"$path/idmap").count()) else None))
         require(actual == expected,
           s"index at $path records $expected rows in centroids.json but " +
             s"the assigned parquet holds $actual — a previous " +
             "saveIndex/appendToIndex did not commit completely; rebuild " +
             "the index or re-run the append")
-        if (meta.contains("buckets")) {
-          val side = spark.read.parquet(s"$path/idmap").count()
-          require(side == expected,
+        side.foreach { s =>
+          require(s == expected,
             s"index at $path records $expected rows but the id->cell " +
-              s"sidecar holds $side — a maintenance run did not commit " +
+              s"sidecar holds $s — a maintenance run did not commit " +
               "completely; rebuild the index")
         }
       }
@@ -324,19 +330,25 @@ object IvfCosine {
         val perCell = assigned.groupBy(col("cell")).count().collect()
           .map(r => r.getInt(0) -> r.getLong(1))
         val n = perCell.map(_._2).sum
-        repartForWrite(assigned, "cell", nlist) // one new file per cell
-          .write.partitionBy("cell").mode("append")
-          .parquet(s"$path/assigned")
-        // sidecar append: the same delta-sized rows, bucketed by id —
-        // the corpus-at-rest sidecar files are never touched
-        // (repartition on bucket: one new file per touched bucket)
-        meta.get("buckets").map(_.toInt).foreach { b =>
-          repartForWrite(
-            assigned.select(col(idCol), col("cell"), bucketOf(idCol, b)),
-            "bucket", b)
-            .write.partitionBy("bucket").mode("append")
-            .parquet(s"$path/idmap")
-        }
+        // the assigned append and the sidecar append write DISJOINT
+        // trees from the same CACHED delta — overlap them (guide §2.6)
+        // instead of paying two sequential write-commit tails; the
+        // commit protocol is unchanged (count above taken before any
+        // write, meta republished after both)
+        graft.operators.ParallelInput.overlap(Seq(
+          () => repartForWrite(assigned, "cell", nlist) // 1 new file/cell
+            .write.partitionBy("cell").mode("append")
+            .parquet(s"$path/assigned"),
+          // sidecar append: the same delta-sized rows, bucketed by id —
+          // the corpus-at-rest sidecar files are never touched
+          // (repartition on bucket: one new file per touched bucket)
+          () => meta.get("buckets").map(_.toInt).foreach { b =>
+            repartForWrite(
+              assigned.select(col(idCol), col("cell"), bucketOf(idCol, b)),
+              "bucket", b)
+              .write.partitionBy("bucket").mode("append")
+              .parquet(s"$path/idmap")
+          }))
         (n, perCell.map(_._1).toSet)
       } finally assigned.unpersist()
     // cells CREATED by this append get a marker at the new epoch;
@@ -445,8 +457,17 @@ object IvfCosine {
     val cells = oldCells
       .unionByName(newAssigned.select(col("cell")))
       .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
-    var presentCells = Set.empty[Int]
-    if (cells.nonEmpty) {
+    // the cell rewrite and the sidecar rewrite touch DISJOINT trees
+    // ($path/assigned vs $path/idmap) and read only checkpointed
+    // delta-sized frames plus their own tree — overlap them
+    // (guide §2.6) instead of paying two sequential
+    // checkpoint+write+commit tails. Crash detection is unchanged: the
+    // epoch markers and the meta republish still happen strictly AFTER
+    // both rewrites, so a crash anywhere before that leaves at least
+    // one rewritten cell whose marker disagrees with the recorded
+    // epoch (or a sidecar/assigned row-count mismatch).
+    @volatile var presentCells = Set.empty[Int]
+    val rewriteCells: () => Unit = () => if (cells.nonEmpty) {
       val survivors = assigned
         .where(col("cell").isin(cells: _*)) // static partition pruning
         .join(broadcast(affectedIds), Seq(idCol), "left_anti")
@@ -471,21 +492,10 @@ object IvfCosine {
         if (fs.exists(p)) fs.delete(p, true)
       }
     }
-    // commit markers BEFORE the sidecar and meta: any later crash then
-    // leaves marker/meta disagreement on at least one rewritten cell
-    val epoch = meta.get("epoch").map(_.toLong).getOrElse(1L) + 1
-    val epochMeta = parseCellEpochs(meta).map { known =>
-      // presentCells ⊆ cells by construction (the replacement only
-      // holds affected cells' content); emptied cells leave the map
-      presentCells.foreach(c => writeEpochMarker(spark, path, c, epoch))
-      Map("epoch" -> epoch.toString,
-        "cellEpochs" -> fmtCellEpochs(
-          known -- cells ++ presentCells.map(_ -> epoch)))
-    }.getOrElse(Map.empty)
     // sidecar maintenance: rewrite ONLY the delta's bucket partitions
     // (survivors of affected buckets + the new assignments), mirroring
     // the cell rewrite — also delta-proportional
-    buckets.foreach { b =>
+    val rewriteSidecar: () => Unit = () => buckets.foreach { b =>
       val side = spark.read.parquet(s"$path/idmap")
       val affBks = affectedBuckets.getOrElse(Nil)
       if (affBks.nonEmpty) {
@@ -511,9 +521,28 @@ object IvfCosine {
         }
       }
     }
-    val rows = spark.read.parquet(s"$path/assigned").count()
-    buckets.foreach { _ =>
-      val side = spark.read.parquet(s"$path/idmap").count()
+    graft.operators.ParallelInput.overlap(Seq(rewriteCells, rewriteSidecar))
+    // commit markers AFTER the rewrites, BEFORE the meta republish: any
+    // crash before the meta save leaves marker/meta disagreement on at
+    // least one rewritten cell
+    val epoch = meta.get("epoch").map(_.toLong).getOrElse(1L) + 1
+    val epochMeta = parseCellEpochs(meta).map { known =>
+      // presentCells ⊆ cells by construction (the replacement only
+      // holds affected cells' content); emptied cells leave the map
+      presentCells.foreach(c => writeEpochMarker(spark, path, c, epoch))
+      Map("epoch" -> epoch.toString,
+        "cellEpochs" -> fmtCellEpochs(
+          known -- cells ++ presentCells.map(_ -> epoch)))
+    }.getOrElse(Map.empty)
+    // the two verification counts are footer-metadata-only jobs over
+    // disjoint trees — overlap them too
+    @volatile var rows = 0L
+    @volatile var sideRows = Option.empty[Long]
+    graft.operators.ParallelInput.overlap(Seq(
+      () => rows = spark.read.parquet(s"$path/assigned").count(),
+      () => sideRows = buckets.map(_ =>
+        spark.read.parquet(s"$path/idmap").count())))
+    sideRows.foreach { side =>
       require(side == rows,
         s"applyChanges at $path: assigned holds $rows rows but the " +
           s"id->cell sidecar holds $side after maintenance — sidecar " +
