@@ -120,6 +120,15 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, idCol: String, numHashes: Int = 16,
       rowsPerBand: Int = 4, maxBucketSize: Int = 1000): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // materialize (id, minhash) ONCE — numHashes longs/doc: its lineage
+    // (scan + normalize + shingle + minhash kernel) has THREE consumers
+    // (capBuckets' bucket census + both self-join sides), and exchange
+    // reuse does not cover the census' broadcast subtree (measured: the
+    // signature kernel ran twice — the two dominant twin stages of the
+    // whole pair build). Same trade as simHashNearDups' (id, hash)
+    // checkpoint; the band explode below is a trivial projection that
+    // can re-run per consumer.
+    val sigsC = sigs.select(col(idCol), col("minhash")).localCheckpoint()
     // Explode the band INDEX first and build the key ABOVE the Generate:
     // an explode(array(keyExprs…)) generator is one expression tree with
     // no named intermediates, so the optimizer collapses the staged
@@ -127,7 +136,7 @@ object Dedup {
     // chain per band key (measured 25× slower). With the index exploded,
     // the signature array crosses the Generate boundary as a column and
     // is computed once per document.
-    val withB = sigs.select(col(idCol), col("minhash"),
+    val withB = sigsC.select(col(idCol), col("minhash"),
       explode(sequence(lit(0), lit(numBands - 1))).as("__b"))
     val key = md5(concat_ws(",", col("__b") +: (0 until rowsPerBand).map(r =>
       element_at(col("minhash"), col("__b") * rowsPerBand + r + 1)): _*))
@@ -367,10 +376,21 @@ object Dedup {
       threshold: Double = 0.95, maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(Similarity.dotExpr(col(vecCol), col(vecCol), dim)).as("nrm"))
-    val keyed = base.select(col("id"), col("v"), col("nrm"),
+    // the SRP band keys are the expensive per-row kernel (bands ×
+    // planesPerBand dim-length dots per vector), and the keyed frame
+    // has three consumers (capBuckets' census + both self-join sides)
+    // whose shared lineage exchange reuse does not fully cover
+    // (measured: the kernel ran twice). Materialize ONLY the small
+    // (id, bucket) pairs — bands × ~24 bytes/doc, never the vectors —
+    // and re-attach vectors by one id equi-join afterwards: the kernel
+    // runs exactly once, and the checkpoint stays proxy-sized at any
+    // corpus scale (guide §8: shuffle/materialize keys, not payloads).
+    val keyed = df.select(col(idCol).as("id"),
       explode(array((0 until bands).map(b =>
-        srpBandKey(col("v"), dim, b, planesPerBand)): _*)).as("bucket"))
+        srpBandKey(col(vecCol), dim, b, planesPerBand)): _*)).as("bucket"))
+      .localCheckpoint()
     val capped = capBuckets(keyed, Seq("bucket"), maxBucketSize)
+      .join(base, Seq("id"))
     val right = capped.select(col("id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("nrm_b"), col("bucket"))
     capped.hint("merge").join(right, Seq("bucket"))

@@ -20,6 +20,12 @@ SCALING CHARACTER rather than blindly replicating rows:
   exact duplicates.
 
 Output: /root/repo/.sf1_testdata/ (gitignored; ~10x sf0.1 on disk).
+
+Generalized for the third-decade checkpoint (VERDICT r13 item 2): an
+optional second argument sets the replica count, so
+`make_sf1.py /root/repo/.sf10_testdata 100` derives an sf10 set (100x
+sf0.1, ~1.7 GB) with the same scaling character — key spaces shift per
+replica, documents word-shuffle per replica, embeddings perturb dim 0.
 """
 import os
 import random
@@ -30,8 +36,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1_testdata"
-SRC = "/root/testdata/sf0.1"
-R = 10
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 
 
 def lineitem():
