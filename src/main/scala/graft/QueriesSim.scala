@@ -282,7 +282,13 @@ object QueriesSim {
     // corpus size (12.5k-row cells at sf10 → a 345M-row rank shuffle).
     "q_ivf_append" -> ((s, dir) => {
       val all = emb(s, dir)
-      val nlist = math.max(16, math.ceil(all.count() / 125.0).toInt)
+      // corpus row count from parquet footers (driver-side, no job):
+      // the distributed count() paid the cpuBound spread exchange +
+      // a scheduling round-trip for a number the footers already hold;
+      // same value (the oracle's count(*) over the same table)
+      val nlist = math.max(16, math.ceil(
+        graft.operators.ParquetMeta.rowCount(s,
+          s"$dir/embeddings.parquet") / 125.0).toInt)
       require(nlist <= 65536, s"q_ivf_append nlist=$nlist exceeds the " +
         "oracle's 65536-cell enumeration cap")
       val grid = IvfCosine.pinnedCentroids(nlist, DIM)
@@ -323,7 +329,10 @@ object QueriesSim {
     // grid) as q_ivf_append above; data-form assignment/search.
     "q_index_maint" -> ((s, dir) => {
       val all = emb(s, dir)
-      val nlist = math.max(16, math.ceil(all.count() / 125.0).toInt)
+      // footer-derived corpus count, as in q_ivf_append above
+      val nlist = math.max(16, math.ceil(
+        graft.operators.ParquetMeta.rowCount(s,
+          s"$dir/embeddings.parquet") / 125.0).toInt)
       require(nlist <= 65536, s"q_index_maint nlist=$nlist exceeds " +
         "the oracle's 65536-cell enumeration cap")
       val grid = IvfCosine.pinnedCentroids(nlist, DIM)
@@ -336,12 +345,20 @@ object QueriesSim {
             transform(col("embedding"), x => x * lit(0.5f)))
             .otherwise(col("embedding")).as("embedding"))
       val path = qimSite.fresh().resolve("idx").toString
-      IvfCosine.saveIndex(path, IvfCosine.Index(grid,
-        IvfCosine.assignByCentroidsDf(oldSnap, "vec_id", "embedding",
-          cents).select(col("vec_id"), col("embedding"), col("cell"))),
-        "vec_id", "embedding")
-      val d = graft.sources.SnapshotDiff.diff(oldSnap, newSnap, "vec_id",
-        md5(to_json(struct(col("embedding"))))).localCheckpoint()
+      // the index SAVE (assign yesterday's corpus + write) and the CDC
+      // DIFF (fingerprint join of the two snapshots) are independent —
+      // disjoint outputs, inputs only from the snapshots — so they
+      // overlap (guide §2.6); append/apply still run strictly after
+      // both (they read the saved meta and the diff)
+      @volatile var d: DataFrame = null
+      graft.operators.ParallelInput.overlap(Seq(
+        () => IvfCosine.saveIndex(path, IvfCosine.Index(grid,
+          IvfCosine.assignByCentroidsDf(oldSnap, "vec_id", "embedding",
+            cents).select(col("vec_id"), col("embedding"), col("cell"))),
+          "vec_id", "embedding"),
+        () => d = graft.sources.SnapshotDiff.diff(oldSnap, newSnap,
+          "vec_id", md5(to_json(struct(col("embedding")))))
+          .localCheckpoint()))
       val added = newSnap.join(d.where(col("status") === "added")
         .select("vec_id"), Seq("vec_id"))
       val changed = newSnap.join(d.where(col("status") === "changed")

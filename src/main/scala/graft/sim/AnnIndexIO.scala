@@ -65,7 +65,8 @@ object AnnIndexIO {
       codes.select(col(idCol), col("codes"), col("nrm"), col("cell")),
       "cell", coarse.length)
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
-    val rows = codes.sparkSession.read.parquet(s"$path/codes").count()
+    val rows = graft.operators.ParquetMeta.rowCount(
+      codes.sparkSession, s"$path/codes")
     graft.ml.WeightsIO.save(s"$path/params.json",
       Map("family" -> "ivfpq_index",
         "nlist" -> coarse.length.toString,
@@ -123,7 +124,8 @@ object AnnIndexIO {
       codes: DataFrame, idCol: String): Unit = {
     codes.select(col(idCol), col("codes"), col("nrm"))
       .write.mode("overwrite").parquet(s"$path/codes")
-    val rows = codes.sparkSession.read.parquet(s"$path/codes").count()
+    val rows = graft.operators.ParquetMeta.rowCount(
+      codes.sparkSession, s"$path/codes")
     graft.ml.WeightsIO.save(s"$path/params.json",
       Map("family" -> "pq_index",
         "m" -> codebooks.length.toString,
@@ -164,7 +166,8 @@ object AnnIndexIO {
   def saveSq(path: String, codes: DataFrame, idCol: String): Unit = {
     codes.select(col(idCol), col("codes"), col("scale"), col("nrm"))
       .write.mode("overwrite").parquet(s"$path/codes")
-    val rows = codes.sparkSession.read.parquet(s"$path/codes").count()
+    val rows = graft.operators.ParquetMeta.rowCount(
+      codes.sparkSession, s"$path/codes")
     // SQ8 has no quantizer, but the code WIDTH is still index state —
     // record it so a wrong-dimension delta is refused at append. The
     // width is taken by a min/max(size) AGGREGATE over the whole frame
@@ -275,7 +278,10 @@ object AnnIndexIO {
   private def verifyCount(meta: Map[String, String], codes: DataFrame,
       path: String, verifyRows: Boolean): Unit =
     if (verifyRows) meta.get("rows").map(_.toLong).foreach { expected =>
-      val actual = codes.count()
+      // footer-metadata-only verification, driver-side (ParquetMeta):
+      // previously a distributed count() job per load
+      val actual = graft.operators.ParquetMeta.rowCount(
+        codes.sparkSession, s"$path/codes")
       require(actual == expected,
         s"index at $path records $expected rows in params.json but the " +
           s"codes parquet holds $actual — a previous save/append did " +

@@ -103,13 +103,17 @@ object IvfCosine {
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$path/assigned")
     // commit marker: the EXPECTED row count, read back from the files
-    // just written (a parquet count() is footer-metadata-only — no data
-    // pages are scanned). loadIndex re-counts and compares, so a
-    // partially committed write (crash mid-commit leaves a subset of
-    // part files) is DETECTED at load instead of silently serving a
-    // truncated corpus. Counted BEFORE the sidecar write so the
-    // adaptive bucket rule below can size from it.
-    val rows = spark.read.parquet(s"$path/assigned").count()
+    // just written. Footer metadata only — read driver-side
+    // (ParquetMeta.rowCount) instead of as a distributed count() job:
+    // the tree is bounded (one file per cell by repartForWrite), and
+    // each count() paid a full listing + AQE query-stage + scheduling
+    // round-trip for a few KB of footers (guide §2.6/§6 — the
+    // lifecycle's cost is protocol jobs, not data). loadIndex re-counts
+    // and compares, so a partially committed write (crash mid-commit
+    // leaves a subset of part files) is DETECTED at load instead of
+    // silently serving a truncated corpus. Counted BEFORE the sidecar
+    // write so the adaptive bucket rule below can size from it.
+    val rows = graft.operators.ParquetMeta.rowCount(spark, s"$path/assigned")
     val nBuckets = if (buckets >= 1) buckets
       else math.min(4096L, math.max(4L, rows / 2000L)).toInt
     // the sidecar derives from the files JUST WRITTEN, not from
@@ -126,7 +130,7 @@ object IvfCosine {
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/idmap")
     val cells = listCellDirs(spark, path).keySet
-    cells.foreach(c => writeEpochMarker(spark, path, c, 1L))
+    writeEpochMarkers(spark, path, cells, 1L)
     graft.ml.WeightsIO.save(s"$path/centroids.json",
       Map("family" -> "ivf_index",
         "nlist" -> index.centroids.length.toString,
@@ -192,14 +196,18 @@ object IvfCosine {
     requireVecDim(assigned, meta("vecCol"), dim, s"$path/assigned")
     if (verifyRows) {
       meta.get("rows").map(_.toLong).foreach { expected =>
-        // the two verification counts are footer-metadata-only jobs
-        // over disjoint trees — overlap them (guide §2.6)
+        // the two verification counts are footer-metadata-only —
+        // driver-side footer reads over disjoint bounded trees
+        // (ParquetMeta.rowCount), overlapped (guide §2.6); previously
+        // two distributed count() jobs
         @volatile var actual = 0L
         @volatile var side = Option.empty[Long]
         graft.operators.ParallelInput.overlap(Seq(
-          () => actual = assigned.count(),
+          () => actual =
+            graft.operators.ParquetMeta.rowCount(spark, s"$path/assigned"),
           () => side = if (meta.contains("buckets"))
-            Some(spark.read.parquet(s"$path/idmap").count()) else None))
+            Some(graft.operators.ParquetMeta.rowCount(spark, s"$path/idmap"))
+            else None))
         require(actual == expected,
           s"index at $path records $expected rows in centroids.json but " +
             s"the assigned parquet holds $actual — a previous " +
@@ -221,8 +229,28 @@ object IvfCosine {
             .mkString("{", ",", "}")} but the assigned tree holds " +
             s"${live.keySet.toSeq.sorted.mkString("{", ",", "}")} — a " +
             "maintenance run did not commit completely; rebuild the index")
-        recorded.foreach { case (cell, epoch) =>
-          require(hasEpochMarker(spark, path, cell, epoch),
+        // one FS existence probe per cell — checked from a bounded pool
+        // (a corpus-scaled nlist pays per-op namespace latency 4096×
+        // sequentially otherwise; same batching rationale as
+        // writeEpochMarkers). Failure reporting unchanged: the lowest
+        // failing cell id is named.
+        val checks = recorded.toSeq.sortBy(_._1)
+        val okFlags: Seq[Boolean] =
+          if (checks.size <= 2)
+            checks.map { case (c, e) => hasEpochMarker(spark, path, c, e) }
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(16, checks.size))
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            try checks.map { case (c, e) => scala.concurrent.Future(
+                hasEpochMarker(spark, path, c, e)) }
+              .map(scala.concurrent.Await.result(_,
+                scala.concurrent.duration.Duration.Inf))
+            finally pool.shutdown()
+          }
+        checks.zip(okFlags).find(!_._2).foreach { case ((cell, epoch), _) =>
+          require(false,
             s"index at $path: cell=$cell does not carry its recorded " +
               s"commit marker _epoch_$epoch — an applyChanges rewrite " +
               "did not commit completely and the cell may serve stale " +
@@ -304,10 +332,6 @@ object IvfCosine {
       graft.ml.WeightsIO.requireLen(s"c$i", c, dim)
       c
     }
-    // fail fast BEFORE any write: an append cannot retract rows, so a
-    // wrong-dim shard must be rejected here, not discovered as a
-    // vec_dot error after a partial commit corrupts the index
-    requireVecDim(delta, vecCol, dim, "appendToIndex delta", strict)
     val spark = delta.sparkSession
     // DATA-form assignment (centroids broadcast as a frame, plan size
     // independent of nlist — bit-identical to the literal path per
@@ -326,9 +350,19 @@ object IvfCosine {
         // ONE aggregate job yields both the pre-write commit count and
         // the touched-cell set (bounded by nlist) — count() plus a
         // separate distinct-collect was two scheduler round-trips over
-        // the same cached delta for no extra information
-        val perCell = assigned.groupBy(col("cell")).count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1))
+        // the same cached delta for no extra information. The
+        // wrong-dim fail-fast probe overlaps with it (guide §2.6):
+        // both are read-only pre-write jobs, and the overlap completes
+        // (propagating the probe's failure, listed first) BEFORE any
+        // write — an invalid shard still never reaches the parquet
+        // append
+        @volatile var perCellV: Array[(Int, Long)] = null
+        graft.operators.ParallelInput.overlap(Seq(
+          () => requireVecDim(delta, vecCol, dim, "appendToIndex delta",
+            strict),
+          () => perCellV = assigned.groupBy(col("cell")).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1))))
+        val perCell = perCellV
         val n = perCell.map(_._2).sum
         // the assigned append and the sidecar append write DISJOINT
         // trees from the same CACHED delta — overlap them (guide §2.6)
@@ -357,7 +391,7 @@ object IvfCosine {
     val epochMeta = parseCellEpochs(meta).map { known =>
       val epoch = meta.get("epoch").map(_.toLong).getOrElse(1L) + 1
       val newCells = deltaCells.diff(known.keySet)
-      newCells.foreach(c => writeEpochMarker(spark, path, c, epoch))
+      writeEpochMarkers(spark, path, newCells, epoch)
       Map("epoch" -> epoch.toString,
         "cellEpochs" -> fmtCellEpochs(
           known ++ newCells.map(_ -> epoch)))
@@ -427,20 +461,35 @@ object IvfCosine {
     // delta-sized and consumed FOUR times (bucket list + three
     // broadcast joins): localCheckpoint so each consumer reads the
     // materialized rows instead of re-planning and re-running the
-    // union+distinct shuffle per broadcast build
-    val affectedIds = upserts.select(col(idCol))
-      .unionByName(deleteIds.select(col(idCol))).distinct()
-      .localCheckpoint()
-    // the delta's bucket list (bounded by the bucket count) is shared
-    // by the old-cell lookup and the sidecar rewrite — computed ONCE
-    val affectedBuckets = buckets.map(b =>
-      affectedIds.select(bucketOf(idCol, b))
-        .distinct().collect().map(_.getInt(0)).toSeq)
-    val newAssigned =
-      assignByCentroidsDf(upserts, idCol, vecCol, // data form: see append
-        centroidsDf(spark, cents))
-        .select(col(idCol), col(vecCol), col("cell"))
-        .localCheckpoint() // 2 consumers (cell list + rewrite): assign once
+    // union+distinct shuffle per broadcast build. The two checkpoints
+    // are INDEPENDENT materializations (ids-union vs upsert
+    // assignment) — overlap them (guide §2.6) instead of paying two
+    // sequential delta-sized scheduling round-trips.
+    @volatile var affectedIds: DataFrame = null
+    @volatile var newAssigned: DataFrame = null
+    graft.operators.ParallelInput.overlap(Seq(
+      () => affectedIds = upserts.select(col(idCol))
+        .unionByName(deleteIds.select(col(idCol))).distinct()
+        .localCheckpoint(),
+      () => newAssigned =
+        assignByCentroidsDf(upserts, idCol, vecCol, // data form: see append
+          centroidsDf(spark, cents))
+          .select(col(idCol), col(vecCol), col("cell"))
+          .localCheckpoint())) // 2 consumers (cell list + rewrite)
+    // the delta's bucket list (bounded by the bucket count, shared by
+    // the old-cell lookup and the sidecar rewrite — computed ONCE) and
+    // the NEW-cell census are independent collects over the two
+    // checkpoints — overlap them; the old-cell lookup below then only
+    // unions the PRE-COLLECTED new cells driver-side instead of paying
+    // a union+distinct exchange per cells query
+    @volatile var affectedBuckets = Option.empty[Seq[Int]]
+    @volatile var newCells: Array[Int] = Array.empty
+    graft.operators.ParallelInput.overlap(Seq(
+      () => affectedBuckets = buckets.map(b =>
+        affectedIds.select(bucketOf(idCol, b))
+          .distinct().collect().map(_.getInt(0)).toSeq),
+      () => newCells = newAssigned.select(col("cell"))
+        .distinct().collect().map(_.getInt(0))))
     // old cells: bucket-pruned sidecar lookup (delta-proportional);
     // legacy artifacts without a sidecar fall back to one column-pruned
     // (id, cell) scan of the assigned tree with the delta broadcast
@@ -454,9 +503,8 @@ object IvfCosine {
         assigned.join(broadcast(affectedIds), Seq(idCol))
           .select(col("cell"))
     }
-    val cells = oldCells
-      .unionByName(newAssigned.select(col("cell")))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded by nlist
+    val cells = (oldCells.distinct().collect().map(_.getInt(0))
+      ++ newCells).distinct.toSeq // bounded by nlist
     // the cell rewrite and the sidecar rewrite touch DISJOINT trees
     // ($path/assigned vs $path/idmap) and read only checkpointed
     // delta-sized frames plus their own tree — overlap them
@@ -476,15 +524,21 @@ object IvfCosine {
         .unionByName(newAssigned.select(col(idCol), col(vecCol),
           col("cell")))
         .localCheckpoint() // sever self-read-overwrite lineage
-      repartForWrite(replacement, "cell", cells.size) // 1 file/cell
-        .write.partitionBy("cell").mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(s"$path/assigned")
-      // dynamic overwrite replaces only partitions PRESENT in the
-      // output — a cell emptied by deletion keeps its stale files
-      // unless removed explicitly
-      presentCells = replacement.select(col("cell")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      // the overwrite and the present-cell census both consume the
+      // CHECKPOINTED replacement (no shared uncached lineage) and the
+      // census reads no output of the write — overlap them (guide
+      // §2.6) instead of paying two sequential round-trips; the
+      // emptied-cell deletes below still run strictly after both
+      graft.operators.ParallelInput.overlap(Seq(
+        () => repartForWrite(replacement, "cell", cells.size) // 1 file/cell
+          .write.partitionBy("cell").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$path/assigned"),
+        // dynamic overwrite replaces only partitions PRESENT in the
+        // output — a cell emptied by deletion keeps its stale files
+        // unless removed explicitly
+        () => presentCells = replacement.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet))
       val hconf = spark.sparkContext.hadoopConfiguration
       cells.filterNot(presentCells).foreach { c =>
         val p = new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c")
@@ -507,12 +561,16 @@ object IvfCosine {
           .unionByName(newAssigned.select(col(idCol), col("cell"),
             bucketOf(idCol, b)))
           .localCheckpoint() // sever self-read-overwrite lineage
-        repartForWrite(sideReplacement, "bucket", affBks.size)
-          .write.partitionBy("bucket").mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(s"$path/idmap")
-        val presentBuckets = sideReplacement.select(col("bucket"))
-          .distinct().collect().map(_.getInt(0)).toSet
+        // same write + census overlap as the cell rewrite (both read
+        // only the checkpointed sideReplacement)
+        @volatile var presentBuckets = Set.empty[Int]
+        graft.operators.ParallelInput.overlap(Seq(
+          () => repartForWrite(sideReplacement, "bucket", affBks.size)
+            .write.partitionBy("bucket").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$path/idmap"),
+          () => presentBuckets = sideReplacement.select(col("bucket"))
+            .distinct().collect().map(_.getInt(0)).toSet))
         val hconf = spark.sparkContext.hadoopConfiguration
         affBks.filterNot(presentBuckets).foreach { bk =>
           val p = new org.apache.hadoop.fs.Path(s"$path/idmap/bucket=$bk")
@@ -529,19 +587,21 @@ object IvfCosine {
     val epochMeta = parseCellEpochs(meta).map { known =>
       // presentCells ⊆ cells by construction (the replacement only
       // holds affected cells' content); emptied cells leave the map
-      presentCells.foreach(c => writeEpochMarker(spark, path, c, epoch))
+      writeEpochMarkers(spark, path, presentCells, epoch)
       Map("epoch" -> epoch.toString,
         "cellEpochs" -> fmtCellEpochs(
           known -- cells ++ presentCells.map(_ -> epoch)))
     }.getOrElse(Map.empty)
-    // the two verification counts are footer-metadata-only jobs over
-    // disjoint trees — overlap them too
+    // the two verification counts are footer-metadata-only — driver-side
+    // footer reads over disjoint bounded trees, overlapped (previously
+    // two distributed count() jobs)
     @volatile var rows = 0L
     @volatile var sideRows = Option.empty[Long]
     graft.operators.ParallelInput.overlap(Seq(
-      () => rows = spark.read.parquet(s"$path/assigned").count(),
+      () => rows =
+        graft.operators.ParquetMeta.rowCount(spark, s"$path/assigned"),
       () => sideRows = buckets.map(_ =>
-        spark.read.parquet(s"$path/idmap").count())))
+        graft.operators.ParquetMeta.rowCount(spark, s"$path/idmap"))))
     sideRows.foreach { side =>
       require(side == rows,
         s"applyChanges at $path: assigned holds $rows rows but the " +
@@ -602,6 +662,32 @@ object IvfCosine {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .map(st => st.getPath.getName.stripPrefix("cell=").toInt -> st.getPath)
       .toMap
+  }
+
+  /** Batch [[writeEpochMarker]] over many cells from a bounded pool:
+    * each marker is 3 FS namespace ops (list + delete + create), and a
+    * corpus-scaled nlist (≤ 4096 cells) issuing them sequentially pays
+    * the full per-op latency 3·nlist times — on an object store that is
+    * the whole commit tail (guide §2.6). Marker semantics unchanged:
+    * each cell's own replace stays atomic-enough (delete-then-create in
+    * one thread); the meta republish still happens strictly after ALL
+    * markers land, so crash windows are identical. */
+  private def writeEpochMarkers(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Iterable[Int], epoch: Long): Unit = {
+    val cs = cells.toSeq
+    if (cs.size <= 2) cs.foreach(c => writeEpochMarker(spark, path, c, epoch))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, cs.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        cs.map(c => scala.concurrent.Future(
+            writeEpochMarker(spark, path, c, epoch)))
+          .foreach(scala.concurrent.Await.result(_,
+            scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
   }
 
   /** Replace a cell directory's `_epoch_*` marker with `_epoch_<epoch>`

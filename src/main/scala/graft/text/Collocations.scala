@@ -39,12 +39,32 @@ object Collocations {
   def topPmi(docs: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     val w: Column = CorpusOps.words(col(textCol))
-    val toks = docs.select(w.as("__w"))
-    val uni = toks.select(explode(col("__w")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
-    val bi = toks.select(
-        explode(CorpusOps.wordNgrams(col("__w"), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+    // BOTH count tables from ONE tokenize pass and ONE shuffle (the
+    // NgramLm kind-tagged explode, guide §2.3): unigrams and bigrams
+    // explode together tagged by kind and the combined count table
+    // localCheckpoints. Previously the corpus tokenization ran once
+    // for the unigram aggregate, once for the bigram aggregate, and
+    // AGAIN per consumer (the N scalar's eager head plus the two
+    // unigram join legs re-planned the corpus pass — exchange reuse
+    // across an eager action boundary never fires). Counts are
+    // integers, so the split-back tables exactly equal the
+    // two-aggregation form. Checkpoint bound: the materialized frame
+    // is VOCABULARY-sized (distinct unigrams + distinct bigrams with
+    // a count each) — the same table the old plan already shuffled,
+    // never corpus-sized.
+    val counts = docs.select(w.as("__w"))
+      .select(explode(concat(
+        transform(col("__w"),
+          t => struct(lit(0).as("k"), t.as("key"))),
+        transform(CorpusOps.wordNgrams(col("__w"), 2),
+          g => struct(lit(1).as("k"), g.as("key"))))).as("e"))
+      .groupBy(col("e.k").as("__k"), col("e.key").as("__key"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val uni = counts.where(col("__k") === 0)
+      .select(col("__key").as("t"), col("__c").as("c"))
+    val bi = counts.where(col("__k") === 1)
+      .select(col("__key").as("bigram"), col("__c").as("c12"))
       .where(col("c12") >= minCount)
     // N: one bounded scalar off the unigram table
     val n = uni.agg(sum(col("c")).cast("double")).head().getDouble(0)
