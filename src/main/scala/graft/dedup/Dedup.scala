@@ -164,6 +164,15 @@ object Dedup {
     // merge per pair (sorted_intersect_size — the sort runs once per doc,
     // the merge once per candidate pair); Jaccard is unchanged under any
     // injective hash (~2^-64 collision odds)
+    // NOT checkpointed, unlike the minhash/simhash signature kernels
+    // (r14): tried and REVERTED in r15 — the kernel does run once per
+    // SMJ side (twin 32-task stages, 8.8s + 4.9s exec at sf0.1), but a
+    // localCheckpoint of (id, sh) re-serializes the PAYLOAD-sized
+    // hash arrays through the block store (total stage exec rose
+    // 20.1s → 27.2s, wall flat 1.50 → 1.44s). The minhash precedent
+    // wins because its signature is 16 longs/doc; here sh is one long
+    // per token — recomputing the kernel is cheaper than an extra
+    // materialization round-trip of the same bytes.
     val withSh = df
       .withColumn("__norm", TextFunctions.normalize(col(textCol)))
       .select(col(idCol).as("id"),

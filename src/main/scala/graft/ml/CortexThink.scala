@@ -84,6 +84,9 @@ object CortexThink {
     // rounds don't each re-run the upstream scan+filter lineage
     // (measured ~1/3 of the loop's wall at the gate scale). Values
     // unchanged — checkpointing only truncates lineage.
+    // size bound (CheckpointPolicy): BOUNDED — fit() collects train to
+    // the driver, so callers pass driver-sized frames by contract;
+    // both checkpoints hold at most that sample.
     val train = train0.localCheckpoint()
     val valid = valid0.localCheckpoint()
     val baseline = interp.fit(train, baseSpec).getOrElse(

@@ -42,6 +42,9 @@ object LmBuckets {
     // concurrently and they race the cold cache — the whole LM
     // scoring ran twice (measured as two ~2-3s CPU stages over the
     // same exchange).
+    // size bound (CheckpointPolicy): corpus-ROW-proportional but NARROW
+    // — (id, n_bigrams, avg_logprob) ≈ 24B/doc; the text itself never
+    // materializes. Respell as a written intermediate at cluster scale.
     val scored = liveCaches.keep(
       NgramLm.scoreStupidBackoff(docs, idCol, textCol)
         .withColumn("avg_logprob",
