@@ -78,12 +78,37 @@ object DupClusters {
     * canonical (lo, hi) edge list; nothing graph-shaped lives on the
     * driver.
     *
-    * Convergence is detected EXACTLY: same edge count and no edge in
-    * E' \ E (a LEFT ANTI probe capped at one row) — two tiny jobs per
-    * round against localCheckpoint'ed leaves (same lineage-truncation
-    * rationale as [[minLabelClusters]]). At the fixpoint the edge list
-    * IS the component map: every edge is (root, member) with root the
-    * component-minimum id.
+    * Convergence is detected EXACTLY: same edge count and, when counts
+    * match, a per-partition set-equality probe over the CO-PARTITIONED
+    * old/new edge lists (`zipPartitions` — narrow, no shuffle). At the
+    * fixpoint the edge list IS the component map: every edge is
+    * (root, member) with root the component-minimum id.
+    *
+    * The loop body is the RDD primitives, not Catalyst (r15): a
+    * DataFrame spelling of one round planned ~9 exchange/broadcast
+    * stages under AQE and analyzed the min-join diamonds (`sym`,
+    * `down`, `dmins` each have two consumers) into DUPLICATED subtrees
+    * — measured ~10 query-stage jobs of 10–150 ms per round at sf0.1,
+    * pure scheduling, and exchange reuse did not fire. With pair RDDs
+    * the whole round materializes under ONE count() job: every edge
+    * list is hash-partitioned by its key through one fixed partitioner
+    * P, so both min-joins are co-partitioned NARROW joins (zero
+    * shuffle), a second consumer of a shuffled frame re-reads shuffle
+    * files instead of re-planning the subtree, and a round pays exactly
+    * three shuffles (sym min-combine, down orientation flip, canonical
+    * re-key) — the per-round optimum for the alternating-star algebra
+    * without buffering whole neighbor lists (`reduceByKey` keeps
+    * map-side combining, so hot star centers cost their partials, the
+    * same skew discipline as the groupBy form; the closures are
+    * primitive long ops, so losing codegen costs nothing here).
+    * Per-round `localCheckpoint` + eager count keeps lineage depth
+    * constant, as before; superseded rounds unpersist as soon as the
+    * next round is materialized and checked (the final list is held
+    * until the next invocation, mirroring the Dataset cache queue).
+    * The per-partition dedup hash set is bounded by the largest
+    * post-shuffle partition's edge count — the same working-set class
+    * as the round's shuffle blocks; size the partition count for the
+    * corpus as with any shuffle.
     *
     * No reference analog (the reference has no graph component); this is
     * the scale path behind q_dup_clusters' fixed-budget oracle form.
@@ -91,57 +116,124 @@ object DupClusters {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): DataFrame = {
     liveCaches.release()
-    def keep(df: DataFrame): DataFrame =
-      liveCaches.keep(df.localCheckpoint(eager = true))
-    // canonical (lo, hi) pairs; self-loops dropped
-    var e = keep(pairs
-      .select(least(col(aCol), col(bCol)).as("lo"),
-        greatest(col(aCol), col(bCol)).as("hi"))
-      .where(col("lo") =!= col("hi")).distinct())
+    releaseRdds()
+    val spark = pairs.sparkSession
+    // canonical (lo, hi) pairs; self-loops dropped. The 64-bit cast is
+    // internal; outputs cast back to the input id type at the end.
+    val idType = {
+      val f = pairs.schema(pairs.schema.fieldIndex(aCol))
+      f.dataType
+    }
+    val eDf = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("hi"))
+      .where(col("lo") =!= col("hi")).distinct()
+    val P0 = new org.apache.spark.HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    def ckpt(r: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      r.localCheckpoint()
+      liveRdds.add(r)
+      r
+    }
+    // keyed by lo under P — every round's joins stay co-partitioned
+    var e = ckpt(eDf.queryExecution.toRdd
+      .map(ir => (ir.getLong(0), ir.getLong(1)))
+      .partitionBy(P0))
     var eCount = e.count()
+    // Scale-adaptive round parallelism (guide §2: derive partitioning
+    // from input size, don't pin a constant): the loop's shuffles carry
+    // |E| 16-byte pairs, so size partitions at ~64k edges (~1 MB) each,
+    // capped by the session's shuffle partitions — the same
+    // bytes-per-partition logic AQE coalescing applies to SQL
+    // exchanges, which RDD shuffles don't get for free. At corpus scale
+    // the cap keeps P = the configured parallelism; on a small edge
+    // list it stops every round paying (stages x configured-partition)
+    // fixed task overheads for KB of data.
+    val pAdaptive = math.max(1L, math.min(P0.numPartitions.toLong,
+      eCount / 65536L + 1L)).toInt
+    val P = if (pAdaptive < P0.numPartitions)
+      new org.apache.spark.HashPartitioner(pAdaptive) else P0
+    if (P ne P0) e = e.partitionBy(P) // one tiny reshuffle, shuffle-file
+                                      // reads thereafter
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      // large-star: sym view; m(u) = min(u, min N(u)); every neighbor
-      // v > u re-hangs onto m(u). m(u) <= u < v, so (m, v) is canonical.
-      val sym = e.union(e.select(col("hi").as("lo"), col("lo").as("hi")))
-        .toDF("u", "v")
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("__nmin"))
-        .select(col("u"), least(col("u"), col("__nmin")).as("m"))
-      // NOT distinct'd: sym.where(v > u) is exactly e (one row per
-      // canonical edge) joined 1:1 to mins, so large-star output has
-      // |e| rows before dedup; duplicates from different u mapping to
-      // the same (m, v) are collapsed by e2's distinct below either
-      // way, and dropping the intermediate exchange removes one full
-      // shuffle from EVERY contraction round
-      val ls = sym.where(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("m").as("lo"), col("v").as("hi"))
-        .where(col("lo") =!= col("hi"))
-      // small-star on the downward orientation (hi -> lo): every
-      // smaller neighbor (and u itself) re-hangs onto min N_down(u).
-      // mv <= v for each down-neighbor v, so pairs stay canonical.
-      val down = ls.select(col("hi").as("u"), col("lo").as("v"))
-      val dmins = down.groupBy(col("u")).agg(min(col("v")).as("mv"))
-      val rewired = down.join(dmins, "u")
-        .select(col("mv").as("lo"), col("v").as("hi"))
-        .where(col("lo") =!= col("hi"))
-      val selfEdges = dmins
-        .select(col("mv").as("lo"), col("u").as("hi"))
-      val e2 = keep(rewired.union(selfEdges).distinct())
+      // large-star: m(u) = min(u, min N(u)); every neighbor v > u
+      // re-hangs onto m(u). m(u) <= u < v, so (m, v) is canonical.
+      // ONE shuffle (map-side-combined min over the symmetric view);
+      // the min-join back to e is narrow: e and mins share P.
+      val sym = e.flatMap { p => Iterator(p, p.swap) }
+      val mins = sym.reduceByKey(P, math.min(_: Long, _: Long))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      // NOT dedup'd between stars: e join mins is 1:1 per canonical
+      // edge, so large-star output has |e| rows; duplicates from
+      // different u mapping to the same (m, v) collapse in the
+      // round-final dedup, and min is duplicate-insensitive (the r14
+      // one-distinct-per-round argument, unchanged).
+      // down orientation (hi -> lo) for small-star: key = hi.
+      val down = e.join(mins)
+        .flatMap { case (u, (v, m)) => if (m == v) Iterator.empty
+          else Iterator((v, m)) }
+        .partitionBy(P) // ONE shuffle; both consumers below are narrow
+      // small-star: every smaller neighbor (and u itself) re-hangs onto
+      // min N_down(u); mv < u strictly (all down-neighbors are < u), so
+      // the fused self edge (mv, u) never degenerates.
+      val dmins = down.reduceByKey(math.min(_: Long, _: Long)) // same partitioner: narrow
+      val e2 = ckpt(down.join(dmins) // narrow
+        .flatMap { case (u, (v, mv)) =>
+          if (mv == v) Iterator((mv, u)) else Iterator((mv, v), (mv, u)) }
+        .partitionBy(P) // ONE shuffle back to canonical lo keying
+        .mapPartitions(dedupPairs, preservesPartitioning = true))
       val e2Count = e2.count()
-      converged = e2Count == eCount &&
-        e2.join(e, Seq("lo", "hi"), "left_anti").limit(1).count() == 0L
+      // set equality: counts match AND per-partition sets match — the
+      // lists are co-partitioned and dedup'd, so equality is checkable
+      // partition-by-partition with no shuffle
+      converged = e2Count == eCount && {
+        val old = e
+        old.zipPartitions(e2) { (a, b) =>
+          val sa = new scala.collection.mutable.HashSet[(Long, Long)]
+          sa ++= a
+          var same = true
+          var n = 0
+          b.foreach { p => n += 1; if (!sa.contains(p)) same = false }
+          Iterator(same && n == sa.size)
+        }.fold(true)(_ && _)
+      }
+      e.unpersist(blocking = false)
+      liveRdds.remove(e)
       e = e2
       eCount = e2Count
     }
     require(converged,
       s"connectedComponents: no fixpoint after $maxRounds rounds")
     // star fixpoint: (root, member) edges + the roots themselves
-    e.select(col("hi").as("id"), col("lo").as("cluster"))
-      .union(e.select(col("lo").as("id"), col("lo").as("cluster")))
-      .distinct()
+    import spark.implicits._
+    val labels = e.flatMap { case (lo, hi) =>
+      Iterator((hi, lo), (lo, lo)) }
+    labels.toDF("id", "cluster").distinct()
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
+  }
+
+  /** Per-partition exact dedup of the canonically keyed pair list —
+    * runs AFTER the partitionBy, so every duplicate of a pair is
+    * co-located. Bounded by the partition's distinct-edge count. */
+  private def dedupPairs(it: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val seen = new scala.collection.mutable.HashSet[(Long, Long)]
+    it.filter(seen.add)
+  }
+
+  private val liveRdds = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.rdd.RDD[(Long, Long)], java.lang.Boolean]())
+
+  private def releaseRdds(): Unit = {
+    val it = liveRdds.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 
   /** Canonical-representative selection — the step after clustering in

@@ -1,10 +1,12 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The shared corpus tokenization `regexp_extract_all(lower(text),
@@ -69,6 +71,81 @@ object WordTokens {
       } else i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+}
+
+/** Per-document token frequencies `array<struct<token,cnt>>` in the
+  * SAME single byte scan as [[WordTokensExpr]]: maximal `[a-z0-9_]`
+  * runs of the lowered text, counted into an insertion-ordered map as
+  * they are found (first-occurrence order — deterministic). One row
+  * per DISTINCT per-doc token replaces one row per occurrence, so a
+  * downstream `groupBy(token)` needs only ONE vocabulary-keyed
+  * exchange where `explode(word_tokens) → count / count(distinct
+  * doc_id)` needed a corpus-token-sized `(token, doc_id)` exchange
+  * first: `sum(cnt) ≡ count(occurrences)` and, for unique input rows,
+  * `count(rows) ≡ count(distinct doc_id)` — integer arithmetic, exact.
+  * Null text → null (explode drops it), matching `word_tokens`. */
+case class WordTokenCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_token_counts requires a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordTokenCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordTokenCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+  override def prettyName: String = "word_token_counts"
+}
+
+object WordTokenCounts {
+  import org.apache.spark.sql.Column
+  def apply(text: Column): Column =
+    ColumnBridge.column(WordTokenCountsExpr(ColumnBridge.expression(text)))
+
+  private def isWord(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == '_'
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val lower = text.toLowerCase
+    val b = lower.getBytes
+    // insertion-ordered: first-occurrence order, same for every run
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      if (isWord(b(i))) {
+        val start = i
+        while (i < n && isWord(b(i))) i += 1
+        val tok = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(b, start, i))
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1L)) else c(0) += 1L
+      } else i += 1
+    }
+    val out = new Array[AnyRef](counts.size())
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0))): InternalRow
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -334,21 +334,32 @@ object CorpusSplit {
 
   /** Vocabulary induction: the `k` most frequent tokens across the
     * corpus with document frequencies — the precursor to tokenizer /
-    * vocab training. One explode + one pre-aggregated shuffle on the
-    * token (map-side partial counts make the exchange carry one row per
-    * distinct token per partition, not per occurrence); ties break
-    * deterministically by token. At 100 TB the top-k is a
-    * TakeOrdered over the aggregated token counts — never a global
-    * sort of the corpus: Catalyst's LimitPushDownThroughWindow rewrites
-    * the `rank <= k` filter on the unpartitioned row_number window into
-    * TakeOrderedAndProject(limit=k) (pinned by PlanSpec). */
+    * vocab training. Per-document token counts come from ONE codegen'd
+    * kernel ([[graft.functions.WordTokenCounts]]: tokenize + count in a
+    * single byte scan), so the whole aggregation needs ONE
+    * vocabulary-keyed exchange: `sum(cnt)` over per-doc rows equals the
+    * occurrence count and `count(rows)` equals `count(distinct docId)`
+    * because each document emits each of its distinct tokens exactly
+    * once (integer arithmetic — exact). The previous
+    * `explode(word_tokens) → count / countDistinct(docId)` spelling
+    * paid a corpus-token-sized `(token, doc_id)` exchange before the
+    * vocabulary one. Ties break deterministically by token. At 100 TB
+    * the top-k is a TakeOrdered over the aggregated token counts —
+    * never a global sort of the corpus: Catalyst's
+    * LimitPushDownThroughWindow rewrites the `rank <= k` filter on the
+    * unpartitioned row_number window into TakeOrderedAndProject(limit=k)
+    * (pinned by PlanSpec).
+    *
+    * `idCol` identifies the document only through row uniqueness: rows
+    * of `docs` must be distinct documents (true for every corpus table
+    * here — doc_id is the key). */
   def topVocab(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val tok = docs.select(col(idCol),
-      explode(CorpusOps.words(col(textCol))).as("token"))
-    val counts = tok.groupBy(col("token"))
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col(idCol)).as("n_docs"))
+    val tc = docs.select(explode(
+      graft.functions.WordTokenCounts(col(textCol))).as("__tc"))
+    val counts = tc.groupBy(col("__tc.token").as("token"))
+      .agg(sum(col("__tc.cnt")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
     counts
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_occurrences").desc, col("token"))))

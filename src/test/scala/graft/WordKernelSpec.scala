@@ -71,6 +71,49 @@ class WordKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("word_token_counts ≡ explode(word_tokens) + groupBy counts on " +
+    "randomized unicode text, with deterministic first-occurrence order") {
+    val samples = Gen.listOfN(200, textGen).sample.get ++ Seq(
+      "", " ", "a a a b b c", "___ ___", "ABC123 abc123",
+      "İstanbul QUICK quick", "mixed中文words 中文")
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    // reference: occurrence counts from the staged explode + groupBy
+    val ref = df.select(col("id"),
+        explode(graft.functions.WordTokens(col("t"))).as("tok"))
+      .groupBy("id", "tok").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val got = df.select(col("id"),
+        graft.functions.WordTokenCounts(col("t")).as("tc"))
+      .collect()
+    var kernelPairs = 0
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val tc = r.getSeq[org.apache.spark.sql.Row](1)
+      // counts match the reference exactly
+      tc.foreach { e =>
+        assert(ref((id, e.getString(0))) == e.getLong(1),
+          s"id=$id token=${e.getString(0)}")
+      }
+      kernelPairs += tc.size
+      // tokens are distinct within a doc
+      assert(tc.map(_.getString(0)).distinct.size == tc.size)
+      // deterministic first-occurrence order
+      val firstSeen = graft.functions.WordTokens
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(
+          samples(id.toInt))).toArray[AnyRef](
+          org.apache.spark.sql.types.StringType).map(_.toString).distinct
+      assert(tc.map(_.getString(0)) == firstSeen.toSeq, s"order id=$id")
+    }
+    assert(kernelPairs == ref.size, "kernel emits exactly the " +
+      "reference's distinct (doc, token) pairs")
+    // null text: null array (explode drops it, like word_tokens)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(graft.functions.WordTokenCounts(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("word_ngrams handles null ELEMENTS like concat_ws (skipped " +
     "inside the gram)") {
     val df = spark.sql(
