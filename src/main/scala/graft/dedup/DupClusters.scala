@@ -34,29 +34,75 @@ object DupClusters {
     graft.operators.GraftTransformer.newCacheQueue()
 
   /** (id, cluster) for every vertex appearing in `pairs`; cluster is the
-    * min vertex id reachable within `iters` hops. */
+    * min vertex id reachable within `iters` hops.
+    *
+    * Loop body on pair RDDs (r15, same rationale as
+    * [[connectedComponents]]): the static bidirectional edge list is
+    * hash-partitioned by dst ONCE before the loop and the label frame
+    * by id under the same partitioner, so the per-round
+    * neighbor-gather join and the label left-join are both
+    * co-partitioned NARROW joins; one round pays exactly one shuffle
+    * (the map-side-combined min over gathered labels, re-keyed src)
+    * and materializes under a single count-free checkpoint job. The
+    * DataFrame spelling paid ~4 exchanges plus duplicated label
+    * subtrees per round. Update rule unchanged: each vertex takes
+    * min(own label, min over neighbor labels) per round. */
   def minLabelClusters(pairs: DataFrame, aCol: String, bCol: String,
       iters: Int = 4): DataFrame = {
     liveCaches.release()
-    def keep(df: DataFrame): DataFrame =
-      liveCaches.keep(df.localCheckpoint(eager = true))
-    // cache the PAIR LIST (one run of the upstream candidate query);
-    // the bidirectional edge view is two cheap projections of the cache
-    val p0 = keep(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
-    val edges = p0.union(p0.select(col("dst").as("src"),
-      col("src").as("dst")))
-    var labels = keep(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
-    for (_ <- 1 to iters) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("cluster")).as("__nmin"))
-      labels = keep(
-        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(labels("id"),
-            least(col("cluster"), coalesce(col("__nmin"), col("cluster")))
-              .as("cluster")))
+    releaseRdds()
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+    val pDf = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val P0 = new org.apache.spark.HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    def ckpt(r: org.apache.spark.rdd.RDD[(Long, Long)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] = {
+      r.localCheckpoint()
+      liveRdds.add(r)
+      r
     }
-    labels
+    // (dst, src) both directions — gather key first; static across
+    // rounds, so its partitioning is paid once
+    val edges0 = pDf.queryExecution.toRdd
+      .map(ir => (ir.getLong(0), ir.getLong(1)))
+    val edges = ckpt(edges0.flatMap(p => Iterator(p, p.swap))
+      .partitionBy(P0))
+    val edgeCount = edges.count()
+    // same scale-adaptive round parallelism as connectedComponents
+    val pAdaptive = math.max(1L, math.min(P0.numPartitions.toLong,
+      edgeCount / 65536L + 1L)).toInt
+    val P = if (pAdaptive < P0.numPartitions)
+      new org.apache.spark.HashPartitioner(pAdaptive) else P0
+    val edgesByDst = if (P ne P0) ckpt(edges.partitionBy(P)) else edges
+    // labels keyed by id under the SAME partitioner: both per-round
+    // joins below are narrow
+    // No per-round action: the fixed `iters` rounds chain into the
+    // caller's terminal action as ONE job (the localCheckpoint marks
+    // materialize on first execution and later consumers read blocks);
+    // lineage depth is bounded by the constant budget.
+    var labels = ckpt(edgesByDst
+      .mapPartitions(_.map { case (dst, _) => (dst, dst) },
+        preservesPartitioning = true)
+      .mapPartitions(dedupPairs, preservesPartitioning = true))
+    for (_ <- 1 to iters) {
+      // gather: neighbor labels keyed back to src, min-combined —
+      // the round's ONE shuffle (map-side combine caps hot vertices)
+      val nbrMin = edgesByDst.join(labels) // narrow: both P on dst/id
+        .map { case (_, (src, cluster)) => (src, cluster) }
+        .reduceByKey(P, math.min(_: Long, _: Long))
+      // apply: left join keeps isolated-this-round vertices; narrow
+      // (labels and nbrMin share P)
+      labels = ckpt(labels.leftOuterJoin(nbrMin)
+        .mapPartitions(_.map { case (id, (own, nb)) =>
+          (id, math.min(own, nb.getOrElse(own))) },
+          preservesPartitioning = true))
+    }
+    import spark.implicits._
+    labels.toDF("id", "cluster")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
   }
 
   /** Exact connected components to CONVERGENCE: alternating
